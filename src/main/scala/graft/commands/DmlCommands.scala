@@ -1,0 +1,260 @@
+package graft.commands
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta._
+import graft.schema.SchemaUtils
+import graft.write.TransactionalWrite
+
+/** DML commands over Graft tables. All follow the same transactional shape
+  * as the reference (`commands/UpsertCommand.scala`, `UpdateCommand.scala`,
+  * `DeleteCommand.scala`, `CompactionCommand.scala`, `CleanupCommand.scala`,
+  * `DropTableCommand.scala`): open a transaction, compute the touched file
+  * set from metadata, rewrite data distributed, commit (adds, removes).
+  */
+object UpsertCommand {
+
+  /** Delta-mode upsert (reference `UpsertCommand.scala:107-111`): append the
+    * source as PK-sorted delta files per bucket; reads merge-on-read. The
+    * source may carry a column subset (must include the PKs); missing
+    * columns keep their previous values via `fileExistCols`.
+    */
+  def run(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val info = snapshot.tableInfo
+      require(info.hasPrimaryKey,
+        "upsert requires a hash-partitioned (primary-key) table")
+      val (newInfo, aligned) =
+        WriteIntoTable.evolveSchema(spark, source, info, extraOptions)
+      val files = TransactionalWrite.writeFiles(
+        spark, path, newInfo, aligned, isBase = false)
+      txn.commit("delta", if (newInfo == info) None else Some(newInfo), files, Nil)
+    }
+  }
+}
+
+object UpdateCommand {
+
+  /** Rewrite-on-update (reference `UpdateCommand.scala:61-153`): find
+    * candidate files from partition predicates, locate the files that
+    * actually contain matching rows via `input_file_name()` (file names
+    * only — metadata-scale), rewrite those files with
+    * `CASE WHEN cond THEN newExpr ELSE old END`, commit (adds, removes).
+    */
+  def run(
+      spark: SparkSession,
+      tablePath: String,
+      condition: Column,
+      setExprs: Map[String, Column]): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "update") {
+      (df, cond) =>
+        val updated = setExprs.foldLeft(df) { case (d, (colName, value)) =>
+          d.withColumn(colName, when(cond, value).otherwise(col(s"`$colName`")))
+        }
+        updated
+    }
+  }
+}
+
+object DeleteCommand {
+
+  /** Rewrite-on-delete (reference `DeleteCommand.scala:69-147`): keep rows
+    * whose condition is not true (null-safe). */
+  def run(spark: SparkSession, tablePath: String, condition: Column): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "delete") {
+      (df, cond) => df.filter(!coalesce(cond, lit(false)))
+    }
+  }
+}
+
+/** Shared 3-case rewrite engine for update/delete. */
+object RewriteSupport {
+
+  /** Apply `rewrite(df, cond)` to the files containing rows matching
+    * `condition`; untouched files stay as-is. */
+  def rewriteMatchingFiles(
+      spark: SparkSession, path: String, condition: Column, commitType: String)(
+      rewrite: (DataFrame, Column) => DataFrame): Unit = {
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val info = snapshot.tableInfo
+
+      // Case analysis (reference UpdateCommand.scala:72-117): split the
+      // predicate into partition-only conjuncts (prunable from metadata)
+      // and data conjuncts.
+      val conjuncts = splitConjuncts(
+        org.apache.spark.sql.graft.SparkShims.expression(condition))
+      val (partConj, dataConj) = conjuncts.partition(
+        _.references.forall(a => info.rangeColumns.contains(a.name)))
+      val candidates =
+        if (partConj.isEmpty) snapshot.files
+        else PartitionFilter.filterFiles(spark, snapshot,
+          partConj.map(rebindByName(_)))
+
+      if (candidates.isEmpty) return // case 1: nothing to touch
+
+      val touched: Seq[DataFileInfo] =
+        if (dataConj.isEmpty) candidates // case 2: partition-only predicate
+        else if (info.hasPrimaryKey) {
+          // PK tables: merge-on-read makes per-file row attribution unsound
+          // (a row's visible value merges several files) — rewrite all
+          // candidate buckets (reference: all candidates on PK tables).
+          candidates
+        } else {
+          // case 3: ask the data which files hold matching rows
+          val reader = GraftTableFiles.read(spark, path, snapshot, candidates)
+          val names = reader.filter(condition)
+            .select(input_file_name()).distinct().collect().map(_.getString(0))
+          val nameSet = names.map(stripScheme).toSet
+          candidates.filter(f => nameSet.contains(s"$path/${f.path}"))
+        }
+      if (touched.isEmpty) return
+
+      // Rewrite the touched files' rows (distributed), preserving layout.
+      val df = GraftTableFiles.read(spark, path, snapshot, touched)
+      val rewritten = rewrite(df, condition)
+      val files = TransactionalWrite.writeFiles(spark, path, info, rewritten,
+        isBase = true)
+      txn.commit(commitType, None, files, touched)
+    }
+  }
+
+  def splitConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  def rebindByName(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+  }
+
+  def stripScheme(p: String): String = graft.meta.FsMetaStore.stripScheme(p)
+}
+
+/** Reads a pinned file list of a table as a DataFrame (the
+  * `BatchDataFileIndexV2` path, reference `StarLakeFileIndex.scala:125-150`),
+  * with full merge-on-read semantics for PK tables.
+  */
+object GraftTableFiles {
+  def read(
+      spark: SparkSession, path: String, snapshot: Snapshot,
+      files: Seq[DataFileInfo]): DataFrame =
+    graft.sources.GraftRead.readFiles(spark, path, snapshot, files)
+}
+
+object CompactionCommand {
+
+  /** Merge-read each range partition and rewrite it as deduplicated base
+    * files (reference `CompactionCommand.scala:38-185`). `force=false`
+    * compacts only partitions whose delta-file count reached
+    * `spark.graft.compaction.deltaFileMaxNum` (default 5).
+    */
+  def run(
+      spark: SparkSession,
+      tablePath: String,
+      force: Boolean = true,
+      partitionPredicate: Option[String] = None): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val info = snapshot.tableInfo
+      val maxDelta = spark.conf.getOption("spark.graft.compaction.deltaFileMaxNum")
+        .map(_.toInt).getOrElse(5)
+      val candidateKeys: Set[String] = partitionPredicate match {
+        case Some(p) => PartitionFilter.matchingRangeKeys(spark, snapshot,
+          Seq(org.apache.spark.sql.graft.SparkShims.expression(expr(p))))
+        case None => snapshot.filesByRange.keySet
+      }
+      val toCompact = snapshot.filesByRange.filter { case (key, files) =>
+        candidateKeys.contains(key) && {
+          val deltas = files.count(!_.isBase)
+          force || deltas >= maxDelta
+        } && files.exists(!_.isBase)
+      }
+      if (toCompact.isEmpty) return
+      val oldFiles = toCompact.values.flatten.toSeq
+      val df = GraftTableFiles.read(spark, path, snapshot, oldFiles)
+      val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
+      txn.commit("compaction", None, files, oldFiles)
+    }
+  }
+}
+
+object CleanupCommand {
+
+  /** Vacuum: delete files under the table dir that the latest snapshot does
+    * not reference and that are older than `retainMillis` (reference
+    * `CleanupCommand.scala:36-233`). Listing runs distributed when the dir
+    * set is large; here the dir tree comes from range partitions
+    * (metadata-scale), so a driver walk suffices at any table size because
+    * the walk is per-partition-dir, not per-row.
+    */
+  def run(
+      spark: SparkSession,
+      tablePath: String,
+      retainMillis: Long = 0L,
+      dryRun: Boolean = false): Seq[String] = {
+    val path = SnapshotManagement.normalize(tablePath)
+    val snapshot = SnapshotManagement.snapshot(path)
+    val live = snapshot.files.map(f => s"$path/${f.path}").toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val deleted = Seq.newBuilder[String]
+    val root = Paths.get(path)
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        val name = p.getFileName.toString
+        val isData = name.endsWith(".parquet") && Files.isRegularFile(p)
+        val inLog = p.startsWith(root.resolve(graft.meta.FsMetaStore.LOG_DIR_NAME))
+        if (isData && !inLog && !live.contains(p.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          deleted += p.toString
+          if (!dryRun) Files.deleteIfExists(p)
+        }
+      }
+    } finally stream.close()
+    deleted.result()
+  }
+}
+
+object DropCommands {
+
+  /** Drop the whole table: metadata first, then data (reference
+    * `DropTableCommand.scala`). */
+  def dropTable(tablePath: String): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.invalidate(path)
+    TransactionalWrite.deleteRecursively(Paths.get(path))
+  }
+
+  /** Drop one range partition (metadata removal; data via cleanup). */
+  def dropPartition(spark: SparkSession, tablePath: String, predicate: String): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val cond = org.apache.spark.sql.graft.SparkShims.expression(expr(predicate))
+      val files = PartitionFilter.filterFiles(spark, snapshot, Seq(cond))
+      require(files.nonEmpty, s"no partition matches $predicate")
+      txn.commit("delete", None, Nil, files)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.meta
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Metadata model for Graft tables.
+  *
+  * Mirrors the reference data model (StarLake
+  * `org/apache/spark/sql/star/utils/MetaData.scala:54-139`): a table is a
+  * root path plus table metadata; data files carry range-partition values, a
+  * hash-bucket id, a write version and the set of columns physically present
+  * (`file_exist_cols` — upserts may write partial columns).
+  *
+  * Unlike the reference (which stores all of this in an external Cassandra
+  * keyspace, `com/engineplus/star/meta/`), Graft persists metadata as a
+  * versioned JSON-lines commit log under `<table>/_graft_log/` with
+  * atomic-rename CAS — the design the reference itself sketches in its
+  * dormant `star/storage/LogStore.scala` and that public lakehouse formats
+  * (Delta-style logs) use. This keeps commits transactional without any
+  * external service and scales: the log is O(commits), never O(rows).
+  */
+case class TableInfo(
+    tableId: String,
+    schemaJson: String,
+    rangeColumns: Seq[String] = Nil,
+    hashColumns: Seq[String] = Nil,
+    bucketNum: Int = -1,
+    configuration: Map[String, String] = Map.empty,
+    shortName: Option[String] = None) {
+  def schema: StructType =
+    if (schemaJson.isEmpty) new StructType()
+    else DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def hasPrimaryKey: Boolean = hashColumns.nonEmpty && bucketNum > 0
+  def rangePartitionSchema: StructType =
+    StructType(rangeColumns.flatMap(c => schema.fields.find(_.name == c)))
+  def dataSchema: StructType =
+    StructType(schema.fields.filterNot(f => rangeColumns.contains(f.name)))
+}
+
+/** One committed data file. `path` is relative to the table root.
+  * `bucket` is -1 for non-PK tables. `writeVersion` is the log version that
+  * added the file; merge-on-read orders versions with it.
+  */
+case class DataFileInfo(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    bucket: Int = -1,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    writeVersion: Long = 0L,
+    isBase: Boolean = true,
+    fileExistCols: Seq[String] = Nil) {
+  /** Canonical range-partition identity, e.g. "lang=en/source=web". */
+  def rangeKey: String = DataFileInfo.rangeKey(partitionValues)
+}
+
+object DataFileInfo {
+  def rangeKey(values: Map[String, String]): String =
+    if (values.isEmpty) ""
+    else values.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+}
+
+/** Commit metadata (one per log entry). `commitType` follows the reference's
+  * commit taxonomy (`meta/MetaCommit.scala`): append | overwrite | delta |
+  * compaction | update | delete | streaming.
+  */
+case class CommitInfo(
+    commitType: String,
+    timestamp: Long,
+    appId: String = "",
+    comment: String = "")
+
+/** Exactly-once bookkeeping for the streaming sink: highest batch id
+  * committed per streaming query (reference `meta/StreamingRecord.scala:41-57`).
+  */
+case class StreamingInfo(queryId: String, batchId: Long)
+
+case class RemoveFileAction(path: String)
+
+/** One JSON line in a commit file. Exactly one field is set per line except
+  * `commit`, which heads every commit file.
+  */
+case class LogEntry(
+    commit: Option[CommitInfo] = None,
+    table: Option[TableInfo] = None,
+    add: Option[DataFileInfo] = None,
+    remove: Option[RemoveFileAction] = None,
+    streaming: Option[StreamingInfo] = None)
+
+/** Materialized view metadata: SQL text plus the pinned (path -> version)
+  * of every relation table at build time (reference `MaterialViewInfo`,
+  * `utils/MetaData.scala:208-222`).
+  */
+case class MaterialViewInfo(
+    viewName: String,
+    sqlText: String,
+    relationVersions: Map[String, Long] = Map.empty)
+
+class GraftConcurrentModificationException(msg: String)
+    extends RuntimeException(msg)
+
+class GraftTableNotFoundException(path: String)
+    extends RuntimeException(s"Graft table not found at $path")

@@ -1,0 +1,69 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+class GraftSchemaException(msg: String) extends RuntimeException(msg)
+
+/** Schema validation / evolution helpers (reference
+  * `star/schema/SchemaUtils.scala:47-976`, reduced to the operations the
+  * engine actually performs: validate on write, compatibility check, and
+  * additive auto-merge).
+  */
+object SchemaUtils {
+
+  /** Reject duplicate names (case-insensitive), NullType columns, and names
+    * parquet cannot store (reference `SchemaUtils.scala:99-143` +
+    * `TransactionCommit.scala:213-216`). */
+  def validateSchema(schema: StructType): Unit = {
+    val lower = schema.fieldNames.map(_.toLowerCase)
+    if (lower.distinct.length != lower.length) {
+      val dups = lower.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+      throw new GraftSchemaException(s"duplicate column names: ${dups.mkString(", ")}")
+    }
+    schema.fields.foreach { f =>
+      if (hasNullType(f.dataType))
+        throw new GraftSchemaException(s"column ${f.name} has NullType; not storable")
+      val bad = " ,;{}()\n\t=".toSeq.filter(c => f.name.contains(c))
+      if (bad.nonEmpty)
+        throw new GraftSchemaException(
+          s"column name '${f.name}' contains invalid character(s) ${bad.mkString("'", "','", "'")}")
+    }
+  }
+
+  private def hasNullType(dt: DataType): Boolean = dt match {
+    case NullType => true
+    case s: StructType => s.fields.exists(f => hasNullType(f.dataType))
+    case a: ArrayType => hasNullType(a.elementType)
+    case m: MapType => hasNullType(m.keyType) || hasNullType(m.valueType)
+    case _ => false
+  }
+
+  /** Columns shared by both schemas must have identical types (reference
+    * read-compat check `SchemaUtils.scala:237-291`). */
+  def checkCompatible(table: StructType, data: StructType): Unit = {
+    val byLower = table.fields.map(f => f.name.toLowerCase -> f).toMap
+    data.fields.foreach { f =>
+      byLower.get(f.name.toLowerCase).foreach { tf =>
+        if (tf.dataType != f.dataType) {
+          throw new GraftSchemaException(
+            s"column ${f.name}: incoming type ${f.dataType.simpleString} does not " +
+            s"match table type ${tf.dataType.simpleString}")
+        }
+      }
+    }
+  }
+
+  /** Additive merge: table schema plus any new incoming columns appended (in
+    * incoming order). Nullability widens (reference `SchemaUtils.scala:767+`). */
+  def mergeSchemas(table: StructType, data: StructType): StructType = {
+    val existingLower = table.fieldNames.map(_.toLowerCase).toSet
+    val widened = table.fields.map { tf =>
+      data.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+        case Some(df) if df.nullable && !tf.nullable => tf.copy(nullable = true)
+        case _ => tf
+      }
+    }
+    val added = data.fields.filterNot(f => existingLower.contains(f.name.toLowerCase))
+    StructType(widened ++ added)
+  }
+}

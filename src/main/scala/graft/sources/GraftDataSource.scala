@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.commands.WriteIntoTable
+import graft.meta.SnapshotManagement
+
+/** The `graft` format (reference `sources/StarLakeDataSource.scala:41-133`):
+  * V2 TableProvider for reads and Append/Overwrite writes, V1
+  * CreatableRelationProvider for ErrorIfExists/Ignore save modes, and a
+  * streaming sink provider with exactly-once batch idempotence.
+  */
+class GraftDataSource
+  extends org.apache.spark.sql.connector.catalog.TableProvider
+  with DataSourceRegister
+  with CreatableRelationProvider
+  with StreamSinkProvider {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: java.util.Map[String, String]): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("'path' option is required for graft tables"))
+    SnapshotManagement.normalize(p)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new GraftTableV2(SparkSession.active, pathOf(options)).schema()
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    new GraftTableV2(SparkSession.active, pathOf(options)).partitioning()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTableV2(SparkSession.active, pathOf(properties),
+      Option(schema), properties.asScala.toMap)
+
+  /** V1 write path — covers all four SaveModes. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = SnapshotManagement.normalize(parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required")))
+    WriteIntoTable.run(sqlContext.sparkSession, path, data, mode, parameters)
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = SnapshotManagement.normalize(parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option is required")))
+    new GraftSink(sqlContext.sparkSession, path, parameters, partitionColumns,
+      outputMode)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.commands.{GraftWriteException, WriteIntoTable}
+import graft.meta._
+import graft.schema.SchemaUtils
+import graft.write.TransactionalWrite
+
+/** Structured-streaming sink with exactly-once batch idempotence (reference
+  * `sources/StarLakeSink.scala:49-93` + `meta/StreamingRecord.scala:41-57`).
+  *
+  *  - A replayed micro-batch (id <= highest committed id for this query) is
+  *    skipped; the batch id commits atomically with the files.
+  *  - Complete mode expires all current files first.
+  *  - Update mode requires a PK table and routes through upsert semantics
+  *    (delta write + merge-on-read).
+  */
+class GraftSink(
+    spark: SparkSession,
+    path: String,
+    options: Map[String, String],
+    partitionColumns: Seq[String],
+    outputMode: OutputMode) extends Sink {
+
+  /** Stable identity of the streaming query across restarts. */
+  private val queryId: String =
+    options.get("queryId").orElse(options.get("checkpointLocation"))
+      .getOrElse("graft-default-query")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // The micro-batch DataFrame cannot be written directly; re-wrap its
+    // already-planned RDD (same technique as the reference sink).
+    val batchDf = SparkShims.internalCreateDataFrame(
+      spark, SparkShims.toRdd(data), data.schema)
+    SchemaUtils.validateSchema(data.schema)
+
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      txn.snapshotOpt match {
+        case None =>
+          val opts = options ++ (if (partitionColumns.nonEmpty)
+            Map(WriteIntoTable.RANGE_PARTITIONS -> partitionColumns.mkString(","))
+          else Map.empty)
+          val info = WriteIntoTable.tableInfoFromOptions(batchDf, opts)
+          if (outputMode == OutputMode.Update() && !info.hasPrimaryKey) {
+            throw new GraftWriteException(
+              "Update output mode requires hashPartitions/hashBucketNum on a graft sink")
+          }
+          val files = TransactionalWrite.writeFiles(
+            spark, path, info, batchDf, isBase = !info.hasPrimaryKey)
+          txn.commit("streaming", Some(info), files, Nil,
+            Some(StreamingInfo(queryId, batchId)))
+        case Some(snapshot) =>
+          val last = snapshot.streamingBatchIds.getOrElse(queryId, -1L)
+          if (batchId <= last) return // replayed batch: exactly-once skip
+          val info = snapshot.tableInfo
+          if (outputMode == OutputMode.Update() && !info.hasPrimaryKey) {
+            throw new GraftWriteException(
+              "Update output mode requires a primary-key (hash-partitioned) graft table")
+          }
+          SchemaUtils.checkCompatible(info.schema, batchDf.schema)
+          val expired =
+            if (outputMode == OutputMode.Complete()) snapshot.files else Nil
+          val files = TransactionalWrite.writeFiles(
+            spark, path, info, batchDf,
+            isBase = !info.hasPrimaryKey || outputMode == OutputMode.Complete())
+          val commitType =
+            if (info.hasPrimaryKey && outputMode != OutputMode.Complete()) "delta"
+            else "streaming"
+          txn.commit(commitType, None, files, expired,
+            Some(StreamingInfo(queryId, batchId)))
+      }
+    }
+  }
+}

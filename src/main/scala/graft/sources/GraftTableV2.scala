@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.commands.WriteIntoTable
+import graft.meta.{Snapshot, SnapshotManagement}
+
+/** DataSource V2 `Table` for Graft (reference
+  * `star/catalog/StarLakeTableV2.scala:38-188`). Reads resolve a snapshot at
+  * scan-build time (snapshot isolation); writes route through the
+  * transactional command via the V1 write bridge.
+  */
+class GraftTableV2(
+    spark: SparkSession,
+    val path: String,
+    userSchema: Option[StructType] = None,
+    extraOptions: Map[String, String] = Map.empty,
+    pinnedSnapshot: Option[Snapshot] = None)
+  extends Table with SupportsRead with SupportsWrite {
+
+  lazy val snapshotOpt: Option[Snapshot] =
+    pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
+
+  override def name(): String = s"graft.`$path`"
+
+  /** File-source column convention: data columns first, then range
+    * partition columns. */
+  override def schema(): StructType = snapshotOpt match {
+    case Some(s) =>
+      val ti = s.tableInfo
+      StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields)
+    case None => userSchema.getOrElse(new StructType())
+  }
+
+  override def partitioning(): Array[Transform] = snapshotOpt match {
+    case Some(s) =>
+      val ti = s.tableInfo
+      val range = ti.rangeColumns.map(Expressions.identity)
+      val hash =
+        if (ti.hasPrimaryKey) Seq(Expressions.bucket(ti.bucketNum, ti.hashColumns: _*))
+        else Nil
+      (range ++ hash).toArray
+    case None => Array.empty
+  }
+
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.TRUNCATE,
+    TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val snapshot = snapshotOpt.getOrElse(
+      throw new graft.meta.GraftTableNotFoundException(path))
+    GraftScanBuilder.create(spark, path, snapshot, schema(), options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, path,
+      extraOptions ++ info.options.asCaseSensitiveMap().asScala)
+}
+
+/** V2 write bridge: append / truncate / overwrite-by-filter all funnel into
+  * the transactional `WriteIntoTable` command (V1 fallback write, as the
+  * reference did via `V1WriteBuilder`; Spark 4 kept the `V1Write` trait).
+  */
+class GraftWriteBuilder(
+    spark: SparkSession,
+    path: String,
+    options: Map[String, String])
+  extends WriteBuilder with SupportsOverwrite {
+
+  private var mode: SaveMode = SaveMode.Append
+  private var extra: Map[String, String] = Map.empty
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode = SaveMode.Overwrite
+    val nonTrivial = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (nonTrivial.nonEmpty) {
+      val sql = nonTrivial.map(filterToSql).mkString(" AND ")
+      extra += (WriteIntoTable.REPLACE_WHERE -> sql)
+    }
+    this
+  }
+
+  private def filterToSql(f: Filter): String = f match {
+    case EqualTo(a, v: String) => s"`$a` = '${v.replace("'", "''")}'"
+    case EqualTo(a, v) => s"`$a` = $v"
+    case org.apache.spark.sql.sources.In(a, vs) =>
+      s"`$a` IN (${vs.map { case s: String => s"'${s.replace("'", "''")}'" case v => v.toString }.mkString(", ")})"
+    case org.apache.spark.sql.sources.And(l, r) => s"(${filterToSql(l)} AND ${filterToSql(r)})"
+    case org.apache.spark.sql.sources.Or(l, r) => s"(${filterToSql(l)} OR ${filterToSql(r)})"
+    case other =>
+      throw new UnsupportedOperationException(s"overwrite filter not supported: $other")
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val m = if (overwrite || mode == SaveMode.Overwrite) SaveMode.Overwrite
+                  else SaveMode.Append
+          WriteIntoTable.run(spark, path, data, m, options ++ extra)
+        }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.commands._
+import graft.meta.{Snapshot, SnapshotManagement}
+import graft.sources.GraftRead
+
+/** User-facing table handle (reference `tables/StarTable.scala`):
+  * {{{
+  *   val t = GraftTable.forPath(spark, "/data/events")
+  *   t.upsert(df)
+  *   t.update(col("x") > 1, Map("y" -> lit(0)))
+  *   t.delete(col("x") === 42)
+  *   t.compaction()
+  *   t.toDF.filter(...)
+  * }}}
+  */
+class GraftTable private (spark: SparkSession, val path: String) {
+
+  def toDF: DataFrame = GraftRead.read(spark, path)
+
+  def snapshot: Snapshot = SnapshotManagement.snapshot(path)
+
+  /** Merge-on-read upsert; source must contain the table's PK columns and
+    * may carry any column subset. */
+  def upsert(source: DataFrame): Unit = UpsertCommand.run(spark, path, source)
+
+  def update(condition: Column, set: Map[String, Column]): Unit =
+    UpdateCommand.run(spark, path, condition, set)
+
+  def updateExpr(condition: String, set: Map[String, String]): Unit =
+    UpdateCommand.run(spark, path,
+      org.apache.spark.sql.functions.expr(condition),
+      set.map { case (k, v) => k -> org.apache.spark.sql.functions.expr(v) })
+
+  def delete(condition: Column): Unit = DeleteCommand.run(spark, path, condition)
+
+  def deleteExpr(condition: String): Unit =
+    delete(org.apache.spark.sql.functions.expr(condition))
+
+  /** Merge delta files into deduplicated base files. */
+  def compaction(force: Boolean = true, partitionPredicate: Option[String] = None): Unit =
+    CompactionCommand.run(spark, path, force, partitionPredicate)
+
+  /** Remove files no longer referenced by the latest snapshot. */
+  def cleanup(retainMillis: Long = 5L * 3600 * 1000, dryRun: Boolean = false): Seq[String] =
+    CleanupCommand.run(spark, path, retainMillis, dryRun)
+
+  def dropTable(): Unit = DropCommands.dropTable(path)
+
+  def dropPartition(predicate: String): Unit =
+    DropCommands.dropPartition(spark, path, predicate)
+}
+
+object GraftTable {
+  def forPath(spark: SparkSession, path: String): GraftTable =
+    new GraftTable(spark, SnapshotManagement.normalize(path))
+
+  def exists(path: String): Boolean =
+    SnapshotManagement.exists(SnapshotManagement.normalize(path))
+}
