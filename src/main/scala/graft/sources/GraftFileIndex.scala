@@ -31,16 +31,25 @@ class GraftFileIndex(
     val files: Seq[DataFileInfo])
   extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
 
-  private val root = new Path(tablePath)
+  // Qualify every path with the filesystem scheme — PartitioningAwareFileIndex
+  // qualifies root paths before looking up leafDirToChildrenFiles, so the
+  // map keys must be qualified identically.
+  private val fs = new Path(tablePath).getFileSystem(hadoopConf)
+  private val root = fs.makeQualified(new Path(tablePath))
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  private def absPath(f: DataFileInfo): Path = new Path(s"$tablePath/${f.path}")
+  private def absPath(f: DataFileInfo): Path =
+    fs.makeQualified(new Path(s"$tablePath/${f.path}"))
 
   private lazy val statuses: Seq[(DataFileInfo, FileStatus)] = files.map { f =>
     f -> new FileStatus(f.size, false, 1, 128L * 1024 * 1024,
       f.modificationTime, absPath(f))
   }
+
+  /** Qualified status path -> manifest entry (for scan builders). */
+  lazy val fileInfoByStatusPath: Map[String, DataFileInfo] =
+    statuses.map { case (f, st) => st.getPath.toString -> f }.toMap
 
   override lazy val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
     val m = mutable.LinkedHashMap.empty[Path, FileStatus]

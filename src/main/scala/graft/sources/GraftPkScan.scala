@@ -49,9 +49,7 @@ class GraftBucketScanBuilder(
   override def build(): Scan = {
     val ti = snapshot.tableInfo
     // Partition pruning against the manifest (metadata only, driver-side).
-    val byPath = index.files
-      .map(f => new org.apache.hadoop.fs.Path(s"$tablePath/${f.path}").toString -> f)
-      .toMap
+    val byPath = index.fileInfoByStatusPath
     val pruned: Seq[DataFileInfo] =
       index.listFiles(partitionFilters, Seq.empty)
         .flatMap(_.files.map(fs => byPath(fs.getPath.toString)))
@@ -177,16 +175,19 @@ case class GraftPkScan(
     val session = castToImpl(sparkSession)
     val fmt = new ParquetFileFormat()
     val hadoopConf = session.sessionState.newHadoopConfWithOptions(Map.empty)
+    val supportsBatch = fmt.supportBatch(sparkSession,
+      StructType(mergeReadSchema.fields ++ readPartitionSchema.fields))
+    // Merging consumes rows; only the compacted fast path streams batches.
+    val returningBatch = supportsBatch && !scanNeedsMerge
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession,
       dataSchema = tableInfo.dataSchema,
       partitionSchema = readPartitionSchema,
       requiredSchema = mergeReadSchema,
       filters = pushedPkFilters,
-      options = Map.empty,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> returningBatch.toString),
       hadoopConf = hadoopConf)
-    val supportsBatch = fmt.supportBatch(sparkSession,
-      StructType(mergeReadSchema.fields ++ readPartitionSchema.fields))
     val pkOrdinals = tableInfo.hashColumns.map(mergeReadSchema.fieldIndex).toArray
     val mergedLayout = StructType(mergeReadSchema.fields ++ readPartitionSchema.fields)
     val mergeOps: Map[Int, GraftMergeOperator] = mergeOperatorNames.flatMap {
@@ -197,7 +198,7 @@ case class GraftPkScan(
       .map(n => mergedLayout.fieldIndex(n)).toArray
     GraftPkReaderFactory(readFunc, mergedLayout,
       mergedLayout.fields.map(_.dataType), pkOrdinals, mergeOps,
-      outputOrdinals, scanNeedsMerge, supportsBatch)
+      outputOrdinals, scanNeedsMerge, returningBatch)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {

@@ -55,9 +55,12 @@ class GraftTableV2(
     case None => Array.empty
   }
 
+  // Note: V1_BATCH_WRITE (not BATCH_WRITE) — all four SaveModes then route
+  // through the V1 CreatableRelationProvider/InsertableRelation bridge into
+  // the same transactional command (DataFrameWriter falls back to V1 for
+  // ErrorIfExists/Ignore only when BATCH_WRITE is absent).
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
-    TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.TRUNCATE,
