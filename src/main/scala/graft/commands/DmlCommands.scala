@@ -97,8 +97,10 @@ object RewriteSupport {
       // and data conjuncts.
       val conjuncts = splitConjuncts(
         org.apache.spark.sql.graft.SparkShims.expression(condition))
-      val (partConj, dataConj) = conjuncts.partition(
-        _.references.forall(a => info.rangeColumns.contains(a.name)))
+      val (partConj, dataConj) = conjuncts.partition { c =>
+        val refs = referencedNames(c)
+        refs.nonEmpty && refs.forall(info.rangeColumns.contains)
+      }
       val candidates =
         if (partConj.isEmpty) snapshot.files
         else PartitionFilter.filterFiles(spark, snapshot,
@@ -131,6 +133,13 @@ object RewriteSupport {
       txn.commit(commitType, None, files, touched)
     }
   }
+
+  /** Column names referenced by a possibly-unresolved expression. */
+  def referencedNames(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    e.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }
 
   def splitConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+class DmlSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("delete: partition-only predicate drops whole partitions") {
+    withTempTable { dir =>
+      Seq((1, "us", 1), (2, "us", 2), (3, "de", 3)).toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.deleteExpr("country = 'us'")
+      assertSameRows(t.toDF.select("id", "country", "v"),
+        Seq((3, "de", 3)).toDF("id", "country", "v"))
+    }
+  }
+
+  test("delete: data predicate rewrites only touched files") {
+    withTempTable { dir =>
+      Seq((1, "us", 1), (2, "us", 2), (3, "de", 3), (4, "de", 4))
+        .toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.delete(col("v") % 2 === 0)
+      assertSameRows(t.toDF.select("id", "country", "v"),
+        Seq((1, "us", 1), (3, "de", 3)).toDF("id", "country", "v"))
+    }
+  }
+
+  test("update: conditional column rewrite") {
+    withTempTable { dir =>
+      Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
+        .write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.updateExpr("id = 2", Map("v" -> "v * 100"))
+      assertSameRows(t.toDF.select("id", "v"),
+        Seq((1, 10), (2, 2000), (3, 30)).toDF("id", "v"))
+    }
+  }
+
+  test("update on pk table preserves merge semantics") {
+    withTempTable { dir =>
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "s", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((2L, "B", 20), (3L, "c", 3)).toDF("id", "s", "v"))
+      t.updateExpr("v > 2", Map("v" -> "v + 1000"))
+      assertSameRows(t.toDF.select("id", "s", "v"),
+        Seq((1L, "a", 1), (2L, "B", 1020), (3L, "c", 1003)).toDF("id", "s", "v"))
+    }
+  }
+
+  test("compaction does not change query results and removes deltas") {
+    withTempTable { dir =>
+      (1 to 50).map(i => (i.toLong, i)).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "4").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert((25 to 75).map(i => (i.toLong, i * 10)).toDF("id", "v"))
+      t.upsert((60 to 80).map(i => (i.toLong, i * 100)).toDF("id", "v"))
+      val before = rowsOf(t.toDF.select("id", "v"))
+      assert(t.snapshot.hasDeltaFiles)
+      t.compaction()
+      assert(!t.snapshot.hasDeltaFiles)
+      val after = rowsOf(t.toDF.select("id", "v"))
+      assert(before == after)
+      // compacted => one base file per non-empty bucket
+      val perBucket = t.snapshot.files.groupBy(_.bucket).values.map(_.size)
+      assert(perBucket.forall(_ == 1))
+    }
+  }
+
+  test("cleanup removes orphans but keeps live files") {
+    withTempTable { dir =>
+      Seq((1, 1)).toDF("id", "v").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      Seq((2, 2)).toDF("id", "v").write.format("graft")
+        .mode("overwrite").save(dir)
+      // the overwritten file is now unreferenced
+      val removed = t.cleanup(retainMillis = -1000)
+      assert(removed.nonEmpty)
+      assertSameRows(t.toDF.select("id", "v"), Seq((2, 2)).toDF("id", "v"))
+    }
+  }
+
+  test("replaceWhere overwrites only matching partitions") {
+    withTempTable { dir =>
+      Seq((1, "us", 1), (2, "de", 2)).toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      Seq((10, "us", 10)).toDF("id", "country", "v")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "country = 'us'").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      assertSameRows(t.toDF.select("id", "country", "v"),
+        Seq((10, "us", 10), (2, "de", 2)).toDF("id", "country", "v"))
+      // data outside the predicate is rejected
+      intercept[Exception] {
+        Seq((5, "fr", 5)).toDF("id", "country", "v")
+          .write.format("graft").mode("overwrite")
+          .option("replaceWhere", "country = 'us'").save(dir)
+      }
+    }
+  }
+
+  test("drop partition") {
+    withTempTable { dir =>
+      Seq((1, "us", 1), (2, "de", 2)).toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.dropPartition("country = 'de'")
+      assertSameRows(t.toDF.select("id", "country", "v"),
+        Seq((1, "us", 1)).toDF("id", "country", "v"))
+    }
+  }
+
+  test("concurrent-style conflict: double compaction fails cleanly") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 2)).toDF("id", "v"))
+      t.compaction()
+      // second compaction with nothing to do is a no-op, not an error
+      t.compaction()
+      assert(rowsOf(t.toDF.select("id", "v")) == Seq(Seq(1L, 2)))
+    }
+  }
+}
