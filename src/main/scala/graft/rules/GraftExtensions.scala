@@ -1,0 +1,73 @@
+package graft.rules
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.sources.GraftPkScan
+
+/** Session extension wiring for the Graft engine (reference
+  * `com/engineplus/star/sql/StarSparkSessionExtension.scala:74-118`).
+  * Enable with:
+  * `spark.sql.extensions=graft.rules.GraftSparkSessionExtension`.
+  */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectQueryPostPlannerStrategyRule(DeclareBucketDistribution(_))
+    ext.injectResolutionRule(RewriteSetOpOnPk(_))
+  }
+}
+
+/** Declares what the storage layout guarantees so Catalyst can elide
+  * exchanges and sorts (reference `SetPartitionAndOrdering.scala:34-165`).
+  *
+  * A `GraftPkScan` always produces exactly `bucketNum` partitions where
+  * partition k contains precisely the rows with
+  * `pmod(hash(pk), bucketNum) == k` — the write path repartitioned by the
+  * same expression Spark's `HashPartitioning.partitionIdExpression` uses.
+  * So a join or aggregation keyed on the PK needs NO shuffle: this rule
+  * runs after planning, before `EnsureRequirements`, and wraps the scan in
+  * a node declaring `HashPartitioning(pk, bucketNum)`; when the scanned
+  * data is a single range partition the PK sort order of the files (or of
+  * the merge reader's output) is declared too, letting sort-merge join skip
+  * its sorts.
+  */
+case class DeclareBucketDistribution(spark: SparkSession) extends Rule[SparkPlan] {
+  override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+    case scan: BatchScanExec if scan.scan.isInstanceOf[GraftPkScan] =>
+      val pk = scan.scan.asInstanceOf[GraftPkScan]
+      val byName = scan.output.map(a => a.name -> a).toMap
+      val pkAttrs = pk.tableInfo.hashColumns.flatMap(byName.get)
+      if (pkAttrs.length != pk.tableInfo.hashColumns.length) scan
+      else {
+        val partitioning = HashPartitioning(pkAttrs, pk.tableInfo.bucketNum)
+        val singleRange = pk.files.map(_.rangeKey).distinct.length <= 1
+        val ordering =
+          if (singleRange) pkAttrs.map(a => SortOrder(a, org.apache.spark.sql
+            .catalyst.expressions.Ascending, Seq.empty))
+          else Nil
+        GraftClusteredExec(scan, partitioning, ordering)
+      }
+  }
+}
+
+/** Pass-through node that only declares partitioning/ordering (reference
+  * `SetPartitionAndOrdering.scala:144-165` `withPartitionAndOrdering`). */
+case class GraftClusteredExec(
+    child: SparkPlan,
+    override val outputPartitioning: Partitioning,
+    override val outputOrdering: Seq[SortOrder]) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def supportsColumnar: Boolean = child.supportsColumnar
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] =
+    child.executeColumnar()
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

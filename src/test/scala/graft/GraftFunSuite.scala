@@ -36,5 +36,6 @@ object GraftFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.rules.GraftSparkSessionExtension")
     .getOrCreate()
 }
