@@ -1,0 +1,195 @@
+package graft
+
+import java.io.File
+import java.nio.file.Paths
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+import graft.write.TransactionalWrite
+
+/** Builds the graft-format copies of the driver's parquet test tables that
+  * `SparkEntry.queries` run against, exactly once per JVM. Everything the
+  * correctness gate reads flows through the engine's own write + scan paths.
+  */
+object GraftData {
+
+  private val built = mutable.Set[String]()
+
+  def sfName(sfDir: String): String = new File(sfDir).getName
+
+  def root(sfDir: String): String =
+    sys.env.getOrElse("GRAFT_TABLE_DIR", "/tmp/graft_tables") + "/" + sfName(sfDir)
+
+  def parquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  private def ensure(spark: SparkSession, sfDir: String, name: String)(
+      build: String => Unit): String = synchronized {
+    val dir = s"${root(sfDir)}/$name"
+    if (!built.contains(dir)) {
+      TransactionalWrite.deleteRecursively(Paths.get(dir))
+      java.nio.file.Files.createDirectories(Paths.get(dir).getParent)
+      graft.meta.SnapshotManagement.invalidate(dir)
+      build(dir)
+      built += dir
+    }
+    dir
+  }
+
+  private def graftRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft").load(dir)
+
+  // ---- plain / range-partitioned copies -------------------------------
+
+  def lineitemRange(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "lineitem_range") { dir =>
+      parquet(spark, sfDir, "lineitem").write.format("graft")
+        .option("rangePartitions", "l_returnflag").save(dir)
+    })
+
+  def partPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "part") { dir =>
+      parquet(spark, sfDir, "part").write.format("graft").save(dir)
+    })
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos as long and convert to a microsecond timestamp
+    * (integer division — nanosecond longs exceed double precision). */
+  def eventsPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "events") { dir =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      parquet(spark, sfDir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .write.format("graft").save(dir)
+    })
+
+  def nationPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "nation") { dir =>
+      parquet(spark, sfDir, "nation").write.format("graft").save(dir)
+    })
+
+  def documentsRange(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "documents_range") { dir =>
+      parquet(spark, sfDir, "documents").write.format("graft")
+        .option("rangePartitions", "lang").save(dir)
+    })
+
+  def embeddingsPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "embeddings") { dir =>
+      parquet(spark, sfDir, "embeddings").write.format("graft").save(dir)
+    })
+
+  // ---- hash-bucketed tables (shuffle-free join/agg on key) ------------
+
+  def ordersPk(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "orders_pk") { dir =>
+      parquet(spark, sfDir, "orders").write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "16")
+        .save(dir)
+    })
+
+  def lineitemBucket(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "lineitem_bucket") { dir =>
+      parquet(spark, sfDir, "lineitem").write.format("graft")
+        .option("hashPartitions", "l_orderkey").option("hashBucketNum", "16")
+        .save(dir)
+    })
+
+  def customerPk(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_pk") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "8")
+        .save(dir)
+    })
+
+  def ordersByCust(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "orders_bycust") { dir =>
+      parquet(spark, sfDir, "orders").write.format("graft")
+        .option("hashPartitions", "o_custkey").option("hashBucketNum", "8")
+        .save(dir)
+    })
+
+  // ---- DML-state tables ----------------------------------------------
+
+  /** PK orders + two overlapping upserts, the second partial-column:
+    *  - batch 1 (o_orderkey % 3 == 0): totalprice*2, status 'U1'
+    *  - batch 2 (o_orderkey % 5 == 0): totalprice*3 only (no status col)
+    */
+  def ordersUpsertedDir(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "orders_upserted") { dir =>
+      val orders = parquet(spark, sfDir, "orders")
+      orders.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "16")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U1")))
+      t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice")))
+    }
+
+  def ordersUpserted(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ordersUpsertedDir(spark, sfDir))
+
+  /** Same state as `ordersUpserted`, then compacted — results must be
+    * identical (the reference's `CompactionDoNotChangeResult` invariant). */
+  def ordersCompacted(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "orders_compacted") { dir =>
+      val orders = parquet(spark, sfDir, "orders")
+      orders.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "16")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U1")))
+      t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice")))
+      t.compaction()
+    })
+
+  /** Per-customer order counts loaded in two upsert halves; reading with
+    * the `sum` merge operator reproduces the full aggregation. */
+  def custCountsDir(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "cust_counts") { dir =>
+      val orders = parquet(spark, sfDir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .write.format("graft")
+        .option("hashPartitions", "o_custkey").option("hashBucketNum", "8")
+        .save(dir)
+      GraftTable.forPath(spark, dir).upsert(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt")))
+    }
+
+  def customerUpdated(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_upd") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft").save(dir)
+      GraftTable.forPath(spark, dir).updateExpr(
+        "c_mktsegment = 'BUILDING'", Map("c_acctbal" -> "c_acctbal + 100.0"))
+    })
+
+  def customerDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_del") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft").save(dir)
+      GraftTable.forPath(spark, dir).deleteExpr("c_acctbal < 0")
+    })
+
+  /** Build every table (untimed warm-up for the benchmark). */
+  def warmAll(spark: SparkSession, sfDir: String): Unit = {
+    lineitemRange(spark, sfDir); partPlain(spark, sfDir)
+    eventsPlain(spark, sfDir); nationPlain(spark, sfDir)
+    documentsRange(spark, sfDir); embeddingsPlain(spark, sfDir)
+    ordersPk(spark, sfDir); lineitemBucket(spark, sfDir)
+    customerPk(spark, sfDir); ordersByCust(spark, sfDir)
+    ordersUpsertedDir(spark, sfDir); ordersCompacted(spark, sfDir)
+    custCountsDir(spark, sfDir); customerUpdated(spark, sfDir)
+    customerDeleted(spark, sfDir)
+  }
+}

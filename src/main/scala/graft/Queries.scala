@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Ann, Dedup, Multimodal, SimHash, TextAnalysis}
+
+/** The correctness/benchmark query surface. Each entry reads graft-format
+  * tables built by `GraftData` (exercising the engine's own write + scan
+  * paths) and has, where SQL-expressible, a DuckDB oracle over the ORIGINAL
+  * parquet tables in `oracles` — the driver hash-compares the two.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - aggregates over floats are computed as integer cents
+  *    (`CAST(ROUND(x*100) AS BIGINT)`) — exact and associative in both
+  *    engines, immune to summation order;
+  *  - counts/lengths cast to the same integer width on both sides;
+  *  - ties in rankings broken by a unique key.
+  */
+object Queries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- table format: write/read/prune + TPC-H-style relational ----
+    "q_write_read_prune" -> ((s, sf) =>
+      GraftData.lineitemRange(s, sf)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    "q1_agg" -> ((s, sf) =>
+      GraftData.lineitemRange(s, sf)
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("cnt"))),
+
+    "q_pk_join" -> ((s, sf) =>
+      GraftData.ordersPk(s, sf)
+        .join(GraftData.lineitemBucket(s, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))),
+
+    "q_cust_join" -> ((s, sf) =>
+      GraftData.customerPk(s, sf)
+        .join(GraftData.ordersByCust(s, sf),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))),
+
+    "q_join_semi" -> ((s, sf) =>
+      GraftData.customerPk(s, sf)
+        .join(GraftData.ordersByCust(s, sf),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_join_anti" -> ((s, sf) =>
+      GraftData.customerPk(s, sf)
+        .join(GraftData.ordersByCust(s, sf),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_join_full" -> ((s, sf) =>
+      GraftData.nationPlain(s, sf)
+        .join(GraftData.customerPk(s, sf),
+          col("n_nationkey") === col("c_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("c_custkey"))),
+
+    "q_pushdown_filters" -> ((s, sf) =>
+      GraftData.partPlain(s, sf)
+        .filter(expr("(p_size > 10 AND p_size <= 40 AND p_type LIKE 'STANDARD%')" +
+          " OR p_brand IN ('Brand#12','Brand#23')"))
+        .select(col("p_partkey"), col("p_size"), col("p_brand"), col("p_type"))),
+
+    "q_expr_surface" -> ((s, sf) =>
+      GraftData.ordersPk(s, sf).select(
+        col("o_orderkey"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("st"),
+        floor(col("o_totalprice")).cast("long").as("total_floor"),
+        when(col("o_totalprice") > 150000, "big").otherwise("small").as("size_class"))),
+
+    "q_scalar_string" -> ((s, sf) =>
+      GraftData.partPlain(s, sf).select(
+        col("p_partkey"),
+        length(col("p_name")).cast("int").as("name_len"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        md5(col("p_name")).as("name_md5"))),
+
+    "q_datetime" -> ((s, sf) =>
+      GraftData.ordersPk(s, sf).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))),
+
+    "q_window_topk" -> ((s, sf) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      GraftData.ordersByCust(s, sf)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    "q_events_minutely" -> ((s, sf) =>
+      GraftData.eventsPlain(s, sf)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+            .as("minute_str"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
+
+    // ---- merge-on-read DML state ----
+    "q_upsert_lastwins" -> ((s, sf) =>
+      GraftData.ordersUpserted(s, sf).select(
+        col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderstatus"))),
+
+    "q_compaction_stable" -> ((s, sf) =>
+      GraftData.ordersCompacted(s, sf).select(
+        col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderstatus"))),
+
+    "q_merge_op_sum" -> ((s, sf) =>
+      s.read.format("graft").option("mergeOperators", "cnt:sum")
+        .load(GraftData.custCountsDir(s, sf))
+        .select(col("o_custkey"), col("cnt"))),
+
+    "q_update" -> ((s, sf) =>
+      GraftData.customerUpdated(s, sf).select(
+        col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"),
+        col("c_mktsegment"))),
+
+    "q_delete" -> ((s, sf) =>
+      GraftData.customerDeleted(s, sf).select(
+        col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
+
+    // ---- LLM data-pipeline operators ----
+    "q_dedup_exact" -> ((s, sf) =>
+      Dedup.exactDuplicateGroups(GraftData.documentsRange(s, sf), "doc_id", "text")),
+
+    "q_ngram_jaccard" -> ((s, sf) =>
+      Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
+        k = 3, minInter = 3)),
+
+    "q_lang_id" -> ((s, sf) =>
+      TextAnalysis.langId(GraftData.documentsRange(s, sf), "text", "doc_id")),
+
+    "q_token_stats" -> ((s, sf) =>
+      TextAnalysis.qualityStats(GraftData.documentsRange(s, sf), "text", "doc_id")),
+
+    "q_multimodal_meta" -> ((s, sf) =>
+      Multimodal.payloadMetadata(
+        Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
+        .select(col("doc_id"), col("byte_len"), col("payload_md5"))),
+
+    // ---- declared without SQL oracle (engine-specific hash functions /
+    //      float ranking); verified by ScalaTest suites instead ----
+    "q_dedup_minhash" -> ((s, sf) =>
+      Dedup.minhashNearDuplicates(GraftData.documentsRange(s, sf),
+        "doc_id", "text", minJaccardPct = 40)),
+
+    "q_simhash" -> ((s, sf) =>
+      SimHash.nearDuplicates(GraftData.documentsRange(s, sf), "doc_id", "text",
+        maxHamming = 16)),
+
+    "q_ann_brute" -> ((s, sf) => {
+      val emb = GraftData.embeddingsPlain(s, sf)
+      Ann.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
+    "q_ann_lsh" -> ((s, sf) => {
+      val emb = GraftData.embeddingsPlain(s, sf)
+      Ann.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
+    "q_multimodal_decode" -> ((s, sf) =>
+      Multimodal.decodeTable(
+        Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
+        .select(col("doc_id"), col("byte_len"),
+          col("image.width").as("width"), col("image.height").as("height"),
+          size(col("frames")).as("frame_cnt")))
+  )
+
+  /** DuckDB equivalents over the raw parquet tables. */
+  val oracles: Map[String, String] = Map(
+    "q_write_read_prune" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'A'",
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, " +
+       "CAST(COUNT(*) AS BIGINT) AS cnt " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+       "GROUP BY l_returnflag, l_linestatus"),
+
+    "q_pk_join" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"),
+
+    "q_cust_join" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment"),
+
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+       "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q_join_full" ->
+      ("SELECT n_nationkey, n_name, c_custkey FROM nation " +
+       "FULL OUTER JOIN customer ON c_nationkey = n_nationkey"),
+
+    "q_pushdown_filters" ->
+      ("SELECT p_partkey, p_size, p_brand, p_type FROM part " +
+       "WHERE (p_size > 10 AND p_size <= 40 AND p_type LIKE 'STANDARD%') " +
+       "OR p_brand IN ('Brand#12','Brand#23')"),
+
+    "q_expr_surface" ->
+      ("SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus,'O'),'OPEN') AS st, " +
+       "CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor, " +
+       "CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_class " +
+       "FROM orders"),
+
+    "q_scalar_string" ->
+      ("SELECT p_partkey, CAST(LENGTH(p_name) AS INTEGER) AS name_len, " +
+       "UPPER(p_brand) AS brand_up, SUBSTR(p_type,1,5) AS type5, " +
+       "MD5(p_name) AS name_md5 FROM part"),
+
+    "q_datetime" ->
+      ("SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS yr, " +
+       "CAST(MONTH(o_orderdate) AS INTEGER) AS mo, " +
+       "CAST(DAY(o_orderdate) AS INTEGER) AS dom, " +
+       "STRFTIME(o_orderdate, '%Y-%m') AS ym FROM orders"),
+
+    "q_window_topk" ->
+      ("SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey FROM (" +
+       "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) WHERE rnk <= 3"),
+
+    "q_events_minutely" ->
+      ("SELECT event_type, STRFTIME(DATE_TRUNC('minute', ts), '%Y-%m-%d %H:%M') AS minute_str, " +
+       "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
+       "FROM events GROUP BY 1, 2"),
+
+    "q_upsert_lastwins" ->
+      ("SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*3 " +
+       "WHEN o_orderkey % 3 = 0 THEN o_totalprice*2 ELSE o_totalprice END)*100) AS BIGINT) AS total_cents, " +
+       "CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus " +
+       "FROM orders"),
+
+    "q_compaction_stable" ->
+      ("SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*3 " +
+       "WHEN o_orderkey % 3 = 0 THEN o_totalprice*2 ELSE o_totalprice END)*100) AS BIGINT) AS total_cents, " +
+       "CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus " +
+       "FROM orders"),
+
+    "q_merge_op_sum" ->
+      "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey",
+
+    "q_update" ->
+      ("SELECT c_custkey, CAST(ROUND((CASE WHEN c_mktsegment = 'BUILDING' " +
+       "THEN c_acctbal + 100.0 ELSE c_acctbal END)*100) AS BIGINT) AS acct_cents, " +
+       "c_mktsegment FROM customer"),
+
+    "q_delete" ->
+      ("SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents " +
+       "FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    "q_dedup_exact" ->
+      ("SELECT MD5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
+       "CAST(COUNT(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY MD5(text)"),
+
+    "q_ngram_jaccard" ->
+      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 " +
+       "THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+       "ELSE [] END) AS s FROM tok)), " +
+       "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) sz FROM sh GROUP BY 1), " +
+       "pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) inter " +
+       "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+       "SELECT p.a_id, p.b_id, p.inter, sa.sz AS a_size, sb.sz AS b_size FROM pairs p " +
+       "JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id " +
+       "WHERE p.inter >= 3"),
+
+    "q_lang_id" ->
+      ("WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks, " +
+       "CAST(length(regexp_replace(text, '[ -~\\s]', '', 'g')) AS INTEGER) non_ascii FROM documents), " +
+       "s AS (SELECT doc_id, non_ascii, " +
+       "CAST(len(list_filter(toks, x -> list_contains(['der','und','das','die','ist'], x))) AS INTEGER) score_de, " +
+       "CAST(len(list_filter(toks, x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) score_en, " +
+       "CAST(len(list_filter(toks, x -> list_contains(['que','los','una','con','para'], x))) AS INTEGER) score_es, " +
+       "CAST(len(list_filter(toks, x -> list_contains(['les','des','une','avec','pour'], x))) AS INTEGER) score_fr " +
+       "FROM t), " +
+       "b AS (SELECT doc_id, non_ascii, score_de, score_en, score_es, score_fr, " +
+       "CASE WHEN score_en > score_de THEN 'en' ELSE 'de' END AS l1, " +
+       "CASE WHEN score_en > score_de THEN score_en ELSE score_de END AS s1 FROM s), " +
+       "c AS (SELECT *, CASE WHEN score_es > s1 THEN 'es' ELSE l1 END AS l2, " +
+       "CASE WHEN score_es > s1 THEN score_es ELSE s1 END AS s2 FROM b) " +
+       "SELECT doc_id, CASE WHEN non_ascii > 0 THEN 'zh' " +
+       "WHEN score_fr > s2 THEN 'fr' ELSE l2 END AS lang_guess, " +
+       "CASE WHEN score_fr > s2 THEN score_fr ELSE s2 END AS lang_score FROM c"),
+
+    "q_token_stats" ->
+      ("SELECT doc_id, CAST(length(text) AS INTEGER) AS char_len, " +
+       "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS word_cnt, " +
+       "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS token_cnt, " +
+       "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS upper_cnt, " +
+       "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS punct_cnt, " +
+       "CAST(length(regexp_replace(text, '[ -~\\s]', '', 'g')) AS INTEGER) AS non_ascii_cnt, " +
+       "CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+       "x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) AS en_stopword_cnt " +
+       "FROM documents"),
+
+    // DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — identical to
+    // Spark's md5 over the encode(text,'UTF-8') binary payload.
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+       "MD5(text) AS payload_md5 FROM documents")
+  )
+
+  def warm(spark: SparkSession, sfDir: String): Unit = GraftData.warmAll(spark, sfDir)
+}

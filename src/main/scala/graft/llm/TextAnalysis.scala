@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * extraction, quality statistics, and n-gram-heuristic language ID. All are
+  * pure narrow transformations over codegen'd built-ins — no UDFs, no
+  * shuffles — so they stream at full scan speed on any cluster size.
+  */
+object TextAnalysis {
+
+  /** Lower-cased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish subword count: alphanumeric runs plus punctuation marks each
+    * count as a token. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-document quality statistics (length / punctuation / stopword
+    * ratios as exact integer counts; ratios derive downstream). */
+  def qualityStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("int").as("char_len"),
+      size(tokens(t)).as("word_cnt"),
+      tokenCount(t).as("token_cnt"),
+      length(regexp_replace(t, "[^A-Z]", "")).cast("int").as("upper_cnt"),
+      length(regexp_replace(t, "[^.,;:!?]", "")).cast("int").as("punct_cnt"),
+      length(regexp_replace(t, "[ -~\\s]", "")).cast("int").as("non_ascii_cnt"),
+      stopwordHits(t, LANG_STOPWORDS("en")).as("en_stopword_cnt"))
+  }
+
+  val LANG_STOPWORDS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "is", "to"),
+    "de" -> Seq("der", "und", "das", "die", "ist"),
+    "es" -> Seq("que", "los", "una", "con", "para"),
+    "fr" -> Seq("les", "des", "une", "avec", "pour"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** n-gram-heuristic language ID: per-language stopword hit counts with a
+    * deterministic arg-max (count desc, language asc). Documents dominated
+    * by non-ASCII text classify as "zh". */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val langs = LANG_STOPWORDS.keys.toSeq.sorted
+    val withScores = df.select(
+      col(idCol) +:
+      length(regexp_replace(t, "[ -~\\s]", "")).cast("int").as("non_ascii") +:
+      langs.map(l => stopwordHits(t, LANG_STOPWORDS(l)).as(s"score_$l")): _*)
+    // deterministic arg-max: fold over languages in sorted order, keeping
+    // the strictly-greater score, so ties resolve to the earlier language
+    val best = langs.tail.foldLeft((lit(langs.head), col(s"score_${langs.head}"))) {
+      case ((bestLang, bestScore), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }
+    withScores.select(
+      col(idCol),
+      when(col("non_ascii") > 0, lit("zh")) // any CJK content
+        .otherwise(best._1).as("lang_guess"),
+      best._2.as("lang_score"))
+  }
+}
