@@ -19,7 +19,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val w0 = System.nanoTime()
     Queries.warm(spark, sfDir) // untimed: one-time table conversion
+    System.err.println(f"[bench] warm-up took ${(System.nanoTime() - w0) / 1e9}%.1f s")
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -30,7 +32,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors += name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $secs%.2f s")
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,129 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Column, DelegatingCatalogExtension, Identifier, Table, TableCatalog}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.sql.types.StructType
+
+import graft.meta.{SnapshotManagement, TableInfo}
+import graft.sources.GraftTableV2
+
+/** Catalog integration (reference `star/catalog/StarLakeCatalog.scala:51-546`):
+  * a `DelegatingCatalogExtension` over the session catalog so that
+  *
+  * {{{
+  *   CREATE TABLE t (id BIGINT, v STRING) USING graft
+  *     PARTITIONED BY (c) TBLPROPERTIES ('hashPartitions'='id', ...)
+  *   INSERT INTO t ...
+  *   SELECT ... FROM t
+  *   DROP TABLE t
+  * }}}
+  *
+  * work in SQL. Non-graft tables pass through untouched. Enable with
+  * `spark.sql.catalog.spark_catalog=graft.catalog.GraftCatalog`.
+  */
+class GraftCatalog extends DelegatingCatalogExtension {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def isGraftProvider(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .exists(_.equalsIgnoreCase("graft"))
+
+  private def tablePathFor(ident: Identifier, properties: util.Map[String, String]): String = {
+    Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(SnapshotManagement.normalize)
+      .getOrElse {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        val db = if (ident.namespace().isEmpty) "default" else ident.namespace().mkString("/")
+        SnapshotManagement.normalize(s"$warehouse/$db.db/${ident.name()}")
+      }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (!isGraftProvider(properties)) {
+      return super.createTable(ident, columns, partitions, properties)
+    }
+    val schema = SparkShims.v2ColumnsToStructType(columns)
+    val path = tablePathFor(ident, properties)
+    val (rangeCols, hashCols, bucketNum) = parsePartitioning(partitions, properties)
+
+    if (!SnapshotManagement.exists(path)) {
+      val info = TableInfo(
+        tableId = java.util.UUID.randomUUID().toString,
+        schemaJson = schema.json,
+        rangeColumns = rangeCols,
+        hashColumns = hashCols,
+        bucketNum = bucketNum,
+        configuration = properties.asScala.toMap
+          .filter { case (k, _) => k.startsWith("graft.") },
+        shortName = Some(ident.name()))
+      SnapshotManagement.withNewTransaction(path) { txn =>
+        txn.commit("create", Some(info), Nil, Nil)
+      }
+    }
+    // register in the session catalog too so name resolution works
+    val withLoc = new util.HashMap[String, String](properties)
+    withLoc.put(TableCatalog.PROP_LOCATION, path)
+    withLoc.put(TableCatalog.PROP_EXTERNAL, "true")
+    super.createTable(ident, columns, partitions, withLoc)
+    new GraftTableV2(spark, path)
+  }
+
+  private def parsePartitioning(
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): (Seq[String], Seq[String], Int) = {
+    var range = Seq.empty[String]
+    var hash = Seq.empty[String]
+    var buckets = -1
+    partitions.foreach { t =>
+      t.name() match {
+        case "identity" =>
+          range :+= t.references().head.fieldNames().mkString(".")
+        case "bucket" =>
+          hash = t.references().map(_.fieldNames().mkString(".")).toSeq
+          buckets = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(-1)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft tables support identity/bucket partitioning, got $other")
+      }
+    }
+    Option(properties.get("hashPartitions")).foreach(h =>
+      hash = h.split(",").map(_.trim).toSeq)
+    Option(properties.get("hashBucketNum")).foreach(n => buckets = n.toInt)
+    (range, hash, buckets)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = super.loadTable(ident)
+    asGraft(t).getOrElse(t)
+  }
+
+  private def asGraft(t: Table): Option[GraftTableV2] = {
+    val props = t.properties()
+    if (isGraftProvider(props)) {
+      val loc = Option(props.get(TableCatalog.PROP_LOCATION))
+      loc.map(l => new GraftTableV2(spark, SnapshotManagement.normalize(l)))
+    } else None
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existing = try Some(super.loadTable(ident)) catch { case _: Exception => None }
+    val graftPath = existing.flatMap(asGraft).map(_.path)
+    val dropped = super.dropTable(ident)
+    graftPath.foreach(p => graft.commands.DropCommands.dropTable(p))
+    dropped
+  }
+}

@@ -37,15 +37,33 @@ object WriteIntoTable {
       txn.snapshotOpt match {
         case None => firstWrite(spark, path, df, options, txn)
         case Some(snapshot) =>
+          // INSERT-by-ordinal (e.g. SQL `INSERT INTO t VALUES ...`) arrives
+          // with synthetic column names; align positionally to the table's
+          // read-order schema (reference `StarLakeAnalysis.scala:43-147`).
+          val aligned = alignByPosition(df, snapshot)
           mode match {
             case SaveMode.ErrorIfExists =>
               throw new GraftWriteException(s"graft table already exists at $path")
             case SaveMode.Ignore => ()
-            case SaveMode.Append => append(spark, path, df, options, snapshot, txn)
-            case SaveMode.Overwrite => overwrite(spark, path, df, options, snapshot, txn)
+            case SaveMode.Append => append(spark, path, aligned, options, snapshot, txn)
+            case SaveMode.Overwrite => overwrite(spark, path, aligned, options, snapshot, txn)
           }
       }
     }
+  }
+
+  /** Rename generic by-ordinal columns (col1.., or any full-arity mismatch
+    * where no incoming name resolves against the table) to the table's
+    * read-order column names. */
+  private def alignByPosition(
+      df: DataFrame, snapshot: Snapshot): DataFrame = {
+    val ti = snapshot.tableInfo
+    val readOrder = ti.dataSchema.fieldNames ++ ti.rangePartitionSchema.fieldNames
+    val incoming = df.columns
+    val tableLower = readOrder.map(_.toLowerCase).toSet
+    val anyMatch = incoming.exists(c => tableLower.contains(c.toLowerCase))
+    if (!anyMatch && incoming.length == readOrder.length) df.toDF(readOrder: _*)
+    else df
   }
 
   private def parseList(s: String): Seq[String] = {
@@ -58,7 +76,8 @@ object WriteIntoTable {
   }
 
   private[graft] def tableInfoFromOptions(
-      df: DataFrame, options: Map[String, String]): TableInfo = {
+      df: DataFrame, options0: Map[String, String]): TableInfo = {
+    val options = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options0)
     val range = options.get(RANGE_PARTITIONS).orElse(options.get(V1_PARTITION_COLUMNS))
       .map(parseList).getOrElse(Nil)
     val hash = options.get(HASH_PARTITIONS).map(parseList).getOrElse(Nil)
@@ -159,10 +178,23 @@ object WriteIntoTable {
         s"columns ${newCols.map(_.name).mkString(", ")} not present in table " +
         s"schema; set mergeSchema=true or spark.graft.schema.autoMerge.enabled")
     }
-    SchemaUtils.checkCompatible(tableSchema, dfSchema)
-    val merged = SchemaUtils.mergeSchemas(tableSchema, dfSchema)
+    // Safe implicit up-casts (int->bigint, ...) per store-assignment rules;
+    // ACCEPT_ANY_SCHEMA disables Spark's own output casting, so the engine
+    // performs it (reference `StarLakeAnalysis.scala:105-155`).
+    val byLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val casted = df.select(dfSchema.fields.toSeq.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(tf) if tf.dataType != f.dataType &&
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(f.dataType, tf.dataType) =>
+          col(s"`${f.name}`").cast(tf.dataType).as(tf.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }: _*)
+    SchemaUtils.checkCompatible(tableSchema, casted.schema)
+    val merged = SchemaUtils.mergeSchemas(tableSchema, casted.schema)
     val newInfo = if (merged == tableSchema) info
       else info.copy(schemaJson = merged.json)
-    (newInfo, df)
+    (newInfo, casted)
   }
 }

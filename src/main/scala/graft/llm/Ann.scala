@@ -51,8 +51,9 @@ object Ann {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0d) - 0.5d
 
+  /** `vec` must already be a materialized `array<double>` column. */
   def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
-    val v = asDouble(vec)
+    val v = vec
     (0 until numPlanes).map { p =>
       val d = aggregate(sequence(lit(1), lit(dims)), lit(0.0d),
         (acc, i) => acc + element_at(v, i) * planeComponent(p, i))
@@ -66,10 +67,12 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"),
-      lshBucket(col(vecCol), numPlanes, dims).as("bucket"))
-    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"),
-      lshBucket(col(queryVecCol), numPlanes, dims).as("bucket"))
+    // stage the double-cast vector first: lshBucket's per-element lambda
+    // would otherwise re-cast the whole array per element (interpreted HOF)
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .select(col("nid"), col("nv"), lshBucket(col("nv"), numPlanes, dims).as("bucket"))
+    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"))
+      .select(col("qid"), col("qv"), lshBucket(col("qv"), numPlanes, dims).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window

@@ -20,13 +20,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word k-gram shingles (1-based positions, distinct). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+  /** Word k-gram shingles (1-based positions, distinct). NOTE: evaluating
+    * this over a raw text column re-runs tokenization inside the lambda
+    * (higher-order functions evaluate interpreted); prefer `shingleSets`,
+    * which stages tokens as a materialized column first. */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
+
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k, array_distinct(transform(
+      sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** (doc_id, sh) with tokens and shingles each materialized exactly once
+    * per row — the staged form every minhash/jaccard operator builds on. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks"), k).as("sh"))
 
   /** Exact n-gram-Jaccard near-duplicate pairs via an inverted shingle
     * index: explode distinct shingles, self-join on shingle, count shared
@@ -37,7 +50,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minInter: Int = 3, maxKeyFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), k)).as("s"))
+    val sh = shingleSets(df, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
     // skew guard: drop shingles shared by too many documents
     val filtered = sh.withColumn("freq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
@@ -54,13 +68,12 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size")
   }
 
-  /** MinHash signature: k independent hash functions (murmur3 salted by the
-    * function index), each taking the min over the document's shingles. */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column = {
-    val sh = shingles(text, shingleK)
+  /** MinHash signature over a MATERIALIZED shingle-array column: k
+    * independent hash functions (murmur3 salted by the function index),
+    * each taking the min over the document's shingles. */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => coalesce(array_min(transform(sh, s => hash(s, i))), lit(0)))
-  }
 
   /** Banded-LSH candidate pairs over MinHash signatures:
     * band key = hash(bandIdx, signature slice); documents sharing any band
@@ -71,8 +84,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sig = shingleSets(df, idCol, textCol, shingleK)
+      .select(col("doc_id"),
+        minhashSignatureFromShingles(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows)), b)
@@ -92,8 +106,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-    val sh = df.select(col(idCol).as("doc_id"),
-      shingles(col(textCol)).as("sh"))
+    val sh = shingleSets(df, idCol, textCol)
     cands.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
       .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))

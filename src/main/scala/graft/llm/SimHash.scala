@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   /** Per-bit majority vote over the tokens' murmur3 hashes, packed into a
-    * 64-bit fingerprint. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+    * 64-bit fingerprint. `toks` should be a MATERIALIZED token-array column
+    * (HOF lambdas evaluate interpreted — an inline tokenizer would re-run
+    * 64 times per row). */
+  def simhash64FromTokens(toks: Column): Column = {
     val n = size(toks)
     // votes(b) = #tokens with bit b set; bit set in fingerprint iff 2*votes >= n
     aggregate(
@@ -27,7 +28,9 @@ object SimHash {
   }
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("simhash"))
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), simhash64FromTokens(col("__toks")).as("simhash"))
 
   /** Candidate pairs whose fingerprints share at least one of four 16-bit
     * bands, with exact hamming distance attached (bit_count of xor). */

@@ -21,6 +21,10 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectQueryPostPlannerStrategyRule(DeclareBucketDistribution(_))
     ext.injectResolutionRule(RewriteSetOpOnPk(_))
+    ext.injectResolutionRule(ExtractMergeOperator(_))
+    ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))
+    GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
+    ext.injectCheckRule(_ => MergeOperatorMarkerCheck)
   }
 }
 

@@ -1,0 +1,49 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.meta.TableInfo
+
+/** Write-time data invariants (reference `star/schema/Invariants.scala:29-99`
+  * + `InvariantCheckerExec.scala`):
+  *  - NOT NULL from schema nullability;
+  *  - arbitrary CHECK expressions persisted in table configuration as
+  *    `graft.constraints.<name> = <sql predicate>`.
+  *
+  * Enforcement rides inside the write plan via `assert_true` filters — a
+  * codegen'd per-row check with no extra pass over the data, the Spark-4
+  * equivalent of the reference's physical `InvariantCheckerExec` node.
+  */
+object Invariants {
+
+  val CONSTRAINT_PREFIX = "graft.constraints."
+
+  /** Wrap `df` so any invariant violation fails the write with a clear
+    * error. Columns absent from `df` (partial-column upserts) are skipped. */
+  def enforce(df: DataFrame, tableInfo: TableInfo): DataFrame = {
+    val present = df.columns.toSet
+    val notNullCols = tableInfo.schema.fields
+      .filter(f => !f.nullable && present.contains(f.name)).map(_.name)
+    val withNotNull = notNullCols.foldLeft(df) { (d, c) =>
+      d.filter(coalesce(
+        assert_true(col(s"`$c`").isNotNull,
+          lit(s"[graft invariant] column $c: NOT NULL constraint violated")),
+        lit(true)))
+    }
+    val checks = tableInfo.configuration.collect {
+      case (k, v) if k.startsWith(CONSTRAINT_PREFIX) =>
+        k.stripPrefix(CONSTRAINT_PREFIX) -> v
+    }
+    checks.foldLeft(withNotNull) { case (d, (name, predicate)) =>
+      val cond = expr(predicate)
+      val refs = graft.commands.RewriteSupport.referencedNames(
+        org.apache.spark.sql.graft.SparkShims.expression(cond))
+      if (!refs.forall(present.contains)) d
+      else d.filter(coalesce(
+        assert_true(coalesce(cond, lit(false)),
+          lit(s"[graft invariant] $name: CHECK ($predicate) violated")),
+        lit(true)))
+    }
+  }
+}

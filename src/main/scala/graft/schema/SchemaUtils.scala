@@ -53,17 +53,13 @@ object SchemaUtils {
     }
   }
 
-  /** Additive merge: table schema plus any new incoming columns appended (in
-    * incoming order). Nullability widens (reference `SchemaUtils.scala:767+`). */
+  /** Additive merge: table schema plus any new incoming columns appended
+    * (in incoming order). Nullability does NOT widen implicitly — a NOT
+    * NULL column stays NOT NULL (enforced by Invariants on write); widening
+    * requires an explicit ALTER (reference `SchemaUtils.scala:767+`). */
   def mergeSchemas(table: StructType, data: StructType): StructType = {
     val existingLower = table.fieldNames.map(_.toLowerCase).toSet
-    val widened = table.fields.map { tf =>
-      data.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
-        case Some(df) if df.nullable && !tf.nullable => tf.copy(nullable = true)
-        case _ => tf
-      }
-    }
     val added = data.fields.filterNot(f => existingLower.contains(f.name.toLowerCase))
-    StructType(widened ++ added)
+    StructType(table.fields ++ added)
   }
 }

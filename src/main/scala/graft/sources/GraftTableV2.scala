@@ -67,9 +67,15 @@ class GraftTableV2(
     TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val snapshot = snapshotOpt.getOrElse(
-      throw new graft.meta.GraftTableNotFoundException(path))
-    GraftScanBuilder.create(spark, path, snapshot, schema(), options)
+    // Resolve the LATEST snapshot at scan-build time (unless pinned): a
+    // temp view or cached relation holds this Table instance across
+    // commits, and each new query must see the current table state.
+    val snapshot = pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
+      .getOrElse(throw new graft.meta.GraftTableNotFoundException(path))
+    val fullSchema = StructType(
+      snapshot.tableInfo.dataSchema.fields ++
+      snapshot.tableInfo.rangePartitionSchema.fields)
+    GraftScanBuilder.create(spark, path, snapshot, fullSchema, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -55,8 +55,12 @@ object TransactionalWrite {
     if (tableInfo.hasPrimaryKey) require(hashCols.forall(cols.contains),
       s"missing primary-key columns: ${hashCols.filterNot(cols.contains)}")
 
-    if (tableInfo.hasPrimaryKey) writePk(spark, tablePath, tableInfo, df, isBase)
-    else writePlain(tablePath, tableInfo, df, isBase)
+    // NOT NULL / CHECK invariants ride inside the write plan (codegen'd;
+    // reference wires InvariantCheckerExec the same way at
+    // star/TransactionalWrite.scala:161-172).
+    val checked = graft.schema.Invariants.enforce(df, tableInfo)
+    if (tableInfo.hasPrimaryKey) writePk(spark, tablePath, tableInfo, checked, isBase)
+    else writePlain(tablePath, tableInfo, checked, isBase)
   }
 
   /** Non-PK: one parquet job, Hive-style dirs for range partitions. */

@@ -32,6 +32,11 @@ object SparkShims {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** V2 catalog Column[] -> StructType (CatalogV2Util is private[sql]). */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
   /** DataFrame over an arbitrary logical plan. */
   def ofRows(
       spark: SparkSession,

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mv.MaterializedViews
+import graft.tables.GraftTable
+
+/** SQL catalog DDL/DML, merge-operator SQL marker extraction, NOT NULL /
+  * CHECK invariants, and materialized-view rewrite + staleness refresh.
+  */
+class CatalogAndRulesSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("merge operator via SQL marker function") {
+    withTempTable { dir =>
+      Seq((1L, 10L)).toDF("id", "cnt").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 5L), (2L, 7L)).toDF("id", "cnt"))
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mo_t")
+      val got = spark.sql(
+        "SELECT id, graft_merge_op_sum(cnt) AS cnt FROM mo_t")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 15L), (2L, 7L)))
+    }
+  }
+
+  test("NOT NULL invariant rejects null writes") {
+    withTempTable { dir =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType, nullable = true)))
+      val ok = spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(1L, "a")), schema)
+      ok.write.format("graft").save(dir)
+      val bad = spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(null, "x")),
+        StructType(Seq(
+          StructField("id", LongType, nullable = true),
+          StructField("v", StringType, nullable = true))))
+      val e = intercept[Exception] {
+        bad.write.format("graft").mode("append").save(dir)
+      }
+      def rootMessages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + rootMessages(t.getCause)
+      assert(rootMessages(e).contains("NOT NULL") || e.getMessage != null)
+      // table still has only the good row
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    }
+  }
+
+  test("CHECK constraint from table configuration") {
+    withTempTable { dir =>
+      Seq((1L, 5)).toDF("id", "v").write.format("graft")
+        .option("graft.constraints.positive_v", "v > 0").save(dir)
+      intercept[Exception] {
+        Seq((2L, -1)).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+    }
+  }
+
+  test("materialized view: rewrite when fresh, skipped when stale, refresh") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mv_base")
+      val sql = "SELECT g, sum(v) AS sv FROM mv_base GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // fresh: the query plans as a scan of the view (no aggregate)
+      val q = spark.sql(sql)
+      val planStr = q.queryExecution.optimizedPlan.toString
+      assert(rowsOf(q) == Seq(Seq("a", 30L), Seq("b", 30L)))
+      assert(planStr.contains(viewDir.split("/").last) || !planStr.contains("Aggregate"),
+        s"expected MV scan, got:\n$planStr")
+
+      // stale: base table changes invalidate the view
+      Seq((4L, "b", 40)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      assert(rowsOf(spark.sql(sql)) == Seq(Seq("a", 30L), Seq("b", 70L)))
+
+      // refresh re-materializes and re-enables rewrite
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(rowsOf(spark.sql(sql)) == Seq(Seq("a", 30L), Seq("b", 70L)))
+      assert(!MaterializedViews.refresh(spark, viewDir)) // already fresh
+    }
+  }
+
+  test("SQL DDL via GraftCatalog: create/insert/select/drop") {
+    withTempTable { dir =>
+      // catalog plugins resolve lazily from session conf: a fresh session
+      // with the conf set before first catalog access picks it up
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gct")
+      s2.sql(s"CREATE TABLE gct (id BIGINT, v STRING) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gct VALUES (1, 'a'), (2, 'b')")
+      assert(s2.sql("SELECT * FROM gct").count() == 2)
+      s2.sql("INSERT INTO gct VALUES (3, 'c')")
+      assert(s2.sql("SELECT * FROM gct WHERE id >= 2").count() == 2)
+      // data really lives in the graft table at the given location
+      assert(GraftTable.forPath(spark, s"$dir/t").toDF.count() == 3)
+      s2.sql("DROP TABLE gct")
+      assert(!s2.catalog.tableExists("gct"))
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+/** Correctness of the LLM-pipeline operators that have no SQL oracle:
+  * MinHash-LSH recall on planted near-duplicates, SimHash hamming
+  * proximity, and ANN ranking vs an exact in-memory brute force.
+  */
+class LlmOperatorsSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private def sentence(n: Int): String =
+    (0 until n).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    // 20 random docs plus 5 pairs of near-identical docs
+    val base = (0 until 20).map(i => (i.toLong, sentence(120)))
+    val pairs = (0 until 5).flatMap { i =>
+      val s = sentence(120)
+      val mutated = s.split(" ").zipWithIndex
+        .map { case (w, j) => if (j % 25 == 0) "zz" + j else w }.mkString(" ")
+      Seq((100L + i * 2, s), (101L + i * 2, mutated))
+    }
+    val df = (base ++ pairs).toDF("doc_id", "text")
+    val found = Dedup.minhashNearDuplicates(df, "doc_id", "text",
+        minJaccardPct = 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (100L + i * 2, 101L + i * 2)).toSet
+    assert(expected.subsetOf(found),
+      s"missed planted near-dups: ${expected.diff(found)}; found $found")
+    // no random pair should collide at 50% jaccard
+    assert(found.forall { case (a, b) => a >= 100 && b >= 100 })
+  }
+
+  test("exact duplicate groups") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDuplicateGroups(df, "doc_id", "text")
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash: identical docs collide, mutated docs are close") {
+    val s = sentence(200)
+    val mutated = s.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 40 == 0) "qq" + j else w }.mkString(" ")
+    val df = Seq((1L, s), (2L, s), (3L, mutated), (4L, sentence(200)))
+      .toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+    val nd = SimHash.nearDuplicates(df, "doc_id", "text", maxHamming = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 2L)))
+  }
+
+  test("brute-force ANN matches in-memory exact top-k") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val got = Ann.bruteTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val byId = vecs.toMap
+    (0L until 3L).foreach { q =>
+      val expected = vecs.map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      assert(got(q) == expected, s"query $q: got ${got(q)}, expected $expected")
+    }
+  }
+
+  test("LSH ANN returns each query's own vector first (bucketed recall)") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    val got = Ann.lshTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, numPlanes = 4, dims = 16)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+    val first = got.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    (0L until 5L).foreach(q => assert(first(q) == q,
+      s"query $q should find itself at rank 1 (same bucket), got ${first.get(q)}"))
+  }
+
+  test("language id picks the stopword-dominant language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog is of to the house"),
+      (2L, "der hund und das haus ist die katze und der"),
+      (3L, "los gatos que una casa con para los que"),
+      (4L, "les chats des maisons une avec pour les des"),
+      (5L, "你好世界")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "text", "doc_id")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("multimodal decode plumbing: deterministic fake decode over binary") {
+    val df = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
+    val out = Multimodal.decodeTable(Multimodal.asPayload(df, "doc_id", "text"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("byte_len") > 0)
+      val img = r.getAs[org.apache.spark.sql.Row]("image")
+      assert(img.getAs[Int]("width") >= 1 && img.getAs[Int]("width") <= 1920)
+      assert(img.getAs[Int]("height") >= 1 && img.getAs[Int]("height") <= 1080)
+      assert(r.getAs[scala.collection.Seq[_]]("frames").length == 4)
+    }
+    // determinism
+    val again = Multimodal.decodeTable(Multimodal.asPayload(df, "doc_id", "text"))
+    assert(rowsOf(out.drop("frames")) == rowsOf(again.drop("frames")))
+  }
+}

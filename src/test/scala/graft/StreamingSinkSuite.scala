@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.tables.GraftTable
+
+/** Streaming sink behavior (reference `StarSinkSuite.scala:50-460`):
+  * append mode, update mode (PK upsert), complete mode, aggregation with
+  * watermark, and exactly-once replayed-batch idempotence.
+  */
+class StreamingSinkSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  test("append mode writes each batch once") {
+    withTempTable { dir =>
+      implicit val ctx = classicSpark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("id", "v")
+        .writeStream.format("graft").outputMode(OutputMode.Append)
+        .option("checkpointLocation", dir + "-ckpt")
+        .trigger(Trigger.AvailableNow()).start(dir)
+      input.addData((1L, "a"), (2L, "b"))
+      q.awaitTermination(60000)
+      val q2 = input.toDF().toDF("id", "v")
+        .writeStream.format("graft").outputMode(OutputMode.Append)
+        .option("checkpointLocation", dir + "-ckpt")
+        .trigger(Trigger.AvailableNow()).start(dir)
+      input.addData((3L, "c"))
+      q2.awaitTermination(60000)
+      val t = GraftTable.forPath(spark, dir)
+      assert(rowsOf(t.toDF.select("id", "v")) ==
+        rowsOf(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    }
+  }
+
+  test("update mode on pk table upserts per batch") {
+    withTempTable { dir =>
+      implicit val ctx = classicSpark.sqlContext
+      val input = MemoryStream[(Long, Int)]
+      def run(): Unit = {
+        val q = input.toDF().toDF("id", "v")
+          .writeStream.format("graft").outputMode(OutputMode.Update)
+          .option("checkpointLocation", dir + "-ckpt")
+          .option("hashPartitions", "id").option("hashBucketNum", "2")
+          .trigger(Trigger.AvailableNow()).start(dir)
+        q.awaitTermination(60000)
+      }
+      input.addData((1L, 10), (2L, 20)); run()
+      input.addData((2L, 200), (3L, 30)); run()
+      val t = GraftTable.forPath(spark, dir)
+      assert(rowsOf(t.toDF.select("id", "v")) ==
+        rowsOf(Seq((1L, 10), (2L, 200), (3L, 30)).toDF("id", "v")))
+    }
+  }
+
+  test("complete mode replaces table contents") {
+    withTempTable { dir =>
+      implicit val ctx = classicSpark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      def run(): Unit = {
+        val q = input.toDS().toDF("k", "n").groupBy("k").count()
+          .writeStream.format("graft").outputMode(OutputMode.Complete)
+          .option("checkpointLocation", dir + "-ckpt")
+          .trigger(Trigger.AvailableNow()).start(dir)
+        q.awaitTermination(60000)
+      }
+      input.addData(("a", 1L), ("a", 2L), ("b", 1L)); run()
+      input.addData(("a", 3L)); run()
+      val t = GraftTable.forPath(spark, dir)
+      assert(rowsOf(t.toDF.select("k", "count")) ==
+        rowsOf(Seq(("a", 3L), ("b", 1L)).toDF("k", "count")))
+    }
+  }
+
+  test("replayed batch id is skipped (exactly-once)") {
+    withTempTable { dir =>
+      val df1 = Seq((1L, "a")).toDF("id", "v")
+      // simulate the sink being handed the same batch twice
+      val sink = new graft.sources.GraftSink(spark, dir,
+        Map("queryId" -> "qx"), Nil, OutputMode.Append())
+      sink.addBatch(0, df1)
+      sink.addBatch(0, df1) // replay: must be a no-op
+      sink.addBatch(1, Seq((2L, "b")).toDF("id", "v"))
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.toDF.count() == 2)
+      assert(t.snapshot.streamingBatchIds("qx") == 1L)
+    }
+  }
+
+  test("aggregation with watermark streams into the sink") {
+    withTempTable { dir =>
+      implicit val ctx = classicSpark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      val agg = input.toDF().toDF("ts", "k")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "5 minutes"), $"k")
+        .count()
+        .select($"window.start".as("wstart"), $"k", $"count")
+      def run(): Unit = {
+        val q = agg.writeStream.format("graft").outputMode(OutputMode.Append)
+          .option("checkpointLocation", dir + "-ckpt")
+          .trigger(Trigger.AvailableNow()).start(dir)
+        q.awaitTermination(60000)
+      }
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:02:00")
+      input.addData((t0, "x"), (t1, "x"))
+      run()
+      // a later event advances the watermark; the 00:00 window then closes
+      // and is appended in the following micro-batch
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "y"))
+      run()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "y"))
+      run()
+      val rows = GraftTable.forPath(spark, dir).toDF
+      val x = rows.filter($"k" === "x").select("count").collect()
+      assert(x.nonEmpty && x.head.getLong(0) == 2L,
+        s"expected closed window for k=x with count 2, got ${rowsOf(rows)}")
+    }
+  }
+}
