@@ -119,6 +119,46 @@ class GraftCatalog extends DelegatingCatalogExtension {
     } else None
   }
 
+  override def alterTable(
+      ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val existing = super.loadTable(ident)
+    asGraft(existing) match {
+      case None => super.alterTable(ident, changes: _*)
+      case Some(g) =>
+        val path = g.path
+        SnapshotManagement.withNewTransaction(path) { txn =>
+          val snap = txn.snapshotOpt.getOrElse(
+            throw new graft.meta.GraftTableNotFoundException(path))
+          var info = snap.tableInfo
+          var schema = info.schema
+          changes.foreach {
+            case a: TableChange.AddColumn =>
+              require(a.fieldNames().length == 1,
+                "nested column adds are not supported")
+              schema = schema.add(a.fieldNames().head, a.dataType(), a.isNullable)
+            case u: TableChange.UpdateColumnNullability =>
+              require(u.nullable(), "tightening nullability is not supported")
+              schema = StructType(schema.fields.map(f =>
+                if (f.name == u.fieldNames().head) f.copy(nullable = true) else f))
+            case s: TableChange.SetProperty =>
+              info = info.copy(configuration =
+                info.configuration + (s.property() -> s.value()))
+            case r: TableChange.RemoveProperty =>
+              info = info.copy(configuration = info.configuration - r.property())
+            case other =>
+              throw new UnsupportedOperationException(
+                s"ALTER TABLE change not supported on graft tables: $other")
+          }
+          graft.schema.SchemaUtils.validateSchema(schema)
+          txn.commit("alter", Some(info.copy(schemaJson = schema.json)), Nil, Nil)
+        }
+        super.alterTable(ident, changes: _*)
+        new GraftTableV2(spark, path)
+    }
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val existing = try Some(super.loadTable(ident)) catch { case _: Exception => None }
     val graftPath = existing.flatMap(asGraft).map(_.path)

@@ -1,16 +1,20 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora.
   *
   * Scale design: every method is banded/bucketed — candidate pairs are only
-  * generated WITHIN a join key (content hash, shared shingle, LSH band, or
-  * SimHash band), never via an all-pairs cross join. At 100 TB the hot
-  * shingles/bands are the skew risk; `maxKeyFreq` drops join keys whose
-  * document frequency exceeds a cutoff (a standard prefix-filter trick) so
-  * no single key explodes a partition.
+  * generated WITHIN a join key (content hash, shared shingle, LSH band),
+  * never via an all-pairs cross join — and the hot paths are expressed as
+  * exploded relational plans (posexplode + window + hash-aggregate) rather
+  * than per-row array lambdas: higher-order-function lambdas evaluate
+  * interpreted in Spark, while the exploded form stays inside whole-stage
+  * codegen and parallelizes by rows, not documents. At 100 TB the hot
+  * shingles are the skew risk; `maxKeyFreq` drops join keys whose document
+  * frequency exceeds a cutoff (the standard prefix-filter trick).
   */
 object Dedup {
 
@@ -20,14 +24,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word k-gram shingles (1-based positions, distinct). NOTE: evaluating
-    * this over a raw text column re-runs tokenization inside the lambda
-    * (higher-order functions evaluate interpreted); prefer `shingleSets`,
-    * which stages tokens as a materialized column first. */
-  def shingles(text: Column, k: Int = 3): Column =
-    shinglesFromTokens(TextAnalysis.tokens(text), k)
+  /** Distinct word k-gram shingles as ROWS (doc_id, s): tokens exploded
+    * with position, shingle assembled from the k-1 following tokens via
+    * window `lead` — fully codegen'd, shuffles only (doc_id, token) pairs. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts: Seq[Column] = col("tok") +:
+      (1 until k).map(o => lead(col("tok"), o).over(w))
+    toks.select(col("doc_id"), parts.last.isNotNull.as("full"),
+        concat_ws(" ", parts: _*).as("s"))
+      .filter(col("full")).select("doc_id", "s").distinct()
+  }
 
-  def shinglesFromTokens(toks: Column, k: Int): Column = {
+  /** Word k-gram shingles as a per-row array column (1-based positions,
+    * distinct) — convenience form for small inputs; prefer `shingleRows`
+    * in pipelines. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
     val n = size(toks)
     when(n >= k, array_distinct(transform(
       sequence(lit(1), n - (k - 1)),
@@ -35,45 +50,48 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (doc_id, sh) with tokens and shingles each materialized exactly once
-    * per row — the staged form every minhash/jaccard operator builds on. */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("__toks"), k).as("sh"))
-
   /** Exact n-gram-Jaccard near-duplicate pairs via an inverted shingle
-    * index: explode distinct shingles, self-join on shingle, count shared
-    * shingles per pair. Returns integer columns only:
-    * (a_id, b_id, inter, a_size, b_size) for pairs with >= minInter shared
-    * shingles. Jaccard = inter / (a_size + b_size - inter).
+    * index: self-join on shingle, count shared shingles per pair. Returns
+    * integer columns only: (a_id, b_id, inter, a_size, b_size) for pairs
+    * with >= minInter shared shingles.
+    * Jaccard = inter / (a_size + b_size - inter).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minInter: Int = 3, maxKeyFreq: Int = 1000): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, k)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = shingleRows(df, idCol, textCol, k)
     // skew guard: drop shingles shared by too many documents
-    val filtered = sh.withColumn("freq",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+    val filtered = sh.withColumn("freq", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("freq") <= maxKeyFreq).drop("freq")
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = filtered.as("a").join(filtered.as("b"),
+    pairStats(filtered).filter(col("inter") >= minInter)
+  }
+
+  /** (a_id, b_id, inter, a_size, b_size) for every pair of docs sharing at
+    * least one row in `sh` (doc_id, s). */
+  private def pairStats(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= minInter)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_size"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_size"), "b_id")
       .select("a_id", "b_id", "inter", "a_size", "b_size")
   }
 
-  /** MinHash signature over a MATERIALIZED shingle-array column: k
-    * independent hash functions (murmur3 salted by the function index),
-    * each taking the min over the document's shingles. */
-  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(array_min(transform(sh, s => hash(s, i))), lit(0)))
+  /** MinHash signatures (doc_id, sig: array<int>[numHashes]) computed as a
+    * single hash-aggregate over exploded shingles: column i is
+    * `min(murmur3(s, seed=i))`. No lambdas — one shuffle of (doc_id, s). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Banded-LSH candidate pairs over MinHash signatures:
     * band key = hash(bandIdx, signature slice); documents sharing any band
@@ -84,9 +102,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = shingleSets(df, idCol, textCol, shingleK)
-      .select(col("doc_id"),
-        minhashSignatureFromShingles(col("sh"), numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
     val banded = sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows)), b)
@@ -100,17 +116,22 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard on the
-    * candidate set only. `minJaccardPct` is an integer percentage to keep
-    * the operator's output engine-exact (no float thresholds). */
+    * candidate set only. `minJaccardPct` is an integer percentage so the
+    * operator's output is engine-exact (no float thresholds). */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-    val sh = shingleSets(df, idCol, textCol)
-    cands.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+    val sh = shingleRows(df, idCol, textCol)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_size"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_size"), "b_id")
+      .withColumn("uni", col("a_size") + col("b_size") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }

@@ -4,44 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** 64-bit SimHash fingerprinting + banded near-dup candidate search.
-  * Pure built-in expressions (codegen'd), no UDFs; candidates come from
-  * 16-bit band buckets (pigeonhole: hamming distance <= 3 guarantees at
-  * least one identical band), never an all-pairs scan.
+  *
+  * Fingerprints are computed as ONE hash-aggregate over exploded tokens:
+  * per bit b, the vote is `sum(+1/-1)` of the token hash's bit b; the
+  * fingerprint packs the 64 vote signs. Everything stays in whole-stage
+  * codegen (no lambdas); the only shuffle carries (doc_id, token-hash)
+  * pairs. Candidates come from 16-bit band buckets (pigeonhole: hamming
+  * distance <= 3 guarantees one identical band), never an all-pairs scan.
   */
 object SimHash {
 
-  /** Per-bit majority vote over the tokens' murmur3 hashes, packed into a
-    * 64-bit fingerprint. `toks` should be a MATERIALIZED token-array column
-    * (HOF lambdas evaluate interpreted — an inline tokenizer would re-run
-    * 64 times per row). */
-  def simhash64FromTokens(toks: Column): Column = {
-    val n = size(toks)
-    // votes(b) = #tokens with bit b set; bit set in fingerprint iff 2*votes >= n
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        when(
-          size(filter(toks, t => call_function("shiftright",
-            hash(t).cast("long"), b).bitwiseAND(lit(1L)) === 1L)) * 2 >= n,
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val packed: Column = (0 until 64).map { b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
-
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), simhash64FromTokens(col("__toks")).as("simhash"))
 
   /** Candidate pairs whose fingerprints share at least one of four 16-bit
     * bands, with exact hamming distance attached (bit_count of xor). */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val fp = fingerprints(df, idCol, textCol)
-    val banded = fp.select(col("doc_id"), col("simhash"), explode(
-      transform(sequence(lit(0), lit(3)), b => struct(
-        b.as("band"),
-        call_function("shiftright", col("simhash"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("key"))))
+    val banded = fp.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
       .as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     banded.as("a").join(banded.as("b"),

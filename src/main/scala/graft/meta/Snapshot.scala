@@ -90,6 +90,16 @@ object SnapshotManagement {
   def snapshotOpt(tablePath: String): Option[Snapshot] =
     if (exists(tablePath)) Some(snapshot(tablePath)) else None
 
+  /** Time travel: the table as of a past committed version. */
+  def snapshotAt(tablePath: String, version: Long): Snapshot = {
+    val path = normalize(tablePath)
+    val latest = store.latestVersion(path)
+    if (latest < 0) throw new GraftTableNotFoundException(path)
+    require(version >= 0 && version <= latest,
+      s"version $version out of range [0, $latest] for $path")
+    Snapshot.replay(store, path, version)
+  }
+
   def invalidate(tablePath: String): Unit = cache.remove(normalize(tablePath))
 
   /** Run `body` in a new transaction with commit-retry. */

@@ -20,10 +20,10 @@ object GraftRead {
   def readFiles(
       spark: SparkSession, path: String, snapshot: Snapshot,
       files: Seq[DataFileInfo]): DataFrame = {
-    val pinned = snapshot.copy(files = files)
+    val pinnedSnap = snapshot.copy(files = files)
     relationFor(spark,
       new GraftTableV2(spark, SnapshotManagement.normalize(path),
-        pinnedSnapshot = Some(pinned)))
+        pinned = Some(pinnedSnap)))
   }
 
   private def relationFor(spark: SparkSession, table: GraftTableV2): DataFrame =

@@ -27,11 +27,28 @@ class GraftTableV2(
     val path: String,
     userSchema: Option[StructType] = None,
     extraOptions: Map[String, String] = Map.empty,
-    pinnedSnapshot: Option[Snapshot] = None)
-  extends Table with SupportsRead with SupportsWrite {
+    pinned: Option[Snapshot] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Time travel: `.option("versionAsOf", n)` pins a historical snapshot. */
+  private val pinnedSnapshot: Option[Snapshot] = pinned.orElse(
+    extraOptions.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") =>
+      SnapshotManagement.snapshotAt(path, v.toLong)
+    })
 
   lazy val snapshotOpt: Option[Snapshot] =
     pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(FilterSql.translatable)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sql = if (filters.isEmpty) "true"
+      else filters.map(FilterSql.toSql).mkString(" AND ")
+    graft.commands.DeleteCommand.run(spark, path,
+      org.apache.spark.sql.functions.expr(sql))
+  }
 
   override def name(): String = s"graft.`$path`"
 
@@ -100,21 +117,10 @@ class GraftWriteBuilder(
     mode = SaveMode.Overwrite
     val nonTrivial = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (nonTrivial.nonEmpty) {
-      val sql = nonTrivial.map(filterToSql).mkString(" AND ")
+      val sql = nonTrivial.map(FilterSql.toSql).mkString(" AND ")
       extra += (WriteIntoTable.REPLACE_WHERE -> sql)
     }
     this
-  }
-
-  private def filterToSql(f: Filter): String = f match {
-    case EqualTo(a, v: String) => s"`$a` = '${v.replace("'", "''")}'"
-    case EqualTo(a, v) => s"`$a` = $v"
-    case org.apache.spark.sql.sources.In(a, vs) =>
-      s"`$a` IN (${vs.map { case s: String => s"'${s.replace("'", "''")}'" case v => v.toString }.mkString(", ")})"
-    case org.apache.spark.sql.sources.And(l, r) => s"(${filterToSql(l)} AND ${filterToSql(r)})"
-    case org.apache.spark.sql.sources.Or(l, r) => s"(${filterToSql(l)} OR ${filterToSql(r)})"
-    case other =>
-      throw new UnsupportedOperationException(s"overwrite filter not supported: $other")
   }
 
   override def build(): Write = new V1Write {
