@@ -40,6 +40,12 @@ object UpsertCommand {
         spark, path, newInfo, aligned, isBase = false)
       txn.commit("delta", if (newInfo == info) None else Some(newInfo), files, Nil)
     }
+    // Compaction trigger (reference `CompactionCommand.scala:50-68`): when a
+    // partition's delta-file count reaches the threshold, compact it so the
+    // merge fan-in stays bounded (the reference's part-merge anti-OOM goal).
+    if (spark.conf.getOption("spark.graft.compaction.auto").exists(_.toBoolean)) {
+      CompactionCommand.run(spark, path, force = false)
+    }
   }
 }
 

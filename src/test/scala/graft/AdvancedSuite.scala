@@ -1,0 +1,102 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** Time travel, SQL DELETE, auto-compaction, and concurrent-writer safety. */
+class AdvancedSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("versionAsOf time travel") {
+    withTempTable { dir =>
+      Seq((1L, "v0")).toDF("id", "v").write.format("graft").save(dir)
+      Seq((2L, "v1")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      Seq((3L, "v2")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      assert(spark.read.format("graft").option("versionAsOf", "0").load(dir).count() == 1)
+      assert(spark.read.format("graft").option("versionAsOf", "1").load(dir).count() == 2)
+      assert(spark.read.format("graft").load(dir).count() == 3)
+      intercept[Exception] {
+        spark.read.format("graft").option("versionAsOf", "9").load(dir).count()
+      }
+    }
+  }
+
+  test("SQL DELETE FROM via SupportsDelete (catalog table)") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gdel")
+      s2.sql(s"CREATE TABLE gdel (id BIGINT, g STRING) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gdel VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+      s2.sql("DELETE FROM gdel WHERE g = 'a'")
+      assert(rowsOf(s2.sql("SELECT * FROM gdel")) == Seq(Seq(2L, "b")))
+      s2.sql("DROP TABLE gdel")
+    }
+  }
+
+  test("auto-compaction keeps delta fan-in bounded") {
+    withTempTable { dir =>
+      spark.conf.set("spark.graft.compaction.auto", "true")
+      spark.conf.set("spark.graft.compaction.deltaFileMaxNum", "3")
+      try {
+        (1 to 4).map(i => (i.toLong, i)).toDF("id", "v").write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+        val t = GraftTable.forPath(spark, dir)
+        (1 to 5).foreach { r =>
+          t.upsert(Seq((1L, r * 10), (4L + r, r)).toDF("id", "v"))
+        }
+        val deltasPerBucket = t.snapshot.files.filter(!_.isBase)
+          .groupBy(_.bucket).values.map(_.size)
+        assert(deltasPerBucket.forall(_ < 5),
+          s"auto-compaction should bound deltas, got $deltasPerBucket")
+        assert(t.toDF.filter($"id" === 1L).select("v").head().getInt(0) == 50)
+      } finally {
+        spark.conf.unset("spark.graft.compaction.auto")
+        spark.conf.unset("spark.graft.compaction.deltaFileMaxNum")
+      }
+    }
+  }
+
+  test("concurrent upserts all commit (optimistic retry)") {
+    withTempTable { dir =>
+      (1 to 8).map(i => (i.toLong, 0)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 4).map { w =>
+        Future { t.upsert(Seq((100L + w, w)).toDF("id", "v")) }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      pool.shutdown()
+      // all four writers' rows are present
+      assert(t.toDF.filter($"id" >= 100L).count() == 4)
+      // log versions are dense and unique
+      val versions = (0L to t.snapshot.version)
+      versions.foreach(v => assert(
+        graft.meta.MetaStore.fs.read(t.path, v).nonEmpty))
+    }
+  }
+
+  test("pk files are sorted within buckets (merge reader precondition)") {
+    withTempTable { dir =>
+      val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i))
+        .toDF("id", "v")
+      df.write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "4").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.snapshot.files.foreach { f =>
+        val rows = spark.read.parquet(s"$dir/${f.path}")
+          .select("id").as[Long].collect()
+        assert(rows.sameElements(rows.sorted),
+          s"bucket file ${f.path} is not PK-sorted")
+      }
+    }
+  }
+}
