@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: filters reach the parquet scan, projections prune
+  * the read schema, scans stay inside whole-stage codegen, and partition
+  * pruning eliminates untouched range partitions.
+  */
+class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark = GraftFunSuite.session
+
+  private def withTable[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-").toString
+    try f(dir)
+    finally graft.write.TransactionalWrite.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
+  test("filter pushdown reaches the parquet scan on non-PK graft tables") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 1000).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v")
+        .write.format("graft").save(dir)
+      val q = spark.read.format("graft").load(dir)
+        .filter($"id" > 500 && $"s".startsWith("s9")).select("id", "s")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), plan)
+      assert(plan.contains("GreaterThan(id,500)"), plan)
+      assert(plan.contains("StringStartsWith(s,s9)"), plan)
+      // column pruning: v is not read
+      assert(plan.contains("ReadSchema"), plan)
+      assert(!plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1").contains("v:"),
+        plan)
+      assert(q.count() > 0)
+    }
+  }
+
+  test("aggregation over graft scan runs inside whole-stage codegen") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+        .write.format("graft").save(dir)
+      val q = spark.read.format("graft").load(dir).groupBy("g")
+        .agg(sum("v"))
+      q.collect()
+      // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), plan)
+      // the columnar parquet batch path feeds the codegen stage
+      assert(plan.contains("ColumnarToRow"), plan)
+    }
+  }
+
+  test("pk-only filter is pushed into merge-on-read parquet readers") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 100).map(i => (i.toLong, i)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      graft.tables.GraftTable.forPath(spark, dir)
+        .upsert(Seq((5L, 12345)).toDF("id", "v"))
+      val q = spark.read.format("graft").load(dir).filter($"id" === 5L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("merge-on-read"), plan)
+      assert(plan.contains("pushedPkFilters") && plan.contains("EqualTo(id,5)"), plan)
+      // data filters on non-pk columns must NOT be pushed (version safety)
+      val q2 = spark.read.format("graft").load(dir).filter($"v" === 12345)
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("pushedPkFilters=[EqualTo(v,"), plan2)
+      assert(q.count() == 1 && q2.count() == 1)
+    }
+  }
+
+  test("partition pruning scans only matching range partitions") {
+    import spark.implicits._
+    withTable { dir =>
+      Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "part", "v")
+        .write.format("graft").partitionBy("part").save(dir)
+      val q = spark.read.format("graft").load(dir).filter($"part" === "b")
+      // the file index must list only the b partition's files
+      val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }
+      assert(scans.nonEmpty)
+      val files = scans.head.inputRDD.partitions.length
+      assert(q.count() == 1)
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(!planStr.contains("part=a") && !planStr.contains("part=c"),
+        s"pruned partitions appear in plan:\n$planStr")
+    }
+  }
+
+  test("pk scan plans exactly bucketNum partitions and declares ordering") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 500).map(i => (i.toLong, i)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "8").save(dir)
+      val df = spark.read.format("graft").load(dir)
+      assert(df.rdd.getNumPartitions == 8)
+      // sort-merge join on pk needs no SortExec below the join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = df.as("a").join(df.as("b"), "id")
+        joined.collect()
+        val sorts = collectWithSubqueries(joined.queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sorts.isEmpty,
+          s"expected sort-free SMJ:\n${joined.queryExecution.executedPlan}")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
