@@ -175,6 +175,20 @@ object GraftData {
         "c_mktsegment = 'BUILDING'", Map("c_acctbal" -> "c_acctbal + 100.0"))
     })
 
+  /** Schema evolution: first write carries (custkey, name) for even keys;
+    * a mergeSchema append adds c_acctbal for odd keys. Old rows read the
+    * new column as null. */
+  def customerEvolved(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_evolved") { dir =>
+      val c = parquet(spark, sfDir, "customer")
+      c.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name")
+        .write.format("graft").save(dir)
+      c.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.format("graft").mode("append").option("mergeSchema", "true")
+        .save(dir)
+    })
+
   def customerDeleted(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "customer_del") { dir =>
       parquet(spark, sfDir, "customer").write.format("graft").save(dir)
@@ -190,6 +204,6 @@ object GraftData {
     customerPk(spark, sfDir); ordersByCust(spark, sfDir)
     ordersUpsertedDir(spark, sfDir); ordersCompacted(spark, sfDir)
     custCountsDir(spark, sfDir); customerUpdated(spark, sfDir)
-    customerDeleted(spark, sfDir)
+    customerDeleted(spark, sfDir); customerEvolved(spark, sfDir)
   }
 }

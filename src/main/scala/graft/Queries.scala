@@ -147,6 +147,10 @@ object Queries {
         col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
 
     // ---- LLM data-pipeline operators ----
+    "q_schema_evolution" -> ((s, sf) =>
+      GraftData.customerEvolved(s, sf).select(
+        col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
+
     "q_dedup_exact" -> ((s, sf) =>
       Dedup.exactDuplicateGroups(GraftData.documentsRange(s, sf), "doc_id", "text")),
 
@@ -186,6 +190,11 @@ object Queries {
       Ann.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
+
+    "q_embed_neardup" -> ((s, sf) =>
+      Dedup.embeddingNearDuplicates(GraftData.embeddingsPlain(s, sf),
+        "vec_id", "embedding", minCosine = 0.2, numPlanes = 2)
+        .select(col("a_id"), col("b_id"))),
 
     "q_multimodal_decode" -> ((s, sf) =>
       Multimodal.decodeTable(
@@ -287,6 +296,11 @@ object Queries {
     "q_delete" ->
       ("SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents " +
        "FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    "q_schema_evolution" ->
+      ("SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 1 " +
+       "THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE NULL END AS acct_cents " +
+       "FROM customer"),
 
     "q_dedup_exact" ->
       ("SELECT MD5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +

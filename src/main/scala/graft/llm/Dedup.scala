@@ -115,6 +115,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * the corpus (one pass), pairs form only WITHIN a bucket, then exact
+    * cosine filters at `minCosine`. The classic recall/cost dial is
+    * `numPlanes` (fewer planes = bigger buckets = higher recall). */
+  def embeddingNearDuplicates(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("doc_id"),
+        col(vecCol).cast("array<double>").as("nv"))
+      .select(col("doc_id"), col("nv"),
+        Ann.lshBucket(col("nv"), numPlanes, dims).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        Ann.cosine(col("a.nv"), col("b.nv")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard on the
     * candidate set only. `minJaccardPct` is an integer percentage so the
     * operator's output is engine-exact (no float thresholds). */
