@@ -21,12 +21,23 @@ object UpsertCommand {
     * source as PK-sorted delta files per bucket; reads merge-on-read. The
     * source may carry a column subset (must include the PKs); missing
     * columns keep their previous values via `fileExistCols`.
+    *
+    * Merge mode (`mode=merge` option or
+    * `spark.graft.upsert.deltaFile.enabled=false`; reference
+    * `UpsertCommand.scala:112-153`): full-outer join target x source on the
+    * PK with source-wins `coalesce` per column, rewritten as base files —
+    * write-heavy, read-fast.
     */
   def run(
       spark: SparkSession,
       tablePath: String,
       source: DataFrame,
       extraOptions: Map[String, String] = Map.empty): Unit = {
+    val deltaEnabled = spark.conf
+      .getOption("spark.graft.upsert.deltaFile.enabled").forall(_.toBoolean)
+    if (extraOptions.get("mode").contains("merge") || !deltaEnabled) {
+      return runMergeMode(spark, tablePath, source)
+    }
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withNewTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
@@ -45,6 +56,40 @@ object UpsertCommand {
     // merge fan-in stays bounded (the reference's part-merge anti-OOM goal).
     if (spark.conf.getOption("spark.graft.compaction.auto").exists(_.toBoolean)) {
       CompactionCommand.run(spark, path, force = false)
+    }
+  }
+
+  private def runMergeMode(
+      spark: SparkSession, tablePath: String, source: DataFrame): Unit = {
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withNewTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val info = snapshot.tableInfo
+      require(info.hasPrimaryKey,
+        "upsert requires a hash-partitioned (primary-key) table")
+      val pk = info.hashColumns
+      require(pk.forall(source.columns.contains),
+        s"source is missing PK columns ${pk.filterNot(source.columns.contains)}")
+      val target = GraftTableFiles.read(spark, path, snapshot, snapshot.files).as("t")
+      val s = source.as("s")
+      val joinCond = pk.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ && _)
+      val targetCols = target.columns.toSeq
+      val sourceCols = source.columns.toSet
+      val merged = target.join(s, joinCond, "full_outer").select(
+        (targetCols.map { c =>
+          if (sourceCols.contains(c)) coalesce(col(s"s.`$c`"), col(s"t.`$c`")).as(c)
+          else col(s"t.`$c`").as(c)
+        } ++ source.columns.toSeq.filterNot(targetCols.contains)
+          .map(c => col(s"s.`$c`").as(c))): _*)
+      val newInfo =
+        if (merged.columns.length == targetCols.length) info
+        else info.copy(schemaJson =
+          graft.schema.SchemaUtils.mergeSchemas(info.schema, source.schema).json)
+      val files = TransactionalWrite.writeFiles(spark, path, newInfo, merged,
+        isBase = true)
+      txn.commit("upsert",
+        if (newInfo == info) None else Some(newInfo), files, snapshot.files)
     }
   }
 }

@@ -20,6 +20,7 @@ import graft.sources.GraftPkScan
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectQueryPostPlannerStrategyRule(DeclareBucketDistribution(_))
+    ext.injectHintResolutionRule(ResolveGraftPathTable(_))
     ext.injectResolutionRule(RewriteSetOpOnPk(_))
     ext.injectResolutionRule(ExtractMergeOperator(_))
     ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))

@@ -23,8 +23,10 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def snapshot: Snapshot = SnapshotManagement.snapshot(path)
 
   /** Merge-on-read upsert; source must contain the table's PK columns and
-    * may carry any column subset. */
-  def upsert(source: DataFrame): Unit = UpsertCommand.run(spark, path, source)
+    * may carry any column subset. `mode = "merge"` rewrites base files via
+    * a full-outer join instead of appending delta files. */
+  def upsert(source: DataFrame, mode: String = "delta"): Unit =
+    UpsertCommand.run(spark, path, source, Map("mode" -> mode))
 
   def update(condition: Column, set: Map[String, Column]): Unit =
     UpdateCommand.run(spark, path, condition, set)

@@ -84,6 +84,59 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("merge-mode upsert: full-outer rewrite equals delta-mode result") {
+    withTempTable { dir =>
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((2L, "B", 200), (3L, "c", 30)).toDF("id", "s", "v"),
+        mode = "merge")
+      // merge mode leaves only base files
+      assert(!t.snapshot.hasDeltaFiles)
+      assertSameRows(t.toDF.select("id", "s", "v"),
+        Seq((1L, "a", 10), (2L, "B", 200), (3L, "c", 30)).toDF("id", "s", "v"))
+      // partial-column source keeps unmentioned values
+      t.upsert(Seq((1L, 100)).toDF("id", "v"), mode = "merge")
+      assertSameRows(t.toDF.select("id", "s", "v"),
+        Seq((1L, "a", 100), (2L, "B", 200), (3L, "c", 30)).toDF("id", "s", "v"))
+    }
+  }
+
+  test("CTAS via GraftCatalog") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gctas")
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("ctas_src")
+      // temp view registered on the default session; register on s2 too
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .write.format("graft").save(s"$dir/src")
+      s2.sql(
+        s"CREATE TABLE gctas USING graft LOCATION '$dir/t' AS " +
+        s"SELECT * FROM graft.`$dir/src`")
+      assert(s2.sql("SELECT * FROM gctas").count() == 2)
+      s2.sql("DROP TABLE gctas")
+    }
+  }
+
+  test("concurrent remove conflict raises GraftConcurrentModificationException") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val snap = t.snapshot
+      // writer A overwrites (removes the file)...
+      Seq((2L, 2)).toDF("id", "v").write.format("graft").mode("overwrite").save(dir)
+      // ...writer B, still holding the old snapshot, tries to remove the
+      // same file (stale compaction-style commit)
+      intercept[graft.meta.GraftConcurrentModificationException] {
+        graft.meta.SnapshotManagement.withNewTransaction(t.path) { txn =>
+          txn.commit("delete", None, Nil, snap.files)
+        }
+      }
+    }
+  }
+
   test("pk files are sorted within buckets (merge reader precondition)") {
     withTempTable { dir =>
       val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i))
