@@ -191,6 +191,10 @@ object Queries {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    "q_doc_fingerprint" -> ((s, sf) =>
+      graft.llm.TextAnalysis.rollingFingerprint(
+        GraftData.documentsRange(s, sf), "doc_id", "text")),
+
     "q_embed_neardup" -> ((s, sf) =>
       Dedup.embeddingNearDuplicates(GraftData.embeddingsPlain(s, sf),
         "vec_id", "embedding", minCosine = 0.2, numPlanes = 2)

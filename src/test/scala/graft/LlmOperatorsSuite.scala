@@ -109,6 +109,16 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("rolling fingerprint: order-sensitive, deterministic") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.rollingFingerprint(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
   test("multimodal decode plumbing: deterministic fake decode over binary") {
     val df = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
     val out = Multimodal.decodeTable(Multimodal.asPayload(df, "doc_id", "text"))
