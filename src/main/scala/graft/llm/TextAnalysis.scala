@@ -34,15 +34,19 @@ object TextAnalysis {
       stopwordHits(t, LANG_STOPWORDS("en")).as("en_stopword_cnt"))
   }
 
-  /** Order-sensitive document fingerprint: polynomial rolling hash folded
-    * over the token stream (`acc*31 + murmur3(token)`), so permuted
-    * documents fingerprint differently while byte-identical ones collide.
-    * One pass per document, no shuffle. */
-  def rollingFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Order-sensitive document fingerprint: rotate-xor rolling hash folded
+    * over the token stream (`rotl5(acc) ^ murmur3(token)`), so permuted
+    * documents fingerprint differently while identical ones collide. Pure
+    * bitwise ops — wraparound-free under ANSI mode. One pass, no shuffle. */
+  def rollingFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def rotl5(c: Column): Column =
+      shiftleft(c, 5).bitwiseOR(shiftrightunsigned(c, 59))
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         aggregate(col("__toks"), lit(0L),
-          (acc, t) => acc * 31L + hash(t).cast("long")).as("fingerprint"))
+          (acc, t) => rotl5(acc).bitwiseXOR(hash(t).cast("long")))
+          .as("fingerprint"))
+  }
 
   val LANG_STOPWORDS: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "is", "to"),
