@@ -121,6 +121,23 @@ object Queries {
             .as("minute_str"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
 
+    "q_rollup" -> ((s, sf) =>
+      GraftData.lineitemRange(s, sf)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_quantity"))).as("qty_cents"))),
+
+    "q_json_extract" -> ((s, sf) =>
+      GraftData.eventsPlain(s, sf).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    "q_crypto" -> ((s, sf) =>
+      GraftData.partPlain(s, sf).select(
+        col("p_partkey"),
+        md5(col("p_name")).as("name_md5"),
+        sha2(col("p_name"), 256).as("name_sha256"))),
+
     // ---- merge-on-read DML state ----
     "q_upsert_lastwins" -> ((s, sf) =>
       GraftData.ordersUpserted(s, sf).select(
@@ -276,6 +293,19 @@ object Queries {
        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
        "FROM events GROUP BY 1, 2"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents " +
+       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
+       "FROM events"),
+
+    "q_crypto" ->
+      ("SELECT p_partkey, MD5(p_name) AS name_md5, SHA256(p_name) AS name_sha256 " +
+       "FROM part"),
 
     "q_upsert_lastwins" ->
       ("SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*3 " +

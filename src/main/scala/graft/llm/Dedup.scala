@@ -117,19 +117,28 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * the corpus (one pass), pairs form only WITHIN a bucket, then exact
-    * cosine filters at `minCosine`. The classic recall/cost dial is
-    * `numPlanes` (fewer planes = bigger buckets = higher recall). */
+    * cosine filters at `minCosine`. The per-pair dot product is computed
+    * relationally — unit-normalize per row, posexplode dimensions, equi-join
+    * on (bucket, dim), `sum(x*y)` — so the quadratic part stays inside
+    * whole-stage codegen instead of interpreted array lambdas. The classic
+    * recall/cost dial is `numPlanes` (fewer planes = bigger buckets =
+    * higher recall). */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("doc_id"),
         col(vecCol).cast("array<double>").as("nv"))
-      .select(col("doc_id"), col("nv"),
+      .select(col("doc_id"), col("nv"), Ann.norm(col("nv")).as("n"),
         Ann.lshBucket(col("nv"), numPlanes, dims).as("bucket"))
-    v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        Ann.cosine(col("a.nv"), col("b.nv")).as("cosine"))
+      .select(col("doc_id"), col("bucket"),
+        transform(col("nv"), x => x / col("n")).as("uv"))
+    val expl = v.select(col("doc_id"), col("bucket"),
+      posexplode(col("uv")).as(Seq("dim", "x")))
+    expl.as("a").join(expl.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.x") * col("b.x")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
