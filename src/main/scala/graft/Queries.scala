@@ -214,7 +214,7 @@ object Queries {
 
     "q_embed_neardup" -> ((s, sf) =>
       Dedup.embeddingNearDuplicates(GraftData.embeddingsPlain(s, sf),
-        "vec_id", "embedding", minCosine = 0.2, numPlanes = 2)
+        "vec_id", "embedding", minCosine = 0.1, numPlanes = 4)
         .select(col("a_id"), col("b_id"))),
 
     "q_multimodal_decode" -> ((s, sf) =>

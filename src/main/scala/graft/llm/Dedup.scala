@@ -80,14 +80,25 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size")
   }
 
-  /** MinHash signatures (doc_id, sig: array<int>[numHashes]) computed as a
-    * single hash-aggregate over exploded shingles: column i is
-    * `min(murmur3(s, seed=i))`. No lambdas — one shuffle of (doc_id, s). */
+  /** MinHash signatures (doc_id, sig: array<bigint>[numHashes]) computed as
+    * a single hash-aggregate over exploded shingles. Each shingle string is
+    * hashed ONCE (xxhash64); the k hash functions derive from it with a
+    * rotate-xor family `g_i(h) = rotl(h, r_i) ^ c_i` — bitwise only (cheap,
+    * ANSI-overflow-free), fixed seeds so results are deterministic.
+    * No lambdas — one shuffle of (doc_id, shingle). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleK)
-    val mins = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"m$i"))
+      .withColumn("h", xxhash64(col("s")))
+    val rng = new scala.util.Random(42)
+    val consts = Array.fill(numHashes)(rng.nextLong())
+    def g(i: Int): Column = {
+      val r = (i * 7 + 13) % 64
+      shiftleft(col("h"), r).bitwiseOR(shiftrightunsigned(col("h"), 64 - r))
+        .bitwiseXOR(lit(consts(i)))
+    }
+    val mins = (0 until numHashes).map(i => min(g(i)).as(s"m$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -126,15 +137,27 @@ object Dedup {
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("doc_id"),
-        col(vecCol).cast("array<double>").as("nv"))
-      .select(col("doc_id"), col("nv"), Ann.norm(col("nv")).as("n"),
-        Ann.lshBucket(col("nv"), numPlanes, dims).as("bucket"))
-      .select(col("doc_id"), col("bucket"),
-        transform(col("nv"), x => x / col("n")).as("uv"))
-    val expl = v.select(col("doc_id"), col("bucket"),
-      posexplode(col("uv")).as(Seq("dim", "x")))
-    expl.as("a").join(expl.as("b"),
+    // (doc_id, dim, x): one exploded pass computes norms AND hyperplane
+    // sign-sums as plain aggregates — no array lambdas anywhere (Catalyst
+    // inlines projected aliases into lambda bodies, which would re-evaluate
+    // the norm per element, interpreted).
+    val expl = df.select(col(idCol).as("doc_id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val planeAggs = (0 until numPlanes).map { p =>
+      sum(col("x") *
+        ((pmod(hash(lit(p), col("dim") + 1), lit(1000)).cast("double") / 1000.0d)
+          - 0.5d)).as(s"d$p")
+    }
+    val perDoc = expl.groupBy("doc_id")
+      .agg(sum(col("x") * col("x")).as("norm2"), planeAggs: _*)
+    val keyed = perDoc.select(col("doc_id"), sqrt(col("norm2")).as("n"),
+      (0 until numPlanes).map(p =>
+        when(col(s"d$p") >= 0, lit(1 << p)).otherwise(lit(0)): Column)
+        .reduce(_ + _).as("bucket"))
+    val unit = expl.join(keyed, "doc_id")
+      .select(col("doc_id"), col("bucket"), col("dim"),
+        (col("x") / col("n")).as("x"))
+    unit.as("a").join(unit.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
