@@ -121,6 +121,14 @@ object Queries {
             .as("minute_str"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
 
+    "q_array_funcs" -> ((s, sf) =>
+      GraftData.embeddingsPlain(s, sf).select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim_cnt"),
+        element_at(col("embedding"), 1).as("first_val"),
+        element_at(col("embedding"), -1).as("last_val"),
+        col("label"))),
+
     "q_rollup" -> ((s, sf) =>
       GraftData.lineitemRange(s, sf)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -293,6 +301,11 @@ object Queries {
        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
        "FROM events GROUP BY 1, 2"),
+
+    "q_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim_cnt, " +
+       "embedding[1] AS first_val, embedding[-1] AS last_val, label " +
+       "FROM embeddings"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt, " +

@@ -108,6 +108,9 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     }
   }
 
+  /** Replace EVERY subtree whose canonicalized plan equals the view's plan
+    * with a scan of the view, aliased to preserve the subtree's attribute
+    * ids so enclosing filters/projects/aggregates resolve unchanged. */
   private def rewriteWith(
       plan: LogicalPlan, viewPath: String, info: MaterialViewInfo): LogicalPlan = {
     // re-analyzing the view's SQL must not re-enter this rule
@@ -116,22 +119,22 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       try castToImpl(spark.sql(info.sqlText)).queryExecution.analyzed
       catch { case _: Exception => return plan }
       finally RewriteQueryByMaterialView.inRewrite.set(false)
-    // avoid self-rewrite while building/refreshing the view
-    if (plan.canonicalized == viewPlan.canonicalized) {
-      val scan = castToImpl(GraftRead.read(spark, viewPath))
-        .queryExecution.analyzed
-      // align attribute ids with the replaced subtree's output
-      val out = plan.output
-      val scanOut = scan.output
-      if (out.length == scanOut.length &&
-          out.zip(scanOut).forall { case (a, b) => a.name == b.name }) {
-        org.apache.spark.sql.catalyst.plans.logical.Project(
-          scanOut.zip(out).map { case (s, o) =>
-            org.apache.spark.sql.catalyst.expressions.Alias(s, o.name)(
-              exprId = o.exprId, qualifier = o.qualifier)
-          }, scan)
-      } else plan
-    } else plan
+    val viewCanonical = viewPlan.canonicalized
+    plan.transformUp {
+      case sub if sub.canonicalized == viewCanonical =>
+        val scan = castToImpl(GraftRead.read(spark, viewPath))
+          .queryExecution.analyzed
+        val out = sub.output
+        val scanOut = scan.output
+        if (out.length == scanOut.length &&
+            out.zip(scanOut).forall { case (a, b) => a.name == b.name }) {
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            scanOut.zip(out).map { case (s, o) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(s, o.name)(
+                exprId = o.exprId, qualifier = o.qualifier)
+            }, scan)
+        } else sub
+    }
   }
 }
 

@@ -92,6 +92,22 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view rewrites a matching subtree under extra operators") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv2"
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 15)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mv2_base")
+      val sql = "SELECT g, sum(v) AS sv FROM mv2_base GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      // extra filter ON TOP of the view-shaped subquery still uses the view
+      val q = spark.sql(s"SELECT * FROM ($sql) WHERE sv > 25")
+      assert(rowsOf(q) == Seq(Seq("a", 30L)))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Aggregate"), s"expected MV scan under filter:\n$plan")
+    }
+  }
+
   test("SQL DDL via GraftCatalog: create/insert/select/drop") {
     withTempTable { dir =>
       // catalog plugins resolve lazily from session conf: a fresh session
