@@ -121,6 +121,17 @@ object Queries {
             .as("minute_str"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
 
+    "q_math_funcs" -> ((s, sf) =>
+      GraftData.partPlain(s, sf).select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0d).as("abs_diff"),
+        ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        sqrt(col("p_retailprice")).as("price_sqrt"),
+        pmod(col("p_partkey"), lit(7L)).as("key_mod"),
+        greatest(col("p_size"), lit(25)).cast("int").as("size_hi"),
+        least(col("p_size"), lit(25)).cast("int").as("size_lo"))),
+
     "q_array_funcs" -> ((s, sf) =>
       GraftData.embeddingsPlain(s, sf).select(
         col("vec_id"),
@@ -301,6 +312,17 @@ object Queries {
        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
        "FROM events GROUP BY 1, 2"),
+
+    // abs/ceil/floor/sqrt/mod are IEEE-exact in both engines (no libm
+    // transcendentals, whose last-ulp behavior differs across builds)
+    "q_math_funcs" ->
+      ("SELECT p_partkey, ABS(p_retailprice - 1000.0) AS abs_diff, " +
+       "CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil, " +
+       "CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor, " +
+       "SQRT(p_retailprice) AS price_sqrt, " +
+       "p_partkey % 7 AS key_mod, " +
+       "CAST(GREATEST(p_size, 25) AS INTEGER) AS size_hi, " +
+       "CAST(LEAST(p_size, 25) AS INTEGER) AS size_lo FROM part"),
 
     "q_array_funcs" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim_cnt, " +

@@ -132,6 +132,18 @@ class WriteReadSuite extends GraftFunSuite {
     }
   }
 
+  test("upsert with deranged column order resolves by name") {
+    withTempTable { dir =>
+      Seq((1L, "a", 10)).toDF("id", "s", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      // source columns in a different order than the table schema
+      t.upsert(Seq((20, "B", 2L), (30, "c", 3L)).toDF("v", "s", "id"))
+      assertSameRows(t.toDF.select("id", "s", "v"),
+        Seq((1L, "a", 10), (2L, "B", 20), (3L, "c", 30)).toDF("id", "s", "v"))
+    }
+  }
+
   test("append to pk table is rejected") {
     withTempTable { dir =>
       Seq((1L, 1)).toDF("id", "v").write.format("graft")
