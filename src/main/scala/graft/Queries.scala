@@ -221,6 +221,12 @@ object Queries {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    "q_ann_ivf" -> ((s, sf) => {
+      val emb = GraftData.embeddingsPlain(s, sf)
+      Ann.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
     "q_ann_lsh" -> ((s, sf) => {
       val emb = GraftData.embeddingsPlain(s, sf)
       Ann.lshTopK(emb, "vec_id", "embedding",

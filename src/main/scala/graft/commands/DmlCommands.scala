@@ -243,15 +243,34 @@ object CompactionCommand {
           Seq(org.apache.spark.sql.graft.SparkShims.expression(expr(p))))
         case None => snapshot.filesByRange.keySet
       }
+      // PK tables: compact partitions holding delta files. Non-PK tables:
+      // bin-pack partitions fragmented into many small files (small-file
+      // management, reference `CompactionCommand.scala` + SURVEY §4).
+      val smallFileMax = spark.conf
+        .getOption("spark.graft.compaction.smallFileBytes")
+        .map(_.toLong).getOrElse(32L * 1024 * 1024)
       val toCompact = snapshot.filesByRange.filter { case (key, files) =>
         candidateKeys.contains(key) && {
-          val deltas = files.count(!_.isBase)
-          force || deltas >= maxDelta
-        } && files.exists(!_.isBase)
+          if (info.hasPrimaryKey) {
+            val deltas = files.count(!_.isBase)
+            (force || deltas >= maxDelta) && files.exists(!_.isBase)
+          } else {
+            files.length > 1 && files.forall(_.size < smallFileMax)
+          }
+        }
       }
       if (toCompact.isEmpty) return
       val oldFiles = toCompact.values.flatten.toSeq
-      val df = GraftTableFiles.read(spark, path, snapshot, oldFiles)
+      val df0 = GraftTableFiles.read(spark, path, snapshot, oldFiles)
+      // non-PK bin-pack: coalesce to ~128 MB outputs (PK tables re-bucket
+      // in writeFiles; coalescing there would fight the bucket layout)
+      val df =
+        if (info.hasPrimaryKey) df0
+        else {
+          val target = math.max(1,
+            (oldFiles.map(_.size).sum / (128L * 1024 * 1024)).toInt)
+          df0.coalesce(target)
+        }
       val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
       txn.commit("compaction", None, files, oldFiles)
     }

@@ -61,6 +61,42 @@ object Ann {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a deterministic sample of the corpus acts as coarse
+    * centroids (a k-means pass would refine them — same plumbing); every
+    * vector is assigned to its nearest centroid by cosine, queries probe
+    * only their own cell. The inverted-file structure bounds each query's
+    * candidate set to ~corpus/nCentroids. Same output shape as `bruteTopK`.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int = 10, nCentroids: Int = 16): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    // coarse centroids: deterministic sample (first nCentroids by id —
+    // embeddings carry no id-order structure; k-means would refine)
+    val centroids = c.orderBy("nid").limit(nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("csim", cosine(col(v), col("cv")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col(id), col(v), col("cid"))
+    }
+    val cellCorpus = assign(c, "nid", "nv")
+    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"))
+    val cellQueries = assign(q, "qid", "qv")
+    val scored = cellCorpus.join(broadcast(cellQueries), "cid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
   /** Bucketed ANN: per-query top-k among corpus vectors in the same
     * random-hyperplane bucket. Same output shape as `bruteTopK`. */
   def lshTopK(

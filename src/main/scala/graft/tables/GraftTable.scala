@@ -22,6 +22,22 @@ class GraftTable private (spark: SparkSession, val path: String) {
 
   def snapshot: Snapshot = SnapshotManagement.snapshot(path)
 
+  /** Commit history, newest first: (version, commitType, timestamp,
+    * addedFiles, removedFiles). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val store = graft.meta.MetaStore.fs
+    val latest = store.latestVersion(path)
+    (0L to latest).map { v =>
+      val entries = store.read(path, v)
+      val info = entries.flatMap(_.commit).headOption
+      (v, info.map(_.commitType).getOrElse(""),
+        info.map(_.timestamp).getOrElse(0L),
+        entries.count(_.add.isDefined), entries.count(_.remove.isDefined))
+    }.sortBy(-_._1)
+      .toDF("version", "commitType", "timestamp", "addedFiles", "removedFiles")
+  }
+
   /** Merge-on-read upsert; source must contain the table's PK columns and
     * may carry any column subset. `mode = "merge"` rewrites base files via
     * a full-outer join instead of appending delta files. */

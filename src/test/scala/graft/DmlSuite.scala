@@ -74,6 +74,26 @@ class DmlSuite extends GraftFunSuite {
     }
   }
 
+  test("bin-pack compaction merges small files of non-PK tables") {
+    withTempTable { dir =>
+      // 5 appends -> 5+ small files
+      (1 to 5).foreach { i =>
+        Seq((i, i * 10)).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      val t = GraftTable.forPath(spark, dir)
+      val before = rowsOf(t.toDF.select("id", "v"))
+      assert(t.snapshot.files.length >= 5)
+      t.compaction()
+      assert(t.snapshot.files.length == 1,
+        s"expected one packed file, got ${t.snapshot.files.map(_.path)}")
+      assert(rowsOf(t.toDF.select("id", "v")) == before)
+      // history records the compaction
+      val hist = t.history().collect()
+      assert(hist.head.getAs[String]("commitType") == "compaction")
+    }
+  }
+
   test("cleanup removes orphans but keeps live files") {
     withTempTable { dir =>
       Seq((1, 1)).toDF("id", "v").write.format("graft").save(dir)

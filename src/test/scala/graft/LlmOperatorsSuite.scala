@@ -97,6 +97,20 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"query $q should find itself at rank 1 (same bucket), got ${first.get(q)}"))
   }
 
+  test("IVF ANN finds each query's own vector at rank 1 in its cell") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    val got = Ann.ivfTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, nCentroids = 8)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+    val first = got.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    (0L until 5L).foreach(q => assert(first(q) == q,
+      s"query $q should find itself at rank 1, got ${first.get(q)}"))
+  }
+
   test("language id picks the stopword-dominant language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog is of to the house"),
