@@ -171,8 +171,17 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50): DataFrame = {
+    // Materialize the candidate pairs (tiny — that is the point of LSH) so
+    // the signature pipeline over the full corpus runs exactly once; the
+    // exact-Jaccard verify then re-tokenizes only the candidate documents.
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-    val sh = shingleRows(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count() // eager: one full-corpus signature pass
+    val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("cand_id"))
+      .distinct()
+    val candDocs = df.join(broadcast(candIds),
+      col(s"`$idCol`") === col("cand_id"), "left_semi")
+    val sh = shingleRows(candDocs, idCol, textCol)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
