@@ -45,8 +45,8 @@ object UpsertCommand {
       val info = snapshot.tableInfo
       require(info.hasPrimaryKey,
         "upsert requires a hash-partitioned (primary-key) table")
-      val (newInfo, aligned) =
-        WriteIntoTable.evolveSchema(spark, source, info, extraOptions)
+      val (newInfo, aligned) = WriteIntoTable.evolveSchema(
+        spark, source, info, extraOptions, allowMissingColumns = true)
       val files = TransactionalWrite.writeFiles(
         spark, path, newInfo, aligned, isBase = false)
       txn.commit("delta", if (newInfo == info) None else Some(newInfo), files, Nil)

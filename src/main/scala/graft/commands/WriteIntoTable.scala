@@ -166,7 +166,8 @@ object WriteIntoTable {
     * widened TableInfo and the dataframe to write. */
   private[graft] def evolveSchema(
       spark: SparkSession, df: DataFrame, info: TableInfo,
-      options: Map[String, String]): (TableInfo, DataFrame) = {
+      options: Map[String, String],
+      allowMissingColumns: Boolean = false): (TableInfo, DataFrame) = {
     val tableSchema = info.schema
     val dfSchema = df.schema
     val mergeEnabled = options.get(MERGE_SCHEMA).map(_.toBoolean).getOrElse(
@@ -177,6 +178,21 @@ object WriteIntoTable {
       throw new GraftWriteException(
         s"columns ${newCols.map(_.name).mkString(", ")} not present in table " +
         s"schema; set mergeSchema=true or spark.graft.schema.autoMerge.enabled")
+    }
+    // A column-subset write null-fills the omitted columns on read, which a
+    // NOT NULL column must reject (reference SchemaEnforcementSuite).
+    // Partial-column PK upserts are exempt: merge-on-read keeps the prior
+    // (non-null) values instead of null-filling.
+    val dfLower = dfSchema.fieldNames.map(_.toLowerCase).toSet
+    val missingNotNull =
+      if (allowMissingColumns) Array.empty[org.apache.spark.sql.types.StructField]
+      else tableSchema.fields.filter(f =>
+        !f.nullable && !info.rangeColumns.contains(f.name) &&
+        !dfLower.contains(f.name.toLowerCase))
+    if (missingNotNull.nonEmpty) {
+      throw new GraftWriteException(
+        s"NOT NULL column(s) ${missingNotNull.map(_.name).mkString(", ")} " +
+        "missing from the written data")
     }
     // Safe implicit up-casts (int->bigint, ...) per store-assignment rules;
     // ACCEPT_ANY_SCHEMA disables Spark's own output casting, so the engine
