@@ -28,6 +28,7 @@ import graft.sources.GraftTableV2
   * `spark.sql.catalog.spark_catalog=graft.catalog.GraftCatalog`.
   */
 class GraftCatalog extends DelegatingCatalogExtension {
+  import GraftCatalog.PROP_GRAFT_EXTERNAL
 
   private def spark: SparkSession = SparkSession.active
 
@@ -73,6 +74,13 @@ class GraftCatalog extends DelegatingCatalogExtension {
     }
     // register in the session catalog too so name resolution works
     val withLoc = new util.HashMap[String, String](properties)
+    // A user-supplied LOCATION makes the table external in the lake sense:
+    // DROP TABLE must unregister it without destroying the user's data
+    // (Spark/Delta external-table semantics). Warehouse-managed graft
+    // tables delete their data on drop as usual.
+    if (properties.containsKey(TableCatalog.PROP_LOCATION)) {
+      withLoc.put(PROP_GRAFT_EXTERNAL, "true")
+    }
     withLoc.put(TableCatalog.PROP_LOCATION, path)
     withLoc.put(TableCatalog.PROP_EXTERNAL, "true")
     super.createTable(ident, columns, partitions, withLoc)
@@ -162,8 +170,18 @@ class GraftCatalog extends DelegatingCatalogExtension {
   override def dropTable(ident: Identifier): Boolean = {
     val existing = try Some(super.loadTable(ident)) catch { case _: Exception => None }
     val graftPath = existing.flatMap(asGraft).map(_.path)
+    val isExternal = existing.exists(t =>
+      Option(t.properties().get(PROP_GRAFT_EXTERNAL)).exists(_.toBoolean))
     val dropped = super.dropTable(ident)
-    graftPath.foreach(p => graft.commands.DropCommands.dropTable(p))
+    graftPath.foreach { p =>
+      if (isExternal) SnapshotManagement.invalidate(p) // metadata-only drop
+      else graft.commands.DropCommands.dropTable(p)
+    }
     dropped
   }
+}
+
+object GraftCatalog {
+  /** Marks a table registered over a user-supplied LOCATION. */
+  val PROP_GRAFT_EXTERNAL = "graft.external"
 }

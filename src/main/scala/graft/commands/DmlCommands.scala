@@ -62,7 +62,7 @@ object UpsertCommand {
   private def runMergeMode(
       spark: SparkSession, tablePath: String, source: DataFrame): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
-    SnapshotManagement.withNewTransaction(path) { txn =>
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
@@ -138,7 +138,7 @@ object RewriteSupport {
   def rewriteMatchingFiles(
       spark: SparkSession, path: String, condition: Column, commitType: String)(
       rewrite: (DataFrame, Column) => DataFrame): Unit = {
-    SnapshotManagement.withNewTransaction(path) { txn =>
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
@@ -232,7 +232,7 @@ object CompactionCommand {
       force: Boolean = true,
       partitionPredicate: Option[String] = None): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
-    SnapshotManagement.withNewTransaction(path) { txn =>
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
@@ -286,11 +286,27 @@ object CleanupCommand {
     * (metadata-scale), so a driver walk suffices at any table size because
     * the walk is per-partition-dir, not per-row.
     */
+  /** Default retention: 5 hours, matching `GraftTable.cleanup`. */
+  val DEFAULT_RETAIN_MILLIS: Long = 5L * 3600 * 1000
+  /** Retention floor: below this an in-flight write (files move into the
+    * table layout BEFORE the metadata commit) could be vacuumed away. */
+  val MIN_RETAIN_MILLIS: Long = 3600 * 1000L
+
   def run(
       spark: SparkSession,
       tablePath: String,
-      retainMillis: Long = 0L,
+      retainMillis: Long = DEFAULT_RETAIN_MILLIS,
       dryRun: Boolean = false): Seq[String] = {
+    val retentionCheck = spark.conf
+      .getOption("spark.graft.cleanup.retentionCheck.enabled")
+      .forall(_.toBoolean)
+    if (retentionCheck && retainMillis < MIN_RETAIN_MILLIS) {
+      throw new IllegalArgumentException(
+        s"cleanup retention ${retainMillis}ms is below the ${MIN_RETAIN_MILLIS}ms " +
+        "safety floor (a concurrent in-flight write stages files into the " +
+        "table layout before its commit); set " +
+        "spark.graft.cleanup.retentionCheck.enabled=false to override")
+    }
     val path = SnapshotManagement.normalize(tablePath)
     val snapshot = SnapshotManagement.snapshot(path)
     val live = snapshot.files.map(f => s"$path/${f.path}").toSet
@@ -303,7 +319,8 @@ object CleanupCommand {
         val name = p.getFileName.toString
         val isData = name.endsWith(".parquet") && Files.isRegularFile(p)
         val inLog = p.startsWith(root.resolve(graft.meta.FsMetaStore.LOG_DIR_NAME))
-        if (isData && !inLog && !live.contains(p.toString) &&
+        val inStaging = p.startsWith(root.resolve("_graft_staging"))
+        if (isData && !inLog && !inStaging && !live.contains(p.toString) &&
             Files.getLastModifiedTime(p).toMillis < cutoff) {
           deleted += p.toString
           if (!dryRun) Files.deleteIfExists(p)

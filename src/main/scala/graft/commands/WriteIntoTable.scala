@@ -128,7 +128,17 @@ object WriteIntoTable {
     } else info0
     options.get(REPLACE_WHERE) match {
       case Some(predicate) =>
-        replaceWhere(spark, path, df, info, snapshot, predicate, txn)
+        // replaceWhere keeps the table's layout/schema: files are written
+        // with the EXISTING TableInfo and no metadata change is committed.
+        // Combining it with overwriteSchema would write files under a new
+        // hash/bucket layout the committed metadata never learns about
+        // (buckets beyond the old bucketNum would be unplannable) — reject.
+        if (overwriteSchema) {
+          throw new GraftWriteException(
+            s"$OVERWRITE_SCHEMA cannot be combined with $REPLACE_WHERE; " +
+            "overwrite the whole table to change its schema or layout")
+        }
+        replaceWhere(spark, path, df, info0, snapshot, predicate, txn)
       case None =>
         val (newInfo, aligned) =
           if (overwriteSchema) (info, df) else evolveSchema(spark, df, info, options)

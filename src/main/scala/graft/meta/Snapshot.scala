@@ -107,6 +107,32 @@ object SnapshotManagement {
     val txn = new Transaction(normalize(tablePath), store)
     body(txn)
   }
+
+  /** Run a rewrite-style command with whole-body restart on concurrent
+    * conflict: when `Transaction.commit` detects that another writer touched
+    * the partitions this transaction is rewriting (see the conflict rules in
+    * `Transaction.commit`), the body re-runs against a fresh snapshot so the
+    * rewrite re-reads the concurrently committed data instead of silently
+    * shadowing it (Delta-style ConcurrentAppendException semantics; reference
+    * `meta/MetaCommit.scala:285-431` serializes via partition locks).
+    * Files staged by an abandoned attempt stay unreferenced and are removed
+    * by cleanup.
+    */
+  def withRewriteTransaction[T](tablePath: String, maxRestarts: Int = 5)(
+      body: Transaction => T): T = {
+    var attempt = 0
+    while (true) {
+      val txn = new Transaction(normalize(tablePath), store)
+      try {
+        return body(txn)
+      } catch {
+        case e: GraftConcurrentModificationException if attempt < maxRestarts =>
+          attempt += 1
+          invalidate(tablePath)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** One optimistic transaction: stage adds/removes, then CAS-commit at
@@ -116,10 +142,22 @@ object SnapshotManagement {
   */
 class Transaction(val tablePath: String, store: MetaStore) {
   private var committed = false
+  private var readSnapshot: Option[Snapshot] = None
   val maxAttempts = 10
 
-  def snapshotOpt: Option[Snapshot] =
-    if (store.exists(tablePath)) Some(SnapshotManagement.snapshot(tablePath)) else None
+  /** Pins the snapshot this transaction computes against. The first call
+    * records the read version; `commit` uses it to detect commits that
+    * landed in between (the conflict window). */
+  def snapshotOpt: Option[Snapshot] = {
+    if (readSnapshot.isEmpty && store.exists(tablePath)) {
+      readSnapshot = Some(SnapshotManagement.snapshot(tablePath))
+    }
+    readSnapshot
+  }
+
+  /** Version of the pinned snapshot; -1 when the table didn't exist (or was
+    * never read) — then every committed version is in the conflict window. */
+  def readVersion: Long = readSnapshot.map(_.version).getOrElse(-1L)
 
   /** The version the commit will receive if it wins the race right now. */
   def nextVersion: Long = store.latestVersion(tablePath) + 1
@@ -134,7 +172,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = store.latestVersion(tablePath) + 1
-      // Conflict rules: removing a file that a concurrent commit already
+      // Conflict rule 1: removing a file that a concurrent commit already
       // removed (or that never existed) is a real conflict; pure appends
       // (delta/append/streaming) always re-apply cleanly on top.
       if (removeFiles.nonEmpty && version > 0) {
@@ -144,6 +182,29 @@ class Transaction(val tablePath: String, store: MetaStore) {
         if (gone.nonEmpty) {
           throw new GraftConcurrentModificationException(
             s"files removed concurrently: ${gone.map(_.path).mkString(", ")}")
+        }
+        // Conflict rule 2 (lost-update guard): a rewrite (compaction /
+        // update / delete / merge-upsert) replaces whole range partitions
+        // with base files stamped at THIS commit's version. Any file a
+        // concurrent commit ADDED to (or removed from) those partitions
+        // since our snapshot would be silently shadowed by newest-version-
+        // wins merge-on-read — classic lost update. Detect it and restart
+        // the whole rewrite from a fresh snapshot (reference serializes via
+        // per-partition locks + commit-type rules, `meta/MetaCommit.scala:
+        // 285-431`; this OCC port detects-and-retries instead).
+        detectConcurrentPartitionTouch(version, addFiles ++ removeFiles)
+      }
+      // Streaming idempotence must hold across driver failover: a zombie
+      // driver's commit for an already-committed batchId becomes a no-op
+      // here (not just at the sink's pre-check, which raced).
+      streaming.foreach { s =>
+        val committedBatch =
+          if (version == 0) -1L
+          else Snapshot.replay(store, tablePath, version - 1)
+            .streamingBatchIds.getOrElse(s.queryId, -1L)
+        if (s.batchId <= committedBatch) {
+          committed = true
+          return version - 1 // already applied; staged files are vacuumable
         }
       }
       val entries =
@@ -161,5 +222,42 @@ class Transaction(val tablePath: String, store: MetaStore) {
     }
     throw new GraftConcurrentModificationException(
       s"lost commit race $maxAttempts times on $tablePath")
+  }
+
+  /** Scan the conflict window (readVersion, commitVersion-1] for adds or
+    * removes landing in the range partitions this transaction rewrites.
+    * Removed paths are resolved to their partition via the pinned snapshot's
+    * file map plus any adds seen inside the window, so every remove in the
+    * window is attributable. */
+  private def detectConcurrentPartitionTouch(
+      commitVersion: Long, touchedFiles: Seq[DataFileInfo]): Unit = {
+    val windowStart = readVersion + 1
+    if (windowStart >= commitVersion) return // no commits since our snapshot
+    val touchedRanges = touchedFiles.map(_.rangeKey).toSet
+    val rangeByPath = mutable.HashMap.empty[String, String]
+    readSnapshot.foreach(_.files.foreach(f => rangeByPath.put(f.path, f.rangeKey)))
+    var v = windowStart
+    while (v < commitVersion) {
+      store.read(tablePath, v).foreach { e =>
+        e.add.foreach { f =>
+          rangeByPath.put(f.path, f.rangeKey)
+          if (touchedRanges.contains(f.rangeKey)) {
+            throw new GraftConcurrentModificationException(
+              s"concurrent commit v$v added ${f.path} to partition " +
+                s"'${f.rangeKey}' being rewritten (snapshot v$readVersion); " +
+                "restarting from a fresh snapshot")
+          }
+        }
+        e.remove.foreach { r =>
+          if (rangeByPath.get(r.path).exists(touchedRanges.contains)) {
+            throw new GraftConcurrentModificationException(
+              s"concurrent commit v$v removed ${r.path} from a partition " +
+                s"being rewritten (snapshot v$readVersion); " +
+                "restarting from a fresh snapshot")
+          }
+        }
+      }
+      v += 1
+    }
   }
 }

@@ -188,7 +188,12 @@ case class GraftPkScan(
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> returningBatch.toString),
       hadoopConf = hadoopConf)
-    val pkOrdinals = tableInfo.hashColumns.map(mergeReadSchema.fieldIndex).toArray
+    // Only the merge path compares PKs; on the compacted fast path the
+    // projection may not contain them at all (e.g. count() prunes every
+    // column and mergeReadSchema stays empty).
+    val pkOrdinals =
+      if (scanNeedsMerge) tableInfo.hashColumns.map(mergeReadSchema.fieldIndex).toArray
+      else Array.empty[Int]
     val mergedLayout = StructType(mergeReadSchema.fields ++ readPartitionSchema.fields)
     val mergeOps: Map[Int, GraftMergeOperator] = mergeOperatorNames.flatMap {
       case (col, op) => mergeReadSchema.fieldNames.zipWithIndex

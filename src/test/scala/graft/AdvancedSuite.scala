@@ -137,6 +137,59 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("compaction racing a concurrent delta upsert does not lose the upsert") {
+    withTempTable { dir =>
+      Seq((1L, 0), (2L, 0)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 1)).toDF("id", "v")) // delta to compact
+      // Simulate a compaction that pins its snapshot and stages its rewrite…
+      val txn = new graft.meta.Transaction(t.path, graft.meta.MetaStore.fs)
+      val snap = txn.snapshotOpt.get
+      val merged = graft.commands.GraftTableFiles.read(spark, t.path, snap, snap.files)
+      val staged = graft.write.TransactionalWrite.writeFiles(
+        spark, t.path, snap.tableInfo, merged, isBase = true)
+      // …while a delta upsert commits in between (the lost-update window):
+      t.upsert(Seq((1L, 99)).toDF("id", "v"))
+      // the stale compaction must NOT commit (its base would get a newer
+      // writeVersion and shadow the committed upsert)
+      intercept[graft.meta.GraftConcurrentModificationException] {
+        txn.commit("compaction", None, staged, snap.files)
+      }
+      assert(t.toDF.filter($"id" === 1L).head().getInt(1) == 99)
+      // a fresh compaction (new snapshot) succeeds and preserves the upsert
+      graft.commands.CompactionCommand.run(spark, t.path, force = true)
+      assert(!t.snapshot.hasDeltaFiles)
+      assert(t.toDF.filter($"id" === 1L).head().getInt(1) == 99)
+    }
+  }
+
+  test("withRewriteTransaction restarts the body on conflict") {
+    withTempTable { dir =>
+      Seq((1L, 0)).toDF("id", "v").write.format("graft").save(dir)
+      var calls = 0
+      val r = graft.meta.SnapshotManagement.withRewriteTransaction(dir) { _ =>
+        calls += 1
+        if (calls == 1)
+          throw new graft.meta.GraftConcurrentModificationException("induced")
+        42
+      }
+      assert(r == 42 && calls == 2)
+    }
+  }
+
+  test("count() on a fully compacted PK table (empty projection)") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 10)).toDF("id", "v"))
+      t.compaction()
+      // empty-projection scan must not require PK columns in the read schema
+      assert(t.toDF.count() == 2)
+    }
+  }
+
   test("pk files are sorted within buckets (merge reader precondition)") {
     withTempTable { dir =>
       val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i))

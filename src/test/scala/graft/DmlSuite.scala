@@ -100,9 +100,14 @@ class DmlSuite extends GraftFunSuite {
       val t = GraftTable.forPath(spark, dir)
       Seq((2, 2)).toDF("id", "v").write.format("graft")
         .mode("overwrite").save(dir)
-      // the overwritten file is now unreferenced
-      val removed = t.cleanup(retainMillis = -1000)
-      assert(removed.nonEmpty)
+      // the overwritten file is now unreferenced; sub-floor retention needs
+      // an explicit override (in-flight-write safety)
+      intercept[IllegalArgumentException] { t.cleanup(retainMillis = -1000) }
+      spark.conf.set("spark.graft.cleanup.retentionCheck.enabled", "false")
+      try {
+        val removed = t.cleanup(retainMillis = -1000)
+        assert(removed.nonEmpty)
+      } finally spark.conf.unset("spark.graft.cleanup.retentionCheck.enabled")
       assertSameRows(t.toDF.select("id", "v"), Seq((2, 2)).toDF("id", "v"))
     }
   }
