@@ -1,33 +1,76 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  *  - `bruteTopK`: exact baseline — broadcast the (small) query set against
-  *    the corpus, cosine via `zip_with`/`aggregate` (codegen'd higher-order
-  *    functions, all math in double), per-query top-k via window rank.
-  *    One pass over the corpus, no corpus self-join.
-  *  - `lshTopK`: the scale path — random-hyperplane LSH buckets the corpus
-  *    once (signs of dot products against `planes` deterministic
-  *    pseudo-random hyperplanes); queries probe only their own bucket.
-  *    At 100 TB the bucketing bounds each query's candidate set to
-  *    corpus/2^planes on average; an IVF refinement would k-means the
-  *    centroids instead, same plumbing.
+  *  - `bruteTopK`: exact baseline — every (query, corpus) cosine, per-query
+  *    top-k via window rank. One pass over the corpus, no corpus self-join.
+  *  - `lshTopK`: random-hyperplane LSH buckets the corpus once; queries
+  *    probe only their own bucket, bounding each query's candidate set to
+  *    corpus/2^planes on average.
+  *  - `ivfTopK`: IVF-style — a deterministic coarse-centroid set partitions
+  *    the corpus into cells; queries probe only their own cell.
+  *
+  * All cosine math is expressed RELATIONALLY: vectors are unit-normalized
+  * once, dimensions exploded to (id, dim, x/|v|) rows, and each pairwise
+  * cosine is a codegen'd `sum(ax * bx)` hash-aggregate over an equi-join on
+  * `dim`. Higher-order-function lambdas (`aggregate`/`zip_with`) evaluate
+  * interpreted per candidate pair and are deliberately absent from every
+  * per-pair path — at scale the candidate count is where the time goes.
+  * (Same pattern as `Dedup.embeddingNearDuplicates`.)
   */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Deterministic pseudo-random hyperplane component: murmur3(plane, dim)
+    * scaled to [-0.5, 0.5). `dim1` is the 1-based dimension index. */
+  private def planeComponent(plane: Int, dim1: Column): Column =
+    (pmod(hash(lit(plane), dim1), lit(1000)).cast("double") / 1000.0d) - 0.5d
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  /** Exploded (id, dim, x) rows of a vector column, in double. */
+  private def explodedRows(
+      df: DataFrame, idCol: String, vecCol: String, idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Unit-normalized exploded rows (idAs, dim, xAs [, bucket]) — one
+    * grouped pass computes the norm (and, when `numPlanes > 0`, the
+    * hyperplane sign-sums) as plain aggregates, then a self-join scales each
+    * component. No array lambdas anywhere. */
+  private def unitRows(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, xAs: String, numPlanes: Int = 0): DataFrame = {
+    val expl = explodedRows(df, idCol, vecCol, idAs)
+    val planeAggs = (0 until numPlanes).map { p =>
+      sum(col("x") * planeComponent(p, col("dim") + 1)).as(s"d$p")
+    }
+    val per = expl.groupBy(idAs)
+      .agg(sum(col("x") * col("x")).as("norm2"), planeAggs: _*)
+    val keyedCols = col(idAs) +: sqrt(col("norm2")).as("n") +:
+      (if (numPlanes > 0)
+        Seq((0 until numPlanes).map(p =>
+          when(col(s"d$p") >= 0, lit(1 << p)).otherwise(lit(0)): Column)
+          .reduce(_ + _).as("bucket"))
+      else Nil)
+    val keyed = per.select(keyedCols: _*)
+    // zero-norm guard: nullified norm -> null components -> null sim, which
+    // ranks last under `desc` (ANSI mode would otherwise throw DIVIDE_BY_ZERO)
+    val safeN = when(col("n") =!= 0.0d, col("n"))
+    val outCols = Seq(col(idAs), col("dim"), (col("x") / safeN).as(xAs)) ++
+      (if (numPlanes > 0) Seq(col("bucket")) else Nil)
+    expl.join(keyed, idAs).select(outCols: _*)
+  }
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  /** Per-query top-k of `scored(qid, nid, sim)`; ties break by id. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
 
   /** Exact cosine top-k for each query vector. Output:
     * (query_id, rank, neighbor_id) — integers only; ties broken by id. */
@@ -35,30 +78,24 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid") || lit(true))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx")
+    val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
+    val scored = cu.join(broadcast(qu), "dim")
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+    topK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: murmur3(plane, dim)
-    * scaled to [-0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0d) - 0.5d
-
-  /** `vec` must already be a materialized `array<double>` column. */
-  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
-    val v = vec
-    (0 until numPlanes).map { p =>
-      val d = aggregate(sequence(lit(1), lit(dims)), lit(0.0d),
-        (acc, i) => acc + element_at(v, i) * planeComponent(p, i))
-      when(d >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Bucketed ANN: per-query top-k among corpus vectors in the same
+    * random-hyperplane bucket. Same output shape as `bruteTopK`. */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int = 10, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx", numPlanes)
+    val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx", numPlanes)
+    val scored = cu.join(broadcast(qu), Seq("bucket", "dim"))
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+    topK(scored, k)
   }
 
   /** IVF-style ANN: a deterministic sample of the corpus acts as coarse
@@ -71,50 +108,33 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCentroids: Int = 16): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    // corpus unit rows feed three consumers (centroid set, assignment,
+    // scoring) — an eager localCheckpoint runs the explode+norm pipeline
+    // once, truncates lineage (small downstream plans), and leaves no
+    // CacheManager entry to tax later queries' planning
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").localCheckpoint()
+    val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
     // coarse centroids: deterministic sample (first nCentroids by id —
     // embeddings carry no id-order structure; k-means would refine)
-    val centroids = c.orderBy("nid").limit(nCentroids)
-      .select(col("nid").as("cid"), col("nv").as("cv"))
-    def assign(df: DataFrame, id: String, v: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("csim", cosine(col(v), col("cv")))
+    val centIds = corpus.select(col(idCol).as("cid")).orderBy("cid")
+      .limit(nCentroids)
+    val centUnit = cu.join(broadcast(centIds), col("nid") === col("cid"))
+      .select(col("cid"), col("dim"), col("nx").as("cx"))
+    // nearest centroid by cosine (both sides unit: sum of products IS the
+    // cosine); deterministic tie-break on centroid id
+    def assign(unit: DataFrame, id: String, x: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
+      unit.join(broadcast(centUnit), "dim")
+        .groupBy(col(id), col("cid"))
+        .agg(sum(col(x) * col("cx")).as("csim"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1)
-        .select(col(id), col(v), col("cid"))
+        .select(col(id), col("cid"))
     }
-    val cellCorpus = assign(c, "nid", "nv")
-    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"))
-    val cellQueries = assign(q, "qid", "qv")
-    val scored = cellCorpus.join(broadcast(cellQueries), "cid")
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
-  }
-
-  /** Bucketed ANN: per-query top-k among corpus vectors in the same
-    * random-hyperplane bucket. Same output shape as `bruteTopK`. */
-  def lshTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int = 10, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
-    // stage the double-cast vector first: lshBucket's per-element lambda
-    // would otherwise re-cast the whole array per element (interpreted HOF)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-      .select(col("nid"), col("nv"), lshBucket(col("nv"), numPlanes, dims).as("bucket"))
-    val q = queries.select(col(queryIdCol).as("qid"), asDouble(col(queryVecCol)).as("qv"))
-      .select(col("qid"), col("qv"), lshBucket(col("qv"), numPlanes, dims).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
+    val cellCorpus = cu.join(assign(cu, "nid", "nx"), "nid")
+    val cellQueries = qu.join(assign(qu, "qid", "qx"), "qid")
+    val scored = cellCorpus.join(broadcast(cellQueries), Seq("cid", "dim"))
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+    topK(scored, k)
   }
 }

@@ -24,18 +24,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Distinct word k-gram shingles as ROWS (doc_id, s): tokens exploded
-    * with position, shingle assembled from the k-1 following tokens via
-    * window `lead` — fully codegen'd, shuffles only (doc_id, token) pairs. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+  /** Word k-gram shingles as ROWS (doc_id, s): tokens exploded with
+    * position, shingle assembled from the k-1 following tokens via window
+    * `lead` — fully codegen'd, shuffles only (doc_id, token) pairs.
+    * `dedupe=false` skips the distinct (one whole shuffle) for consumers
+    * whose downstream aggregate is duplicate-insensitive (e.g. `min` in
+    * MinHash). */
+  def shingleRows(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      dedupe: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts: Seq[Column] = col("tok") +:
       (1 until k).map(o => lead(col("tok"), o).over(w))
-    toks.select(col("doc_id"), parts.last.isNotNull.as("full"),
+    val rows = toks.select(col("doc_id"), parts.last.isNotNull.as("full"),
         concat_ws(" ", parts: _*).as("s"))
-      .filter(col("full")).select("doc_id", "s").distinct()
+      .filter(col("full")).select("doc_id", "s")
+    if (dedupe) rows.distinct() else rows
   }
 
   /** Word k-gram shingles as a per-row array column (1-based positions,
@@ -61,8 +67,15 @@ object Dedup {
       k: Int = 3, minInter: Int = 3, maxKeyFreq: Int = 1000): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, k)
     // skew guard: drop shingles shared by too many documents
+    // localCheckpoint (NOT persist): pairStats consumes this frame three
+    // times (both join sides + per-doc sizes). An eager checkpoint runs the
+    // tokenize/window pipeline once AND truncates the lineage, so the
+    // downstream self-join plans stay small; persist() would instead
+    // register a CacheManager entry whose canonicalized-plan matching taxes
+    // the driver on every subsequent query in the session.
     val filtered = sh.withColumn("freq", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("freq") <= maxKeyFreq).drop("freq")
+      .localCheckpoint()
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
@@ -89,7 +102,9 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleK)
+    // dedupe=false: min() is duplicate-insensitive, so the distinct's
+    // full shuffle would be pure waste here.
+    val sh = shingleRows(df, idCol, textCol, shingleK, dedupe = false)
       .withColumn("h", xxhash64(col("s")))
     val rng = new scala.util.Random(42)
     val consts = Array.fill(numHashes)(rng.nextLong())
@@ -171,17 +186,23 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50): DataFrame = {
-    // Materialize the candidate pairs (tiny — that is the point of LSH) so
-    // the signature pipeline over the full corpus runs exactly once; the
-    // exact-Jaccard verify then re-tokenizes only the candidate documents.
+    // Materialize the candidate pairs eagerly (tiny — that is the point of
+    // LSH) so the signature pipeline over the full corpus runs exactly once;
+    // the exact-Jaccard verify then re-tokenizes only the candidate
+    // documents. localCheckpoint (NOT persist): it truncates the huge
+    // 64-aggregate signature lineage — keeping every downstream plan small —
+    // and leaves no CacheManager entry to slow later queries' planning.
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count() // eager: one full-corpus signature pass
+      .localCheckpoint()
+    // Attributable-bench metric: a regression here is a candidate explosion
+    // (s-curve vs corpus similarity profile), not a plan defect.
+    System.err.println(s"[graft-dedup] minhash candidate pairs: ${cands.count()}")
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("cand_id"))
       .distinct()
     val candDocs = df.join(broadcast(candIds),
       col(s"`$idCol`") === col("cand_id"), "left_semi")
-    val sh = shingleRows(candDocs, idCol, textCol)
+    // Checkpointed: consumed three times below (sizes + both verify joins).
+    val sh = shingleRows(candDocs, idCol, textCol).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))

@@ -15,22 +15,27 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** BPE-ish subword count: alphanumeric runs plus punctuation marks each
-    * count as a token. */
+    * count as a token. Counted with `regexp_count` — one regex pass, no
+    * intermediate token array to materialize. */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
   /** Per-document quality statistics (length / punctuation / stopword
-    * ratios as exact integer counts; ratios derive downstream). */
+    * ratios as exact integer counts; ratios derive downstream). Every stat
+    * is a single `regexp_count` pass: counting matches directly avoids both
+    * materializing token arrays (`size(regexp_extract_all(...))`) and
+    * rewriting the string (`length(regexp_replace(...))`) — at 100 TB these
+    * intermediate copies are the dominant cost of the scan. */
   def qualityStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),
       length(t).cast("int").as("char_len"),
-      size(tokens(t)).as("word_cnt"),
+      regexp_count(lower(t), lit("[a-z0-9]+")).cast("int").as("word_cnt"),
       tokenCount(t).as("token_cnt"),
-      length(regexp_replace(t, "[^A-Z]", "")).cast("int").as("upper_cnt"),
-      length(regexp_replace(t, "[^.,;:!?]", "")).cast("int").as("punct_cnt"),
-      length(regexp_replace(t, "[ -~\\s]", "")).cast("int").as("non_ascii_cnt"),
+      regexp_count(t, lit("[A-Z]")).cast("int").as("upper_cnt"),
+      regexp_count(t, lit("[.,;:!?]")).cast("int").as("punct_cnt"),
+      regexp_count(t, lit("[^ -~\\s]")).cast("int").as("non_ascii_cnt"),
       stopwordHits(t, LANG_STOPWORDS("en")).as("en_stopword_cnt"))
   }
 
@@ -54,9 +59,14 @@ object TextAnalysis {
     "es" -> Seq("que", "los", "una", "con", "para"),
     "fr" -> Seq("les", "des", "une", "avec", "pour"))
 
+  /** Number of tokens equal to one of `words`: counted as one anchored
+    * alternation regex pass (`(?<![a-z0-9])(w1|w2|...)(?![a-z0-9])` — the
+    * lookarounds enforce the same token boundaries `tokens` produces), so
+    * there is no token-array materialization and no interpreted `filter`
+    * higher-order-function lambda in the scan. */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val arr = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(arr, t)))
+    val pattern = words.mkString("(?<![a-z0-9])(", "|", ")(?![a-z0-9])")
+    regexp_count(lower(text), lit(pattern)).cast("int")
   }
 
   /** n-gram-heuristic language ID: per-language stopword hit counts with a
@@ -67,7 +77,7 @@ object TextAnalysis {
     val langs = LANG_STOPWORDS.keys.toSeq.sorted
     val withScores = df.select(
       col(idCol) +:
-      length(regexp_replace(t, "[ -~\\s]", "")).cast("int").as("non_ascii") +:
+      regexp_count(t, lit("[^ -~\\s]")).cast("int").as("non_ascii") +:
       langs.map(l => stopwordHits(t, LANG_STOPWORDS(l)).as(s"score_$l")): _*)
     // deterministic arg-max: fold over languages in sorted order, keeping
     // the strictly-greater score, so ties resolve to the earlier language
