@@ -136,11 +136,14 @@ class GraftCatalog extends DelegatingCatalogExtension {
       case None => super.alterTable(ident, changes: _*)
       case Some(g) =>
         val path = g.path
-        SnapshotManagement.withNewTransaction(path) { txn =>
+        SnapshotManagement.withRewriteTransaction(path) { txn =>
           val snap = txn.snapshotOpt.getOrElse(
             throw new graft.meta.GraftTableNotFoundException(path))
           var info = snap.tableInfo
           var schema = info.schema
+          val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          def isKeyColumn(n: String): Boolean =
+            info.rangeColumns.contains(n) || info.hashColumns.contains(n)
           changes.foreach {
             case a: TableChange.AddColumn =>
               require(a.fieldNames().length == 1,
@@ -150,6 +153,44 @@ class GraftCatalog extends DelegatingCatalogExtension {
               require(u.nullable(), "tightening nullability is not supported")
               schema = StructType(schema.fields.map(f =>
                 if (f.name == u.fieldNames().head) f.copy(nullable = true) else f))
+            case u: TableChange.UpdateColumnType =>
+              // metadata-only widening: Spark 4's parquet readers promote
+              // int->long / float->double etc. at scan time, so old files
+              // stay valid. Hash/range columns are layout-bearing
+              // (bucket = hash(value) depends on the value's type) — reject.
+              require(u.fieldNames().length == 1, "nested columns not supported")
+              val name = u.fieldNames().head
+              require(!isKeyColumn(name),
+                s"cannot change type of partition/primary-key column $name")
+              val field = schema.fields.find(_.name == name).getOrElse(
+                throw new IllegalArgumentException(s"no such column $name"))
+              require(org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(field.dataType, u.newDataType()),
+                s"only widening type changes are supported: " +
+                s"${field.dataType.simpleString} -> ${u.newDataType().simpleString}")
+              schema = StructType(schema.fields.map(f =>
+                if (f.name == name) f.copy(dataType = u.newDataType()) else f))
+            case d: TableChange.DeleteColumn =>
+              // metadata-only: scans simply stop reading the column
+              require(d.fieldNames().length == 1, "nested columns not supported")
+              val name = d.fieldNames().head
+              require(!isKeyColumn(name),
+                s"cannot drop partition/primary-key column $name")
+              require(schema.fieldNames.contains(name), s"no such column $name")
+              require(schema.fields.length > 1, "cannot drop the last column")
+              schema = StructType(schema.fields.filterNot(_.name == name))
+            case r: TableChange.RenameColumn =>
+              // rename needs a transactional data rewrite: files address
+              // columns by NAME (no column-id mapping), so metadata-only
+              // rename would null the column on read
+              require(r.fieldNames().length == 1, "nested columns not supported")
+              val from = r.fieldNames().head
+              require(schema.fieldNames.contains(from), s"no such column $from")
+              require(!schema.fieldNames.contains(r.newName()),
+                s"column ${r.newName()} already exists")
+              renames += from -> r.newName()
+              schema = StructType(schema.fields.map(f =>
+                if (f.name == from) f.copy(name = r.newName()) else f))
             case s: TableChange.SetProperty =>
               info = info.copy(configuration =
                 info.configuration + (s.property() -> s.value()))
@@ -160,7 +201,21 @@ class GraftCatalog extends DelegatingCatalogExtension {
                 s"ALTER TABLE change not supported on graft tables: $other")
           }
           graft.schema.SchemaUtils.validateSchema(schema)
-          txn.commit("alter", Some(info.copy(schemaJson = schema.json)), Nil, Nil)
+          val newInfo = info.copy(
+            schemaJson = schema.json,
+            rangeColumns = info.rangeColumns.map(c => renames.getOrElse(c, c)),
+            hashColumns = info.hashColumns.map(c => renames.getOrElse(c, c)))
+          if (renames.nonEmpty && snap.files.nonEmpty) {
+            val df0 = graft.commands.GraftTableFiles.read(spark, path, snap, snap.files)
+            val df = renames.foldLeft(df0) { case (d, (from, to)) =>
+              d.withColumnRenamed(from, to)
+            }
+            val files = graft.write.TransactionalWrite.writeFiles(
+              spark, path, newInfo, df, isBase = true)
+            txn.commit("alter", Some(newInfo), files, snap.files)
+          } else {
+            txn.commit("alter", Some(newInfo), Nil, Nil)
+          }
         }
         super.alterTable(ident, changes: _*)
         new GraftTableV2(spark, path)

@@ -86,6 +86,15 @@ case class LogEntry(
     remove: Option[RemoveFileAction] = None,
     streaming: Option[StreamingInfo] = None)
 
+/** Full replayed table state at one version — written every K commits so
+  * `Snapshot.replay` starts from the newest checkpoint instead of walking
+  * the log from version 0 (the reference's Cassandra gives O(1)
+  * current-state reads; this restores that under the CAS-log design). */
+case class CheckpointState(
+    table: TableInfo,
+    files: Seq[DataFileInfo] = Nil,
+    streaming: Map[String, Long] = Map.empty)
+
 /** Materialized view metadata: SQL text plus the pinned (path -> version)
   * of every relation table at build time (reference `MaterialViewInfo`,
   * `utils/MetaData.scala:208-222`).

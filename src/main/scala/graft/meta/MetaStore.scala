@@ -22,12 +22,20 @@ trait MetaStore {
   /** Atomically commit `entries` as `version`; false = lost the race. */
   def commit(tablePath: String, version: Long, entries: Seq[LogEntry]): Boolean
   def exists(tablePath: String): Boolean = latestVersion(tablePath) >= 0
+  /** Best-effort checkpoint of the replayed state at `version`; losing a
+    * checkpoint only means a longer replay, never wrong state. */
+  def writeCheckpoint(tablePath: String, version: Long, state: CheckpointState): Unit = ()
+  /** Newest checkpoint at or below `maxVersion`, if any. */
+  def readCheckpoint(tablePath: String, maxVersion: Long): Option[(Long, CheckpointState)] = None
 }
 
 object MetaJson {
   implicit val formats: Formats = DefaultFormats
   def writeEntry(e: LogEntry): String = Serialization.write(e)
   def readEntry(s: String): LogEntry = Serialization.read[LogEntry](s)
+  def writeCheckpoint(c: CheckpointState): String = Serialization.write(c)
+  def readCheckpoint(s: String): CheckpointState =
+    Serialization.read[CheckpointState](s)
 }
 
 /** Filesystem MetaStore: `<table>/_graft_log/<%020d>.json`, one JSON line
@@ -82,6 +90,41 @@ class FsMetaStore extends MetaStore {
       Files.deleteIfExists(tmp)
     }
   }
+
+  override def writeCheckpoint(
+      tablePath: String, version: Long, state: CheckpointState): Unit = {
+    val dir = logDir(tablePath)
+    if (!Files.isDirectory(dir)) return
+    val target = checkpointFile(tablePath, version)
+    val tmp = dir.resolve(s".tmp-cp-${java.util.UUID.randomUUID}.json")
+    Files.write(tmp, MetaJson.writeCheckpoint(state).getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case NonFatal(_) => Files.deleteIfExists(tmp) } // best effort
+  }
+
+  override def readCheckpoint(
+      tablePath: String, maxVersion: Long): Option[(Long, CheckpointState)] = {
+    val dir = logDir(tablePath)
+    if (!Files.isDirectory(dir)) return None
+    var best = -1L
+    val stream = Files.newDirectoryStream(dir, "*.checkpoint.json")
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString.stripSuffix(".checkpoint.json")
+        try {
+          val v = name.toLong
+          if (v <= maxVersion && v > best) best = v
+        } catch { case NonFatal(_) => }
+      }
+    } finally stream.close()
+    if (best < 0) return None
+    try {
+      val body = new String(
+        Files.readAllBytes(checkpointFile(tablePath, best)), StandardCharsets.UTF_8)
+      Some(best -> MetaJson.readCheckpoint(body))
+    } catch { case NonFatal(_) => None } // corrupt checkpoint: full replay
+  }
 }
 
 object FsMetaStore {
@@ -90,6 +133,8 @@ object FsMetaStore {
     Paths.get(stripScheme(tablePath), LOG_DIR_NAME)
   def versionFile(tablePath: String, version: Long): Path =
     logDir(tablePath).resolve(f"$version%020d.json")
+  def checkpointFile(tablePath: String, version: Long): Path =
+    logDir(tablePath).resolve(f"$version%020d.checkpoint.json")
   /** Local paths may arrive as file:/, file://, or file:///-prefixed. */
   def stripScheme(p: String): String =
     if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')

@@ -33,12 +33,24 @@ case class Snapshot(
 }
 
 object Snapshot {
-  /** Replay log entries 0..version into a Snapshot. */
+  /** Checkpoint every K commits; replay then starts from the newest
+    * checkpoint at or below the requested version. */
+  val CHECKPOINT_INTERVAL = 10
+
+  /** Replay log entries into a Snapshot, seeded from the newest checkpoint
+    * <= version when one exists (bounds replay to < K log reads per call
+    * regardless of table age). */
   def replay(store: MetaStore, tablePath: String, version: Long): Snapshot = {
     var tableInfo: TableInfo = null
     val files = mutable.LinkedHashMap.empty[String, DataFileInfo]
     val streaming = mutable.HashMap.empty[String, Long]
     var v = 0L
+    store.readCheckpoint(tablePath, version).foreach { case (cpVersion, cp) =>
+      tableInfo = cp.table
+      cp.files.foreach(f => files.put(f.path, f))
+      streaming ++= cp.streaming
+      v = cpVersion + 1
+    }
     while (v <= version) {
       store.read(tablePath, v).foreach { e =>
         e.table.foreach(t => tableInfo = t)
@@ -216,6 +228,16 @@ class Transaction(val tablePath: String, store: MetaStore) {
       if (store.commit(tablePath, version, entries)) {
         committed = true
         SnapshotManagement.invalidate(tablePath)
+        // Periodic checkpoint so replay stays O(K) instead of O(commits).
+        // Best-effort: the replay below reads from the PREVIOUS checkpoint,
+        // so writing one costs < K log reads.
+        if (version > 0 && version % Snapshot.CHECKPOINT_INTERVAL == 0) {
+          try {
+            val state = Snapshot.replay(store, tablePath, version)
+            store.writeCheckpoint(tablePath, version, CheckpointState(
+              state.tableInfo, state.files, state.streamingBatchIds))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
         return version
       }
       attempt += 1

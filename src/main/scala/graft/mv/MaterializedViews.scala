@@ -2,13 +2,16 @@ package graft.mv
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
 import graft.meta.{MaterialViewInfo, SnapshotManagement}
@@ -21,10 +24,14 @@ import graft.sources.GraftRead
   * A view is a graft table plus `_graft_mv.json` holding the SQL text and
   * the pinned `(tablePath -> version)` of every graft relation it read.
   * The rewrite rule substitutes a query's plan with a scan of the view when
-  * the canonicalized plans match and the view is fresh. (The reference's
-  * 1268-line containment matcher also rewrites *subsuming* queries; this
-  * port rewrites exact matches — the metadata/staleness machinery is the
-  * same, the matcher is intentionally minimal.)
+  * the view is fresh and either
+  *   - the subtree's canonicalized plan equals the view's plan, or
+  *   - the subtree is a single-table select-project whose filter is
+  *     CONTAINED in the view's filter (range + equality implication, the
+  *     core of the reference's `RewriteQueryByMaterialView.scala:125-178` +
+  *     `material_view/RangeInfo.scala:149-312`): the query then re-applies
+  *     its own predicate over the view scan as the compensating filter —
+  *     always sound because the view's rows are a superset.
   */
 object MaterializedViews {
   implicit private val formats: Formats = DefaultFormats
@@ -90,56 +97,298 @@ object MaterializedViews {
   }
 }
 
-/** Resolution rule replacing a query subtree that exactly matches a fresh
-  * materialized view's plan with a scan of the view table. */
+/** Resolution rule replacing query subtrees with scans of fresh
+  * materialized views — by exact canonicalized-plan match or by
+  * single-table filter containment. */
 case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalPlan] {
+  import RewriteQueryByMaterialView._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (RewriteQueryByMaterialView.inRewrite.get()) return plan
+    if (inRewrite.get()) return plan
     val views = spark.conf.getOption(MaterializedViews.CONF_KEY)
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
     if (views.isEmpty || !plan.resolved) return plan
     views.foldLeft(plan) { (p, viewPath) =>
       MaterializedViews.readInfo(viewPath) match {
         case Some(info) if !MaterializedViews.isStale(info) =>
-          rewriteWith(p, viewPath, info)
+          viewPlanFor(viewPath, info).map(vp => rewriteWith(p, viewPath, vp))
+            .getOrElse(p)
         case _ => p
       }
     }
   }
 
-  /** Replace EVERY subtree whose canonicalized plan equals the view's plan
-    * with a scan of the view, aliased to preserve the subtree's attribute
-    * ids so enclosing filters/projects/aggregates resolve unchanged. */
+  /** Analyzed plan of the view's SQL, cached per (path, info) so the rule
+    * does not re-parse and re-analyze the view text on every analysis pass
+    * of every query. */
+  private def viewPlanFor(
+      viewPath: String, info: MaterialViewInfo): Option[LogicalPlan] = {
+    val cached = planCache.get(viewPath)
+    if (cached != null && cached._1 == info) return Some(cached._2)
+    inRewrite.set(true)
+    try {
+      val p = castToImpl(spark.sql(info.sqlText)).queryExecution.analyzed
+      planCache.put(viewPath, (info, p))
+      Some(p)
+    } catch {
+      case _: Exception => None
+    } finally inRewrite.set(false)
+  }
+
   private def rewriteWith(
-      plan: LogicalPlan, viewPath: String, info: MaterialViewInfo): LogicalPlan = {
-    // re-analyzing the view's SQL must not re-enter this rule
-    RewriteQueryByMaterialView.inRewrite.set(true)
-    val viewPlan =
-      try castToImpl(spark.sql(info.sqlText)).queryExecution.analyzed
-      catch { case _: Exception => return plan }
-      finally RewriteQueryByMaterialView.inRewrite.set(false)
+      plan: LogicalPlan, viewPath: String, viewPlan: LogicalPlan): LogicalPlan = {
     val viewCanonical = viewPlan.canonicalized
+    val viewDecomp = decompose(viewPlan)
     plan.transformUp {
+      // exact match: replace the subtree wholesale
       case sub if sub.canonicalized == viewCanonical =>
-        val scan = castToImpl(GraftRead.read(spark, viewPath))
-          .queryExecution.analyzed
-        val out = sub.output
-        val scanOut = scan.output
-        if (out.length == scanOut.length &&
-            out.zip(scanOut).forall { case (a, b) => a.name == b.name }) {
-          org.apache.spark.sql.catalyst.plans.logical.Project(
-            scanOut.zip(out).map { case (s, o) =>
-              org.apache.spark.sql.catalyst.expressions.Alias(s, o.name)(
-                exprId = o.exprId, qualifier = o.qualifier)
-            }, scan)
-        } else sub
+        replaceExact(sub, viewPath).getOrElse(sub)
+      // containment: single-table select-project subsumed by the view
+      case sub if viewDecomp.isDefined =>
+        tryContainment(sub, viewPath, viewDecomp.get).getOrElse(sub)
     }
+  }
+
+  private def viewScan(viewPath: String): LogicalPlan =
+    castToImpl(GraftRead.read(spark, viewPath)).queryExecution.analyzed
+
+  /** Replace an exactly-matching subtree, aliasing the scan to the
+    * subtree's attribute ids so the enclosing plan resolves unchanged. */
+  private def replaceExact(sub: LogicalPlan, viewPath: String): Option[LogicalPlan] = {
+    val scan = viewScan(viewPath)
+    val out = sub.output
+    val scanOut = scan.output
+    if (out.length == scanOut.length &&
+        out.zip(scanOut).forall { case (a, b) => a.name == b.name }) {
+      Some(Project(
+        scanOut.zip(out).map { case (s, o) =>
+          Alias(s, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, scan))
+    } else None
+  }
+
+  /** Rewrite `sub` = select-project over the view's base relation whose
+    * predicate is contained in the view's predicate. */
+  private def tryContainment(
+      sub: LogicalPlan, viewPath: String, view: Decomp): Option[LogicalPlan] = {
+    val q = decompose(sub).getOrElse(return None)
+    // same base table by path; pinned relations (time travel, DML-internal
+    // file reads) are never redirected
+    val qPath = graftPath(q.rel).getOrElse(return None)
+    val vPath = graftPath(view.rel).getOrElse(return None)
+    if (qPath != vPath) return None
+    // the view must provide every column the query touches, as plain
+    // (possibly renamed) base columns
+    val baseToViewCol: Map[String, String] = view.projList.flatMap {
+      case ar: AttributeReference => Some(ar.name.toLowerCase -> ar.name)
+      case Alias(ar: AttributeReference, n) => Some(ar.name.toLowerCase -> n)
+      case _ => None
+    }.toMap
+    val needed = (q.projList.flatMap(_.references) ++
+      q.cond.toSeq.flatMap(_.references)).map(_.name.toLowerCase).toSet
+    if (!needed.subsetOf(baseToViewCol.keySet)) return None
+    // containment: every view conjunct must be implied by the query's
+    // predicate (query rows ⊆ view rows)
+    val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
+    val vConjuncts = view.cond.map(splitConjunction).getOrElse(Nil)
+    val qBounds = columnBounds(qConjuncts)
+    val qCanon = qConjuncts.map(_.canonicalized)
+    val contained = vConjuncts.forall { vc =>
+      qCanon.contains(vc.canonicalized) || impliedByBounds(vc, qBounds)
+    }
+    if (!contained) return None
+    // build: Project(remapped q.projList, Filter(remapped q.cond, viewScan))
+    val scan = viewScan(viewPath)
+    val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
+    val byName: Map[String, Attribute] = baseToViewCol.flatMap {
+      case (base, viewCol) => scanByName.get(viewCol.toLowerCase).map(base -> _)
+    }
+    def remap(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: AttributeReference =>
+          byName.get(a.name.toLowerCase) match {
+            case Some(v) if v.dataType == a.dataType => v
+            case _ => ok = false; a
+          }
+      }
+      if (ok) Some(r) else None
+    }
+    val newCond = q.cond match {
+      case Some(c) => Some(remap(c).getOrElse(return None))
+      case None => None
+    }
+    val filtered = newCond.map(Filter(_, scan)).getOrElse(scan)
+    val newProj: Seq[NamedExpression] = q.projList.map {
+      case ar: AttributeReference =>
+        val v = byName.getOrElse(ar.name.toLowerCase, return None)
+        Alias(v, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+      case al @ Alias(child, n) =>
+        val rc = remap(child).getOrElse(return None)
+        Alias(rc, n)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    Some(Project(newProj, filtered))
   }
 }
 
 object RewriteQueryByMaterialView {
   private val inRewrite = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
+  }
+
+  /** (viewPath -> (info-at-analysis, analyzed view plan)); entries
+    * self-invalidate when the stored info no longer equals the current
+    * `_graft_mv.json` (refresh bumps relationVersions). */
+  private val planCache =
+    new ConcurrentHashMap[String, (MaterialViewInfo, LogicalPlan)]()
+
+  /** select-project-filter over a single graft relation. */
+  case class Decomp(
+      projList: Seq[NamedExpression], cond: Option[Expression], rel: LogicalPlan)
+
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAliases(child)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View => stripAliases(v.child)
+    case other => other
+  }
+
+  private def isGraftRelation(p: LogicalPlan): Boolean = p match {
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table.isInstanceOf[graft.sources.GraftTableV2]
+    case _ => false
+  }
+
+  /** Table path of an un-pinned graft relation (None for time-travel /
+    * DML-internal pinned reads, which must not be rewritten). */
+  def graftPath(p: LogicalPlan): Option[String] = p match {
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GraftTableV2 if !g.isPinned => Some(g.path)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def decompose(p: LogicalPlan): Option[Decomp] = stripAliases(p) match {
+    case Project(pl, f: Filter) =>
+      decompose(f).map(d => d.copy(projList = pl))
+    case Project(pl, child) =>
+      val rel = stripAliases(child)
+      if (isGraftRelation(rel)) Some(Decomp(pl, None, rel)) else None
+    case Filter(c, child) =>
+      val rel = stripAliases(child)
+      if (isGraftRelation(rel)) Some(Decomp(rel.output, Some(c), rel)) else None
+    case rel if isGraftRelation(rel) => Some(Decomp(rel.output, None, rel))
+    case _ => None
+  }
+
+  def splitConjunction(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunction(l) ++ splitConjunction(r)
+    // analyzed plans keep BETWEEN as a RuntimeReplaceable node; split it
+    // into its two bound comparisons so range analysis sees them
+    case b: Between =>
+      Seq(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper))
+    case other => Seq(other)
+  }
+
+  /** (value, inclusive) bound. */
+  private case class Bound(value: Any, inclusive: Boolean)
+  private case class ColBounds(
+      dataType: org.apache.spark.sql.types.DataType,
+      lo: Option[Bound], hi: Option[Bound])
+
+  /** Extract (attr name, cmp, literal value in the ATTRIBUTE's type) from a
+    * conjunct; literals may be foldable expressions and may carry a narrower
+    * type than the column (`id BETWEEN 2 AND 3` on a bigint column keeps int
+    * literals) — they are up-cast before comparison. */
+  private object AttrCmpLit {
+    private def litVal(l: Expression,
+        dt: org.apache.spark.sql.types.DataType): Any =
+      if (l.dataType == dt) l.eval(null)
+      else if (Cast.canUpCast(l.dataType, dt)) Cast(l, dt).eval(null)
+      else null // incomparable — callers treat null as "cannot analyze"
+
+    def unapply(e: Expression): Option[(String, String, Any,
+        org.apache.spark.sql.types.DataType)] = e match {
+      case GreaterThanOrEqual(a: AttributeReference, l) if l.foldable =>
+        Some((a.name.toLowerCase, ">=", litVal(l, a.dataType), a.dataType))
+      case GreaterThan(a: AttributeReference, l) if l.foldable =>
+        Some((a.name.toLowerCase, ">", litVal(l, a.dataType), a.dataType))
+      case LessThanOrEqual(a: AttributeReference, l) if l.foldable =>
+        Some((a.name.toLowerCase, "<=", litVal(l, a.dataType), a.dataType))
+      case LessThan(a: AttributeReference, l) if l.foldable =>
+        Some((a.name.toLowerCase, "<", litVal(l, a.dataType), a.dataType))
+      case EqualTo(a: AttributeReference, l) if l.foldable =>
+        Some((a.name.toLowerCase, "=", litVal(l, a.dataType), a.dataType))
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l, a: AttributeReference) if l.foldable =>
+        Some((a.name.toLowerCase, "<=", litVal(l, a.dataType), a.dataType))
+      case GreaterThan(l, a: AttributeReference) if l.foldable =>
+        Some((a.name.toLowerCase, "<", litVal(l, a.dataType), a.dataType))
+      case LessThanOrEqual(l, a: AttributeReference) if l.foldable =>
+        Some((a.name.toLowerCase, ">=", litVal(l, a.dataType), a.dataType))
+      case LessThan(l, a: AttributeReference) if l.foldable =>
+        Some((a.name.toLowerCase, ">", litVal(l, a.dataType), a.dataType))
+      case EqualTo(l, a: AttributeReference) if l.foldable =>
+        Some((a.name.toLowerCase, "=", litVal(l, a.dataType), a.dataType))
+      case _ => None
+    }
+  }
+
+  /** Tightest per-column interval the query's conjuncts pin down. Conjuncts
+    * of other shapes are ignored — sound, because they can only narrow the
+    * query further. */
+  private def columnBounds(conjuncts: Seq[Expression]): Map[String, ColBounds] = {
+    var m = Map.empty[String, ColBounds]
+    conjuncts.foreach {
+      case AttrCmpLit(name, op, v, dt) if v != null =>
+        val ord = TypeUtils.getInterpretedOrdering(dt)
+        val cur = m.getOrElse(name, ColBounds(dt, None, None))
+        def tighterLo(nb: Bound): Option[Bound] = cur.lo match {
+          case Some(b) =>
+            val c = ord.compare(nb.value, b.value)
+            if (c > 0 || (c == 0 && !nb.inclusive)) Some(nb) else Some(b)
+          case None => Some(nb)
+        }
+        def tighterHi(nb: Bound): Option[Bound] = cur.hi match {
+          case Some(b) =>
+            val c = ord.compare(nb.value, b.value)
+            if (c < 0 || (c == 0 && !nb.inclusive)) Some(nb) else Some(b)
+          case None => Some(nb)
+        }
+        val next = op match {
+          case ">=" => cur.copy(lo = tighterLo(Bound(v, inclusive = true)))
+          case ">" => cur.copy(lo = tighterLo(Bound(v, inclusive = false)))
+          case "<=" => cur.copy(hi = tighterHi(Bound(v, inclusive = true)))
+          case "<" => cur.copy(hi = tighterHi(Bound(v, inclusive = false)))
+          case "=" => cur.copy(
+            lo = tighterLo(Bound(v, inclusive = true)),
+            hi = tighterHi(Bound(v, inclusive = true)))
+        }
+        m += name -> next
+      case _ => ()
+    }
+    m
+  }
+
+  /** Is the view conjunct `vc` implied by the query's column bounds? */
+  private def impliedByBounds(
+      vc: Expression, bounds: Map[String, ColBounds]): Boolean = vc match {
+    case AttrCmpLit(name, op, v, dt) if v != null =>
+      bounds.get(name).exists { b =>
+        val ord = TypeUtils.getInterpretedOrdering(dt)
+        op match {
+          case ">=" => b.lo.exists(l => ord.compare(l.value, v) >= 0)
+          case ">" => b.lo.exists(l => ord.compare(l.value, v) > 0 ||
+            (ord.compare(l.value, v) == 0 && !l.inclusive))
+          case "<=" => b.hi.exists(h => ord.compare(h.value, v) <= 0)
+          case "<" => b.hi.exists(h => ord.compare(h.value, v) < 0 ||
+            (ord.compare(h.value, v) == 0 && !h.inclusive))
+          case "=" => b.lo.exists(l => l.inclusive && ord.compare(l.value, v) == 0) &&
+            b.hi.exists(h => h.inclusive && ord.compare(h.value, v) == 0)
+        }
+      }
+    case _ => false
   }
 }

@@ -24,6 +24,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(RewriteSetOpOnPk(_))
     ext.injectResolutionRule(ExtractMergeOperator(_))
     ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))
+    ext.injectResolutionRule(ResolveGraftUpdate(_))
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
     ext.injectCheckRule(_ => MergeOperatorMarkerCheck)
   }

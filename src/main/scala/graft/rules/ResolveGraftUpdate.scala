@@ -1,0 +1,72 @@
+package graft.rules
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+
+/** Routes SQL `UPDATE t SET ... WHERE ...` on graft tables to the engine's
+  * transactional rewrite (reference `StarLakeAnalysis.scala:43-197` →
+  * `PreprocessTableUpdate` → `commands/UpdateCommand.scala:61-153`).
+  * The resolved assignments/condition are carried as SQL text so the
+  * command node stays a resolved leaf; `UpdateCommand` re-binds them
+  * against its own pinned-snapshot read.
+  */
+case class ResolveGraftUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u: UpdateTable if u.resolved =>
+      graftPathOf(u.table) match {
+        case Some(path) =>
+          toCommand(path, u.assignments, u.condition).getOrElse(u)
+        case None => u
+      }
+  }
+
+  private def graftPathOf(table: LogicalPlan): Option[String] = table match {
+    case SubqueryAlias(_, child) => graftPathOf(child)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GraftTableV2 => Some(g.path)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Render without catalog qualifiers so the command can re-parse the
+    * expression against its own bare table read. */
+  private def cleanSql(e: Expression): String =
+    e.transform {
+      case ar: AttributeReference => ar.withQualifier(Nil)
+    }.sql
+
+  private def toCommand(
+      path: String,
+      assignments: Seq[Assignment],
+      condition: Option[Expression]): Option[LogicalPlan] = {
+    val sets = assignments.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> cleanSql(a.value)
+        case _ => return None // nested-field updates not supported
+      }
+    }
+    Some(GraftUpdateTableCommand(path, sets, condition.map(cleanSql)))
+  }
+}
+
+/** V1 command executing the transactional update at runtime. */
+case class GraftUpdateTableCommand(
+    path: String,
+    sets: Seq[(String, String)],
+    condSql: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.commands.UpdateCommand.run(
+      session, path,
+      condSql.map(expr).getOrElse(lit(true)),
+      sets.map { case (n, v) => n -> expr(v) }.toMap)
+    Seq.empty
+  }
+}

@@ -40,6 +40,10 @@ class GraftTableV2(
   lazy val snapshotOpt: Option[Snapshot] =
     pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
 
+  /** True for time-travel reads and DML-internal pinned-file reads — such
+    * relations must never be redirected by the MV rewrite. */
+  def isPinned: Boolean = pinnedSnapshot.isDefined
+
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(FilterSql.translatable)
 

@@ -190,6 +190,38 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("metadata checkpointing bounds replay to the checkpoint interval") {
+    withTempTable { dir =>
+      Seq((0L, 0)).toDF("id", "v").write.format("graft").save(dir) // v0
+      (1 to 30).foreach(i => Seq((i.toLong, i)).toDF("id", "v")
+        .write.format("graft").mode("append").save(dir)) // v1..v30
+      val path = graft.meta.SnapshotManagement.normalize(dir)
+      class SpyStore extends graft.meta.FsMetaStore {
+        var logReads = 0
+        override def read(tablePath: String, version: Long) = {
+          logReads += 1; super.read(tablePath, version)
+        }
+      }
+      class NoCpStore extends graft.meta.FsMetaStore {
+        override def readCheckpoint(tablePath: String, maxVersion: Long) = None
+      }
+      val spy = new SpyStore
+      val snap = graft.meta.Snapshot.replay(spy, path, 30)
+      assert(spy.logReads <= graft.meta.Snapshot.CHECKPOINT_INTERVAL,
+        s"replay read ${spy.logReads} log files, expected <= interval")
+      // checkpoint-seeded state identical to a full replay
+      val full = graft.meta.Snapshot.replay(new NoCpStore, path, 30)
+      assert(snap.files.map(_.path).toSet == full.files.map(_.path).toSet)
+      assert(snap.tableInfo == full.tableInfo)
+      // time travel below the first checkpoint still works
+      val old = graft.meta.Snapshot.replay(new SpyStore, path, 5)
+      assert(old.files.map(_.path).toSet ==
+        graft.meta.Snapshot.replay(new NoCpStore, path, 5).files.map(_.path).toSet)
+      // public API reads stay correct
+      assert(spark.read.format("graft").load(dir).count() == 31)
+    }
+  }
+
   test("pk files are sorted within buckets (merge reader precondition)") {
     withTempTable { dir =>
       val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i))

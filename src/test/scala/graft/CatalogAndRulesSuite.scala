@@ -92,6 +92,99 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("ALTER TABLE: widen type, rename column, drop column") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS galter")
+      s2.sql(s"CREATE TABLE galter (id INT, v INT, w STRING) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO galter VALUES (1, 10, 'x'), (2, 20, 'y')")
+
+      // widen v to BIGINT: metadata-only, old int files still read
+      s2.sql("ALTER TABLE galter ALTER COLUMN v TYPE BIGINT")
+      assert(rowsOf(s2.sql("SELECT id, v FROM galter")) ==
+        Seq(Seq(1, 10L), Seq(2, 20L)))
+      s2.sql("INSERT INTO galter VALUES (3, 2147483648, 'z')") // beyond int
+
+      // rename id -> key: transactional data rewrite
+      s2.sql("ALTER TABLE galter RENAME COLUMN id TO key")
+      assert(rowsOf(s2.sql("SELECT key FROM galter")) ==
+        Seq(Seq(1), Seq(2), Seq(3)))
+
+      // drop w: metadata-only
+      s2.sql("ALTER TABLE galter DROP COLUMN w")
+      assert(s2.sql("SELECT * FROM galter").columns.toSeq == Seq("key", "v"))
+      assert(rowsOf(s2.sql("SELECT key, v FROM galter")) ==
+        Seq(Seq(1, 10L), Seq(2, 20L), Seq(3, 2147483648L)))
+
+      // narrowing type change rejected
+      intercept[Exception] {
+        s2.sql("ALTER TABLE galter ALTER COLUMN v TYPE INT")
+      }
+      s2.sql("DROP TABLE galter")
+    }
+  }
+
+  test("materialized view containment: narrower range query scans the view") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvc"
+      (1 to 100).map(i => (i.toLong, i % 10, s"r$i")).toDF("id", "v", "s")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvc_base")
+      MaterializedViews.create(spark, viewDir,
+        "SELECT id, v, s FROM mvc_base WHERE id BETWEEN 1 AND 50")
+      val viewToken = viewDir.split("/").last
+
+      // narrower range: rewritten to a view scan with compensating filter
+      val q = spark.sql("SELECT id, s FROM mvc_base WHERE id BETWEEN 2 AND 3")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(viewToken), s"expected view scan, got:\n$plan")
+      assert(rowsOf(q) == Seq(Seq(2L, "r2"), Seq(3L, "r3")))
+
+      // equality inside the range also rewrites
+      val qe = spark.sql("SELECT s FROM mvc_base WHERE id = 5")
+      assert(qe.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qe) == Seq(Seq("r5")))
+
+      // extra conjuncts on other columns still rewrite (full predicate
+      // re-applies as compensation)
+      val qx = spark.sql(
+        "SELECT id FROM mvc_base WHERE id BETWEEN 2 AND 9 AND v = 3")
+      assert(qx.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qx) == Seq(Seq(3L)))
+
+      // NOT contained (range exceeds the view): untouched, still correct
+      val q2 = spark.sql("SELECT id FROM mvc_base WHERE id BETWEEN 40 AND 60")
+      val plan2 = q2.queryExecution.optimizedPlan.toString
+      assert(!plan2.contains(viewToken), s"must not rewrite:\n$plan2")
+      assert(q2.count() == 21)
+
+      // staleness disables containment rewrite too
+      Seq((200L, 0, "r200")).toDF("id", "v", "s")
+        .write.format("graft").mode("append").save(dir)
+      val q3 = spark.sql("SELECT id FROM mvc_base WHERE id BETWEEN 2 AND 3")
+      assert(!q3.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(q3.count() == 2)
+    }
+  }
+
+  test("materialized view containment result equals unrewritten query") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvc2"
+      (1 to 60).map(i => (i.toLong, s"g${i % 4}", i * 2)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvc2_base")
+      val qSql = "SELECT id, g, v FROM mvc2_base WHERE id > 10 AND id < 20"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT id, g, v FROM mvc2_base WHERE id > 5 AND id <= 30")
+      val q = spark.sql(qSql)
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains(viewDir.split("/").last))
+      assert(rowsOf(q) == before)
+    }
+  }
+
   test("materialized view rewrites a matching subtree under extra operators") {
     withTempTable { dir =>
       val viewDir = dir + "-mv2"

@@ -142,6 +142,33 @@ class DmlSuite extends GraftFunSuite {
     }
   }
 
+  test("SQL UPDATE routes through the transactional rewrite") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gupd")
+      s2.sql(s"CREATE TABLE gupd (id BIGINT, g STRING, v INT) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gupd VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+      s2.sql("UPDATE gupd SET v = v + 100 WHERE g = 'a'")
+      assert(rowsOf(s2.sql("SELECT * FROM gupd")) ==
+        Seq(Seq(1L, "a", 110), Seq(2L, "b", 20), Seq(3L, "a", 130)).sortBy(_.mkString("|")))
+      // unconditional UPDATE rewrites every row
+      s2.sql("UPDATE gupd SET g = 'z'")
+      assert(s2.sql("SELECT * FROM gupd WHERE g = 'z'").count() == 3)
+      s2.sql("DROP TABLE gupd")
+    }
+  }
+
+  test("SQL UPDATE on path table") {
+    withTempTable { dir =>
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.sql(s"UPDATE graft.`$dir` SET v = 99 WHERE id = 2")
+      assert(rowsOf(spark.read.format("graft").load(dir).select("id", "v")) ==
+        Seq(Seq(1L, 10), Seq(2L, 99)))
+    }
+  }
+
   test("concurrent-style conflict: double compaction fails cleanly") {
     withTempTable { dir =>
       Seq((1L, 1)).toDF("id", "v").write.format("graft")
