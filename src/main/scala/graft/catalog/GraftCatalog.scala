@@ -191,6 +191,25 @@ class GraftCatalog extends DelegatingCatalogExtension {
               renames += from -> r.newName()
               schema = StructType(schema.fields.map(f =>
                 if (f.name == from) f.copy(name = r.newName()) else f))
+            case p: TableChange.UpdateColumnPosition =>
+              // metadata-only: files are addressed by column name, so order
+              // is purely a schema-presentation concern
+              require(p.fieldNames().length == 1, "nested columns not supported")
+              val name = p.fieldNames().head
+              val field = schema.fields.find(_.name == name).getOrElse(
+                throw new IllegalArgumentException(s"no such column $name"))
+              val rest = schema.fields.filterNot(_.name == name)
+              val reordered = p.position() match {
+                case _: org.apache.spark.sql.connector.catalog.TableChange.First =>
+                  field +: rest
+                case a: org.apache.spark.sql.connector.catalog.TableChange.After =>
+                  val idx = rest.indexWhere(_.name == a.column())
+                  require(idx >= 0, s"no such column ${a.column()}")
+                  (rest.take(idx + 1) :+ field) ++ rest.drop(idx + 1)
+                case other => throw new UnsupportedOperationException(
+                  s"unsupported position $other")
+              }
+              schema = StructType(reordered)
             case s: TableChange.SetProperty =>
               info = info.copy(configuration =
                 info.configuration + (s.property() -> s.value()))

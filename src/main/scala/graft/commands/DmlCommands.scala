@@ -311,23 +311,54 @@ object CleanupCommand {
     val snapshot = SnapshotManagement.snapshot(path)
     val live = snapshot.files.map(f => s"$path/${f.path}").toSet
     val cutoff = System.currentTimeMillis() - retainMillis
-    val deleted = Seq.newBuilder[String]
     val root = Paths.get(path)
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.forEach { p =>
-        val name = p.getFileName.toString
-        val isData = name.endsWith(".parquet") && Files.isRegularFile(p)
-        val inLog = p.startsWith(root.resolve(graft.meta.FsMetaStore.LOG_DIR_NAME))
-        val inStaging = p.startsWith(root.resolve("_graft_staging"))
-        if (isData && !inLog && !inStaging && !live.contains(p.toString) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff) {
-          deleted += p.toString
-          if (!dryRun) Files.deleteIfExists(p)
+
+    def orphansUnder(start: java.nio.file.Path,
+        liveSet: Set[String], doDelete: Boolean): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val stream = java.nio.file.Files.walk(start)
+      try {
+        stream.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.endsWith(".parquet") && Files.isRegularFile(p) &&
+              !liveSet.contains(p.toString) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff) {
+            out += p.toString
+            if (doDelete) Files.deleteIfExists(p)
+          }
         }
+      } finally stream.close()
+      out.result()
+    }
+
+    // Driver lists only the table root (metadata-scale: one entry per range
+    // partition plus root-level files); each partition directory's walk and
+    // delete runs distributed — on an object store with millions of files
+    // per partition the driver never enumerates data files (reference
+    // parallelizes at cleanup.parallelism=200, `utils/FileOperation.scala`).
+    val skip = Set(graft.meta.FsMetaStore.LOG_DIR_NAME, "_graft_staging")
+    val entries = {
+      val s = Files.list(root)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.forEach(p => if (!skip.contains(p.getFileName.toString)) b += p)
+        b.result()
+      } finally s.close()
+    }
+    val (dirs, rootFiles) = entries.partition(Files.isDirectory(_))
+    val rootDeleted = rootFiles.filter(_.toString.endsWith(".parquet"))
+      .flatMap(p => orphansUnder(p, live, !dryRun))
+    val dirDeleted =
+      if (dirs.isEmpty) Nil
+      else {
+        val liveB = spark.sparkContext.broadcast(live)
+        val doDelete = !dryRun
+        spark.sparkContext
+          .parallelize(dirs.map(_.toString), math.min(dirs.size, 64))
+          .flatMap(d => orphansUnder(Paths.get(d), liveB.value, doDelete))
+          .collect().toSeq
       }
-    } finally stream.close()
-    deleted.result()
+    rootDeleted ++ dirDeleted
   }
 }
 

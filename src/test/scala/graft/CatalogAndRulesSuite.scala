@@ -117,6 +117,10 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       assert(rowsOf(s2.sql("SELECT key, v FROM galter")) ==
         Seq(Seq(1, 10L), Seq(2, 20L), Seq(3, 2147483648L)))
 
+      // reposition: metadata-only reorder
+      s2.sql("ALTER TABLE galter ALTER COLUMN v FIRST")
+      assert(s2.sql("SELECT * FROM galter").columns.toSeq == Seq("v", "key"))
+
       // narrowing type change rejected
       intercept[Exception] {
         s2.sql("ALTER TABLE galter ALTER COLUMN v TYPE INT")

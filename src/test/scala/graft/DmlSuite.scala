@@ -112,6 +112,25 @@ class DmlSuite extends GraftFunSuite {
     }
   }
 
+  test("cleanup distributes over partition directories") {
+    withTempTable { dir =>
+      Seq((1, "us", 1), (2, "de", 2)).toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      Seq((10, "us", 10)).toDF("id", "country", "v")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "country = 'us'").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      spark.conf.set("spark.graft.cleanup.retentionCheck.enabled", "false")
+      try {
+        val removed = t.cleanup(retainMillis = -1000)
+        assert(removed.nonEmpty && removed.forall(_.contains("country=")),
+          s"expected partition-dir orphans, got $removed")
+      } finally spark.conf.unset("spark.graft.cleanup.retentionCheck.enabled")
+      assertSameRows(t.toDF.select("id", "country", "v"),
+        Seq((10, "us", 10), (2, "de", 2)).toDF("id", "country", "v"))
+    }
+  }
+
   test("replaceWhere overwrites only matching partitions") {
     withTempTable { dir =>
       Seq((1, "us", 1), (2, "de", 2)).toDF("id", "country", "v")
