@@ -195,6 +195,32 @@ object GraftData {
       GraftTable.forPath(spark, dir).deleteExpr("c_acctbal < 0")
     })
 
+  /** State after a SQL `UPDATE` routed through the resolution rule. */
+  def customerSqlUpdated(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_sqlupd") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft").save(dir)
+      spark.sql(s"UPDATE graft.`$dir` SET c_acctbal = c_acctbal * 2.0 " +
+        "WHERE c_mktsegment = 'MACHINERY'")
+    })
+
+  /** Base orders table plus a materialized view over its low-key half;
+    * narrower-range queries are served from the view by the containment
+    * rewrite (the oracle compares against the BASE data, so a wrong
+    * rewrite fails the hash check). */
+  def ordersMvBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val viewDir = s"${root(sfDir)}/orders_mv_view"
+    val dir = ensure(spark, sfDir, "orders_mv_base") { d =>
+      TransactionalWrite.deleteRecursively(Paths.get(viewDir))
+      graft.meta.SnapshotManagement.invalidate(viewDir)
+      parquet(spark, sfDir, "orders").write.format("graft").save(d)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT * FROM graft.`$d` WHERE o_orderkey <= 3000")
+    }
+    // registration is per-session conf; re-register on every access
+    graft.mv.MaterializedViews.register(spark, viewDir)
+    graftRead(spark, dir)
+  }
+
   /** Build every table (untimed warm-up for the benchmark). */
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
     lineitemRange(spark, sfDir); partPlain(spark, sfDir)
@@ -205,5 +231,6 @@ object GraftData {
     ordersUpsertedDir(spark, sfDir); ordersCompacted(spark, sfDir)
     custCountsDir(spark, sfDir); customerUpdated(spark, sfDir)
     customerDeleted(spark, sfDir); customerEvolved(spark, sfDir)
+    customerSqlUpdated(spark, sfDir); ordersMvBase(spark, sfDir)
   }
 }

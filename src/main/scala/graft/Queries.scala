@@ -182,6 +182,17 @@ object Queries {
       GraftData.customerDeleted(s, sf).select(
         col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
 
+    "q_sql_update" -> ((s, sf) =>
+      GraftData.customerSqlUpdated(s, sf).select(
+        col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"),
+        col("c_mktsegment"))),
+
+    "q_mv_contained" -> ((s, sf) =>
+      GraftData.ordersMvBase(s, sf)
+        .filter(col("o_orderkey") >= 50 && col("o_orderkey") <= 2500)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("total_cents"))),
+
     // ---- LLM data-pipeline operators ----
     "q_schema_evolution" -> ((s, sf) =>
       GraftData.customerEvolved(s, sf).select(
@@ -371,6 +382,15 @@ object Queries {
     "q_delete" ->
       ("SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents " +
        "FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    "q_sql_update" ->
+      ("SELECT c_custkey, CAST(ROUND((CASE WHEN c_mktsegment = 'MACHINERY' " +
+       "THEN c_acctbal * 2.0 ELSE c_acctbal END)*100) AS BIGINT) AS acct_cents, " +
+       "c_mktsegment FROM customer"),
+
+    "q_mv_contained" ->
+      ("SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) " +
+       "AS total_cents FROM orders WHERE o_orderkey >= 50 AND o_orderkey <= 2500"),
 
     "q_schema_evolution" ->
       ("SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 1 " +
