@@ -91,8 +91,28 @@ class GraftTableV2(
     // Resolve the LATEST snapshot at scan-build time (unless pinned): a
     // temp view or cached relation holds this Table instance across
     // commits, and each new query must see the current table state.
-    val snapshot = pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
+    val snapshot0 = pinnedSnapshot.orElse(SnapshotManagement.snapshotOpt(path))
       .getOrElse(throw new graft.meta.GraftTableNotFoundException(path))
+    // Scan-time part-merge (reference `star/StarLakePartFileMerge.scala:
+    // 33-158`): a table that ARRIVES with a delta stack deeper than the
+    // k-way reader should open at once (e.g. compaction was disabled) is
+    // compacted before planning — merged files are committed, so the heal
+    // pays once. Auto-compaction bounds fan-in going forward; this guard
+    // covers pre-existing stacks. Never triggers on pinned reads (time
+    // travel, DML-internal).
+    val snapshot =
+      if (pinnedSnapshot.isDefined || !snapshot0.tableInfo.hasPrimaryKey) snapshot0
+      else {
+        val limit = spark.conf.getOption("spark.graft.scan.mergeFanInLimit")
+          .map(_.toInt).getOrElse(64)
+        val deep = snapshot0.files.groupBy(f => (f.rangeKey, f.bucket))
+          .exists(_._2.length > limit)
+        if (!deep) snapshot0
+        else {
+          graft.commands.CompactionCommand.run(spark, path, force = true)
+          SnapshotManagement.snapshotOpt(path).getOrElse(snapshot0)
+        }
+      }
     val fullSchema = StructType(
       snapshot.tableInfo.dataSchema.fields ++
       snapshot.tableInfo.rangePartitionSchema.fields)

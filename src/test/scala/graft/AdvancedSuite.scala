@@ -190,6 +190,22 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("scan-time part-merge compacts pre-existing deep delta stacks") {
+    withTempTable { dir =>
+      spark.conf.set("spark.graft.scan.mergeFanInLimit", "5")
+      try {
+        Seq((1L, 0)).toDF("id", "v").write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+        val t = GraftTable.forPath(spark, dir)
+        (1 to 7).foreach(i => t.upsert(Seq((1L, i)).toDF("id", "v")))
+        assert(t.snapshot.files.count(!_.isBase) >= 6, "expected a deep stack")
+        // a read heals the stack before planning, committing merged files
+        assert(t.toDF.select("v").head().getInt(0) == 7)
+        assert(!GraftTable.forPath(spark, dir).snapshot.hasDeltaFiles)
+      } finally spark.conf.unset("spark.graft.scan.mergeFanInLimit")
+    }
+  }
+
   test("metadata checkpointing bounds replay to the checkpoint interval") {
     withTempTable { dir =>
       Seq((0L, 0)).toDF("id", "v").write.format("graft").save(dir) // v0
