@@ -208,6 +208,10 @@ object Queries {
     "q_lang_id" -> ((s, sf) =>
       TextAnalysis.langId(GraftData.documentsRange(s, sf), "text", "doc_id")),
 
+    "q_curate" -> ((s, sf) =>
+      graft.llm.Curation.curate(GraftData.documentsRange(s, sf),
+        "doc_id", "text", minWords = 10, maxNonAscii = 0, minEnStopwords = 1)),
+
     "q_token_stats" -> ((s, sf) =>
       TextAnalysis.qualityStats(GraftData.documentsRange(s, sf), "text", "doc_id")),
 
@@ -382,6 +386,15 @@ object Queries {
     "q_delete" ->
       ("SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents " +
        "FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    "q_curate" ->
+      ("WITH k AS (SELECT doc_id, text, row_number() OVER " +
+       "(PARTITION BY md5(text) ORDER BY doc_id) rn FROM documents) " +
+       "SELECT doc_id FROM k WHERE rn = 1 " +
+       "AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10 " +
+       "AND length(regexp_replace(text, '[ -~\\s]', '', 'g')) = 0 " +
+       "AND len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+       "x -> list_contains(['the','of','and','is','to'], x))) >= 1"),
 
     "q_sql_update" ->
       ("SELECT c_custkey, CAST(ROUND((CASE WHEN c_mktsegment = 'MACHINERY' " +

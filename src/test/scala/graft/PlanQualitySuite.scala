@@ -92,6 +92,28 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("no interpreted higher-order-function lambdas in ANN/text hot paths") {
+    import spark.implicits._
+    // HOF lambdas (aggregate/transform/filter over arrays) evaluate
+    // interpreted per row — they have caused multiple 20x regressions and
+    // must not reappear in per-pair/per-doc operator plans.
+    val emb = (0 until 50).map(i => (i.toLong, Array.fill(8)(i * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((1L, "the quick brown fox"), (2L, "and another doc of text"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      graft.llm.Ann.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 3),
+      graft.llm.TextAnalysis.qualityStats(docs, "text", "doc_id"),
+      graft.llm.TextAnalysis.langId(docs, "text", "doc_id"),
+      graft.llm.Curation.curate(docs, "doc_id", "text", minWords = 1))
+      .map(df => df.queryExecution.optimizedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("aggregate(") && !p.contains("lambdafunction"),
+        s"interpreted HOF lambda found in plan:\n$p")
+    }
+  }
+
   test("pk scan plans exactly bucketNum partitions and declares ordering") {
     import spark.implicits._
     withTable { dir =>
