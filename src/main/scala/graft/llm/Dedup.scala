@@ -129,11 +129,14 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    // eager localCheckpoint: the band self-join consumes this frame twice —
+    // without it the whole 64-aggregate signature pipeline runs twice
     val banded = sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows)), b)
           .as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .localCheckpoint()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -169,9 +172,11 @@ object Dedup {
       (0 until numPlanes).map(p =>
         when(col(s"d$p") >= 0, lit(1 << p)).otherwise(lit(0)): Column)
         .reduce(_ + _).as("bucket"))
+    // eager localCheckpoint: both sides of the bucket self-join read this
     val unit = expl.join(keyed, "doc_id")
       .select(col("doc_id"), col("bucket"), col("dim"),
         (col("x") / col("n")).as("x"))
+      .localCheckpoint()
     unit.as("a").join(unit.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -33,7 +33,10 @@ object SimHash {
     * bands, with exact hamming distance attached (bit_count of xor). */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = fingerprints(df, idCol, textCol)
+    // eager localCheckpoint: the banded self-join below consumes the
+    // fingerprint pipeline twice; checkpointing runs it once and keeps the
+    // downstream plan small (and leaves no CacheManager entry)
+    val fp = fingerprints(df, idCol, textCol).localCheckpoint()
     val banded = fp.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(b => struct(
         lit(b).as("band"),
