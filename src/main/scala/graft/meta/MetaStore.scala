@@ -98,8 +98,30 @@ class FsMetaStore extends MetaStore {
     val target = checkpointFile(tablePath, version)
     val tmp = dir.resolve(s".tmp-cp-${java.util.UUID.randomUUID}.json")
     Files.write(tmp, MetaJson.writeCheckpoint(state).getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case NonFatal(_) => Files.deleteIfExists(tmp) } // best effort
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      pruneCheckpoints(tablePath, keep = 2)
+    } catch { case NonFatal(_) => Files.deleteIfExists(tmp) } // best effort
+  }
+
+  /** Keep only the newest `keep` checkpoints — older ones are redundant
+    * (any replay below them falls back to walking the retained log, which
+    * is never deleted). Best effort. */
+  private def pruneCheckpoints(tablePath: String, keep: Int): Unit = {
+    val dir = logDir(tablePath)
+    val versions = Seq.newBuilder[Long]
+    val stream = Files.newDirectoryStream(dir, "*.checkpoint.json")
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString.stripSuffix(".checkpoint.json")
+        try versions += name.toLong catch { case NonFatal(_) => }
+      }
+    } finally stream.close()
+    versions.result().sorted.dropRight(keep).foreach { v =>
+      try Files.deleteIfExists(checkpointFile(tablePath, v))
+      catch { case NonFatal(_) => }
+    }
   }
 
   override def readCheckpoint(

@@ -235,6 +235,11 @@ class AdvancedSuite extends GraftFunSuite {
         graft.meta.Snapshot.replay(new NoCpStore, path, 5).files.map(_.path).toSet)
       // public API reads stay correct
       assert(spark.read.format("graft").load(dir).count() == 31)
+      // old checkpoints are pruned (newest 2 kept)
+      val cps = java.nio.file.Files.list(
+          java.nio.file.Paths.get(path, graft.meta.FsMetaStore.LOG_DIR_NAME))
+        .toArray.map(_.toString).filter(_.endsWith(".checkpoint.json"))
+      assert(cps.length <= 2, s"checkpoints not pruned: ${cps.toSeq}")
     }
   }
 
