@@ -243,6 +243,50 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("model: concurrent upserts + compactions never lose committed updates") {
+    withTempTable { dir =>
+      // 3 writer threads own disjoint key sets; a compactor thread forces
+      // compactions throughout. Every writer's LAST committed value must
+      // survive — the exact lost-update race the commit protocol guards.
+      val writers = 3
+      val rounds = 6
+      (0 until writers * 4).map(k => (k.toLong, -1)).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val pool = Executors.newFixedThreadPool(writers + 1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      @volatile var writersDone = false
+      val compactor = Future {
+        while (!writersDone) {
+          try graft.commands.CompactionCommand.run(spark, t.path, force = true)
+          catch { case _: graft.meta.GraftConcurrentModificationException => () }
+        }
+      }
+      val futures = (0 until writers).map { w =>
+        Future {
+          (1 to rounds).foreach { r =>
+            val keys = (0 until 4).map(i => ((w * 4 + i).toLong, w * 1000 + r))
+            t.upsert(keys.toDF("id", "v"))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 300.seconds)
+      writersDone = true
+      Await.result(compactor, 300.seconds)
+      pool.shutdown()
+      val got = t.toDF.select("id", "v").as[(Long, Int)].collect().toMap
+      (0 until writers).foreach { w =>
+        (0 until 4).foreach { i =>
+          val k = (w * 4 + i).toLong
+          assert(got(k) == w * 1000 + rounds,
+            s"key $k lost its final upsert: got ${got(k)}, " +
+            s"expected ${w * 1000 + rounds}")
+        }
+      }
+    }
+  }
+
   test("pk files are sorted within buckets (merge reader precondition)") {
     withTempTable { dir =>
       val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i))
