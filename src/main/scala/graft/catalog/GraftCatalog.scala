@@ -191,6 +191,12 @@ class GraftCatalog extends DelegatingCatalogExtension {
               renames += from -> r.newName()
               schema = StructType(schema.fields.map(f =>
                 if (f.name == from) f.copy(name = r.newName()) else f))
+            case c: TableChange.UpdateColumnComment =>
+              require(c.fieldNames().length == 1, "nested columns not supported")
+              val name = c.fieldNames().head
+              require(schema.fieldNames.contains(name), s"no such column $name")
+              schema = StructType(schema.fields.map(f =>
+                if (f.name == name) f.withComment(c.newComment()) else f))
             case p: TableChange.UpdateColumnPosition =>
               // metadata-only: files are addressed by column name, so order
               // is purely a schema-presentation concern

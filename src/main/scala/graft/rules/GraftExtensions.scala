@@ -27,6 +27,11 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(ResolveGraftUpdate(_))
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
     ext.injectCheckRule(_ => MergeOperatorMarkerCheck)
+    // Note: the reference's StarLakeUnsupportedOperationsCheck (rejecting
+    // ADD/DROP/RECOVER PARTITION, LOAD DATA, SerDe DDL) is unnecessary on
+    // Spark 4 — the V2 analyzer rejects all of these natively for tables
+    // that do not implement SupportsPartitionManagement / V1 fallbacks
+    // (asserted by CatalogAndRulesSuite "unsupported Hive-style DDL").
   }
 }
 

@@ -129,6 +129,35 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("unsupported Hive-style DDL is rejected on graft tables") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gddl")
+      s2.sql(s"CREATE TABLE gddl (id BIGINT, part STRING) USING graft " +
+        s"PARTITIONED BY (part) LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gddl VALUES (1, 'a')")
+      // Spark 4's V2 analyzer rejects Hive-style partition/load DDL natively
+      // for tables without SupportsPartitionManagement — the reference
+      // needed a custom check rule for this on Spark 3.1; we only assert
+      // the guard exists (reference StarLakeUnsupportedOperationsCheck).
+      def rejected(sql: String): Unit = {
+        val e = intercept[Exception](s2.sql(sql))
+        val m = e.getMessage
+        assert(m.contains("not support") || m.contains("NOT_SUPPORTED") ||
+          m.contains("UNSUPPORTED"), s"$sql: $m")
+      }
+      rejected("ALTER TABLE gddl ADD PARTITION (part='x')")
+      rejected("ALTER TABLE gddl DROP PARTITION (part='a')")
+      rejected("ALTER TABLE gddl RECOVER PARTITIONS")
+      rejected(s"LOAD DATA LOCAL INPATH '$dir/nothing' INTO TABLE gddl")
+      // COMMENT change is supported (metadata-only)
+      s2.sql("ALTER TABLE gddl ALTER COLUMN id COMMENT 'the key'")
+      assert(s2.sql("SELECT id FROM gddl").count() == 1)
+      s2.sql("DROP TABLE gddl")
+    }
+  }
+
   test("materialized view containment: narrower range query scans the view") {
     withTempTable { dir =>
       val viewDir = dir + "-mvc"
