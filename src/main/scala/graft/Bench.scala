@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
   * a one-time cost, not query latency), then times every declared query and
   * prints one JSON line. A failing query records -1 for its time and is
   * listed in "errors" instead of silently folding into the total.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports
+  * the per-query MEDIAN; the total is the sum of medians. A single run is
+  * hostage to host contention — one noisy neighbour turned a 29 s suite
+  * into 100 s in a past round — and the median of three is robust to one
+  * polluted run in either direction. Per-run times go to stderr.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,18 +29,27 @@ object Bench {
     Queries.warm(spark, sfDir) // untimed: one-time table conversion
     System.err.println(f"[bench] warm-up took ${(System.nanoTime() - w0) / 1e9}%.1f s")
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors += name; false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $secs%.2f s")
-      name -> (if (ok) secs else -1.0)
+      val times = (1 to runs).flatMap { i =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
+            false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name run $i: $secs%.2f s")
+        if (ok) Some(secs) else None
+      }
+      if (times.isEmpty) errors += name
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      System.err.println(f"[bench] $name median: $median%.2f s")
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
