@@ -221,6 +221,47 @@ object GraftData {
     graftRead(spark, dir)
   }
 
+  /** Orders plus an aggregate materialized view grouped by customer; a
+    * filtered per-customer rollup is served from the view by the AGGREGATE
+    * containment rewrite (the oracle compares against the BASE data, so a
+    * wrong rewrite fails the hash check). */
+  def ordersMvAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val viewDir = s"${root(sfDir)}/orders_mvagg_view"
+    val dir = ensure(spark, sfDir, "orders_mvagg_base") { d =>
+      TransactionalWrite.deleteRecursively(Paths.get(viewDir))
+      graft.meta.SnapshotManagement.invalidate(viewDir)
+      parquet(spark, sfDir, "orders").write.format("graft").save(d)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT o_custkey, count(1) AS cnt, sum(o_totalprice) AS total " +
+          s"FROM graft.`$d` GROUP BY o_custkey")
+    }
+    graft.mv.MaterializedViews.register(spark, viewDir)
+    graftRead(spark, dir)
+  }
+
+  /** Customer/orders pair plus a join materialized view over the low-key
+    * customers; narrower filtered joins are served by the JOIN containment
+    * rewrite (oracle again compares against the base tables). */
+  def custOrdersMvJoin(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val viewDir = s"${root(sfDir)}/cust_orders_mvj_view"
+    val oDir = s"${root(sfDir)}/orders_mvj_base"
+    val dir = ensure(spark, sfDir, "customer_mvj_base") { d =>
+      TransactionalWrite.deleteRecursively(Paths.get(viewDir))
+      graft.meta.SnapshotManagement.invalidate(viewDir)
+      TransactionalWrite.deleteRecursively(Paths.get(oDir))
+      graft.meta.SnapshotManagement.invalidate(oDir)
+      parquet(spark, sfDir, "customer").write.format("graft").save(d)
+      parquet(spark, sfDir, "orders").write.format("graft").save(oDir)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT c_custkey, c_name, c_mktsegment, o_orderkey, o_totalprice, " +
+          s"o_custkey FROM graft.`$d` JOIN graft.`$oDir` " +
+          s"ON c_custkey = o_custkey WHERE c_custkey <= 1000")
+    }
+    graft.mv.MaterializedViews.register(spark, viewDir)
+    (graftRead(spark, dir), graftRead(spark, oDir))
+  }
+
   /** Build every table (untimed warm-up for the benchmark). */
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
     lineitemRange(spark, sfDir); partPlain(spark, sfDir)
@@ -232,5 +273,6 @@ object GraftData {
     custCountsDir(spark, sfDir); customerUpdated(spark, sfDir)
     customerDeleted(spark, sfDir); customerEvolved(spark, sfDir)
     customerSqlUpdated(spark, sfDir); ordersMvBase(spark, sfDir)
+    ordersMvAgg(spark, sfDir); custOrdersMvJoin(spark, sfDir)
   }
 }

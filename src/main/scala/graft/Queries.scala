@@ -193,6 +193,23 @@ object Queries {
         .select(col("o_orderkey"), col("o_custkey"),
           cents(col("o_totalprice")).as("total_cents"))),
 
+    "q_mv_agg" -> ((s, sf) =>
+      GraftData.ordersMvAgg(s, sf)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") <= 2000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+        .select(col("o_custkey"), col("cnt"),
+          cents(col("total")).as("total_cents"))),
+
+    "q_mv_join" -> ((s, sf) => {
+      val (c, o) = GraftData.custOrdersMvJoin(s, sf)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("c_custkey") >= 10 && col("c_custkey") <= 500 &&
+          col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+    }),
+
     // ---- LLM data-pipeline operators ----
     "q_schema_evolution" -> ((s, sf) =>
       GraftData.customerEvolved(s, sf).select(
@@ -404,6 +421,19 @@ object Queries {
     "q_mv_contained" ->
       ("SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) " +
        "AS total_cents FROM orders WHERE o_orderkey >= 50 AND o_orderkey <= 2500"),
+
+    "q_mv_agg" ->
+      ("SELECT o_custkey, count(1) AS cnt, " +
+       "CAST(ROUND(sum(o_totalprice)*100) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_custkey >= 100 AND o_custkey <= 2000 " +
+       "GROUP BY o_custkey"),
+
+    "q_mv_join" ->
+      ("SELECT c_custkey, c_name, o_orderkey, " +
+       "CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "WHERE c_custkey >= 10 AND c_custkey <= 500 " +
+       "AND c_mktsegment = 'BUILDING'"),
 
     "q_schema_evolution" ->
       ("SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 1 " +

@@ -9,7 +9,8 @@ import org.json4s.jackson.Serialization
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, DeleteFromTable, Filter, Join, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
@@ -108,6 +109,16 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val views = spark.conf.getOption(MaterializedViews.CONF_KEY)
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
     if (views.isEmpty || !plan.resolved) return plan
+    // never rewrite inside DML or other commands: a fresh all-column view
+    // would otherwise replace the UPDATE/DELETE/MERGE target relation (or a
+    // write's table) with a Project over the view scan, breaking resolution
+    // and redirecting writes
+    val isDml = plan.exists {
+      case _: UpdateTable | _: DeleteFromTable | _: MergeIntoTable => true
+      case _: Command => true
+      case _ => false
+    }
+    if (isDml) return plan
     views.foldLeft(plan) { (p, viewPath) =>
       MaterializedViews.readInfo(viewPath) match {
         case Some(info) if !MaterializedViews.isStale(info) =>
@@ -139,13 +150,19 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       plan: LogicalPlan, viewPath: String, viewPlan: LogicalPlan): LogicalPlan = {
     val viewCanonical = viewPlan.canonicalized
     val viewDecomp = decompose(viewPlan)
+    val viewAgg = if (viewDecomp.isEmpty) decomposeAgg(viewPlan) else None
+    val viewJoin =
+      if (viewDecomp.isEmpty && viewAgg.isEmpty) decomposeJoin(viewPlan) else None
     plan.transformUp {
       // exact match: replace the subtree wholesale
       case sub if sub.canonicalized == viewCanonical =>
         replaceExact(sub, viewPath).getOrElse(sub)
-      // containment: single-table select-project subsumed by the view
-      case sub if viewDecomp.isDefined =>
-        tryContainment(sub, viewPath, viewDecomp.get).getOrElse(sub)
+      // containment: the subtree's rows/groups are a subset of the view's
+      case sub =>
+        viewDecomp.flatMap(tryContainment(sub, viewPath, _))
+          .orElse(viewAgg.flatMap(tryAggContainment(sub, viewPath, _)))
+          .orElse(viewJoin.flatMap(tryJoinContainment(sub, viewPath, _)))
+          .getOrElse(sub)
     }
   }
 
@@ -230,6 +247,170 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     }
     Some(Project(newProj, filtered))
   }
+
+  /** Rewrite `sub` = aggregate over the view's base relation when the view
+    * materializes the SAME grouping over a superset of the rows (reference
+    * `material_view/AggregateInfo.scala:1-108`).
+    *
+    * Soundness: bounds implication is NOT enough here — a strictly narrower
+    * row filter changes every group's aggregate. So every view filter
+    * conjunct must match a query conjunct EXACTLY, and the query's leftover
+    * conjuncts must reference only group columns: they then select whole
+    * groups and commute with the aggregation, so re-applying them over the
+    * view's stored groups is an identity rewrite.
+    */
+  private def tryAggContainment(
+      sub: LogicalPlan, viewPath: String, view: AggDecomp): Option[LogicalPlan] = {
+    val q = decomposeAgg(sub).getOrElse(return None)
+    val qPath = graftPath(q.rel).getOrElse(return None)
+    val vPath = graftPath(view.rel).getOrElse(return None)
+    if (qPath != vPath) return None
+    val ids = exprIdSpace(Seq(sub, view.rel, q.rel) ++ view.aggList ++ q.aggList
+      ++ view.cond.toSeq ++ q.cond.toSeq ++ view.groupExprs ++ q.groupExprs)
+    def canon(e: Expression): Option[Expression] = canonByName(e, ids)
+    // identical grouping (as a set)
+    val vGroups = view.groupExprs.flatMap(canon)
+    val qGroups = q.groupExprs.flatMap(canon)
+    if (vGroups.length != view.groupExprs.length ||
+        qGroups.length != q.groupExprs.length) return None
+    if (!sameExprSet(vGroups, qGroups)) return None
+    // every view conjunct exactly present in the query's conjuncts
+    val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
+    val vConjuncts = view.cond.map(splitConjunction).getOrElse(Nil)
+    val qCanon = qConjuncts.map(c => c -> canon(c))
+    val vCanon = vConjuncts.flatMap(canon)
+    if (vCanon.length != vConjuncts.length) return None
+    def matchesView(c: Option[Expression]): Boolean =
+      c.exists(cc => vCanon.exists(_.semanticEquals(cc)))
+    if (!vCanon.forall(vc => qCanon.exists(_._2.exists(_.semanticEquals(vc)))))
+      return None
+    // leftover query conjuncts must reference only group columns that the
+    // view exposes as plain output columns
+    val groupColToViewCol: Map[String, String] = view.aggList.flatMap {
+      case ar: AttributeReference
+          if view.groupExprs.exists(_.semanticEquals(ar)) =>
+        Some(ar.name.toLowerCase -> ar.name)
+      case Alias(ar: AttributeReference, n)
+          if view.groupExprs.exists(_.semanticEquals(ar)) =>
+        Some(ar.name.toLowerCase -> n)
+      case _ => None
+    }.toMap
+    val leftover = qCanon.collect { case (c, cc) if !matchesView(cc) => c }
+    if (!leftover.flatMap(_.references).map(_.name.toLowerCase).toSet
+        .subsetOf(groupColToViewCol.keySet)) return None
+    // map every query output to a view output column: group columns by
+    // name, aggregate expressions by exact (name-normalized) equality
+    val scan = viewScan(viewPath)
+    val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
+    def viewColFor(e: Expression): Option[Attribute] = {
+      val ec = canon(e).getOrElse(return None)
+      view.aggList.collectFirst {
+        case ve if canon(ve match { case Alias(c, _) => c; case o => o })
+            .exists(_.semanticEquals(ec)) =>
+          scanByName.get(ve.name.toLowerCase)
+      }.flatten
+    }
+    val newProj: Seq[NamedExpression] = q.aggList.map { ne =>
+      val source = ne match { case Alias(c, _) => c; case o => o }
+      val v = viewColFor(source).getOrElse(return None)
+      if (v.dataType != ne.dataType) return None
+      Alias(v, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+    }
+    // compensation: leftover conjuncts only (matched ones are already
+    // baked into the view's rows)
+    val newCond = leftover.map { c =>
+      c.transformUp { case a: AttributeReference =>
+        val v = groupColToViewCol.get(a.name.toLowerCase)
+          .flatMap(n => scanByName.get(n.toLowerCase)).getOrElse(return None)
+        if (v.dataType != a.dataType) return None
+        v
+      }
+    }.reduceOption(And)
+    Some(Project(newProj, newCond.map(Filter(_, scan)).getOrElse(scan)))
+  }
+
+  /** Rewrite `sub` = inner equi-join over the same pair of base relations
+    * with the same join condition and a contained row filter (reference
+    * `RewriteQueryByMaterialView.scala:110-121`, `material_view/
+    * JoinInfo.scala:1-132`).
+    *
+    * Soundness: for an INNER join, side filters commute with the join, so
+    * both plans are sigma(cond)(T1 join T2) over identical join conditions;
+    * query cond => view cond makes the view's rows a superset and
+    * re-applying the full query cond over the view scan is exact — the same
+    * row-level argument as the single-table case.
+    */
+  private def tryJoinContainment(
+      sub: LogicalPlan, viewPath: String, view: JoinDecomp): Option[LogicalPlan] = {
+    val q = decomposeJoin(sub).getOrElse(return None)
+    val qL = graftPath(q.leftRel).getOrElse(return None)
+    val qR = graftPath(q.rightRel).getOrElse(return None)
+    val vL = graftPath(view.leftRel).getOrElse(return None)
+    val vR = graftPath(view.rightRel).getOrElse(return None)
+    // same table set; self-joins are ambiguous under name-based matching
+    if (qL == qR || vL == vR) return None
+    if (Set(qL, qR) != Set(vL, vR)) return None
+    // name-based matching also needs every column name to be unambiguous
+    def names(p: LogicalPlan) = p.output.map(_.name.toLowerCase)
+    val qNames = names(q.leftRel) ++ names(q.rightRel)
+    if (qNames.distinct.length != qNames.length) return None
+    val ids = exprIdSpace(Seq(sub, view.leftRel, view.rightRel))
+    def canon(e: Expression): Option[Expression] = canonByName(e, ids)
+    // identical join condition (as a conjunct set; canonicalization
+    // normalizes commuted equalities)
+    val vJoin = view.joinConjuncts.flatMap(canon)
+    val qJoin = q.joinConjuncts.flatMap(canon)
+    if (vJoin.length != view.joinConjuncts.length ||
+        qJoin.length != q.joinConjuncts.length) return None
+    if (!sameExprSet(vJoin, qJoin)) return None
+    // row containment: every view conjunct exactly matched or implied by
+    // the query's per-column bounds
+    val qCanonConj = q.filterConjuncts.flatMap(canon)
+    if (qCanonConj.length != q.filterConjuncts.length) return None
+    val qBounds = columnBounds(q.filterConjuncts)
+    val contained = view.filterConjuncts.forall { vc =>
+      canon(vc).exists(vcc => qCanonConj.exists(_.semanticEquals(vcc))) ||
+        impliedByBounds(vc, qBounds)
+    }
+    if (!contained) return None
+    // the view must expose every column the query touches
+    val baseToViewCol: Map[String, String] = view.projList.flatMap {
+      case ar: AttributeReference => Some(ar.name.toLowerCase -> ar.name)
+      case Alias(ar: AttributeReference, n) => Some(ar.name.toLowerCase -> n)
+      case _ => None
+    }.toMap
+    val needed = (q.projList.flatMap(_.references) ++
+      q.filterConjuncts.flatMap(_.references)).map(_.name.toLowerCase).toSet
+    if (!needed.subsetOf(baseToViewCol.keySet)) return None
+    val scan = viewScan(viewPath)
+    val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
+    def remap(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: AttributeReference =>
+          baseToViewCol.get(a.name.toLowerCase)
+            .flatMap(n => scanByName.get(n.toLowerCase)) match {
+            case Some(v) if v.dataType == a.dataType => v
+            case _ => ok = false; a
+          }
+      }
+      if (ok) Some(r) else None
+    }
+    // compensation: the FULL query filter re-applies over the view scan
+    val newCond = q.filterConjuncts
+      .map(c => remap(c).getOrElse(return None)).reduceOption(And)
+    val filtered = newCond.map(Filter(_, scan)).getOrElse(scan)
+    val newProj: Seq[NamedExpression] = q.projList.map {
+      case ar: AttributeReference =>
+        val v = remap(ar).getOrElse(return None)
+        Alias(v, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+      case al @ Alias(child, n) =>
+        val rc = remap(child).getOrElse(return None)
+        Alias(rc, n)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    Some(Project(newProj, filtered))
+  }
 }
 
 object RewriteQueryByMaterialView {
@@ -282,6 +463,97 @@ object RewriteQueryByMaterialView {
     case rel if isGraftRelation(rel) => Some(Decomp(rel.output, None, rel))
     case _ => None
   }
+
+  /** aggregate-filter-relation over a single graft relation. */
+  case class AggDecomp(
+      groupExprs: Seq[Expression], aggList: Seq[NamedExpression],
+      cond: Option[Expression], rel: LogicalPlan)
+
+  /** project-filter over an inner equi-join of two graft relations; side
+    * filters are folded into `filterConjuncts` (they commute with an inner
+    * join). */
+  case class JoinDecomp(
+      projList: Seq[NamedExpression], joinConjuncts: Seq[Expression],
+      filterConjuncts: Seq[Expression],
+      leftRel: LogicalPlan, rightRel: LogicalPlan)
+
+  def decomposeAgg(p: LogicalPlan): Option[AggDecomp] = stripAliases(p) match {
+    case Aggregate(g, a, child, _) => stripAliases(child) match {
+      case Filter(c, ch) =>
+        val rel = stripAliases(ch)
+        if (isGraftRelation(rel)) Some(AggDecomp(g, a, Some(c), rel)) else None
+      case rel if isGraftRelation(rel) => Some(AggDecomp(g, a, None, rel))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  def decomposeJoin(p: LogicalPlan): Option[JoinDecomp] = {
+    def side(sp: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
+      stripAliases(sp) match {
+        case Filter(c, ch) =>
+          val rel = stripAliases(ch)
+          if (isGraftRelation(rel)) Some((rel, splitConjunction(c))) else None
+        case rel if isGraftRelation(rel) => Some((rel, Nil))
+        case _ => None
+      }
+    def fromJoin(j: LogicalPlan, extra: Seq[Expression]): Option[JoinDecomp] =
+      j match {
+        case Join(l, r, Inner, Some(cond), _) =>
+          for { lp <- side(l); rp <- side(r) } yield JoinDecomp(
+            lp._1.output ++ rp._1.output, splitConjunction(cond),
+            extra ++ lp._2 ++ rp._2, lp._1, rp._1)
+        case _ => None
+      }
+    stripAliases(p) match {
+      case Project(pl, ch) => (stripAliases(ch) match {
+        case Filter(c, ch2) => fromJoin(stripAliases(ch2), splitConjunction(c))
+        case other => fromJoin(other, Nil)
+      }).map(_.copy(projList = pl))
+      case Filter(c, ch) => fromJoin(stripAliases(ch), splitConjunction(c))
+      case other => fromJoin(other, Nil)
+    }
+  }
+
+  /** Deterministic per-comparison ExprId space: every lowercase column name
+    * across both plans gets a fixed id, so expressions from INDEPENDENTLY
+    * analyzed plans (the query and the view's SQL) become comparable with
+    * `semanticEquals` after [[canonByName]]. */
+  private def exprIdSpace(roots: Seq[Any]): Map[String, Long] = {
+    val names = scala.collection.mutable.SortedSet.empty[String]
+    def addExpr(e: Expression): Unit = e.foreach {
+      case a: AttributeReference => names += a.name.toLowerCase
+      case _ => ()
+    }
+    roots.foreach {
+      case p: LogicalPlan =>
+        p.foreach { n => n.expressions.foreach(addExpr); n.output.foreach(addExpr) }
+      case e: Expression => addExpr(e)
+      case _ => ()
+    }
+    names.toSeq.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+  }
+
+  /** Rebind every attribute to the shared name-keyed id space; None when a
+    * name is outside the space (the expression cannot be compared). */
+  private def canonByName(
+      e: Expression, ids: Map[String, Long]): Option[Expression] = {
+    var ok = true
+    val r = e.transformUp {
+      case a: AttributeReference =>
+        ids.get(a.name.toLowerCase) match {
+          case Some(id) => AttributeReference(a.name.toLowerCase, a.dataType,
+            nullable = true)(exprId = ExprId(id), qualifier = Nil)
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(r) else None
+  }
+
+  private def sameExprSet(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length &&
+      a.forall(x => b.exists(_.semanticEquals(x))) &&
+      b.forall(x => a.exists(_.semanticEquals(x)))
 
   def splitConjunction(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunction(l) ++ splitConjunction(r)

@@ -218,6 +218,141 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view aggregate containment: filtered group-by scans the view") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mva"
+      (1 to 100).map(i => (i.toLong, (i % 10).toLong, i * 3L)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mva_base")
+      val qSql = "SELECT g, count(1) AS cnt, sum(v) AS sv FROM mva_base " +
+        "WHERE g >= 2 AND g <= 4 GROUP BY g"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT g, count(1) AS cnt, sum(v) AS sv FROM mva_base GROUP BY g")
+      val viewToken = viewDir.split("/").last
+
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(viewToken), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Aggregate"), s"expected no re-aggregation:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // different alias + HAVING on top still serve from the view
+      val qh = spark.sql("SELECT g, count(1) AS n FROM mva_base " +
+        "WHERE g = 7 GROUP BY g HAVING n > 1")
+      assert(qh.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qh) == Seq(Seq(7L, 10L)))
+
+      // filter on a NON-group column must not rewrite: the view's groups
+      // aggregate over rows the query excludes
+      val qn = spark.sql(
+        "SELECT g, count(1) AS cnt FROM mva_base WHERE v > 150 GROUP BY g")
+      assert(!qn.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // different grouping must not rewrite
+      val qg = spark.sql("SELECT id, count(1) AS cnt FROM mva_base GROUP BY id")
+      assert(!qg.queryExecution.optimizedPlan.toString.contains(viewToken))
+    }
+  }
+
+  test("materialized view aggregate containment honors matching row filters") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvaf"
+      (1 to 80).map(i => (i.toLong, (i % 8).toLong, i.toLong)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvaf_base")
+      val qSql = "SELECT g, sum(v) AS sv FROM mvaf_base " +
+        "WHERE v > 40 AND g <= 3 GROUP BY g"
+      val before = rowsOf(spark.sql(qSql))
+      // view filters v > 40 too: exact conjunct match; the g <= 3 leftover
+      // selects whole groups and compensates post-aggregation
+      MaterializedViews.create(spark, viewDir,
+        "SELECT g, sum(v) AS sv FROM mvaf_base WHERE v > 40 GROUP BY g")
+      val viewToken = viewDir.split("/").last
+      val q = spark.sql(qSql)
+      assert(q.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(q) == before)
+
+      // NARROWER filter on the non-group column is NOT containment here —
+      // unlike the row-level case, aggregates over fewer rows differ
+      val qn = spark.sql(
+        "SELECT g, sum(v) AS sv FROM mvaf_base WHERE v > 60 GROUP BY g")
+      assert(!qn.queryExecution.optimizedPlan.toString.contains(viewToken))
+    }
+  }
+
+  test("materialized view join containment: filtered equi-join scans the view") {
+    withTempTable { dir =>
+      val dirR = dir + "-right"
+      val viewDir = dir + "-mvj"
+      (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+        .write.format("graft").save(dir)
+      (1 to 200).map(i => (i.toLong, (i % 50 + 1).toLong, i * 2L))
+        .toDF("oid", "fk", "amt").write.format("graft").save(dirR)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvj_l")
+      spark.read.format("graft").load(dirR).createOrReplaceTempView("mvj_r")
+      val qSql = "SELECT name, amt FROM mvj_l JOIN mvj_r ON k = fk " +
+        "WHERE k >= 5 AND k <= 10 AND amt > 100"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT k, name, oid, fk, amt FROM mvj_l JOIN mvj_r ON k = fk " +
+          "WHERE k <= 20")
+      val viewToken = viewDir.split("/").last
+
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(viewToken), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join re-execution:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // commuted join condition still matches
+      val qc = spark.sql("SELECT name FROM mvj_l JOIN mvj_r ON fk = k " +
+        "WHERE k >= 5 AND k <= 10")
+      assert(qc.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // range beyond the view's filter must not rewrite
+      val q2 = spark.sql(
+        "SELECT name FROM mvj_l JOIN mvj_r ON k = fk WHERE k >= 15 AND k <= 25")
+      assert(!q2.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // different join condition must not rewrite
+      val q3 = spark.sql(
+        "SELECT name FROM mvj_l JOIN mvj_r ON k = oid WHERE k >= 5 AND k <= 10")
+      assert(!q3.queryExecution.optimizedPlan.toString.contains(viewToken))
+      cleanupView(viewDir)
+    }
+  }
+
+  test("DML on a base table is unaffected by a registered all-column view") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvd"
+      (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .write.format("graft").save(dir)
+      MaterializedViews.create(spark, viewDir, s"SELECT id, v FROM graft.`$dir`")
+      // a fresh, unfiltered, all-column view: without the DML guard the
+      // containment branch replaces the UPDATE/DELETE target relation with
+      // a Project over the view scan during resolution
+      spark.sql(s"UPDATE graft.`$dir` SET v = v + 100 WHERE id <= 5")
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 20")
+      val got = spark.read.format("graft").load(dir)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 19)
+      assert(got(1L) == 101L && got(5L) == 105L && got(6L) == 6L)
+      assert(!got.contains(20L))
+      cleanupView(viewDir)
+    }
+  }
+
+  /** Drop a test view's registration so later tests in the shared session
+    * never consult it. */
+  private def cleanupView(viewDir: String): Unit = {
+    val norm = graft.meta.SnapshotManagement.normalize(viewDir)
+    val cur = spark.conf.getOption(MaterializedViews.CONF_KEY)
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    spark.conf.set(MaterializedViews.CONF_KEY,
+      cur.filterNot(_ == norm).mkString(","))
+  }
+
   test("materialized view rewrites a matching subtree under extra operators") {
     withTempTable { dir =>
       val viewDir = dir + "-mv2"
