@@ -1,7 +1,7 @@
 package graft.rules
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -20,9 +20,35 @@ case class ResolveGraftUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable if u.resolved =>
       graftPathOf(u.table) match {
         case Some(path) =>
+          checkSupported(u.assignments, u.condition)
           toCommand(path, u.assignments, u.condition).getOrElse(u)
         case None => u
       }
+  }
+
+  /** Reject shapes the transactional rewrite cannot express, at analysis
+    * time with a clear message (reference
+    * `star/rules/PreprocessTableUpsert.scala:30-69` does the same for its
+    * DML routing): the condition and assignment values are re-bound against
+    * the command's own pinned-snapshot read, so they must be deterministic
+    * and self-contained — a subquery would otherwise surface later as an
+    * opaque parse/bind failure, and a nondeterministic expression would
+    * evaluate differently between the rewrite's copy passes. */
+  private def checkSupported(
+      assignments: Seq[Assignment], condition: Option[Expression]): Unit = {
+    def fail(what: String, e: Expression): Nothing =
+      throw new UnsupportedOperationException(
+        s"UPDATE on graft tables does not support $what: ${e.sql}")
+    condition.foreach { c =>
+      if (c.exists(_.isInstanceOf[SubqueryExpression]))
+        fail("subqueries in the WHERE condition", c)
+      if (!c.deterministic) fail("a nondeterministic WHERE condition", c)
+    }
+    assignments.foreach { a =>
+      if (a.value.exists(_.isInstanceOf[SubqueryExpression]))
+        fail("subqueries in SET values", a.value)
+      if (!a.value.deterministic) fail("nondeterministic SET values", a.value)
+    }
   }
 
   private def graftPathOf(table: LogicalPlan): Option[String] = table match {

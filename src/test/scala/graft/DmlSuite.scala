@@ -178,6 +178,31 @@ class DmlSuite extends GraftFunSuite {
     }
   }
 
+  test("SQL UPDATE rejects subqueries and nondeterministic expressions") {
+    withTempTable { dir =>
+      Seq((1L, 10), (2L, 20)).toDF("id", "v").write.format("graft").save(dir)
+      def rejected(sql: String, needle: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage.contains(needle),
+          s"expected clear '$needle' rejection, got: ${e.getMessage}")
+      }
+      rejected(
+        s"UPDATE graft.`$dir` SET v = 0 WHERE id IN " +
+          s"(SELECT id FROM graft.`$dir` WHERE v > 15)",
+        "subqueries in the WHERE condition")
+      rejected(
+        s"UPDATE graft.`$dir` SET v = (SELECT max(v) FROM graft.`$dir`)",
+        "subqueries in SET values")
+      rejected(s"UPDATE graft.`$dir` SET v = 0 WHERE rand() > 0.5",
+        "nondeterministic WHERE condition")
+      rejected(s"UPDATE graft.`$dir` SET v = CAST(rand()*10 AS INT)",
+        "nondeterministic SET values")
+      // table untouched by the rejected statements
+      assert(rowsOf(spark.read.format("graft").load(dir)) ==
+        Seq(Seq(1L, 10), Seq(2L, 20)))
+    }
+  }
+
   test("SQL UPDATE on path table") {
     withTempTable { dir =>
       Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "g", "v")
