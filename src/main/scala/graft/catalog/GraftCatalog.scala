@@ -142,13 +142,24 @@ class GraftCatalog extends DelegatingCatalogExtension {
           var info = snap.tableInfo
           var schema = info.schema
           val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          val readds = scala.collection.mutable.LinkedHashMap
+            .empty[String, org.apache.spark.sql.types.DataType]
           def isKeyColumn(n: String): Boolean =
             info.rangeColumns.contains(n) || info.hashColumns.contains(n)
           changes.foreach {
             case a: TableChange.AddColumn =>
               require(a.fieldNames().length == 1,
                 "nested column adds are not supported")
-              schema = schema.add(a.fieldNames().head, a.dataType(), a.isNullable)
+              val addName = a.fieldNames().head
+              if (info.droppedColumns.contains(addName.toLowerCase)) {
+                // the name was dropped metadata-only and old files still
+                // physically hold its pre-drop values — rewrite them below
+                // so the re-added column reads NULL, not resurrected data
+                readds += addName -> a.dataType()
+                info = info.copy(droppedColumns =
+                  info.droppedColumns.filterNot(_ == addName.toLowerCase))
+              }
+              schema = schema.add(addName, a.dataType(), a.isNullable)
             case u: TableChange.UpdateColumnNullability =>
               require(u.nullable(), "tightening nullability is not supported")
               schema = StructType(schema.fields.map(f =>
@@ -171,7 +182,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
               schema = StructType(schema.fields.map(f =>
                 if (f.name == name) f.copy(dataType = u.newDataType()) else f))
             case d: TableChange.DeleteColumn =>
-              // metadata-only: scans simply stop reading the column
+              // metadata-only: scans simply stop reading the column; a
+              // tombstone records that live files still hold its data
               require(d.fieldNames().length == 1, "nested columns not supported")
               val name = d.fieldNames().head
               require(!isKeyColumn(name),
@@ -179,6 +191,10 @@ class GraftCatalog extends DelegatingCatalogExtension {
               require(schema.fieldNames.contains(name), s"no such column $name")
               require(schema.fields.length > 1, "cannot drop the last column")
               schema = StructType(schema.fields.filterNot(_.name == name))
+              if (snap.files.nonEmpty) {
+                info = info.copy(droppedColumns =
+                  (info.droppedColumns :+ name.toLowerCase).distinct)
+              }
             case r: TableChange.RenameColumn =>
               // rename needs a transactional data rewrite: files address
               // columns by NAME (no column-id mapping), so metadata-only
@@ -230,10 +246,15 @@ class GraftCatalog extends DelegatingCatalogExtension {
             schemaJson = schema.json,
             rangeColumns = info.rangeColumns.map(c => renames.getOrElse(c, c)),
             hashColumns = info.hashColumns.map(c => renames.getOrElse(c, c)))
-          if (renames.nonEmpty && snap.files.nonEmpty) {
+          if ((renames.nonEmpty || readds.nonEmpty) && snap.files.nonEmpty) {
             val df0 = graft.commands.GraftTableFiles.read(spark, path, snap, snap.files)
-            val df = renames.foldLeft(df0) { case (d, (from, to)) =>
+            val renamed = renames.foldLeft(df0) { case (d, (from, to)) =>
               d.withColumnRenamed(from, to)
+            }
+            // re-added tombstoned columns materialize as NULL so rewritten
+            // files no longer carry the stale pre-drop values
+            val df = readds.foldLeft(renamed) { case (d, (n, dt)) =>
+              d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
             }
             val files = graft.write.TransactionalWrite.writeFiles(
               spark, path, newInfo, df, isBase = true)

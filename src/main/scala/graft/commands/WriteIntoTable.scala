@@ -184,6 +184,16 @@ object WriteIntoTable {
       spark.conf.getOption("spark.graft.schema.autoMerge.enabled").exists(_.toBoolean))
     val newCols = dfSchema.fields.filter(f =>
       !tableSchema.fieldNames.map(_.toLowerCase).contains(f.name.toLowerCase))
+    // a name dropped metadata-only may still exist physically in old files;
+    // re-introducing it via implicit merge would resurrect those values
+    val resurrected = newCols.filter(f =>
+      info.droppedColumns.contains(f.name.toLowerCase))
+    if (resurrected.nonEmpty) {
+      throw new GraftWriteException(
+        s"column(s) ${resurrected.map(_.name).mkString(", ")} were previously " +
+        "dropped and old data files may still hold their values; re-add them " +
+        "with ALTER TABLE ... ADD COLUMN (which rewrites the stale data)")
+    }
     if (newCols.nonEmpty && !mergeEnabled) {
       throw new GraftWriteException(
         s"columns ${newCols.map(_.name).mkString(", ")} not present in table " +

@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (Delta-style logs) use. This keeps commits transactional without any
   * external service and scales: the log is O(commits), never O(rows).
   */
+/** @param droppedColumns lowercase names of columns dropped metadata-only
+  *   while data files still physically held them. Files address columns by
+  *   NAME (no column-id mapping), so re-introducing such a name without
+  *   care would resurrect pre-drop values from old files; the catalog's
+  *   ADD COLUMN consults this list and rewrites stale data first, and the
+  *   write path refuses to re-add the name via implicit schema merge. */
 case class TableInfo(
     tableId: String,
     schemaJson: String,
@@ -25,7 +31,8 @@ case class TableInfo(
     hashColumns: Seq[String] = Nil,
     bucketNum: Int = -1,
     configuration: Map[String, String] = Map.empty,
-    shortName: Option[String] = None) {
+    shortName: Option[String] = None,
+    droppedColumns: Seq[String] = Nil) {
   def schema: StructType =
     if (schemaJson.isEmpty) new StructType()
     else DataType.fromJson(schemaJson).asInstanceOf[StructType]

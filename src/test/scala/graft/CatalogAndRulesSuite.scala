@@ -158,6 +158,44 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("re-added dropped column reads NULL, not resurrected file data") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gtomb")
+      s2.sql(s"CREATE TABLE gtomb (id BIGINT, c INT) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gtomb VALUES (1, 111), (2, 222)")
+      s2.sql("ALTER TABLE gtomb DROP COLUMN c")
+      // old files still physically hold c=111/222; re-adding the name must
+      // NOT resurrect them (files address columns by name)
+      s2.sql("ALTER TABLE gtomb ADD COLUMN c INT")
+      assert(rowsOf(s2.sql("SELECT id, c FROM gtomb")) ==
+        Seq(Seq(1L, null), Seq(2L, null)))
+      // and the re-added column is fully writable afterwards
+      s2.sql("INSERT INTO gtomb VALUES (3, 333)")
+      assert(rowsOf(s2.sql("SELECT id, c FROM gtomb WHERE id = 3")) ==
+        Seq(Seq(3L, 333)))
+      s2.sql("DROP TABLE gtomb")
+    }
+  }
+
+  test("schema-merge append cannot resurrect a dropped column name") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gtomb2")
+      s2.sql(s"CREATE TABLE gtomb2 (id BIGINT, c INT) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gtomb2 VALUES (1, 111)")
+      s2.sql("ALTER TABLE gtomb2 DROP COLUMN c")
+      val e = intercept[Exception] {
+        Seq((9L, 9)).toDF("id", "c").write.format("graft").mode("append")
+          .option("mergeSchema", "true").save(s"$dir/t")
+      }
+      assert(e.getMessage.contains("previously"), e.getMessage)
+      s2.sql("DROP TABLE gtomb2")
+    }
+  }
+
   test("materialized view containment: narrower range query scans the view") {
     withTempTable { dir =>
       val viewDir = dir + "-mvc"
