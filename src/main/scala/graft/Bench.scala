@@ -42,6 +42,9 @@ object Bench {
           }
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name run $i: $secs%.2f s")
+        // result consumed: drop the run's stabilized pipeline blocks so the
+        // block manager stays flat across the whole suite
+        graft.llm.Checkpoints.releaseAll()
         if (ok) Some(secs) else None
       }
       if (times.isEmpty) errors += name

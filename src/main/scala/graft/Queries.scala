@@ -245,7 +245,7 @@ object Queries {
 
     "q_simhash" -> ((s, sf) =>
       SimHash.nearDuplicates(GraftData.documentsRange(s, sf), "doc_id", "text",
-        maxHamming = 16)),
+        maxHamming = 3)),
 
     "q_ann_brute" -> ((s, sf) => {
       val emb = GraftData.embeddingsPlain(s, sf)

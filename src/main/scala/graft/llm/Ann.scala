@@ -112,7 +112,7 @@ object Ann {
     // scoring) — an eager localCheckpoint runs the explode+norm pipeline
     // once, truncates lineage (small downstream plans), and leaves no
     // CacheManager entry to tax later queries' planning
-    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").localCheckpoint()
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
     val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
     // coarse centroids: deterministic sample (first nCentroids by id —
     // embeddings carry no id-order structure; k-means would refine)

@@ -1,0 +1,69 @@
+package graft.llm
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Pipeline-stage stabilization for the multi-pass LLM operators.
+  *
+  * The banded/bucketed dedup and ANN pipelines each feed an expensive
+  * intermediate frame (signatures, fingerprints, unit vectors) into two or
+  * three consumers. Re-running the producer per consumer doubles the work;
+  * `persist()` avoids that but registers a CacheManager entry whose
+  * canonicalized-plan matching taxes EVERY later query's planning in the
+  * session (a measured 25x slowdown in a past round). The default is an
+  * eager `localCheckpoint`: one materialization, truncated lineage, no
+  * cache entry.
+  *
+  * `localCheckpoint` has a documented cluster caveat: its blocks live only
+  * on executors with lineage cut, so under dynamic allocation a lost
+  * executor fails the job unrecoverably. `spark.graft.checkpoint.mode`
+  * picks the trade-off per deployment:
+  *   - `local` (default): eager localCheckpoint — fastest, right for a
+  *     static-executor or local[N] session.
+  *   - `persist`: MEMORY_AND_DISK persist — recomputable on executor loss
+  *     (elastic clusters), at the cost of lineage-sized plans and the
+  *     CacheManager planning tax while the pipeline's blocks are live.
+  *   - `none`: no stabilization — the producer re-runs per consumer;
+  *     correct everywhere, predictable cost, no state left behind.
+  *
+  * Every stabilized block is tracked; [[releaseAll]] drops them once the
+  * pipeline's result has been CONSUMED (releasing a localCheckpoint before
+  * consumption would fail downstream jobs — the lineage is gone). The
+  * benchmark calls it between runs; long-lived sessions should call it at
+  * pipeline boundaries to keep the block manager flat.
+  */
+object Checkpoints {
+
+  val MODE_KEY = "spark.graft.checkpoint.mode"
+
+  private val tracked = new ConcurrentLinkedQueue[() => Unit]()
+
+  def stabilize(df: DataFrame): DataFrame = {
+    df.sparkSession.conf.getOption(MODE_KEY).getOrElse("local") match {
+      case "none" => df
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        tracked.add(() => { p.unpersist(blocking = false); () })
+        p
+      case _ =>
+        val c = df.localCheckpoint()
+        // the checkpointed blocks belong to the LogicalRDD's internal RDD;
+        // track it directly so release does not depend on RDD GC timing
+        castToImpl(c).queryExecution.analyzed.collectFirst {
+          case lr: LogicalRDD => lr.rdd
+        }.foreach(rdd => tracked.add(() => { rdd.unpersist(blocking = false); () }))
+        c
+    }
+  }
+
+  /** Drop every block stabilized since the last call. Only call once the
+    * pipeline results built on them have been fully consumed. */
+  def releaseAll(): Unit = {
+    var f = tracked.poll()
+    while (f != null) { f(); f = tracked.poll() }
+  }
+}

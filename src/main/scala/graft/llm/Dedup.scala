@@ -75,7 +75,7 @@ object Dedup {
     // the driver on every subsequent query in the session.
     val filtered = sh.withColumn("freq", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("freq") <= maxKeyFreq).drop("freq")
-      .localCheckpoint()
+      .transform(Checkpoints.stabilize)
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
@@ -136,7 +136,7 @@ object Dedup {
         b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows)), b)
           .as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .localCheckpoint()
+      .transform(Checkpoints.stabilize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -176,7 +176,7 @@ object Dedup {
     val unit = expl.join(keyed, "doc_id")
       .select(col("doc_id"), col("bucket"), col("dim"),
         (col("x") / col("n")).as("x"))
-      .localCheckpoint()
+      .transform(Checkpoints.stabilize)
     unit.as("a").join(unit.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -198,7 +198,7 @@ object Dedup {
     // 64-aggregate signature lineage — keeping every downstream plan small —
     // and leaves no CacheManager entry to slow later queries' planning.
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-      .localCheckpoint()
+      .transform(Checkpoints.stabilize)
     // Attributable-bench metric: a regression here is a candidate explosion
     // (s-curve vs corpus similarity profile), not a plan defect.
     System.err.println(s"[graft-dedup] minhash candidate pairs: ${cands.count()}")
@@ -207,7 +207,7 @@ object Dedup {
     val candDocs = df.join(broadcast(candIds),
       col(s"`$idCol`") === col("cand_id"), "left_semi")
     // Checkpointed: consumed three times below (sizes + both verify joins).
-    val sh = shingleRows(candDocs, idCol, textCol).localCheckpoint()
+    val sh = shingleRows(candDocs, idCol, textCol).transform(Checkpoints.stabilize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))

@@ -29,19 +29,41 @@ object SimHash {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Candidate pairs whose fingerprints share at least one of four 16-bit
-    * bands, with exact hamming distance attached (bit_count of xor). */
+  /** Candidate pairs within `maxHamming` bit flips, with exact hamming
+    * distance attached (bit_count of xor).
+    *
+    * The 64 fingerprint bits are partitioned into `maxHamming + 1` bands,
+    * so by pigeonhole ANY pair within the advertised distance shares at
+    * least one untouched band and is guaranteed to surface as a candidate
+    * — band count derives from the threshold rather than silently capping
+    * recall. Wider thresholds mean narrower band keys and more candidate
+    * pairs: the honest cost of the guarantee.
+    */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // eager localCheckpoint: the banded self-join below consumes the
     // fingerprint pipeline twice; checkpointing runs it once and keeps the
     // downstream plan small (and leaves no CacheManager entry)
-    val fp = fingerprints(df, idCol, textCol).localCheckpoint()
-    val banded = fp.select(col("doc_id"), col("simhash"), explode(array(
-      (0 until 4).map(b => struct(
-        lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-      .as("bk"))
+    val fp = Checkpoints.stabilize(fingerprints(df, idCol, textCol))
+    nearDuplicatesFromFingerprints(fp, maxHamming)
+  }
+
+  /** Banded candidate join over a precomputed (doc_id, simhash) frame. */
+  def nearDuplicatesFromFingerprints(
+      fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // the first `extra` bands are one bit wider
+    val widths = (0 until bands).map(b => if (b < extra) base + 1 else base)
+    val starts = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = fp
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -58,6 +58,41 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(nd.contains((1L, 2L)))
   }
 
+  test("simhash banding guarantees recall up to maxHamming (pigeonhole)") {
+    // hamming-5 pair with the differing bits spread so that the old fixed
+    // 4x16 banding shares NO band (bits 0/16/32/48/63 hit all four): the
+    // derived maxHamming+1 = 6 bands must still surface it
+    val far = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 63)
+    val fp = Seq((1L, 0L), (2L, far)).toDF("doc_id", "simhash")
+    val got = SimHash.nearDuplicatesFromFingerprints(fp, maxHamming = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 5)), s"pair missed: ${got.toSeq}")
+    // below the distance the pair must not be reported
+    assert(SimHash.nearDuplicatesFromFingerprints(fp, maxHamming = 4).count() == 0)
+  }
+
+  test("checkpoint blocks release; persist/none modes work") {
+    def pipelineOnce(): Unit = {
+      val df = (0 until 30).map(i => (i.toLong, sentence(40))).toDF("doc_id", "text")
+      Dedup.minhashNearDuplicates(df, "doc_id", "text", minJaccardPct = 50).count()
+    }
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    pipelineOnce()
+    assert(sc.getPersistentRDDs.size > before,
+      "expected the pipeline to leave stabilized blocks before release")
+    Checkpoints.releaseAll()
+    assert(sc.getPersistentRDDs.size <= before,
+      s"blocks leaked: ${sc.getPersistentRDDs.size} > $before")
+    // alternate modes produce the same results and also release cleanly
+    for (mode <- Seq("persist", "none")) {
+      spark.conf.set(Checkpoints.MODE_KEY, mode)
+      try pipelineOnce() finally spark.conf.unset(Checkpoints.MODE_KEY)
+      Checkpoints.releaseAll()
+      assert(sc.getPersistentRDDs.size <= before, s"mode $mode leaked blocks")
+    }
+  }
+
   test("brute-force ANN matches in-memory exact top-k") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
