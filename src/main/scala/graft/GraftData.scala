@@ -61,10 +61,19 @@ object GraftData {
     * (integer division — nanosecond longs exceed double precision). */
   def eventsPlain(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "events") { dir =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      parquet(spark, sfDir, "events")
+      // scoped conf change, not a lasting session mutation: the legacy
+      // nanos knob has no per-read parquet option, so set it only around
+      // this one eager conversion and restore the caller's value
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try parquet(spark, sfDir, "events")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .write.format("graft").save(dir)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     })
 
   def nationPlain(spark: SparkSession, sfDir: String): DataFrame =

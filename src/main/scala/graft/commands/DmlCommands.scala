@@ -230,7 +230,8 @@ object CompactionCommand {
       spark: SparkSession,
       tablePath: String,
       force: Boolean = true,
-      partitionPredicate: Option[String] = None): Unit = {
+      partitionPredicate: Option[String] = None,
+      rangeKeys: Option[Set[String]] = None): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
@@ -238,10 +239,13 @@ object CompactionCommand {
       val info = snapshot.tableInfo
       val maxDelta = spark.conf.getOption("spark.graft.compaction.deltaFileMaxNum")
         .map(_.toInt).getOrElse(5)
-      val candidateKeys: Set[String] = partitionPredicate match {
-        case Some(p) => PartitionFilter.matchingRangeKeys(spark, snapshot,
-          Seq(org.apache.spark.sql.graft.SparkShims.expression(expr(p))))
-        case None => snapshot.filesByRange.keySet
+      val candidateKeys: Set[String] = rangeKeys match {
+        case Some(keys) => keys
+        case None => partitionPredicate match {
+          case Some(p) => PartitionFilter.matchingRangeKeys(spark, snapshot,
+            Seq(org.apache.spark.sql.graft.SparkShims.expression(expr(p))))
+          case None => snapshot.filesByRange.keySet
+        }
       }
       // PK tables: compact partitions holding delta files. Non-PK tables:
       // bin-pack partitions fragmented into many small files (small-file
@@ -358,7 +362,38 @@ object CleanupCommand {
           .flatMap(d => orphansUnder(Paths.get(d), liveB.value, doDelete))
           .collect().toSeq
       }
-    rootDeleted ++ dirDeleted
+    rootDeleted ++ dirDeleted ++ vacuumStaging(root, cutoff, dryRun)
+  }
+
+  /** Parquet staged by a write that crashed BEFORE moving files into the
+    * table layout lives only under `_graft_staging/<id>/` — no snapshot
+    * ever references it, so the main walk (which skips the staging dir to
+    * protect in-flight writes) would leak it forever. A staging dir whose
+    * last modification predates the retention cutoff can belong only to a
+    * dead writer: delete it whole. */
+  private def vacuumStaging(
+      root: java.nio.file.Path, cutoff: Long, dryRun: Boolean): Seq[String] = {
+    val stagingRoot = root.resolve("_graft_staging")
+    if (!Files.isDirectory(stagingRoot)) return Nil
+    val txnDirs = {
+      val s = Files.list(stagingRoot)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.forEach(b += _)
+        b.result()
+      } finally s.close()
+    }
+    txnDirs.filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+      .flatMap { d =>
+        val staged = Seq.newBuilder[String]
+        val walk = Files.walk(d)
+        try walk.forEach(p =>
+          if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            staged += p.toString)
+        finally walk.close()
+        if (!dryRun) graft.write.TransactionalWrite.deleteRecursively(d)
+        staged.result()
+      }
   }
 }
 

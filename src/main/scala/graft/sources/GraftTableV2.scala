@@ -100,16 +100,25 @@ class GraftTableV2(
     // pays once. Auto-compaction bounds fan-in going forward; this guard
     // covers pre-existing stacks. Never triggers on pinned reads (time
     // travel, DML-internal).
+    val healEnabled = spark.conf
+      .getOption("spark.graft.scan.heal.enabled").forall(_.toBoolean)
     val snapshot =
-      if (pinnedSnapshot.isDefined || !snapshot0.tableInfo.hasPrimaryKey) snapshot0
+      if (pinnedSnapshot.isDefined || !healEnabled ||
+          !snapshot0.tableInfo.hasPrimaryKey) snapshot0
       else {
         val limit = spark.conf.getOption("spark.graft.scan.mergeFanInLimit")
           .map(_.toInt).getOrElse(64)
-        val deep = snapshot0.files.groupBy(f => (f.rangeKey, f.bucket))
-          .exists(_._2.length > limit)
-        if (!deep) snapshot0
+        // heal ONLY the offending range partitions: compacting the whole
+        // table from a read path would turn one deep partition into a
+        // full-table rewrite racing every concurrent writer. With the heal
+        // disabled (read-only contexts), the wide fan-in merge still runs —
+        // slower, but commit-free.
+        val deepKeys = snapshot0.files.groupBy(f => (f.rangeKey, f.bucket))
+          .filter(_._2.length > limit).keySet.map(_._1)
+        if (deepKeys.isEmpty) snapshot0
         else {
-          graft.commands.CompactionCommand.run(spark, path, force = true)
+          graft.commands.CompactionCommand.run(spark, path, force = true,
+            rangeKeys = Some(deepKeys))
           SnapshotManagement.snapshotOpt(path).getOrElse(snapshot0)
         }
       }

@@ -206,6 +206,47 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("scan-time heal compacts only the offending range partition") {
+    withTempTable { dir =>
+      spark.conf.set("spark.graft.scan.mergeFanInLimit", "5")
+      try {
+        Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "g", "v")
+          .write.format("graft").option("rangePartitions", "g")
+          .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+        val t = GraftTable.forPath(spark, dir)
+        (1 to 7).foreach(i => t.upsert(Seq((1L, "a", i)).toDF("id", "g", "v")))
+        val bBefore = GraftTable.forPath(spark, dir).snapshot.files
+          .filter(_.rangeKey == "g=b").map(_.path).sorted
+        assert(t.toDF.filter(col("g") === "a").select("v").head().getInt(0) == 7)
+        val after = GraftTable.forPath(spark, dir).snapshot
+        assert(!after.files.exists(f => f.rangeKey == "g=a" && !f.isBase),
+          "deep partition must be healed")
+        assert(after.files.filter(_.rangeKey == "g=b").map(_.path).sorted
+          == bBefore, "shallow partition must not be rewritten by the heal")
+      } finally spark.conf.unset("spark.graft.scan.mergeFanInLimit")
+    }
+  }
+
+  test("scan-time heal can be disabled; wide fan-in merge still reads") {
+    withTempTable { dir =>
+      spark.conf.set("spark.graft.scan.mergeFanInLimit", "5")
+      spark.conf.set("spark.graft.scan.heal.enabled", "false")
+      try {
+        Seq((1L, 0)).toDF("id", "v").write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+        val t = GraftTable.forPath(spark, dir)
+        (1 to 7).foreach(i => t.upsert(Seq((1L, i)).toDF("id", "v")))
+        // no commit happens from the read path; the merge just opens wide
+        assert(t.toDF.select("v").head().getInt(0) == 7)
+        assert(GraftTable.forPath(spark, dir).snapshot.hasDeltaFiles,
+          "disabled heal must not commit")
+      } finally {
+        spark.conf.unset("spark.graft.scan.mergeFanInLimit")
+        spark.conf.unset("spark.graft.scan.heal.enabled")
+      }
+    }
+  }
+
   test("metadata checkpointing bounds replay to the checkpoint interval") {
     withTempTable { dir =>
       Seq((0L, 0)).toDF("id", "v").write.format("graft").save(dir) // v0

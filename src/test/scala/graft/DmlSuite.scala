@@ -112,6 +112,31 @@ class DmlSuite extends GraftFunSuite {
     }
   }
 
+  test("cleanup reclaims staging dirs from crashed writes past retention") {
+    withTempTable { dir =>
+      import java.nio.file.{Files, Paths}
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      // a write that died before moving files into the layout leaves its
+      // parquet only under _graft_staging — unreferenced by any snapshot
+      val dead = Paths.get(dir, "_graft_staging", "dead-txn")
+      Files.createDirectories(dead)
+      Files.write(dead.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      val t = GraftTable.forPath(spark, dir)
+      spark.conf.set("spark.graft.cleanup.retentionCheck.enabled", "false")
+      try {
+        // fresh staging (possible in-flight write) is protected
+        assert(t.cleanup(retainMillis = 60000, dryRun = true).isEmpty)
+        // past retention it can only be a dead writer's leftovers
+        Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 120000))
+        val removed = t.cleanup(retainMillis = 60000)
+        assert(removed.exists(_.contains("dead-txn")), removed.toString)
+        assert(!Files.exists(dead))
+      } finally spark.conf.unset("spark.graft.cleanup.retentionCheck.enabled")
+      assertSameRows(t.toDF.select("id", "v"), Seq((1L, 1)).toDF("id", "v"))
+    }
+  }
+
   test("cleanup distributes over partition directories") {
     withTempTable { dir =>
       Seq((1, "us", 1), (2, "de", 2)).toDF("id", "country", "v")
