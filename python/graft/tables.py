@@ -1,0 +1,127 @@
+"""Python binding for graft tables (reference ``python/star/tables.py``).
+
+Thin py4j wrappers over the JVM-side ``graft.tables.PyBridge``; every
+operation is the same transactional command the Scala API runs. Use from a
+PySpark session whose JVM has the graft jar on its classpath::
+
+    from graft.tables import GraftTable
+
+    t = GraftTable.forPath(spark, "/path/to/table")
+    t.upsert(df)
+    t.update(condition="id = 3", set={"v": "v * 2"})
+    t.delete("v < 0")
+    t.compaction()
+"""
+
+from pyspark.sql import Column, DataFrame, functions
+
+
+class GraftTable(object):
+    """A graft table addressed by its root path."""
+
+    def __init__(self, spark, jtable):
+        self._spark = spark
+        self._jtable = jtable
+        self._jbridge = spark._sc._jvm.graft.tables.PyBridge
+
+    # ---- constructors ---------------------------------------------------
+
+    @classmethod
+    def forPath(cls, sparkSession, path):
+        """Load the graft table rooted at ``path``."""
+        assert sparkSession is not None
+        jtable = sparkSession._sc._jvm.graft.tables.PyBridge.forPath(
+            sparkSession._jsparkSession, path)
+        return cls(sparkSession, jtable)
+
+    @classmethod
+    def isGraftTable(cls, sparkSession, path):
+        """Whether ``path`` is the root of a graft table."""
+        assert sparkSession is not None
+        return sparkSession._sc._jvm.graft.tables.PyBridge.exists(path)
+
+    # ---- reads ----------------------------------------------------------
+
+    def toDF(self):
+        """DataFrame over the table's current snapshot (merge-on-read)."""
+        return DataFrame(self._jbridge.toDF(self._jtable), self._spark)
+
+    def history(self):
+        """DataFrame of the table's commit history."""
+        return DataFrame(self._jbridge.history(self._jtable), self._spark)
+
+    # ---- DML ------------------------------------------------------------
+
+    def upsert(self, source, mode="delta"):
+        """Upsert ``source`` by primary key (``mode``: "delta" or "merge")."""
+        if not isinstance(source, DataFrame):
+            raise TypeError(
+                "source must be a DataFrame, got %s" % type(source))
+        self._jbridge.upsert(self._jtable, source._jdf, mode)
+
+    def update(self, condition=None, set=None):
+        """Update rows matching ``condition`` with the ``set`` rules.
+
+        ``condition`` is a SQL string or Column (None updates every row);
+        ``set`` maps column names to SQL strings or Columns.
+        """
+        if set is None:
+            raise ValueError("'set' is required")
+        jcond = self._to_jcolumn(
+            condition if condition is not None else functions.lit(True))
+        jmap = self._spark._sc._jvm.java.util.HashMap()
+        for name, value in set.items():
+            if not isinstance(name, str):
+                raise TypeError(
+                    "'set' keys must be column-name strings, got %s"
+                    % type(name))
+            jmap.put(name, self._to_jcolumn(value, "'set' value"))
+        self._jbridge.update(self._jtable, jcond, jmap)
+
+    def delete(self, condition=None):
+        """Delete rows matching ``condition`` (None deletes every row)."""
+        if condition is None:
+            self._jbridge.deleteExpr(self._jtable, "true")
+        else:
+            self._jbridge.delete(self._jtable, self._to_jcolumn(condition))
+
+    # ---- maintenance ----------------------------------------------------
+
+    def compaction(self, force=True, partitionPredicate=None):
+        """Merge delta files (and bin-pack small files) into base files."""
+        if partitionPredicate is not None \
+                and not isinstance(partitionPredicate, str):
+            raise TypeError("partitionPredicate must be a SQL string, got %s"
+                            % type(partitionPredicate))
+        self._jbridge.compaction(
+            self._jtable, bool(force), partitionPredicate or "")
+
+    def cleanup(self, retainMillis=5 * 3600 * 1000, dryRun=False):
+        """Vacuum unreferenced files older than ``retainMillis``.
+
+        Returns the list of removed (or, with ``dryRun``, removable) paths.
+        """
+        return list(self._jbridge.cleanup(
+            self._jtable, int(retainMillis), bool(dryRun)))
+
+    def dropPartition(self, predicate):
+        """Drop the range partitions matching the SQL ``predicate``."""
+        if not isinstance(predicate, str):
+            raise TypeError(
+                "predicate must be a SQL string, got %s" % type(predicate))
+        self._jbridge.dropPartition(self._jtable, predicate)
+
+    def dropTable(self):
+        """Delete the table's data and metadata."""
+        self._jbridge.dropTable(self._jtable)
+
+    # ---- helpers --------------------------------------------------------
+
+    def _to_jcolumn(self, condition, argname="'condition'"):
+        if isinstance(condition, Column):
+            return condition._jc
+        if isinstance(condition, str):
+            return functions.expr(condition)._jc
+        raise TypeError(
+            "%s must be a Column or a SQL string, got %s"
+            % (argname, type(condition)))

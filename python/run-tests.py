@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Smoke test for the graft Python binding (reference ``python/run-tests.py``).
+
+Needs pyspark and the compiled graft classes::
+
+    sbt compile
+    python3 python/run-tests.py
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "python"))
+
+CLASSES = os.path.join(ROOT, "target", "scala-2.13", "classes")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def check(name, ok):
+    print("%s %s" % ("PASS" if ok else "FAIL", name))
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    extra = CLASSES
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.driver.extraClassPath", extra)
+             .config("spark.executor.extraClassPath", extra)
+             .config("spark.sql.extensions",
+                     "graft.rules.GraftSparkSessionExtension")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="graft-py-")
+    path = os.path.join(tmp, "t")
+    try:
+        from graft.tables import GraftTable
+
+        (spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long")
+         .write.format("graft")
+         .option("hashPartitions", "id").option("hashBucketNum", "2")
+         .save(path))
+        check("isGraftTable", GraftTable.isGraftTable(spark, path))
+
+        t = GraftTable.forPath(spark, path)
+        check("toDF", t.toDF().count() == 3)
+
+        t.upsert(spark.createDataFrame([(2, 200), (4, 40)], "id long, v long"))
+        got = {r["id"]: r["v"] for r in t.toDF().collect()}
+        check("upsert", got == {1: 10, 2: 200, 3: 30, 4: 40})
+
+        t.update(condition="id = 1", set={"v": "v + 5"})
+        t.update(condition=F.col("id") == 3, set={"v": F.lit(0)})
+        got = {r["id"]: r["v"] for r in t.toDF().collect()}
+        check("update", got[1] == 15 and got[3] == 0)
+
+        t.delete("v = 0")
+        check("delete", t.toDF().count() == 3)
+
+        t.compaction()
+        check("compaction", t.toDF().count() == 3)
+
+        check("cleanup dryRun", t.cleanup(dryRun=True) == [])
+
+        check("history", t.history().count() >= 4)
+
+        t.dropTable()
+        check("dropTable", not GraftTable.isGraftTable(spark, path))
+        print("ALL PASS")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+package graft.tables
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Py4J-friendly entry points for the Python binding (reference
+  * `python/star/tables.py:1-291` calls the JVM side the same way).
+  *
+  * Py4J resolves methods by exact reflected arity and speaks Java
+  * collections, so this bridge exposes overloads instead of Scala default
+  * arguments and accepts `java.util.Map`/nullable strings where the Scala
+  * API uses Scala maps and `Option`s. It contains no logic of its own —
+  * every call lands on [[GraftTable]].
+  */
+object PyBridge {
+
+  def forPath(spark: SparkSession, path: String): GraftTable =
+    GraftTable.forPath(spark, path)
+
+  def exists(path: String): Boolean = GraftTable.exists(path)
+
+  def toDF(t: GraftTable): DataFrame = t.toDF
+
+  def history(t: GraftTable): DataFrame = t.history()
+
+  def upsert(t: GraftTable, source: DataFrame): Unit = t.upsert(source)
+
+  def upsert(t: GraftTable, source: DataFrame, mode: String): Unit =
+    t.upsert(source, mode)
+
+  def update(
+      t: GraftTable, condition: Column,
+      set: java.util.Map[String, Column]): Unit =
+    t.update(condition, set.asScala.toMap)
+
+  def updateExpr(
+      t: GraftTable, condition: String,
+      set: java.util.Map[String, String]): Unit =
+    t.updateExpr(condition, set.asScala.toMap)
+
+  def delete(t: GraftTable, condition: Column): Unit = t.delete(condition)
+
+  def deleteExpr(t: GraftTable, condition: String): Unit =
+    t.deleteExpr(condition)
+
+  /** `predicate` empty or null compacts every partition. */
+  def compaction(t: GraftTable, force: Boolean, predicate: String): Unit =
+    t.compaction(force, Option(predicate).filter(_.nonEmpty))
+
+  def cleanup(
+      t: GraftTable, retainMillis: Long,
+      dryRun: Boolean): java.util.List[String] =
+    t.cleanup(retainMillis, dryRun).asJava
+
+  def dropTable(t: GraftTable): Unit = t.dropTable()
+
+  def dropPartition(t: GraftTable, predicate: String): Unit =
+    t.dropPartition(predicate)
+}
