@@ -65,17 +65,18 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minInter: Int = 3, maxKeyFreq: Int = 1000): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, k)
-    // skew guard: drop shingles shared by too many documents
-    // localCheckpoint (NOT persist): pairStats consumes this frame three
-    // times (both join sides + per-doc sizes). An eager checkpoint runs the
-    // tokenize/window pipeline once AND truncates the lineage, so the
-    // downstream self-join plans stay small; persist() would instead
-    // register a CacheManager entry whose canonicalized-plan matching taxes
-    // the driver on every subsequent query in the session.
-    val filtered = sh.withColumn("freq", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("freq") <= maxKeyFreq).drop("freq")
-      .transform(Checkpoints.stabilize)
+    // stabilized (eager localCheckpoint by default): the hot-shingle
+    // aggregate, both self-join sides and the per-doc sizes all read this
+    // frame — one tokenize pass, truncated lineage, no CacheManager entry
+    // (persist() plan-matching taxed every later query in the session).
+    val sh = Checkpoints.stabilize(shingleRows(df, idCol, textCol, k))
+    // skew guard: drop shingles shared by too many documents. A hash
+    // aggregate + broadcast anti-join — the hot set is tiny by definition —
+    // where a count-over-window would shuffle AND sort every (doc_id,
+    // shingle) row just to learn each shingle's frequency.
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxKeyFreq).select("s")
+    val filtered = sh.join(broadcast(hot), Seq("s"), "left_anti")
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 

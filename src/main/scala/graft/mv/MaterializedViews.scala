@@ -208,11 +208,11 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     // predicate (query rows ⊆ view rows)
     val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
     val vConjuncts = view.cond.map(splitConjunction).getOrElse(Nil)
+    val ids = exprIdSpace(Seq(sub, view.rel) ++ qConjuncts ++ vConjuncts)
     val qBounds = columnBounds(qConjuncts)
-    val qCanon = qConjuncts.map(_.canonicalized)
-    val contained = vConjuncts.forall { vc =>
-      qCanon.contains(vc.canonicalized) || impliedByBounds(vc, qBounds)
-    }
+    val qCanon = qConjuncts.flatMap(canonByName(_, ids))
+    val contained = vConjuncts.forall(vc =>
+      conjunctImplied(vc, qCanon, qConjuncts, qBounds, canonByName(_, ids)))
     if (!contained) return None
     // build: Project(remapped q.projList, Filter(remapped q.cond, viewScan))
     val scan = viewScan(viewPath)
@@ -364,14 +364,12 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
         qJoin.length != q.joinConjuncts.length) return None
     if (!sameExprSet(vJoin, qJoin)) return None
     // row containment: every view conjunct exactly matched or implied by
-    // the query's per-column bounds
+    // the query's per-column bounds (OR-blocks and IN-lists included)
     val qCanonConj = q.filterConjuncts.flatMap(canon)
     if (qCanonConj.length != q.filterConjuncts.length) return None
     val qBounds = columnBounds(q.filterConjuncts)
-    val contained = view.filterConjuncts.forall { vc =>
-      canon(vc).exists(vcc => qCanonConj.exists(_.semanticEquals(vcc))) ||
-        impliedByBounds(vc, qBounds)
-    }
+    val contained = view.filterConjuncts.forall(vc =>
+      conjunctImplied(vc, qCanonConj, q.filterConjuncts, qBounds, canon))
     if (!contained) return None
     // the view must expose every column the query touches
     val baseToViewCol: Map[String, String] = view.projList.flatMap {
@@ -555,14 +553,85 @@ object RewriteQueryByMaterialView {
       a.forall(x => b.exists(_.semanticEquals(x))) &&
       b.forall(x => a.exists(_.semanticEquals(x)))
 
+  /** Type coercion wraps columns in no-op casts (`cast(id#L as bigint) IN
+    * (...)` with id already bigint) — strip them so the attribute patterns
+    * below see the bare column. Only IDENTITY casts are removed. */
+  private def stripIdentityCasts(e: Expression): Expression = e.transformUp {
+    case c: Cast if c.child.dataType == c.dataType => c.child
+  }
+
   def splitConjunction(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunction(l) ++ splitConjunction(r)
     // analyzed plans keep BETWEEN as a RuntimeReplaceable node; split it
     // into its two bound comparisons so range analysis sees them
     case b: Between =>
       Seq(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper))
+        .map(stripIdentityCasts)
+    case other => Seq(stripIdentityCasts(other))
+  }
+
+  private def splitDisjunction(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjunction(l) ++ splitDisjunction(r)
     case other => Seq(other)
   }
+
+  /** Is the view conjunct `vc` implied by the query's predicate (i.e.
+    * query rows ⊆ rows satisfying `vc`)? Checks, in order:
+    *   - exact name-normalized match against a query conjunct;
+    *   - OR-blocks (reference `material_view/OrInfo.scala`): implied when
+    *     ANY disjunct is fully implied — each disjunct may itself be a
+    *     conjunction, which must then be implied conjunct-by-conjunct;
+    *   - IN-lists: implied by a query equality pinning the column to a
+    *     member, or by a query IN over a subset of the values;
+    *   - per-column range implication ([[impliedByBounds]]).
+    */
+  private def conjunctImplied(
+      vc: Expression, qCanon: Seq[Expression], qConjuncts: Seq[Expression],
+      bounds: Map[String, ColBounds],
+      canon: Expression => Option[Expression]): Boolean = {
+    val exact = canon(vc).exists(c => qCanon.exists(_.semanticEquals(c)))
+    exact || (vc match {
+      case _: Or =>
+        splitDisjunction(vc).exists(d => splitConjunction(d).forall(c =>
+          conjunctImplied(c, qCanon, qConjuncts, bounds, canon)))
+      case In(a: AttributeReference, vs) if vs.forall(_.foldable) =>
+        inListImplied(a, vs, qConjuncts, bounds)
+      case _ => impliedByBounds(vc, bounds)
+    })
+  }
+
+  /** View `a IN (vs)` is implied when the query pins `a` to a member of
+    * `vs` (equality bounds) or filters on an IN over a SUBSET of `vs`. */
+  private def inListImplied(
+      a: AttributeReference, vs: Seq[Expression],
+      qConjuncts: Seq[Expression], bounds: Map[String, ColBounds]): Boolean = {
+    val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+    val viewVals = vs.map(litValue(_, a.dataType))
+    if (viewVals.contains(null)) return false
+    def isMember(x: Any): Boolean = viewVals.exists(v => ord.compare(x, v) == 0)
+    val byEquality = bounds.get(a.name.toLowerCase).exists(b =>
+      (b.lo, b.hi) match {
+        case (Some(lo), Some(hi)) =>
+          lo.inclusive && hi.inclusive &&
+            ord.compare(lo.value, hi.value) == 0 && isMember(lo.value)
+        case _ => false
+      })
+    byEquality || qConjuncts.exists {
+      case In(qa: AttributeReference, qvs)
+          if qa.name.equalsIgnoreCase(a.name) && qvs.forall(_.foldable) =>
+        val qVals = qvs.map(litValue(_, a.dataType))
+        !qVals.contains(null) && qVals.forall(isMember)
+      case _ => false
+    }
+  }
+
+  /** Literal value cast (up-cast only) to the attribute's type; null when
+    * incomparable. */
+  private def litValue(
+      l: Expression, dt: org.apache.spark.sql.types.DataType): Any =
+    if (l.dataType == dt) l.eval(null)
+    else if (Cast.canUpCast(l.dataType, dt)) Cast(l, dt).eval(null)
+    else null
 
   /** (value, inclusive) bound. */
   private case class Bound(value: Any, inclusive: Boolean)
@@ -608,12 +677,26 @@ object RewriteQueryByMaterialView {
     }
   }
 
+  /** A query IN-list over foldable values narrows the column to
+    * [min, max] — expand it so range implication sees those bounds. */
+  private def expandForBounds(c: Expression): Seq[Expression] = c match {
+    case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.foldable) =>
+      val vals = vs.map(litValue(_, a.dataType))
+      if (vals.contains(null)) Seq(c)
+      else {
+        val sorted = vals.sorted(TypeUtils.getInterpretedOrdering(a.dataType))
+        Seq(GreaterThanOrEqual(a, Literal.create(sorted.head, a.dataType)),
+          LessThanOrEqual(a, Literal.create(sorted.last, a.dataType)))
+      }
+    case other => Seq(other)
+  }
+
   /** Tightest per-column interval the query's conjuncts pin down. Conjuncts
     * of other shapes are ignored — sound, because they can only narrow the
     * query further. */
   private def columnBounds(conjuncts: Seq[Expression]): Map[String, ColBounds] = {
     var m = Map.empty[String, ColBounds]
-    conjuncts.foreach {
+    conjuncts.flatMap(expandForBounds).foreach {
       case AttrCmpLit(name, op, v, dt) if v != null =>
         val ord = TypeUtils.getInterpretedOrdering(dt)
         val cur = m.getOrElse(name, ColBounds(dt, None, None))

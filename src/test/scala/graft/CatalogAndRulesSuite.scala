@@ -256,6 +256,51 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view containment handles OR-blocks and IN-lists") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvo"
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvo_base")
+      MaterializedViews.create(spark, viewDir,
+        "SELECT id, s FROM mvo_base WHERE id <= 10 OR id >= 90")
+      val viewToken = viewDir.split("/").last
+      def plan(sql: String) =
+        spark.sql(sql).queryExecution.optimizedPlan.toString
+
+      // inside one disjunct: rewritten
+      val q1 = spark.sql("SELECT s FROM mvo_base WHERE id >= 2 AND id <= 8")
+      assert(q1.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(q1) == (2 to 8).map(i => Seq(s"r$i"))
+        .sortBy(_.mkString("|")))
+      // IN-list inside a disjunct's range: rewritten (bounds from the list)
+      val q2 = spark.sql("SELECT id FROM mvo_base WHERE id IN (93, 95)")
+      assert(q2.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(q2) == Seq(Seq(93L), Seq(95L)))
+      // straddling the OR gap: NOT contained
+      assert(!plan("SELECT id FROM mvo_base WHERE id >= 8 AND id <= 92")
+        .contains(viewToken))
+      cleanupView(viewDir)
+
+      val viewDir2 = dir + "-mvi"
+      MaterializedViews.create(spark, viewDir2,
+        "SELECT id, s FROM mvo_base WHERE id IN (2, 3, 5, 7)")
+      val tok2 = viewDir2.split("/").last
+      // equality pinning to a member: rewritten
+      val q3 = spark.sql("SELECT s FROM mvo_base WHERE id = 5")
+      assert(q3.queryExecution.optimizedPlan.toString.contains(tok2))
+      assert(rowsOf(q3) == Seq(Seq("r5")))
+      // IN over a subset: rewritten
+      val q4 = spark.sql("SELECT id FROM mvo_base WHERE id IN (3, 7)")
+      assert(q4.queryExecution.optimizedPlan.toString.contains(tok2))
+      assert(rowsOf(q4) == Seq(Seq(3L), Seq(7L)))
+      // non-member / superset: NOT contained
+      assert(!plan("SELECT id FROM mvo_base WHERE id = 6").contains(tok2))
+      assert(!plan("SELECT id FROM mvo_base WHERE id IN (5, 6)").contains(tok2))
+      cleanupView(viewDir2)
+    }
+  }
+
   test("materialized view aggregate containment: filtered group-by scans the view") {
     withTempTable { dir =>
       val viewDir = dir + "-mva"

@@ -58,6 +58,19 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(nd.contains((1L, 2L)))
   }
 
+  test("ngram jaccard skew guard drops hot shingles") {
+    // 12 docs share one 3-gram; below maxKeyFreq it is the only overlap
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"alpha beta gamma unique$i tail$i end$i"))
+    val df = docs.toDF("doc_id", "text")
+    val guarded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, minInter = 1, maxKeyFreq = 5)
+    assert(guarded.count() == 0, "hot shingle must be dropped")
+    val loose = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, minInter = 1, maxKeyFreq = 100)
+    assert(loose.count() == 12L * 11 / 2)
+  }
+
   test("simhash banding guarantees recall up to maxHamming (pigeonhole)") {
     // hamming-5 pair with the differing bits spread so that the old fixed
     // 4x16 banding shares NO band (bits 0/16/32/48/63 hit all four): the
