@@ -201,6 +201,13 @@ object Queries {
         .select(col("o_custkey"), col("cnt"),
           cents(col("total")).as("total_cents"))),
 
+    "q_mv_rollup" -> ((s, sf) =>
+      GraftData.ordersMvAgg(s, sf)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") <= 2000)
+        .groupBy()
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+        .select(col("cnt"), cents(col("total")).as("total_cents"))),
+
     "q_mv_join" -> ((s, sf) => {
       val (c, o) = GraftData.custOrdersMvJoin(s, sf)
       c.join(o, col("c_custkey") === col("o_custkey"))
@@ -427,6 +434,11 @@ object Queries {
        "CAST(ROUND(sum(o_totalprice)*100) AS BIGINT) AS total_cents " +
        "FROM orders WHERE o_custkey >= 100 AND o_custkey <= 2000 " +
        "GROUP BY o_custkey"),
+
+    "q_mv_rollup" ->
+      ("SELECT count(1) AS cnt, " +
+       "CAST(ROUND(sum(o_totalprice)*100) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_custkey >= 100 AND o_custkey <= 2000"),
 
     "q_mv_join" ->
       ("SELECT c_custkey, c_name, o_orderkey, " +

@@ -249,15 +249,21 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
   }
 
   /** Rewrite `sub` = aggregate over the view's base relation when the view
-    * materializes the SAME grouping over a superset of the rows (reference
-    * `material_view/AggregateInfo.scala:1-108`).
+    * materializes the same grouping — or a FINER one — over a superset of
+    * the rows (reference `material_view/AggregateInfo.scala:1-108`).
     *
     * Soundness: bounds implication is NOT enough here — a strictly narrower
     * row filter changes every group's aggregate. So every view filter
     * conjunct must match a query conjunct EXACTLY, and the query's leftover
-    * conjuncts must reference only group columns: they then select whole
-    * groups and commute with the aggregation, so re-applying them over the
-    * view's stored groups is an identity rewrite.
+    * conjuncts must reference only VIEW group columns: such a filter keeps
+    * or drops whole view groups (the column is constant within a group),
+    * so it commutes with (re-)aggregation.
+    *
+    * Two shapes:
+    *   - equal group sets: project the stored groups, filter compensates;
+    *   - query groups ⊂ view groups (ROLL-UP): re-aggregate the stored
+    *     partials — sum→sum, count→sum, min→min, max→max. Classic partial
+    *     aggregation algebra; DISTINCT/avg/filtered aggregates bail.
     */
   private def tryAggContainment(
       sub: LogicalPlan, viewPath: String, view: AggDecomp): Option[LogicalPlan] = {
@@ -268,12 +274,15 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val ids = exprIdSpace(Seq(sub, view.rel, q.rel) ++ view.aggList ++ q.aggList
       ++ view.cond.toSeq ++ q.cond.toSeq ++ view.groupExprs ++ q.groupExprs)
     def canon(e: Expression): Option[Expression] = canonByName(e, ids)
-    // identical grouping (as a set)
+    // identical grouping (direct serve) or query ⊂ view grouping (roll-up)
     val vGroups = view.groupExprs.flatMap(canon)
     val qGroups = q.groupExprs.flatMap(canon)
     if (vGroups.length != view.groupExprs.length ||
         qGroups.length != q.groupExprs.length) return None
-    if (!sameExprSet(vGroups, qGroups)) return None
+    val equalGroups = sameExprSet(vGroups, qGroups)
+    val rollUp = !equalGroups &&
+      qGroups.forall(g => vGroups.exists(_.semanticEquals(g)))
+    if (!equalGroups && !rollUp) return None
     // every view conjunct exactly present in the query's conjuncts
     val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
     val vConjuncts = view.cond.map(splitConjunction).getOrElse(Nil)
@@ -310,12 +319,6 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
           scanByName.get(ve.name.toLowerCase)
       }.flatten
     }
-    val newProj: Seq[NamedExpression] = q.aggList.map { ne =>
-      val source = ne match { case Alias(c, _) => c; case o => o }
-      val v = viewColFor(source).getOrElse(return None)
-      if (v.dataType != ne.dataType) return None
-      Alias(v, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
-    }
     // compensation: leftover conjuncts only (matched ones are already
     // baked into the view's rows)
     val newCond = leftover.map { c =>
@@ -326,7 +329,55 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
         v
       }
     }.reduceOption(And)
-    Some(Project(newProj, newCond.map(Filter(_, scan)).getOrElse(scan)))
+    val source = newCond.map(Filter(_, scan)).getOrElse(scan)
+
+    if (equalGroups) {
+      val newProj: Seq[NamedExpression] = q.aggList.map { ne =>
+        val src = ne match { case Alias(c, _) => c; case o => o }
+        val v = viewColFor(src).getOrElse(return None)
+        if (v.dataType != ne.dataType) return None
+        Alias(v, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      }
+      Some(Project(newProj, source))
+    } else {
+      // ROLL-UP: re-aggregate the view's stored partials by the coarser
+      // query grouping
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      val newGroup: Seq[Expression] = q.groupExprs.map {
+        case a: AttributeReference =>
+          val v = groupColToViewCol.get(a.name.toLowerCase)
+            .flatMap(n => scanByName.get(n.toLowerCase)).getOrElse(return None)
+          if (v.dataType != a.dataType) return None
+          v
+        case _ => return None // roll-up only over plain column groupings
+      }
+      val newAggList: Seq[NamedExpression] = q.aggList.map { ne =>
+        val src = ne match { case Alias(c, _) => c; case o => o }
+        val rewritten: Expression = src match {
+          case a: AttributeReference => // group passthrough
+            val v = groupColToViewCol.get(a.name.toLowerCase)
+              .flatMap(n => scanByName.get(n.toLowerCase)).getOrElse(return None)
+            if (v.dataType != a.dataType) return None
+            v
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            // the view must materialize THIS aggregate; re-combine it
+            val v = viewColFor(src).getOrElse(return None)
+            val refn: AggregateFunction = ae.aggregateFunction match {
+              case _: Sum => Sum(v)
+              case _: Count => Sum(v) // counts combine by summing
+              case _: Min => Min(v)
+              case _: Max => Max(v)
+              case _ => return None
+            }
+            refn.toAggregateExpression()
+          case _ => return None
+        }
+        if (rewritten.dataType != ne.dataType) return None
+        Alias(rewritten, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      }
+      Some(Aggregate(newGroup, newAggList, source))
+    }
   }
 
   /** Rewrite `sub` = inner equi-join over the same pair of base relations

@@ -338,6 +338,50 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view aggregate roll-up: coarser grouping re-aggregates") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvr"
+      (1 to 120).map(i => (i.toLong, (i % 3).toLong, (i % 4).toLong, i.toLong))
+        .toDF("id", "a", "b", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvr_base")
+      val qSql = "SELECT a, count(1) AS cnt, sum(v) AS sv, min(v) AS mn, " +
+        "max(v) AS mx FROM mvr_base WHERE b = 2 GROUP BY a"
+      val globalSql = "SELECT count(1) AS cnt, sum(v) AS sv FROM mvr_base"
+      val before = rowsOf(spark.sql(qSql))
+      val beforeGlobal = rowsOf(spark.sql(globalSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT a, b, count(1) AS cnt, sum(v) AS sv, min(v) AS mn, " +
+          "max(v) AS mx FROM mvr_base GROUP BY a, b")
+      val viewToken = viewDir.split("/").last
+
+      // coarser grouping + filter on a view group column: re-aggregated
+      // from the stored (a, b) partials
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(viewToken), s"expected view scan, got:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // global aggregate (empty grouping) also rolls up
+      val qg = spark.sql(globalSql)
+      assert(qg.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qg) == beforeGlobal)
+
+      // avg is not re-aggregable from these partials: no rewrite
+      val qa = spark.sql("SELECT a, avg(v) AS av FROM mvr_base GROUP BY a")
+      assert(!qa.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // grouping by a column the view did not group by: no rewrite
+      val qid = spark.sql("SELECT id, count(1) AS c FROM mvr_base GROUP BY id")
+      assert(!qid.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // filter on a NON-group column still refuses
+      val qv = spark.sql(
+        "SELECT a, count(1) AS c FROM mvr_base WHERE v > 60 GROUP BY a")
+      assert(!qv.queryExecution.optimizedPlan.toString.contains(viewToken))
+      cleanupView(viewDir)
+    }
+  }
+
   test("materialized view aggregate containment honors matching row filters") {
     withTempTable { dir =>
       val viewDir = dir + "-mvaf"

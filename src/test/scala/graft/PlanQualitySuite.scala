@@ -114,6 +114,35 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("curation shuffles no text: gates run below the only exchange") {
+    import spark.implicits._
+    withTable { dir =>
+    (1 to 50).map(i => (i.toLong, s"the doc number $i of text and words"))
+      .toDF("doc_id", "text").write.format("graft").save(dir)
+    val docs = spark.read.format("graft").load(dir)
+    // AQE's wrapper hides the exchange from collect(); the static plan is
+    // what this test is about
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.llm.Curation.curate(docs, "doc_id", "text", minWords = 1)
+        .queryExecution.executedPlan
+      finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // exactly one exchange, and no text column crosses it: by the shuffle
+    // the rows are (md5-hash, partial-min id) pairs
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 1, s"expected one exchange:\n$plan")
+    val shuffled = exchanges.head.child.output.map(_.name.toLowerCase)
+    assert(!shuffled.contains("text"),
+      s"text must not cross the exchange, got $shuffled")
+    // the gates (regexp filters) sit below the exchange, at scan level
+    val belowExchange = exchanges.head.child.toString
+    assert(belowExchange.contains("regexp_extract_all"),
+      s"gates must run below the exchange:\n$belowExchange")
+    }
+  }
+
   test("pk scan plans exactly bucketNum partitions and declares ordering") {
     import spark.implicits._
     withTable { dir =>
