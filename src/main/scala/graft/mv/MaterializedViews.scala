@@ -248,7 +248,8 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     Some(Project(newProj, filtered))
   }
 
-  /** Rewrite `sub` = aggregate over the view's base relation when the view
+  /** Rewrite `sub` = aggregate over the view's source — a base relation or
+    * the same inner equi-join (the star-schema cube shape) — when the view
     * materializes the same grouping — or a FINER one — over a superset of
     * the rows (reference `material_view/AggregateInfo.scala:1-108`).
     *
@@ -268,12 +269,37 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
   private def tryAggContainment(
       sub: LogicalPlan, viewPath: String, view: AggDecomp): Option[LogicalPlan] = {
     val q = decomposeAgg(sub).getOrElse(return None)
-    val qPath = graftPath(q.rel).getOrElse(return None)
-    val vPath = graftPath(view.rel).getOrElse(return None)
-    if (qPath != vPath) return None
-    val ids = exprIdSpace(Seq(sub, view.rel, q.rel) ++ view.aggList ++ q.aggList
-      ++ view.cond.toSeq ++ q.cond.toSeq ++ view.groupExprs ++ q.groupExprs)
+    val sourcePlans: Seq[LogicalPlan] = (q.source, view.source) match {
+      case (RelSource(qr), RelSource(vr)) =>
+        val qPath = graftPath(qr).getOrElse(return None)
+        val vPath = graftPath(vr).getOrElse(return None)
+        if (qPath != vPath) return None
+        Seq(qr, vr)
+      case (JoinSource(qlr, qrr, _), JoinSource(vlr, vrr, _)) =>
+        // same table pair; name-based matching needs globally unique
+        // column names and no self-joins
+        val qL = graftPath(qlr).getOrElse(return None)
+        val qR = graftPath(qrr).getOrElse(return None)
+        val vL = graftPath(vlr).getOrElse(return None)
+        val vR = graftPath(vrr).getOrElse(return None)
+        if (qL == qR || vL == vR || Set(qL, qR) != Set(vL, vR)) return None
+        val names = (qlr.output ++ qrr.output).map(_.name.toLowerCase)
+        if (names.distinct.length != names.length) return None
+        Seq(qlr, qrr, vlr, vrr)
+      case _ => return None
+    }
+    val ids = exprIdSpace(Seq(sub) ++ sourcePlans ++ view.aggList ++ q.aggList
+      ++ view.conjuncts ++ q.conjuncts ++ view.groupExprs ++ q.groupExprs)
     def canon(e: Expression): Option[Expression] = canonByName(e, ids)
+    // join sources must agree on the join condition exactly
+    (q.source, view.source) match {
+      case (JoinSource(_, _, qj), JoinSource(_, _, vj)) =>
+        val qjc = qj.flatMap(canon)
+        val vjc = vj.flatMap(canon)
+        if (qjc.length != qj.length || vjc.length != vj.length ||
+            !sameExprSet(qjc, vjc)) return None
+      case _ => ()
+    }
     // identical grouping (direct serve) or query ⊂ view grouping (roll-up)
     val vGroups = view.groupExprs.flatMap(canon)
     val qGroups = q.groupExprs.flatMap(canon)
@@ -284,8 +310,8 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       qGroups.forall(g => vGroups.exists(_.semanticEquals(g)))
     if (!equalGroups && !rollUp) return None
     // every view conjunct exactly present in the query's conjuncts
-    val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
-    val vConjuncts = view.cond.map(splitConjunction).getOrElse(Nil)
+    val qConjuncts = q.conjuncts
+    val vConjuncts = view.conjuncts
     val qCanon = qConjuncts.map(c => c -> canon(c))
     val vCanon = vConjuncts.flatMap(canon)
     if (vCanon.length != vConjuncts.length) return None
@@ -513,10 +539,19 @@ object RewriteQueryByMaterialView {
     case _ => None
   }
 
-  /** aggregate-filter-relation over a single graft relation. */
+  /** What an aggregate reads: a bare graft relation, or an inner equi-join
+    * of two (side filters are folded into the decomp's conjuncts — they
+    * commute with an inner join). */
+  sealed trait AggSource
+  case class RelSource(rel: LogicalPlan) extends AggSource
+  case class JoinSource(
+      leftRel: LogicalPlan, rightRel: LogicalPlan,
+      joinConjuncts: Seq[Expression]) extends AggSource
+
+  /** aggregate-filter over a graft relation or an inner equi-join. */
   case class AggDecomp(
       groupExprs: Seq[Expression], aggList: Seq[NamedExpression],
-      cond: Option[Expression], rel: LogicalPlan)
+      conjuncts: Seq[Expression], source: AggSource)
 
   /** project-filter over an inner equi-join of two graft relations; side
     * filters are folded into `filterConjuncts` (they commute with an inner
@@ -526,30 +561,39 @@ object RewriteQueryByMaterialView {
       filterConjuncts: Seq[Expression],
       leftRel: LogicalPlan, rightRel: LogicalPlan)
 
-  def decomposeAgg(p: LogicalPlan): Option[AggDecomp] = stripAliases(p) match {
-    case Aggregate(g, a, child, _) => stripAliases(child) match {
+  private def sideOf(sp: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
+    stripAliases(sp) match {
       case Filter(c, ch) =>
         val rel = stripAliases(ch)
-        if (isGraftRelation(rel)) Some(AggDecomp(g, a, Some(c), rel)) else None
-      case rel if isGraftRelation(rel) => Some(AggDecomp(g, a, None, rel))
+        if (isGraftRelation(rel)) Some((rel, splitConjunction(c))) else None
+      case rel if isGraftRelation(rel) => Some((rel, Nil))
       case _ => None
     }
+
+  def decomposeAgg(p: LogicalPlan): Option[AggDecomp] = stripAliases(p) match {
+    case Aggregate(g, a, child, _) =>
+      def mk(conj: Seq[Expression], src: LogicalPlan): Option[AggDecomp] =
+        stripAliases(src) match {
+          case rel if isGraftRelation(rel) =>
+            Some(AggDecomp(g, a, conj, RelSource(rel)))
+          case Join(l, r, Inner, Some(cond), _) =>
+            for { lp <- sideOf(l); rp <- sideOf(r) } yield AggDecomp(g, a,
+              conj ++ lp._2 ++ rp._2,
+              JoinSource(lp._1, rp._1, splitConjunction(cond)))
+          case _ => None
+        }
+      stripAliases(child) match {
+        case Filter(c, ch) => mk(splitConjunction(c), ch)
+        case other => mk(Nil, other)
+      }
     case _ => None
   }
 
   def decomposeJoin(p: LogicalPlan): Option[JoinDecomp] = {
-    def side(sp: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
-      stripAliases(sp) match {
-        case Filter(c, ch) =>
-          val rel = stripAliases(ch)
-          if (isGraftRelation(rel)) Some((rel, splitConjunction(c))) else None
-        case rel if isGraftRelation(rel) => Some((rel, Nil))
-        case _ => None
-      }
     def fromJoin(j: LogicalPlan, extra: Seq[Expression]): Option[JoinDecomp] =
       j match {
         case Join(l, r, Inner, Some(cond), _) =>
-          for { lp <- side(l); rp <- side(r) } yield JoinDecomp(
+          for { lp <- sideOf(l); rp <- sideOf(r) } yield JoinDecomp(
             lp._1.output ++ rp._1.output, splitConjunction(cond),
             extra ++ lp._2 ++ rp._2, lp._1, rp._1)
         case _ => None

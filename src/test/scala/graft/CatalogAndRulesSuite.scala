@@ -408,6 +408,47 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view aggregate-over-join: the star-schema cube shape") {
+    withTempTable { dir =>
+      val dirR = dir + "-fact"
+      val viewDir = dir + "-mvaj"
+      (1 to 20).map(i => (i.toLong, s"d${i % 4}")).toDF("k", "dim")
+        .write.format("graft").save(dir)
+      (1 to 300).map(i => (i.toLong, (i % 20 + 1).toLong, i.toLong))
+        .toDF("oid", "fk", "amt").write.format("graft").save(dirR)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("maj_d")
+      spark.read.format("graft").load(dirR).createOrReplaceTempView("maj_f")
+      val qSql = "SELECT dim, count(1) AS cnt, sum(amt) AS sa " +
+        "FROM maj_d JOIN maj_f ON k = fk GROUP BY dim"
+      val rollSql = "SELECT count(1) AS cnt, sum(amt) AS sa " +
+        "FROM maj_d JOIN maj_f ON k = fk WHERE dim = 'd2'"
+      val before = rowsOf(spark.sql(qSql))
+      val beforeRoll = rowsOf(spark.sql(rollSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT dim, count(1) AS cnt, sum(amt) AS sa " +
+          "FROM maj_d JOIN maj_f ON k = fk GROUP BY dim")
+      val viewToken = viewDir.split("/").last
+
+      // same grouping over the same join: served from the stored groups
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(viewToken), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join re-execution:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // global roll-up with a group-column filter also serves
+      val qr = spark.sql(rollSql)
+      assert(qr.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qr) == beforeRoll)
+
+      // different join condition: no rewrite
+      val qn = spark.sql("SELECT dim, count(1) AS cnt FROM maj_d " +
+        "JOIN maj_f ON k = oid GROUP BY dim")
+      assert(!qn.queryExecution.optimizedPlan.toString.contains(viewToken))
+      cleanupView(viewDir)
+    }
+  }
+
   test("materialized view join containment: filtered equi-join scans the view") {
     withTempTable { dir =>
       val dirR = dir + "-right"
