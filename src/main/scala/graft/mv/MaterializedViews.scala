@@ -387,16 +387,36 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
             v
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
-            // the view must materialize THIS aggregate; re-combine it
-            val v = viewColFor(src).getOrElse(return None)
-            val refn: AggregateFunction = ae.aggregateFunction match {
-              case _: Sum => Sum(v)
-              case _: Count => Sum(v) // counts combine by summing
-              case _: Min => Min(v)
-              case _: Max => Max(v)
-              case _ => return None
+            ae.aggregateFunction match {
+              // avg re-derives from the view's sum/count over the SAME
+              // child; an all-null group stores count 0, where plain
+              // division would diverge from avg's NULL (ANSI errors)
+              case avg: Average if ne.dataType ==
+                  org.apache.spark.sql.types.DoubleType =>
+                val child = avg.child
+                val sumV = viewColFor(Sum(child).toAggregateExpression())
+                  .getOrElse(return None)
+                val cntV = viewColFor(Count(Seq(child)).toAggregateExpression())
+                  .getOrElse(return None)
+                val sumAgg = Cast(Sum(sumV).toAggregateExpression(),
+                  org.apache.spark.sql.types.DoubleType)
+                val cntAgg = Sum(cntV).toAggregateExpression()
+                If(EqualTo(cntAgg, Literal(0L)),
+                  Literal(null, org.apache.spark.sql.types.DoubleType),
+                  Divide(sumAgg, Cast(cntAgg,
+                    org.apache.spark.sql.types.DoubleType)))
+              case fn =>
+                // the view must materialize THIS aggregate; re-combine it
+                val v = viewColFor(src).getOrElse(return None)
+                val refn: AggregateFunction = fn match {
+                  case _: Sum => Sum(v)
+                  case _: Count => Sum(v) // counts combine by summing
+                  case _: Min => Min(v)
+                  case _: Max => Max(v)
+                  case _ => return None
+                }
+                refn.toAggregateExpression()
             }
-            refn.toAggregateExpression()
           case _ => return None
         }
         if (rewritten.dataType != ne.dataType) return None

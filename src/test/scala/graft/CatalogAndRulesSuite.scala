@@ -366,7 +366,8 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       assert(qg.queryExecution.optimizedPlan.toString.contains(viewToken))
       assert(rowsOf(qg) == beforeGlobal)
 
-      // avg is not re-aggregable from these partials: no rewrite
+      // avg is not re-aggregable from THESE partials (count(1), not
+      // count(v)): no rewrite
       val qa = spark.sql("SELECT a, avg(v) AS av FROM mvr_base GROUP BY a")
       assert(!qa.queryExecution.optimizedPlan.toString.contains(viewToken))
 
@@ -378,6 +379,25 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       val qv = spark.sql(
         "SELECT a, count(1) AS c FROM mvr_base WHERE v > 60 GROUP BY a")
       assert(!qv.queryExecution.optimizedPlan.toString.contains(viewToken))
+      cleanupView(viewDir)
+    }
+  }
+
+  test("materialized view roll-up derives avg from sum/count partials") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvavg"
+      (1 to 90).map(i => (i.toLong, (i % 3).toLong, (i % 5).toLong, i.toLong))
+        .toDF("id", "a", "b", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvavg_base")
+      val qSql = "SELECT a, avg(v) AS av, sum(v) AS sv FROM mvavg_base GROUP BY a"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT a, b, sum(v) AS sv, count(v) AS cv FROM mvavg_base GROUP BY a, b")
+      val viewToken = viewDir.split("/").last
+      val q = spark.sql(qSql)
+      assert(q.queryExecution.optimizedPlan.toString.contains(viewToken),
+        s"expected view scan:\n${q.queryExecution.optimizedPlan}")
+      assert(rowsOf(q) == before)
       cleanupView(viewDir)
     }
   }
