@@ -35,6 +35,14 @@ class GraftTable(object):
         return cls(sparkSession, jtable)
 
     @classmethod
+    def forName(cls, sparkSession, tableOrViewName):
+        """Load the graft table behind a catalog table or view name."""
+        assert sparkSession is not None
+        jtable = sparkSession._sc._jvm.graft.tables.PyBridge.forName(
+            sparkSession._jsparkSession, tableOrViewName)
+        return cls(sparkSession, jtable)
+
+    @classmethod
     def isGraftTable(cls, sparkSession, path):
         """Whether ``path`` is the root of a graft table."""
         assert sparkSession is not None

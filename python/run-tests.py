@@ -71,6 +71,9 @@ def main():
 
         check("history", t.history().count() >= 4)
 
+        spark.read.format("graft").load(path).createOrReplaceTempView("pyfn")
+        check("forName", GraftTable.forName(spark, "pyfn").toDF().count() == 3)
+
         t.dropTable()
         check("dropTable", not GraftTable.isGraftTable(spark, path))
         print("ALL PASS")

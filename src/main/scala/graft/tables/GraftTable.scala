@@ -75,6 +75,27 @@ object GraftTable {
   def forPath(spark: SparkSession, path: String): GraftTable =
     new GraftTable(spark, SnapshotManagement.normalize(path))
 
+  /** Resolve a catalog table or view NAME to its graft table (reference
+    * `tables/StarTable.scala` `forName`). Works for tables registered
+    * through `GraftCatalog` and for temp views over graft reads — anything
+    * whose analyzed plan bottoms out in exactly one graft relation. */
+  def forName(spark: SparkSession, name: String): GraftTable = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val plan = castToImpl(spark.table(name)).queryExecution.analyzed
+    val paths = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftTableV2] =>
+        r.table.asInstanceOf[graft.sources.GraftTableV2].path
+    }.distinct
+    paths match {
+      case Seq(p) => forPath(spark, p)
+      case Seq() => throw new IllegalArgumentException(
+        s"$name does not resolve to a graft table")
+      case many => throw new IllegalArgumentException(
+        s"$name resolves to ${many.length} graft tables; use forPath")
+    }
+  }
+
   def exists(path: String): Boolean =
     SnapshotManagement.exists(SnapshotManagement.normalize(path))
 }

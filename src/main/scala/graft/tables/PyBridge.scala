@@ -18,6 +18,9 @@ object PyBridge {
   def forPath(spark: SparkSession, path: String): GraftTable =
     GraftTable.forPath(spark, path)
 
+  def forName(spark: SparkSession, name: String): GraftTable =
+    GraftTable.forName(spark, name)
+
   def exists(path: String): Boolean = GraftTable.exists(path)
 
   def toDF(t: GraftTable): DataFrame = t.toDF

@@ -158,6 +158,29 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("GraftTable.forName resolves catalog tables and temp views") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gfn")
+      s2.sql(s"CREATE TABLE gfn (id BIGINT, v INT) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gfn VALUES (1, 10), (2, 20)")
+      val t = GraftTable.forName(s2, "gfn")
+      assert(t.toDF.count() == 2)
+      t.deleteExpr("id = 2")
+      assert(s2.sql("SELECT * FROM gfn").count() == 1)
+      // a temp view over a graft read also resolves
+      spark.read.format("graft").load(s"$dir/t")
+        .createOrReplaceTempView("gfn_view")
+      assert(GraftTable.forName(spark, "gfn_view").path ==
+        graft.meta.SnapshotManagement.normalize(s"$dir/t"))
+      // a non-graft view does not
+      spark.range(3).createOrReplaceTempView("gfn_plain")
+      intercept[IllegalArgumentException](GraftTable.forName(spark, "gfn_plain"))
+      s2.sql("DROP TABLE gfn")
+    }
+  }
+
   test("re-added dropped column reads NULL, not resurrected file data") {
     withTempTable { dir =>
       val s2 = spark.newSession()
