@@ -44,9 +44,15 @@ object MaterializedViews {
     Paths.get(SnapshotManagement.normalize(viewPath), "_graft_mv.json")
 
   def create(spark: SparkSession, viewPath: String, sqlText: String): Unit = {
-    val df = spark.sql(sqlText)
+    // analyze WITHOUT the rewrite rule: if another registered view contained
+    // this query, the rewritten plan would record a dependency on that VIEW
+    // instead of the base tables — and this view would then never go stale
+    // when the base advances (silent stale serving)
+    val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
     val relations = graftRelationVersions(df)
-    df.write.format("graft").mode("overwrite").save(viewPath)
+    RewriteQueryByMaterialView.withoutRewrite {
+      df.write.format("graft").mode("overwrite").save(viewPath)
+    }
     val info = MaterialViewInfo(viewPath, sqlText, relations)
     Files.write(mvMetaPath(viewPath),
       Serialization.write(info).getBytes(StandardCharsets.UTF_8))
@@ -58,9 +64,13 @@ object MaterializedViews {
   def refresh(spark: SparkSession, viewPath: String): Boolean = {
     readInfo(viewPath) match {
       case Some(info) if isStale(info) =>
-        val df = spark.sql(info.sqlText)
+        val df = RewriteQueryByMaterialView.withoutRewrite {
+          spark.sql(info.sqlText)
+        }
         val relations = graftRelationVersions(df)
-        df.write.format("graft").mode("overwrite").save(viewPath)
+        RewriteQueryByMaterialView.withoutRewrite {
+          df.write.format("graft").mode("overwrite").save(viewPath)
+        }
         Files.write(mvMetaPath(viewPath),
           Serialization.write(info.copy(relationVersions = relations))
             .getBytes(StandardCharsets.UTF_8))
@@ -511,6 +521,14 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
 object RewriteQueryByMaterialView {
   private val inRewrite = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
+  }
+
+  /** Run `f` with the rewrite rule suppressed on this thread — used while
+    * materializing a view so its recorded lineage points at BASE tables. */
+  def withoutRewrite[T](f: => T): T = {
+    val prev = inRewrite.get()
+    inRewrite.set(true)
+    try f finally inRewrite.set(prev)
   }
 
   /** (viewPath -> (info-at-analysis, analyzed view plan)); entries

@@ -279,6 +279,32 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("view creation records base lineage even when contained by another view") {
+    withTempTable { dir =>
+      val viewA = dir + "-va"
+      val viewB = dir + "-vb"
+      (1 to 50).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("lin_base")
+      MaterializedViews.create(spark, viewA,
+        "SELECT id, v FROM lin_base WHERE id <= 40")
+      // B's defining query is contained in A: if the rewrite ran during
+      // materialization, B's lineage would point at A and B would NEVER go
+      // stale when the base advances
+      MaterializedViews.create(spark, viewB,
+        "SELECT id, v FROM lin_base WHERE id <= 10")
+      val basePath = graft.meta.SnapshotManagement.normalize(dir)
+      val info = MaterializedViews.readInfo(viewB).get
+      assert(info.relationVersions.keySet == Set(basePath),
+        s"lineage must reference the base, got ${info.relationVersions}")
+      // base advances -> B is stale and stops serving
+      Seq((5L, 999L)).toDF("id", "v").write.format("graft")
+        .mode("append").save(dir)
+      assert(MaterializedViews.isStale(MaterializedViews.readInfo(viewB).get))
+      cleanupView(viewA); cleanupView(viewB)
+    }
+  }
+
   test("materialized view containment handles OR-blocks and IN-lists") {
     withTempTable { dir =>
       val viewDir = dir + "-mvo"
