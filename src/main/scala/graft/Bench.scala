@@ -31,6 +31,7 @@ object Bench {
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { i =>
         val t0 = System.nanoTime()
@@ -48,6 +49,7 @@ object Bench {
         if (ok) Some(secs) else None
       }
       if (times.isEmpty) errors += name
+      else if (times.size < runs) flaky += name // some runs failed
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
@@ -58,7 +60,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

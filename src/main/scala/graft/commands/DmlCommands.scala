@@ -368,9 +368,15 @@ object CleanupCommand {
   /** Parquet staged by a write that crashed BEFORE moving files into the
     * table layout lives only under `_graft_staging/<id>/` — no snapshot
     * ever references it, so the main walk (which skips the staging dir to
-    * protect in-flight writes) would leak it forever. A staging dir whose
-    * last modification predates the retention cutoff can belong only to a
-    * dead writer: delete it whole. */
+    * protect in-flight writes) would leak it forever.
+    *
+    * Liveness = the NEWEST mtime of anything under the dir, not the dir's
+    * own mtime: Spark writes through `_temporary/` and only renames into
+    * place at job commit, so the dir mtime reflects job START — a healthy
+    * write running longer than the retention window would look dead by
+    * that measure. A live job keeps producing task files, so its newest
+    * entry stays fresh; only a dir whose every entry predates the cutoff
+    * belongs to a dead writer. */
   private def vacuumStaging(
       root: java.nio.file.Path, cutoff: Long, dryRun: Boolean): Seq[String] = {
     val stagingRoot = root.resolve("_graft_staging")
@@ -383,17 +389,21 @@ object CleanupCommand {
         b.result()
       } finally s.close()
     }
-    txnDirs.filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
-      .flatMap { d =>
-        val staged = Seq.newBuilder[String]
-        val walk = Files.walk(d)
-        try walk.forEach(p =>
-          if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-            staged += p.toString)
-        finally walk.close()
+    txnDirs.flatMap { d =>
+      var newest = Files.getLastModifiedTime(d).toMillis
+      val staged = Seq.newBuilder[String]
+      val walk = Files.walk(d)
+      try walk.forEach { p =>
+        newest = math.max(newest, Files.getLastModifiedTime(p).toMillis)
+        if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+          staged += p.toString
+      } finally walk.close()
+      if (newest >= cutoff) Nil
+      else {
         if (!dryRun) graft.write.TransactionalWrite.deleteRecursively(d)
         staged.result()
       }
+    }
   }
 }
 

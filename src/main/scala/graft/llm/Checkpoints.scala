@@ -40,14 +40,19 @@ object Checkpoints {
 
   val MODE_KEY = "spark.graft.checkpoint.mode"
 
-  private val tracked = new ConcurrentLinkedQueue[() => Unit]()
+  // WEAK references: callers that never invoke releaseAll must not pin
+  // blocks forever — once a pipeline's result is unreachable, the JVM GC +
+  // Spark's ContextCleaner reclaim its blocks exactly as they reclaim any
+  // abandoned checkpoint. releaseAll() just makes reclamation prompt.
+  private val tracked =
+    new ConcurrentLinkedQueue[java.lang.ref.WeakReference[AnyRef]]()
 
   def stabilize(df: DataFrame): DataFrame = {
     df.sparkSession.conf.getOption(MODE_KEY).getOrElse("local") match {
       case "none" => df
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        tracked.add(() => { p.unpersist(blocking = false); () })
+        tracked.add(new java.lang.ref.WeakReference[AnyRef](p))
         p
       case _ =>
         val c = df.localCheckpoint()
@@ -55,15 +60,22 @@ object Checkpoints {
         // track it directly so release does not depend on RDD GC timing
         castToImpl(c).queryExecution.analyzed.collectFirst {
           case lr: LogicalRDD => lr.rdd
-        }.foreach(rdd => tracked.add(() => { rdd.unpersist(blocking = false); () }))
+        }.foreach(rdd => tracked.add(new java.lang.ref.WeakReference[AnyRef](rdd)))
         c
     }
   }
 
-  /** Drop every block stabilized since the last call. Only call once the
-    * pipeline results built on them have been fully consumed. */
+  /** Drop every still-reachable block stabilized since the last call. Only
+    * call once the pipeline results built on them have been consumed. */
   def releaseAll(): Unit = {
-    var f = tracked.poll()
-    while (f != null) { f(); f = tracked.poll() }
+    var ref = tracked.poll()
+    while (ref != null) {
+      ref.get() match {
+        case rdd: org.apache.spark.rdd.RDD[_] => rdd.unpersist(blocking = false)
+        case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(blocking = false)
+        case _ => () // already collected — ContextCleaner handled it
+      }
+      ref = tracked.poll()
+    }
   }
 }

@@ -10,7 +10,7 @@ import org.json4s.jackson.Serialization
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, DeleteFromTable, Filter, Join, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, DeleteFromTable, Filter, Join, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
@@ -119,23 +119,31 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val views = spark.conf.getOption(MaterializedViews.CONF_KEY)
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
     if (views.isEmpty || !plan.resolved) return plan
-    // never rewrite inside DML or other commands: a fresh all-column view
-    // would otherwise replace the UPDATE/DELETE/MERGE target relation (or a
-    // write's table) with a Project over the view scan, breaking resolution
-    // and redirecting writes
+    // never rewrite DML target relations: a fresh all-column view would
+    // otherwise replace the UPDATE/DELETE/MERGE target (or a write's table)
+    // with a Project over the view scan, breaking resolution and
+    // redirecting writes. INSERT/overwrite (V2WriteCommand) still serves
+    // its READ side from views — the target lives outside `query`.
     val isDml = plan.exists {
       case _: UpdateTable | _: DeleteFromTable | _: MergeIntoTable => true
-      case _: Command => true
       case _ => false
     }
     if (isDml) return plan
-    views.foldLeft(plan) { (p, viewPath) =>
-      MaterializedViews.readInfo(viewPath) match {
-        case Some(info) if !MaterializedViews.isStale(info) =>
-          viewPlanFor(viewPath, info).map(vp => rewriteWith(p, viewPath, vp))
-            .getOrElse(p)
-        case _ => p
+    def rewriteAll(p: LogicalPlan): LogicalPlan =
+      views.foldLeft(p) { (acc, viewPath) =>
+        MaterializedViews.readInfo(viewPath) match {
+          case Some(info) if !MaterializedViews.isStale(info) =>
+            viewPlanFor(viewPath, info).map(vp => rewriteWith(acc, viewPath, vp))
+              .getOrElse(acc)
+          case _ => acc
+        }
       }
+    plan match {
+      case w: V2WriteCommand =>
+        val newQuery = rewriteAll(w.query)
+        if (newQuery eq w.query) w else w.withNewQuery(newQuery)
+      case _ if plan.exists(_.isInstanceOf[Command]) => plan // CTAS etc.
+      case _ => rewriteAll(plan)
     }
   }
 
@@ -418,14 +426,18 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
               case fn =>
                 // the view must materialize THIS aggregate; re-combine it
                 val v = viewColFor(src).getOrElse(return None)
-                val refn: AggregateFunction = fn match {
-                  case _: Sum => Sum(v)
-                  case _: Count => Sum(v) // counts combine by summing
-                  case _: Min => Min(v)
-                  case _: Max => Max(v)
+                fn match {
+                  case _: Sum => Sum(v).toAggregateExpression()
+                  case _: Count =>
+                    // counts combine by summing — but count() over zero
+                    // rows is 0 while sum() over zero rows is NULL, so a
+                    // compensating filter that eliminates every stored
+                    // group must still produce 0
+                    Coalesce(Seq(Sum(v).toAggregateExpression(), Literal(0L)))
+                  case _: Min => Min(v).toAggregateExpression()
+                  case _: Max => Max(v).toAggregateExpression()
                   case _ => return None
                 }
-                refn.toAggregateExpression()
             }
           case _ => return None
         }
@@ -778,10 +790,7 @@ object RewriteQueryByMaterialView {
     * literals) — they are up-cast before comparison. */
   private object AttrCmpLit {
     private def litVal(l: Expression,
-        dt: org.apache.spark.sql.types.DataType): Any =
-      if (l.dataType == dt) l.eval(null)
-      else if (Cast.canUpCast(l.dataType, dt)) Cast(l, dt).eval(null)
-      else null // incomparable — callers treat null as "cannot analyze"
+        dt: org.apache.spark.sql.types.DataType): Any = litValue(l, dt)
 
     def unapply(e: Expression): Option[(String, String, Any,
         org.apache.spark.sql.types.DataType)] = e match {

@@ -81,7 +81,12 @@ object GraftTable {
     * whose analyzed plan bottoms out in exactly one graft relation. */
   def forName(spark: SparkSession, name: String): GraftTable = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    val plan = castToImpl(spark.table(name)).queryExecution.analyzed
+    // suppress the MV rewrite: a fresh covering view would otherwise
+    // substitute its own scan here and DML through the returned handle
+    // would mutate the VIEW's files instead of the base table
+    val plan = graft.mv.RewriteQueryByMaterialView.withoutRewrite {
+      castToImpl(spark.table(name)).queryExecution.analyzed
+    }
     val paths = plan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftTableV2] =>

@@ -428,7 +428,52 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       val qv = spark.sql(
         "SELECT a, count(1) AS c FROM mvr_base WHERE v > 60 GROUP BY a")
       assert(!qv.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // a filter matching NO stored group must still count 0, not NULL
+      // (sum-of-counts over zero rows is NULL; the rewrite compensates)
+      val qz = spark.sql("SELECT count(1) AS c FROM mvr_base WHERE b = 77")
+      assert(qz.queryExecution.optimizedPlan.toString.contains(viewToken))
+      assert(rowsOf(qz) == Seq(Seq(0L)))
       cleanupView(viewDir)
+    }
+  }
+
+  test("forName and INSERT INTO SELECT behave with a covering view registered") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvfn"
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gcov")
+      s2.sql(s"CREATE TABLE gcov (id BIGINT, v INT) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gcov VALUES (1, 10), (2, 20), (3, 30)")
+      MaterializedViews.create(s2, viewDir, "SELECT id, v FROM gcov")
+      // forName must resolve the BASE table, not the covering view — DML
+      // through the handle would otherwise mutate the view's files
+      val t = GraftTable.forName(s2, "gcov")
+      assert(t.path == graft.meta.SnapshotManagement.normalize(s"$dir/t"),
+        s"forName resolved ${t.path}")
+      t.deleteExpr("id = 3")
+      assert(s2.sql("SELECT count(1) AS c FROM gcov").head().getLong(0) == 2)
+      // the read side of INSERT INTO ... SELECT is still served by a view
+      val aggDir = dir + "-mvagg2"
+      s2.sql("DROP TABLE IF EXISTS gcov_tgt")
+      s2.sql(s"CREATE TABLE gcov_tgt (id BIGINT, v INT) USING graft " +
+        s"LOCATION '$dir/tgt'")
+      MaterializedViews.create(s2, aggDir, "SELECT id, v FROM gcov WHERE id <= 10")
+      // V1-write physical plans hide the read subtree; the logical plans
+      // in EXPLAIN EXTENDED show the substituted view scan
+      val explain = s2.sql("EXPLAIN EXTENDED INSERT INTO gcov_tgt " +
+        "SELECT id, v FROM gcov WHERE id = 1").head().getString(0)
+      assert(explain.contains(aggDir.split("/").last),
+        s"INSERT read side should serve from the view:\n$explain")
+      s2.sql("INSERT INTO gcov_tgt SELECT id, v FROM gcov WHERE id = 1")
+      assert(rowsOf(s2.sql("SELECT * FROM gcov_tgt")) == Seq(Seq(1L, 10)))
+      s2.sql("DROP TABLE gcov"); s2.sql("DROP TABLE gcov_tgt")
+      val norm = graft.meta.SnapshotManagement.normalize _
+      val cur = s2.conf.getOption(MaterializedViews.CONF_KEY)
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+      s2.conf.set(MaterializedViews.CONF_KEY, cur
+        .filterNot(p => p == norm(viewDir) || p == norm(aggDir)).mkString(","))
     }
   }
 

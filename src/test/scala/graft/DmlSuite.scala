@@ -126,9 +126,12 @@ class DmlSuite extends GraftFunSuite {
       try {
         // fresh staging (possible in-flight write) is protected
         assert(t.cleanup(retainMillis = 60000, dryRun = true).isEmpty)
-        // past retention it can only be a dead writer's leftovers
-        Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
-          .fromMillis(System.currentTimeMillis() - 120000))
+        // past retention it can only be a dead writer's leftovers —
+        // liveness is the NEWEST mtime under the dir, so age everything
+        val past = java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 120000)
+        Files.setLastModifiedTime(dead, past)
+        Files.setLastModifiedTime(dead.resolve("part-0.parquet"), past)
         val removed = t.cleanup(retainMillis = 60000)
         assert(removed.exists(_.contains("dead-txn")), removed.toString)
         assert(!Files.exists(dead))
