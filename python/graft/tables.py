@@ -43,6 +43,18 @@ class GraftTable(object):
         return cls(sparkSession, jtable)
 
     @classmethod
+    def registerMergeOperator(cls, sparkSession, className):
+        """Register a JVM GraftMergeOperator class by fully qualified name.
+
+        Registered operators are usable from SQL via the
+        ``graft_merge_op_<name>(col)`` marker functions and from
+        ``mergeOperators`` scan options.
+        """
+        assert sparkSession is not None
+        sparkSession._sc._jvm.graft.tables.PyBridge.registerMergeOperator(
+            className)
+
+    @classmethod
     def isGraftTable(cls, sparkSession, path):
         """Whether ``path`` is the root of a graft table."""
         assert sparkSession is not None

@@ -58,6 +58,14 @@ object PyBridge {
 
   def dropTable(t: GraftTable): Unit = t.dropTable()
 
+  /** Register a [[graft.merge.GraftMergeOperator]] implementation by fully
+    * qualified class name so `graft_merge_op_<name>` markers and scan
+    * options can reference it (reference `StarTable.registerMergeOperator`). */
+  def registerMergeOperator(className: String): Unit =
+    graft.merge.GraftMergeOperator.register(
+      Class.forName(className).getDeclaredConstructor().newInstance()
+        .asInstanceOf[graft.merge.GraftMergeOperator])
+
   def dropPartition(t: GraftTable, predicate: String): Unit =
     t.dropPartition(predicate)
 }
