@@ -490,23 +490,36 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val contained = view.filterConjuncts.forall(vc =>
       conjunctImplied(vc, qCanonConj, q.filterConjuncts, qBounds, canon))
     if (!contained) return None
-    // the view must expose every column the query touches
+    // the view must expose every column the query touches — directly, or
+    // through a join-equivalent column (reference `columnEqualInfo`): on
+    // inner equi-join rows `k = fk` holds, so a view projecting only `k`
+    // still serves a query touching `fk`
     val baseToViewCol: Map[String, String] = view.projList.flatMap {
       case ar: AttributeReference => Some(ar.name.toLowerCase -> ar.name)
       case Alias(ar: AttributeReference, n) => Some(ar.name.toLowerCase -> n)
       case _ => None
     }.toMap
-    val needed = (q.projList.flatMap(_.references) ++
-      q.filterConjuncts.flatMap(_.references)).map(_.name.toLowerCase).toSet
-    if (!needed.subsetOf(baseToViewCol.keySet)) return None
+    val equivPairs: Seq[Set[String]] = view.joinConjuncts.collect {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        Set(x.name.toLowerCase, y.name.toLowerCase)
+    }
+    def equivalents(n: String): Seq[String] =
+      n +: equivPairs.filter(_.contains(n)).flatten.filterNot(_ == n)
     val scan = viewScan(viewPath)
     val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
+    def viewAttrFor(name: String): Option[Attribute] =
+      equivalents(name).iterator
+        .flatMap(n => baseToViewCol.get(n))
+        .flatMap(v => scanByName.get(v.toLowerCase))
+        .nextOption()
+    val needed = (q.projList.flatMap(_.references) ++
+      q.filterConjuncts.flatMap(_.references)).map(_.name.toLowerCase).toSet
+    if (!needed.forall(n => viewAttrFor(n).isDefined)) return None
     def remap(e: Expression): Option[Expression] = {
       var ok = true
       val r = e.transformUp {
         case a: AttributeReference =>
-          baseToViewCol.get(a.name.toLowerCase)
-            .flatMap(n => scanByName.get(n.toLowerCase)) match {
+          viewAttrFor(a.name.toLowerCase) match {
             case Some(v) if v.dataType == a.dataType => v
             case _ => ok = false; a
           }

@@ -601,6 +601,23 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       val q3 = spark.sql(
         "SELECT name FROM mvj_l JOIN mvj_r ON k = oid WHERE k >= 5 AND k <= 10")
       assert(!q3.queryExecution.optimizedPlan.toString.contains(viewToken))
+
+      // join-equivalence: a view projecting only `k` serves a query
+      // touching `fk` — on inner equi-join rows they are equal.
+      // (deregister the covering view first so it cannot serve instead)
+      cleanupView(viewDir)
+      val viewDir2 = dir + "-mvjk"
+      MaterializedViews.create(spark, viewDir2,
+        "SELECT k, name, amt FROM mvj_l JOIN mvj_r ON k = fk WHERE k <= 20")
+      val tok2 = viewDir2.split("/").last
+      val qe = spark.sql("SELECT fk, name FROM mvj_l JOIN mvj_r ON k = fk " +
+        "WHERE k >= 3 AND k <= 6")
+      assert(qe.queryExecution.optimizedPlan.toString.contains(tok2),
+        s"equivalent column should serve:\n${qe.queryExecution.optimizedPlan}")
+      assert(rowsOf(qe) == rowsOf(spark.sql(
+        "SELECT k AS fk, name FROM mvj_l JOIN mvj_r ON k = fk " +
+          "WHERE k >= 3 AND k <= 6")))
+      cleanupView(viewDir2)
       cleanupView(viewDir)
     }
   }
