@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   * the per-query MEDIAN; the total is the sum of medians. A single run is
   * hostage to host contention — one noisy neighbour turned a 29 s suite
   * into 100 s in a past round — and the median of three is robust to one
-  * polluted run in either direction. Per-run times go to stderr.
+  * polluted run in either direction. The runs are INTERLEAVED round-robin
+  * (pass 1 of every query, then pass 2, ...) rather than back-to-back:
+  * three consecutive runs of one query all fit inside a single sustained
+  * contention window, so their median is still polluted; spreading a
+  * query's runs across the whole suite amortizes any window over many
+  * queries' samples instead of concentrating it on one victim. Per-run
+  * times go to stderr.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,24 +36,28 @@ object Bench {
     System.err.println(f"[bench] warm-up took ${(System.nanoTime() - w0) / 1e9}%.1f s")
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to runs; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name pass $pass failed: ${e.getMessage}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name pass $pass: $secs%.2f s")
+      // result consumed: drop the run's stabilized pipeline blocks so the
+      // block manager stays flat across the whole suite
+      graft.llm.Checkpoints.releaseAll()
+      if (ok) samples(name) = samples(name) :+ secs
+    }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { i =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
-            false
-          }
-        val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name run $i: $secs%.2f s")
-        // result consumed: drop the run's stabilized pipeline blocks so the
-        // block manager stays flat across the whole suite
-        graft.llm.Checkpoints.releaseAll()
-        if (ok) Some(secs) else None
-      }
+    val results = queries.map { case (name, _) =>
+      val times = samples(name)
       if (times.isEmpty) errors += name
       else if (times.size < runs) flaky += name // some runs failed
       val median =

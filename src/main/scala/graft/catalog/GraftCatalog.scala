@@ -155,6 +155,9 @@ class GraftCatalog extends DelegatingCatalogExtension {
                 // the name was dropped metadata-only and old files still
                 // physically hold its pre-drop values — rewrite them below
                 // so the re-added column reads NULL, not resurrected data
+                require(a.isNullable,
+                  s"cannot re-add previously dropped column $addName as NOT " +
+                  "NULL: existing rows backfill to NULL")
                 readds += addName -> a.dataType()
                 info = info.copy(droppedColumns =
                   info.droppedColumns.filterNot(_ == addName.toLowerCase))

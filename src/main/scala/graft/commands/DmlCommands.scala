@@ -390,18 +390,27 @@ object CleanupCommand {
       } finally s.close()
     }
     txnDirs.flatMap { d =>
-      var newest = Files.getLastModifiedTime(d).toMillis
-      val staged = Seq.newBuilder[String]
-      val walk = Files.walk(d)
-      try walk.forEach { p =>
-        newest = math.max(newest, Files.getLastModifiedTime(p).toMillis)
-        if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-          staged += p.toString
-      } finally walk.close()
-      if (newest >= cutoff) Nil
-      else {
-        if (!dryRun) graft.write.TransactionalWrite.deleteRecursively(d)
-        staged.result()
+      // A writer may finalize (rename files out + delete its dir) between
+      // our list and walk — entries vanishing mid-walk mean the dir is LIVE,
+      // so skip it rather than abort the whole cleanup run.
+      try {
+        var newest = Files.getLastModifiedTime(d).toMillis
+        val staged = Seq.newBuilder[String]
+        val walk = Files.walk(d)
+        try walk.forEach { p =>
+          newest = math.max(newest, Files.getLastModifiedTime(p).toMillis)
+          if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            staged += p.toString
+        } finally walk.close()
+        if (newest >= cutoff) Nil
+        else {
+          if (!dryRun) graft.write.TransactionalWrite.deleteRecursively(d)
+          staged.result()
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException => Nil
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Nil
       }
     }
   }

@@ -40,19 +40,31 @@ object Checkpoints {
 
   val MODE_KEY = "spark.graft.checkpoint.mode"
 
-  // WEAK references: callers that never invoke releaseAll must not pin
-  // blocks forever — once a pipeline's result is unreachable, the JVM GC +
-  // Spark's ContextCleaner reclaim its blocks exactly as they reclaim any
-  // abandoned checkpoint. releaseAll() just makes reclamation prompt.
-  private val tracked =
-    new ConcurrentLinkedQueue[java.lang.ref.WeakReference[AnyRef]]()
+  // Tracking discipline differs by mode, and the difference is load-bearing:
+  //  - localCheckpoint blocks are owned by the RDD itself; a WEAK reference
+  //    is right — callers that never invoke releaseAll must not pin blocks
+  //    forever, and once the RDD is unreachable the JVM GC + Spark's
+  //    ContextCleaner reclaim its blocks. releaseAll() just makes that prompt.
+  //  - persist() entries are owned by Spark's CacheManager, which holds the
+  //    InMemoryRelation (and its blocks) STRONGLY and is never GC-collected.
+  //    A weak ref to the Dataset wrapper can be cleared by GC without
+  //    releasing anything — the entry (and its planning tax) then leaks for
+  //    the session. So persist entries are held strongly: the queue is
+  //    drained by releaseAll, and a strong Dataset ref pins nothing beyond
+  //    what CacheManager already pins.
+  private sealed trait Tracked
+  private final case class WeakRdd(ref: java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]])
+      extends Tracked
+  private final case class StrongCached(ds: org.apache.spark.sql.Dataset[_]) extends Tracked
+
+  private val tracked = new ConcurrentLinkedQueue[Tracked]()
 
   def stabilize(df: DataFrame): DataFrame = {
     df.sparkSession.conf.getOption(MODE_KEY).getOrElse("local") match {
       case "none" => df
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        tracked.add(new java.lang.ref.WeakReference[AnyRef](p))
+        tracked.add(StrongCached(p))
         p
       case _ =>
         val c = df.localCheckpoint()
@@ -60,22 +72,24 @@ object Checkpoints {
         // track it directly so release does not depend on RDD GC timing
         castToImpl(c).queryExecution.analyzed.collectFirst {
           case lr: LogicalRDD => lr.rdd
-        }.foreach(rdd => tracked.add(new java.lang.ref.WeakReference[AnyRef](rdd)))
+        }.foreach(rdd => tracked.add(WeakRdd(new java.lang.ref.WeakReference(rdd))))
         c
     }
   }
 
-  /** Drop every still-reachable block stabilized since the last call. Only
-    * call once the pipeline results built on them have been consumed. */
+  /** Drop every block stabilized since the last call. Only call once the
+    * pipeline results built on them have been consumed. */
   def releaseAll(): Unit = {
-    var ref = tracked.poll()
-    while (ref != null) {
-      ref.get() match {
-        case rdd: org.apache.spark.rdd.RDD[_] => rdd.unpersist(blocking = false)
-        case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(blocking = false)
-        case _ => () // already collected — ContextCleaner handled it
+    var entry = tracked.poll()
+    while (entry != null) {
+      entry match {
+        case WeakRdd(ref) =>
+          val rdd = ref.get()
+          if (rdd != null) rdd.unpersist(blocking = false)
+          // else: already collected — ContextCleaner handled it
+        case StrongCached(ds) => ds.unpersist(blocking = false)
       }
-      ref = tracked.poll()
+      entry = tracked.poll()
     }
   }
 }

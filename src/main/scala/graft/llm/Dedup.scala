@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Set to "true" to log the MinHash candidate-pair count (an extra job). */
+  val LOG_CANDIDATES_KEY = "spark.graft.dedup.logCandidates"
+
   /** Exact duplicate groups by content hash (hash-groupBy, one shuffle of
     * (hash, id) pairs only — never the text). */
   def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -71,12 +74,14 @@ object Dedup {
     // (persist() plan-matching taxed every later query in the session).
     val sh = Checkpoints.stabilize(shingleRows(df, idCol, textCol, k))
     // skew guard: drop shingles shared by too many documents. A hash
-    // aggregate + broadcast anti-join — the hot set is tiny by definition —
-    // where a count-over-window would shuffle AND sort every (doc_id,
-    // shingle) row just to learn each shingle's frequency.
+    // aggregate + anti-join — where a count-over-window would shuffle AND
+    // sort every (doc_id, shingle) row just to learn each shingle's
+    // frequency. No broadcast hint: the hot set is usually tiny, but with a
+    // low maxKeyFreq over a huge corpus it can exceed broadcast limits — AQE
+    // picks broadcast at runtime when the aggregated side actually is small.
     val hot = sh.groupBy("s").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxKeyFreq).select("s")
-    val filtered = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val filtered = sh.join(hot, Seq("s"), "left_anti")
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
@@ -201,8 +206,10 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
       .transform(Checkpoints.stabilize)
     // Attributable-bench metric: a regression here is a candidate explosion
-    // (s-curve vs corpus similarity profile), not a plan defect.
-    System.err.println(s"[graft-dedup] minhash candidate pairs: ${cands.count()}")
+    // (s-curve vs corpus similarity profile), not a plan defect. Opt-in —
+    // the count is an extra job, so it must not fire for ordinary callers.
+    if (df.sparkSession.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
+      System.err.println(s"[graft-dedup] minhash candidate pairs: ${cands.count()}")
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("cand_id"))
       .distinct()
     val candDocs = df.join(broadcast(candIds),

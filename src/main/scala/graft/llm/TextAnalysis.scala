@@ -39,18 +39,34 @@ object TextAnalysis {
       stopwordHits(t, LANG_STOPWORDS("en")).as("en_stopword_cnt"))
   }
 
-  /** Order-sensitive document fingerprint: rotate-xor rolling hash folded
-    * over the token stream (`rotl5(acc) ^ murmur3(token)`), so permuted
-    * documents fingerprint differently while identical ones collide. Pure
-    * bitwise ops — wraparound-free under ANSI mode. One pass, no shuffle. */
+  /** Order-sensitive document fingerprint: rotate-xor rolling hash over the
+    * token stream (`rotl5(acc) ^ murmur3(token)`), so permuted documents
+    * fingerprint differently while identical ones collide.
+    *
+    * The fold is XOR-linear (`rotl` distributes over `^`), so it unrolls to
+    * `XOR_i rotl(h(t_i), 5*(n-1-i) mod 64)` — an order-independent aggregate
+    * of order-DEPENDENT per-token contributions. That form is fully
+    * relational: posexplode + codegen'd bitwise ops + `bit_xor` aggregate,
+    * with map-side partial aggregation collapsing each doc to one row per
+    * partition before the (doc_id, partial) shuffle. The previous
+    * `functions.aggregate` HOF computed the identical values but evaluated
+    * interpreted per row — the last lambda in any scan path. Pure bitwise
+    * ops — wraparound-free under ANSI mode. */
   def rollingFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def rotl5(c: Column): Column =
-      shiftleft(c, 5).bitwiseOR(shiftrightunsigned(c, 59))
+    // rotate-by-zero works through the or-form because long shifts take the
+    // amount mod 64 (codegen'd as Java `<<`/`>>>`): h<<0 | h>>>64 == h
+    val r = pmod(lit(5) * (col("__n") - 1 - col("pos")), lit(64))
+    val h = hash(col("tok")).cast("long")
+    val rotated = call_function("shiftleft", h, r)
+      .bitwiseOR(call_function("shiftrightunsigned", h, lit(64) - r))
+    // posexplode_outer + null guard: zero-token docs must fingerprint to the
+    // fold's seed (0), not vanish from the output
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__n"),
+        posexplode_outer(col("__toks")).as(Seq("pos", "tok")))
       .select(col("doc_id"),
-        aggregate(col("__toks"), lit(0L),
-          (acc, t) => rotl5(acc).bitwiseXOR(hash(t).cast("long")))
-          .as("fingerprint"))
+        when(col("tok").isNull, lit(0L)).otherwise(rotated).as("contrib"))
+      .groupBy("doc_id").agg(bit_xor(col("contrib")).as("fingerprint"))
   }
 
   val LANG_STOPWORDS: Map[String, Seq[String]] = Map(

@@ -77,7 +77,9 @@ object TransactionalWrite {
     val dataCols = df.columns.toSeq.filterNot(rangeCols.contains)
     val out = mutable.ArrayBuffer.empty[DataFileInfo]
     var i = 0
+    heartbeat(stagingDir)
     walkParquet(stagingDir).foreach { file =>
+      heartbeat(stagingDir)
       val rel = stagingDir.relativize(file)
       val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
       val values = dirs.map { d =>
@@ -126,7 +128,9 @@ object TransactionalWrite {
         .parquet(stagingDir.toString)
 
       var i = 0
+      heartbeat(stagingDir)
       walkParquet(stagingDir).foreach { file =>
+        heartbeat(stagingDir)
         val bucket = PartIdx.findFirstMatchIn(file.getFileName.toString)
           .map(_.group(1).toInt)
           .getOrElse(sys.error(s"cannot parse bucket id from ${file.getFileName}"))
@@ -165,6 +169,17 @@ object TransactionalWrite {
   }
 
   private def newStagingId(): String = UUID.randomUUID().toString.take(12)
+
+  /** Keep the staging dir "live" for `CleanupCommand.vacuumStaging`'s
+    * newest-mtime liveness check while the move phase runs: the parquet job
+    * stamped all file mtimes at write time, so a move phase stalled past the
+    * retention window (FS hang, long GC) would otherwise look dead and get
+    * its not-yet-moved files vacuumed pre-commit. Best-effort — a missed
+    * touch only narrows the protection, never breaks the write. */
+  private def heartbeat(stagingDir: Path): Unit =
+    try Files.setLastModifiedTime(stagingDir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => }
 
   private def cleanupStaging(tablePath: String, stagingId: String): Unit = {
     deleteRecursively(Paths.get(tablePath, "_graft_staging", stagingId))

@@ -101,6 +101,10 @@ class LlmOperatorsSuite extends GraftFunSuite {
     for (mode <- Seq("persist", "none")) {
       spark.conf.set(Checkpoints.MODE_KEY, mode)
       try pipelineOnce() finally spark.conf.unset(Checkpoints.MODE_KEY)
+      // the persist-mode entry is owned by the CacheManager, not the Dataset
+      // wrapper: a GC here must not defeat releaseAll (it did when tracking
+      // was by WeakReference — the wrapper died, the cache entry leaked)
+      System.gc(); Thread.sleep(50)
       Checkpoints.releaseAll()
       assert(sc.getPersistentRDDs.size <= before, s"mode $mode leaked blocks")
     }

@@ -106,6 +106,7 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
         emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 3),
       graft.llm.TextAnalysis.qualityStats(docs, "text", "doc_id"),
       graft.llm.TextAnalysis.langId(docs, "text", "doc_id"),
+      graft.llm.TextAnalysis.rollingFingerprint(docs, "doc_id", "text"),
       graft.llm.Curation.curate(docs, "doc_id", "text", minWords = 1))
       .map(df => df.queryExecution.optimizedPlan.toString)
     plans.foreach { p =>
