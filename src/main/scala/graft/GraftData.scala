@@ -271,6 +271,36 @@ object GraftData {
     (graftRead(spark, dir), graftRead(spark, oDir))
   }
 
+  /** Fact + two dimensions (orders ⋈ customer ⋈ nation) plus a 3-way join
+    * materialized view over the low-key customers; filtered 3-way joins are
+    * served by the N-way JOIN containment rewrite (the oracle compares
+    * against the base tables, so a wrong rewrite fails the hash check). The
+    * view deliberately omits `n_nationkey` — queries joining on it are
+    * served through the `c_nationkey = n_nationkey` equivalence class. */
+  def custOrdersNationMvJoin(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val viewDir = s"${root(sfDir)}/con_mvj3_view"
+    val oDir = s"${root(sfDir)}/orders_mvj3_base"
+    val nDir = s"${root(sfDir)}/nation_mvj3_base"
+    val dir = ensure(spark, sfDir, "customer_mvj3_base") { d =>
+      Seq(viewDir, oDir, nDir).foreach { p =>
+        TransactionalWrite.deleteRecursively(Paths.get(p))
+        graft.meta.SnapshotManagement.invalidate(p)
+      }
+      parquet(spark, sfDir, "customer").write.format("graft").save(d)
+      parquet(spark, sfDir, "orders").write.format("graft").save(oDir)
+      parquet(spark, sfDir, "nation").write.format("graft").save(nDir)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT c_custkey, c_name, c_nationkey, c_mktsegment, o_orderkey, " +
+          s"o_totalprice, o_custkey, n_name, n_regionkey " +
+          s"FROM graft.`$d` JOIN graft.`$oDir` ON c_custkey = o_custkey " +
+          s"JOIN graft.`$nDir` ON c_nationkey = n_nationkey " +
+          s"WHERE c_custkey <= 1500")
+    }
+    graft.mv.MaterializedViews.register(spark, viewDir)
+    (graftRead(spark, dir), graftRead(spark, oDir), graftRead(spark, nDir))
+  }
+
   /** Build every table (untimed warm-up for the benchmark). */
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
     lineitemRange(spark, sfDir); partPlain(spark, sfDir)
@@ -283,5 +313,6 @@ object GraftData {
     customerDeleted(spark, sfDir); customerEvolved(spark, sfDir)
     customerSqlUpdated(spark, sfDir); ordersMvBase(spark, sfDir)
     ordersMvAgg(spark, sfDir); custOrdersMvJoin(spark, sfDir)
+    custOrdersNationMvJoin(spark, sfDir)
   }
 }

@@ -217,6 +217,16 @@ object Queries {
           cents(col("o_totalprice")).as("total_cents"))
     }),
 
+    "q_mv_join3" -> ((s, sf) => {
+      val (c, o, n) = GraftData.custOrdersNationMvJoin(s, sf)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_custkey") >= 10 && col("c_custkey") <= 800 &&
+          col("n_regionkey") <= 3)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    }),
+
     // ---- LLM data-pipeline operators ----
     "q_schema_evolution" -> ((s, sf) =>
       GraftData.customerEvolved(s, sf).select(
@@ -446,6 +456,13 @@ object Queries {
        "FROM customer JOIN orders ON c_custkey = o_custkey " +
        "WHERE c_custkey >= 10 AND c_custkey <= 500 " +
        "AND c_mktsegment = 'BUILDING'"),
+
+    "q_mv_join3" ->
+      ("SELECT c_custkey, c_name, n_name, o_orderkey, " +
+       "CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE c_custkey >= 10 AND c_custkey <= 800 AND n_regionkey <= 3"),
 
     "q_schema_evolution" ->
       ("SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 1 " +

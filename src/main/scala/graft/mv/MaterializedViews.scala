@@ -219,9 +219,6 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       case Alias(ar: AttributeReference, n) => Some(ar.name.toLowerCase -> n)
       case _ => None
     }.toMap
-    val needed = (q.projList.flatMap(_.references) ++
-      q.cond.toSeq.flatMap(_.references)).map(_.name.toLowerCase).toSet
-    if (!needed.subsetOf(baseToViewCol.keySet)) return None
     // containment: every view conjunct must be implied by the query's
     // predicate (query rows ⊆ view rows)
     val qConjuncts = q.cond.map(splitConjunction).getOrElse(Nil)
@@ -232,6 +229,17 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val contained = vConjuncts.forall(vc =>
       conjunctImplied(vc, qCanon, qConjuncts, qBounds, canonByName(_, ids)))
     if (!contained) return None
+    // compensation: only query conjuncts NOT exactly present in the view's
+    // filter — matched ones are already enforced by the view's rows, so a
+    // view filtered on a column it does not even project still serves a
+    // query repeating the same filter (the reference's equal-range rule,
+    // `RewriteQueryByMaterialView.scala:148-167`)
+    val vCanonSet = vConjuncts.flatMap(canonByName(_, ids))
+    val leftover = qConjuncts.filter(c =>
+      !canonByName(c, ids).exists(cc => vCanonSet.exists(_.semanticEquals(cc))))
+    val needed = (q.projList.flatMap(_.references) ++
+      leftover.flatMap(_.references)).map(_.name.toLowerCase).toSet
+    if (!needed.subsetOf(baseToViewCol.keySet)) return None
     // build: Project(remapped q.projList, Filter(remapped q.cond, viewScan))
     val scan = viewScan(viewPath)
     val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
@@ -249,10 +257,8 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       }
       if (ok) Some(r) else None
     }
-    val newCond = q.cond match {
-      case Some(c) => Some(remap(c).getOrElse(return None))
-      case None => None
-    }
+    val newCond = leftover
+      .map(c => remap(c).getOrElse(return None)).reduceOption(And)
     val filtered = newCond.map(Filter(_, scan)).getOrElse(scan)
     val newProj: Seq[NamedExpression] = q.projList.map {
       case ar: AttributeReference =>
@@ -293,25 +299,27 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
         val vPath = graftPath(vr).getOrElse(return None)
         if (qPath != vPath) return None
         Seq(qr, vr)
-      case (JoinSource(qlr, qrr, _), JoinSource(vlr, vrr, _)) =>
-        // same table pair; name-based matching needs globally unique
-        // column names and no self-joins
-        val qL = graftPath(qlr).getOrElse(return None)
-        val qR = graftPath(qrr).getOrElse(return None)
-        val vL = graftPath(vlr).getOrElse(return None)
-        val vR = graftPath(vrr).getOrElse(return None)
-        if (qL == qR || vL == vR || Set(qL, qR) != Set(vL, vR)) return None
-        val names = (qlr.output ++ qrr.output).map(_.name.toLowerCase)
+      case (JoinSource(qRels, _), JoinSource(vRels, _)) =>
+        // same table SET (any arity); name-based matching needs globally
+        // unique column names and no self-joins
+        val qPaths = qRels.map(r => graftPath(r).getOrElse(return None))
+        val vPaths = vRels.map(r => graftPath(r).getOrElse(return None))
+        if (qPaths.distinct.length != qPaths.length ||
+            vPaths.distinct.length != vPaths.length ||
+            qPaths.toSet != vPaths.toSet) return None
+        val names = qRels.flatMap(_.output).map(_.name.toLowerCase)
         if (names.distinct.length != names.length) return None
-        Seq(qlr, qrr, vlr, vrr)
+        qRels ++ vRels
       case _ => return None
     }
     val ids = exprIdSpace(Seq(sub) ++ sourcePlans ++ view.aggList ++ q.aggList
       ++ view.conjuncts ++ q.conjuncts ++ view.groupExprs ++ q.groupExprs)
     def canon(e: Expression): Option[Expression] = canonByName(e, ids)
-    // join sources must agree on the join condition exactly
+    // join sources must agree on the join condition exactly (aggregates
+    // cannot compensate extra join equalities with a row filter: filters
+    // do not commute with aggregation unless over group columns)
     (q.source, view.source) match {
-      case (JoinSource(_, _, qj), JoinSource(_, _, vj)) =>
+      case (JoinSource(_, qj), JoinSource(_, vj)) =>
         val qjc = qj.flatMap(canon)
         val vjc = vj.flatMap(canon)
         if (qjc.length != qj.length || vjc.length != vj.length ||
@@ -448,40 +456,48 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     }
   }
 
-  /** Rewrite `sub` = inner equi-join over the same pair of base relations
-    * with the same join condition and a contained row filter (reference
+  /** Rewrite `sub` = inner equi-join TREE over the same set of base
+    * relations with a contained row filter (reference
     * `RewriteQueryByMaterialView.scala:110-121`, `material_view/
-    * JoinInfo.scala:1-132`).
+    * JoinInfo.scala:1-132`, multi-join trees `MaterialViewUtils
+    * .scala:134-224`).
     *
-    * Soundness: for an INNER join, side filters commute with the join, so
-    * both plans are sigma(cond)(T1 join T2) over identical join conditions;
-    * query cond => view cond makes the view's rows a superset and
-    * re-applying the full query cond over the view scan is exact — the same
-    * row-level argument as the single-table case.
+    * Soundness: inner-join filters commute with the join, so both plans are
+    * sigma(cond)(T1 join ... join Tn) over their flattened join-conjunct
+    * sets. The view's join conjuncts must be a SUBSET of the query's: then
+    * view rows ⊇ query rows, and the query's extra join equalities become
+    * ordinary compensating filters over the view scan. Of the query's
+    * filter conjuncts, those exactly matching a view conjunct are already
+    * baked into the view's rows — only the LEFTOVER ones re-apply, which is
+    * what lets a view filtered on a column it does not project still serve
+    * a query with the same filter (the reference's equal-range rule).
     */
   private def tryJoinContainment(
       sub: LogicalPlan, viewPath: String, view: JoinDecomp): Option[LogicalPlan] = {
     val q = decomposeJoin(sub).getOrElse(return None)
-    val qL = graftPath(q.leftRel).getOrElse(return None)
-    val qR = graftPath(q.rightRel).getOrElse(return None)
-    val vL = graftPath(view.leftRel).getOrElse(return None)
-    val vR = graftPath(view.rightRel).getOrElse(return None)
-    // same table set; self-joins are ambiguous under name-based matching
-    if (qL == qR || vL == vR) return None
-    if (Set(qL, qR) != Set(vL, vR)) return None
+    val qPaths = q.rels.map(r => graftPath(r).getOrElse(return None))
+    val vPaths = view.rels.map(r => graftPath(r).getOrElse(return None))
+    // same table SET; self-joins are ambiguous under name-based matching
+    if (qPaths.distinct.length != qPaths.length) return None
+    if (vPaths.distinct.length != vPaths.length) return None
+    if (qPaths.toSet != vPaths.toSet) return None
     // name-based matching also needs every column name to be unambiguous
-    def names(p: LogicalPlan) = p.output.map(_.name.toLowerCase)
-    val qNames = names(q.leftRel) ++ names(q.rightRel)
+    val qNames = q.rels.flatMap(_.output).map(_.name.toLowerCase)
     if (qNames.distinct.length != qNames.length) return None
-    val ids = exprIdSpace(Seq(sub, view.leftRel, view.rightRel))
+    val ids = exprIdSpace(Seq(sub) ++ view.rels)
     def canon(e: Expression): Option[Expression] = canonByName(e, ids)
-    // identical join condition (as a conjunct set; canonicalization
-    // normalizes commuted equalities)
+    // view join conjuncts ⊆ query join conjuncts (canonicalization
+    // normalizes commuted equalities); the query's EXTRA equi-conjuncts
+    // compensate as filters below
     val vJoin = view.joinConjuncts.flatMap(canon)
-    val qJoin = q.joinConjuncts.flatMap(canon)
+    val qJoinPairs = q.joinConjuncts.map(c => c -> canon(c))
     if (vJoin.length != view.joinConjuncts.length ||
-        qJoin.length != q.joinConjuncts.length) return None
-    if (!sameExprSet(vJoin, qJoin)) return None
+        qJoinPairs.exists(_._2.isEmpty)) return None
+    if (!vJoin.forall(vc => qJoinPairs.exists(_._2.exists(_.semanticEquals(vc)))))
+      return None
+    val extraJoin = qJoinPairs.collect {
+      case (c, Some(cc)) if !vJoin.exists(_.semanticEquals(cc)) => c
+    }
     // row containment: every view conjunct exactly matched or implied by
     // the query's per-column bounds (OR-blocks and IN-lists included)
     val qCanonConj = q.filterConjuncts.flatMap(canon)
@@ -490,21 +506,25 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     val contained = view.filterConjuncts.forall(vc =>
       conjunctImplied(vc, qCanonConj, q.filterConjuncts, qBounds, canon))
     if (!contained) return None
-    // the view must expose every column the query touches — directly, or
-    // through a join-equivalent column (reference `columnEqualInfo`): on
-    // inner equi-join rows `k = fk` holds, so a view projecting only `k`
-    // still serves a query touching `fk`
+    // compensation: query filter conjuncts NOT exactly present in the view's
+    // (matched ones are already enforced by the view's rows), plus the
+    // query's extra join equalities
+    val vFilterCanon = view.filterConjuncts.flatMap(canon)
+    val leftover = q.filterConjuncts.filter(c =>
+      !canon(c).exists(cc => vFilterCanon.exists(_.semanticEquals(cc)))) ++ extraJoin
+    // the view must expose every column the query RESULT or the leftover
+    // compensation touches — directly, or through a join-equivalent column
+    // (reference `columnEqualInfo`): on inner equi-join rows `k = fk` holds
+    // transitively, so a view projecting only `k` serves queries touching
+    // any member of k's equality class
     val baseToViewCol: Map[String, String] = view.projList.flatMap {
       case ar: AttributeReference => Some(ar.name.toLowerCase -> ar.name)
       case Alias(ar: AttributeReference, n) => Some(ar.name.toLowerCase -> n)
       case _ => None
     }.toMap
-    val equivPairs: Seq[Set[String]] = view.joinConjuncts.collect {
-      case EqualTo(x: AttributeReference, y: AttributeReference) =>
-        Set(x.name.toLowerCase, y.name.toLowerCase)
-    }
+    val classes = equivClasses(view.joinConjuncts)
     def equivalents(n: String): Seq[String] =
-      n +: equivPairs.filter(_.contains(n)).flatten.filterNot(_ == n)
+      n +: classes.filter(_.contains(n)).flatten.filterNot(_ == n)
     val scan = viewScan(viewPath)
     val scanByName = scan.output.map(a => a.name.toLowerCase -> a).toMap
     def viewAttrFor(name: String): Option[Attribute] =
@@ -513,7 +533,7 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
         .flatMap(v => scanByName.get(v.toLowerCase))
         .nextOption()
     val needed = (q.projList.flatMap(_.references) ++
-      q.filterConjuncts.flatMap(_.references)).map(_.name.toLowerCase).toSet
+      leftover.flatMap(_.references)).map(_.name.toLowerCase).toSet
     if (!needed.forall(n => viewAttrFor(n).isDefined)) return None
     def remap(e: Expression): Option[Expression] = {
       var ok = true
@@ -526,8 +546,7 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
       }
       if (ok) Some(r) else None
     }
-    // compensation: the FULL query filter re-applies over the view scan
-    val newCond = q.filterConjuncts
+    val newCond = leftover
       .map(c => remap(c).getOrElse(return None)).reduceOption(And)
     val filtered = newCond.map(Filter(_, scan)).getOrElse(scan)
     val newProj: Seq[NamedExpression] = q.projList.map {
@@ -603,33 +622,48 @@ object RewriteQueryByMaterialView {
   }
 
   /** What an aggregate reads: a bare graft relation, or an inner equi-join
-    * of two (side filters are folded into the decomp's conjuncts — they
-    * commute with an inner join). */
+    * TREE of N graft relations (side/interior filters are folded into the
+    * decomp's conjuncts — they commute with inner joins). */
   sealed trait AggSource
   case class RelSource(rel: LogicalPlan) extends AggSource
   case class JoinSource(
-      leftRel: LogicalPlan, rightRel: LogicalPlan,
-      joinConjuncts: Seq[Expression]) extends AggSource
+      rels: Seq[LogicalPlan], joinConjuncts: Seq[Expression]) extends AggSource
 
-  /** aggregate-filter over a graft relation or an inner equi-join. */
+  /** aggregate-filter over a graft relation or an inner equi-join tree. */
   case class AggDecomp(
       groupExprs: Seq[Expression], aggList: Seq[NamedExpression],
       conjuncts: Seq[Expression], source: AggSource)
 
-  /** project-filter over an inner equi-join of two graft relations; side
-    * filters are folded into `filterConjuncts` (they commute with an inner
-    * join). */
+  /** project-filter over an inner equi-join TREE of >=2 graft relations;
+    * filters anywhere in the tree fold into `filterConjuncts` (they commute
+    * with inner joins). */
   case class JoinDecomp(
       projList: Seq[NamedExpression], joinConjuncts: Seq[Expression],
       filterConjuncts: Seq[Expression],
-      leftRel: LogicalPlan, rightRel: LogicalPlan)
+      rels: Seq[LogicalPlan])
 
-  private def sideOf(sp: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
-    stripAliases(sp) match {
+  /** Flatten an inner-join tree of (possibly filtered) graft relations into
+    * (relations, join conjuncts, filter conjuncts). Join association /
+    * commutation and filter placement all vanish in this form, so a
+    * fact+N-dimension view matches a query regardless of the order the
+    * planner (or the SQL author) joined the tables in — the reference parses
+    * whole join trees the same way (`material_view/MaterialViewUtils
+    * .scala:134-224`). Joins without a condition (cross joins) bail. */
+  private def flattenJoinTree(
+      p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression], Seq[Expression])] =
+    stripAliases(p) match {
+      case Join(l, r, Inner, Some(cond), _) =>
+        for { lt <- flattenJoinTree(l); rt <- flattenJoinTree(r) }
+          yield (lt._1 ++ rt._1, lt._2 ++ rt._2 ++ splitConjunction(cond),
+            lt._3 ++ rt._3)
       case Filter(c, ch) =>
-        val rel = stripAliases(ch)
-        if (isGraftRelation(rel)) Some((rel, splitConjunction(c))) else None
-      case rel if isGraftRelation(rel) => Some((rel, Nil))
+        flattenJoinTree(ch).map { case (rels, js, fs) =>
+          (rels, js, fs ++ splitConjunction(c)) }
+      // a pure column-pruning projection (a `SELECT *`/column subquery
+      // between joins) keeps rows intact — transparent to containment
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenJoinTree(ch)
+      case rel if isGraftRelation(rel) => Some((Seq(rel), Nil, Nil))
       case _ => None
     }
 
@@ -639,10 +673,9 @@ object RewriteQueryByMaterialView {
         stripAliases(src) match {
           case rel if isGraftRelation(rel) =>
             Some(AggDecomp(g, a, conj, RelSource(rel)))
-          case Join(l, r, Inner, Some(cond), _) =>
-            for { lp <- sideOf(l); rp <- sideOf(r) } yield AggDecomp(g, a,
-              conj ++ lp._2 ++ rp._2,
-              JoinSource(lp._1, rp._1, splitConjunction(cond)))
+          case j: Join =>
+            flattenJoinTree(j).map { case (rels, js, fs) =>
+              AggDecomp(g, a, conj ++ fs, JoinSource(rels, js)) }
           case _ => None
         }
       stripAliases(child) match {
@@ -652,23 +685,29 @@ object RewriteQueryByMaterialView {
     case _ => None
   }
 
-  def decomposeJoin(p: LogicalPlan): Option[JoinDecomp] = {
-    def fromJoin(j: LogicalPlan, extra: Seq[Expression]): Option[JoinDecomp] =
-      j match {
-        case Join(l, r, Inner, Some(cond), _) =>
-          for { lp <- sideOf(l); rp <- sideOf(r) } yield JoinDecomp(
-            lp._1.output ++ rp._1.output, splitConjunction(cond),
-            extra ++ lp._2 ++ rp._2, lp._1, rp._1)
-        case _ => None
-      }
-    stripAliases(p) match {
-      case Project(pl, ch) => (stripAliases(ch) match {
-        case Filter(c, ch2) => fromJoin(stripAliases(ch2), splitConjunction(c))
-        case other => fromJoin(other, Nil)
-      }).map(_.copy(projList = pl))
-      case Filter(c, ch) => fromJoin(stripAliases(ch), splitConjunction(c))
-      case other => fromJoin(other, Nil)
+  def decomposeJoin(p: LogicalPlan): Option[JoinDecomp] = stripAliases(p) match {
+    case Project(pl, ch) =>
+      flattenJoinTree(ch).filter(_._1.length >= 2).map { case (rels, js, fs) =>
+        JoinDecomp(pl, js, fs, rels) }
+    case other =>
+      flattenJoinTree(other).filter(_._1.length >= 2).map { case (rels, js, fs) =>
+        JoinDecomp(rels.flatMap(_.output), js, fs, rels) }
+  }
+
+  /** Transitive closure of column-equality classes from a join's equi
+    * conjuncts: `k1 = k2, k2 = k3` puts all three names in one class, so a
+    * view projecting only `k1` serves queries touching `k3` (inner-join rows
+    * satisfy the whole chain — the reference's `columnEqualInfo`). */
+  def equivClasses(conjs: Seq[Expression]): Seq[Set[String]] = {
+    var classes = Seq.empty[Set[String]]
+    conjs.foreach {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        val pair = Set(x.name.toLowerCase, y.name.toLowerCase)
+        val (touching, rest) = classes.partition(c => (c & pair).nonEmpty)
+        classes = touching.fold(pair)(_ ++ _) +: rest
+      case _ => ()
     }
+    classes
   }
 
   /** Deterministic per-comparison ExprId space: every lowercase column name

@@ -622,6 +622,137 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view N-way join containment: fact plus two dimensions") {
+    withTempTable { dir =>
+      val dirF = dir + "-f3"; val dirD2 = dir + "-d2"
+      val viewDir = dir + "-mvj3"
+      (1 to 40).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+        .write.format("graft").save(dir)
+      (1 to 5).map(i => (i.toLong, s"reg$i")).toDF("r", "region")
+        .write.format("graft").save(dirD2)
+      (1 to 400).map(i =>
+          (i.toLong, (i % 40 + 1).toLong, (i % 5 + 1).toLong, i * 2L))
+        .toDF("oid", "fk", "rk", "amt").write.format("graft").save(dirF)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("j3_d1")
+      spark.read.format("graft").load(dirD2).createOrReplaceTempView("j3_d2")
+      spark.read.format("graft").load(dirF).createOrReplaceTempView("j3_f")
+      val qSql = "SELECT name, region, amt FROM j3_f JOIN j3_d1 ON fk = k " +
+        "JOIN j3_d2 ON rk = r WHERE k >= 5 AND k <= 12 AND amt > 50"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT k, name, r, region, oid, fk, rk, amt FROM j3_f " +
+          "JOIN j3_d1 ON fk = k JOIN j3_d2 ON rk = r WHERE k <= 20")
+      val tok = viewDir.split("/").last
+
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(tok), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join re-execution:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // a different join ORDER (commuted tree) still matches the flattened
+      // conjunct set
+      val qo = spark.sql("SELECT name FROM j3_d1 JOIN j3_f ON k = fk " +
+        "JOIN j3_d2 ON r = rk WHERE k >= 5 AND k <= 12")
+      assert(qo.queryExecution.optimizedPlan.toString.contains(tok),
+        s"commuted tree should serve:\n${qo.queryExecution.optimizedPlan}")
+
+      // a pruning subquery between joins is transparent
+      val qs = spark.sql("SELECT name FROM (SELECT fk, rk FROM j3_f JOIN " +
+        "j3_d2 ON rk = r) JOIN j3_d1 ON fk = k WHERE k >= 5 AND k <= 12")
+      assert(qs.queryExecution.optimizedPlan.toString.contains(tok),
+        s"pruning subquery should serve:\n${qs.queryExecution.optimizedPlan}")
+
+      // dropping one join (2-table query over a 3-table view): no rewrite —
+      // the view's rows lost fact rows with no dimension match
+      val q2 = spark.sql("SELECT name FROM j3_f JOIN j3_d1 ON fk = k " +
+        "WHERE k >= 5 AND k <= 12")
+      assert(!q2.queryExecution.optimizedPlan.toString.contains(tok))
+
+      // range beyond the view's filter: no rewrite
+      val q3 = spark.sql("SELECT name FROM j3_f JOIN j3_d1 ON fk = k " +
+        "JOIN j3_d2 ON rk = r WHERE k >= 15 AND k <= 25")
+      assert(!q3.queryExecution.optimizedPlan.toString.contains(tok))
+      cleanupView(viewDir)
+    }
+  }
+
+  test("materialized view N-way aggregate-over-join: star cube with 2 dims") {
+    withTempTable { dir =>
+      val dirF = dir + "-fa3"; val dirD2 = dir + "-da2"
+      val viewDir = dir + "-mvaj3"
+      (1 to 20).map(i => (i.toLong, s"d${i % 4}")).toDF("k", "dim")
+        .write.format("graft").save(dir)
+      (1 to 6).map(i => (i.toLong, s"z${i % 2}")).toDF("r", "zone")
+        .write.format("graft").save(dirD2)
+      (1 to 300).map(i =>
+          (i.toLong, (i % 20 + 1).toLong, (i % 6 + 1).toLong, i.toLong))
+        .toDF("oid", "fk", "rk", "amt").write.format("graft").save(dirF)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("aj3_d1")
+      spark.read.format("graft").load(dirD2).createOrReplaceTempView("aj3_d2")
+      spark.read.format("graft").load(dirF).createOrReplaceTempView("aj3_f")
+      val qSql = "SELECT dim, zone, count(1) AS cnt, sum(amt) AS sa " +
+        "FROM aj3_f JOIN aj3_d1 ON fk = k JOIN aj3_d2 ON rk = r " +
+        "GROUP BY dim, zone"
+      val rollSql = "SELECT zone, count(1) AS cnt, sum(amt) AS sa " +
+        "FROM aj3_f JOIN aj3_d1 ON fk = k JOIN aj3_d2 ON rk = r " +
+        "WHERE dim = 'd2' GROUP BY zone"
+      val before = rowsOf(spark.sql(qSql))
+      val beforeRoll = rowsOf(spark.sql(rollSql))
+      MaterializedViews.create(spark, viewDir, qSql)
+      val tok = viewDir.split("/").last
+
+      // same grouping over the same 3-way join: served from stored groups
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(tok), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join re-execution:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // roll-up to one dimension with a group-column filter re-aggregates
+      val qr = spark.sql(rollSql)
+      assert(qr.queryExecution.optimizedPlan.toString.contains(tok))
+      assert(rowsOf(qr) == beforeRoll)
+
+      // missing one join: no rewrite
+      val qn = spark.sql("SELECT dim, count(1) AS cnt FROM aj3_f " +
+        "JOIN aj3_d1 ON fk = k GROUP BY dim")
+      assert(!qn.queryExecution.optimizedPlan.toString.contains(tok))
+      cleanupView(viewDir)
+    }
+  }
+
+  test("equal-filter compensation: view filtered on a column it does not project") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mveq"
+      (1 to 100).map(i => (i.toLong, (i % 10).toLong, i * 3L))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mveq_base")
+      val qSql = "SELECT g, v FROM mveq_base WHERE id BETWEEN 20 AND 60 AND g <= 4"
+      val before = rowsOf(spark.sql(qSql))
+      // the view filters on `id` but does NOT project it: a query repeating
+      // the exact same range needs no compensation on `id`, so it serves
+      // (the reference's equal-range rule); only `g <= 4` re-applies
+      MaterializedViews.create(spark, viewDir,
+        "SELECT g, v FROM mveq_base WHERE id BETWEEN 20 AND 60")
+      val tok = viewDir.split("/").last
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(tok), s"expected view scan, got:\n$plan")
+      assert(rowsOf(q) == before)
+
+      // a NARROWER id range cannot be compensated (id is not in the view
+      // output): no rewrite
+      val qn = spark.sql("SELECT g, v FROM mveq_base WHERE id BETWEEN 25 AND 40")
+      assert(!qn.queryExecution.optimizedPlan.toString.contains(tok))
+
+      // equality inside the view's range needs compensation too: no rewrite
+      val qe = spark.sql("SELECT g, v FROM mveq_base WHERE id = 30")
+      assert(!qe.queryExecution.optimizedPlan.toString.contains(tok))
+      cleanupView(viewDir)
+    }
+  }
+
   test("DML on a base table is unaffected by a registered all-column view") {
     withTempTable { dir =>
       val viewDir = dir + "-mvd"
