@@ -78,7 +78,17 @@ object Snapshot {
 object SnapshotManagement {
   private val cache = new ConcurrentHashMap[String, Snapshot]()
 
-  def store: MetaStore = MetaStore.fs
+  // Process-wide store, swappable for object-store deployments (set once at
+  // startup, before any table access). Default: the POSIX filesystem log.
+  @volatile private var activeStore: MetaStore = MetaStore.fs
+
+  def store: MetaStore = activeStore
+
+  /** Install a different MetaStore implementation (e.g.
+    * `new ObjectStoreMetaStore(client)` for S3/GCS/HDFS). Clears the
+    * snapshot cache — cached snapshots from the previous store would
+    * otherwise serve stale state for paths that differ between stores. */
+  def setStore(s: MetaStore): Unit = { activeStore = s; cache.clear() }
 
   def exists(tablePath: String): Boolean = store.exists(normalize(tablePath))
 
