@@ -31,10 +31,17 @@ class GraftTableV2(
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  /** Time travel: `.option("versionAsOf", n)` pins a historical snapshot. */
-  private val pinnedSnapshot: Option[Snapshot] = pinned.orElse(
-    extraOptions.collectFirst { case (k, v) if k.equalsIgnoreCase("versionAsOf") =>
-      SnapshotManagement.snapshotAt(path, v.toLong)
+  /** Time travel: `.option("versionAsOf", n)` or
+    * `.option("timestampAsOf", millis | "yyyy-MM-dd HH:mm:ss" | ISO-8601)`
+    * pins a historical snapshot. */
+  private val pinnedSnapshot: Option[Snapshot] = pinned
+    .orElse(extraOptions.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") =>
+        SnapshotManagement.snapshotAt(path, v.toLong)
+    })
+    .orElse(extraOptions.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("timestampAsOf") =>
+        SnapshotManagement.snapshotAtTimestamp(path, GraftTableV2.parseTs(v))
     })
 
   lazy val snapshotOpt: Option[Snapshot] =
@@ -165,5 +172,20 @@ class GraftWriteBuilder(
           WriteIntoTable.run(spark, path, data, m, options ++ extra)
         }
       }
+  }
+}
+
+object GraftTableV2 {
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`
+    * (session-local wall clock, like `java.sql.Timestamp`), or ISO-8601
+    * instants. */
+  private[sources] def parseTs(s: String): Long = {
+    val t = s.trim
+    try t.toLong catch { case _: NumberFormatException =>
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch { case _: IllegalArgumentException =>
+        java.time.Instant.parse(t).toEpochMilli
+      }
+    }
   }
 }

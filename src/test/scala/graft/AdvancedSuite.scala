@@ -27,6 +27,37 @@ class AdvancedSuite extends GraftFunSuite {
     }
   }
 
+  test("timestampAsOf time travel resolves against commit timestamps") {
+    withTempTable { dir =>
+      Seq((1L, "v0")).toDF("id", "v").write.format("graft").save(dir)
+      Thread.sleep(20)
+      val betweenCommits = System.currentTimeMillis()
+      Thread.sleep(20)
+      val t = GraftTable.forPath(spark, dir)
+      t.update($"id" === 1L, Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+      Seq((2L, "v1")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+
+      // between v0 and the update: the PRE-update snapshot serves
+      val pre = spark.read.format("graft")
+        .option("timestampAsOf", betweenCommits.toString).load(dir)
+      assert(rowsOf(pre) == Seq(Seq(1L, "v0")))
+      // at/after the newest commit: full current state
+      val now = spark.read.format("graft")
+        .option("timestampAsOf", System.currentTimeMillis().toString).load(dir)
+      assert(rowsOf(now) == Seq(Seq(1L, "UPD"), Seq(2L, "v1")))
+      // a human-readable local timestamp parses too (same instant)
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      val preStr = spark.read.format("graft")
+        .option("timestampAsOf", fmt.format(new java.util.Date(betweenCommits)))
+        .load(dir)
+      assert(rowsOf(preStr) == Seq(Seq(1L, "v0")))
+      // before the table existed: error
+      intercept[Exception] {
+        spark.read.format("graft").option("timestampAsOf", "1000").load(dir).count()
+      }
+    }
+  }
+
   test("SQL DELETE FROM via SupportsDelete (catalog table)") {
     withTempTable { dir =>
       val s2 = spark.newSession()
