@@ -142,27 +142,38 @@ class GraftCatalog extends DelegatingCatalogExtension {
           var info = snap.tableInfo
           var schema = info.schema
           val renames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          // re-adds of tombstoned names, keyed by full field path (nested
+          // paths address fields inside structs)
           val readds = scala.collection.mutable.LinkedHashMap
-            .empty[String, org.apache.spark.sql.types.DataType]
+            .empty[Seq[String], org.apache.spark.sql.types.DataType]
+          // top-level columns whose nested fields were renamed: files
+          // address fields by name, so these need a struct-cast rewrite
+          val nestedRenamed = scala.collection.mutable.LinkedHashSet.empty[String]
           def isKeyColumn(n: String): Boolean =
             info.rangeColumns.contains(n) || info.hashColumns.contains(n)
+          def dotted(path: Seq[String]): String =
+            path.map(_.toLowerCase).mkString(".")
           changes.foreach {
             case a: TableChange.AddColumn =>
-              require(a.fieldNames().length == 1,
-                "nested column adds are not supported")
-              val addName = a.fieldNames().head
-              if (info.droppedColumns.contains(addName.toLowerCase)) {
+              val fieldPath = a.fieldNames().toSeq
+              val key = dotted(fieldPath)
+              if (info.droppedColumns.contains(key)) {
                 // the name was dropped metadata-only and old files still
                 // physically hold its pre-drop values — rewrite them below
                 // so the re-added column reads NULL, not resurrected data
                 require(a.isNullable,
-                  s"cannot re-add previously dropped column $addName as NOT " +
+                  s"cannot re-add previously dropped column $key as NOT " +
                   "NULL: existing rows backfill to NULL")
-                readds += addName -> a.dataType()
+                readds += fieldPath -> a.dataType()
                 info = info.copy(droppedColumns =
-                  info.droppedColumns.filterNot(_ == addName.toLowerCase))
+                  info.droppedColumns.filterNot(_ == key))
               }
-              schema = schema.add(addName, a.dataType(), a.isNullable)
+              schema = graft.schema.SchemaUtils
+                .updateStructAt(schema, fieldPath.init) { st =>
+                  require(!st.fieldNames.contains(fieldPath.last),
+                    s"column $key already exists")
+                  st.add(fieldPath.last, a.dataType(), a.isNullable)
+                }
             case u: TableChange.UpdateColumnNullability =>
               require(u.nullable(), "tightening nullability is not supported")
               schema = StructType(schema.fields.map(f =>
@@ -185,31 +196,45 @@ class GraftCatalog extends DelegatingCatalogExtension {
               schema = StructType(schema.fields.map(f =>
                 if (f.name == name) f.copy(dataType = u.newDataType()) else f))
             case d: TableChange.DeleteColumn =>
-              // metadata-only: scans simply stop reading the column; a
+              // metadata-only: scans simply stop reading the field; a
               // tombstone records that live files still hold its data
-              require(d.fieldNames().length == 1, "nested columns not supported")
-              val name = d.fieldNames().head
-              require(!isKeyColumn(name),
-                s"cannot drop partition/primary-key column $name")
-              require(schema.fieldNames.contains(name), s"no such column $name")
-              require(schema.fields.length > 1, "cannot drop the last column")
-              schema = StructType(schema.fields.filterNot(_.name == name))
+              val fieldPath = d.fieldNames().toSeq
+              val key = dotted(fieldPath)
+              if (fieldPath.length == 1) {
+                require(!isKeyColumn(fieldPath.head),
+                  s"cannot drop partition/primary-key column ${fieldPath.head}")
+                require(schema.fields.length > 1, "cannot drop the last column")
+              }
+              schema = graft.schema.SchemaUtils
+                .updateStructAt(schema, fieldPath.init) { st =>
+                  require(st.fieldNames.contains(fieldPath.last),
+                    s"no such column $key")
+                  require(fieldPath.length == 1 || st.fields.length > 1,
+                    s"cannot drop the last field of struct " +
+                    s"${dotted(fieldPath.init)}")
+                  StructType(st.fields.filterNot(_.name == fieldPath.last))
+                }
               if (snap.files.nonEmpty) {
                 info = info.copy(droppedColumns =
-                  (info.droppedColumns :+ name.toLowerCase).distinct)
+                  (info.droppedColumns :+ key).distinct)
               }
             case r: TableChange.RenameColumn =>
               // rename needs a transactional data rewrite: files address
-              // columns by NAME (no column-id mapping), so metadata-only
-              // rename would null the column on read
-              require(r.fieldNames().length == 1, "nested columns not supported")
-              val from = r.fieldNames().head
-              require(schema.fieldNames.contains(from), s"no such column $from")
-              require(!schema.fieldNames.contains(r.newName()),
-                s"column ${r.newName()} already exists")
-              renames += from -> r.newName()
-              schema = StructType(schema.fields.map(f =>
-                if (f.name == from) f.copy(name = r.newName()) else f))
+              // columns (and nested fields) by NAME — no column-id mapping —
+              // so a metadata-only rename would null the data on read
+              val fieldPath = r.fieldNames().toSeq
+              schema = graft.schema.SchemaUtils
+                .updateStructAt(schema, fieldPath.init) { st =>
+                  require(st.fieldNames.contains(fieldPath.last),
+                    s"no such column ${dotted(fieldPath)}")
+                  require(!st.fieldNames.contains(r.newName()),
+                    s"column ${r.newName()} already exists")
+                  StructType(st.fields.map(f =>
+                    if (f.name == fieldPath.last) f.copy(name = r.newName())
+                    else f))
+                }
+              if (fieldPath.length == 1) renames += fieldPath.head -> r.newName()
+              else nestedRenamed += fieldPath.head
             case c: TableChange.UpdateColumnComment =>
               require(c.fieldNames().length == 1, "nested columns not supported")
               val name = c.fieldNames().head
@@ -249,15 +274,28 @@ class GraftCatalog extends DelegatingCatalogExtension {
             schemaJson = schema.json,
             rangeColumns = info.rangeColumns.map(c => renames.getOrElse(c, c)),
             hashColumns = info.hashColumns.map(c => renames.getOrElse(c, c)))
-          if ((renames.nonEmpty || readds.nonEmpty) && snap.files.nonEmpty) {
+          if ((renames.nonEmpty || readds.nonEmpty || nestedRenamed.nonEmpty)
+              && snap.files.nonEmpty) {
+            import org.apache.spark.sql.functions.{col, lit}
             val df0 = graft.commands.GraftTableFiles.read(spark, path, snap, snap.files)
             val renamed = renames.foldLeft(df0) { case (d, (from, to)) =>
               d.withColumnRenamed(from, to)
             }
-            // re-added tombstoned columns materialize as NULL so rewritten
+            // nested renames: cast the top-level struct to its NEW type —
+            // struct casts match fields by POSITION, and a rename keeps
+            // positions, so the cast is exactly the field-name rewrite
+            val newSchemaByName = schema.fields.map(f => f.name -> f.dataType).toMap
+            val nested = nestedRenamed.foldLeft(renamed) { (d, top) =>
+              d.withColumn(top, col(s"`$top`").cast(newSchemaByName(top)))
+            }
+            // re-added tombstoned fields materialize as NULL so rewritten
             // files no longer carry the stale pre-drop values
-            val df = readds.foldLeft(renamed) { case (d, (n, dt)) =>
-              d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
+            val df = readds.foldLeft(nested) { case (d, (p, dt)) =>
+              if (p.length == 1)
+                d.withColumn(p.head, lit(null).cast(dt))
+              else
+                d.withColumn(p.head, col(s"`${p.head}`")
+                  .withField(p.tail.mkString("."), lit(null).cast(dt)))
             }
             val files = graft.write.TransactionalWrite.writeFiles(
               spark, path, newInfo, df, isBase = true)

@@ -53,6 +53,29 @@ object SchemaUtils {
     }
   }
 
+  /** Rewrite the struct at nested `parent` path (empty = the top level)
+    * with `op`, recursing through intermediate structs. Supports the
+    * reference's nested ADD/CHANGE/DROP COLUMN surface
+    * (`commands/alterTableCommands.scala:123-199`,
+    * `schema/SchemaUtils.scala:532-656`). */
+  def updateStructAt(
+      schema: StructType, parent: Seq[String])(
+      op: StructType => StructType): StructType =
+    if (parent.isEmpty) op(schema)
+    else {
+      val idx = schema.fields.indexWhere(_.name == parent.head)
+      if (idx < 0) throw new GraftSchemaException(s"no such column ${parent.head}")
+      schema.fields(idx).dataType match {
+        case st: StructType =>
+          val updated = schema.fields(idx).copy(
+            dataType = updateStructAt(st, parent.tail)(op))
+          StructType(schema.fields.updated(idx, updated))
+        case other => throw new GraftSchemaException(
+          s"${parent.head} is not a struct (${other.simpleString}); " +
+          "cannot address nested fields inside it")
+      }
+    }
+
   /** Additive merge: table schema plus any new incoming columns appended
     * (in incoming order). Nullability does NOT widen implicitly — a NOT
     * NULL column stays NOT NULL (enforced by Invariants on write); widening

@@ -202,6 +202,53 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("nested-field ALTER TABLE: add, rename, drop, re-add with tombstone") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gnest")
+      s2.sql(s"CREATE TABLE gnest (id BIGINT, props STRUCT<a: INT, b: STRING>) " +
+        s"USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gnest VALUES (1, named_struct('a', 10, 'b', 'x'))," +
+        "(2, named_struct('a', 20, 'b', 'y'))")
+
+      // ADD a nested field: metadata-only; old rows read NULL
+      s2.sql("ALTER TABLE gnest ADD COLUMN props.c DOUBLE")
+      assert(rowsOf(s2.sql("SELECT id, props.c FROM gnest")) ==
+        Seq(Seq(1L, null), Seq(2L, null)))
+      s2.sql("INSERT INTO gnest VALUES " +
+        "(3, named_struct('a', 30, 'b', 'z', 'c', CAST(3.5 AS DOUBLE)))")
+      assert(rowsOf(s2.sql("SELECT id, props.c FROM gnest WHERE id = 3")) ==
+        Seq(Seq(3L, 3.5)))
+
+      // RENAME a nested field: data rewrite, values preserved
+      s2.sql("ALTER TABLE gnest RENAME COLUMN props.a TO alpha")
+      assert(rowsOf(s2.sql("SELECT id, props.alpha FROM gnest")) ==
+        Seq(Seq(1L, 10), Seq(2L, 20), Seq(3L, 30)))
+      intercept[Exception] { s2.sql("SELECT props.a FROM gnest").collect() }
+
+      // DROP a nested field: gone from the schema
+      s2.sql("ALTER TABLE gnest DROP COLUMN props.b")
+      intercept[Exception] { s2.sql("SELECT props.b FROM gnest").collect() }
+      assert(s2.sql("SELECT * FROM gnest").schema("props").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("alpha", "c"))
+
+      // RE-ADD the dropped name: tombstone forces a rewrite — the field
+      // reads NULL everywhere, never the resurrected pre-drop values
+      s2.sql("ALTER TABLE gnest ADD COLUMN props.b STRING")
+      assert(rowsOf(s2.sql("SELECT id, props.b FROM gnest")) ==
+        Seq(Seq(1L, null), Seq(2L, null), Seq(3L, null)))
+      // and NOT NULL re-add of a tombstoned nested name is rejected
+      s2.sql("ALTER TABLE gnest DROP COLUMN props.b")
+      val e = intercept[Exception] {
+        s2.sql("ALTER TABLE gnest ADD COLUMN props.b STRING NOT NULL")
+      }
+      assert(e.getMessage.contains("re-add"), e.getMessage)
+      s2.sql("DROP TABLE gnest")
+    }
+  }
+
   test("schema-merge append cannot resurrect a dropped column name") {
     withTempTable { dir =>
       val s2 = spark.newSession()
