@@ -108,12 +108,31 @@ object UpdateCommand {
       condition: Column,
       setExprs: Map[String, Column]): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
+    // partition / primary-key columns are identity- and layout-bearing:
+    // updating one would silently move rows across buckets/partitions and
+    // could collide with existing keys (the reference rejects this too,
+    // `commands/UpdateCommand.scala`)
+    SnapshotManagement.snapshotOpt(path).foreach { snap =>
+      val banned = (snap.tableInfo.rangeColumns ++ snap.tableInfo.hashColumns)
+        .map(_.toLowerCase).toSet
+      val bad = setExprs.keys.filter(k => banned.contains(k.toLowerCase))
+      require(bad.isEmpty,
+        s"cannot update partition/primary-key column(s): ${bad.mkString(", ")}")
+    }
     RewriteSupport.rewriteMatchingFiles(spark, path, condition, "update") {
       (df, cond) =>
-        val updated = setExprs.foldLeft(df) { case (d, (colName, value)) =>
-          d.withColumn(colName, when(cond, value).otherwise(col(s"`$colName`")))
+        // SQL UPDATE assigns SIMULTANEOUSLY: every SET expression reads the
+        // OLD row. Stage the new values in temp columns first — a foldLeft
+        // of direct withColumn(name, ...) would let later SETs see earlier
+        // columns' NEW values (SET a = b, b = a would swap into a == b).
+        val staged = setExprs.toSeq.zipWithIndex
+        val withTmp = staged.foldLeft(df) { case (d, ((colName, value), i)) =>
+          d.withColumn(s"__graft_set_$i",
+            when(cond, value).otherwise(col(s"`$colName`")))
         }
-        updated
+        staged.foldLeft(withTmp) { case (d, ((colName, _), i)) =>
+          d.withColumn(colName, col(s"__graft_set_$i")).drop(s"__graft_set_$i")
+        }
     }
   }
 }

@@ -126,8 +126,8 @@ case class GraftPkScan(
           .map(c => ds.fields(ds.fieldIndex(c))))
     }
 
-  override def readSchema(): StructType =
-    StructType(readDataSchema.fields ++ readPartitionSchema.fields)
+  override def readSchema(): StructType = GraftPkScan.asNullable(
+    StructType(readDataSchema.fields ++ readPartitionSchema.fields))
 
   override def toBatch: Batch = this
 
@@ -179,11 +179,17 @@ case class GraftPkScan(
       StructType(mergeReadSchema.fields ++ readPartitionSchema.fields))
     // Merging consumes rows; only the compacted fast path streams batches.
     val returningBatch = supportsBatch && !scanNeedsMerge
+    // all-nullable request: a partial-column delta file legitimately lacks
+    // columns (fileExistCols); the vectorized reader null-fills OPTIONAL
+    // missing columns but throws for REQUIRED ones, and table schemas can
+    // carry NOT NULL (e.g. from a Dataset write). Nullability is a write-
+    // time invariant (Invariants.enforce), not a scan-time contract; the
+    // k-way merge resolves the nulls via fileExistCols.
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession,
-      dataSchema = tableInfo.dataSchema,
+      dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
       partitionSchema = readPartitionSchema,
-      requiredSchema = mergeReadSchema,
+      requiredSchema = GraftPkScan.asNullable(mergeReadSchema),
       filters = pushedPkFilters,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> returningBatch.toString),
@@ -383,5 +389,23 @@ class KWayMergeIterator(
       c += 1
     }
     out
+  }
+}
+
+object GraftPkScan {
+  /** Deep nullable view of a schema for the read path: scan-time
+    * missing-column fill must be allowed even for NOT NULL table columns. */
+  private[graft] def asNullable(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case st: StructType => asNullable(st)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(nullableType(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(nullableType(k), nullableType(v),
+        valueContainsNull = true)
+    case other => other
   }
 }

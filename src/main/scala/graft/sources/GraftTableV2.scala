@@ -64,11 +64,17 @@ class GraftTableV2(
   override def name(): String = s"graft.`$path`"
 
   /** File-source column convention: data columns first, then range
-    * partition columns. */
+    * partition columns. Declared NULLABLE regardless of the table schema:
+    * merge-on-read null-fills columns a partial-column upsert omitted for
+    * new keys, and schema evolution null-fills columns absent from old
+    * files — a scan declaring NOT NULL there makes codegen skip null checks
+    * and read garbage. NOT NULL remains a WRITE-time invariant
+    * (`Invariants.enforce` over `tableInfo.schema`). */
   override def schema(): StructType = snapshotOpt match {
     case Some(s) =>
       val ti = s.tableInfo
-      StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields)
+      GraftPkScan.asNullable(
+        StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields))
     case None => userSchema.getOrElse(new StructType())
   }
 
