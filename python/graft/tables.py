@@ -72,12 +72,19 @@ class GraftTable(object):
 
     # ---- DML ------------------------------------------------------------
 
-    def upsert(self, source, mode="delta"):
-        """Upsert ``source`` by primary key (``mode``: "delta" or "merge")."""
+    def upsert(self, source, mode="delta", condition=None):
+        """Upsert ``source`` by primary key (``mode``: "delta" or "merge").
+
+        ``condition`` (a range-partition predicate SQL string) scopes a
+        merge-mode rewrite to the matching partitions.
+        """
         if not isinstance(source, DataFrame):
             raise TypeError(
                 "source must be a DataFrame, got %s" % type(source))
-        self._jbridge.upsert(self._jtable, source._jdf, mode)
+        if condition is None:
+            self._jbridge.upsert(self._jtable, source._jdf, mode)
+        else:
+            self._jbridge.upsert(self._jtable, source._jdf, mode, condition)
 
     def update(self, condition=None, set=None):
         """Update rows matching ``condition`` with the ``set`` rules.

@@ -36,7 +36,7 @@ object UpsertCommand {
     val deltaEnabled = spark.conf
       .getOption("spark.graft.upsert.deltaFile.enabled").forall(_.toBoolean)
     if (extraOptions.get("mode").contains("merge") || !deltaEnabled) {
-      return runMergeMode(spark, tablePath, source)
+      return runMergeMode(spark, tablePath, source, extraOptions.get("condition"))
     }
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withNewTransaction(path) { txn =>
@@ -60,7 +60,8 @@ object UpsertCommand {
   }
 
   private def runMergeMode(
-      spark: SparkSession, tablePath: String, source: DataFrame): Unit = {
+      spark: SparkSession, tablePath: String, source0: DataFrame,
+      condition: Option[String]): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
@@ -69,9 +70,31 @@ object UpsertCommand {
       require(info.hasPrimaryKey,
         "upsert requires a hash-partitioned (primary-key) table")
       val pk = info.hashColumns
-      require(pk.forall(source.columns.contains),
-        s"source is missing PK columns ${pk.filterNot(source.columns.contains)}")
-      val target = GraftTableFiles.read(spark, path, snapshot, snapshot.files).as("t")
+      require(pk.forall(source0.columns.contains),
+        s"source is missing PK columns ${pk.filterNot(source0.columns.contains)}")
+      // Condition scopes the rewrite: only matching range partitions are
+      // read, joined, and replaced — a one-partition upsert stays a
+      // one-partition job no matter the table size. Source rows OUTSIDE the
+      // condition would be silently merged into partitions the commit does
+      // not replace, so they fail the write (codegen'd assert, no extra
+      // pass), exactly like an invariant violation.
+      val touchedFiles = condition match {
+        case None => snapshot.files
+        case Some(p) =>
+          val cond = org.apache.spark.sql.graft.SparkShims.expression(expr(p))
+          PartitionFilter.filterFiles(spark, snapshot, Seq(cond))
+      }
+      val source = condition match {
+        case None => source0
+        case Some(p) =>
+          require(info.rangeColumns.forall(source0.columns.contains),
+            "conditional upsert needs the range partition columns in the source")
+          source0.filter(coalesce(
+            assert_true(expr(p),
+              lit(s"[graft upsert] source row outside condition ($p)")),
+            lit(true)))
+      }
+      val target = GraftTableFiles.read(spark, path, snapshot, touchedFiles).as("t")
       val s = source.as("s")
       val joinCond = pk.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ && _)
       val targetCols = target.columns.toSeq
@@ -89,7 +112,7 @@ object UpsertCommand {
       val files = TransactionalWrite.writeFiles(spark, path, newInfo, merged,
         isBase = true)
       txn.commit("upsert",
-        if (newInfo == info) None else Some(newInfo), files, snapshot.files)
+        if (newInfo == info) None else Some(newInfo), files, touchedFiles)
     }
   }
 }

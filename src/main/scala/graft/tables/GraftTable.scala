@@ -40,9 +40,15 @@ class GraftTable private (spark: SparkSession, val path: String) {
 
   /** Merge-on-read upsert; source must contain the table's PK columns and
     * may carry any column subset. `mode = "merge"` rewrites base files via
-    * a full-outer join instead of appending delta files. */
-  def upsert(source: DataFrame, mode: String = "delta"): Unit =
-    UpsertCommand.run(spark, path, source, Map("mode" -> mode))
+    * a full-outer join instead of appending delta files. `condition` (a
+    * range-partition predicate, e.g. `"dt = '2020-11-01'"`) scopes a
+    * merge-mode rewrite to the matching partitions — at scale a
+    * one-partition upsert must not rewrite the whole table (reference
+    * `UpsertCommand` condition support). */
+  def upsert(source: DataFrame, mode: String = "delta",
+      condition: Option[String] = None): Unit =
+    UpsertCommand.run(spark, path, source,
+      Map("mode" -> mode) ++ condition.map("condition" -> _))
 
   def update(condition: Column, set: Map[String, Column]): Unit =
     UpdateCommand.run(spark, path, condition, set)

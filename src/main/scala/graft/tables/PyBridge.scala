@@ -32,6 +32,10 @@ object PyBridge {
   def upsert(t: GraftTable, source: DataFrame, mode: String): Unit =
     t.upsert(source, mode)
 
+  def upsert(t: GraftTable, source: DataFrame, mode: String,
+      condition: String): Unit =
+    t.upsert(source, mode, Option(condition).filter(_.nonEmpty))
+
   def update(
       t: GraftTable, condition: Column,
       set: java.util.Map[String, Column]): Unit =

@@ -165,6 +165,34 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("conditional merge-mode upsert rewrites only the matching partition") {
+    withTempTable { dir =>
+      Seq((20201101, 1L, 1), (20201101, 2L, 2), (20201102, 4L, 4))
+        .toDF("range", "hash", "value")
+        .write.format("graft").partitionBy("range")
+        .option("hashPartitions", "hash").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val untouched = t.snapshot.files.filter(_.rangeKey.contains("20201102"))
+        .map(_.path).toSet
+      t.upsert(Seq((20201101, 1L, 11), (20201101, 3L, 33))
+        .toDF("range", "hash", "value"),
+        mode = "merge", condition = Some("range = 20201101"))
+      assertSameRows(t.toDF.select("range", "hash", "value"),
+        Seq((20201101, 1L, 11), (20201101, 2L, 2), (20201101, 3L, 33),
+            (20201102, 4L, 4)).toDF("range", "hash", "value"))
+      // the non-matching partition's files were not rewritten
+      val after = t.snapshot.files.filter(_.rangeKey.contains("20201102"))
+        .map(_.path).toSet
+      assert(after == untouched, s"partition 20201102 was rewritten: $after")
+      // a source row OUTSIDE the condition fails the write (would be merged
+      // into a partition the commit does not replace)
+      intercept[Exception] {
+        t.upsert(Seq((20201102, 4L, 44)).toDF("range", "hash", "value"),
+          mode = "merge", condition = Some("range = 20201101"))
+      }
+    }
+  }
+
   // ---- update matrix ----
 
   test("update with an always-false and always-true condition") {
