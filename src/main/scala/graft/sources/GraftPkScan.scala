@@ -56,7 +56,9 @@ class GraftBucketScanBuilder(
     val mergeOps = Option(options.get(GraftMergeOperator.SCAN_OPTION))
       .map(GraftMergeOperator.parseAssignments).getOrElse(Map.empty)
     GraftPkScan(spark, tablePath, ti, pruned, readDataSchema(),
-      readPartitionSchema(), pushedDataFilters.toSeq, mergeOps)
+      readPartitionSchema(), pushedDataFilters.toSeq, mergeOps,
+      streamIgnoreChanges =
+        Option(options.get("ignoreChanges")).exists(_.toBoolean))
   }
 }
 
@@ -102,8 +104,16 @@ case class GraftPkScan(
     readDataSchema: StructType,
     readPartitionSchema: StructType,
     pushedPkFilters: Seq[Filter],
-    mergeOperatorNames: Map[String, String])
+    mergeOperatorNames: Map[String, String],
+    streamIgnoreChanges: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
+
+  /** Streaming read: PK delta files stream as the upsert records they are
+    * (rows-as-written); see [[GraftMicroBatchStream]] for the semantics. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(sparkSession, tablePath, tableInfo,
+      readSchema(), streamIgnoreChanges)
 
   private def groupKey(f: DataFileInfo): (String, Int) = (f.rangeKey, f.bucket)
 

@@ -25,8 +25,15 @@ object GraftScanBuilder {
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val index = new GraftFileIndex(spark, path, snapshot.tableInfo, snapshot.files)
     val ti = snapshot.tableInfo
+    val ignoreChanges =
+      Option(options.get("ignoreChanges")).exists(_.toBoolean)
     if (!ti.hasPrimaryKey) {
-      ParquetScanBuilder(spark, index, fullSchema, ti.dataSchema, options)
+      // shim delegator: keeps the stock builder's pushdown surface visible
+      // to V2ScanRelationPushDown while the BUILT scan gains the streaming
+      // entry point (batch path = pure delegation)
+      new org.apache.spark.sql.graft.StreamableParquetScanBuilderShim(
+        ParquetScanBuilder(spark, index, fullSchema, ti.dataSchema, options),
+        s => new GraftStreamableScan(s, spark, path, ti, ignoreChanges))
     } else {
       new GraftBucketScanBuilder(spark, path, snapshot, index, options)
     }

@@ -95,6 +95,7 @@ class GraftTableV2(
   // ErrorIfExists/Ignore only when BATCH_WRITE is absent).
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.TRUNCATE,

@@ -43,3 +43,45 @@ object SparkShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(castToImpl(spark), plan)
 }
+
+/** ScanBuilder delegator that keeps the stock `ParquetScanBuilder`'s whole
+  * pushdown surface (column pruning, catalyst filters, aggregates, variant
+  * extractions) while wrapping the BUILT scan with a streaming-capable one.
+  * Lives in the spark namespace because `SupportsPushDownCatalystFilters`
+  * is `private[sql]`; a plain wrapper outside it would silently drop filter
+  * pushdown (`ParquetScanBuilder.build()` narrows its return type, so a
+  * subclass override cannot widen to the wrapper scan).
+  */
+class StreamableParquetScanBuilderShim(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    wrap: org.apache.spark.sql.connector.read.Scan =>
+      org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = inner.pushAggregation(aggregation)
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = inner.pushVariantExtractions(extractions)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    wrap(inner.build())
+}

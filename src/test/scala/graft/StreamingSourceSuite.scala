@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.tables.GraftTable
+
+/** `readStream.format("graft")` — micro-batch source over the commit log
+  * (offsets = versions; initial batch = live snapshot; later batches =
+  * append-like commits' files; rewrites skipped or rejected). */
+class StreamingSourceSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def startToMemory(dir: String, name: String,
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    val reader = spark.readStream.format("graft").options(options)
+    reader.load(dir).writeStream.format("memory").queryName(name).start()
+  }
+
+  test("initial snapshot then incremental appends, exactly once") {
+    withTempTable { dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft").save(dir)
+      val q = startToMemory(dir, "gss1")
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss1").count() == 2)
+        // two more append commits
+        Seq((3L, "c")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+        Seq((4L, "d")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+        q.processAllAvailable()
+        assert(rowsOf(spark.table("gss1")) ==
+          Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
+      } finally q.stop()
+    }
+  }
+
+  test("PK table: delta upserts stream as records; compaction adds nothing") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = startToMemory(dir, "gss2")
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss2").count() == 2)
+        t.upsert(Seq((1L, 11), (3L, 3)).toDF("id", "v"))
+        q.processAllAvailable()
+        // the delta batch streams its two upsert records
+        assert(spark.table("gss2").count() == 4)
+        // compaction rewrites but appends no rows to the stream
+        graft.commands.CompactionCommand.run(spark, t.path, force = true)
+        q.processAllAvailable()
+        assert(spark.table("gss2").count() == 4)
+      } finally q.stop()
+    }
+  }
+
+  test("data-changing commit fails the stream unless ignoreChanges") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = startToMemory(dir, "gss3")
+      try {
+        q.processAllAvailable()
+        t.deleteExpr("id = 2")
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def messages(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+        assert(messages(e).exists(_.contains("ignoreChanges")),
+          s"unexpected failure: ${messages(e)}")
+      } finally q.stop()
+
+      // ignoreChanges: the delete commit is skipped, the stream continues
+      val q2 = startToMemory(dir, "gss3b", Map("ignoreChanges" -> "true"))
+      try {
+        q2.processAllAvailable()
+        // initial snapshot AFTER the delete: only the surviving row
+        assert(spark.table("gss3b").count() == 1)
+        Seq((9L, 9)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+        t.deleteExpr("id = 9") // skipped change
+        Seq((10L, 10)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+        q2.processAllAvailable()
+        assert(spark.table("gss3b").count() == 3) // 1 + appended 9 + 10
+      } finally q2.stop()
+    }
+  }
+
+  test("range-partitioned table streams partition column values") {
+    withTempTable { dir =>
+      Seq((1L, "us", 1), (2L, "de", 2)).toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      val q = startToMemory(dir, "gss4")
+      try {
+        q.processAllAvailable()
+        assert(rowsOf(spark.table("gss4").select("id", "country", "v")) ==
+          Seq(Seq(1L, "us", 1), Seq(2L, "de", 2)))
+      } finally q.stop()
+    }
+  }
+
+  test("restart from checkpoint resumes at the committed offset") {
+    withTempTable { dir =>
+      val cp = dir + "-cp"
+      val out = dir + "-out"
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      def run(): Unit = {
+        // parquet sink: supports checkpoint recovery (memory sink does not)
+        val q = spark.readStream.format("graft").load(dir)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      assert(spark.read.parquet(out).count() == 1)
+      // rows appended while the stream is down arrive after restart,
+      // without re-emitting the initial snapshot
+      Seq((2L, 2)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      run()
+      assert(rowsOf(spark.read.parquet(out)) == Seq(Seq(1L, 1), Seq(2L, 2)))
+    }
+  }
+}
