@@ -148,13 +148,20 @@ object UpdateCommand {
         // OLD row. Stage the new values in temp columns first — a foldLeft
         // of direct withColumn(name, ...) would let later SETs see earlier
         // columns' NEW values (SET a = b, b = a would swap into a == b).
+        // Dotted keys (`props.a.b`) address nested struct fields (reference
+        // `UpdateExpressionsSupport`); `col("props.a")` reads the old
+        // nested value and `withField` writes the new one in place.
         val staged = setExprs.toSeq.zipWithIndex
-        val withTmp = staged.foldLeft(df) { case (d, ((colName, value), i)) =>
-          d.withColumn(s"__graft_set_$i",
-            when(cond, value).otherwise(col(s"`$colName`")))
+        val withTmp = staged.foldLeft(df) { case (d, ((key, value), i)) =>
+          d.withColumn(s"__graft_set_$i", when(cond, value).otherwise(col(key)))
         }
-        staged.foldLeft(withTmp) { case (d, ((colName, _), i)) =>
-          d.withColumn(colName, col(s"__graft_set_$i")).drop(s"__graft_set_$i")
+        staged.foldLeft(withTmp) { case (d, ((key, _), i)) =>
+          val parts = key.split("\\.")
+          val assigned =
+            if (parts.length == 1) d.withColumn(key, col(s"__graft_set_$i"))
+            else d.withColumn(parts.head, col(s"`${parts.head}`")
+              .withField(parts.tail.mkString("."), col(s"__graft_set_$i")))
+          assigned.drop(s"__graft_set_$i")
         }
     }
   }

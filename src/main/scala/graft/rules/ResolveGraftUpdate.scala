@@ -72,10 +72,18 @@ case class ResolveGraftUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
       path: String,
       assignments: Seq[Assignment],
       condition: Option[Expression]): Option[LogicalPlan] = {
+    // keys may address nested struct fields (`SET props.a = ...`): the
+    // resolved key is a GetStructField chain over the column attribute
+    def keyPath(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => Some(ar.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        keyPath(g.child).map(p => s"$p.${g.extractFieldName}")
+      case _ => None
+    }
     val sets = assignments.map { a =>
-      a.key match {
-        case ar: AttributeReference => ar.name -> cleanSql(a.value)
-        case _ => return None // nested-field updates not supported
+      keyPath(a.key) match {
+        case Some(path) => path -> cleanSql(a.value)
+        case None => return None // map/array element updates not supported
       }
     }
     Some(GraftUpdateTableCommand(path, sets, condition.map(cleanSql)))

@@ -266,6 +266,32 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("nested-field UPDATE: API and SQL, simultaneous with a top-level SET") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gnup")
+      s2.sql(s"CREATE TABLE gnup (id BIGINT, flat INT, " +
+        s"props STRUCT<a: INT, b: STRING>) USING graft LOCATION '$dir/t'")
+      s2.sql("INSERT INTO gnup VALUES " +
+        "(1, 10, named_struct('a', 1, 'b', 'x'))," +
+        "(2, 20, named_struct('a', 2, 'b', 'y'))")
+
+      // SQL route: nested SET reads the OLD flat value while flat is also
+      // being SET (simultaneous), sibling field b untouched
+      s2.sql("UPDATE gnup SET props.a = flat + 1, flat = 0 WHERE id = 1")
+      assert(rowsOf(s2.sql("SELECT id, flat, props.a, props.b FROM gnup")) ==
+        Seq(Seq(1L, 0, 11, "x"), Seq(2L, 20, 2, "y")))
+
+      // API route with a dotted key
+      GraftTable.forPath(s2, s"$dir/t")
+        .updateExpr("id = 2", Map("props.b" -> "'Z'"))
+      assert(rowsOf(s2.sql("SELECT id, props.a, props.b FROM gnup")) ==
+        Seq(Seq(1L, 11, "x"), Seq(2L, 2, "Z")))
+      s2.sql("DROP TABLE gnup")
+    }
+  }
+
   // ---- delete matrix ----
 
   test("delete with always-false predicate keeps data; always-true empties") {
