@@ -96,14 +96,30 @@ class GraftMicroBatchStream(
       tableInfo.rangeColumns.contains(f.name)))
     val tz = castToImpl(spark).sessionState.conf.sessionLocalTimeZone
     val proj = UnsafeProjection.create(partSchema)
-    batchFiles(s, e).map { f =>
+    val files = batchFiles(s, e).map { f =>
       val values = InternalRow.fromSeq(partSchema.fields.toSeq.map { sf =>
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
-      GraftStreamFilePartition(s"$tablePath/${f.path}", f.size,
-        proj.apply(values).copy())
-    }.toArray
+      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy())
+    }
+    // bin-pack by size: the INITIAL-snapshot batch can hold the whole
+    // table, and one task per file would mean millions of tasks at scale —
+    // pack into ~maxPartitionBytes bins (first-fit over the listing order,
+    // which groups same-partition files together)
+    val maxBytes = castToImpl(spark).sessionState.conf.filesMaxPartitionBytes
+    val bins = Seq.newBuilder[GraftStreamFilesPartition]
+    var cur = List.empty[(String, Long, InternalRow)]
+    var curBytes = 0L
+    files.foreach { f =>
+      if (cur.nonEmpty && curBytes + f._2 > maxBytes) {
+        bins += GraftStreamFilesPartition(cur.reverse.toArray)
+        cur = Nil; curBytes = 0L
+      }
+      cur = f :: cur; curBytes += f._2
+    }
+    if (cur.nonEmpty) bins += GraftStreamFilesPartition(cur.reverse.toArray)
+    bins.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -135,8 +151,8 @@ case class GraftStreamOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-case class GraftStreamFilePartition(
-    absPath: String, length: Long, partitionValues: InternalRow)
+/** One bin of (absPath, length, partitionValues) triples. */
+case class GraftStreamFilesPartition(files: Array[(String, Long, InternalRow)])
   extends InputPartition
 
 case class GraftStreamReaderFactory(
@@ -144,16 +160,18 @@ case class GraftStreamReaderFactory(
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[GraftStreamFilePartition]
-    val pf = PartitionedFile(fp.partitionValues,
-      SparkPath.fromPathString(fp.absPath), 0, fp.length, Array.empty, 0L,
-      fp.length, Map.empty)
-    val iter: Iterator[InternalRow] =
-      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
-        case b: ColumnarBatch => scala.jdk.CollectionConverters
-          .IteratorHasAsScala(b.rowIterator()).asScala
-        case r: InternalRow => Iterator.single(r)
-      }
+    val bin = p.asInstanceOf[GraftStreamFilesPartition]
+    val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
+      case (absPath, length, partValues) =>
+        val pf = PartitionedFile(partValues,
+          SparkPath.fromPathString(absPath), 0, length, Array.empty, 0L,
+          length, Map.empty)
+        readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => scala.jdk.CollectionConverters
+            .IteratorHasAsScala(b.rowIterator()).asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
