@@ -175,6 +175,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
                   st.add(fieldPath.last, a.dataType(), a.isNullable)
                 }
             case u: TableChange.UpdateColumnNullability =>
+              require(u.fieldNames().length == 1,
+                "nested nullability changes are not supported")
               require(u.nullable(), "tightening nullability is not supported")
               schema = StructType(schema.fields.map(f =>
                 if (f.name == u.fieldNames().head) f.copy(nullable = true) else f))

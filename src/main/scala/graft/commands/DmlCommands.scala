@@ -45,8 +45,21 @@ object UpsertCommand {
       val info = snapshot.tableInfo
       require(info.hasPrimaryKey,
         "upsert requires a hash-partitioned (primary-key) table")
+      // A condition on a delta upsert is pure row validation: appends only
+      // touch the partitions of the source rows, so there is nothing to
+      // scope — but the caller's predicate must not be silently dropped
+      // (the merge path enforces it; asymmetry would corrupt silently).
+      val checked = extraOptions.get("condition") match {
+        case None => source
+        case Some(p) =>
+          validateUpsertCondition(spark, info, p)
+          source.filter(coalesce(
+            assert_true(expr(p),
+              lit(s"[graft upsert] source row outside condition ($p)")),
+            lit(true)))
+      }
       val (newInfo, aligned) = WriteIntoTable.evolveSchema(
-        spark, source, info, extraOptions, allowMissingColumns = true)
+        spark, checked, info, extraOptions, allowMissingColumns = true)
       val files = TransactionalWrite.writeFiles(
         spark, path, newInfo, aligned, isBase = false)
       txn.commit("delta", if (newInfo == info) None else Some(newInfo), files, Nil)
@@ -57,6 +70,26 @@ object UpsertCommand {
     if (spark.conf.getOption("spark.graft.compaction.auto").exists(_.toBoolean)) {
       CompactionCommand.run(spark, path, force = false)
     }
+  }
+
+  /** The upsert condition must reference ONLY range partition columns —
+    * same rule and message style as replaceWhere; anything else would
+    * either fail opaquely inside partition filtering or, on a
+    * non-range-partitioned table, silently degenerate to a whole-table
+    * rewrite the caller believed was scoped. */
+  private def validateUpsertCondition(
+      spark: SparkSession, info: TableInfo, predicate: String): Unit = {
+    // parse the TEXT: SparkShims.expression(expr(p)) yields a lazy
+    // ColumnNodeExpression whose SQL is still unparsed, so collecting
+    // attributes over it finds nothing
+    val refs = RewriteSupport.referencedNames(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+        .sessionState.sqlParser.parseExpression(predicate))
+    val bad = refs.filterNot(r =>
+      info.rangeColumns.exists(_.equalsIgnoreCase(r)))
+    require(bad.isEmpty,
+      s"upsert condition may reference only range partition columns " +
+      s"${info.rangeColumns.mkString("[", ", ", "]")}; got ${bad.mkString(", ")}")
   }
 
   private def runMergeMode(
@@ -81,6 +114,7 @@ object UpsertCommand {
       val touchedFiles = condition match {
         case None => snapshot.files
         case Some(p) =>
+          validateUpsertCondition(spark, info, p)
           val cond = org.apache.spark.sql.graft.SparkShims.expression(expr(p))
           PartitionFilter.filterFiles(spark, snapshot, Seq(cond))
       }
@@ -151,14 +185,19 @@ object UpdateCommand {
         // Dotted keys (`props.a.b`) address nested struct fields (reference
         // `UpdateExpressionsSupport`); `col("props.a")` reads the old
         // nested value and `withField` writes the new one in place.
+        // a key naming an actual top-level column wins over nested-path
+        // interpretation: column names may legally contain literal dots
+        val topLevel = df.columns.toSet
         val staged = setExprs.toSeq.zipWithIndex
         val withTmp = staged.foldLeft(df) { case (d, ((key, value), i)) =>
-          d.withColumn(s"__graft_set_$i", when(cond, value).otherwise(col(key)))
+          val old = if (topLevel.contains(key)) col(s"`$key`") else col(key)
+          d.withColumn(s"__graft_set_$i", when(cond, value).otherwise(old))
         }
         staged.foldLeft(withTmp) { case (d, ((key, _), i)) =>
           val parts = key.split("\\.")
           val assigned =
-            if (parts.length == 1) d.withColumn(key, col(s"__graft_set_$i"))
+            if (topLevel.contains(key) || parts.length == 1)
+              d.withColumn(key, col(s"__graft_set_$i"))
             else d.withColumn(parts.head, col(s"`${parts.head}`")
               .withField(parts.tail.mkString("."), col(s"__graft_set_$i")))
           assigned.drop(s"__graft_set_$i")

@@ -59,14 +59,20 @@ object TextAnalysis {
     val h = hash(col("tok")).cast("long")
     val rotated = call_function("shiftleft", h, r)
       .bitwiseOR(call_function("shiftrightunsigned", h, lit(64) - r))
-    // posexplode_outer + null guard: zero-token docs must fingerprint to the
-    // fold's seed (0), not vanish from the output
+    // posexplode_outer + null guard: zero-token docs must fingerprint to
+    // the fold's seed (0), not vanish from the output — while NULL text
+    // must stay NULL (like the original fold over a null array), which the
+    // carried `__n` distinguishes: size(null) is NULL, size(array()) is 0
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("__n"),
         posexplode_outer(col("__toks")).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__n"),
         when(col("tok").isNull, lit(0L)).otherwise(rotated).as("contrib"))
-      .groupBy("doc_id").agg(bit_xor(col("contrib")).as("fingerprint"))
+      .groupBy("doc_id")
+      .agg(bit_xor(col("contrib")).as("__fp"), max(col("__n")).as("__nn"))
+      .select(col("doc_id"),
+        when(col("__nn").isNull, lit(null).cast("long"))
+          .otherwise(col("__fp")).as("fingerprint"))
   }
 
   val LANG_STOPWORDS: Map[String, Seq[String]] = Map(

@@ -123,19 +123,23 @@ class InMemoryObjectStoreClient extends ObjectStoreClient {
   override def delete(key: String): Unit = objects.remove(key)
 }
 
-/** Directory-backed client: keys become files under `root` (url-encoded, so
-  * the namespace is flat like a real object store's); conditional write is
+/** Directory-backed client: key path segments become directories under
+  * `root` (each SEGMENT url-encoded — a whole-key encoding would blow the
+  * 255-byte filename limit for realistic table paths); conditional write is
   * write-temp + hard-link. Gives object-store tests durability across
   * processes without needing a real bucket. */
 class DirObjectStoreClient(root: Path) extends ObjectStoreClient {
+  private def encSeg(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decSeg(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
   private def fileFor(key: String): Path =
-    root.resolve(java.net.URLEncoder.encode(key, "UTF-8"))
+    key.split("/").filter(_.nonEmpty).foldLeft(root)((p, s) => p.resolve(encSeg(s)))
 
   override def putIfAbsent(key: String, data: Array[Byte]): Boolean = {
-    Files.createDirectories(root)
     val target = fileFor(key)
+    Files.createDirectories(target.getParent)
     if (Files.exists(target)) return false
-    val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID}")
+    val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, data)
     try { Files.createLink(target, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
@@ -143,30 +147,42 @@ class DirObjectStoreClient(root: Path) extends ObjectStoreClient {
   }
 
   override def put(key: String, data: Array[Byte]): Unit = {
-    Files.createDirectories(root)
-    val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID}")
+    val target = fileFor(key)
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, data)
-    Files.move(tmp, fileFor(key),
+    Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def get(key: String): Option[Array[Byte]] = {
     val f = fileFor(key)
-    if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+    if (Files.isRegularFile(f)) Some(Files.readAllBytes(f)) else None
   }
 
   override def list(prefix: String): Seq[String] = {
     if (!Files.isDirectory(root)) return Nil
     val out = Seq.newBuilder[String]
-    val stream = Files.newDirectoryStream(root)
-    try stream.forEach { p =>
-      val name = p.getFileName.toString
-      if (!name.startsWith(".tmp-")) {
-        val key = java.net.URLDecoder.decode(name, "UTF-8")
-        if (key.startsWith(prefix)) out += key
+    // visitor, not Files.walk: concurrent committers create and delete
+    // .tmp- files in the tree, and walk throws on entries vanishing
+    // between list and stat — vanished entries simply are not objects
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      override def visitFile(p: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (attrs.isRegularFile && !p.getFileName.toString.startsWith(".tmp-")) {
+          val rel = root.relativize(p)
+          val key = "/" + (0 until rel.getNameCount)
+            .map(i => decSeg(rel.getName(i).toString)).mkString("/")
+          if (key.startsWith(prefix)) out += key
+        }
+        java.nio.file.FileVisitResult.CONTINUE
       }
-    } finally stream.close()
+      override def visitFileFailed(p: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE
+    })
     out.result()
   }
 

@@ -124,25 +124,24 @@ object SnapshotManagement {
 
   /** Time travel by wall clock: the newest version whose commit timestamp
     * is at or before `tsMillis` (the reference documents `timestampAsOf` in
-    * its read options; commit times come from `CommitInfo`). Linear scan of
-    * the commit heads — time travel is interactive-rare, and commit
-    * timestamps are only approximately monotone (writer clocks), so the
-    * max-matching-version rule is used rather than binary search. */
+    * its read options; commit times come from `CommitInfo`). Commit
+    * timestamps are only approximately monotone (writer clocks), so no
+    * binary search — but the MAX matching version is by definition the
+    * first match scanning DOWN from latest, which makes recent-timestamp
+    * queries (the common case) O(1) log reads instead of O(commits). */
   def versionAtTimestamp(tablePath: String, tsMillis: Long): Long = {
     val path = normalize(tablePath)
     val latest = store.latestVersion(path)
     if (latest < 0) throw new GraftTableNotFoundException(path)
-    var best = -1L
-    var v = 0L
-    while (v <= latest) {
+    var v = latest
+    while (v >= 0) {
       val ts = store.read(path, v).flatMap(_.commit).headOption.map(_.timestamp)
-      if (ts.exists(_ <= tsMillis)) best = v
-      v += 1
+      if (ts.exists(_ <= tsMillis)) return v
+      v -= 1
     }
-    require(best >= 0,
+    throw new IllegalArgumentException(
       s"no commit at or before timestamp $tsMillis for $path " +
         "(the table is younger than the requested time)")
-    best
   }
 
   def snapshotAtTimestamp(tablePath: String, tsMillis: Long): Snapshot =

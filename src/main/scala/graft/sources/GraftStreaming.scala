@@ -106,17 +106,22 @@ class GraftMicroBatchStream(
     // bin-pack by size: the INITIAL-snapshot batch can hold the whole
     // table, and one task per file would mean millions of tasks at scale —
     // pack into ~maxPartitionBytes bins (first-fit over the listing order,
-    // which groups same-partition files together)
-    val maxBytes = castToImpl(spark).sessionState.conf.filesMaxPartitionBytes
+    // which groups same-partition files together). Each file is charged
+    // openCostInBytes like Spark's own FilePartition packing: without it a
+    // small-file table packs thousands of footer-opens into one task.
+    val conf = castToImpl(spark).sessionState.conf
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
     val bins = Seq.newBuilder[GraftStreamFilesPartition]
     var cur = List.empty[(String, Long, InternalRow)]
     var curBytes = 0L
     files.foreach { f =>
-      if (cur.nonEmpty && curBytes + f._2 > maxBytes) {
+      val charged = f._2 + openCost
+      if (cur.nonEmpty && curBytes + charged > maxBytes) {
         bins += GraftStreamFilesPartition(cur.reverse.toArray)
         cur = Nil; curBytes = 0L
       }
-      cur = f :: cur; curBytes += f._2
+      cur = f :: cur; curBytes += charged
     }
     if (cur.nonEmpty) bins += GraftStreamFilesPartition(cur.reverse.toArray)
     bins.result().toArray

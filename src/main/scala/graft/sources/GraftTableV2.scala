@@ -41,7 +41,7 @@ class GraftTableV2(
     })
     .orElse(extraOptions.collectFirst {
       case (k, v) if k.equalsIgnoreCase("timestampAsOf") =>
-        SnapshotManagement.snapshotAtTimestamp(path, GraftTableV2.parseTs(v))
+        SnapshotManagement.snapshotAtTimestamp(path, GraftTableV2.parseTs(spark, v))
     })
 
   lazy val snapshotOpt: Option[Snapshot] =
@@ -183,16 +183,22 @@ class GraftWriteBuilder(
 }
 
 object GraftTableV2 {
-  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`
-    * (session-local wall clock, like `java.sql.Timestamp`), or ISO-8601
-    * instants. */
-  private[sources] def parseTs(s: String): Long = {
+  /** `timestampAsOf` accepts epoch millis or any timestamp string Spark's
+    * own parser takes (`yyyy-MM-dd[ HH:mm:ss[.f]]`, ISO-8601, date-only) —
+    * wall-clock strings resolve in the SESSION timezone
+    * (`spark.sql.session.timeZone`), not the JVM default. */
+  private[sources] def parseTs(spark: SparkSession, s: String): Long = {
     val t = s.trim
     try t.toLong catch { case _: NumberFormatException =>
-      try java.sql.Timestamp.valueOf(t).getTime
-      catch { case _: IllegalArgumentException =>
-        java.time.Instant.parse(t).toEpochMilli
-      }
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(spark).sessionState.conf.sessionLocalTimeZone)
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), zone)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse timestampAsOf value '$s' as epoch millis or a timestamp"))
     }
   }
 }

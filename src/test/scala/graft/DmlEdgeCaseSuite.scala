@@ -190,6 +190,19 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
         t.upsert(Seq((20201102, 4L, 44)).toDF("range", "hash", "value"),
           mode = "merge", condition = Some("range = 20201101"))
       }
+      // DELTA mode must not silently drop the condition either: the same
+      // out-of-condition row fails
+      intercept[Exception] {
+        t.upsert(Seq((20201102, 4L, 44)).toDF("range", "hash", "value"),
+          condition = Some("range = 20201101"))
+      }
+      // and a condition on a non-range column is rejected with a clear
+      // message, like replaceWhere
+      val e = intercept[Exception] {
+        t.upsert(Seq((20201101, 1L, 1)).toDF("range", "hash", "value"),
+          mode = "merge", condition = Some("value > 0"))
+      }
+      assert(e.getMessage.contains("range partition columns"), e.getMessage)
     }
   }
 

@@ -41,6 +41,54 @@ class EdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("append with an incompatible column type is rejected; up-casts pass") {
+    withTempTable { dir =>
+      Seq((1L, 10L)).toDF("id", "v").write.format("graft").save(dir)
+      // int source into bigint column: safe up-cast, accepted
+      Seq((2, 20)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      assert(rowsOf(spark.read.format("graft").load(dir)) ==
+        Seq(Seq(1L, 10L), Seq(2L, 20L)))
+      // string into bigint: rejected with the column named
+      val e = intercept[Exception] {
+        Seq((3L, "x")).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      assert(e.getMessage.contains("v"), e.getMessage)
+    }
+  }
+
+  test("case-insensitive duplicate source columns are rejected") {
+    withTempTable { dir =>
+      val dup = Seq((1L, 1, 2)).toDF("id", "v", "V")
+      val e = intercept[Exception] { dup.write.format("graft").save(dir) }
+      assert(e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    }
+  }
+
+  test("column names parquet cannot store are rejected") {
+    withTempTable { dir =>
+      val bad = Seq((1L, 1)).toDF("id", "a b")
+      val e = intercept[Exception] { bad.write.format("graft").save(dir) }
+      assert(e.getMessage.contains("invalid character"), e.getMessage)
+    }
+  }
+
+  test("upsert with a new column needs schema auto-merge enabled") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val withNew = Seq((1L, 11, "n")).toDF("id", "v", "note")
+      intercept[Exception] { t.upsert(withNew) }
+      spark.conf.set("spark.graft.schema.autoMerge.enabled", "true")
+      try {
+        t.upsert(withNew)
+        assert(rowsOf(t.toDF.select("id", "v", "note")) ==
+          Seq(Seq(1L, 11, "n")))
+      } finally spark.conf.unset("spark.graft.schema.autoMerge.enabled")
+    }
+  }
+
   test("null range partition values round-trip and prune") {
     withTempTable { dir =>
       Seq((1L, "us"), (2L, null.asInstanceOf[String]), (3L, "de"))

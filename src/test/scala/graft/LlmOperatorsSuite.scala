@@ -110,6 +110,17 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("rolling fingerprint: NULL text stays NULL, empty text is 0") {
+    val docs = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.rollingFingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(got(1L) == null, "null text must fingerprint to NULL")
+    assert(got(2L) == 0L, "empty text must fingerprint to the fold seed 0")
+    assert(got(3L) != null && got(3L) != 0L)
+  }
+
   test("brute-force ANN matches in-memory exact top-k") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
