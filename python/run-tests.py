@@ -56,6 +56,22 @@ def main():
         got = {r["id"]: r["v"] for r in t.toDF().collect()}
         check("upsert", got == {1: 10, 2: 200, 3: 30, 4: 40})
 
+        rpath = os.path.join(tmp, "r")
+        (spark.createDataFrame([(1, 1, 1), (1, 2, 2), (2, 3, 3)],
+                               "dt int, id long, v long")
+         .write.format("graft").partitionBy("dt")
+         .option("hashPartitions", "id").option("hashBucketNum", "2")
+         .save(rpath))
+        rt = GraftTable.forPath(spark, rpath)
+        rt.upsert(spark.createDataFrame([(1, 2, 22)], "dt int, id long, v long"),
+                  mode="merge", condition="dt = 1")
+        got = {r["id"]: r["v"] for r in rt.toDF().collect()}
+        check("conditional upsert", got == {1: 1, 2: 22, 3: 3})
+
+        ts_rows = (spark.read.format("graft")
+                   .option("versionAsOf", "0").load(path).count())
+        check("versionAsOf read option", ts_rows == 3)
+
         t.update(condition="id = 1", set={"v": "v + 5"})
         t.update(condition=F.col("id") == 3, set={"v": F.lit(0)})
         got = {r["id"]: r["v"] for r in t.toDF().collect()}

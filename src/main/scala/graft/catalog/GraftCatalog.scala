@@ -182,21 +182,30 @@ class GraftCatalog extends DelegatingCatalogExtension {
                 if (f.name == u.fieldNames().head) f.copy(nullable = true) else f))
             case u: TableChange.UpdateColumnType =>
               // metadata-only widening: Spark 4's parquet readers promote
-              // int->long / float->double etc. at scan time, so old files
-              // stay valid. Hash/range columns are layout-bearing
-              // (bucket = hash(value) depends on the value's type) — reject.
-              require(u.fieldNames().length == 1, "nested columns not supported")
-              val name = u.fieldNames().head
-              require(!isKeyColumn(name),
-                s"cannot change type of partition/primary-key column $name")
-              val field = schema.fields.find(_.name == name).getOrElse(
-                throw new IllegalArgumentException(s"no such column $name"))
-              require(org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(field.dataType, u.newDataType()),
-                s"only widening type changes are supported: " +
-                s"${field.dataType.simpleString} -> ${u.newDataType().simpleString}")
-              schema = StructType(schema.fields.map(f =>
-                if (f.name == name) f.copy(dataType = u.newDataType()) else f))
+              // int->long / float->double etc. at scan time — per LEAF
+              // column, so nested fields widen the same way. Hash/range
+              // columns are layout-bearing (bucket = hash(value) depends on
+              // the value's type) — reject; nested fields can never be keys.
+              val fieldPath = u.fieldNames().toSeq
+              if (fieldPath.length == 1) {
+                require(!isKeyColumn(fieldPath.head),
+                  s"cannot change type of partition/primary-key column " +
+                  fieldPath.head)
+              }
+              schema = graft.schema.SchemaUtils
+                .updateStructAt(schema, fieldPath.init) { st =>
+                  val field = st.fields.find(_.name == fieldPath.last).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"no such column ${dotted(fieldPath)}"))
+                  require(org.apache.spark.sql.catalyst.expressions.Cast
+                    .canUpCast(field.dataType, u.newDataType()),
+                    s"only widening type changes are supported: " +
+                    s"${field.dataType.simpleString} -> " +
+                    u.newDataType().simpleString)
+                  StructType(st.fields.map(f =>
+                    if (f.name == fieldPath.last) f.copy(dataType = u.newDataType())
+                    else f))
+                }
             case d: TableChange.DeleteColumn =>
               // metadata-only: scans simply stop reading the field; a
               // tombstone records that live files still hold its data

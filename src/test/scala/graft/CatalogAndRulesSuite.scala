@@ -234,6 +234,16 @@ class CatalogAndRulesSuite extends GraftFunSuite {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
         .fieldNames.toSeq == Seq("alpha", "c"))
 
+      // WIDEN a nested field's type: metadata-only, old files promote at
+      // scan (same per-leaf promotion as top level)
+      s2.sql("ALTER TABLE gnest ALTER COLUMN props.alpha TYPE BIGINT")
+      assert(rowsOf(s2.sql("SELECT id, props.alpha FROM gnest")) ==
+        Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)))
+      // narrowing a nested field is rejected
+      intercept[Exception] {
+        s2.sql("ALTER TABLE gnest ALTER COLUMN props.alpha TYPE INT")
+      }
+
       // RE-ADD the dropped name: tombstone forces a rewrite — the field
       // reads NULL everywhere, never the resurrected pre-drop values
       s2.sql("ALTER TABLE gnest ADD COLUMN props.b STRING")
