@@ -353,6 +353,28 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("compaction with a partition predicate compacts only that partition") {
+    withTempTable { dir =>
+      Seq((20201101, 1L, 1), (20201102, 2L, 2)).toDF("range", "hash", "value")
+        .write.format("graft").partitionBy("range")
+        .option("hashPartitions", "hash").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((20201101, 1L, 11), (20201102, 2L, 22))
+        .toDF("range", "hash", "value"))
+      assert(t.snapshot.files.count(!_.isBase) == 2)
+      t.compaction(force = true, partitionPredicate = Some("range = 20201101"))
+      val deltasByRange = t.snapshot.files.filter(!_.isBase)
+        .groupBy(_.rangeKey).view.mapValues(_.size).toMap
+      assert(!deltasByRange.keySet.exists(_.contains("20201101")),
+        s"predicate partition must be compacted: $deltasByRange")
+      assert(deltasByRange.exists(_._1.contains("20201102")),
+        s"other partition must keep its delta: $deltasByRange")
+      assertSameRows(t.toDF.select("range", "hash", "value"),
+        Seq((20201101, 1L, 11), (20201102, 2L, 22))
+          .toDF("range", "hash", "value"))
+    }
+  }
+
   test("delete whole range partition via predicate on PK table with deltas") {
     withTempTable { dir =>
       Seq((20201101, 1L, 1), (20201101, 2L, 2), (20201102, 3L, 3))
