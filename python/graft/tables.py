@@ -66,6 +66,10 @@ class GraftTable(object):
         """DataFrame over the table's current snapshot (merge-on-read)."""
         return DataFrame(self._jbridge.toDF(self._jtable), self._spark)
 
+    def alias(self, aliasName):
+        """Aliased DataFrame view of the table (reference ``tables.py``)."""
+        return self.toDF().alias(aliasName)
+
     def history(self):
         """DataFrame of the table's commit history."""
         return DataFrame(self._jbridge.history(self._jtable), self._spark)

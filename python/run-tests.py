@@ -72,6 +72,8 @@ def main():
                    .option("versionAsOf", "0").load(path).count())
         check("versionAsOf read option", ts_rows == 3)
 
+        check("alias", t.alias("a").select("a.id").count() == 4)
+
         t.update(condition="id = 1", set={"v": "v + 5"})
         t.update(condition=F.col("id") == 3, set={"v": F.lit(0)})
         got = {r["id"]: r["v"] for r in t.toDF().collect()}

@@ -91,6 +91,16 @@ object MaterializedViews {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
+  /** Unregister the view from the session and delete its storage. */
+  def drop(spark: SparkSession, viewPath: String): Unit = {
+    val norm = SnapshotManagement.normalize(viewPath)
+    val cur = spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    spark.conf.set(CONF_KEY, cur.filterNot(_ == norm).mkString(","))
+    RewriteQueryByMaterialView.invalidatePlanCache(norm)
+    graft.commands.DropCommands.dropTable(norm)
+  }
+
   def register(spark: SparkSession, viewPath: String): Unit = {
     val cur = spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Nil)
@@ -580,6 +590,9 @@ object RewriteQueryByMaterialView {
     * `_graft_mv.json` (refresh bumps relationVersions). */
   private val planCache =
     new ConcurrentHashMap[String, (MaterialViewInfo, LogicalPlan)]()
+
+  private[mv] def invalidatePlanCache(viewPath: String): Unit =
+    planCache.remove(viewPath)
 
   /** select-project-filter over a single graft relation. */
   case class Decomp(

@@ -810,6 +810,25 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("MaterializedViews.drop unregisters and deletes; queries fall back to base") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mvdrop"
+      (1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvd_base")
+      MaterializedViews.create(spark, viewDir,
+        "SELECT id, s FROM mvd_base WHERE id <= 20")
+      val tok = viewDir.split("/").last
+      val q1 = spark.sql("SELECT s FROM mvd_base WHERE id <= 5")
+      assert(q1.queryExecution.optimizedPlan.toString.contains(tok))
+      MaterializedViews.drop(spark, viewDir)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(viewDir)))
+      val q2 = spark.sql("SELECT s FROM mvd_base WHERE id <= 5")
+      assert(!q2.queryExecution.optimizedPlan.toString.contains(tok))
+      assert(q2.count() == 5)
+    }
+  }
+
   test("DML on a base table is unaffected by a registered all-column view") {
     withTempTable { dir =>
       val viewDir = dir + "-mvd"
