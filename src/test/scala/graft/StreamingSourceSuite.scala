@@ -97,6 +97,27 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("streaming source follows a log living in the object store") {
+    withTempTable { dir =>
+      val prev = graft.meta.SnapshotManagement.store
+      graft.meta.SnapshotManagement.setStore(
+        new graft.meta.ObjectStoreMetaStore(
+          new graft.meta.InMemoryObjectStoreClient))
+      try {
+        Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+        val q = startToMemory(dir, "gss6")
+        try {
+          q.processAllAvailable()
+          assert(spark.table("gss6").count() == 1)
+          Seq((2L, 2)).toDF("id", "v").write.format("graft")
+            .mode("append").save(dir)
+          q.processAllAvailable()
+          assert(spark.table("gss6").count() == 2)
+        } finally q.stop()
+      } finally graft.meta.SnapshotManagement.setStore(prev)
+    }
+  }
+
   test("restart from checkpoint resumes at the committed offset") {
     withTempTable { dir =>
       val cp = dir + "-cp"
