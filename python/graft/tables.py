@@ -118,14 +118,27 @@ class GraftTable(object):
 
     # ---- maintenance ----------------------------------------------------
 
-    def compaction(self, force=True, partitionPredicate=None):
-        """Merge delta files (and bin-pack small files) into base files."""
+    def compaction(self, force=True, partitionPredicate=None,
+                   mergeOperatorInfo=None):
+        """Merge delta files (and bin-pack small files) into base files.
+
+        ``mergeOperatorInfo`` (dict of column -> operator name) materializes
+        operator results into the rewritten files (reference
+        ``compaction(mergeOperatorInfo)``).
+        """
         if partitionPredicate is not None \
                 and not isinstance(partitionPredicate, str):
             raise TypeError("partitionPredicate must be a SQL string, got %s"
                             % type(partitionPredicate))
-        self._jbridge.compaction(
-            self._jtable, bool(force), partitionPredicate or "")
+        if mergeOperatorInfo is None:
+            self._jbridge.compaction(
+                self._jtable, bool(force), partitionPredicate or "")
+        else:
+            jmap = self._spark._sc._jvm.java.util.HashMap()
+            for k, v in mergeOperatorInfo.items():
+                jmap.put(k, v)
+            self._jbridge.compaction(
+                self._jtable, bool(force), partitionPredicate or "", jmap)
 
     def cleanup(self, retainMillis=5 * 3600 * 1000, dryRun=False):
         """Vacuum unreferenced files older than ``retainMillis``.

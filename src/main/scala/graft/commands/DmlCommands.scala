@@ -314,12 +314,17 @@ object CompactionCommand {
     * compacts only partitions whose delta-file count reached
     * `spark.graft.compaction.deltaFileMaxNum` (default 5).
     */
+  /** `mergeOperators` (reference `compaction(mergeOperatorInfo)`) applies
+    * the named per-column operators while merging, so their results are
+    * MATERIALIZED into the base files — after which plain reads see the
+    * combined values and operator reads are identity over single rows. */
   def run(
       spark: SparkSession,
       tablePath: String,
       force: Boolean = true,
       partitionPredicate: Option[String] = None,
-      rangeKeys: Option[Set[String]] = None): Unit = {
+      rangeKeys: Option[Set[String]] = None,
+      mergeOperators: Map[String, String] = Map.empty): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
@@ -353,7 +358,12 @@ object CompactionCommand {
       }
       if (toCompact.isEmpty) return
       val oldFiles = toCompact.values.flatten.toSeq
-      val df0 = GraftTableFiles.read(spark, path, snapshot, oldFiles)
+      val readOpts =
+        if (mergeOperators.isEmpty) Map.empty[String, String]
+        else Map(graft.merge.GraftMergeOperator.SCAN_OPTION ->
+          mergeOperators.map { case (c, o) => s"$c:$o" }.mkString(","))
+      val df0 = graft.sources.GraftRead.readFiles(
+        spark, path, snapshot, oldFiles, readOpts)
       // non-PK bin-pack: coalesce to ~128 MB outputs (PK tables re-bucket
       // in writeFiles; coalescing there would fight the bucket layout)
       val df =

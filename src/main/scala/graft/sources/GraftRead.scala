@@ -16,17 +16,23 @@ object GraftRead {
 
   /** Pinned read over an explicit snapshot + file list — used by
     * update/delete/compaction so the rewrite sees exactly the files the
-    * commit will expire. */
+    * commit will expire. `options` pass scan options (e.g. the merge-
+    * operator assignment for compaction-with-operators). */
   def readFiles(
       spark: SparkSession, path: String, snapshot: Snapshot,
-      files: Seq[DataFileInfo]): DataFrame = {
+      files: Seq[DataFileInfo],
+      options: Map[String, String] = Map.empty): DataFrame = {
     val pinnedSnap = snapshot.copy(files = files)
     relationFor(spark,
       new GraftTableV2(spark, SnapshotManagement.normalize(path),
-        pinned = Some(pinnedSnap)))
+        pinned = Some(pinnedSnap)), options)
   }
 
-  private def relationFor(spark: SparkSession, table: GraftTableV2): DataFrame =
+  private def relationFor(
+      spark: SparkSession, table: GraftTableV2,
+      options: Map[String, String] = Map.empty): DataFrame =
     SparkShims.ofRows(spark,
-      DataSourceV2Relation.create(table, None, None, CaseInsensitiveStringMap.empty()))
+      DataSourceV2Relation.create(table, None, None,
+        new CaseInsensitiveStringMap(
+          scala.jdk.CollectionConverters.MapHasAsJava(options).asJava)))
 }

@@ -63,9 +63,13 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def deleteExpr(condition: String): Unit =
     delete(org.apache.spark.sql.functions.expr(condition))
 
-  /** Merge delta files into deduplicated base files. */
-  def compaction(force: Boolean = true, partitionPredicate: Option[String] = None): Unit =
-    CompactionCommand.run(spark, path, force, partitionPredicate)
+  /** Merge delta files into deduplicated base files. `mergeOperators`
+    * (column -> operator name) materializes operator results into the
+    * rewritten files (reference `compaction(mergeOperatorInfo)`). */
+  def compaction(force: Boolean = true, partitionPredicate: Option[String] = None,
+      mergeOperators: Map[String, String] = Map.empty): Unit =
+    CompactionCommand.run(spark, path, force, partitionPredicate,
+      mergeOperators = mergeOperators)
 
   /** Remove files no longer referenced by the latest snapshot. */
   def cleanup(retainMillis: Long = 5L * 3600 * 1000, dryRun: Boolean = false): Seq[String] =

@@ -55,6 +55,11 @@ object PyBridge {
   def compaction(t: GraftTable, force: Boolean, predicate: String): Unit =
     t.compaction(force, Option(predicate).filter(_.nonEmpty))
 
+  def compaction(t: GraftTable, force: Boolean, predicate: String,
+      mergeOperators: java.util.Map[String, String]): Unit =
+    t.compaction(force, Option(predicate).filter(_.nonEmpty),
+      scala.jdk.CollectionConverters.MapHasAsScala(mergeOperators).asScala.toMap)
+
   def cleanup(
       t: GraftTable, retainMillis: Long,
       dryRun: Boolean): java.util.List[String] =

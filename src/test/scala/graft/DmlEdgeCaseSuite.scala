@@ -375,6 +375,28 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("compaction with merge operators materializes combined values") {
+    withTempTable { dir =>
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "cnt").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 5L), (2L, 7L)).toDF("id", "cnt"))
+      // plain read before operator compaction is last-wins
+      assertSameRows(t.toDF.select("id", "cnt"),
+        Seq((1L, 5L), (2L, 7L)).toDF("id", "cnt"))
+      t.compaction(mergeOperators = Map("cnt" -> "sum"))
+      assert(!t.snapshot.hasDeltaFiles)
+      // the SUM is baked into the base files: plain reads see it
+      assertSameRows(t.toDF.select("id", "cnt"),
+        Seq((1L, 15L), (2L, 27L)).toDF("id", "cnt"))
+      // reading with the operator is identity over the single rows
+      assertSameRows(
+        spark.read.format("graft").option("mergeOperators", "cnt:sum")
+          .load(dir).select("id", "cnt"),
+        Seq((1L, 15L), (2L, 27L)).toDF("id", "cnt"))
+    }
+  }
+
   test("delete whole range partition via predicate on PK table with deltas") {
     withTempTable { dir =>
       Seq((20201101, 1L, 1), (20201101, 2L, 2), (20201102, 3L, 3))
