@@ -779,6 +779,41 @@ class CatalogAndRulesSuite extends GraftFunSuite {
     }
   }
 
+  test("materialized view 4-way join containment (fact plus three dimensions)") {
+    withTempTable { dir =>
+      val d2 = dir + "-j4d2"; val d3 = dir + "-j4d3"; val f = dir + "-j4f"
+      val viewDir = dir + "-mvj4"
+      (1 to 10).map(i => (i.toLong, s"a$i")).toDF("ka", "na")
+        .write.format("graft").save(dir)
+      (1 to 6).map(i => (i.toLong, s"b$i")).toDF("kb", "nb")
+        .write.format("graft").save(d2)
+      (1 to 4).map(i => (i.toLong, s"c$i")).toDF("kc", "nc")
+        .write.format("graft").save(d3)
+      (1 to 200).map(i => (i.toLong, (i % 10 + 1).toLong, (i % 6 + 1).toLong,
+          (i % 4 + 1).toLong, i.toLong))
+        .toDF("oid", "fa", "fb", "fc", "amt").write.format("graft").save(f)
+      Seq(dir -> "j4_a", d2 -> "j4_b", d3 -> "j4_c", f -> "j4_f").foreach {
+        case (p, n) => spark.read.format("graft").load(p)
+          .createOrReplaceTempView(n)
+      }
+      val qSql = "SELECT na, nb, nc, amt FROM j4_f JOIN j4_a ON fa = ka " +
+        "JOIN j4_b ON fb = kb JOIN j4_c ON fc = kc " +
+        "WHERE ka >= 2 AND ka <= 5 AND amt > 20"
+      val before = rowsOf(spark.sql(qSql))
+      MaterializedViews.create(spark, viewDir,
+        "SELECT ka, na, kb, nb, kc, nc, oid, fa, fb, fc, amt FROM j4_f " +
+          "JOIN j4_a ON fa = ka JOIN j4_b ON fb = kb JOIN j4_c ON fc = kc " +
+          "WHERE ka <= 7")
+      val tok = viewDir.split("/").last
+      val q = spark.sql(qSql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains(tok), s"expected view scan, got:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join re-execution:\n$plan")
+      assert(rowsOf(q) == before)
+      cleanupView(viewDir)
+    }
+  }
+
   test("equal-filter compensation: view filtered on a column it does not project") {
     withTempTable { dir =>
       val viewDir = dir + "-mveq"
