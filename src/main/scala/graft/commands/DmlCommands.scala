@@ -303,8 +303,9 @@ object RewriteSupport {
 object GraftTableFiles {
   def read(
       spark: SparkSession, path: String, snapshot: Snapshot,
-      files: Seq[DataFileInfo]): DataFrame =
-    graft.sources.GraftRead.readFiles(spark, path, snapshot, files)
+      files: Seq[DataFileInfo],
+      options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.GraftRead.readFiles(spark, path, snapshot, files, options)
 }
 
 object CompactionCommand {
@@ -358,12 +359,32 @@ object CompactionCommand {
       }
       if (toCompact.isEmpty) return
       val oldFiles = toCompact.values.flatten.toSeq
+      // explicit operators win; otherwise the table's DECLARED operators
+      // apply — so auto-trigger and scan-heal compactions cannot silently
+      // materialize last-wins values for a table whose semantics are
+      // operator merges
+      val ops =
+        if (mergeOperators.nonEmpty) mergeOperators
+        else graft.merge.GraftMergeOperator.declaredOperators(info)
+      if (ops.nonEmpty) {
+        // an unknown column would be silently dropped by the scan and the
+        // compaction would irreversibly materialize last-wins values
+        require(info.hasPrimaryKey,
+          "merge operators need a hash-partitioned (primary-key) table")
+        val dataCols = info.dataSchema.fieldNames.map(_.toLowerCase).toSet
+        val pkCols = info.hashColumns.map(_.toLowerCase).toSet
+        ops.keys.foreach { c =>
+          require(dataCols.contains(c.toLowerCase), s"merge operator " +
+            s"column $c does not exist in the table schema")
+          require(!pkCols.contains(c.toLowerCase),
+            s"merge operator column $c is a primary-key column")
+        }
+      }
       val readOpts =
-        if (mergeOperators.isEmpty) Map.empty[String, String]
+        if (ops.isEmpty) Map.empty[String, String]
         else Map(graft.merge.GraftMergeOperator.SCAN_OPTION ->
-          mergeOperators.map { case (c, o) => s"$c:$o" }.mkString(","))
-      val df0 = graft.sources.GraftRead.readFiles(
-        spark, path, snapshot, oldFiles, readOpts)
+          graft.merge.GraftMergeOperator.formatAssignments(ops))
+      val df0 = GraftTableFiles.read(spark, path, snapshot, oldFiles, readOpts)
       // non-PK bin-pack: coalesce to ~128 MB outputs (PK tables re-bucket
       // in writeFiles; coalescing there would fight the bucket layout)
       val df =

@@ -69,9 +69,27 @@ object GraftMergeOperator {
   /** Scan option carrying col->operator assignments: "a:sum,b:concat". */
   val SCAN_OPTION = "mergeOperators"
 
+  /** Table property declaring the table's OWN operators: scans default to
+    * them and every compaction path (explicit, auto-trigger, scan-heal)
+    * applies them — without it, an engine-initiated compaction of a table
+    * whose readers pass query-time operators would silently materialize
+    * last-wins values. */
+  val TABLE_PROPERTY = "graft.mergeOperators"
+
   def parseAssignments(s: String): Map[String, String] =
     s.split(",").filter(_.nonEmpty).map { kv =>
       val Array(c, op) = kv.split(":", 2)
       c.trim -> op.trim
     }.toMap
+
+  /** Inverse of [[parseAssignments]] — keep the wire format in one place. */
+  def formatAssignments(m: Map[String, String]): String =
+    m.map { case (c, op) => s"$c:$op" }.mkString(",")
+
+  /** The operators a table declares via [[TABLE_PROPERTY]], if any —
+    * matched case-insensitively (DataFrameWriter lowercases option keys). */
+  def declaredOperators(info: graft.meta.TableInfo): Map[String, String] =
+    info.configuration.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(TABLE_PROPERTY) => parseAssignments(v)
+    }.getOrElse(Map.empty)
 }

@@ -91,14 +91,25 @@ object MaterializedViews {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
-  /** Unregister the view from the session and delete its storage. */
+  /** Unregister the view from the session and delete its storage. Refuses
+    * paths without `_graft_mv.json` — a swapped argument would otherwise
+    * delete a BASE table's data with no error. */
   def drop(spark: SparkSession, viewPath: String): Unit = {
+    val norm = SnapshotManagement.normalize(viewPath)
+    require(readInfo(norm).nonEmpty,
+      s"$norm is not a materialized view (no _graft_mv.json); refusing to " +
+      "delete it")
+    unregister(spark, norm)
+    RewriteQueryByMaterialView.invalidatePlanCache(norm)
+    graft.commands.DropCommands.dropTable(norm)
+  }
+
+  /** Remove the view from the session's registry (storage untouched). */
+  def unregister(spark: SparkSession, viewPath: String): Unit = {
     val norm = SnapshotManagement.normalize(viewPath)
     val cur = spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Nil)
     spark.conf.set(CONF_KEY, cur.filterNot(_ == norm).mkString(","))
-    RewriteQueryByMaterialView.invalidatePlanCache(norm)
-    graft.commands.DropCommands.dropTable(norm)
   }
 
   def register(spark: SparkSession, viewPath: String): Unit = {

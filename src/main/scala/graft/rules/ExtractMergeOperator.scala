@@ -71,7 +71,7 @@ case class ExtractMergeOperator(spark: SparkSession) extends Rule[LogicalPlan] {
               case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
                 val merged = r.options.asCaseSensitiveMap().asScala.toMap ++ Map(
                   GraftMergeOperator.SCAN_OPTION ->
-                    assignments.map { case (c, o) => s"$c:$o" }.mkString(","))
+                    GraftMergeOperator.formatAssignments(assignments.toMap))
                 r.copy(options = new CaseInsensitiveStringMap(merged.asJava))
             }
             Project(stripped, newChild)

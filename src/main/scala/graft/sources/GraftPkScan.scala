@@ -53,8 +53,12 @@ class GraftBucketScanBuilder(
     val pruned: Seq[DataFileInfo] =
       index.listFiles(partitionFilters, Seq.empty)
         .flatMap(_.files.map(fs => byPath(fs.getPath.toString)))
+    // explicit scan option wins; otherwise the table's DECLARED operators
+    // (graft.mergeOperators table property) apply, so plain reads honor
+    // the table's own merge semantics
     val mergeOps = Option(options.get(GraftMergeOperator.SCAN_OPTION))
-      .map(GraftMergeOperator.parseAssignments).getOrElse(Map.empty)
+      .map(GraftMergeOperator.parseAssignments)
+      .getOrElse(GraftMergeOperator.declaredOperators(ti))
     GraftPkScan(spark, tablePath, ti, pruned, readDataSchema(),
       readPartitionSchema(), pushedDataFilters.toSeq, mergeOps,
       streamIgnoreChanges =

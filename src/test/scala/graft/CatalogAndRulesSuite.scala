@@ -856,6 +856,11 @@ class CatalogAndRulesSuite extends GraftFunSuite {
       val tok = viewDir.split("/").last
       val q1 = spark.sql("SELECT s FROM mvd_base WHERE id <= 5")
       assert(q1.queryExecution.optimizedPlan.toString.contains(tok))
+      // drop refuses a path that is not a materialized view (a swapped
+      // argument must not delete base-table data)
+      val e = intercept[Exception] { MaterializedViews.drop(spark, dir) }
+      assert(e.getMessage.contains("not a materialized view"), e.getMessage)
+      assert(spark.read.format("graft").load(dir).count() == 40)
       MaterializedViews.drop(spark, viewDir)
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(viewDir)))
       val q2 = spark.sql("SELECT s FROM mvd_base WHERE id <= 5")
@@ -885,14 +890,9 @@ class CatalogAndRulesSuite extends GraftFunSuite {
   }
 
   /** Drop a test view's registration so later tests in the shared session
-    * never consult it. */
-  private def cleanupView(viewDir: String): Unit = {
-    val norm = graft.meta.SnapshotManagement.normalize(viewDir)
-    val cur = spark.conf.getOption(MaterializedViews.CONF_KEY)
-      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
-    spark.conf.set(MaterializedViews.CONF_KEY,
-      cur.filterNot(_ == norm).mkString(","))
-  }
+    * never consult it (exercises the production unregister path). */
+  private def cleanupView(viewDir: String): Unit =
+    MaterializedViews.unregister(spark, viewDir)
 
   test("materialized view rewrites a matching subtree under extra operators") {
     withTempTable { dir =>

@@ -397,6 +397,39 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
     }
   }
 
+  test("declared merge operators govern plain reads and engine compactions") {
+    withTempTable { dir =>
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "cnt").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1")
+        .option("graft.mergeOperators", "cnt:sum").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 5L)).toDF("id", "cnt"))
+      // plain read applies the DECLARED operator — no scan option needed
+      assertSameRows(t.toDF.select("id", "cnt"),
+        Seq((1L, 15L), (2L, 20L)).toDF("id", "cnt"))
+      // engine compaction (no explicit operators) materializes the sums
+      // instead of silently collapsing to last-wins
+      t.compaction()
+      assert(!t.snapshot.hasDeltaFiles)
+      assertSameRows(t.toDF.select("id", "cnt"),
+        Seq((1L, 15L), (2L, 20L)).toDF("id", "cnt"))
+      // later upserts keep summing over the compacted base
+      t.upsert(Seq((2L, 2L)).toDF("id", "cnt"))
+      assertSameRows(t.toDF.select("id", "cnt"),
+        Seq((1L, 15L), (2L, 22L)).toDF("id", "cnt"))
+      // validation: unknown or primary-key columns are rejected, not
+      // silently dropped (which would materialize wrong values)
+      val e1 = intercept[Exception] {
+        t.compaction(mergeOperators = Map("nope" -> "sum"))
+      }
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        t.compaction(mergeOperators = Map("id" -> "sum"))
+      }
+      assert(e2.getMessage.contains("primary-key"), e2.getMessage)
+    }
+  }
+
   test("delete whole range partition via predicate on PK table with deltas") {
     withTempTable { dir =>
       Seq((20201101, 1L, 1), (20201101, 2L, 2), (20201102, 3L, 3))
