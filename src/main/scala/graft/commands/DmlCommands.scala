@@ -105,6 +105,17 @@ object UpsertCommand {
       val pk = info.hashColumns
       require(pk.forall(source0.columns.contains),
         s"source is missing PK columns ${pk.filterNot(source0.columns.contains)}")
+      // Merge-mode resolves collisions with source-wins coalesce; on a
+      // table whose DECLARED operators say values combine (sum/concat),
+      // that would silently diverge from what delta-mode upserts + reads
+      // produce for the same calls. Such tables stay on delta mode.
+      val declaredOps = graft.merge.GraftMergeOperator.declaredOperators(info)
+      val conflicting = declaredOps.keys
+        .filter(c => source0.columns.exists(_.equalsIgnoreCase(c)))
+      require(conflicting.isEmpty,
+        s"merge-mode upsert would overwrite (not combine) declared " +
+        s"merge-operator column(s) ${conflicting.mkString(", ")}; use the " +
+        "default delta mode (values combine at read/compaction time)")
       // Condition scopes the rewrite: only matching range partitions are
       // read, joined, and replaced — a one-partition upsert stays a
       // one-partition job no matter the table size. Source rows OUTSIDE the

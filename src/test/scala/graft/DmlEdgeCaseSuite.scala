@@ -427,6 +427,12 @@ class DmlEdgeCaseSuite extends GraftFunSuite {
         t.compaction(mergeOperators = Map("id" -> "sum"))
       }
       assert(e2.getMessage.contains("primary-key"), e2.getMessage)
+      // merge-mode upsert would OVERWRITE the declared sum column instead
+      // of combining; it is rejected toward delta mode
+      val e3 = intercept[Exception] {
+        t.upsert(Seq((1L, 1L)).toDF("id", "cnt"), mode = "merge")
+      }
+      assert(e3.getMessage.contains("delta mode"), e3.getMessage)
     }
   }
 
