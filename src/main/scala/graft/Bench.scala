@@ -56,6 +56,9 @@ object Bench {
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
+    // median ≈ robust-typical under interleaving; MIN ≈ warm capability
+    // (the warmest pass of each query) — report both so a partially-warm
+    // measurement point doesn't read as a regression vs a fully-warm one.
     val results = queries.map { case (name, _) =>
       val times = samples(name)
       if (times.isEmpty) errors += name
@@ -63,15 +66,30 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
-      System.err.println(f"[bench] $name median: $median%.2f s")
-      name -> median
+      val min = if (times.isEmpty) -1.0 else times.min
+      System.err.println(f"[bench] $name median: $median%.2f s  min: $min%.2f s")
+      (name, median, min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qsMin = results.map { case (k, _, min) => "\"" + k + "\":" + min }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
+    val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // persist to a file too: stdout is shared with logging frameworks, and a
+    // polluted line leaves the driver's record unparsed
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] json written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -157,6 +157,15 @@ class GraftCatalog extends DelegatingCatalogExtension {
             case a: TableChange.AddColumn =>
               val fieldPath = a.fieldNames().toSeq
               val key = dotted(fieldPath)
+              // ANY column (top-level or nested) added to a table that
+              // already holds data files must be nullable: existing rows
+              // read NULL through the scan's null-fill, which a NOT NULL
+              // declaration would contradict (and codegen would then skip
+              // null checks and read garbage).
+              require(a.isNullable || snap.files.isEmpty,
+                s"cannot add NOT NULL column $key to a table with existing " +
+                "data files: existing rows backfill to NULL; add it as " +
+                "nullable (or to an empty table)")
               if (info.droppedColumns.contains(key)) {
                 // the name was dropped metadata-only and old files still
                 // physically hold its pre-drop values — rewrite them below

@@ -98,11 +98,19 @@ object Ann {
     topK(scored, k)
   }
 
-  /** IVF-style ANN: a deterministic sample of the corpus acts as coarse
-    * centroids (a k-means pass would refine them — same plumbing); every
-    * vector is assigned to its nearest centroid by cosine, queries probe
-    * only their own cell. The inverted-file structure bounds each query's
-    * candidate set to ~corpus/nCentroids. Same output shape as `bruteTopK`.
+  /** IVF-style ANN: a deterministic sample of the corpus seeds the coarse
+    * centroids, optionally refined by Lloyd (k-means) iterations — set
+    * `spark.graft.ann.ivf.kmeansIters` (default 1; 0 restores plain
+    * first-N seeding). Every vector is assigned to its nearest centroid by
+    * cosine; queries probe only their own cell. The inverted-file structure
+    * bounds each query's candidate set to ~corpus/nCentroids. Same output
+    * shape as `bruteTopK`.
+    *
+    * The Lloyd step is PURE relational algebra over the already-exploded
+    * unit rows: assign (broadcast join + hash-agg + window) → per-(cell,
+    * dim) mean → re-normalize to unit length. Each iteration is one extra
+    * pass over the exploded corpus — no per-vector lambdas, no driver-side
+    * math, so it scales exactly like the assignment it improves.
     */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -114,25 +122,44 @@ object Ann {
     // CacheManager entry to tax later queries' planning
     val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
     val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
-    // coarse centroids: deterministic sample (first nCentroids by id —
-    // embeddings carry no id-order structure; k-means would refine)
-    val centIds = corpus.select(col(idCol).as("cid")).orderBy("cid")
-      .limit(nCentroids)
-    val centUnit = cu.join(broadcast(centIds), col("nid") === col("cid"))
-      .select(col("cid"), col("dim"), col("nx").as("cx"))
     // nearest centroid by cosine (both sides unit: sum of products IS the
     // cosine); deterministic tie-break on centroid id
-    def assign(unit: DataFrame, id: String, x: String): DataFrame = {
+    def assign(cents: DataFrame)(unit: DataFrame, id: String, x: String): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
-      unit.join(broadcast(centUnit), "dim")
+      unit.join(broadcast(cents), "dim")
         .groupBy(col(id), col("cid"))
         .agg(sum(col(x) * col("cx")).as("csim"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1)
         .select(col(id), col("cid"))
     }
-    val cellCorpus = cu.join(assign(cu, "nid", "nx"), "nid")
-    val cellQueries = qu.join(assign(qu, "qid", "qx"), "qid")
+    // seed centroids: deterministic sample (first nCentroids by id —
+    // embeddings carry no id-order structure)
+    val centIds = corpus.select(col(idCol).as("cid")).orderBy("cid")
+      .limit(nCentroids)
+    val seed = cu.join(broadcast(centIds), col("nid") === col("cid"))
+      .select(col("cid"), col("dim"), col("nx").as("cx"))
+    // Lloyd refinement: mean of each cell's members per dimension,
+    // re-normalized to the unit sphere (spherical k-means step). Empty
+    // cells simply drop out — their members reassign to surviving cells.
+    val iters = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt).getOrElse(1)
+    val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
+      val members = cu.join(assign(cents)(cu, "nid", "nx"), "nid")
+      val means = members.groupBy(col("cid"), col("dim"))
+        .agg(avg(col("nx")).as("mx"))
+      val norms = means.groupBy("cid")
+        .agg(sqrt(sum(col("mx") * col("mx"))).as("cn"))
+      means.join(norms, "cid")
+        .select(col("cid"), col("dim"),
+          (col("mx") / when(col("cn") =!= 0.0d, col("cn"))).as("cx"))
+    }
+    // the final centroid plan feeds two broadcast assigns (corpus, queries);
+    // with refinement iterations in its lineage, run it once
+    val cents =
+      if (iters > 0) Checkpoints.stabilize(centUnit) else centUnit
+    val cellCorpus = cu.join(assign(cents)(cu, "nid", "nx"), "nid")
+    val cellQueries = qu.join(assign(cents)(qu, "qid", "qx"), "qid")
     val scored = cellCorpus.join(broadcast(cellQueries), Seq("cid", "dim"))
       .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
     topK(scored, k)

@@ -78,6 +78,17 @@ object Snapshot {
 object SnapshotManagement {
   private val cache = new ConcurrentHashMap[String, Snapshot]()
 
+  /** Bumped whenever the snapshot cache changes (commit, invalidation,
+    * store swap). Consumers may memoize derived verdicts (e.g. MV
+    * staleness) keyed on this epoch: within one epoch this process has
+    * observed no table-state change, so re-probing the store per rule
+    * invocation is pure waste. Foreign-process commits surface on this
+    * process's next snapshot resolution of the table, which bumps the
+    * epoch. */
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def cacheEpoch: Long = epoch.get()
+
   // Process-wide store, swappable for object-store deployments (set once at
   // startup, before any table access). Default: the POSIX filesystem log.
   @volatile private var activeStore: MetaStore = MetaStore.fs
@@ -88,7 +99,8 @@ object SnapshotManagement {
     * `new ObjectStoreMetaStore(client)` for S3/GCS/HDFS). Clears the
     * snapshot cache — cached snapshots from the previous store would
     * otherwise serve stale state for paths that differ between stores. */
-  def setStore(s: MetaStore): Unit = { activeStore = s; cache.clear() }
+  def setStore(s: MetaStore): Unit =
+    { activeStore = s; cache.clear(); epoch.incrementAndGet() }
 
   def exists(tablePath: String): Boolean = store.exists(normalize(tablePath))
 
@@ -105,6 +117,7 @@ object SnapshotManagement {
     else {
       val snap = Snapshot.replay(store, path, latest)
       cache.put(path, snap)
+      epoch.incrementAndGet()
       snap
     }
   }
@@ -147,7 +160,10 @@ object SnapshotManagement {
   def snapshotAtTimestamp(tablePath: String, tsMillis: Long): Snapshot =
     snapshotAt(tablePath, versionAtTimestamp(tablePath, tsMillis))
 
-  def invalidate(tablePath: String): Unit = cache.remove(normalize(tablePath))
+  def invalidate(tablePath: String): Unit = {
+    cache.remove(normalize(tablePath))
+    epoch.incrementAndGet()
+  }
 
   /** Run `body` in a new transaction with commit-retry. */
   def withNewTransaction[T](tablePath: String)(body: Transaction => T): T = {

@@ -56,6 +56,7 @@ object MaterializedViews {
     val info = MaterialViewInfo(viewPath, sqlText, relations)
     Files.write(mvMetaPath(viewPath),
       Serialization.write(info).getBytes(StandardCharsets.UTF_8))
+    invalidateProbeCaches(viewPath)
     register(spark, viewPath)
   }
 
@@ -74,6 +75,7 @@ object MaterializedViews {
         Files.write(mvMetaPath(viewPath),
           Serialization.write(info.copy(relationVersions = relations))
             .getBytes(StandardCharsets.UTF_8))
+        invalidateProbeCaches(viewPath)
         true
       case _ => false
     }
@@ -84,11 +86,58 @@ object MaterializedViews {
       SnapshotManagement.snapshotOpt(path).forall(_.version != v)
     }
 
+  // Memoized probes: resolution rules fire many times per query, and a
+  // per-invocation disk read + store listing per registered view grows
+  // linearly with the catalog — at dozens of views it dominates planning.
+  // `readInfo` memoizes on the meta file's mtime (one stat per probe, one
+  // READ per actual change); staleness memoizes on the snapshot-cache
+  // epoch (any table-state change this process observes bumps it).
+  private val infoCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (java.nio.file.attribute.FileTime, MaterialViewInfo)]()
+  private val staleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+  /** Count of actual meta-file disk reads (test observability). */
+  private[graft] val metaFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def invalidateProbeCaches(viewPath: String): Unit = {
+    val norm = SnapshotManagement.normalize(viewPath)
+    infoCache.remove(norm)
+    staleCache.remove(norm)
+  }
+
   def readInfo(viewPath: String): Option[MaterialViewInfo] = {
-    val p = mvMetaPath(viewPath)
-    if (!Files.exists(p)) None
-    else Some(Serialization.read[MaterialViewInfo](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    val norm = SnapshotManagement.normalize(viewPath)
+    val p = mvMetaPath(norm)
+    try {
+      val mtime = Files.getLastModifiedTime(p)
+      val cached = infoCache.get(norm)
+      if (cached != null && cached._1 == mtime) Some(cached._2)
+      else {
+        metaFileReads.incrementAndGet()
+        val info = Serialization.read[MaterialViewInfo](
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        infoCache.put(norm, (mtime, info))
+        Some(info)
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        infoCache.remove(norm); None
+    }
+  }
+
+  /** Epoch-memoized [[isStale]] for the per-query rewrite path. `refresh`
+    * keeps the direct probe: it must see the true store state. */
+  private[graft] def isStaleCached(viewPath: String, info: MaterialViewInfo): Boolean = {
+    val e = SnapshotManagement.cacheEpoch
+    val norm = SnapshotManagement.normalize(viewPath)
+    val cached = staleCache.get(norm)
+    if (cached != null && cached._1 == e) cached._2
+    else {
+      val v = isStale(info)
+      staleCache.put(norm, (e, v))
+      v
+    }
   }
 
   /** Unregister the view from the session and delete its storage. Refuses
@@ -101,6 +150,7 @@ object MaterializedViews {
       "delete it")
     unregister(spark, norm)
     RewriteQueryByMaterialView.invalidatePlanCache(norm)
+    invalidateProbeCaches(norm)
     graft.commands.DropCommands.dropTable(norm)
   }
 
@@ -153,7 +203,7 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
     def rewriteAll(p: LogicalPlan): LogicalPlan =
       views.foldLeft(p) { (acc, viewPath) =>
         MaterializedViews.readInfo(viewPath) match {
-          case Some(info) if !MaterializedViews.isStale(info) =>
+          case Some(info) if !MaterializedViews.isStaleCached(viewPath, info) =>
             viewPlanFor(viewPath, info).map(vp => rewriteWith(acc, viewPath, vp))
               .getOrElse(acc)
           case _ => acc

@@ -39,6 +39,18 @@ class GraftFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(root)
 
+  // Value equality: every scan build creates a fresh index over the same
+  // manifest, and FileScan.equals compares fileIndex — without this, two
+  // identical scans of one table never compare equal and
+  // ReuseExchange/scan dedup cannot fire.
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftFileIndex =>
+      tablePath == o.tablePath && tableInfo == o.tableInfo && files == o.files
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (tablePath, tableInfo, files).hashCode()
+
   private def absPath(f: DataFileInfo): Path =
     fs.makeQualified(new Path(s"$tablePath/${f.path}"))
 

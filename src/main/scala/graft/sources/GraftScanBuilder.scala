@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -31,9 +33,14 @@ object GraftScanBuilder {
       // shim delegator: keeps the stock builder's pushdown surface visible
       // to V2ScanRelationPushDown while the BUILT scan gains the streaming
       // entry point (batch path = pure delegation)
+      // dataSchema = fullSchema minus range columns, keeping fullSchema's
+      // precise nullability (computed by the caller over the snapshot files)
+      val preciseData = StructType(
+        fullSchema.fields.filterNot(f => ti.rangeColumns.contains(f.name)))
       new org.apache.spark.sql.graft.StreamableParquetScanBuilderShim(
-        ParquetScanBuilder(spark, index, fullSchema, ti.dataSchema, options),
-        s => new GraftStreamableScan(s, spark, path, ti, ignoreChanges))
+        ParquetScanBuilder(spark, index, fullSchema, preciseData, options),
+        s => new GraftStreamableScan(s, spark, path, ti, ignoreChanges,
+          options.asCaseSensitiveMap().asScala.toMap))
     } else {
       new GraftBucketScanBuilder(spark, path, snapshot, index, options)
     }

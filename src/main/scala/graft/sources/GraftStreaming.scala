@@ -1,17 +1,20 @@
 package graft.sources
 
+import scala.collection.mutable
+
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
+import graft.merge.GraftMergeOperator
 import graft.meta.{DataFileInfo, Snapshot, SnapshotManagement, TableInfo}
 
 /** Structured Streaming SOURCE over the commit log — an extra beyond the
@@ -19,17 +22,29 @@ import graft.meta.{DataFileInfo, Snapshot, SnapshotManagement, TableInfo}
   * the versioned log is exactly a change stream, so `readStream` follows it.
   *
   * Semantics (Delta-source-style):
-  *   - offsets are log VERSIONS (dense longs; `json` = the number);
-  *   - the first batch is the table's LIVE file set at stream start (initial
-  *     snapshot — no double counting of files later rewritten);
+  *   - offsets are (log version, initial-snapshot progress index);
+  *   - the first batch(es) replay the table's state at stream start (initial
+  *     snapshot — no double counting of files later rewritten). For
+  *     PRIMARY-KEY tables the initial snapshot is the MERGED current state
+  *     (same k-way merge-on-read as a batch read of the table), so a key
+  *     updated by pre-stream delta upserts is emitted exactly once with its
+  *     merged values;
   *   - each later batch is the files ADDED by append-like commits
-  *     (`create/append/delta/streaming`) in `(start, end]`. PK delta files
-  *     stream as the upsert records they are (rows-as-written);
+  *     (`create/append/delta/streaming`). PK delta files stream as the
+  *     upsert records they are (rows-as-written);
   *   - pure rewrites (`compaction`, `alter`) add no new rows and are always
   *     skipped;
   *   - data-changing rewrites (`overwrite/upsert/update/delete`) FAIL the
   *     stream unless `.option("ignoreChanges", "true")`, which skips them
   *     (downstream then misses those modifications — the caller opted in).
+  *
+  * Admission control (`SupportsAdmissionControl`): `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` cap each micro-batch. The INITIAL SNAPSHOT splits
+  * across batches at merge-group granularity (a PK (partition, bucket) file
+  * group is atomic — its versions must merge together; a group larger than
+  * the cap still ships whole), and a restarting stream drains a long
+  * backlog version-by-version instead of landing it in one batch — at
+  * 100 TB the single-batch alternative is a driver OOM.
   *
   * Scale: planning reads only the log window's metadata (file names), never
   * data; each batch's files read with the stock vectorized parquet reader.
@@ -39,83 +54,261 @@ class GraftMicroBatchStream(
     tablePath: String,
     tableInfo: TableInfo,
     requestedSchema: StructType,
-    ignoreChanges: Boolean)
-  extends MicroBatchStream {
+    ignoreChanges: Boolean,
+    options: Map[String, String] = Map.empty)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   import GraftMicroBatchStream._
 
   private def store = SnapshotManagement.store
 
-  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  private def optIgnoreCase(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  override def latestOffset(): Offset =
-    GraftStreamOffset(store.latestVersion(tablePath))
+  private val maxFilesOpt: Option[Int] =
+    optIgnoreCase("maxFilesPerTrigger").map(_.toInt)
+  private val maxBytesOpt: Option[Long] =
+    optIgnoreCase("maxBytesPerTrigger").map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
+    case (Some(f), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _ => ReadLimit.allAvailable()
+  }
+
+  /** (maxFiles, maxBytes) caps from the engine-provided limit. */
+  private def capsOf(limit: ReadLimit): (Option[Long], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).reduce { (a, b) =>
+        (a._1.orElse(b._1), a._2.orElse(b._2))
+      }
+    case _ => (maxFilesOpt.map(_.toLong), maxBytesOpt)
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L, -1L)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called for an admission-" +
+    "controlled source")
+
+  override def reportLatestOffset(): Offset = {
+    val latest = store.latestVersion(tablePath)
+    if (latest < 0) initialOffset() else GraftStreamOffset(latest, -1L)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val (maxFiles, maxBytes) = capsOf(limit)
+    def under(files: Long, bytes: Long): Boolean =
+      maxFiles.forall(files <= _) && maxBytes.forall(bytes <= _)
+    if (s.version < 0 || s.index >= 0) {
+      // ---- initial-snapshot phase: drain units up to the caps ----
+      val sv = if (s.version < 0) store.latestVersion(tablePath) else s.version
+      if (sv < 0) return s // table does not exist yet: no progress
+      val units = snapshotUnits(sv)
+      val from = math.max(s.index, 0L).toInt
+      if (from >= units.length) return GraftStreamOffset(sv, -1L)
+      var i = from
+      var files = 0L; var bytes = 0L
+      while (i < units.length && {
+        val u = units(i)
+        val nf = files + u.length
+        val nb = bytes + u.map(_.size).sum
+        // always admit at least one unit, else the stream stalls forever
+        if (i == from || under(nf, nb)) { files = nf; bytes = nb; true }
+        else false
+      }) i += 1
+      if (i >= units.length) GraftStreamOffset(sv, -1L)
+      else GraftStreamOffset(sv, i.toLong)
+    } else {
+      // ---- incremental phase: admit whole versions up to the caps ----
+      val latest = store.latestVersion(tablePath)
+      var end = s.version
+      var files = 0L; var bytes = 0L
+      var v = s.version + 1
+      var stop = false
+      while (v <= latest && !stop) {
+        val adds = commitAdds(v)
+        val nf = files + adds.length
+        val nb = bytes + adds.map(_.size).sum
+        // a version is atomic; always admit at least one
+        if (end == s.version || under(nf, nb)) {
+          files = nf; bytes = nb; end = v; v += 1
+        } else stop = true
+      }
+      GraftStreamOffset(end, -1L)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(json.trim.toLong)
+    GraftStreamOffset.fromJson(json)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // drop commit-summary cache entries at or below the committed version —
+    // the backlog walk never revisits them
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (e.index < 0) commitCache.keys.filter(_ <= e.version)
+      .foreach(commitCache.remove)
+  }
 
   override def stop(): Unit = ()
 
-  /** Files for the batch `(start, end]`. */
-  private def batchFiles(start: Long, end: Long): Seq[DataFileInfo] = {
-    if (end < 0) return Nil
-    if (start < 0) {
-      // initial snapshot: the LIVE set at `end` (files added then rewritten
-      // away before the stream started must not appear twice)
-      return Snapshot.replay(store, tablePath, end).files
-    }
-    val out = Seq.newBuilder[DataFileInfo]
-    var v = start + 1
-    while (v <= end) {
+  // ------------------------------------------------------------------
+  // initial snapshot
+  // ------------------------------------------------------------------
+
+  /** Deterministic unit list for the initial snapshot at `version`: for PK
+    * tables one unit per (range partition, bucket) file group — the merge
+    * atom; for non-PK tables one unit per file. Ordering must be stable
+    * across restarts (offsets index into it). */
+  private var unitsCache: (Long, IndexedSeq[Seq[DataFileInfo]]) = null
+
+  private def snapshotUnits(version: Long): IndexedSeq[Seq[DataFileInfo]] = {
+    val cached = unitsCache
+    if (cached != null && cached._1 == version) return cached._2
+    val files = Snapshot.replay(store, tablePath, version).files
+    val units: IndexedSeq[Seq[DataFileInfo]] =
+      if (tableInfo.hasPrimaryKey) {
+        files.groupBy(f => (f.rangeKey, f.bucket)).toIndexedSeq
+          .sortBy(_._1).map(_._2.sortBy(f => (f.writeVersion, f.path)))
+      } else {
+        files.sortBy(_.path).map(Seq(_)).toIndexedSeq
+      }
+    unitsCache = (version, units)
+    units
+  }
+
+  // ------------------------------------------------------------------
+  // incremental commits
+  // ------------------------------------------------------------------
+
+  /** Commit-summary cache: the backlog walk re-scans `(start, latest]` every
+    * trigger; without memoization a deep backlog costs O(backlog²) log
+    * reads over its drain. */
+  private val commitCache = mutable.LongMap.empty[Seq[DataFileInfo]]
+
+  /** Files ADDED by version `v` if it is an append-like commit; Nil for
+    * rewrites; throws for data-changing commits unless `ignoreChanges`. */
+  private def commitAdds(v: Long): Seq[DataFileInfo] =
+    commitCache.getOrElseUpdate(v, {
       val entries = store.read(tablePath, v)
       val commitType = entries.flatMap(_.commit).headOption
         .map(_.commitType).getOrElse("append")
       if (APPEND_TYPES.contains(commitType)) {
-        entries.flatMap(_.add).foreach(f =>
-          out += (if (f.writeVersion == 0L) f.copy(writeVersion = v) else f))
+        entries.flatMap(_.add).map(f =>
+          if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
       } else if (REWRITE_TYPES.contains(commitType)) {
-        () // no new rows
+        Nil
       } else if (!ignoreChanges) {
         throw new UnsupportedOperationException(
           s"streaming read of $tablePath hit a '$commitType' commit at " +
           s"version $v, which modifies existing rows; restart from a fresh " +
           "checkpoint or set .option(\"ignoreChanges\", \"true\") to skip " +
           "such commits (downstream will miss those modifications)")
+      } else Nil
+    })
+
+  // ------------------------------------------------------------------
+  // partition planning
+  // ------------------------------------------------------------------
+
+  private def partSchema = StructType(requestedSchema.fields.filter(f =>
+    tableInfo.rangeColumns.contains(f.name)))
+  private def dataCols = StructType(requestedSchema.fields.filterNot(f =>
+    tableInfo.rangeColumns.contains(f.name)))
+
+  /** A batch-independent PK scan pinned to the merge layout: its reader
+    * factory and its per-batch partition planning agree on the merged row
+    * layout because both come from the same scan parameters. */
+  private def pkScanFor(files: Seq[DataFileInfo]): GraftPkScan =
+    GraftPkScan(spark, tablePath, tableInfo, files, dataCols, partSchema,
+      Nil, GraftMergeOperator.declaredOperators(tableInfo),
+      forceMergeLayout = true)
+
+  /** Scan-time null-fill guard: rows stream in the layout the plan was
+    * ANALYZED with; a file omitting a column the analyzed schema declares
+    * NOT NULL would make downstream codegen read garbage — fail loudly
+    * instead (a restart re-analyzes with the widened schema). */
+  private def checkNullFill(files: Seq[DataFileInfo]): Unit = {
+    val required = dataCols.fields.filterNot(_.nullable).map(_.name)
+    if (required.isEmpty) return
+    files.foreach { f =>
+      if (f.fileExistCols.nonEmpty) {
+        val lower = f.fileExistCols.map(_.toLowerCase).toSet
+        required.find(r => !lower.contains(r.toLowerCase)).foreach { col =>
+          throw new IllegalStateException(
+            s"streaming read of $tablePath: file ${f.path} omits column " +
+            s"'$col', which the stream's analyzed schema declares NOT " +
+            "NULL; restart the stream so the schema re-resolves as nullable")
+        }
       }
-      v += 1
     }
-    out.result()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].version
-    val e = end.asInstanceOf[GraftStreamOffset].version
-    val partSchema = StructType(requestedSchema.fields.filter(f =>
-      tableInfo.rangeColumns.contains(f.name)))
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (e.version < 0) return Array.empty
+    if (s.version < 0 || s.index >= 0) {
+      // ---- initial snapshot slice [from, until) over the unit list ----
+      val sv = if (s.version < 0) e.version else s.version
+      require(e.version == sv,
+        s"corrupt offsets: initial snapshot pinned at $sv but batch end is " +
+        s"${e.version}")
+      val units = snapshotUnits(sv)
+      val from = math.max(s.index, 0L).toInt
+      val until = if (e.index >= 0) e.index.toInt else units.length
+      val slice = units.slice(from, until)
+      if (slice.isEmpty) return Array.empty
+      if (tableInfo.hasPrimaryKey) {
+        // merged current state, one partition per merge group
+        pkScanFor(slice.flatten).planInputPartitions().collect {
+          case p: GraftPkInputPartition if p.groups.nonEmpty => p
+        }
+      } else {
+        val files = slice.flatten
+        checkNullFill(files)
+        binPack(files)
+      }
+    } else {
+      // ---- incremental window (s.version, e.version] ----
+      val out = Seq.newBuilder[DataFileInfo]
+      var v = s.version + 1
+      while (v <= e.version) { out ++= commitAdds(v); v += 1 }
+      val files = out.result()
+      checkNullFill(files)
+      binPack(files)
+    }
+  }
+
+  /** Bin-pack raw files by size: one task per file would mean millions of
+    * tasks at scale — pack into ~maxPartitionBytes bins (first-fit over the
+    * listing order, which groups same-partition files together). Each file
+    * is charged openCostInBytes like Spark's own FilePartition packing:
+    * without it a small-file table packs thousands of footer-opens into one
+    * task. */
+  private def binPack(files: Seq[DataFileInfo]): Array[InputPartition] = {
     val tz = castToImpl(spark).sessionState.conf.sessionLocalTimeZone
     val proj = UnsafeProjection.create(partSchema)
-    val files = batchFiles(s, e).map { f =>
+    val triples = files.map { f =>
       val values = InternalRow.fromSeq(partSchema.fields.toSeq.map { sf =>
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
       (s"$tablePath/${f.path}", f.size, proj.apply(values).copy())
     }
-    // bin-pack by size: the INITIAL-snapshot batch can hold the whole
-    // table, and one task per file would mean millions of tasks at scale —
-    // pack into ~maxPartitionBytes bins (first-fit over the listing order,
-    // which groups same-partition files together). Each file is charged
-    // openCostInBytes like Spark's own FilePartition packing: without it a
-    // small-file table packs thousands of footer-opens into one task.
     val conf = castToImpl(spark).sessionState.conf
     val maxBytes = conf.filesMaxPartitionBytes
     val openCost = conf.filesOpenCostInBytes
     val bins = Seq.newBuilder[GraftStreamFilesPartition]
     var cur = List.empty[(String, Long, InternalRow)]
     var curBytes = 0L
-    files.foreach { f =>
+    triples.foreach { f =>
       val charged = f._2 + openCost
       if (cur.nonEmpty && curBytes + charged > maxBytes) {
         bins += GraftStreamFilesPartition(cur.reverse.toArray)
@@ -128,10 +321,6 @@ class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val partSchema = StructType(requestedSchema.fields.filter(f =>
-      tableInfo.rangeColumns.contains(f.name)))
-    val dataCols = StructType(requestedSchema.fields.filterNot(f =>
-      tableInfo.rangeColumns.contains(f.name)))
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
@@ -141,7 +330,10 @@ class GraftMicroBatchStream(
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftStreamReaderFactory(readFunc)
+    val pkFactory =
+      if (tableInfo.hasPrimaryKey) Some(pkScanFor(Nil).createReaderFactory())
+      else None
+    GraftStreamReaderFactory(readFunc, pkFactory)
   }
 }
 
@@ -152,49 +344,72 @@ object GraftMicroBatchStream {
   val REWRITE_TYPES: Set[String] = Set("compaction", "alter")
 }
 
-case class GraftStreamOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Streaming offset: `version` is the newest fully-processed log version;
+  * while the initial snapshot is draining, `index` (>= 0) is the number of
+  * snapshot units already emitted for the snapshot pinned at `version`
+  * (-1 = snapshot complete / not applicable). */
+case class GraftStreamOffset(version: Long, index: Long = -1L) extends Offset {
+  override def json(): String =
+    if (index < 0) version.toString // compact; also round-5 compatible
+    else s"""{"version":$version,"index":$index}"""
+}
+
+object GraftStreamOffset {
+  private val Pat = """\{"version":(-?\d+),"index":(-?\d+)\}""".r
+  def fromJson(json: String): GraftStreamOffset = json.trim match {
+    case Pat(v, i) => GraftStreamOffset(v.toLong, i.toLong)
+    case plain => GraftStreamOffset(plain.toLong, -1L)
+  }
 }
 
 /** One bin of (absPath, length, partitionValues) triples. */
 case class GraftStreamFilesPartition(files: Array[(String, Long, InternalRow)])
   extends InputPartition
 
+/** Dispatching reader factory: raw file bins for incremental batches and
+  * non-PK snapshots; the PK merge factory for initial-snapshot merge
+  * groups. */
 case class GraftStreamReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    pkFactory: Option[PartitionReaderFactory] = None)
   extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val bin = p.asInstanceOf[GraftStreamFilesPartition]
-    val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
-      case (absPath, length, partValues) =>
-        val pf = PartitionedFile(partValues,
-          SparkPath.fromPathString(absPath), 0, length, Array.empty, 0L,
-          length, Map.empty)
-        readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
-          case b: ColumnarBatch => scala.jdk.CollectionConverters
-            .IteratorHasAsScala(b.rowIterator()).asScala
-          case r: InternalRow => Iterator.single(r)
-        }
-    }
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean =
-        if (iter.hasNext) { current = iter.next(); true } else false
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
-    }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case pk: GraftPkInputPartition =>
+      pkFactory.getOrElse(throw new IllegalStateException(
+        "merge partition planned for a non-PK stream")).createReader(pk)
+    case _ =>
+      val bin = p.asInstanceOf[GraftStreamFilesPartition]
+      val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
+        case (absPath, length, partValues) =>
+          val pf = PartitionedFile(partValues,
+            SparkPath.fromPathString(absPath), 0, length, Array.empty, 0L,
+            length, Map.empty)
+          readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+            case b: ColumnarBatch => scala.jdk.CollectionConverters
+              .IteratorHasAsScala(b.rowIterator()).asScala
+            case r: InternalRow => Iterator.single(r)
+          }
+      }
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (iter.hasNext) { current = iter.next(); true } else false
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
   }
 }
 
 /** Adds `toMicroBatchStream` to any batch scan the builders produce — the
   * batch path is untouched (pure delegation). */
 class GraftStreamableScan(
-    delegate: Scan,
+    private[sources] val delegate: Scan,
     spark: SparkSession,
     tablePath: String,
     tableInfo: TableInfo,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean,
+    options: Map[String, String] = Map.empty)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -219,5 +434,14 @@ class GraftStreamableScan(
     delegate.supportedCustomMetrics()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, tablePath, tableInfo,
-      delegate.readSchema(), ignoreChanges)
+      delegate.readSchema(), ignoreChanges, options)
+
+  // Delegate equality to the inner scan: without this, two identical
+  // non-PK scans never compare equal and ReuseExchange / scan dedup cannot
+  // fire across repeated subplans (e.g. a self-join of one graft table).
+  override def equals(other: Any): Boolean = other match {
+    case s: GraftStreamableScan => delegate == s.delegate
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
 }

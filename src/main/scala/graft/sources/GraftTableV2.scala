@@ -64,19 +64,23 @@ class GraftTableV2(
   override def name(): String = s"graft.`$path`"
 
   /** File-source column convention: data columns first, then range
-    * partition columns. Declared NULLABLE regardless of the table schema:
-    * merge-on-read null-fills columns a partial-column upsert omitted for
-    * new keys, and schema evolution null-fills columns absent from old
-    * files — a scan declaring NOT NULL there makes codegen skip null checks
-    * and read garbage. NOT NULL remains a WRITE-time invariant
-    * (`Invariants.enforce` over `tableInfo.schema`). */
-  override def schema(): StructType = snapshotOpt match {
+    * partition columns. Nullability is PRECISE (`preciseScanSchema`): a
+    * column widens to nullable only when some live file physically omits it
+    * (partial-column upsert, pre-evolution file) and scan-time null-fill is
+    * therefore possible; everything else keeps its declared schema so
+    * codegen retains null-check elimination. NOT NULL remains a WRITE-time
+    * invariant (`Invariants.enforce` over `tableInfo.schema`). */
+  private lazy val computedSchema: StructType = snapshotOpt match {
     case Some(s) =>
       val ti = s.tableInfo
-      GraftPkScan.asNullable(
-        StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields))
+      GraftPkScan.preciseScanSchema(
+        StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields),
+        s.files,
+        neverNull = (ti.hashColumns ++ ti.rangeColumns).toSet)
     case None => userSchema.getOrElse(new StructType())
   }
+
+  override def schema(): StructType = computedSchema
 
   override def partitioning(): Array[Transform] = snapshotOpt match {
     case Some(s) =>
@@ -136,9 +140,15 @@ class GraftTableV2(
           SnapshotManagement.snapshotOpt(path).getOrElse(snapshot0)
         }
       }
-    val fullSchema = StructType(
-      snapshot.tableInfo.dataSchema.fields ++
-      snapshot.tableInfo.rangePartitionSchema.fields)
+    // Precise nullability over the RESOLVED snapshot's files (may be newer
+    // than the one `schema()` reported): the non-PK path hands this to the
+    // stock parquet builder, whose readers then null-fill optional missing
+    // columns instead of throwing on required ones.
+    val ti2 = snapshot.tableInfo
+    val fullSchema = GraftPkScan.preciseScanSchema(
+      StructType(ti2.dataSchema.fields ++ ti2.rangePartitionSchema.fields),
+      snapshot.files,
+      neverNull = (ti2.hashColumns ++ ti2.rangeColumns).toSet)
     GraftScanBuilder.create(spark, path, snapshot, fullSchema, options)
   }
 
@@ -183,22 +193,37 @@ class GraftWriteBuilder(
 }
 
 object GraftTableV2 {
-  /** `timestampAsOf` accepts epoch millis or any timestamp string Spark's
-    * own parser takes (`yyyy-MM-dd[ HH:mm:ss[.f]]`, ISO-8601, date-only) —
-    * wall-clock strings resolve in the SESSION timezone
+  /** `timestampAsOf` accepts any timestamp string Spark's own parser takes
+    * (`yyyy-MM-dd[ HH:mm:ss[.f]]`, ISO-8601, date-only), a compact
+    * `yyyyMMdd` date, or epoch millis — tried in THAT order: digit-only
+    * dates like "20250101" must not silently read as epoch millis
+    * (1970-01-01), which would pin a wrong snapshot. Real epoch millis
+    * (13 digits) never parse as a timestamp string (Spark caps years at 6
+    * digits), so they fall through to the numeric branch unharmed.
+    * Wall-clock strings resolve in the SESSION timezone
     * (`spark.sql.session.timeZone`), not the JVM default. */
   private[sources] def parseTs(spark: SparkSession, s: String): Long = {
     val t = s.trim
-    try t.toLong catch { case _: NumberFormatException =>
-      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .getZoneId(org.apache.spark.sql.classic.ClassicConversions
-          .castToImpl(spark).sessionState.conf.sessionLocalTimeZone)
+    lazy val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(org.apache.spark.sql.classic.ClassicConversions
+        .castToImpl(spark).sessionState.conf.sessionLocalTimeZone)
+    def asTimestampString: Option[Long] =
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .stringToTimestamp(
           org.apache.spark.unsafe.types.UTF8String.fromString(t), zone)
         .map(micros => Math.floorDiv(micros, 1000L))
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot parse timestampAsOf value '$s' as epoch millis or a timestamp"))
-    }
+    def asCompactDate: Option[Long] =
+      if (!t.matches("[0-9]{8}")) None
+      else try {
+        Some(java.time.LocalDate
+          .parse(t, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+          .atStartOfDay(zone).toInstant.toEpochMilli)
+      } catch { case _: java.time.DateTimeException => None }
+    def asEpochMillis: Option[Long] =
+      try Some(t.toLong) catch { case _: NumberFormatException => None }
+    asTimestampString.orElse(asCompactDate).orElse(asEpochMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestampAsOf value '$s' as a timestamp, a yyyyMMdd " +
+        "date, or epoch millis"))
   }
 }

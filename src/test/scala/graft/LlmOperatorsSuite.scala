@@ -184,6 +184,43 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"query $q should find itself at rank 1, got ${first.get(q)}"))
   }
 
+  test("IVF k-means refinement improves recall when seeds land in one cluster") {
+    // four tight, mutually-orthogonal clusters; ids ordered so the
+    // first-N-by-id SEEDS all fall into cluster 0 — the worst case for
+    // unrefined seeding, which Lloyd iterations must dig out of
+    val rnd2 = new scala.util.Random(7)
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(16)(d => if (d / 4 == c) 1f else 0f)
+    }
+    val vecs = (0 until 120).map { i =>
+      val base = centers(i / 30)
+      (i.toLong, base.map(v => v + (rnd2.nextFloat() * 0.1f - 0.05f)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 30 === 7) // one per cluster
+    val brute = Ann.bruteTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallWith(iters: Int): Double = {
+      spark.conf.set("spark.graft.ann.ivf.kmeansIters", iters.toString)
+      try {
+        val ivf = Ann.ivfTopK(df, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, nCentroids = 4)
+          .select("qid", "nid").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        brute.keys.toSeq.map { q =>
+          ivf.getOrElse(q, Set.empty).intersect(brute(q)).size / 5.0
+        }.sum / brute.size
+      } finally spark.conf.unset("spark.graft.ann.ivf.kmeansIters")
+    }
+    val r0 = recallWith(0)
+    val r2 = recallWith(2)
+    info(f"recall@5: seeds-only $r0%.2f, after 2 Lloyd iters $r2%.2f")
+    assert(r2 >= r0, s"refinement must not lose recall: $r0 -> $r2")
+    assert(r2 >= 0.5, s"refined recall too low: $r2")
+  }
+
   test("language id picks the stopword-dominant language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog is of to the house"),
@@ -221,5 +258,40 @@ class LlmOperatorsSuite extends GraftFunSuite {
     // determinism
     val again = Multimodal.decodeTable(Multimodal.asPayload(df, "doc_id", "text"))
     assert(rowsOf(out.drop("frames")) == rowsOf(again.drop("frames")))
+  }
+
+  test("multimodal decode reads REAL dimensions from planted PNG/JPEG bytes") {
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699) // deterministic pixel
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val corpus = Seq(
+      (1L, imageBytes(640, 480, "png"), "png", 640, 480),
+      (2L, imageBytes(123, 45, "png"), "png", 123, 45),
+      (3L, imageBytes(320, 200, "jpg"), "jpeg", 320, 200),
+      (4L, "not an image at all".getBytes("UTF-8"), "unknown", -1, -1))
+    val df = corpus.map { case (id, b, _, _, _) => (id, b) }
+      .toDF("doc_id", "payload")
+    val out = df.withColumn("image", Multimodal.decodeImage(col("payload")))
+      .select("doc_id", "image.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    corpus.foreach { case (id, _, fmt, w, h) =>
+      val r = out(id)
+      if (w > 0) {
+        assert(r.getAs[Boolean]("decoded"), s"doc $id should decode")
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h,
+          s"doc $id: got ${r.getAs[Int]("width")}x${r.getAs[Int]("height")}")
+        assert(r.getAs[String]("format") == fmt)
+        assert(r.getAs[Int]("channels") == 3)
+      } else {
+        // no codec recognizes it: deterministic fake fallback, flagged
+        assert(!r.getAs[Boolean]("decoded"))
+        assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1920)
+      }
+    }
   }
 }

@@ -164,4 +164,38 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("identical non-PK scans compare equal and the exchange is reused") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 200).map(i => (i.toLong, i % 7, i)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = spark.read.format("graft").load(dir)
+        // two IDENTICAL aggregate subplans (same projection, same shuffle)
+        val a = df.groupBy("g").agg(sum("v").as("sv"))
+        val b = df.groupBy("g").agg(sum("v").as("sv2"))
+        val joined = a.join(b, "g")
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            s.scan
+        }
+        // reuse collapses the second side: one physical scan remains and
+        // the join's other input is a ReusedExchange over the first
+        assert(scans.distinct.size == 1,
+          s"identical graft scans must compare equal:\n$plan")
+        val reused = plan.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }
+        assert(reused.nonEmpty, s"expected a ReusedExchange:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -95,6 +95,41 @@ class ShuffleJoinSuite extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("merge-heavy read: 6 delta layers over 40k keys, strings intact") {
+    import spark.implicits._
+    withTempTable { (a, _) =>
+      val n = 40000
+      (1 to n).map(i => (i.toLong, s"base$i", i))
+        .toDF("id", "s", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "4").save(a)
+      val t = GraftTable.forPath(spark, a)
+      // deep stack: every key rewritten five times (auto-compaction off so
+      // the k-way merge really sees all six layers)
+      spark.conf.set("spark.graft.compaction.auto", "false")
+      spark.conf.set("spark.graft.scan.heal.enabled", "false")
+      try {
+        for (r <- 1 to 5) {
+          t.upsert((1 to n).map(i => (i.toLong, s"r$r-$i", i * 10 + r))
+            .toDF("id", "s", "v"))
+        }
+        val df = spark.read.format("graft").load(a)
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        info(f"6-layer merge of $n%d keys: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        assert(rows == n)
+        // last-wins values, string buffers not corrupted by reader reuse
+        val sample = df.filter($"id".isin(1L, 777L, 40000L))
+          .select("id", "s", "v").as[(Long, String, Int)].collect()
+          .sortBy(_._1)
+        assert(sample.toSeq == Seq(
+          (1L, "r5-1", 15), (777L, "r5-777", 7775), (40000L, "r5-40000", 400005)))
+      } finally {
+        spark.conf.unset("spark.graft.compaction.auto")
+        spark.conf.unset("spark.graft.scan.heal.enabled")
+      }
+    }
+  }
+
   test("intersect/except on pk rewrite to semi/anti join") {
     import spark.implicits._
     withTempTable { (a, b) =>

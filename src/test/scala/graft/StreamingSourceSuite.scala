@@ -118,6 +118,101 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("PK initial snapshot emits the MERGED current state, each key once") {
+    withTempTable { dir =>
+      Seq((1L, 1, "x1"), (2L, 2, "x2")).toDF("id", "v", "w")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      // pre-stream delta upserts: an update of key 1 and a new key 3
+      t.upsert(Seq((1L, 11), (3L, 3)).toDF("id", "v"))
+      val q = startToMemory(dir, "gss7")
+      try {
+        q.processAllAvailable()
+        // merged state: 3 keys, each exactly once; key 1 carries the
+        // upserted v with its PRE-upsert w (partial-column upsert keeps it)
+        assert(rowsOf(spark.table("gss7").select("id", "v", "w")) ==
+          Seq(Seq(1L, 11, "x1"), Seq(2L, 2, "x2"), Seq(3L, 3, null)))
+      } finally q.stop()
+    }
+  }
+
+  test("maxFilesPerTrigger=1 drains snapshot and backlog over many batches") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      for (i <- 2 to 4) {
+        Seq((i.toLong, i)).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      // 4 live files at stream start: the initial snapshot itself must
+      // split over ≥4 micro-batches
+      val q = startToMemory(dir, "gss8", Map("maxFilesPerTrigger" -> "1"))
+      try {
+        q.processAllAvailable()
+        assert(rowsOf(spark.table("gss8")) ==
+          Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3), Seq(4L, 4)))
+        val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+        assert(nonEmpty >= 4, s"expected >=4 admission-capped batches, " +
+          s"got $nonEmpty")
+        // a post-start backlog of 3 commits also drains one file at a time
+        val before = q.recentProgress.length
+        for (i <- 5 to 7) {
+          Seq((i.toLong, i)).toDF("id", "v").write.format("graft")
+            .mode("append").save(dir)
+        }
+        q.processAllAvailable()
+        assert(spark.table("gss8").count() == 7)
+        val incremental = q.recentProgress.drop(before).count(_.numInputRows > 0)
+        assert(incremental >= 3, s"expected >=3 backlog batches, got " +
+          s"$incremental")
+      } finally q.stop()
+    }
+  }
+
+  test("checkpoint restart mid-backlog loses and duplicates nothing") {
+    withTempTable { dir =>
+      val cp = dir + "-cp"
+      val out = dir + "-out"
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      for (i <- 2 to 4) {
+        Seq((i.toLong, i)).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      @volatile var failedOnce = false
+      def run(expectFailure: Boolean): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("maxFilesPerTrigger", "1").load(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], batchId: Long) =>
+            // fail batch 1 BEFORE writing, once: the batch is uncommitted,
+            // so the restart must replay it exactly
+            if (batchId == 1 && !failedOnce) {
+              failedOnce = true
+              throw new RuntimeException("injected mid-backlog failure")
+            }
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp).start()
+        try {
+          q.processAllAvailable()
+          assert(!expectFailure, "expected the injected failure")
+        } catch {
+          case e: Exception if expectFailure =>
+            def messages(x: Throwable): Seq[String] =
+              if (x == null) Nil
+              else Option(x.getMessage).toSeq ++ messages(x.getCause)
+            assert(messages(e).exists(_.contains("injected")),
+              s"unexpected failure: ${messages(e)}")
+        } finally q.stop()
+      }
+      run(expectFailure = true)
+      run(expectFailure = false)
+      assert(rowsOf(spark.read.parquet(out)) ==
+        Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3), Seq(4L, 4)))
+    }
+  }
+
   test("restart from checkpoint resumes at the committed offset") {
     withTempTable { dir =>
       val cp = dir + "-cp"
