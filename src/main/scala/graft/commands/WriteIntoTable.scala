@@ -35,12 +35,15 @@ object WriteIntoTable {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withNewTransaction(path) { txn =>
       txn.snapshotOpt match {
-        case None => firstWrite(spark, path, df, options, txn)
+        case None =>
+          firstWrite(spark, path, dropNullTypeColumns(df, options, None), options, txn)
         case Some(snapshot) =>
+          checkPartitionOptionConflicts(snapshot.tableInfo, options)
+          val pruned = dropNullTypeColumns(df, options, Some(snapshot.tableInfo))
           // INSERT-by-ordinal (e.g. SQL `INSERT INTO t VALUES ...`) arrives
           // with synthetic column names; align positionally to the table's
           // read-order schema (reference `StarLakeAnalysis.scala:43-147`).
-          val aligned = alignByPosition(df, snapshot)
+          val aligned = alignByPosition(pruned, snapshot)
           mode match {
             case SaveMode.ErrorIfExists =>
               throw new GraftWriteException(s"graft table already exists at $path")
@@ -48,6 +51,85 @@ object WriteIntoTable {
             case SaveMode.Append => append(spark, path, aligned, options, snapshot, txn)
             case SaveMode.Overwrite => overwrite(spark, path, aligned, options, snapshot, txn)
           }
+      }
+    }
+  }
+
+  /** Drop NullType columns from the incoming data (all-null JSON inference;
+    * reference `ImplicitMetadataOperation.scala:48-64`): absent from this
+    * write, they null-fill on read. Errors when a partition column is
+    * NullType or when the pruning leaves no data columns to write. */
+  private def dropNullTypeColumns(
+      df: DataFrame, options: Map[String, String],
+      tableInfo: Option[TableInfo]): DataFrame = {
+    graft.schema.SchemaUtils.pruneNullTypes(df.schema) match {
+      case None => df
+      case Some(pruned) =>
+        val partCols: Seq[String] = tableInfo match {
+          case Some(info) => info.rangeColumns ++ info.hashColumns
+          case None =>
+            val o = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+            (o.get(RANGE_PARTITIONS).orElse(o.get(V1_PARTITION_COLUMNS))
+              .map(parseList).getOrElse(Nil)) ++
+              o.get(HASH_PARTITIONS).map(parseList).getOrElse(Nil)
+        }
+        val keptLower = pruned.fieldNames.map(_.toLowerCase).toSet
+        val hadLower = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val badPart = partCols.filter(c =>
+          hadLower.contains(c.toLowerCase) && !keptLower.contains(c.toLowerCase))
+        if (badPart.nonEmpty) {
+          throw new GraftWriteException(
+            s"partition column(s) ${badPart.mkString(", ")} are NullType " +
+            "(or were dropped as NullType); partition columns must have a " +
+            "storable type")
+        }
+        val partLower = partCols.map(_.toLowerCase).toSet
+        if (!pruned.fields.exists(f => !partLower.contains(f.name.toLowerCase))) {
+          throw new GraftWriteException(
+            "all data columns of NullType have been dropped from this write; " +
+            "nothing storable remains")
+        }
+        val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.select(pruned.fields.toSeq.map { f =>
+          graft.schema.SchemaUtils
+            .alignColumn(col(s"`${f.name}`"), dfTypes(f.name), f.dataType)
+            .as(f.name)
+        }: _*)
+    }
+  }
+
+  /** Partitioning is fixed at table creation (reference
+    * `StarLakeUtils.scala` + CaseSensitivitySuite "can't change partition
+    * columns"): writer options naming DIFFERENT partition columns or bucket
+    * count than the table's are rejected; re-stating the same ones is a
+    * no-op. */
+  private def checkPartitionOptionConflicts(
+      info: TableInfo, options0: Map[String, String]): Unit = {
+    val options = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options0)
+    def sameCols(a: Seq[String], b: Seq[String]): Boolean =
+      a.map(_.toLowerCase) == b.map(_.toLowerCase)
+    options.get(RANGE_PARTITIONS).orElse(options.get(V1_PARTITION_COLUMNS))
+      .map(parseList).filter(_.nonEmpty).foreach { declared =>
+      if (!sameCols(declared, info.rangeColumns)) {
+        throw new GraftWriteException(
+          s"range partition columns [${info.rangeColumns.mkString(", ")}] were " +
+          "already set when creating table, it conflicts with your partition " +
+          s"columns [${declared.mkString(", ")}]")
+      }
+    }
+    options.get(HASH_PARTITIONS).map(parseList).filter(_.nonEmpty).foreach { declared =>
+      if (!sameCols(declared, info.hashColumns)) {
+        throw new GraftWriteException(
+          s"Hash partition column [${info.hashColumns.mkString(", ")}] was " +
+          "already set when creating table, it conflicts with your partition " +
+          s"columns [${declared.mkString(", ")}]")
+      }
+    }
+    options.get(HASH_BUCKET_NUM).map(_.toInt).foreach { n =>
+      if (info.bucketNum > 0 && n != info.bucketNum) {
+        throw new GraftWriteException(
+          s"$HASH_BUCKET_NUM ${info.bucketNum} was already set when creating " +
+          s"table, it conflicts with your value $n")
       }
     }
   }
@@ -79,13 +161,17 @@ object WriteIntoTable {
       df: DataFrame, options0: Map[String, String]): TableInfo = {
     val options = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options0)
     val range = options.get(RANGE_PARTITIONS).orElse(options.get(V1_PARTITION_COLUMNS))
-      .map(parseList).getOrElse(Nil)
+      .map(parseList).getOrElse(Nil).map(normalizePartitionCol(_, df, RANGE_PARTITIONS))
     val hash = options.get(HASH_PARTITIONS).map(parseList).getOrElse(Nil)
+      .map(normalizePartitionCol(_, df, HASH_PARTITIONS))
     val bucketNum = options.get(HASH_BUCKET_NUM).map(_.toInt).getOrElse(-1)
-    if (hash.nonEmpty) require(bucketNum > 0,
-      s"$HASH_BUCKET_NUM must be set (>0) when $HASH_PARTITIONS is set")
-    require(range.intersect(hash).isEmpty,
-      s"columns cannot be both range and hash partitions: ${range.intersect(hash)}")
+    if (hash.nonEmpty && bucketNum <= 0) throw new GraftWriteException(
+      s"You must set the bucket num: $HASH_BUCKET_NUM (>0) when $HASH_PARTITIONS is set")
+    val dupes = (range ++ hash).groupBy(_.toLowerCase)
+      .collect { case (n, g) if g.length > 1 => n }
+    if (dupes.nonEmpty) throw new GraftWriteException(
+      s"duplicate partition column(s): ${dupes.mkString(", ")} " +
+      "(a column may appear once, as either a range or a hash partition)")
     TableInfo(
       tableId = java.util.UUID.randomUUID().toString,
       schemaJson = df.schema.json,
@@ -94,6 +180,17 @@ object WriteIntoTable {
       bucketNum = bucketNum,
       configuration = options.filter { case (k, _) => k.startsWith("graft.") })
   }
+
+  /** Resolve a declared partition column against the data schema
+    * case-insensitively and return the SCHEMA's spelling (reference
+    * CaseSensitivitySuite: `option("rangePartitions", "key")` on a
+    * DataFrame column `Key` partitions by `Key`). */
+  private def normalizePartitionCol(
+      name: String, df: DataFrame, optionKey: String): String =
+    df.schema.fieldNames.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw new GraftWriteException(
+        s"$optionKey column $name not found in data columns " +
+        s"[${df.columns.mkString(", ")}]"))
 
   private def firstWrite(
       spark: SparkSession, path: String, df: DataFrame,
@@ -123,25 +220,46 @@ object WriteIntoTable {
       options: Map[String, String], snapshot: Snapshot, txn: Transaction): Unit = {
     val info0 = snapshot.tableInfo
     val overwriteSchema = options.get(OVERWRITE_SCHEMA).exists(_.toBoolean)
-    val info = if (overwriteSchema) {
-      tableInfoFromOptions(df, options).copy(tableId = info0.tableId)
-    } else info0
     options.get(REPLACE_WHERE) match {
       case Some(predicate) =>
-        // replaceWhere keeps the table's layout/schema: files are written
-        // with the EXISTING TableInfo and no metadata change is committed.
-        // Combining it with overwriteSchema would write files under a new
-        // hash/bucket layout the committed metadata never learns about
-        // (buckets beyond the old bucketNum would be unplannable) — reject.
+        // replaceWhere keeps the table's layout: files are written under the
+        // existing partitioning. overwriteSchema would write files under a
+        // new hash/bucket layout the committed metadata never learns about
+        // (buckets beyond the old bucketNum would be unplannable) — reject;
+        // additive evolution via mergeSchema IS allowed (reference
+        // SchemaEnforcementSuite "schema merging with replaceWhere").
         if (overwriteSchema) {
           throw new GraftWriteException(
             s"$OVERWRITE_SCHEMA cannot be combined with $REPLACE_WHERE; " +
-            "overwrite the whole table to change its schema or layout")
+            s"use $MERGE_SCHEMA=true to add columns, or overwrite the whole " +
+            "table to change its schema or layout")
         }
-        replaceWhere(spark, path, df, info0, snapshot, predicate, txn)
+        val (newInfo, aligned) = evolveSchema(spark, df, info0, options)
+        replaceWhere(spark, path, aligned, newInfo,
+          if (newInfo == info0) None else Some(newInfo), snapshot, predicate, txn)
+      case None if overwriteSchema =>
+        // Partitioning is immutable (checkPartitionOptionConflicts already
+        // rejected options naming different columns); the REPLACED schema
+        // must still carry the partition columns, spelled the table's way.
+        val renamed = df.select(df.schema.fieldNames.toSeq.map { n =>
+          val tableCase = (info0.rangeColumns ++ info0.hashColumns)
+            .find(_.equalsIgnoreCase(n))
+          tableCase.fold(col(s"`$n`"))(tc => col(s"`$n`").as(tc))
+        }: _*)
+        graft.schema.SchemaUtils.validateSchema(renamed.schema)
+        val have = renamed.schema.fieldNames.toSet
+        val missing = (info0.rangeColumns ++ info0.hashColumns).filterNot(have)
+        if (missing.nonEmpty) {
+          throw new GraftWriteException(
+            s"$OVERWRITE_SCHEMA=true cannot drop partition columns " +
+            s"[${missing.mkString(", ")}]; partition columns are fixed at " +
+            "table creation")
+        }
+        val info = info0.copy(schemaJson = renamed.schema.json)
+        val files = TransactionalWrite.writeFiles(spark, path, info, renamed, isBase = true)
+        txn.commit("overwrite", Some(info), files, snapshot.files)
       case None =>
-        val (newInfo, aligned) =
-          if (overwriteSchema) (info, df) else evolveSchema(spark, df, info, options)
+        val (newInfo, aligned) = evolveSchema(spark, df, info0, options, isOverwrite = true)
         val files = TransactionalWrite.writeFiles(spark, path, newInfo, aligned, isBase = true)
         txn.commit("overwrite", Some(newInfo), files, snapshot.files)
     }
@@ -152,14 +270,21 @@ object WriteIntoTable {
     * `WriteIntoTable.scala:107-142`). */
   private def replaceWhere(
       spark: SparkSession, path: String, df: DataFrame, info: TableInfo,
-      snapshot: Snapshot, predicate: String, txn: Transaction): Unit = {
+      metaChange: Option[TableInfo], snapshot: Snapshot, predicate: String,
+      txn: Transaction): Unit = {
     require(info.rangeColumns.nonEmpty, "replaceWhere requires a range-partitioned table")
     val cond = expr(predicate)
     val condExpr = org.apache.spark.sql.graft.SparkShims.expression(cond)
+    // Predicate column references follow the session's case-sensitivity
+    // (reference CaseSensitivitySuite "replaceWhere predicate should be
+    // case insensitive"): `key = 2` matches range column `Key` unless
+    // spark.sql.caseSensitive=true.
+    val resolver = spark.sessionState.conf.resolver
     val refs = condExpr.references.map(_.name).toSeq
-    val bad = refs.filterNot(info.rangeColumns.contains)
-    require(bad.isEmpty,
-      s"replaceWhere may reference only range partition columns; got $bad")
+    val bad = refs.filterNot(r => info.rangeColumns.exists(c => resolver(c, r)))
+    if (bad.nonEmpty) throw new GraftWriteException(
+      s"replaceWhere may reference only range partition columns " +
+      s"[${info.rangeColumns.mkString(", ")}]; got [${bad.mkString(", ")}]")
     val offending = df.filter(!cond).limit(1).collect()
     if (offending.nonEmpty) {
       throw new GraftWriteException(
@@ -168,7 +293,7 @@ object WriteIntoTable {
     // Determine which existing partitions match the predicate.
     val removed = PartitionFilter.filterFiles(spark, snapshot, Seq(condExpr))
     val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
-    txn.commit("overwrite", None, files, removed)
+    txn.commit("overwrite", metaChange, files, removed)
   }
 
   /** Schema check + optional auto-merge (reference
@@ -177,13 +302,28 @@ object WriteIntoTable {
   private[graft] def evolveSchema(
       spark: SparkSession, df: DataFrame, info: TableInfo,
       options: Map[String, String],
-      allowMissingColumns: Boolean = false): (TableInfo, DataFrame) = {
+      allowMissingColumns: Boolean = false,
+      isOverwrite: Boolean = false): (TableInfo, DataFrame) = {
     val tableSchema = info.schema
     val dfSchema = df.schema
-    val mergeEnabled = options.get(MERGE_SCHEMA).map(_.toBoolean).getOrElse(
+    val options1 = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+    val mergeEnabled = options1.get(MERGE_SCHEMA).map(_.toBoolean).getOrElse(
       spark.conf.getOption("spark.graft.schema.autoMerge.enabled").exists(_.toBoolean))
+    val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val newCols = dfSchema.fields.filter(f =>
-      !tableSchema.fieldNames.map(_.toLowerCase).contains(f.name.toLowerCase))
+      !tableByLower.contains(f.name.toLowerCase))
+    // A shared struct column whose incoming value carries EXTRA nested
+    // fields also widens the schema (nested evolution).
+    val newNested = dfSchema.fields.exists { f =>
+      tableByLower.get(f.name.toLowerCase).exists { tf =>
+        (tf.dataType, f.dataType) match {
+          case (ts: org.apache.spark.sql.types.StructType,
+                ds: org.apache.spark.sql.types.StructType) =>
+            SchemaUtils.mergeSchemas(ts, ds) != ts
+          case _ => false
+        }
+      }
+    }
     // a name dropped metadata-only may still exist physically in old files;
     // re-introducing it via implicit merge would resurrect those values
     val resurrected = newCols.filter(f =>
@@ -194,10 +334,13 @@ object WriteIntoTable {
         "dropped and old data files may still hold their values; re-add them " +
         "with ALTER TABLE ... ADD COLUMN (which rewrites the stale data)")
     }
-    if (newCols.nonEmpty && !mergeEnabled) {
+    if ((newCols.nonEmpty || newNested) && !mergeEnabled) {
+      val which = if (newCols.nonEmpty) s"columns ${newCols.map(_.name).mkString(", ")}"
+        else "nested struct fields"
       throw new GraftWriteException(
-        s"columns ${newCols.map(_.name).mkString(", ")} not present in table " +
-        s"schema; set mergeSchema=true or spark.graft.schema.autoMerge.enabled")
+        s"schema mismatch detected: $which not present in table schema; set " +
+        s"$MERGE_SCHEMA=true or spark.graft.schema.autoMerge.enabled" +
+        (if (isOverwrite) s", or replace the schema with $OVERWRITE_SCHEMA=true" else ""))
     }
     // A column-subset write null-fills the omitted columns on read, which a
     // NOT NULL column must reject (reference SchemaEnforcementSuite).
@@ -224,6 +367,20 @@ object WriteIntoTable {
             org.apache.spark.sql.catalyst.expressions.Cast
               .canUpCast(f.dataType, tf.dataType) =>
           col(s"`${f.name}`").cast(tf.dataType).as(tf.name)
+        case Some(tf) => (tf.dataType, f.dataType) match {
+          // Shared struct column: reshape the incoming value to the union
+          // layout (table fields first, new nested fields appended), so
+          // written files carry ONE struct shape per table version and old
+          // files null-fill via standard parquet schema clipping.
+          case (ts: org.apache.spark.sql.types.StructType,
+                ds: org.apache.spark.sql.types.StructType) if ts != ds =>
+            val target = SchemaUtils.mergeSchemas(ts, ds)
+            SchemaUtils.alignColumn(col(s"`${f.name}`"), ds, target).as(tf.name)
+          // Shared columns are written under the TABLE's spelling so files
+          // stay readable under spark.sql.caseSensitive=true (reference
+          // CaseSensitivitySuite "schema merging preserves original case").
+          case _ => col(s"`${f.name}`").as(tf.name)
+        }
         case _ => col(s"`${f.name}`")
       }
     }: _*)

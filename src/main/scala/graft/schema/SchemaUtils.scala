@@ -1,5 +1,7 @@
 package graft.schema
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 class GraftSchemaException(msg: String) extends RuntimeException(msg)
@@ -38,19 +40,50 @@ object SchemaUtils {
     case _ => false
   }
 
-  /** Columns shared by both schemas must have identical types (reference
-    * read-compat check `SchemaUtils.scala:237-291`). */
-  def checkCompatible(table: StructType, data: StructType): Unit = {
-    val byLower = table.fields.map(f => f.name.toLowerCase -> f).toMap
-    data.fields.foreach { f =>
-      byLower.get(f.name.toLowerCase).foreach { tf =>
-        if (tf.dataType != f.dataType) {
+  /** Remove NullType columns from a write schema (reference
+    * `SchemaUtils.scala:99-126` "dropNullTypeColumns"): an all-null JSON
+    * batch infers NullType, which parquet cannot store — the column is
+    * simply absent from this write and null-fills on read. Top-level fields
+    * and fields nested in structs are dropped (a struct left empty drops
+    * whole); NullType inside array/map element types cannot be pruned
+    * field-wise and is an error. Returns None when nothing was pruned. */
+  def pruneNullTypes(schema: StructType): Option[StructType] = {
+    def prune(st: StructType): StructType = StructType(st.fields.flatMap { f =>
+      f.dataType match {
+        case NullType => None
+        case s: StructType =>
+          val inner = prune(s)
+          if (inner.isEmpty) None else Some(f.copy(dataType = inner))
+        case other if hasNullType(other) =>
           throw new GraftSchemaException(
-            s"column ${f.name}: incoming type ${f.dataType.simpleString} does not " +
-            s"match table type ${tf.dataType.simpleString}")
-        }
+            s"column ${f.name} has NullType nested in ${other.simpleString}; " +
+            "NullType fields can only be dropped from structs")
+        case _ => Some(f)
       }
+    })
+    val pruned = prune(schema)
+    if (pruned == schema) None else Some(pruned)
+  }
+
+  /** Columns shared by both schemas must have identical types; struct
+    * columns recurse so a write carrying a nested subset (or superset, via
+    * auto-merge) of the table's struct is accepted (reference read-compat
+    * check `SchemaUtils.scala:237-291`). */
+  def checkCompatible(table: StructType, data: StructType): Unit = {
+    def check(tdt: DataType, ddt: DataType, path: String): Unit = (tdt, ddt) match {
+      case (ts: StructType, ds: StructType) =>
+        val byLower = ts.fields.map(f => f.name.toLowerCase -> f).toMap
+        ds.fields.foreach { f =>
+          byLower.get(f.name.toLowerCase).foreach(tf =>
+            check(tf.dataType, f.dataType, s"$path${f.name}."))
+        }
+      case _ if tdt != ddt =>
+        throw new GraftSchemaException(
+          s"column ${path.stripSuffix(".")}: incoming type ${ddt.simpleString} " +
+          s"does not match table type ${tdt.simpleString}")
+      case _ => ()
     }
+    check(StructType(table.fields), StructType(data.fields), "")
   }
 
   /** Rewrite the struct at nested `parent` path (empty = the top level)
@@ -77,12 +110,47 @@ object SchemaUtils {
     }
 
   /** Additive merge: table schema plus any new incoming columns appended
-    * (in incoming order). Nullability does NOT widen implicitly — a NOT
-    * NULL column stays NOT NULL (enforced by Invariants on write); widening
-    * requires an explicit ALTER (reference `SchemaUtils.scala:767+`). */
+    * (in incoming order); struct columns merge recursively so nested fields
+    * evolve too (reference `SchemaUtils.scala:767-858` mergeSchemas).
+    * Nullability does NOT widen implicitly — a NOT NULL column stays NOT
+    * NULL (enforced by Invariants on write); widening requires an explicit
+    * ALTER. Merged-in columns and nested fields are always nullable (older
+    * files null-fill them on read). */
   def mergeSchemas(table: StructType, data: StructType): StructType = {
-    val existingLower = table.fieldNames.map(_.toLowerCase).toSet
-    val added = data.fields.filterNot(f => existingLower.contains(f.name.toLowerCase))
-    StructType(table.fields ++ added)
+    def merge(t: StructType, d: StructType): StructType = {
+      val dByLower = d.fields.map(f => f.name.toLowerCase -> f).toMap
+      val tLower = t.fieldNames.map(_.toLowerCase).toSet
+      val kept = t.fields.map { tf =>
+        (tf.dataType, dByLower.get(tf.name.toLowerCase).map(_.dataType)) match {
+          case (ts: StructType, Some(ds: StructType)) =>
+            tf.copy(dataType = merge(ts, ds))
+          case _ => tf
+        }
+      }
+      val added = d.fields.filterNot(f => tLower.contains(f.name.toLowerCase))
+        .map(_.copy(nullable = true))
+      StructType(kept ++ added)
+    }
+    merge(table, data)
   }
+
+  /** Reshape `c` (typed `from`) to the struct layout of `to`: nested fields
+    * present in `from` are carried over (resolved case-insensitively),
+    * fields only in `to` null-fill. Non-struct types pass through — callers
+    * handle scalar casts separately. A null struct stays null rather than
+    * becoming a struct of nulls. */
+  def alignColumn(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f: StructType, t: StructType) if f != t =>
+        val byLower = f.fields.map(x => x.name.toLowerCase -> x).toMap
+        val rebuilt = struct(t.fields.toSeq.map { tf =>
+          byLower.get(tf.name.toLowerCase) match {
+            case Some(ff) =>
+              alignColumn(c.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case _ => c
+    }
 }

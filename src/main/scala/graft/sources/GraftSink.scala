@@ -61,16 +61,31 @@ class GraftSink(
             throw new GraftWriteException(
               "Update output mode requires a primary-key (hash-partitioned) graft table")
           }
-          SchemaUtils.checkCompatible(info.schema, batchDf.schema)
+          // Schema enforcement mirrors the batch writer (reference
+          // SchemaEnforcementSuite streaming cases): new columns need
+          // mergeSchema / the autoMerge conf; Complete mode may instead
+          // REPLACE the schema with overwriteSchema=true (it rewrites all
+          // data anyway, so dropped columns leave no stale files behind).
+          val overwriteSchema = outputMode == OutputMode.Complete() &&
+            options.get(WriteIntoTable.OVERWRITE_SCHEMA).exists(_.toBoolean)
+          val (newInfo, aligned) =
+            if (overwriteSchema) (info.copy(schemaJson = batchDf.schema.json), batchDf)
+            else WriteIntoTable.evolveSchema(spark, batchDf, info, options,
+              // Update mode is an upsert: a column subset keeps prior values
+              // via merge-on-read instead of null-filling, so missing NOT
+              // NULL columns are legal there.
+              allowMissingColumns = outputMode == OutputMode.Update(),
+              isOverwrite = outputMode == OutputMode.Complete())
           val expired =
             if (outputMode == OutputMode.Complete()) snapshot.files else Nil
           val files = TransactionalWrite.writeFiles(
-            spark, path, info, batchDf,
-            isBase = !info.hasPrimaryKey || outputMode == OutputMode.Complete())
+            spark, path, newInfo, aligned,
+            isBase = !newInfo.hasPrimaryKey || outputMode == OutputMode.Complete())
           val commitType =
-            if (info.hasPrimaryKey && outputMode != OutputMode.Complete()) "delta"
+            if (newInfo.hasPrimaryKey && outputMode != OutputMode.Complete()) "delta"
             else "streaming"
-          txn.commit(commitType, None, files, expired,
+          txn.commit(commitType,
+            if (newInfo == info) None else Some(newInfo), files, expired,
             Some(StreamingInfo(queryId, batchId)))
       }
     }

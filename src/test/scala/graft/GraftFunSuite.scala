@@ -18,6 +18,17 @@ trait GraftFunSuite extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(dir))
   }
 
+  /** Set session confs for the duration of `f`, restoring prior values. */
+  def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val previous = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Sorted-row comparison helper. */
   def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
