@@ -25,6 +25,10 @@ object WriteIntoTable {
   val MERGE_SCHEMA = "mergeSchema"
   /** DataFrameWriter V1 passes .partitionBy(...) through this option. */
   val V1_PARTITION_COLUMNS = "__partition_columns"
+  /** Injected by `TagWriteAlignment`: "true" for by-name writes
+    * (`df.write.save`, INSERT with a column list), "false" for by-position
+    * SQL INSERT. Absent when the write did not pass through a V2 plan. */
+  val BY_NAME = "__graft.byName"
 
   def run(
       spark: SparkSession,
@@ -43,7 +47,7 @@ object WriteIntoTable {
           // INSERT-by-ordinal (e.g. SQL `INSERT INTO t VALUES ...`) arrives
           // with synthetic column names; align positionally to the table's
           // read-order schema (reference `StarLakeAnalysis.scala:43-147`).
-          val aligned = alignByPosition(pruned, snapshot)
+          val aligned = alignByPosition(pruned, snapshot, options)
           mode match {
             case SaveMode.ErrorIfExists =>
               throw new GraftWriteException(s"graft table already exists at $path")
@@ -134,18 +138,38 @@ object WriteIntoTable {
     }
   }
 
-  /** Rename generic by-ordinal columns (col1.., or any full-arity mismatch
-    * where no incoming name resolves against the table) to the table's
-    * read-order column names. */
+  /** Align a by-position write (SQL `INSERT INTO` without a column list) to
+    * the table's read-order column names. When `TagWriteAlignment` marked
+    * the write by-NAME, incoming names are authoritative — a full-arity
+    * rename here would silently remap mismatched columns that should be a
+    * schema-mismatch error (or a merge). Untagged writes (V1 fallback and
+    * internal callers) keep the old heuristic: rename only generic
+    * by-ordinal shapes (full arity, no incoming name resolving against the
+    * table). */
   private def alignByPosition(
-      df: DataFrame, snapshot: Snapshot): DataFrame = {
+      df: DataFrame, snapshot: Snapshot,
+      options: Map[String, String]): DataFrame = {
     val ti = snapshot.tableInfo
     val readOrder = ti.dataSchema.fieldNames ++ ti.rangePartitionSchema.fieldNames
     val incoming = df.columns
-    val tableLower = readOrder.map(_.toLowerCase).toSet
-    val anyMatch = incoming.exists(c => tableLower.contains(c.toLowerCase))
-    if (!anyMatch && incoming.length == readOrder.length) df.toDF(readOrder: _*)
-    else df
+    val byNameOpt = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+      .get(BY_NAME).map(_.toBoolean)
+    byNameOpt match {
+      case Some(true) => df
+      case Some(false) =>
+        if (incoming.length != readOrder.length) {
+          throw new GraftWriteException(
+            s"INSERT by position: table has ${readOrder.length} column(s) " +
+            s"[${readOrder.mkString(", ")}] but the query produces " +
+            s"${incoming.length} [${incoming.mkString(", ")}]")
+        }
+        df.toDF(readOrder: _*)
+      case None =>
+        val tableLower = readOrder.map(_.toLowerCase).toSet
+        val anyMatch = incoming.exists(c => tableLower.contains(c.toLowerCase))
+        if (!anyMatch && incoming.length == readOrder.length) df.toDF(readOrder: _*)
+        else df
+    }
   }
 
   private def parseList(s: String): Seq[String] = {
@@ -363,19 +387,24 @@ object WriteIntoTable {
     val byLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val casted = df.select(dfSchema.fields.toSeq.map { f =>
       byLower.get(f.name.toLowerCase) match {
-        case Some(tf) if tf.dataType != f.dataType &&
-            org.apache.spark.sql.catalyst.expressions.Cast
-              .canUpCast(f.dataType, tf.dataType) =>
-          col(s"`${f.name}`").cast(tf.dataType).as(tf.name)
         case Some(tf) => (tf.dataType, f.dataType) match {
           // Shared struct column: reshape the incoming value to the union
           // layout (table fields first, new nested fields appended), so
           // written files carry ONE struct shape per table version and old
-          // files null-fill via standard parquet schema clipping.
+          // files null-fill via standard parquet schema clipping. This case
+          // MUST precede the scalar upcast: `Cast.canUpCast` matches structs
+          // field-by-POSITION (names ignored), so a positional struct cast
+          // here would silently remap a mismatched nested field onto the
+          // table's same-position field — nested values landing in the
+          // wrong column.
           case (ts: org.apache.spark.sql.types.StructType,
                 ds: org.apache.spark.sql.types.StructType) if ts != ds =>
             val target = SchemaUtils.mergeSchemas(ts, ds)
             SchemaUtils.alignColumn(col(s"`${f.name}`"), ds, target).as(tf.name)
+          // Safe implicit up-casts (int->bigint, ...).
+          case (tdt, ddt) if tdt != ddt &&
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ddt, tdt) =>
+            col(s"`${f.name}`").cast(tdt).as(tf.name)
           // Shared columns are written under the TABLE's spelling so files
           // stay readable under spark.sql.caseSensitive=true (reference
           // CaseSensitivitySuite "schema merging preserves original case").

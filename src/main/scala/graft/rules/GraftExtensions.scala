@@ -21,6 +21,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectQueryPostPlannerStrategyRule(DeclareBucketDistribution(_))
     ext.injectHintResolutionRule(ResolveGraftPathTable(_))
+    ext.injectResolutionRule(TagWriteAlignment(_))
     ext.injectResolutionRule(RewriteSetOpOnPk(_))
     ext.injectResolutionRule(ExtractMergeOperator(_))
     ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))
@@ -32,6 +33,43 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     // Spark 4 — the V2 analyzer rejects all of these natively for tables
     // that do not implement SupportsPartitionManagement / V1 fallbacks
     // (asserted by CatalogAndRulesSuite "unsupported Hive-style DDL").
+  }
+}
+
+/** Records each V2 write's name-vs-position resolution mode into its write
+  * options, where the `WriteIntoTable` command can see it. `ACCEPT_ANY_SCHEMA`
+  * keeps Spark's `TableOutputResolver` from aligning the query to the table
+  * (the engine owns casting/evolution), but that also discards the only
+  * signal saying whether the user wrote BY NAME (`df.write.save`, INSERT
+  * with a column list) or BY POSITION (plain SQL `INSERT INTO`): a
+  * full-arity DataFrame append whose column names all differ from the
+  * table's must be a schema-mismatch error, while the same shape arriving
+  * from `INSERT INTO t VALUES ...` (synthetic `col1..colN` names) must
+  * align positionally (reference `StarLakeAnalysis.scala:43-147` makes the
+  * same split on the pre-conversion plan).
+  */
+case class TagWriteAlignment(spark: SparkSession)
+  extends Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan, OverwriteByExpression}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def isGraft(rel: org.apache.spark.sql.catalyst.analysis.NamedRelation): Boolean =
+    rel match {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[graft.sources.GraftTableV2]
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case a: AppendData
+        if isGraft(a.table) &&
+          !a.writeOptions.contains(graft.commands.WriteIntoTable.BY_NAME) =>
+      a.copy(writeOptions = a.writeOptions +
+        (graft.commands.WriteIntoTable.BY_NAME -> a.isByName.toString))
+    case o: OverwriteByExpression
+        if isGraft(o.table) &&
+          !o.writeOptions.contains(graft.commands.WriteIntoTable.BY_NAME) =>
+      o.copy(writeOptions = o.writeOptions +
+        (graft.commands.WriteIntoTable.BY_NAME -> o.isByName.toString))
   }
 }
 

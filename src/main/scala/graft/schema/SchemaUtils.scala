@@ -135,16 +135,24 @@ object SchemaUtils {
   }
 
   /** Reshape `c` (typed `from`) to the struct layout of `to`: nested fields
-    * present in `from` are carried over (resolved case-insensitively),
-    * fields only in `to` null-fill. Non-struct types pass through — callers
-    * handle scalar casts separately. A null struct stays null rather than
-    * becoming a struct of nulls. */
+    * present in `from` are carried over (resolved case-insensitively, safe
+    * scalar up-casts applied), fields only in `to` null-fill. Top-level
+    * non-struct types pass through — callers handle their casts. A null
+    * struct stays null rather than becoming a struct of nulls. Struct
+    * alignment is always BY NAME — never `Column.cast` between struct
+    * types, which matches fields positionally and would remap values. */
   def alignColumn(c: Column, from: DataType, to: DataType): Column =
     (from, to) match {
       case (f: StructType, t: StructType) if f != t =>
         val byLower = f.fields.map(x => x.name.toLowerCase -> x).toMap
         val rebuilt = struct(t.fields.toSeq.map { tf =>
           byLower.get(tf.name.toLowerCase) match {
+            case Some(ff) if !ff.dataType.isInstanceOf[StructType] &&
+                !tf.dataType.isInstanceOf[StructType] &&
+                ff.dataType != tf.dataType &&
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(ff.dataType, tf.dataType) =>
+              c.getField(ff.name).cast(tf.dataType).as(tf.name)
             case Some(ff) =>
               alignColumn(c.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
             case None => lit(null).cast(tf.dataType).as(tf.name)

@@ -50,7 +50,10 @@ class GraftDataSource
     new GraftTableV2(SparkSession.active, pathOf(properties),
       Option(schema), properties.asScala.toMap)
 
-  /** V1 write path — covers all four SaveModes. */
+  /** V1 write path — covers all four SaveModes. `DataFrameWriter.save` is
+    * the only caller, and its semantics are BY NAME: mark the write so the
+    * command never positionally renames mismatched columns (SQL INSERT
+    * arrives via the V2 plan, tagged by `TagWriteAlignment`). */
   override def createRelation(
       sqlContext: SQLContext,
       mode: SaveMode,
@@ -58,7 +61,8 @@ class GraftDataSource
       data: DataFrame): BaseRelation = {
     val path = SnapshotManagement.normalize(parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' option is required")))
-    WriteIntoTable.run(sqlContext.sparkSession, path, data, mode, parameters)
+    WriteIntoTable.run(sqlContext.sparkSession, path, data, mode,
+      parameters + (WriteIntoTable.BY_NAME -> "true"))
     new BaseRelation {
       override def sqlContext: SQLContext = sqlContext
       override def schema: StructType = data.schema
