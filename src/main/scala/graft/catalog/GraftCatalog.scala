@@ -83,7 +83,16 @@ class GraftCatalog extends DelegatingCatalogExtension {
     }
     withLoc.put(TableCatalog.PROP_LOCATION, path)
     withLoc.put(TableCatalog.PROP_EXTERNAL, "true")
-    super.createTable(ident, columns, partitions, withLoc)
+    // Register with range-partition columns LAST (the graft read order, and
+    // the order `GraftTableV2.schema()` reports): the session catalog
+    // re-infers the schema from the provider at create time and rejects the
+    // registration if the declared order differs — `CREATE TABLE (id, data)
+    // PARTITIONED BY (id)` must register as (data, id).
+    val rangeLower = rangeCols.map(_.toLowerCase).toSet
+    val reordered =
+      columns.filterNot(c => rangeLower.contains(c.name.toLowerCase)) ++
+        rangeCols.flatMap(r => columns.find(_.name.equalsIgnoreCase(r)))
+    super.createTable(ident, reordered, partitions, withLoc)
     new GraftTableV2(spark, path)
   }
 

@@ -229,7 +229,11 @@ object WriteIntoTable {
       spark: SparkSession, path: String, df: DataFrame,
       options: Map[String, String], snapshot: Snapshot, txn: Transaction): Unit = {
     val info = snapshot.tableInfo
-    if (info.hasPrimaryKey) {
+    // A PK table with NO data yet (CREATE TABLE / CTAS registration commits
+    // metadata before the first load) takes the append as its initial base
+    // load — no keys exist, so upsert-vs-append is indistinguishable. Once
+    // data exists, plain append would silently duplicate keys.
+    if (info.hasPrimaryKey && snapshot.files.nonEmpty) {
       throw new UnsupportedOperationException(
         "Append is not supported on a hash-partitioned (primary-key) Graft " +
         "table; use upsert instead (reference WriteIntoTable.scala:91-103)")

@@ -50,8 +50,10 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   */
 case class TagWriteAlignment(spark: SparkSession)
   extends Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan, OverwriteByExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, CreateTableAsSelect, LogicalPlan, OverwriteByExpression, ReplaceTableAsSelect}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private val BY_NAME = graft.commands.WriteIntoTable.BY_NAME
 
   private def isGraft(rel: org.apache.spark.sql.catalyst.analysis.NamedRelation): Boolean =
     rel match {
@@ -61,15 +63,24 @@ case class TagWriteAlignment(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case a: AppendData
-        if isGraft(a.table) &&
-          !a.writeOptions.contains(graft.commands.WriteIntoTable.BY_NAME) =>
-      a.copy(writeOptions = a.writeOptions +
-        (graft.commands.WriteIntoTable.BY_NAME -> a.isByName.toString))
+        if isGraft(a.table) && !a.writeOptions.contains(BY_NAME) =>
+      a.copy(writeOptions = a.writeOptions + (BY_NAME -> a.isByName.toString))
     case o: OverwriteByExpression
-        if isGraft(o.table) &&
-          !o.writeOptions.contains(graft.commands.WriteIntoTable.BY_NAME) =>
-      o.copy(writeOptions = o.writeOptions +
-        (graft.commands.WriteIntoTable.BY_NAME -> o.isByName.toString))
+        if isGraft(o.table) && !o.writeOptions.contains(BY_NAME) =>
+      o.copy(writeOptions = o.writeOptions + (BY_NAME -> o.isByName.toString))
+    // CTAS / RTAS: the created table's columns ARE the query's, so the data
+    // load is by name. Without the tag, the exec's nested by-position
+    // AppendData would positionally rename the query to the table's READ
+    // order (range-partition columns last) and misplace values whenever a
+    // partition column isn't declared last.
+    case c: CreateTableAsSelect
+        if c.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) &&
+          !c.writeOptions.contains(BY_NAME) =>
+      c.copy(writeOptions = c.writeOptions + (BY_NAME -> "true"))
+    case r: ReplaceTableAsSelect
+        if r.tableSpec.provider.exists(_.equalsIgnoreCase("graft")) &&
+          !r.writeOptions.contains(BY_NAME) =>
+      r.copy(writeOptions = r.writeOptions + (BY_NAME -> "true"))
   }
 }
 
