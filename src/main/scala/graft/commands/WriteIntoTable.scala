@@ -157,13 +157,32 @@ object WriteIntoTable {
     byNameOpt match {
       case Some(true) => df
       case Some(false) =>
-        if (incoming.length != readOrder.length) {
+        if (incoming.length < readOrder.length) {
           throw new GraftWriteException(
-            s"INSERT by position: table has ${readOrder.length} column(s) " +
-            s"[${readOrder.mkString(", ")}] but the query produces " +
-            s"${incoming.length} [${incoming.mkString(", ")}]")
+            s"INSERT by position: not enough data columns; table has " +
+            s"${readOrder.length} column(s) [${readOrder.mkString(", ")}] but " +
+            s"the query produces ${incoming.length} [${incoming.mkString(", ")}]")
         }
-        df.toDF(readOrder: _*)
+        // First N columns map positionally onto the table; extra TRAILING
+        // columns keep their own names, so evolveSchema can either reject
+        // them (no mergeSchema) or append them to the schema.
+        val renamed = df.toDF(
+          (readOrder ++ incoming.drop(readOrder.length)).toIndexedSeq: _*)
+        // Struct fields ALSO map by position for positional inserts
+        // ((col1, col2) tuples land in (x, y)): rename nested field names
+        // to the table's via a pure-rename cast so the downstream by-name
+        // alignment sees matching fields.
+        val tableTypes = (ti.dataSchema.fields ++ ti.rangePartitionSchema.fields)
+          .map(f => f.name -> f.dataType).toMap
+        renamed.select(renamed.schema.fields.toSeq.map { f =>
+          tableTypes.get(f.name) match {
+            case Some(tdt) =>
+              val target = SchemaUtils.renamePositionally(f.dataType, tdt)
+              if (target == f.dataType) col(s"`${f.name}`")
+              else col(s"`${f.name}`").cast(target).as(f.name)
+            case None => col(s"`${f.name}`")
+          }
+        }: _*)
       case None =>
         val tableLower = readOrder.map(_.toLowerCase).toSet
         val anyMatch = incoming.exists(c => tableLower.contains(c.toLowerCase))

@@ -134,6 +134,25 @@ object SchemaUtils {
     merge(table, data)
   }
 
+  /** The `from` type with struct field NAMES renamed positionally to
+    * `to`'s (recursively), types kept. Used for by-position INSERT, where
+    * incoming struct fields map onto the table's struct by position
+    * (`(col1, col2)` tuples land in `(x, y)`); the value layout is
+    * unchanged, so the caller applies it with a plain `Column.cast` (a
+    * pure rename). Arity-mismatched structs are returned unchanged — the
+    * write path reports those as schema errors. */
+  def renamePositionally(from: DataType, to: DataType): DataType =
+    (from, to) match {
+      case (f: StructType, t: StructType) if f.length == t.length =>
+        StructType(f.fields.zip(t.fields).map { case (ff, tf) =>
+          ff.copy(name = tf.name,
+            dataType = renamePositionally(ff.dataType, tf.dataType))
+        })
+      case (ArrayType(fe, n), ArrayType(te, _)) =>
+        ArrayType(renamePositionally(fe, te), n)
+      case _ => from
+    }
+
   /** Reshape `c` (typed `from`) to the struct layout of `to`: nested fields
     * present in `from` are carried over (resolved case-insensitively, safe
     * scalar up-casts applied), fields only in `to` null-fill. Top-level
