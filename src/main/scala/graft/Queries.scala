@@ -249,6 +249,15 @@ object Queries {
     "q_token_stats" -> ((s, sf) =>
       TextAnalysis.qualityStats(GraftData.documentsRange(s, sf), "text", "doc_id")),
 
+    "q_distinct_ratio" -> ((s, sf) =>
+      TextAnalysis.repetitionStats(GraftData.documentsRange(s, sf), "doc_id", "text")),
+
+    "q_sample_mix" -> ((s, sf) =>
+      graft.llm.Curation.stratifiedSample(
+        GraftData.documentsRange(s, sf), "doc_id", "lang",
+        Map("en" -> 2500, "de" -> 7500, "zh" -> 0))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "q_multimodal_meta" -> ((s, sf) =>
       Multimodal.payloadMetadata(
         Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
@@ -513,6 +522,20 @@ object Queries {
        "CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
        "x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) AS en_stopword_cnt " +
        "FROM documents"),
+
+    "q_distinct_ratio" ->
+      ("SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS word_cnt, " +
+       "CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INTEGER) AS distinct_cnt " +
+       "FROM documents"),
+
+    // Same md5-bucket selector on both engines: Spark
+    // conv(substr(md5,1,8),16,10) == DuckDB CAST('0x'||substr(md5,1,8) AS BIGINT).
+    "q_sample_mix" ->
+      ("SELECT doc_id, lang, source FROM documents WHERE " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < " +
+       "CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 7500 WHEN 'zh' THEN 0 " +
+       "ELSE 10000 END"),
 
     // DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — identical to
     // Spark's md5 over the encode(text,'UTF-8') binary payload.

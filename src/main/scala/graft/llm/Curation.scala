@@ -39,4 +39,31 @@ object Curation {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
   }
+
+  /** Deterministic stratified sampling for data mixing: keep a row iff
+    * `md5(id) mod 10000 < rates(stratum)` (rates in basis points, 10000 =
+    * keep all; strata absent from `rates` fall back to `defaultBps`).
+    *
+    * Down-weighting over-represented sources/languages is the standard last
+    * step of a training-data mix. Hash-based selection makes the sample a
+    * pure per-row FILTER — deterministic across runs, engines, partitioning
+    * and cluster size (no RNG seed plumbing, no `sample()`
+    * partition-dependence), so a mix is reproducible from its rate table
+    * alone. At 100 TB it runs at scan speed and pushes nothing to a
+    * shuffle; the hash also guarantees consistent per-ID decisions when the
+    * same corpus is re-mixed with different rates (nested samples: a 10%
+    * mix is a subset of the 25% mix).
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultBps: Int = 10000): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("bigint"),
+      lit(10000L))
+    val rate = rates.foldLeft(lit(defaultBps).cast("bigint")) {
+      case (acc, (stratum, bps)) =>
+        when(col(stratumCol) === stratum, lit(bps.toLong)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
 }

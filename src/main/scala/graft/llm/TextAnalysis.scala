@@ -115,4 +115,48 @@ object TextAnalysis {
         .otherwise(best._1).as("lang_guess"),
       best._2.as("lang_score"))
   }
+
+  /** Repetition signal (Gopher-style quality gate): total vs distinct token
+    * counts per document. Heavily templated / repeated text shows a low
+    * distinct ratio; the ratio itself derives downstream (exact integer
+    * counts keep the operator oracle-checkable). `array_distinct` over the
+    * extracted token array is a narrow codegen'd collection op — per-row
+    * work only, no explode, no shuffle, streams at scan speed. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(toks).as("word_cnt"),
+      size(array_distinct(toks)).as("distinct_cnt"))
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]], applied in this order. Kept to
+    * simple character-class regexes that mean the same thing in Java and
+    * RE2 dialects. */
+  val PII_PATTERNS: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses,
+    * phone numbers and SSN-shaped ids, returning the scrubbed text plus a
+    * per-category redaction count (audit trail for the pipeline). A chain
+    * of `regexp_count` + `regexp_replace` — narrow, codegen'd, no UDF; at
+    * 100 TB this is a pure map over the scan like every other text stage.
+    * Order matters: longer patterns run before sub-patterns they contain
+    * (phone before SSN would double-fire; SSN runs last of the digit
+    * family on the already-scrubbed text). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = PII_PATTERNS.foldLeft(df) { case (d, (name, pattern, _)) =>
+      d.withColumn(s"${name}_cnt",
+        regexp_count(col(textCol), lit(pattern)).cast("int"))
+    }
+    val scrubbed = PII_PATTERNS.foldLeft(col(textCol)) {
+      case (c, (_, pattern, token)) => regexp_replace(c, lit(pattern), lit(token))
+    }
+    counted.select(
+      col(idCol) +: scrubbed.as("scrubbed_text") +:
+      PII_PATTERNS.map { case (name, _, _) => col(s"${name}_cnt") }: _*)
+  }
 }

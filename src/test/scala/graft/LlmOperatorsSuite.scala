@@ -294,4 +294,49 @@ class LlmOperatorsSuite extends GraftFunSuite {
       }
     }
   }
+
+  test("pii scrub redacts planted emails/ips/phones/ssns and counts them") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 192.168.1.10 today"),
+      (2L, "call +1-555-123-4567 re: ssn 123-45-6789"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("scrubbed_text") ==
+      "contact <EMAIL> or <IP> today")
+    assert(out(0).getAs[Int]("email_cnt") == 1 && out(0).getAs[Int]("ipv4_cnt") == 1)
+    assert(out(1).getAs[String]("scrubbed_text") == "call <PHONE> re: ssn <SSN>")
+    assert(out(1).getAs[Int]("phone_cnt") == 1 && out(1).getAs[Int]("ssn_cnt") == 1)
+    assert(out(2).getAs[String]("scrubbed_text") == "nothing sensitive here at all")
+    assert((0 to 2).forall(i => out(2).toSeq.drop(2).forall(_ == 0) || i < 2))
+  }
+
+  test("repetition stats count total vs distinct tokens") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here differ")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
+  }
+
+  test("stratified sample: deterministic, nested, rate-respecting") {
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def ids(rates: Map[String, Int]): Set[Long] =
+      Curation.stratifiedSample(df, "doc_id", "lang", rates)
+        .select("doc_id").as[Long].collect().toSet
+    val s25 = ids(Map("en" -> 2500, "de" -> 10000))
+    // deterministic: same call, same result
+    assert(s25 == ids(Map("en" -> 2500, "de" -> 10000)))
+    // de untouched, en downsampled to roughly a quarter
+    assert(s25.count(_ % 2 == 1) == 1000)
+    val enKept = s25.count(_ % 2 == 0)
+    assert(enKept > 150 && enKept < 350, s"en kept $enKept of 1000")
+    // nested: the 10% en-sample is a subset of the 25% en-sample
+    val s10 = ids(Map("en" -> 1000, "de" -> 10000))
+    assert(s10.filter(_ % 2 == 0).subsetOf(s25.filter(_ % 2 == 0)))
+    // zero rate drops the stratum entirely
+    assert(ids(Map("en" -> 0, "de" -> 10000)).forall(_ % 2 == 1))
+  }
 }
