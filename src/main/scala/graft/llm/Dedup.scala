@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora.
@@ -9,10 +8,11 @@ import org.apache.spark.sql.functions._
   * Scale design: every method is banded/bucketed — candidate pairs are only
   * generated WITHIN a join key (content hash, shared shingle, LSH band),
   * never via an all-pairs cross join — and the hot paths are expressed as
-  * exploded relational plans (posexplode + window + hash-aggregate) rather
-  * than per-row array lambdas: higher-order-function lambdas evaluate
-  * interpreted in Spark, while the exploded form stays inside whole-stage
-  * codegen and parallelizes by rows, not documents. At 100 TB the hot
+  * exploded relational plans (narrow shingle assembly + explode +
+  * hash-aggregate) rather than per-row array lambdas: higher-order-function
+  * lambdas evaluate interpreted in Spark, while the exploded form stays
+  * inside whole-stage codegen and parallelizes by rows, not documents. At
+  * 100 TB the hot
   * shingles are the skew risk; `maxKeyFreq` drops join keys whose document
   * frequency exceeds a cutoff (the standard prefix-filter trick).
   */
@@ -27,24 +27,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word k-gram shingles as ROWS (doc_id, s): tokens exploded with
-    * position, shingle assembled from the k-1 following tokens via window
-    * `lead` — fully codegen'd, shuffles only (doc_id, token) pairs.
-    * `dedupe=false` skips the distinct (one whole shuffle) for consumers
-    * whose downstream aggregate is duplicate-insensitive (e.g. `min` in
-    * MinHash). */
+  /** Word k-gram shingles as ROWS (doc_id, s), assembled narrowly per
+    * document and exploded — zero shuffles. `dedupe` controls per-document
+    * shingle dedup (`array_distinct`); pair-counting consumers need it,
+    * duplicate-insensitive aggregates (e.g. `min` in MinHash) skip it. */
   def shingleRows(
       df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       dedupe: Boolean = true): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts: Seq[Column] = col("tok") +:
-      (1 until k).map(o => lead(col("tok"), o).over(w))
-    val rows = toks.select(col("doc_id"), parts.last.isNotNull.as("full"),
-        concat_ws(" ", parts: _*).as("s"))
-      .filter(col("full")).select("doc_id", "s")
-    if (dedupe) rows.distinct() else rows
+    // Shingles assembled NARROWLY per row (transform + slice over the token
+    // array), then exploded: zero shuffles. The previous posexplode +
+    // window-lead form shuffled AND sorted the entire token stream on
+    // doc_id before the first real operator — at 100 TB that window is the
+    // dominant cost of every shingle consumer. `array_distinct` gives the
+    // same per-document dedup a global `distinct()` did for pair-counting
+    // consumers, again without an exchange.
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val grams0 = transform(sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val grams = when(n >= k,
+      if (dedupe) array_distinct(grams0) else grams0)
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("s"))
   }
 
   /** Word k-gram shingles as a per-row array column (1-based positions,
