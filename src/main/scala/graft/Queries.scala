@@ -252,6 +252,14 @@ object Queries {
     "q_distinct_ratio" -> ((s, sf) =>
       TextAnalysis.repetitionStats(GraftData.documentsRange(s, sf), "doc_id", "text")),
 
+    "q_contamination" -> ((s, sf) => {
+      val docs = GraftData.documentsRange(s, sf)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 5, minOverlap = 1)
+    }),
+
     "q_sample_mix" -> ((s, sf) =>
       graft.llm.Curation.stratifiedSample(
         GraftData.documentsRange(s, sf), "doc_id", "lang",
@@ -522,6 +530,16 @@ object Queries {
        "CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
        "x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) AS en_stopword_cnt " +
        "FROM documents"),
+
+    "q_contamination" ->
+      ("WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ') " +
+       "for i in range(1, len(toks)-3)]) grams FROM docs WHERE len(toks) >= 5), " +
+       "ex AS (SELECT doc_id, unnest(grams) s FROM sh), " +
+       "ev AS (SELECT doc_id eval_id, s FROM ex WHERE doc_id % 50 = 0), " +
+       "tr AS (SELECT * FROM ex WHERE doc_id % 50 != 0) " +
+       "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(count(*) AS BIGINT) AS overlap " +
+       "FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2 HAVING count(*) >= 1"),
 
     "q_distinct_ratio" ->
       ("SELECT doc_id, " +

@@ -103,6 +103,29 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size")
   }
 
+  /** Benchmark-contamination check (decontamination): for every training
+    * document sharing at least `minOverlap` distinct word `k`-grams with an
+    * evaluation document, emit (train_id, eval_id, overlap). Training sets
+    * containing eval data inflate benchmark scores; this is the standard
+    * n-gram-overlap filter run before training.
+    *
+    * Scale: the eval index is broadcast — benchmark suites are MBs while
+    * the corpus is the 100 TB side, so the train shingle stream is NEVER
+    * shuffled; contamination runs at scan speed as a broadcast hash join +
+    * partial aggregate. (For an atypically huge eval set, drop the hint
+    * and AQE picks the join side.) */
+  def contamination(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minOverlap: Int = 1): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol, k)
+    val evalSh = shingleRows(eval, idCol, textCol, k)
+      .withColumnRenamed("doc_id", "eval_id")
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** MinHash signatures (doc_id, sig: array<bigint>[numHashes]) computed as
     * a single hash-aggregate over exploded shingles. Each shingle string is
     * hashed ONCE (xxhash64); the k hash functions derive from it with a

@@ -320,6 +320,22 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
   }
 
+  test("contamination finds train docs overlapping the eval set") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, "prefix words then " + evalDoc + " trailing text here"), // contains it
+      (2L, "completely unrelated words with no overlap at all"),
+      (3L, "alpha beta gamma nothing else shared here now")) // only a 3-gram
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text",
+        k = 5, minOverlap = 1)
+      .select("train_id", "eval_id", "overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares all 4 distinct 5-grams of the eval doc; docs 2-3 share none
+    assert(got == Set((1L, 100L, 4L)))
+  }
+
   test("stratified sample: deterministic, nested, rate-respecting") {
     val df = (0 until 2000).map(i =>
       (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
