@@ -252,6 +252,12 @@ object Queries {
     "q_distinct_ratio" -> ((s, sf) =>
       TextAnalysis.repetitionStats(GraftData.documentsRange(s, sf), "doc_id", "text")),
 
+    "q_dedup_clusters" -> ((s, sf) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
+          k = 3, minInter = 3),
+        "a_id", "b_id")),
+
     "q_contamination" -> ((s, sf) => {
       val docs = GraftData.documentsRange(s, sf)
       Dedup.contamination(
@@ -530,6 +536,20 @@ object Queries {
        "CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
        "x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) AS en_stopword_cnt " +
        "FROM documents"),
+
+    // Transitive closure over the SAME pair list q_ngram_jaccard verifies;
+    // min reachable id == the min-label fixpoint the engine iterates to.
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 " +
+       "THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+       "ELSE [] END) AS s FROM tok)), " +
+       "pairs AS (SELECT a.doc_id a_id, b.doc_id b_id FROM sh a JOIN sh b " +
+       "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2 HAVING count(*) >= 3), " +
+       "e AS (SELECT a_id s, b_id d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+       "reach(id, r) AS (SELECT DISTINCT s, s FROM e " +
+       "UNION SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d) " +
+       "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"),
 
     "q_contamination" ->
       ("WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents), " +

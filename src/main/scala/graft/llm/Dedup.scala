@@ -103,6 +103,52 @@ object Dedup {
       .select("a_id", "b_id", "inter", "a_size", "b_size")
   }
 
+  /** Connected components over a near-duplicate PAIR list: every document
+    * in a duplicate cluster labels itself with the cluster's minimum id
+    * (the canonical representative), via iterative min-label propagation —
+    * each round every node adopts the minimum label among itself and its
+    * neighbors, so labels spread one hop per round and the loop stops when
+    * a round changes nothing.
+    *
+    * Scale: the driver loop iterates over ROUNDS, never rows — each round
+    * is one distributed join + partial aggregate, and the round count is
+    * bounded by the cluster DIAMETER (near-dup clusters are hub-shaped;
+    * single digits even at corpus scale), not corpus size. Labels are
+    * re-stabilized each round (lineage stays O(1), not O(rounds)). This is
+    * the pairs→clusters→keep-one step that turns any pair producer
+    * ([[ngramJaccardPairs]], [[minhashNearDuplicates]], SimHash) into an
+    * actionable dedup. Returns (doc_id, cluster_id) for every paired doc.
+    */
+  def duplicateClusters(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = Checkpoints.stabilize(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+    var labels = Checkpoints.stabilize(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr_min"))
+      val updated = Checkpoints.stabilize(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")))
+      val changed = updated
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** Benchmark-contamination check (decontamination): for every training
     * document sharing at least `minOverlap` distinct word `k`-grams with an
     * evaluation document, emit (train_id, eval_id, overlap). Training sets

@@ -320,6 +320,17 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
   }
 
+  test("duplicate clusters: multi-hop chains collapse to the min id") {
+    // two clusters: a 4-node CHAIN 10-7-5-9 (diameter 3 — needs real
+    // propagation, not one hop) and a pair 20-21; 30-31 pair; node 40 absent
+    val pairs = Seq((10L, 7L), (7L, 5L), (5L, 9L), (20L, 21L), (31L, 30L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 10L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("contamination finds train docs overlapping the eval set") {
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
     val train = Seq(
