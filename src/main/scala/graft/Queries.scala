@@ -252,6 +252,10 @@ object Queries {
     "q_distinct_ratio" -> ((s, sf) =>
       TextAnalysis.repetitionStats(GraftData.documentsRange(s, sf), "doc_id", "text")),
 
+    "q_pack_sequences" -> ((s, sf) =>
+      TextAnalysis.packSequences(GraftData.documentsRange(s, sf), "doc_id", "text",
+        maxTokens = 2048, numShards = 8)),
+
     "q_dedup_clusters" -> ((s, sf) =>
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
@@ -536,6 +540,19 @@ object Queries {
        "CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
        "x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) AS en_stopword_cnt " +
        "FROM documents"),
+
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, doc_id % 8 AS shard, " +
+       "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) n_tokens " +
+       "FROM documents) " +
+       // DuckDB SUM(BIGINT) yields HUGEINT; cast back so the dumped column
+       // type matches Spark's long
+       "SELECT doc_id, shard, n_tokens, " +
+       "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset, " +
+       "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id " +
+       "FROM t"),
 
     // Transitive closure over the SAME pair list q_ngram_jaccard verifies;
     // min reachable id == the min-label fixpoint the engine iterates to.

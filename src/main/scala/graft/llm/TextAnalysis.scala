@@ -130,6 +130,31 @@ object TextAnalysis {
       size(array_distinct(toks)).as("distinct_cnt"))
   }
 
+  /** Sequence packing (GPT-style concat-then-chunk): assign each document
+    * a (shard, seq_id, offset) so that concatenating a shard's documents in
+    * id order and slicing every `maxTokens` tokens yields the training
+    * sequences. `offset` is the document's first token position inside its
+    * shard's stream; `seq_id = offset div maxTokens` — documents spanning a
+    * boundary continue into the next sequence, exactly like the standard
+    * pretraining data loader.
+    *
+    * Scale: packing is per-SHARD (`hash(id) mod numShards`, the way real
+    * pipelines pack per data-loader worker), so the cumulative sum windows
+    * over shard partitions — each holds corpus/numShards documents — and
+    * never a global single-partition ordering. One shuffle on shard. */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048, numShards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("offset"),
+        (col("offset") / maxTokens).cast("long").as("seq_id"))
+  }
+
   /** PII patterns scrubbed by [[piiScrub]], applied in this order. Kept to
     * simple character-class regexes that mean the same thing in Java and
     * RE2 dialects. */

@@ -320,6 +320,24 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
   }
 
+  test("sequence packing: shard-local offsets and boundary-spanning seq ids") {
+    // one shard (numShards=1), maxTokens=5; docs of 3, 4, 2 tokens:
+    // offsets 0, 3, 7 -> seq ids 0, 0 (spans into 1), 1
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(df, "doc_id", "text",
+        maxTokens = 5, numShards = 1)
+      .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 3L, 0L, 0L), (2L, 0L, 4L, 3L, 0L),
+      (3L, 0L, 2L, 7L, 1L)))
+    // two shards: odd/even ids pack independently with their own offsets
+    val sharded = TextAnalysis.packSequences(df, "doc_id", "text",
+        maxTokens = 5, numShards = 2)
+      .select("doc_id", "offset").as[(Long, Long)].collect().toMap
+    assert(sharded == Map(1L -> 0L, 3L -> 3L, 2L -> 0L))
+  }
+
   test("duplicate clusters: multi-hop chains collapse to the min id") {
     // two clusters: a 4-node CHAIN 10-7-5-9 (diameter 3 — needs real
     // propagation, not one hop) and a pair 20-21; 30-31 pair; node 40 absent
