@@ -74,6 +74,17 @@ class GraftTable(object):
         """DataFrame of the table's commit history."""
         return DataFrame(self._jbridge.history(self._jtable), self._spark)
 
+    def changes(self, startVersion, endVersion=-1):
+        """Change Data Feed over ``[startVersion, endVersion]``.
+
+        Row-level changes with ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp`` columns (Delta-CDF column convention);
+        ``endVersion=-1`` means the latest version.
+        """
+        return DataFrame(
+            self._jbridge.changes(self._jtable, int(startVersion),
+                                  int(endVersion)), self._spark)
+
     # ---- DML ------------------------------------------------------------
 
     def upsert(self, source, mode="delta", condition=None):

@@ -1,0 +1,166 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{DataFileInfo, Snapshot, SnapshotManagement}
+import graft.sources.GraftRead
+
+/** Change Data Feed computed from the commit log — `changes(start, end)`
+  * returns every row-level change in the version window as a DataFrame with
+  * `_change_type` / `_commit_version` / `_commit_timestamp` columns (the
+  * Delta-CDF column convention, so downstream CDC consumers port over
+  * unchanged).
+  *
+  * The reference has no change feed; its log (Cassandra `meta/MetaCommit`)
+  * records the same add/remove file sets this implementation diffs. Unlike
+  * Delta's CDF (which writes extra change files at commit time), Graft
+  * derives changes ON READ from the files the commit added and removed:
+  *
+  *   - `append`/`streaming` commits: added rows, `insert`;
+  *   - `delta` (merge-on-read upsert): rows as written, `upsert` — whether
+  *     each row was an insert or an update is not recorded at write time and
+  *     resolving it would cost a join against the whole pre-state, which the
+  *     caller can do if they need it;
+  *   - `update`/`delete`/`upsert` (merge-mode) commits: the removed files'
+  *     merged pre-state is diffed against the added files' post-state. PK
+  *     tables diff by key (full-outer join on range+hash columns): key only
+  *     in post → `insert`, only in pre → `delete`, both sides with any
+  *     non-key column changed → `update_preimage` + `update_postimage`.
+  *     Rows the rewrite carried over untouched are suppressed. Non-PK
+  *     tables diff by whole row (`EXCEPT ALL` both ways);
+  *   - `overwrite`: removed rows `delete`, added rows `insert` (a
+  *     replacement is a statement about every row, not a diff);
+  *   - `compaction`/`alter`: pure rewrites, no logical change, skipped.
+  *
+  * Scale: each version touches only the files that commit added/removed —
+  * cost is proportional to rewritten data, never table size. The diff join
+  * runs distributed; nothing is collected. Schema evolution inside the
+  * window is handled by aligning each version's frame to its own snapshot
+  * schema and unioning by name with null-fill.
+  */
+object ChangeFeed {
+  val CHANGE_TYPE = "_change_type"
+  val COMMIT_VERSION = "_commit_version"
+  val COMMIT_TIMESTAMP = "_commit_timestamp"
+
+  /** Pure rewrites: no logical row change. */
+  private val REWRITE_TYPES = Set("compaction", "alter")
+
+  def changes(
+      spark: SparkSession,
+      tablePath: String,
+      startVersion: Long,
+      endVersion: Long = -1L): DataFrame = {
+    val path = SnapshotManagement.normalize(tablePath)
+    val store = SnapshotManagement.store
+    val latest = store.latestVersion(path)
+    if (latest < 0) throw new graft.meta.GraftTableNotFoundException(path)
+    val end = if (endVersion < 0L) latest else endVersion
+    require(startVersion >= 0 && startVersion <= end && end <= latest,
+      s"change window [$startVersion, $end] out of range [0, $latest] for $path")
+
+    val frames = (startVersion to end).flatMap(v => changesAt(spark, path, v))
+    if (frames.isEmpty) emptyFrame(spark, path, end)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Typed empty frame: latest window schema + the three change columns. */
+  private def emptyFrame(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val snap = Snapshot.replay(SnapshotManagement.store, path, version)
+    val base = GraftRead.readFiles(spark, path, snap, Nil)
+    tag(base.limit(0), "insert", version, 0L)
+  }
+
+  private def tag(df: DataFrame, tpe: String, v: Long, tsMillis: Long): DataFrame =
+    df.withColumn(CHANGE_TYPE, lit(tpe))
+      .withColumn(COMMIT_VERSION, lit(v))
+      .withColumn(COMMIT_TIMESTAMP, timestamp_millis(lit(tsMillis)))
+
+  private def changesAt(spark: SparkSession, path: String, v: Long): Option[DataFrame] = {
+    val store = SnapshotManagement.store
+    val entries = store.read(path, v)
+    val info = entries.flatMap(_.commit).headOption
+    val commitType = info.map(_.commitType).getOrElse("append")
+    val ts = info.map(_.timestamp).getOrElse(0L)
+    if (REWRITE_TYPES.contains(commitType)) return None
+
+    val adds = entries.flatMap(_.add).map(f =>
+      if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+    val removePaths = entries.flatMap(_.remove).map(_.path).toSet
+    if (adds.isEmpty && removePaths.isEmpty) return None
+
+    val snap = Snapshot.replay(store, path, v)
+    def post: DataFrame = GraftRead.readFiles(spark, path, snap, adds)
+    // pre-state: the removed files' DataFileInfo lives in the PREVIOUS
+    // snapshot (remove entries carry only paths), read with that snapshot's
+    // schema so pre-evolution rows keep their own shape
+    lazy val prevSnap = Snapshot.replay(store, path, v - 1)
+    def pre: DataFrame = GraftRead.readFiles(spark, path, prevSnap,
+      prevSnap.files.filter(f => removePaths(f.path)))
+
+    commitType match {
+      case "create" if adds.isEmpty => None
+      case "create" | "append" | "streaming" =>
+        Some(tag(post, "insert", v, ts))
+      case "delta" =>
+        Some(tag(post, "upsert", v, ts))
+      case "overwrite" =>
+        val del = if (removePaths.isEmpty) None else Some(tag(pre, "delete", v, ts))
+        val ins = if (adds.isEmpty) None else Some(tag(post, "insert", v, ts))
+        (del.toSeq ++ ins.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      case _ => // update | delete | upsert (merge mode): diff pre vs post
+        Some(diff(spark, pre, post, snap, v, ts))
+    }
+  }
+
+  /** Row-level diff of one commit's rewrite. PK tables diff by key; non-PK
+    * by whole row. `post` side defines the output schema (it is at the
+    * commit's own version; `pre` may predate a schema evolution). */
+  private def diff(
+      spark: SparkSession, pre0: DataFrame, post: DataFrame,
+      snap: Snapshot, v: Long, ts: Long): DataFrame = {
+    val ti = snap.tableInfo
+    val outCols = post.columns.toSeq
+    // align pre to post's columns: evolution-added columns null-fill
+    val pre = pre0.select(outCols.map { c =>
+      if (pre0.columns.contains(c)) col(c)
+      else lit(null).cast(post.schema(c).dataType).as(c)
+    }: _*)
+
+    if (ti.hasPrimaryKey) {
+      val keys = (ti.rangeColumns ++ ti.hashColumns).filter(outCols.contains)
+      val l = pre.alias("pre")
+      val r = post.alias("post")
+      val cond = keys.map(k => col(s"pre.$k") <=> col(s"post.$k"))
+        .reduce(_ && _)
+      val j = l.join(r, cond, "full_outer")
+      // PK and range-partition values are never null (upserts require
+      // them), so a null key marks side absence
+      val preAbsent = col("pre." + keys.head).isNull
+      val postAbsent = col("post." + keys.head).isNull
+      val nonKey = outCols.filterNot(keys.contains)
+      val changed: Column = nonKey
+        .map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      def side(prefix: String): Seq[Column] =
+        outCols.map(c => col(s"$prefix.$c").as(c))
+      val inserts = j.filter(preAbsent).select(side("post"): _*)
+      val deletes = j.filter(postAbsent).select(side("pre"): _*)
+      val updPre = j.filter(!preAbsent && !postAbsent && changed)
+        .select(side("pre"): _*)
+      val updPost = j.filter(!preAbsent && !postAbsent && changed)
+        .select(side("post"): _*)
+      tag(inserts, "insert", v, ts)
+        .unionByName(tag(deletes, "delete", v, ts))
+        .unionByName(tag(updPre, "update_preimage", v, ts))
+        .unionByName(tag(updPost, "update_postimage", v, ts))
+    } else {
+      // whole-row diff: a rewrite that carried a row over unchanged cancels
+      // out of both sides; update emits pre/post multiset deltas
+      tag(pre.exceptAll(post), "update_preimage", v, ts)
+        .unionByName(tag(post.exceptAll(pre), "update_postimage", v, ts))
+    }
+  }
+}

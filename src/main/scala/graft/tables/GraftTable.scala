@@ -38,6 +38,13 @@ class GraftTable private (spark: SparkSession, val path: String) {
       .toDF("version", "commitType", "timestamp", "addedFiles", "removedFiles")
   }
 
+  /** Change Data Feed over `[startVersion, endVersion]` (endVersion = -1 →
+    * latest): row-level changes with `_change_type` / `_commit_version` /
+    * `_commit_timestamp` columns. See [[ChangeFeed]] for per-commit-type
+    * semantics. */
+  def changes(startVersion: Long, endVersion: Long = -1L): DataFrame =
+    ChangeFeed.changes(spark, path, startVersion, endVersion)
+
   /** Merge-on-read upsert; source must contain the table's PK columns and
     * may carry any column subset. `mode = "merge"` rewrites base files via
     * a full-outer join instead of appending delta files. `condition` (a

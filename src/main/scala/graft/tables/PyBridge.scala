@@ -27,6 +27,9 @@ object PyBridge {
 
   def history(t: GraftTable): DataFrame = t.history()
 
+  def changes(t: GraftTable, startVersion: Long, endVersion: Long): DataFrame =
+    t.changes(startVersion, endVersion)
+
   def upsert(t: GraftTable, source: DataFrame): Unit = t.upsert(source)
 
   def upsert(t: GraftTable, source: DataFrame, mode: String): Unit =

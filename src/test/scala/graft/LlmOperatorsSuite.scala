@@ -90,24 +90,28 @@ class LlmOperatorsSuite extends GraftFunSuite {
       Dedup.minhashNearDuplicates(df, "doc_id", "text", minJaccardPct = 50).count()
     }
     val sc = spark.sparkContext
-    // unpersist paths have async legs (block deletion, ContextCleaner), so
-    // every post-release check waits briefly for the registry to settle
-    def settlesTo(limit: Int): Boolean = {
+    // track the SPECIFIC RDD ids the pipeline registers: other suites'
+    // blocks get cleaned asynchronously (ContextCleaner), so total counts
+    // race — ours must appear and then vanish regardless of that churn
+    def newIdsSince(before: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet -- before
+    def settleEmpty(ids: Set[Int]): Boolean = {
       var tries = 0
-      while (sc.getPersistentRDDs.size > limit && tries < 100) {
+      while ((sc.getPersistentRDDs.keySet.toSet & ids).nonEmpty && tries < 100) {
         Thread.sleep(50); tries += 1
       }
-      sc.getPersistentRDDs.size <= limit
+      (sc.getPersistentRDDs.keySet.toSet & ids).isEmpty
     }
-    val before = sc.getPersistentRDDs.size
+    val before = sc.getPersistentRDDs.keySet.toSet
     pipelineOnce()
-    assert(sc.getPersistentRDDs.size > before,
+    val mine = newIdsSince(before)
+    assert(mine.nonEmpty,
       "expected the pipeline to leave stabilized blocks before release")
     Checkpoints.releaseAll()
-    assert(settlesTo(before),
-      s"blocks leaked: ${sc.getPersistentRDDs.size} > $before")
+    assert(settleEmpty(mine), s"blocks leaked: ids ${mine.mkString(",")}")
     // alternate modes produce the same results and also release cleanly
     for (mode <- Seq("persist", "none")) {
+      val pre = sc.getPersistentRDDs.keySet.toSet
       spark.conf.set(Checkpoints.MODE_KEY, mode)
       try pipelineOnce() finally spark.conf.unset(Checkpoints.MODE_KEY)
       // the persist-mode entry is owned by the CacheManager, not the Dataset
@@ -115,8 +119,7 @@ class LlmOperatorsSuite extends GraftFunSuite {
       // was by WeakReference — the wrapper died, the cache entry leaked)
       System.gc(); Thread.sleep(50)
       Checkpoints.releaseAll()
-      assert(settlesTo(before), s"mode $mode leaked blocks " +
-        s"(${sc.getPersistentRDDs.size} > $before)")
+      assert(settleEmpty(newIdsSince(pre)), s"mode $mode leaked blocks")
     }
   }
 
