@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -56,11 +56,29 @@ class GraftMicroBatchStream(
     requestedSchema: StructType,
     ignoreChanges: Boolean,
     options: Map[String, String] = Map.empty)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   import GraftMicroBatchStream._
 
   private def store = SnapshotManagement.store
+
+  /** `Trigger.AvailableNow`: the engine calls this once at query start; the
+    * source must then drain exactly the data that existed at that moment
+    * (across however many admission-capped batches) and report no more —
+    * the query self-terminates when it catches up. Commits landing after
+    * the pin are left for the next run. */
+  @volatile private var availableNowCap: Long = Long.MinValue
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = store.latestVersion(tablePath)
+  }
+
+  /** Latest log version, clamped to the AvailableNow pin when one is set. */
+  private def latestVersionCapped(): Long = {
+    val l = store.latestVersion(tablePath)
+    if (availableNowCap == Long.MinValue) l else math.min(l, availableNowCap)
+  }
 
   private def optIgnoreCase(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -108,7 +126,7 @@ class GraftMicroBatchStream(
       maxFiles.forall(files <= _) && maxBytes.forall(bytes <= _)
     if (s.version < 0 || s.index >= 0) {
       // ---- initial-snapshot phase: drain units up to the caps ----
-      val sv = if (s.version < 0) store.latestVersion(tablePath) else s.version
+      val sv = if (s.version < 0) latestVersionCapped() else s.version
       if (sv < 0) return s // table does not exist yet: no progress
       val units = snapshotUnits(sv)
       val from = math.max(s.index, 0L).toInt
@@ -127,7 +145,7 @@ class GraftMicroBatchStream(
       else GraftStreamOffset(sv, i.toLong)
     } else {
       // ---- incremental phase: admit whole versions up to the caps ----
-      val latest = store.latestVersion(tablePath)
+      val latest = latestVersionCapped()
       var end = s.version
       var files = 0L; var bytes = 0L
       var v = s.version + 1

@@ -169,6 +169,44 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains the pinned state in capped batches " +
+      "and self-terminates") {
+    withTempTable { dir =>
+      for (i <- 1 to 3) {
+        Seq((i.toLong, i)).toDF("id", "v").write.format("graft")
+          .mode(if (i == 1) "error" else "append").save(dir)
+      }
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("memory").queryName("gssan")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        // AvailableNow self-terminates once the pinned snapshot is drained
+        assert(q.awaitTermination(60000), "AvailableNow query did not " +
+          "terminate on its own")
+        assert(rowsOf(spark.table("gssan")) ==
+          Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3)))
+        // admission control still applies inside AvailableNow
+        val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+        assert(nonEmpty >= 3, s"expected >=3 capped batches, got $nonEmpty")
+      } finally q.stop()
+      // a commit after termination is not lost: the next AvailableNow run
+      // picks it up from the checkpointed offset... without a checkpoint a
+      // fresh query just re-reads the whole table; assert the pin does not
+      // swallow the post-run commit in a NEW run
+      Seq((4L, 4)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      val q2 = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName("gssan2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q2.awaitTermination(60000))
+        assert(spark.table("gssan2").count() == 4)
+      } finally q2.stop()
+    }
+  }
+
   test("checkpoint restart mid-backlog loses and duplicates nothing") {
     withTempTable { dir =>
       val cp = dir + "-cp"
