@@ -129,6 +129,13 @@ class GraftTable(object):
 
     # ---- maintenance ----------------------------------------------------
 
+    def zOrder(self, cols, partitionPredicate=None):
+        """Rewrite clustered on the Morton curve of ``cols`` so manifest
+        min/max stats prune filters on every listed column (non-PK
+        tables)."""
+        self._jbridge.zOrder(self._jtable, list(cols),
+                             partitionPredicate or "")
+
     def compaction(self, force=True, partitionPredicate=None,
                    mergeOperatorInfo=None):
         """Merge delta files (and bin-pack small files) into base files.

@@ -330,18 +330,33 @@ object CompactionCommand {
     * the named per-column operators while merging, so their results are
     * MATERIALIZED into the base files — after which plain reads see the
     * combined values and operator reads are identity over single rows. */
+  /** `zOrderBy` (non-PK tables only): rewrite the selected partitions
+    * clustered on the Morton curve of the given columns — every file then
+    * covers a narrow [min, max] window on EACH column and the manifest
+    * stats ([[graft.sources.FileStats]]) prune multi-dimensional filters.
+    * Implies a full rewrite of the selected partitions (clustering is the
+    * point), not just the small-file ones. */
   def run(
       spark: SparkSession,
       tablePath: String,
       force: Boolean = true,
       partitionPredicate: Option[String] = None,
       rangeKeys: Option[Set[String]] = None,
-      mergeOperators: Map[String, String] = Map.empty): Unit = {
+      mergeOperators: Map[String, String] = Map.empty,
+      zOrderBy: Seq[String] = Nil): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
+      if (zOrderBy.nonEmpty) {
+        require(!info.hasPrimaryKey, "zOrderBy applies to non-PK tables " +
+          "(primary-key tables are already clustered and PK-sorted by bucket)")
+        val rangeSet = info.rangeColumns.map(_.toLowerCase).toSet
+        zOrderBy.foreach(c => require(!rangeSet.contains(c.toLowerCase),
+          s"zOrderBy column $c is a range-partition column (constant per " +
+          "partition; clustering on it is a no-op)"))
+      }
       val maxDelta = spark.conf.getOption("spark.graft.compaction.deltaFileMaxNum")
         .map(_.toInt).getOrElse(5)
       val candidateKeys: Set[String] = rangeKeys match {
@@ -363,6 +378,8 @@ object CompactionCommand {
           if (info.hasPrimaryKey) {
             val deltas = files.count(!_.isBase)
             (force || deltas >= maxDelta) && files.exists(!_.isBase)
+          } else if (zOrderBy.nonEmpty) {
+            files.nonEmpty // clustering rewrites everything selected
           } else {
             files.length > 1 && files.forall(_.size < smallFileMax)
           }
@@ -401,9 +418,13 @@ object CompactionCommand {
       val df =
         if (info.hasPrimaryKey) df0
         else {
+          val targetBytes = spark.conf
+            .getOption("spark.graft.compaction.targetFileBytes")
+            .map(_.toLong).getOrElse(128L * 1024 * 1024)
           val target = math.max(1,
-            (oldFiles.map(_.size).sum / (128L * 1024 * 1024)).toInt)
-          df0.coalesce(target)
+            (oldFiles.map(_.size).sum / targetBytes).toInt)
+          if (zOrderBy.nonEmpty) ZOrder.cluster(df0, zOrderBy, target)
+          else df0.coalesce(target)
         }
       val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
       txn.commit("compaction", None, files, oldFiles)

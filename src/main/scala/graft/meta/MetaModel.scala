@@ -46,7 +46,15 @@ case class TableInfo(
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is -1 for non-PK tables. `writeVersion` is the log version that
   * added the file; merge-on-read orders versions with it.
-  */
+  *
+  * `numRecords`/`minValues`/`maxValues`/`nullCounts` are per-file column
+  * statistics harvested from the parquet footer at commit time (Delta-style
+  * data skipping): values encode in a type-stable string form (numbers via
+  * `toString`, dates as epoch-day ints, timestamps as epoch-micro longs,
+  * strings verbatim when short) so skipping never depends on session
+  * timezone or locale. Absent entries mean "no stats — never skip".
+  * Old log entries deserialize with the defaults (stats-free), so logs
+  * written before this field existed replay unchanged. */
 case class DataFileInfo(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -55,7 +63,11 @@ case class DataFileInfo(
     modificationTime: Long = 0L,
     writeVersion: Long = 0L,
     isBase: Boolean = true,
-    fileExistCols: Seq[String] = Nil) {
+    fileExistCols: Seq[String] = Nil,
+    numRecords: Long = -1L,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty) {
   /** Canonical range-partition identity, e.g. "lang=en/source=web". */
   def rangeKey: String = DataFileInfo.rangeKey(partitionValues)
 }

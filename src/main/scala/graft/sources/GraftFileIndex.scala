@@ -63,6 +63,35 @@ class GraftFileIndex(
   lazy val fileInfoByStatusPath: Map[String, DataFileInfo] =
     statuses.map { case (f, st) => st.getPath.toString -> f }.toMap
 
+  /** Partition pruning (super) + per-file stats skipping: any pushed data
+    * filter whose column has min/max/nullCount stats in the manifest drops
+    * files that cannot contain a matching row — BEFORE tasks are planned.
+    * Untranslatable or un-statted filters keep every file (skipping is an
+    * optimization, never a correctness gate). Callers control safety by
+    * what they pass as `dataFilters`: the non-PK parquet path passes all
+    * pushed filters (files are independent); the PK merge path passes only
+    * PK-column filters (all versions of a key share its PK, so key-range
+    * skipping can never split a merge group's versions for a surviving
+    * key). */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    if (dataFilters.isEmpty) return dirs
+    val translated = dataFilters.flatMap(
+      org.apache.spark.sql.graft.SparkShims.translateFilter)
+    if (translated.isEmpty) return dirs
+    val byPath = fileInfoByStatusPath
+    val schema = tableInfo.dataSchema
+    dirs.map { pd =>
+      pd.copy(files = pd.files.filter { st =>
+        byPath.get(st.getPath.toString)
+          .forall(FileStats.mayMatch(_, translated, schema))
+      })
+    }.filter(_.files.nonEmpty)
+  }
+
   override lazy val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
     val m = mutable.LinkedHashMap.empty[Path, FileStatus]
     statuses.foreach { case (_, st) => m.put(st.getPath, st) }

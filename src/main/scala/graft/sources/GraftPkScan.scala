@@ -48,10 +48,18 @@ class GraftBucketScanBuilder(
 
   override def build(): Scan = {
     val ti = snapshot.tableInfo
-    // Partition pruning against the manifest (metadata only, driver-side).
+    // Partition pruning against the manifest (metadata only, driver-side),
+    // plus stats skipping for PK-column filters ONLY: a non-PK-column
+    // filter must never drop a delta file, or merge-on-read would
+    // resurrect the stale pre-image of an updated key (the post-scan
+    // filter then matches the OLD value and returns a row that no longer
+    // exists). PK values are version-invariant, so PK-range skipping
+    // cannot split any surviving key's version stack.
+    val pkDataFilters = dataFilters.filter(_.references.forall(a =>
+      pkSet.contains(a.name)))
     val byPath = index.fileInfoByStatusPath
     val pruned: Seq[DataFileInfo] =
-      index.listFiles(partitionFilters, Seq.empty)
+      index.listFiles(partitionFilters, pkDataFilters)
         .flatMap(_.files.map(fs => byPath(fs.getPath.toString)))
     // explicit scan option wins; otherwise the table's DECLARED operators
     // (graft.mergeOperators table property) apply, so plain reads honor

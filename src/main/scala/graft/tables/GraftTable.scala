@@ -78,6 +78,13 @@ class GraftTable private (spark: SparkSession, val path: String) {
     CompactionCommand.run(spark, path, force, partitionPredicate,
       mergeOperators = mergeOperators)
 
+  /** Rewrite the table (or the matching partitions) clustered on the
+    * Morton curve of `cols`, so manifest min/max stats prune filters on
+    * every listed column (non-PK tables; see [[graft.commands.ZOrder]]). */
+  def zOrder(cols: Seq[String], partitionPredicate: Option[String] = None): Unit =
+    CompactionCommand.run(spark, path, force = true, partitionPredicate,
+      zOrderBy = cols)
+
   /** Remove files no longer referenced by the latest snapshot. */
   def cleanup(retainMillis: Long = 5L * 3600 * 1000, dryRun: Boolean = false): Seq[String] =
     CleanupCommand.run(spark, path, retainMillis, dryRun)

@@ -58,6 +58,10 @@ object PyBridge {
   def compaction(t: GraftTable, force: Boolean, predicate: String): Unit =
     t.compaction(force, Option(predicate).filter(_.nonEmpty))
 
+  def zOrder(t: GraftTable, cols: java.util.List[String],
+      predicate: String): Unit =
+    t.zOrder(cols.asScala.toSeq, Option(predicate).filter(_.nonEmpty))
+
   def compaction(t: GraftTable, force: Boolean, predicate: String,
       mergeOperators: java.util.Map[String, String]): Unit =
     t.compaction(force, Option(predicate).filter(_.nonEmpty),

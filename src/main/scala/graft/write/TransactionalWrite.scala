@@ -157,6 +157,10 @@ object TransactionalWrite {
       (if (bucket >= 0) f"-b$bucket%05d" else "") + ".snappy.parquet"
     val dest = destDir.resolve(name)
     Files.move(file, dest)
+    // Data-skipping stats: one footer read per written file, riding the
+    // commit path next to the move it describes (metadata-only; the
+    // footer was just written and is page-cache-warm). Conf-gated.
+    val (numRecords, mins, maxs, nulls) = statsFor(tableInfo, dest)
     DataFileInfo(
       path = root.relativize(dest).toString,
       partitionValues = values,
@@ -165,7 +169,25 @@ object TransactionalWrite {
       modificationTime = System.currentTimeMillis(),
       writeVersion = 0L, // stamped at commit
       isBase = isBase,
-      fileExistCols = dataCols)
+      fileExistCols = dataCols,
+      numRecords = numRecords,
+      minValues = mins,
+      maxValues = maxs,
+      nullCounts = nulls)
+  }
+
+  private def statsFor(tableInfo: TableInfo, dest: Path):
+      (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val enabled = spark.conf.getOption("spark.graft.stats.enabled")
+      .forall(_.toBoolean)
+    if (!enabled) return (-1L, Map.empty, Map.empty, Map.empty)
+    val maxCols = spark.conf.getOption("spark.graft.stats.maxCols")
+      .map(_.toInt).getOrElse(graft.sources.FileStats.DEFAULT_MAX_COLS)
+    graft.sources.FileStats.collect(
+      new org.apache.hadoop.fs.Path(dest.toString),
+      spark.sessionState.newHadoopConf(),
+      tableInfo.dataSchema, maxCols)
   }
 
   private def newStagingId(): String = UUID.randomUUID().toString.take(12)

@@ -23,6 +23,14 @@ object SparkShims {
   /** The micro-batch's computed RDD without re-planning. */
   def toRdd(df: DataFrame): RDD[InternalRow] = castToImpl(df).queryExecution.toRdd
 
+  /** Catalyst predicate -> V1 `sources.Filter` (protected[sql] in Spark;
+    * used by the manifest file index to evaluate pushed filters against
+    * per-file stats). */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Column <-> catalyst Expression bridges. */
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.meta.DataFileInfo
+import graft.sources.FileStats
+import graft.tables.GraftTable
+
+/** Per-file min/max stats in the manifest + file skipping at scan planning
+  * + Z-order clustering. */
+class StatsSkippingSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  /** Files the scan PLANNED tasks for — the manifest-skipping signal
+    * (parquet row-group pushdown happens later and cannot hide a planned
+    * file). */
+  private def plannedFiles(df: DataFrame): Long = {
+    val scan = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec leaf"))
+    scan.inputPartitions.map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.length.toLong
+      case p: graft.sources.GraftPkInputPartition =>
+        p.groups.map(_.files.length.toLong).sum
+      case _ => 1L
+    }.sum
+  }
+
+  /** Rows the leaf scan EMITTED (files skipped at planning never emit). */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val leaves = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+      .queryExecution.executedPlan.collectLeaves()
+    leaves.map((p: SparkPlan) =>
+      p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+  }
+
+  test("write path collects footer stats into the manifest") {
+    withTempTable { dir =>
+      Seq((1L, "a", 1.5), (2L, "b", -3.0), (3L, null, 2.25))
+        .toDF("id", "s", "d").write.format("graft").save(dir)
+      val files = GraftTable.forPath(spark, dir).snapshot.files
+      assert(files.nonEmpty)
+      val f = files.maxBy(_.numRecords)
+      assert(f.numRecords > 0)
+      assert(f.minValues.get("id").map(_.toLong).exists(_ >= 1L))
+      assert(f.maxValues.get("id").map(_.toLong).exists(_ <= 3L))
+      assert(files.flatMap(_.minValues.get("s")).nonEmpty, "string stats")
+      assert(files.flatMap(_.minValues.get("d")).nonEmpty, "double stats")
+      val totalNulls = files.flatMap(_.nullCounts.get("s")).sum
+      assert(totalNulls == 1L, s"expected 1 null in s, got $totalNulls")
+      // disable switch works
+      withSQLConf("spark.graft.stats.enabled" -> "false") {
+        Seq((9L, "z", 0.0)).toDF("id", "s", "d").write.format("graft")
+          .mode("append").save(dir)
+      }
+      val newFile = GraftTable.forPath(spark, dir).snapshot.files
+        .filterNot(files.toSet)
+      assert(newFile.forall(f => f.minValues.isEmpty && f.numRecords == -1L))
+    }
+  }
+
+  test("evaluator semantics over a statted file") {
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("s", StringType)))
+    val f = DataFileInfo("p", numRecords = 10,
+      minValues = Map("x" -> "100", "s" -> "mango"),
+      maxValues = Map("x" -> "200", "s" -> "peach"),
+      nullCounts = Map("x" -> 0L, "s" -> 10L))
+    def keep(flt: Filter): Boolean = FileStats.mayMatch(f, Seq(flt), schema)
+    assert(!keep(EqualTo("x", 99L)) && keep(EqualTo("x", 100L)) &&
+      keep(EqualTo("x", 150L)) && !keep(EqualTo("x", 201L)))
+    assert(!keep(GreaterThan("x", 200L)) && keep(GreaterThanOrEqual("x", 200L)))
+    assert(!keep(LessThan("x", 100L)) && keep(LessThanOrEqual("x", 100L)))
+    assert(!keep(In("x", Array(1L, 99L, 300L))) && keep(In("x", Array(1L, 150L))))
+    assert(keep(IsNull("s")) && !keep(IsNull("x")))
+    assert(keep(IsNotNull("x")) && !keep(IsNotNull("s")))
+    assert(!keep(And(EqualTo("x", 150L), EqualTo("x", 300L))))
+    assert(keep(Or(EqualTo("x", 99L), EqualTo("x", 150L))))
+    assert(keep(StringStartsWith("s", "pa")) && !keep(StringStartsWith("s", "z")))
+    // unknown column / missing stats / unhandled shapes: keep
+    assert(keep(EqualTo("nope", 1L)) && keep(Not(EqualTo("x", 150L))))
+    // int filter value against long column stats still compares
+    assert(!keep(EqualTo("x", 5)))
+  }
+
+  test("non-PK scan skips files by stats end-to-end") {
+    withTempTable { dir =>
+      // two commits with DISJOINT id ranges -> two files with tight stats
+      (1L to 100L).toDF("id").withColumn("v", col("id") * 2)
+        .coalesce(1).write.format("graft").save(dir)
+      (1001L to 1100L).toDF("id").withColumn("v", col("id") * 2)
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+      val t = spark.read.format("graft").load(dir)
+      assert(t.count() == 200)
+      assert(plannedFiles(t) == 2L)
+      // selective filter: the second file is not even PLANNED
+      val hit = t.filter($"id" <= 50)
+      assert(plannedFiles(hit) == 1L,
+        "second file should be pruned from planning by manifest stats")
+      assert(hit.count() == 50)
+      // both files match -> both planned
+      assert(plannedFiles(t.filter($"id" > 0)) == 2L)
+      // no matching file -> nothing planned, correct empty result
+      val none = t.filter($"id" === 500L)
+      assert(plannedFiles(none) == 0L && none.count() == 0)
+    }
+  }
+
+  test("PK scan skips by PK stats but NEVER by non-PK stats (merge safety)") {
+    withTempTable { dir =>
+      Seq((1L, 10), (2L, 20)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      // delta upsert flips id=1's v from 10 to 99
+      t.upsert(Seq((1L, 99)).toDF("id", "v"))
+      // the CRITICAL case: filter on the OLD value of a non-PK column.
+      // If stats pruning dropped the delta file (v range [99,99] does not
+      // match v=10), the merge would resurrect the stale row. Must be 0.
+      val stale = t.toDF.filter($"v" === 10)
+      assert(plannedFiles(stale) == 2L,
+        "non-PK filter must never drop files from a merge-on-read scan")
+      assert(stale.count() == 0,
+        "stale pre-image resurrected: non-PK stats pruning corrupted merge")
+      assert(t.toDF.filter($"v" === 99).count() == 1)
+      // PK stats pruning applies: id=5 (outside [1,2]) hits no file at all
+      val none = t.toDF.filter($"id" === 5L)
+      assert(plannedFiles(none) == 0L && none.count() == 0)
+    }
+  }
+
+  test("z-order clustering makes multi-dimensional skipping effective") {
+    withTempTable { dir =>
+      // 4k points on a 64x64 grid, written SHUFFLED in 8 files: every file
+      // spans nearly the full range of both a and b -> no pruning possible
+      val n = 4096
+      val rnd = new scala.util.Random(42)
+      val pts = (0 until n).map { i =>
+        val r = rnd.nextInt(64 * 64)
+        (r % 64, r / 64, i.toLong)
+      }
+      pts.toDF("a", "b", "pid").repartition(8).write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = () => spark.read.format("graft").load(dir)
+        .filter($"a" < 8 && $"b" < 8)
+      val expected = rowsOf(q())
+      assert(expected.nonEmpty, "planted corner region is empty")
+      val filesBefore = plannedFiles(q())
+      assert(filesBefore == 8L, s"pre-clustering files should not prune " +
+        s"(planned $filesBefore of 8)")
+      // cluster on (a, b); small target bytes force multiple output files
+      withSQLConf("spark.graft.compaction.targetFileBytes" -> "4096") {
+        t.zOrder(Seq("a", "b"))
+      }
+      val nFiles = t.snapshot.files.length
+      assert(nFiles >= 4, s"expected a multi-file clustered layout, got $nFiles")
+      val filesAfter = plannedFiles(q())
+      assert(rowsOf(q()) == expected, "clustering changed query results")
+      assert(filesAfter < nFiles / 2 + 1,
+        s"z-order should enable pruning: planned $filesAfter of $nFiles " +
+        s"clustered files (was $filesBefore of 8 pre-clustering)")
+      // guards: PK tables and range columns are rejected
+      intercept[IllegalArgumentException] {
+        CompactionCommand_zOrderOnPk(dir)
+      }
+    }
+  }
+
+  private def CompactionCommand_zOrderOnPk(ignored: String): Unit =
+    withTempTable { dir2 =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir2)
+      GraftTable.forPath(spark, dir2).zOrder(Seq("v"))
+    }
+
+  test("stats survive the log round-trip and checkpoint replay") {
+    withTempTable { dir =>
+      (1L to 50L).toDF("id").write.format("graft").save(dir)
+      // force extra commits so a checkpoint is written (interval = 10)
+      for (i <- 1 to 11) {
+        Seq(1000L + i).toDF("id").write.format("graft").mode("append").save(dir)
+      }
+      val files = GraftTable.forPath(spark, dir).snapshot.files
+      assert(files.forall(_.minValues.contains("id")),
+        "stats lost in log/checkpoint round-trip")
+    }
+  }
+}
