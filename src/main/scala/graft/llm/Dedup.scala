@@ -122,9 +122,18 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // stabilize the PAIR LIST first: the bidirectional edge union reads it
+    // twice, and an unmaterialized pair pipeline (shingle index + verify)
+    // would run end-to-end once per branch
+    val p0 = Checkpoints.stabilize(pairs.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    // cache edges PRE-PARTITIONED on the join key: every round joins on
+    // dst, and a cached hash layout means only the (small) label side
+    // shuffles per round, never the edge list
     val edges = Checkpoints.stabilize(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+      p0.select(col("a").as("src"), col("b").as("dst"))
+        .union(p0.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")))
     var labels = Checkpoints.stabilize(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id")))
@@ -134,16 +143,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr_min"))
+      // fold the convergence check into the same pass: `chg` rides the
+      // update row instead of costing a separate old-vs-new join per round
       val updated = Checkpoints.stabilize(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id")))
-      val changed = updated
-        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .as("chg")))
+      converged = updated.filter(col("chg")).limit(1).count() == 0
+      labels = updated.select("id", "cluster_id")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))

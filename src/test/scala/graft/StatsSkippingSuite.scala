@@ -180,6 +180,49 @@ class StatsSkippingSuite extends GraftFunSuite {
       GraftTable.forPath(spark, dir2).zOrder(Seq("v"))
     }
 
+  test("metadata-only COUNT(*): non-PK answered from the manifest, " +
+      "PK and filtered counts still scan") {
+    withTempTable { dir =>
+      def hasScan(df: DataFrame): Boolean =
+        org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+          .queryExecution.sparkPlan.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+      (1L to 500L).toDF("id").write.format("graft").save(dir)
+      val t = () => spark.read.format("graft").load(dir)
+      // bare count: no scan in the plan, exact result
+      val cnt = t().groupBy().count()
+      assert(!hasScan(cnt), "COUNT(*) should be metadata-only")
+      assert(cnt.as[Long].head() == 500L)
+      assert(t().count() == 500L) // Dataset.count() path
+      // stays exact through DML rewrites
+      val gt = GraftTable.forPath(spark, dir)
+      gt.deleteExpr("id <= 100")
+      assert(t().count() == 400L)
+      // filtered count must scan
+      assert(hasScan(t().filter($"id" > 450).groupBy().count()))
+      assert(t().filter($"id" > 450).count() == 50L)
+      // conf off -> scans again, same answer
+      withSQLConf("spark.graft.stats.metadataOnlyCount.enabled" -> "false") {
+        val c2 = t().groupBy().count()
+        assert(hasScan(c2) && c2.as[Long].head() == 400L)
+      }
+    }
+    withTempTable { dir =>
+      // PK table: merge-on-read dedups keys, metadata counts would lie
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 9)).toDF("id", "v")) // same key: count must stay 2
+      val cnt = t.toDF.groupBy().count()
+      def hasScan(df: DataFrame): Boolean =
+        org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+          .queryExecution.sparkPlan.collectLeaves().exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+      assert(hasScan(cnt), "PK COUNT(*) must scan (merge dedups keys)")
+      assert(cnt.as[Long].head() == 2L)
+    }
+  }
+
   test("stats survive the log round-trip and checkpoint replay") {
     withTempTable { dir =>
       (1L to 50L).toDF("id").write.format("graft").save(dir)
