@@ -89,6 +89,17 @@ def main():
 
         check("history", t.history().count() >= 4)
 
+        ch = t.changes(0)
+        check("changes feed", ch.count() > 0 and
+              "_change_type" in ch.columns and "_commit_version" in ch.columns)
+
+        zpath = os.path.join(tmp, "ztab")
+        (spark.createDataFrame([(i, i * 2) for i in range(100)], "a long, b long")
+         .write.format("graft").save(zpath))
+        zt = GraftTable.forPath(spark, zpath)
+        zt.zOrder(["a", "b"])
+        check("zOrder", zt.toDF().count() == 100)
+
         spark.read.format("graft").load(path).createOrReplaceTempView("pyfn")
         check("forName", GraftTable.forName(spark, "pyfn").toDF().count() == 3)
 
