@@ -28,6 +28,8 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(ResolveGraftUpdate(_))
     ext.injectOptimizerRule(OptimizeMetadataOnlyCount(_))
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
+    ext.injectTableFunction(GraftTableFunctions.tableChanges)
+    ext.injectTableFunction(GraftTableFunctions.tableHistory)
     ext.injectCheckRule(_ => MergeOperatorMarkerCheck)
     // Note: the reference's StarLakeUnsupportedOperationsCheck (rejecting
     // ADD/DROP/RECOVER PARTITION, LOAD DATA, SerDe DDL) is unnecessary on

@@ -2,34 +2,43 @@ package graft.rules
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Literal, NamedExpression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.GraftTableV2
+import graft.meta.DataFileInfo
+import graft.sources.{FileStats, GraftFileIndex, GraftTableV2}
 
-/** Answers bare `COUNT(*)` over a graft table from manifest statistics —
+/** Answers bare aggregates over a graft table from manifest statistics —
   * zero tasks, zero I/O (the Delta `OptimizeMetadataOnlyDeltaQuery`
-  * technique): every committed file records its footer row count, so the
-  * table's row count is a driver-side sum over the manifest.
+  * technique, extended to MIN/MAX/COUNT(col)): every committed file
+  * records footer row counts, per-column min/max, and null counts, so
+  * the classic dashboard probes collapse to driver-side arithmetic:
   *
-  * Strictly scoped to keep the rewrite exact:
-  *  - grouping must be empty and every aggregate a non-distinct
-  *    `count(<non-null literal>)` (`count(*)` / `count(1)`) with no
-  *    FILTER clause;
-  *  - the child must be the bare relation (projections are transparent —
-  *    they never change cardinality; filters/joins/generators are not);
-  *  - the table must have NO primary key: merge-on-read deduplicates keys
-  *    across (and inside) files at read time, so file row counts overcount
-  *    a PK table;
-  *  - every live file must carry a footer row count (files written with
-  *    stats disabled, or by pre-stats versions of the engine, fall back
-  *    to the scan).
+  *  - `COUNT(*)`     = sum of file row counts;
+  *  - `COUNT(col)`   = sum of (rows - nulls(col));
+  *  - `MIN/MAX(col)` = min of file mins / max of file maxes — for
+  *    integer-family, date, timestamp, boolean, and string columns
+  *    (floating point excluded: parquet omits stats around NaN and the
+  *    ±0.0 ordering is writer-dependent, so a metadata answer could
+  *    disagree with a scan);
+  *  - a `WHERE` on RANGE-PARTITION columns only restricts the file set
+  *    (partition predicate evaluated against manifest partition values,
+  *    interpreted, no job).
   *
-  * At 100 TB this turns the most common dashboard probe from a
-  * full-table scan into a metadata lookup.
+  * Strict scope keeps the rewrite exact: empty grouping; non-distinct,
+  * unfiltered aggregate calls; bare relation under projections; NO
+  * primary key (merge-on-read dedups keys, so file counts overcount and
+  * a deleted-then-reinserted key's extremes may live in superseded
+  * versions); every live file must carry the needed stat — files written
+  * with stats disabled, or holding no verdict for a column (e.g. NaN),
+  * fall back to the scan. At 100 TB this turns the most common probes
+  * from full-table scans into metadata lookups.
   */
 case class OptimizeMetadataOnlyCount(spark: SparkSession)
   extends Rule[LogicalPlan] {
@@ -40,37 +49,170 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
       .forall(_.toBoolean)
     if (!enabled) return plan
     plan.transformUp {
-      case agg @ Aggregate(Nil, aggExprs, child, _)
-          if aggExprs.nonEmpty && aggExprs.forall(isCountStar) =>
-        countableFiles(child) match {
-          case Some(files) if files.forall(_.numRecords >= 0L) =>
-            val total = files.map(_.numRecords).sum
-            LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(aggExprs.map(_ => total))))
+      case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+        statableFiles(child) match {
+          case Some((files, schema)) =>
+            val answers = aggExprs.map(answer(_, files, schema))
+            if (answers.forall(_.isDefined)) {
+              LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(answers.map(_.get))))
+            } else agg
           case _ => agg
         }
     }
   }
 
-  /** The live file list IF the child is a bare non-PK graft relation
-    * (optionally under cardinality-preserving projections). */
-  private def countableFiles(plan: LogicalPlan)
-      : Option[Seq[graft.meta.DataFileInfo]] = plan match {
-    case p: Project => countableFiles(p.child)
+  /** The live file list + data schema IF the child is a bare non-PK graft
+    * relation under cardinality-preserving projections, optionally behind
+    * ONE filter touching only range-partition columns (which restricts
+    * the file set instead of blocking the rewrite). */
+  private def statableFiles(plan: LogicalPlan)
+      : Option[(Seq[DataFileInfo], StructType)] = plan match {
+    case p: Project => statableFiles(p.child)
+    case f: Filter =>
+      statableFiles(f.child).flatMap { case (files, schema) =>
+        relationInfo(f.child).flatMap { ti =>
+          val rangeSet = ti.rangeColumns.map(_.toLowerCase).toSet
+          val refs = f.condition.references.toSeq.map(_.name)
+          if (refs.nonEmpty && refs.forall(r => rangeSet.contains(r.toLowerCase)))
+            partitionMatches(f.condition, ti).map(keep =>
+              (files.filter(keep), schema))
+          else None
+        }
+      }
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTableV2 =>
-        t.snapshotOpt.filterNot(_.tableInfo.hasPrimaryKey).map(_.files)
+        t.snapshotOpt.filterNot(_.tableInfo.hasPrimaryKey)
+          .map(s => (s.files, s.tableInfo.dataSchema))
       case _ => None
     }
     case _ => None
   }
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(c: Count, _, false, None, _), _) =>
-      c.children.forall {
-        case l: Literal => l.value != null
-        case _ => false
+  private def relationInfo(plan: LogicalPlan): Option[graft.meta.TableInfo] =
+    plan match {
+      case p: Project => relationInfo(p.child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTableV2 => t.snapshotOpt.map(_.tableInfo)
+        case _ => None
       }
+      case _ => None
+    }
+
+  /** Interpreted per-file partition-predicate evaluator (no Spark job:
+    * partition values are manifest metadata). None = predicate shape not
+    * evaluable (unknown column, cast failure) -> no rewrite. */
+  private def partitionMatches(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      ti: graft.meta.TableInfo): Option[DataFileInfo => Boolean] =
+    try {
+      val pschema = ti.rangePartitionSchema
+      val bound = cond.transform {
+        case a: AttributeReference =>
+          val idx = pschema.fields.indexWhere(_.name.equalsIgnoreCase(a.name))
+          if (idx < 0) return None
+          BoundReference(idx, pschema.fields(idx).dataType, nullable = true)
+        case u: UnresolvedAttribute => return None
+      }
+      val pred = Predicate.createInterpreted(bound)
+      pred.initialize(0)
+      val tz = org.apache.spark.sql.classic.ClassicConversions
+        .castToImpl(spark).sessionState.conf.sessionLocalTimeZone
+      // one evaluation per distinct range key, reused across its files
+      val byKey = scala.collection.mutable.Map.empty[String, Boolean]
+      Some { f =>
+        byKey.getOrElseUpdate(f.rangeKey, {
+          val row = InternalRow.fromSeq(pschema.fields.toSeq.map(sf =>
+            GraftFileIndex.castPartitionValue(
+              f.partitionValues.getOrElse(sf.name, null), sf, tz)))
+          pred.eval(row)
+        })
+      }
+    } catch { case _: Exception => None }
+
+  /** Metadata answer for one output expression; None = not answerable. */
+  private def answer(
+      e: NamedExpression, files: Seq[DataFileInfo],
+      schema: StructType): Option[Any] = e match {
+    case Alias(l: Literal, _) => Some(l.value)
+    case Alias(AggregateExpression(c: Count, _, false, None, _), _)
+        if c.children.forall { case l: Literal => l.value != null; case _ => false } =>
+      if (files.forall(_.numRecords >= 0L)) Some(files.map(_.numRecords).sum)
+      else None
+    case Alias(AggregateExpression(c: Count, _, false, None, _), _) =>
+      c.children match {
+        case Seq(a: AttributeReference) =>
+          val key = statKeyIn(files, a.name)
+          if (files.forall(f => f.numRecords >= 0L &&
+              key.exists(f.nullCounts.contains)))
+            Some(files.map(f => f.numRecords - f.nullCounts(key.get)).sum)
+          else None
+        case _ => None
+      }
+    case Alias(AggregateExpression(m: Min, _, false, None, _), _) =>
+      extremum(m.child, files, schema, useMax = false)
+    case Alias(AggregateExpression(m: Max, _, false, None, _), _) =>
+      extremum(m.child, files, schema, useMax = true)
+    case _ => None
+  }
+
+  /** Manifest key for `col` (written-schema case), if any file has one. */
+  private def statKeyIn(files: Seq[DataFileInfo], col: String): Option[String] = {
+    val lower = col.toLowerCase
+    files.iterator.flatMap(f =>
+      (f.minValues.keysIterator ++ f.nullCounts.keysIterator)
+        .find(_.toLowerCase == lower)).nextOption()
+  }
+
+  private def extremum(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      files: Seq[DataFileInfo], schema: StructType,
+      useMax: Boolean): Option[Any] = child match {
+    case a: AttributeReference if minMaxSafe(a.dataType) =>
+      val key = statKeyIn(files, a.name).getOrElse(return None)
+      // a file must either contribute a verdict or provably hold no
+      // non-null value for the column (all-null or empty)
+      val contributions = Seq.newBuilder[String]
+      files.foreach { f =>
+        val m = (if (useMax) f.maxValues else f.minValues).get(key)
+        m match {
+          case Some(v) => contributions += v
+          case None =>
+            val allNull = f.numRecords == 0L ||
+              (f.numRecords > 0L && f.nullCounts.get(key).contains(f.numRecords))
+            if (!allNull) return None
+        }
+      }
+      val vals = contributions.result()
+      if (vals.isEmpty) Some(null) // min/max over no non-null rows
+      else {
+        def less(x: String, y: String): Boolean = a.dataType match {
+          case StringType => x < y
+          case BooleanType => !x.toBoolean && y.toBoolean
+          case _ => x.toLong < y.toLong
+        }
+        val pick = vals.reduce((x, y) =>
+          if (less(x, y) != useMax) x else y)
+        Some(internalValue(pick, a.dataType))
+      }
+    case _ => None
+  }
+
+  /** Floating point excluded (NaN/±0.0); see class doc. */
+  private def minMaxSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
+  }
+
+  /** Manifest-encoded stat -> catalyst internal value of `dt`. */
+  private def internalValue(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType | DateType => s.toLong.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case BooleanType => s.toBoolean
+    case StringType => UTF8String.fromString(s)
+    case _ => throw new IllegalStateException(s"unexpected type $dt")
   }
 }

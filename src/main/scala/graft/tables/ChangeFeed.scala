@@ -111,7 +111,7 @@ object ChangeFeed {
         (del.toSeq ++ ins.toSeq)
           .reduceOption(_.unionByName(_, allowMissingColumns = true))
       case _ => // update | delete | upsert (merge mode): diff pre vs post
-        Some(diff(spark, pre, post, snap, v, ts))
+        Some(diff(spark, pre, post, snap, v, ts, commitType))
     }
   }
 
@@ -120,7 +120,7 @@ object ChangeFeed {
     * commit's own version; `pre` may predate a schema evolution). */
   private def diff(
       spark: SparkSession, pre0: DataFrame, post: DataFrame,
-      snap: Snapshot, v: Long, ts: Long): DataFrame = {
+      snap: Snapshot, v: Long, ts: Long, commitType: String): DataFrame = {
     val ti = snap.tableInfo
     val outCols = post.columns.toSeq
     // align pre to post's columns: evolution-added columns null-fill
@@ -158,9 +158,14 @@ object ChangeFeed {
         .unionByName(tag(updPost, "update_postimage", v, ts))
     } else {
       // whole-row diff: a rewrite that carried a row over unchanged cancels
-      // out of both sides; update emits pre/post multiset deltas
-      tag(pre.exceptAll(post), "update_preimage", v, ts)
-        .unionByName(tag(post.exceptAll(pre), "update_postimage", v, ts))
+      // out of both sides. A DELETE commit's vanished rows are deletions,
+      // not pre-images (a non-PK delete has no per-key identity to pair
+      // them with); update/upsert emit pre/post multiset deltas.
+      val (preLabel, postLabel) =
+        if (commitType == "delete") ("delete", "insert")
+        else ("update_preimage", "update_postimage")
+      tag(pre.exceptAll(post), preLabel, v, ts)
+        .unionByName(tag(post.exceptAll(pre), postLabel, v, ts))
     }
   }
 }

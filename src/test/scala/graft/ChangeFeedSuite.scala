@@ -113,6 +113,14 @@ class ChangeFeedSuite extends GraftFunSuite {
         Map("update_preimage" -> 1L, "update_postimage" -> 1L))
       assert(upd.filter(col(ChangeFeed.CHANGE_TYPE) === "update_postimage")
         .select("n").as[Int].head() == 18)
+
+      // delete on a non-PK table: vanished rows are DELETIONS, not
+      // pre-images (whole-partition and rewrite deletes alike)
+      t.deleteExpr("country = 'de'")
+      val vDel = t.snapshot.version
+      val del = t.changes(vDel, vDel)
+      assert(types(del) == Map("delete" -> 1L))
+      assert(del.select("n").as[Int].head() == 3)
     }
   }
 
@@ -131,6 +139,31 @@ class ChangeFeedSuite extends GraftFunSuite {
       val byId = ch.select($"id", $"extra").as[(Int, Option[Int])]
         .collect().toMap
       assert(byId(1).isEmpty && byId(2).contains(5))
+    }
+  }
+
+  test("SQL table functions: graft_table_changes / graft_table_history") {
+    withTempTable { dir =>
+      Seq((1, 10), (2, 20)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1, 11)).toDF("id", "v"))
+      val ch = spark.sql(s"SELECT * FROM graft_table_changes('$dir', 0)")
+      assert(types(ch) == Map("insert" -> 2L, "upsert" -> 1L))
+      // window form + aggregation over the TVF
+      val n = spark.sql(
+        s"SELECT count(*) FROM graft_table_changes('$dir', 1, 1)")
+        .as[Long].head()
+      assert(n == 1L)
+      val hist = spark.sql(s"SELECT * FROM graft_table_history('$dir')")
+      assert(hist.count() == 2L &&
+        hist.columns.contains("commitType"))
+      // non-literal argument is rejected loudly
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_table_changes('$dir', id)").collect()
+      }
+      assert(err.getMessage.contains("literal") ||
+        err.getMessage.toLowerCase.contains("unresolved"))
     }
   }
 

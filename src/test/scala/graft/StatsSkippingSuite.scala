@@ -223,6 +223,42 @@ class StatsSkippingSuite extends GraftFunSuite {
     }
   }
 
+  test("metadata-only MIN/MAX/COUNT(col) and partition-filtered counts") {
+    def hasScan(df: DataFrame): Boolean =
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+        .queryExecution.sparkPlan.collectLeaves().exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+    withTempTable { dir =>
+      Seq(("us", 1L, "apple"), ("us", 7L, "pear"), ("de", 3L, null))
+        .toDF("country", "n", "s")
+        .write.format("graft").option("rangePartitions", "country").save(dir)
+      val t = () => spark.read.format("graft").load(dir)
+      // min/max/count(col) from the manifest, no scan
+      val probe = t().groupBy().agg(
+        min($"n").as("mn"), max($"n").as("mx"), count($"s").as("cs"),
+        max($"s").as("ms"), count(lit(1)).as("c"))
+      assert(!hasScan(probe), "metadata-answerable aggregate should not scan")
+      assert(probe.as[(Long, Long, Long, String, Long)].head() ==
+        ((1L, 7L, 2L, "pear", 3L)))
+      // partition-filtered count: file set restricted, still no scan
+      val pc = t().filter($"country" === "us").groupBy().count()
+      assert(!hasScan(pc), "partition-filtered COUNT should be metadata-only")
+      assert(pc.as[Long].head() == 2L)
+      // data-column filter -> scan
+      assert(hasScan(t().filter($"n" > 2).groupBy().count()))
+      assert(t().filter($"n" > 2).count() == 2L)
+      // avg is not answerable -> scan, correct
+      val avgQ = t().groupBy().agg(avg($"n"))
+      assert(hasScan(avgQ))
+      // float min/max excluded from the rewrite
+      withTempTable { d2 =>
+        Seq(1.5, 2.5).toDF("d").write.format("graft").save(d2)
+        val fq = spark.read.format("graft").load(d2).groupBy().agg(min($"d"))
+        assert(hasScan(fq) && fq.as[Double].head() == 1.5)
+      }
+    }
+  }
+
   test("stats survive the log round-trip and checkpoint replay") {
     withTempTable { dir =>
       (1L to 50L).toDF("id").write.format("graft").save(dir)
