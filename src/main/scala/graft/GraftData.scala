@@ -122,6 +122,36 @@ object GraftData {
         .save(dir)
     })
 
+  /** Orders Z-ORDER-clustered on (o_custkey, o_orderdate): the data-layout
+    * path for multi-dimensional skipping — small target files so sf-scale
+    * data still produces a multi-file clustered layout worth pruning. */
+  def ordersZOrdered(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "orders_zorder") { dir =>
+      parquet(spark, sfDir, "orders").write.format("graft").save(dir)
+      val key = "spark.graft.compaction.targetFileBytes"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, (2L * 1024 * 1024).toString)
+      try GraftTable.forPath(spark, dir).zOrder(Seq("o_custkey", "o_orderdate"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    })
+
+  /** PK orders copy with a deterministic change history (delta upsert then
+    * delete) for the change feed: versions 0=create, 1=upsert, 2=delete. */
+  def ordersChangeLogDir(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "orders_changelog") { dir =>
+      val orders = parquet(spark, sfDir, "orders")
+      orders.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "4")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", lit(0.0)))
+      t.deleteExpr("o_orderkey % 777 = 0")
+    }
+
   // ---- DML-state tables ----------------------------------------------
 
   /** PK orders + two overlapping upserts, the second partial-column:

@@ -281,8 +281,36 @@ object Queries {
         Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
         .select(col("doc_id"), col("byte_len"), col("payload_md5"))),
 
+    // metadata-only aggregates: the whole answer comes from manifest
+    // footer stats (zero tasks — StatsSkippingSuite asserts the plan);
+    // the oracle recomputes it the honest way in DuckDB
+    "q_metadata_agg" -> ((s, sf) =>
+      GraftData.partPlain(s, sf).groupBy().agg(
+        count(lit(1)).as("cnt"),
+        min(col("p_partkey")).as("min_pk"),
+        max(col("p_partkey")).as("max_pk"),
+        count(col("p_type")).as("cnt_type"),
+        max(col("p_type")).as("max_type"))),
+
+    // multi-dimensional skipping layout: same rows as a plain filter, but
+    // over the Z-ORDER-clustered copy whose files prune on both columns
+    "q_zorder_prune" -> ((s, sf) =>
+      GraftData.ordersZOrdered(s, sf)
+        .filter(col("o_custkey").between(100, 500) &&
+          col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
     // ---- declared without SQL oracle (engine-specific hash functions /
     //      float ranking); verified by ScalaTest suites instead ----
+    "q_changes_feed" -> ((s, sf) => {
+      val dir = GraftData.ordersChangeLogDir(s, sf)
+      graft.tables.ChangeFeed.changes(s, dir, 0)
+        .select(col("o_orderkey"),
+          col(graft.tables.ChangeFeed.CHANGE_TYPE),
+          col(graft.tables.ChangeFeed.COMMIT_VERSION))
+    }),
+
     "q_dedup_minhash" -> ((s, sf) =>
       Dedup.minhashNearDuplicates(GraftData.documentsRange(s, sf),
         "doc_id", "text", minJaccardPct = 40)),
@@ -328,6 +356,16 @@ object Queries {
 
   /** DuckDB equivalents over the raw parquet tables. */
   val oracles: Map[String, String] = Map(
+    "q_metadata_agg" ->
+      ("SELECT count(*) AS cnt, min(p_partkey) AS min_pk, " +
+       "max(p_partkey) AS max_pk, count(p_type) AS cnt_type, " +
+       "max(p_type) AS max_type FROM part"),
+
+    "q_zorder_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "WHERE o_custkey BETWEEN 100 AND 500 " +
+       "AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'"),
+
     "q_write_read_prune" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'A'",
 

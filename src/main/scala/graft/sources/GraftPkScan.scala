@@ -263,7 +263,13 @@ case class GraftPkScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
       math.max(files.map(_.size).sum, 1L))
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // manifest row counts — an upper bound under merge-on-read (older
+    // versions of a key collapse at read), which is the right direction
+    // for an estimate feeding join costing
+    override def numRows(): OptionalLong =
+      if (files.nonEmpty && files.forall(_.numRecords >= 0L))
+        OptionalLong.of(files.map(_.numRecords).sum)
+      else OptionalLong.empty()
   }
 }
 
