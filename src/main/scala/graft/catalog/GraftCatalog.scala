@@ -27,10 +27,29 @@ import graft.sources.GraftTableV2
   * work in SQL. Non-graft tables pass through untouched. Enable with
   * `spark.sql.catalog.spark_catalog=graft.catalog.GraftCatalog`.
   */
-class GraftCatalog extends DelegatingCatalogExtension {
+class GraftCatalog extends DelegatingCatalogExtension
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import GraftCatalog.PROP_GRAFT_EXTERNAL
 
   private def spark: SparkSession = SparkSession.active
+
+  // ---- SQL CALL surface (system.compact / system.zorder / system.vacuum)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val inSystem = ident.namespace().map(_.toLowerCase)
+      .sameElements(GraftProcedures.NAMESPACE)
+    (if (inSystem) GraftProcedures.load(ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"procedure not found: ${ident.namespace().mkString(".")}.${ident.name()}" +
+        s" (graft procedures live in ${GraftProcedures.NAMESPACE.mkString(".")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.map(_.toLowerCase).sameElements(GraftProcedures.NAMESPACE))
+      GraftProcedures.all
+        .map(Identifier.of(GraftProcedures.NAMESPACE, _)).toArray
+    else Array.empty
 
   private def isGraftProvider(properties: util.Map[String, String]): Boolean =
     Option(properties.get(TableCatalog.PROP_PROVIDER))

@@ -1,0 +1,133 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.SnapshotManagement
+
+/** SQL `CALL` surface for table maintenance (Spark 4 `ProcedureCatalog`):
+  *
+  * {{{
+  *   CALL spark_catalog.system.compact(table => '/path')
+  *   CALL spark_catalog.system.compact('/path', 'dt = ''2024-01-01''')
+  *   CALL spark_catalog.system.zorder('/path', 'a,b')
+  *   CALL spark_catalog.system.vacuum('/path', retain_hours => 0, dry_run => true)
+  * }}}
+  *
+  * Each procedure returns a one-row (or per-file, for vacuum) result set
+  * via `LocalScan` so `CALL` output is queryable. The reference exposes
+  * maintenance only through its Scala/Livy API; SQL-first operations are
+  * table stakes for a lakehouse SQL surface (Iceberg's procedure UX).
+  */
+object GraftProcedures {
+  val NAMESPACE: Array[String] = Array("system")
+
+  val all: Seq[String] = Seq("compact", "zorder", "vacuum")
+
+  def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
+    case "compact" => Some(CompactProcedure)
+    case "zorder" => Some(ZOrderProcedure)
+    case "vacuum" => Some(VacuumProcedure)
+    case _ => None
+  }
+
+  private def str(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+
+  private def resultScan(schema: StructType, data: Seq[InternalRow]): Scan =
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = data.toArray
+    }
+
+  private def one(scan: Scan): java.util.Iterator[Scan] =
+    Collections.singletonList(scan).iterator()
+
+  private[catalog] abstract class MaintenanceProcedure(
+      procName: String, procDescription: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  /** Resolve a CALL table argument: a path, or a catalog short name. */
+  private def resolvePath(spark: SparkSession, table: String): String = {
+    val norm = SnapshotManagement.normalize(table)
+    if (SnapshotManagement.exists(norm)) norm
+    else graft.tables.GraftTable.forName(spark, table).path
+  }
+
+  private val versionSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  private def versionRow(path: String): Seq[InternalRow] = Seq(
+    InternalRow(UTF8String.fromString(path),
+      SnapshotManagement.store.latestVersion(path)))
+
+  object CompactProcedure extends MaintenanceProcedure("compact",
+      "Merge delta stacks / bin-pack small files; optional partition predicate") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path or catalog name").build(),
+      ProcedureParameter.in("predicate", StringType).defaultValue("NULL")
+        .comment("range-partition predicate scoping the rewrite").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolvePath(spark, str(input, 0).get)
+      graft.commands.CompactionCommand.run(spark, path, force = true,
+        partitionPredicate = str(input, 1))
+      one(resultScan(versionSchema, versionRow(path)))
+    }
+  }
+
+  object ZOrderProcedure extends MaintenanceProcedure("zorder",
+      "Rewrite clustered on the Morton curve of the given columns") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated column list").build(),
+      ProcedureParameter.in("predicate", StringType).defaultValue("NULL").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolvePath(spark, str(input, 0).get)
+      val cols = str(input, 1).get.split(",").map(_.trim).filter(_.nonEmpty)
+      graft.commands.CompactionCommand.run(spark, path, force = true,
+        partitionPredicate = str(input, 2), zOrderBy = cols.toSeq)
+      one(resultScan(versionSchema, versionRow(path)))
+    }
+  }
+
+  object VacuumProcedure extends MaintenanceProcedure("vacuum",
+      "Delete files no longer referenced by the latest snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("5.0")
+        .comment("retention floor in hours").build(),
+      ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build())
+
+    private val schema = StructType(Seq(
+      StructField("removed_path", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolvePath(spark, str(input, 0).get)
+      val hours = if (input.isNullAt(1)) 5.0 else input.getDouble(1)
+      val dryRun = !input.isNullAt(2) && input.getBoolean(2)
+      val removed = graft.commands.CleanupCommand.run(spark, path,
+        (hours * 3600 * 1000).toLong, dryRun)
+      one(resultScan(schema,
+        removed.map(p => InternalRow(UTF8String.fromString(p)))))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** SQL `CALL` maintenance procedures (ProcedureCatalog on GraftCatalog). */
+class ProcedureSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def sqlSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+    s2
+  }
+
+  test("CALL system.compact merges a delta stack and reports the version") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 9)).toDF("id", "v"))
+      assert(t.snapshot.hasDeltaFiles)
+      val s2 = sqlSession
+      val out = s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+      assert(out.length == 1 && out.head.getLong(1) ==
+        GraftTable.forPath(spark, dir).snapshot.version)
+      assert(!GraftTable.forPath(spark, dir).snapshot.hasDeltaFiles)
+      assert(spark.read.format("graft").load(dir)
+        .filter($"id" === 1L).select("v").as[Int].head() == 9)
+    }
+  }
+
+  test("CALL system.zorder clusters and named arguments work") {
+    withTempTable { dir =>
+      (1L to 1000L).toDF("a").withColumn("b", col("a") % 37)
+        .repartition(4).write.format("graft").save(dir)
+      val s2 = sqlSession
+      s2.sql(s"CALL spark_catalog.system.zorder(table => '$dir', " +
+        "columns => 'a,b')").collect()
+      val files = GraftTable.forPath(spark, dir).snapshot.files
+      assert(files.forall(_.isBase))
+      assert(spark.read.format("graft").load(dir).count() == 1000)
+    }
+  }
+
+  test("CALL system.vacuum dry_run lists unreferenced files, then deletes") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 2)).toDF("id", "v"))
+      t.compaction() // leaves pre-compaction files unreferenced
+      val s2 = sqlSession
+      s2.conf.set("spark.graft.cleanup.retentionCheck.enabled", "false")
+      val dry = s2.sql(s"CALL spark_catalog.system.vacuum('$dir', " +
+        "retain_hours => 0.0, dry_run => true)").collect()
+      assert(dry.nonEmpty, "dry run should list reclaimable files")
+      val real = s2.sql(s"CALL spark_catalog.system.vacuum('$dir', " +
+        "retain_hours => 0.0, dry_run => false)").collect()
+      assert(real.map(_.getString(0)).toSet == dry.map(_.getString(0)).toSet)
+      // table still reads fine after vacuum
+      assert(spark.read.format("graft").load(dir).count() == 1)
+    }
+  }
+
+  test("unknown procedure fails loudly; procedures are listable") {
+    val s2 = sqlSession
+    val e = intercept[Exception] {
+      s2.sql("CALL spark_catalog.system.nope('/x')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("failed_to_load_routine") ||
+      e.getMessage.toLowerCase.contains("procedure"))
+  }
+}
