@@ -172,12 +172,65 @@ case class GraftPkScan(
       s"files=${files.size}, pushedPkFilters=${pushedPkFilters.mkString(",")}]"
   }
 
+  /** Buckets a PK point/IN lookup can possibly hit, or None for scans that
+    * do not pin every hash column by equality. The write path places a key
+    * at `pmod(murmur3(pk), bucketNum)` (Spark's own
+    * `HashPartitioning.partitionIdExpression` — `TransactionalWrite.writePk`
+    * relies on it), so the same hash computed over the filter literals
+    * identifies the ONLY bucket that can hold the key. This is the pruning
+    * file-level stats can NEVER do for bucketed tables: hash scattering
+    * makes every bucket file's pk [min, max] span the whole domain. */
+  private def pointLookupBuckets: Option[Set[Int]] = {
+    val hashCols = tableInfo.hashColumns
+    val fieldOf = tableInfo.dataSchema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    // per-column equality candidate values from the pushed conjuncts
+    def valuesFor(c: String): Option[Seq[Any]] = {
+      pushedPkFilters.collectFirst {
+        case org.apache.spark.sql.sources.EqualTo(a, v)
+            if a.equalsIgnoreCase(c) && v != null => Seq(v)
+        case org.apache.spark.sql.sources.EqualNullSafe(a, v)
+            if a.equalsIgnoreCase(c) && v != null => Seq(v)
+        case org.apache.spark.sql.sources.In(a, vs)
+            if a.equalsIgnoreCase(c) && vs != null && vs.nonEmpty &&
+              vs.forall(_ != null) && vs.length <= 64 => vs.toSeq
+      }
+    }
+    val perCol = hashCols.map(valuesFor)
+    if (perCol.exists(_.isEmpty)) return None
+    // cartesian of candidate tuples (bounded: ≤64 per col, 1 for EqualTo)
+    val tuples = perCol.map(_.get).foldLeft(Seq(Seq.empty[Any])) {
+      (acc, vs) => acc.flatMap(t => vs.map(t :+ _))
+    }
+    if (tuples.length > 256) return None // give up, scan all buckets
+    try {
+      val n = tableInfo.bucketNum
+      Some(tuples.map { tuple =>
+        val lits = hashCols.zip(tuple).map { case (c, v) =>
+          val dt = fieldOf.get(c.toLowerCase).map(_.dataType).getOrElse(return None)
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+        }
+        val hash = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(lits)
+          .eval(null).asInstanceOf[Int]
+        ((hash % n) + n) % n
+      }.toSet)
+    } catch { case _: Exception => None }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val mergedLayoutLen = mergeReadSchema.length + readPartitionSchema.length
     val mergeIdx = mergeReadSchema.fieldNames.zipWithIndex.toMap
     val tz = castToImpl(sparkSession).sessionState.conf.sessionLocalTimeZone
     val proj = UnsafeProjection.create(readPartitionSchema)
-    val byBucket = files.groupBy(_.bucket)
+    // bucket pruning: partition COUNT stays bucketNum (the post-planner
+    // rule declares HashPartitioning with partition index == bucket id),
+    // but buckets a pinned key cannot hash to get EMPTY partitions — zero
+    // IO, the distribution contract intact
+    val byBucket0 = files.groupBy(_.bucket)
+    val byBucket = pointLookupBuckets match {
+      case Some(keep) => byBucket0.view.filterKeys(keep).toMap
+      case None => byBucket0
+    }
     (0 until tableInfo.bucketNum).map { b =>
       val groups = byBucket.getOrElse(b, Nil).groupBy(_.rangeKey).toSeq
         .sortBy(_._1).map { case (_, gfiles) =>

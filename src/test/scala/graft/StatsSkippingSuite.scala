@@ -136,6 +136,31 @@ class StatsSkippingSuite extends GraftFunSuite {
     }
   }
 
+  test("PK point lookup prunes to the key's single bucket") {
+    withTempTable { dir =>
+      (1L to 1000L).toDF("id").withColumn("v", col("id") * 7)
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "8").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      // delta upsert: the looked-up key must still merge correctly
+      t.upsert(Seq((42L, -1L)).toDF("id", "v"))
+      val total = t.snapshot.files.length
+      assert(total >= 8)
+      val point = t.toDF.filter($"id" === 42L)
+      val planned = plannedFiles(point)
+      assert(planned <= total / 4,
+        s"point lookup should plan ~1 bucket's files, planned $planned of $total")
+      assert(point.select("v").as[Long].collect().toSeq == Seq(-1L),
+        "bucket pruning must not break merge-on-read")
+      // IN lookup prunes to the union of candidate buckets
+      val in3 = t.toDF.filter($"id".isin(1L, 2L, 3L))
+      assert(plannedFiles(in3) < total)
+      assert(in3.count() == 3)
+      // range filter cannot bucket-prune (hash scatters the domain)
+      assert(t.toDF.filter($"id" < 100L).count() == 99L)
+    }
+  }
+
   test("z-order clustering makes multi-dimensional skipping effective") {
     withTempTable { dir =>
       // 4k points on a 64x64 grid, written SHUFFLED in 8 files: every file
