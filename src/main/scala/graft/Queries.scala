@@ -281,6 +281,14 @@ object Queries {
         Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
         .select(col("doc_id"), col("byte_len"), col("payload_md5"))),
 
+    // PK point lookup: bucket pruning plans exactly one bucket's files
+    // (pmod(murmur3(key), bucketNum) — StatsSkippingSuite asserts the
+    // planned-file count); the oracle scans honestly
+    "q_pk_point" -> ((s, sf) =>
+      GraftData.ordersPk(s, sf)
+        .filter(col("o_orderkey").isin(1L, 7L, 32L, 4000L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
     // metadata-only aggregates: the whole answer comes from manifest
     // footer stats (zero tasks — StatsSkippingSuite asserts the plan);
     // the oracle recomputes it the honest way in DuckDB
@@ -356,6 +364,10 @@ object Queries {
 
   /** DuckDB equivalents over the raw parquet tables. */
   val oracles: Map[String, String] = Map(
+    "q_pk_point" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "WHERE o_orderkey IN (1, 7, 32, 4000)"),
+
     "q_metadata_agg" ->
       ("SELECT count(*) AS cnt, min(p_partkey) AS min_pk, " +
        "max(p_partkey) AS max_pk, count(p_type) AS cnt_type, " +
