@@ -43,17 +43,22 @@ object WriteIntoTable {
           firstWrite(spark, path, dropNullTypeColumns(df, options, None), options, txn)
         case Some(snapshot) =>
           checkPartitionOptionConflicts(snapshot.tableInfo, options)
-          val pruned = dropNullTypeColumns(df, options, Some(snapshot.tableInfo))
           // INSERT-by-ordinal (e.g. SQL `INSERT INTO t VALUES ...`) arrives
           // with synthetic column names; align positionally to the table's
           // read-order schema (reference `StarLakeAnalysis.scala:43-147`).
-          val aligned = alignByPosition(pruned, snapshot, options)
+          // Alignment runs BEFORE NullType pruning: a positional INSERT
+          // with an all-NULL column must land that null in its ordinal
+          // position (cast to the table's type), not have the column
+          // dropped and every later value shifted left.
+          val aligned = alignByPosition(df, snapshot, options)
+          val pruned = dropNullTypeColumns(aligned, options,
+            Some(snapshot.tableInfo))
           mode match {
             case SaveMode.ErrorIfExists =>
               throw new GraftWriteException(s"graft table already exists at $path")
             case SaveMode.Ignore => ()
-            case SaveMode.Append => append(spark, path, aligned, options, snapshot, txn)
-            case SaveMode.Overwrite => overwrite(spark, path, aligned, options, snapshot, txn)
+            case SaveMode.Append => append(spark, path, pruned, options, snapshot, txn)
+            case SaveMode.Overwrite => overwrite(spark, path, pruned, options, snapshot, txn)
           }
       }
     }
@@ -176,6 +181,11 @@ object WriteIntoTable {
           .map(f => f.name -> f.dataType).toMap
         renamed.select(renamed.schema.fields.toSeq.map { f =>
           tableTypes.get(f.name) match {
+            // an all-NULL positional value (VALUES (1, NULL)) must become a
+            // typed null IN ITS POSITION — left as NullType it would be
+            // pruned afterward and every later value would shift left
+            case Some(tdt) if f.dataType == org.apache.spark.sql.types.NullType =>
+              col(s"`${f.name}`").cast(tdt).as(f.name)
             case Some(tdt) =>
               val target = SchemaUtils.renamePositionally(f.dataType, tdt)
               if (target == f.dataType) col(s"`${f.name}`")
@@ -427,6 +437,15 @@ object WriteIntoTable {
           // Safe implicit up-casts (int->bigint, ...).
           case (tdt, ddt) if tdt != ddt &&
               org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ddt, tdt) =>
+            col(s"`${f.name}`").cast(tdt).as(tf.name)
+          // Decimal literals into float/double columns: `INSERT ... VALUES
+          // (0.5)` parses 0.5 as DECIMAL(1,1); every SQL engine stores it
+          // into a double column (ANSI store assignment). canUpCast says no
+          // (wide decimals exceed double's 15-16 significant digits), so
+          // allow it explicitly — fractional-literal inserts must work.
+          case (tdt @ (org.apache.spark.sql.types.DoubleType |
+                       org.apache.spark.sql.types.FloatType),
+                _: org.apache.spark.sql.types.DecimalType) =>
             col(s"`${f.name}`").cast(tdt).as(tf.name)
           // Shared columns are written under the TABLE's spelling so files
           // stay readable under spark.sql.caseSensitive=true (reference

@@ -121,7 +121,7 @@ object Dedup {
     */
   def duplicateClusters(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // stabilize the PAIR LIST first: the bidirectional edge union reads it
     // twice, and an unmaterialized pair pipeline (shingle index + verify)
     // would run end-to-end once per branch
@@ -156,6 +156,12 @@ object Dedup {
       labels = updated.select("id", "cluster_id")
       i += 1
     }
+    // partially-propagated labels would split one real cluster into
+    // several and downstream keep-one dedup would silently keep
+    // duplicates — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIter rounds: a " +
+      "duplicate chain is longer than maxIter hops; raise maxIter")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

@@ -29,9 +29,16 @@ object Multimodal {
     * 100 MB JPEG costs a header parse, not a decode. Deterministic. */
   private[llm] def decodeMeta(bytes: Array[Byte]): ImageMeta = {
     if (bytes == null) return null
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    // catch NonFatal, not just IOException: corrupt payloads with a valid
+    // magic header make ImageIO readers throw IllegalArgument/IndexOOB/
+    // NegativeArraySize from getWidth/getImageTypes — at corpus scale ONE
+    // such payload must fall back, never kill the job. The stream creation
+    // itself sits inside the try (it can throw or return null).
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return fallbackMeta(bytes)
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (readers.hasNext) {
         val r = readers.next()
@@ -47,8 +54,12 @@ object Multimodal {
         } finally r.dispose()
       } else fallbackMeta(bytes)
     } catch {
-      case _: java.io.IOException => fallbackMeta(bytes)
-    } finally iis.close()
+      case scala.util.control.NonFatal(_) => fallbackMeta(bytes)
+    } finally {
+      if (iis != null) {
+        try iis.close() catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
   }
 
   /** Same arithmetic as [[fakeDecodeImage]], for payloads without a codec. */

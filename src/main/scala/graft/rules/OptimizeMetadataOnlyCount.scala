@@ -74,7 +74,11 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
         relationInfo(f.child).flatMap { ti =>
           val rangeSet = ti.rangeColumns.map(_.toLowerCase).toSet
           val refs = f.condition.references.toSeq.map(_.name)
-          if (refs.nonEmpty && refs.forall(r => rangeSet.contains(r.toLowerCase)))
+          // deterministic only: rand() < 0.5 carries no references, and a
+          // plan-time evaluation would collapse a per-row sample into an
+          // all-or-nothing per-partition verdict
+          if (f.condition.deterministic &&
+              refs.nonEmpty && refs.forall(r => rangeSet.contains(r.toLowerCase)))
             partitionMatches(f.condition, ti).map(keep =>
               (files.filter(keep), schema))
           else None
@@ -156,13 +160,10 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
     case _ => None
   }
 
-  /** Manifest key for `col` (written-schema case), if any file has one. */
-  private def statKeyIn(files: Seq[DataFileInfo], col: String): Option[String] = {
-    val lower = col.toLowerCase
-    files.iterator.flatMap(f =>
-      (f.minValues.keysIterator ++ f.nullCounts.keysIterator)
-        .find(_.toLowerCase == lower)).nextOption()
-  }
+  /** Manifest key for `col` (written-schema case), if any file has one —
+    * per-file resolution delegated to [[FileStats.statKey]]. */
+  private def statKeyIn(files: Seq[DataFileInfo], col: String): Option[String] =
+    files.iterator.flatMap(FileStats.statKey(_, col)).nextOption()
 
   private def extremum(
       child: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -186,13 +187,10 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
       val vals = contributions.result()
       if (vals.isEmpty) Some(null) // min/max over no non-null rows
       else {
-        def less(x: String, y: String): Boolean = a.dataType match {
-          case StringType => x < y
-          case BooleanType => !x.toBoolean && y.toBoolean
-          case _ => x.toLong < y.toLong
-        }
+        // FileStats owns the manifest-encoding order (UTF-8 byte order for
+        // strings) — one comparator for skipping AND metadata answers
         val pick = vals.reduce((x, y) =>
-          if (less(x, y) != useMax) x else y)
+          if (FileStats.statLess(x, y, a.dataType) != useMax) x else y)
         Some(internalValue(pick, a.dataType))
       }
     case _ => None

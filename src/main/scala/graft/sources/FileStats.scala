@@ -85,15 +85,10 @@ object FileStats {
                   (encode(s.genericGetMin.asInstanceOf[AnyRef], dt),
                     encode(s.genericGetMax.asInstanceOf[AnyRef], dt)))
                 if (encoded.forall { case (a, b) => a != null && b != null }) {
-                  def less(a: String, b: String): Boolean = dt match {
-                    case StringType => a < b
-                    case FloatType | DoubleType => a.toDouble < b.toDouble
-                    case _ => a.toLong < b.toLong
-                  }
                   mins += name -> encoded.map(_._1)
-                    .reduce((a, b) => if (less(a, b)) a else b)
+                    .reduce((a, b) => if (statLess(a, b, dt)) a else b)
                   maxs += name -> encoded.map(_._2)
-                    .reduce((a, b) => if (less(a, b)) b else a)
+                    .reduce((a, b) => if (statLess(a, b, dt)) b else a)
                 }
               }
             }
@@ -125,6 +120,22 @@ object FileStats {
     case _ => null
   }
 
+  /** Manifest-encoding order for `dt`. Strings compare by UNSIGNED UTF-8
+    * BYTES — parquet footer min/max and Spark's runtime `UTF8String`
+    * ordering are both byte-wise, and Java's UTF-16 `String.compareTo`
+    * disagrees with them above the BMP (a supplementary character sorts
+    * BELOW U+E000 in UTF-16 but above it in UTF-8), which would skip files
+    * that actually match. */
+  private[graft] def statLess(a: String, b: String, dt: DataType): Boolean =
+    dt match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case FloatType | DoubleType => a.toDouble < b.toDouble
+      case BooleanType => !a.toBoolean && b.toBoolean
+      case _ => a.toLong < b.toLong
+    }
+
   // ------------------------------------------------------------------
   // evaluation (scan-planning path)
   // ------------------------------------------------------------------
@@ -139,7 +150,7 @@ object FileStats {
     schema.fields.find(_.name.equalsIgnoreCase(col))
       .map(_.dataType).filter(encodable)
 
-  private def statKey(f: DataFileInfo, col: String): Option[String] = {
+  private[graft] def statKey(f: DataFileInfo, col: String): Option[String] = {
     // manifest keys carry the written-schema case; resolve case-insensitively
     val lower = col.toLowerCase
     (f.minValues.keysIterator ++ f.maxValues.keysIterator ++
@@ -168,10 +179,15 @@ object FileStats {
       case IsNull(c) => mayHaveNull(f, c)
       case IsNotNull(c) => mayHaveNonNull(f, c)
       case StringStartsWith(c, prefix) if prefix != null =>
-        // rows matching the prefix sort within [prefix, prefix+∞)
+        // rows matching the prefix sort within [prefix, prefix+∞): skip if
+        // max < prefix, or if min's BYTE prefix already exceeds it (byte
+        // comparisons — see statLess on why UTF-16 order would be unsound)
         cmpStat(f, c, prefix, schema, useMax = true).forall(_ >= 0) && {
           statKey(f, c).flatMap(k => f.minValues.get(k)) match {
-            case Some(mn) => mn.take(prefix.length) <= prefix
+            case Some(mn) =>
+              val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val mb = mn.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              unsignedCompare(mb.take(pb.length), pb) <= 0
             case None => true
           }
         }
@@ -255,7 +271,20 @@ object FileStats {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => // byte order, matching parquet + runtime
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case _ => None
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 }

@@ -198,11 +198,12 @@ case class GraftPkScan(
     }
     val perCol = hashCols.map(valuesFor)
     if (perCol.exists(_.isEmpty)) return None
-    // cartesian of candidate tuples (bounded: ≤64 per col, 1 for EqualTo)
+    // size check BEFORE expanding the cartesian (64^4 tuples would spike
+    // the driver only to be discarded)
+    if (perCol.map(_.get.length.toLong).product > 256L) return None
     val tuples = perCol.map(_.get).foldLeft(Seq(Seq.empty[Any])) {
       (acc, vs) => acc.flatMap(t => vs.map(t :+ _))
     }
-    if (tuples.length > 256) return None // give up, scan all buckets
     try {
       val n = tableInfo.bucketNum
       Some(tuples.map { tuple =>

@@ -69,7 +69,27 @@ class GraftSink(
           val overwriteSchema = outputMode == OutputMode.Complete() &&
             options.get(WriteIntoTable.OVERWRITE_SCHEMA).exists(_.toBoolean)
           val (newInfo, aligned) =
-            if (overwriteSchema) (info.copy(schemaJson = batchDf.schema.json), batchDf)
+            if (overwriteSchema) {
+              // same guards as the batch overwriteSchema path: partition
+              // columns keep the table's spelling and may not be dropped,
+              // and the replaced schema must be valid (no duplicate names)
+              val renamed = batchDf.select(batchDf.schema.fieldNames.toSeq.map { n =>
+                val tableCase = (info.rangeColumns ++ info.hashColumns)
+                  .find(_.equalsIgnoreCase(n))
+                tableCase.fold(org.apache.spark.sql.functions.col(s"`$n`"))(tc =>
+                  org.apache.spark.sql.functions.col(s"`$n`").as(tc))
+              }: _*)
+              SchemaUtils.validateSchema(renamed.schema)
+              val have = renamed.schema.fieldNames.toSet
+              val missing = (info.rangeColumns ++ info.hashColumns).filterNot(have)
+              if (missing.nonEmpty) {
+                throw new GraftWriteException(
+                  s"overwriteSchema=true cannot drop partition columns " +
+                  s"[${missing.mkString(", ")}]; partition columns are fixed " +
+                  "at table creation")
+              }
+              (info.copy(schemaJson = renamed.schema.json), renamed)
+            }
             else WriteIntoTable.evolveSchema(spark, batchDf, info, options,
               // Update mode is an upsert: a column subset keeps prior values
               // via merge-on-read instead of null-filling, so missing NOT

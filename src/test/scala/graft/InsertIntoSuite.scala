@@ -46,6 +46,38 @@ class InsertIntoSuite extends GraftFunSuite {
     }
   }
 
+  test("positional INSERT with NULL keeps it in its ordinal position") {
+    withTable { t =>
+      s2.sql(s"CREATE TABLE $t (id BIGINT, data STRING) USING graft")
+      // the NULL column must become a typed null in column 2, not be
+      // dropped as NullType with later values shifting left
+      s2.sql(s"INSERT INTO $t VALUES (1, NULL), (2, 'b')")
+      assert(rows(t) == Seq(Seq(1L, null), Seq(2L, "b")))
+      // arity overflow with an interior NULL stays an error, never a shift
+      val e = intercept[Exception] {
+        s2.sql(s"INSERT INTO $t VALUES (3, NULL, 'x')")
+      }
+      assert(e.getMessage.toLowerCase.matches("(?s).*(column|mismatch|merge).*"),
+        s"unexpected: ${e.getMessage}")
+      assert(rows(t) == Seq(Seq(1L, null), Seq(2L, "b")))
+    }
+  }
+
+  test("fractional literals insert into double columns") {
+    withTable { t =>
+      s2.sql(s"CREATE TABLE $t (id BIGINT, score DOUBLE) USING graft")
+      // 0.5 parses as DECIMAL(1,1); ANSI store assignment puts it in the
+      // double column — canUpCast alone would reject it
+      s2.sql(s"INSERT INTO $t VALUES (1, 0.5), (2, 12.25)")
+      assert(rowsOf(s2.table(t)) == Seq(Seq(1L, 0.5), Seq(2L, 12.25)))
+      // narrowing stays rejected: a string into DOUBLE is still an error
+      val e = intercept[Exception] {
+        s2.sql(s"INSERT INTO $t VALUES (3, 'oops')")
+      }
+      assert(e.getMessage.toLowerCase.contains("type"))
+    }
+  }
+
   test("insertInto: append by position ignores column names") {
     import s2.implicits._
     withTable { t =>

@@ -272,6 +272,11 @@ class StatsSkippingSuite extends GraftFunSuite {
       // data-column filter -> scan
       assert(hasScan(t().filter($"n" > 2).groupBy().count()))
       assert(t().filter($"n" > 2).count() == 2L)
+      // NON-DETERMINISTIC filter -> scan: rand() carries no references, and
+      // a plan-time evaluation would collapse the per-row sample into an
+      // all-or-nothing per-partition verdict
+      assert(hasScan(t().filter($"country" === "us" && rand(7) < 0.5)
+        .groupBy().count()))
       // avg is not answerable -> scan, correct
       val avgQ = t().groupBy().agg(avg($"n"))
       assert(hasScan(avgQ))
