@@ -74,6 +74,11 @@ class GraftTable(object):
         """DataFrame of the table's commit history."""
         return DataFrame(self._jbridge.history(self._jtable), self._spark)
 
+    def restore(self, version):
+        """Rewind the table to ``version`` (metadata-only commit; lineage
+        preserved). Returns the restore commit's version."""
+        return self._jbridge.restore(self._jtable, int(version))
+
     def changes(self, startVersion, endVersion=-1):
         """Change Data Feed over ``[startVersion, endVersion]``.
 

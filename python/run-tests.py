@@ -93,6 +93,12 @@ def main():
         check("changes feed", ch.count() > 0 and
               "_change_type" in ch.columns and "_commit_version" in ch.columns)
 
+        before = t.toDF().count()
+        t.restore(0)
+        restored_ok = t.toDF().count() in (3, 4)  # version-0 row count
+        t.restore(t.history().count() - 2)  # rewind the rewind
+        check("restore round-trip", restored_ok and t.toDF().count() == before)
+
         zpath = os.path.join(tmp, "ztab")
         (spark.createDataFrame([(i, i * 2) for i in range(100)], "a long, b long")
          .write.format("graft").save(zpath))

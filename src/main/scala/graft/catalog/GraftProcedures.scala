@@ -28,12 +28,13 @@ import graft.meta.SnapshotManagement
 object GraftProcedures {
   val NAMESPACE: Array[String] = Array("system")
 
-  val all: Seq[String] = Seq("compact", "zorder", "vacuum")
+  val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
     case "zorder" => Some(ZOrderProcedure)
     case "vacuum" => Some(VacuumProcedure)
+    case "restore" => Some(RestoreProcedure)
     case _ => None
   }
 
@@ -104,6 +105,20 @@ object GraftProcedures {
       val cols = str(input, 1).get.split(",").map(_.trim).filter(_.nonEmpty)
       graft.commands.CompactionCommand.run(spark, path, force = true,
         partitionPredicate = str(input, 2), zOrderBy = cols.toSeq)
+      one(resultScan(versionSchema, versionRow(path)))
+    }
+  }
+
+  object RestoreProcedure extends MaintenanceProcedure("restore",
+      "Rewind the table to a past version (metadata-only; lineage kept)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolvePath(spark, str(input, 0).get)
+      graft.commands.RestoreCommand.run(spark, path, input.getLong(1))
       one(resultScan(versionSchema, versionRow(path)))
     }
   }

@@ -105,7 +105,9 @@ object ChangeFeed {
         Some(tag(post, "insert", v, ts))
       case "delta" =>
         Some(tag(post, "upsert", v, ts))
-      case "overwrite" =>
+      case "overwrite" | "restore" =>
+        // a replacement/rewind is a statement about every changed file:
+        // removed rows delete, (re-)added rows insert
         val del = if (removePaths.isEmpty) None else Some(tag(pre, "delete", v, ts))
         val ins = if (adds.isEmpty) None else Some(tag(post, "insert", v, ts))
         (del.toSeq ++ ins.toSeq)

@@ -85,6 +85,12 @@ class GraftTable private (spark: SparkSession, val path: String) {
     CompactionCommand.run(spark, path, force = true, partitionPredicate,
       zOrderBy = cols)
 
+  /** Rewind the table to `version` with one metadata-only commit (files
+    * are re-referenced, not rewritten; lineage preserved — the restore is
+    * itself a new commit). Fails if a needed file was vacuumed. Returns
+    * the restore commit's version. */
+  def restore(version: Long): Long = RestoreCommand.run(spark, path, version)
+
   /** Remove files no longer referenced by the latest snapshot. */
   def cleanup(retainMillis: Long = 5L * 3600 * 1000, dryRun: Boolean = false): Seq[String] =
     CleanupCommand.run(spark, path, retainMillis, dryRun)

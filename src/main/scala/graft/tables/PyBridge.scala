@@ -30,6 +30,8 @@ object PyBridge {
   def changes(t: GraftTable, startVersion: Long, endVersion: Long): DataFrame =
     t.changes(startVersion, endVersion)
 
+  def restore(t: GraftTable, version: Long): Long = t.restore(version)
+
   def upsert(t: GraftTable, source: DataFrame): Unit = t.upsert(source)
 
   def upsert(t: GraftTable, source: DataFrame, mode: String): Unit =

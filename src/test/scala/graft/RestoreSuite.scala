@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.{ChangeFeed, GraftTable}
+
+/** RESTORE: metadata-only rewind to a past version, lineage preserved. */
+class RestoreSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("PK table: restore reverts upsert+delete, merge order intact") {
+    withTempTable { dir =>
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val v0 = t.snapshot.version
+      t.upsert(Seq((1L, 99)).toDF("id", "v"))
+      t.delete($"id" === 3L)
+      val vPre = t.snapshot.version
+      assert(rowsOf(t.toDF) == Seq(Seq(1L, 99), Seq(2L, 20)))
+
+      val vRestore = t.restore(v0)
+      assert(vRestore == vPre + 1, "restore is a NEW commit on the log")
+      assert(rowsOf(GraftTable.forPath(spark, dir).toDF) ==
+        Seq(Seq(1L, 10), Seq(2L, 20), Seq(3L, 30)))
+      // lineage preserved: the pre-restore state is still time-travelable
+      assert(spark.read.format("graft").option("versionAsOf", vPre.toString)
+        .load(dir).count() == 2)
+      // restoring FORWARD to the pre-restore version works too
+      t.restore(vPre)
+      assert(rowsOf(GraftTable.forPath(spark, dir).toDF) ==
+        Seq(Seq(1L, 99), Seq(2L, 20)))
+    }
+  }
+
+  test("restore reverts schema evolution along with the data") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "s").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val v0 = t.snapshot.version
+      withSQLConf("spark.graft.schema.autoMerge.enabled" -> "true") {
+        Seq((2L, "b", 5)).toDF("id", "s", "extra").write.format("graft")
+          .mode("append").save(dir)
+      }
+      assert(spark.read.format("graft").load(dir).columns.contains("extra"))
+      t.restore(v0)
+      val restored = spark.read.format("graft").load(dir)
+      assert(!restored.columns.contains("extra"))
+      assert(restored.count() == 1)
+    }
+  }
+
+  test("restore is refused when a needed file was vacuumed") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val v0 = t.snapshot.version
+      t.upsert(Seq((1L, 2)).toDF("id", "v"))
+      t.compaction()
+      withSQLConf("spark.graft.cleanup.retentionCheck.enabled" -> "false") {
+        assert(t.cleanup(retainMillis = 0L).nonEmpty)
+      }
+      val e = intercept[IllegalStateException] { t.restore(v0) }
+      assert(e.getMessage.contains("vacuum"))
+      // table unharmed
+      assert(rowsOf(GraftTable.forPath(spark, dir).toDF) == Seq(Seq(1L, 2)))
+    }
+  }
+
+  test("restore surfaces in the change feed as delete+insert; CALL works") {
+    withTempTable { dir =>
+      Seq(("us", 1)).toDF("c", "n").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val v0 = t.snapshot.version
+      Seq(("de", 2)).toDF("c", "n").write.format("graft").mode("append").save(dir)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      val out = s2.sql(
+        s"CALL spark_catalog.system.restore('$dir', $v0)").collect()
+      assert(out.length == 1)
+      val vR = out.head.getLong(1)
+      val ch = t.changes(vR, vR)
+      assert(ch.groupBy(ChangeFeed.CHANGE_TYPE).count().as[(String, Long)]
+        .collect().toMap == Map("delete" -> 1L))
+      assert(rowsOf(t.toDF) == Seq(Seq("us", 1)))
+      // out-of-range version rejected
+      intercept[IllegalArgumentException] { t.restore(99L) }
+    }
+  }
+}
