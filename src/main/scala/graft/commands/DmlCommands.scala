@@ -321,6 +321,11 @@ object GraftTableFiles {
 
 object CompactionCommand {
 
+  /** Table property declaring persistent clustering columns: every
+    * compaction rewrite (explicit, auto-trigger, scan-heal) re-clusters
+    * on these instead of silently de-clustering a zOrder'ed layout. */
+  val ZORDER_PROPERTY = "graft.zOrderBy"
+
   /** Merge-read each range partition and rewrite it as deduplicated base
     * files (reference `CompactionCommand.scala:38-185`). `force=false`
     * compacts only partitions whose delta-file count reached
@@ -349,11 +354,21 @@ object CompactionCommand {
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
-      if (zOrderBy.nonEmpty) {
+      // explicit zOrderBy wins; otherwise the table's DECLARED clustering
+      // (graft.zOrderBy table property) applies, so auto-trigger and
+      // plain-compaction rewrites keep the layout the table promised
+      // instead of silently de-clustering it
+      val zOrderCols =
+        if (zOrderBy.nonEmpty) zOrderBy
+        else info.configuration.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(ZORDER_PROPERTY) =>
+            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        }.getOrElse(Nil)
+      if (zOrderCols.nonEmpty) {
         require(!info.hasPrimaryKey, "zOrderBy applies to non-PK tables " +
           "(primary-key tables are already clustered and PK-sorted by bucket)")
         val rangeSet = info.rangeColumns.map(_.toLowerCase).toSet
-        zOrderBy.foreach(c => require(!rangeSet.contains(c.toLowerCase),
+        zOrderCols.foreach(c => require(!rangeSet.contains(c.toLowerCase),
           s"zOrderBy column $c is a range-partition column (constant per " +
           "partition; clustering on it is a no-op)"))
       }
@@ -378,7 +393,7 @@ object CompactionCommand {
           if (info.hasPrimaryKey) {
             val deltas = files.count(!_.isBase)
             (force || deltas >= maxDelta) && files.exists(!_.isBase)
-          } else if (zOrderBy.nonEmpty) {
+          } else if (zOrderCols.nonEmpty) {
             files.nonEmpty // clustering rewrites everything selected
           } else {
             files.length > 1 && files.forall(_.size < smallFileMax)
@@ -423,7 +438,7 @@ object CompactionCommand {
             .map(_.toLong).getOrElse(128L * 1024 * 1024)
           val target = math.max(1,
             (oldFiles.map(_.size).sum / targetBytes).toInt)
-          if (zOrderBy.nonEmpty) ZOrder.cluster(df0, zOrderBy, target)
+          if (zOrderCols.nonEmpty) ZOrder.cluster(df0, zOrderCols, target)
           else df0.coalesce(target)
         }
       val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)

@@ -64,6 +64,37 @@ class ProcedureSuite extends GraftFunSuite {
     }
   }
 
+  test("declared graft.zOrderBy: plain compact keeps the clustered layout") {
+    val s2 = sqlSession
+    withTempTable { dir =>
+      s2.sql(s"CREATE TABLE zdecl (a BIGINT, b BIGINT) USING graft " +
+        s"LOCATION '$dir' TBLPROPERTIES ('graft.zOrderBy'='a,b')")
+      try {
+        val rnd = new scala.util.Random(11)
+        val rows = (0 until 2000).map(_ => (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+        import s2.implicits._
+        rows.toDF("a", "b").repartition(4).write.format("graft")
+          .mode("append").save(dir)
+        // PLAIN compact (no zorder args): the declared clustering applies
+        s2.conf.set("spark.graft.compaction.targetFileBytes", "2048")
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        val t = GraftTable.forPath(spark, dir)
+        val files = t.snapshot.files
+        assert(files.length >= 4, s"expected multi-file layout, got ${files.length}")
+        // clustered => per-file [min,max] windows on `a` are narrow for
+        // most files (a shuffled rewrite would give every file ~full range)
+        val narrow = files.count { f =>
+          (for (mn <- f.minValues.get("a"); mx <- f.maxValues.get("a"))
+            yield mx.toLong - mn.toLong < 40L).getOrElse(false)
+        }
+        assert(narrow >= files.length / 2,
+          s"declared clustering not applied: only $narrow/${files.length} " +
+          "files have narrow ranges")
+        assert(spark.read.format("graft").load(dir).count() == 2000)
+      } finally s2.sql("DROP TABLE IF EXISTS zdecl")
+    }
+  }
+
   test("unknown procedure fails loudly; procedures are listable") {
     val s2 = sqlSession
     val e = intercept[Exception] {
