@@ -118,8 +118,14 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val path = resolvePath(spark, str(input, 0).get)
-      graft.commands.RestoreCommand.run(spark, path, input.getLong(1))
-      one(resultScan(versionSchema, versionRow(path)))
+      // a null version slot reads as 0L through getLong — which would
+      // silently rewind to the very first version
+      require(!input.isNullAt(1), "restore: version must not be NULL")
+      val v = graft.commands.RestoreCommand.run(spark, path, input.getLong(1))
+      // report the RESTORE commit's own version (re-reading latestVersion
+      // would race with concurrent writers)
+      one(resultScan(versionSchema,
+        Seq(InternalRow(UTF8String.fromString(path), v))))
     }
   }
 

@@ -319,7 +319,7 @@ object GraftTableFiles {
     graft.sources.GraftRead.readFiles(spark, path, snapshot, files, options)
 }
 
-object CompactionCommand {
+object CompactionCommand extends org.apache.spark.internal.Logging {
 
   /** Table property declaring persistent clustering columns: every
     * compaction rewrite (explicit, auto-trigger, scan-heal) re-clusters
@@ -358,20 +358,42 @@ object CompactionCommand {
       // (graft.zOrderBy table property) applies, so auto-trigger and
       // plain-compaction rewrites keep the layout the table promised
       // instead of silently de-clustering it
-      val zOrderCols =
-        if (zOrderBy.nonEmpty) zOrderBy
-        else info.configuration.collectFirst {
-          case (k, v) if k.equalsIgnoreCase(ZORDER_PROPERTY) =>
-            v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        }.getOrElse(Nil)
-      if (zOrderCols.nonEmpty) {
-        require(!info.hasPrimaryKey, "zOrderBy applies to non-PK tables " +
-          "(primary-key tables are already clustered and PK-sorted by bucket)")
+      val declaredZ = info.configuration.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(ZORDER_PROPERTY) =>
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }.getOrElse(Nil)
+      def zOrderValid(cols: Seq[String], loud: Boolean): Boolean = {
+        def fail(msg: String): Boolean =
+          if (loud) throw new IllegalArgumentException(msg)
+          else { logWarning(s"ignoring declared $ZORDER_PROPERTY: $msg"); false }
         val rangeSet = info.rangeColumns.map(_.toLowerCase).toSet
-        zOrderCols.foreach(c => require(!rangeSet.contains(c.toLowerCase),
-          s"zOrderBy column $c is a range-partition column (constant per " +
-          "partition; clustering on it is a no-op)"))
+        val dataFields = info.dataSchema.fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap
+        if (info.hasPrimaryKey)
+          fail("zOrderBy applies to non-PK tables (primary-key tables are " +
+            "already clustered and PK-sorted by bucket)")
+        else cols.forall { c =>
+          if (rangeSet.contains(c.toLowerCase))
+            fail(s"zOrderBy column $c is a range-partition column " +
+              "(constant per partition; clustering on it is a no-op)")
+          else dataFields.get(c.toLowerCase) match {
+            case None => fail(s"zOrderBy column $c not found")
+            case Some(dt) if !ZOrder.supported(dt) =>
+              fail(s"zOrderBy column $c has unsupported type ${dt.simpleString}")
+            case _ => true
+          }
+        }
       }
+      // EXPLICIT zOrderBy fails loudly on misuse; a DECLARED property that
+      // does not validate is logged and IGNORED — otherwise a bad property
+      // (set before validation existed, or after an ALTER) would turn every
+      // implicit compaction (upsert auto-trigger, read-path scan-heal) into
+      // a runtime failure
+      val zOrderCols =
+        if (zOrderBy.nonEmpty) { zOrderValid(zOrderBy, loud = true); zOrderBy }
+        else if (declaredZ.nonEmpty && zOrderValid(declaredZ, loud = false))
+          declaredZ
+        else Nil
       val maxDelta = spark.conf.getOption("spark.graft.compaction.deltaFileMaxNum")
         .map(_.toInt).getOrElse(5)
       val candidateKeys: Set[String] = rangeKeys match {
@@ -388,13 +410,28 @@ object CompactionCommand {
       val smallFileMax = spark.conf
         .getOption("spark.graft.compaction.smallFileBytes")
         .map(_.toLong).getOrElse(32L * 1024 * 1024)
+      // memoized commit-type lookup for the clustered-already check below
+      val commitTypeOf = scala.collection.mutable.Map.empty[Long, String]
+      def typeOf(v: Long): String = commitTypeOf.getOrElseUpdate(v,
+        SnapshotManagement.store.read(path, v)
+          .flatMap(_.commit).headOption.map(_.commitType).getOrElse(""))
       val toCompact = snapshot.filesByRange.filter { case (key, files) =>
         candidateKeys.contains(key) && {
           if (info.hasPrimaryKey) {
             val deltas = files.count(!_.isBase)
             (force || deltas >= maxDelta) && files.exists(!_.isBase)
           } else if (zOrderCols.nonEmpty) {
-            files.nonEmpty // clustering rewrites everything selected
+            if (zOrderBy.nonEmpty) files.nonEmpty // explicit: always rewrite
+            else {
+              // DECLARED clustering must be idempotent: a partition whose
+              // whole file set came out of ONE compaction rewrite is
+              // already clustered — skipping it keeps scheduled
+              // maintenance from rewriting 100% of the table every run
+              val versions = files.map(_.writeVersion).distinct
+              val alreadyClustered = versions.length == 1 &&
+                files.forall(_.isBase) && typeOf(versions.head) == "compaction"
+              files.nonEmpty && !alreadyClustered
+            }
           } else {
             files.length > 1 && files.forall(_.size < smallFileMax)
           }

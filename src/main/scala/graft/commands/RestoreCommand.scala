@@ -14,7 +14,16 @@ import graft.meta.{GraftTableNotFoundException, Snapshot, SnapshotManagement}
   *
   * Fails loudly when a needed file has already been vacuumed — a restore
   * that silently dropped rows would be worse than no restore. Runs under
-  * the rewrite-transaction conflict rules (restart on concurrent commit).
+  * the rewrite-transaction conflict rules (restart on concurrent commit),
+  * with the rewrite guard FORCED even for adds-only restores.
+  *
+  * Known residual race: the vacuum-existence check runs immediately before
+  * the commit, but `CleanupCommand` takes no transaction, so a cleanup
+  * deleting a restore-target file in that window leaves the restored
+  * snapshot referencing a missing file (reads then fail loudly with
+  * FileNotFound — wrong availability, never wrong data). Closing it needs
+  * vacuum to coordinate through the commit log; until then, do not run
+  * vacuum concurrently with restore.
   */
 object RestoreCommand {
 
@@ -43,8 +52,9 @@ object RestoreCommand {
         }
         val targetPaths = target.files.map(_.path).toSet
         val removes = current.files.filterNot(f => targetPaths.contains(f.path))
-        // adds carry their ORIGINAL writeVersions so merge-on-read ordering
-        // replays exactly as it did at the target version
+        // adds carry their ORIGINAL writeVersions (commit preserves
+        // non-zero stamps) so merge-on-read ordering replays exactly as it
+        // did at the target version
         val adds = {
           val livePaths = current.files.map(_.path).toSet
           target.files.filterNot(f => livePaths.contains(f.path))
@@ -52,7 +62,12 @@ object RestoreCommand {
         val metaChange =
           if (target.tableInfo == current.tableInfo) None
           else Some(target.tableInfo)
-        restored = txn.commit("restore", metaChange, adds, removes)
+        // rewriteGuard: even an adds-only restore (forward restore whose
+        // target is a superset of the live set) shadows concurrent writes
+        // like a rewrite — the conflict window must be checked and the
+        // whole restore restarted on a concurrent commit
+        restored = txn.commit("restore", metaChange, adds, removes,
+          rewriteGuard = true, preserveWriteVersions = true)
       }
     }
     restored

@@ -54,9 +54,11 @@ object Snapshot {
     while (v <= version) {
       store.read(tablePath, v).foreach { e =>
         e.table.foreach(t => tableInfo = t)
-        e.add.foreach { f =>
-          files.put(f.path, if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
-        }
+        // stored writeVersions are authoritative: the commit path stamps
+        // fresh files, and RESTORE deliberately stores originals (possibly
+        // the genuine version-0 stamp) — restamping here would promote a
+        // restored BASE file above the deltas it must merge under
+        e.add.foreach(f => files.put(f.path, f))
         e.remove.foreach(r => files.remove(r.path))
         e.streaming.foreach { s =>
           val cur = streaming.getOrElse(s.queryId, -1L)
@@ -225,12 +227,18 @@ class Transaction(val tablePath: String, store: MetaStore) {
   /** The version the commit will receive if it wins the race right now. */
   def nextVersion: Long = store.latestVersion(tablePath) + 1
 
+  /** `rewriteGuard` forces the rewrite-class conflict rules even when
+    * `removeFiles` is empty — an adds-only RESTORE that resurrects old
+    * files shadows concurrent writes exactly like a rewrite does, and the
+    * remove-set gate alone would wave it through. */
   def commit(
       commitType: String,
       newTableInfo: Option[TableInfo],
       addFiles: Seq[DataFileInfo],
       removeFiles: Seq[DataFileInfo],
-      streaming: Option[StreamingInfo] = None): Long = {
+      streaming: Option[StreamingInfo] = None,
+      rewriteGuard: Boolean = false,
+      preserveWriteVersions: Boolean = false): Long = {
     require(!committed, "transaction already committed")
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -238,7 +246,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
       // Conflict rule 1: removing a file that a concurrent commit already
       // removed (or that never existed) is a real conflict; pure appends
       // (delta/append/streaming) always re-apply cleanly on top.
-      if (removeFiles.nonEmpty && version > 0) {
+      if ((removeFiles.nonEmpty || rewriteGuard) && version > 0) {
         val current = Snapshot.replay(store, tablePath, version - 1)
         val live = current.files.map(_.path).toSet
         val gone = removeFiles.filterNot(f => live.contains(f.path))
@@ -273,7 +281,14 @@ class Transaction(val tablePath: String, store: MetaStore) {
       val entries =
         Seq(LogEntry(commit = Some(CommitInfo(commitType, System.currentTimeMillis())))) ++
         newTableInfo.map(t => LogEntry(table = Some(t))) ++
-        addFiles.map(f => LogEntry(add = Some(f.copy(writeVersion = version)))) ++
+        // RESTORE re-adds old files whose merge-on-read ordering must
+        // replay as ORIGINALLY committed — including a legitimate
+        // writeVersion 0 from the table's first commit, which is why a
+        // plain nonzero check cannot express this; fresh files always
+        // arrive with 0 and get stamped with this commit's version
+        addFiles.map(f => LogEntry(add = Some(
+          if (preserveWriteVersions || f.writeVersion != 0L) f
+          else f.copy(writeVersion = version)))) ++
         removeFiles.map(f => LogEntry(remove = Some(RemoveFileAction(f.path)))) ++
         streaming.map(s => LogEntry(streaming = Some(s)))
       if (store.commit(tablePath, version, entries)) {

@@ -105,13 +105,22 @@ object ChangeFeed {
         Some(tag(post, "insert", v, ts))
       case "delta" =>
         Some(tag(post, "upsert", v, ts))
-      case "overwrite" | "restore" =>
-        // a replacement/rewind is a statement about every changed file:
-        // removed rows delete, (re-)added rows insert
+      case "overwrite" =>
+        // a replacement is a statement about every changed file: removed
+        // rows delete, added rows insert
         val del = if (removePaths.isEmpty) None else Some(tag(pre, "delete", v, ts))
         val ins = if (adds.isEmpty) None else Some(tag(post, "insert", v, ts))
         (del.toSeq ++ ins.toSeq)
           .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      case "restore" =>
+        // file-level diff would lie here: a restore that drops only a
+        // delta file leaves its KEY live at the older base value, so
+        // emitting the delta rows as 'delete' diverges the feed from the
+        // table. Diff the FULL merged snapshots instead — a restore is a
+        // whole-table statement and its feed cost is O(table), honestly.
+        val fullPre = GraftRead.readFiles(spark, path, prevSnap, prevSnap.files)
+        val fullPost = GraftRead.readFiles(spark, path, snap, snap.files)
+        Some(diff(spark, fullPre, fullPost, snap, v, ts, commitType))
       case _ => // update | delete | upsert (merge mode): diff pre vs post
         Some(diff(spark, pre, post, snap, v, ts, commitType))
     }
@@ -164,7 +173,8 @@ object ChangeFeed {
       // not pre-images (a non-PK delete has no per-key identity to pair
       // them with); update/upsert emit pre/post multiset deltas.
       val (preLabel, postLabel) =
-        if (commitType == "delete") ("delete", "insert")
+        if (commitType == "delete" || commitType == "restore")
+          ("delete", "insert")
         else ("update_preimage", "update_postimage")
       tag(pre.exceptAll(post), preLabel, v, ts)
         .unionByName(tag(post.exceptAll(pre), postLabel, v, ts))

@@ -95,6 +95,43 @@ class ProcedureSuite extends GraftFunSuite {
     }
   }
 
+  test("declared clustering is idempotent and never breaks implicit paths") {
+    val s2 = sqlSession
+    withTempTable { dir =>
+      import s2.implicits._
+      s2.sql(s"CREATE TABLE zidem (a BIGINT, b BIGINT) USING graft " +
+        s"LOCATION '$dir' TBLPROPERTIES ('graft.zOrderBy'='a,b')")
+      try {
+        (1L to 500L).map(i => (i % 64, i / 64)).toDF("a", "b")
+          .repartition(3).write.format("graft").mode("append").save(dir)
+        s2.conf.set("spark.graft.compaction.targetFileBytes", "2048")
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        val v1 = GraftTable.forPath(spark, dir).snapshot.version
+        // second compact with no new data: already clustered -> NO rewrite
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        assert(GraftTable.forPath(spark, dir).snapshot.version == v1,
+          "declared-clustering compact must be idempotent")
+      } finally s2.sql("DROP TABLE IF EXISTS zidem")
+    }
+    // a BOGUS declared property on a PK table is ignored with a warning —
+    // upserts (auto-compaction) and compaction keep working
+    withTempTable { dir =>
+      import spark.implicits._
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val snap = GraftTable.forPath(spark, dir).snapshot
+      // plant the invalid property directly (simulates a pre-validation log)
+      graft.meta.SnapshotManagement.withNewTransaction(dir) { txn =>
+        txn.commit("alter", Some(snap.tableInfo.copy(configuration =
+          snap.tableInfo.configuration + ("graft.zOrderBy" -> "v"))), Nil, Nil)
+      }
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 2)).toDF("id", "v"))
+      t.compaction() // must not throw
+      assert(rowsOf(t.toDF) == Seq(Seq(1L, 2)))
+    }
+  }
+
   test("unknown procedure fails loudly; procedures are listable") {
     val s2 = sqlSession
     val e = intercept[Exception] {

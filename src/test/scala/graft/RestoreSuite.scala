@@ -33,6 +33,47 @@ class RestoreSuite extends GraftFunSuite {
     }
   }
 
+  test("restore preserves writeVersions: re-added delta stack merges in " +
+      "original order") {
+    withTempTable { dir =>
+      Seq((1L, "v0")).toDF("id", "s").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, "v1")).toDF("id", "s")) // delta 1
+      t.upsert(Seq((1L, "v2")).toDF("id", "s")) // delta 2 — newest must win
+      val vPreCompact = t.snapshot.version
+      t.compaction()
+      // restore re-adds base + both deltas; if commit restamped their
+      // writeVersions to the restore version, merge order would fall back
+      // to file-path sort and an older value could win
+      t.restore(vPreCompact)
+      val snap = GraftTable.forPath(spark, dir).snapshot
+      assert(snap.files.map(_.writeVersion).distinct.length > 1,
+        "restored files must keep their ORIGINAL writeVersions")
+      assert(GraftTable.forPath(spark, dir).toDF
+        .select("s").as[String].collect().toSeq == Seq("v2"))
+    }
+  }
+
+  test("PK restore dropping only a delta emits update pre/post, not a " +
+      "spurious delete") {
+    withTempTable { dir =>
+      Seq((1L, 10)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 99)).toDF("id", "v"))
+      val vR = t.restore(t.snapshot.version - 1)
+      // the key is STILL LIVE at the older value: the feed must say
+      // update(99 -> 10), not delete(99)
+      val ch = t.changes(vR, vR)
+      val got = ch.select(col(ChangeFeed.CHANGE_TYPE), $"v")
+        .as[(String, Int)].collect().toSet
+      assert(got == Set(("update_preimage", 99), ("update_postimage", 10)),
+        s"got $got")
+      assert(rowsOf(t.toDF) == Seq(Seq(1L, 10)))
+    }
+  }
+
   test("restore reverts schema evolution along with the data") {
     withTempTable { dir =>
       Seq((1L, "a")).toDF("id", "s").write.format("graft").save(dir)
