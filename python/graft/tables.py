@@ -79,6 +79,11 @@ class GraftTable(object):
         preserved). Returns the restore commit's version."""
         return self._jbridge.restore(self._jtable, int(version))
 
+    def restoreToTimestamp(self, timestamp):
+        """Rewind to the newest version committed at or before
+        ``timestamp`` (timestamp string, yyyyMMdd date, or epoch millis)."""
+        return self._jbridge.restoreToTimestamp(self._jtable, str(timestamp))
+
     def changes(self, startVersion, endVersion=-1):
         """Change Data Feed over ``[startVersion, endVersion]``.
 

@@ -202,7 +202,7 @@ object GraftTableV2 {
     * digits), so they fall through to the numeric branch unharmed.
     * Wall-clock strings resolve in the SESSION timezone
     * (`spark.sql.session.timeZone`), not the JVM default. */
-  private[sources] def parseTs(spark: SparkSession, s: String): Long = {
+  private[graft] def parseTs(spark: SparkSession, s: String): Long = {
     val t = s.trim
     lazy val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
       .getZoneId(org.apache.spark.sql.classic.ClassicConversions

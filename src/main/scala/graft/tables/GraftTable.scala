@@ -91,6 +91,15 @@ class GraftTable private (spark: SparkSession, val path: String) {
     * the restore commit's version. */
   def restore(version: Long): Long = RestoreCommand.run(spark, path, version)
 
+  /** Rewind to the newest version committed at or before `timestamp`
+    * (accepts the same forms as the `timestampAsOf` read option: timestamp
+    * strings, yyyyMMdd dates, epoch millis). */
+  def restoreToTimestamp(timestamp: String): Long = {
+    val snap = SnapshotManagement.snapshotAtTimestamp(path,
+      graft.sources.GraftTableV2.parseTs(spark, timestamp))
+    restore(snap.version)
+  }
+
   /** Remove files no longer referenced by the latest snapshot. */
   def cleanup(retainMillis: Long = 5L * 3600 * 1000, dryRun: Boolean = false): Seq[String] =
     CleanupCommand.run(spark, path, retainMillis, dryRun)

@@ -32,6 +32,9 @@ object PyBridge {
 
   def restore(t: GraftTable, version: Long): Long = t.restore(version)
 
+  def restoreToTimestamp(t: GraftTable, ts: String): Long =
+    t.restoreToTimestamp(ts)
+
   def upsert(t: GraftTable, source: DataFrame): Unit = t.upsert(source)
 
   def upsert(t: GraftTable, source: DataFrame, mode: String): Unit =

@@ -74,6 +74,21 @@ class RestoreSuite extends GraftFunSuite {
     }
   }
 
+  test("restoreToTimestamp resolves against commit times") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val afterV0 = System.currentTimeMillis()
+      Thread.sleep(20)
+      Seq((2L, 2)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+      assert(t.toDF.count() == 2)
+      t.restoreToTimestamp(afterV0.toString) // epoch-millis form
+      assert(GraftTable.forPath(spark, dir).toDF.count() == 1)
+      // a timestamp older than the table is rejected upstream
+      intercept[Exception] { t.restoreToTimestamp("19700102") }
+    }
+  }
+
   test("restore reverts schema evolution along with the data") {
     withTempTable { dir =>
       Seq((1L, "a")).toDF("id", "s").write.format("graft").save(dir)
