@@ -74,6 +74,36 @@ class RestoreSuite extends GraftFunSuite {
     }
   }
 
+  test("adds-only restore detects a concurrent commit (rewriteGuard)") {
+    withTempTable { dir =>
+      Seq((1L, 10)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 99)).toDF("id", "v")) // v1: delta d1
+      t.restore(0)                            // v2: removes d1
+      // hand-stage the adds-only restore-to-v1 (adds=[d1], removes=[]),
+      // let a concurrent upsert commit in the window, then commit: the
+      // rewrite guard must flag the conflict instead of silently
+      // shadowing the concurrent write with the resurrected delta
+      val store = graft.meta.SnapshotManagement.store
+      val txn = new graft.meta.Transaction(t.path, store)
+      val current = txn.snapshotOpt.get // pins the read version
+      val target = graft.meta.Snapshot.replay(store, t.path, 1L)
+      val live = current.files.map(_.path).toSet
+      val adds = target.files.filterNot(f => live.contains(f.path))
+      assert(adds.nonEmpty && adds.forall(_.writeVersion > 0L))
+      t.upsert(Seq((1L, 55)).toDF("id", "v")) // concurrent commit
+      intercept[graft.meta.GraftConcurrentModificationException] {
+        txn.commit("restore", None, adds, Nil,
+          rewriteGuard = true, preserveWriteVersions = true)
+      }
+      // the PUBLIC API restarts from a fresh snapshot and wins cleanly
+      t.restore(1L)
+      assert(GraftTable.forPath(spark, dir).toDF
+        .select("v").as[Int].collect().toSeq == Seq(99))
+    }
+  }
+
   test("restoreToTimestamp resolves against commit times") {
     withTempTable { dir =>
       Seq((1L, 1)).toDF("id", "v").write.format("graft").save(dir)
