@@ -1,7 +1,6 @@
 package graft.commands
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -516,27 +515,15 @@ object CleanupCommand {
     }
     val path = SnapshotManagement.normalize(tablePath)
     val snapshot = SnapshotManagement.snapshot(path)
-    val live = snapshot.files.map(f => s"$path/${f.path}").toSet
     val cutoff = System.currentTimeMillis() - retainMillis
-    val root = Paths.get(path)
-
-    def orphansUnder(start: java.nio.file.Path,
-        liveSet: Set[String], doDelete: Boolean): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      val stream = java.nio.file.Files.walk(start)
-      try {
-        stream.forEach { p =>
-          val name = p.getFileName.toString
-          if (name.endsWith(".parquet") && Files.isRegularFile(p) &&
-              !liveSet.contains(p.toString) &&
-              Files.getLastModifiedTime(p).toMillis < cutoff) {
-            out += p.toString
-            if (doDelete) Files.deleteIfExists(p)
-          }
-        }
-      } finally stream.close()
-      out.result()
-    }
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      graft.write.GraftFs.conf(spark))
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hconf.value)
+    // live set keyed by FULLY-QUALIFIED path string so the listed files
+    // (qualified by the same FileSystem) compare exactly
+    val live = snapshot.files
+      .map(f => fs.makeQualified(new HPath(root, f.path)).toString).toSet
 
     // Driver lists only the table root (metadata-scale: one entry per range
     // partition plus root-level files); each partition directory's walk and
@@ -544,76 +531,93 @@ object CleanupCommand {
     // per partition the driver never enumerates data files (reference
     // parallelizes at cleanup.parallelism=200, `utils/FileOperation.scala`).
     val skip = Set(graft.meta.FsMetaStore.LOG_DIR_NAME, "_graft_staging")
-    val entries = {
-      val s = Files.list(root)
-      try {
-        val b = Seq.newBuilder[java.nio.file.Path]
-        s.forEach(p => if (!skip.contains(p.getFileName.toString)) b += p)
-        b.result()
-      } finally s.close()
-    }
-    val (dirs, rootFiles) = entries.partition(Files.isDirectory(_))
-    val rootDeleted = rootFiles.filter(_.toString.endsWith(".parquet"))
-      .flatMap(p => orphansUnder(p, live, !dryRun))
+    val entries = fs.listStatus(root).toSeq
+      .filterNot(st => skip.contains(st.getPath.getName))
+    val (dirs, rootFiles) = entries.partition(_.isDirectory)
+    val rootDeleted = rootFiles
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !live.contains(fs.makeQualified(st.getPath).toString) &&
+        st.getModificationTime < cutoff)
+      .map { st =>
+        if (!dryRun) fs.delete(st.getPath, false)
+        st.getPath.toUri.getPath
+      }
     val dirDeleted =
       if (dirs.isEmpty) Nil
       else {
         val liveB = spark.sparkContext.broadcast(live)
         val doDelete = !dryRun
         spark.sparkContext
-          .parallelize(dirs.map(_.toString), math.min(dirs.size, 64))
-          .flatMap(d => orphansUnder(Paths.get(d), liveB.value, doDelete))
+          .parallelize(dirs.map(_.getPath.toUri.toString),
+            math.min(dirs.size, 64))
+          .flatMap(d => orphansUnder(new HPath(d), hconf.value, liveB.value,
+            cutoff, doDelete))
           .collect().toSeq
       }
-    rootDeleted ++ dirDeleted ++ vacuumStaging(root, cutoff, dryRun)
+    rootDeleted ++ dirDeleted ++ vacuumStaging(fs, root, cutoff, dryRun)
   }
 
-  /** Parquet staged by a write that crashed BEFORE moving files into the
-    * table layout lives only under `_graft_staging/<id>/` — no snapshot
-    * ever references it, so the main walk (which skips the staging dir to
-    * protect in-flight writes) would leak it forever.
-    *
-    * Liveness = the NEWEST mtime of anything under the dir, not the dir's
-    * own mtime: Spark writes through `_temporary/` and only renames into
-    * place at job commit, so the dir mtime reflects job START — a healthy
-    * write running longer than the retention window would look dead by
-    * that measure. A live job keeps producing task files, so its newest
-    * entry stays fresh; only a dir whose every entry predates the cutoff
-    * belongs to a dead writer. */
-  private def vacuumStaging(
-      root: java.nio.file.Path, cutoff: Long, dryRun: Boolean): Seq[String] = {
-    val stagingRoot = root.resolve("_graft_staging")
-    if (!Files.isDirectory(stagingRoot)) return Nil
-    val txnDirs = {
-      val s = Files.list(stagingRoot)
-      try {
-        val b = Seq.newBuilder[java.nio.file.Path]
-        s.forEach(b += _)
-        b.result()
-      } finally s.close()
+  /** Walk `start` via Hadoop FS; delete (or report) dead orphans. Runs on
+    * EXECUTORS — one task per partition directory. */
+  private def orphansUnder(
+      start: HPath,
+      conf: org.apache.hadoop.conf.Configuration,
+      liveSet: Set[String],
+      cutoff: Long,
+      doDelete: Boolean): Seq[String] = {
+    val fs = start.getFileSystem(conf)
+    if (!fs.exists(start)) return Nil
+    val out = Seq.newBuilder[String]
+    try {
+      val it = fs.listFiles(start, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (p.getName.endsWith(".parquet") &&
+            !liveSet.contains(fs.makeQualified(p).toString) &&
+            st.getModificationTime < cutoff) {
+          out += p.toUri.getPath
+          if (doDelete) try fs.delete(p, false) catch { case _: Exception => }
+        }
+      }
+    } catch {
+      // dir vanished mid-walk (concurrent drop/compaction cleanup): done
+      case _: java.io.FileNotFoundException =>
     }
-    txnDirs.flatMap { d =>
-      // A writer may finalize (rename files out + delete its dir) between
-      // our list and walk — entries vanishing mid-walk mean the dir is LIVE,
-      // so skip it rather than abort the whole cleanup run.
+    out.result()
+  }
+
+  /** Legacy staging dirs (`_graft_staging/<id>/`) from writers predating
+    * the direct-to-final [[graft.write.GraftCommitProtocol]]: no snapshot
+    * ever references them, so the main walk (which skips the staging root)
+    * would leak them forever. Liveness = the NEWEST mtime of anything under
+    * the dir — only a dir whose every entry predates the cutoff belongs to
+    * a dead writer. */
+  private def vacuumStaging(
+      fs: FileSystem, root: HPath, cutoff: Long, dryRun: Boolean): Seq[String] = {
+    val stagingRoot = new HPath(root, "_graft_staging")
+    if (!fs.exists(stagingRoot)) return Nil
+    fs.listStatus(stagingRoot).toSeq.flatMap { d =>
+      // A writer may finalize (delete its dir) between our list and walk —
+      // entries vanishing mid-walk mean the dir is LIVE; skip it rather
+      // than abort the whole cleanup run.
       try {
-        var newest = Files.getLastModifiedTime(d).toMillis
+        var newest = d.getModificationTime
         val staged = Seq.newBuilder[String]
-        val walk = Files.walk(d)
-        try walk.forEach { p =>
-          newest = math.max(newest, Files.getLastModifiedTime(p).toMillis)
-          if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-            staged += p.toString
-        } finally walk.close()
+        val it = fs.listFiles(d.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          newest = math.max(newest, st.getModificationTime)
+          if (st.getPath.getName.endsWith(".parquet"))
+            staged += st.getPath.toUri.getPath
+        }
         if (newest >= cutoff) Nil
         else {
-          if (!dryRun) graft.write.TransactionalWrite.deleteRecursively(d)
+          if (!dryRun) fs.delete(d.getPath, true)
           staged.result()
         }
       } catch {
-        case _: java.nio.file.NoSuchFileException => Nil
-        case e: java.io.UncheckedIOException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Nil
+        case _: java.io.FileNotFoundException => Nil
       }
     }
   }
@@ -622,11 +626,13 @@ object CleanupCommand {
 object DropCommands {
 
   /** Drop the whole table: metadata first, then data (reference
-    * `DropTableCommand.scala`). */
+    * `DropTableCommand.scala`). Data delete goes through Hadoop FS so
+    * object-store table roots drop the same way local ones do. */
   def dropTable(tablePath: String): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.invalidate(path)
-    TransactionalWrite.deleteRecursively(Paths.get(path))
+    graft.write.GraftFs.deleteRecursively(
+      org.apache.spark.sql.SparkSession.active, path)
   }
 
   /** Drop one range partition (metadata removal; data via cleanup). */

@@ -41,9 +41,11 @@ object RestoreCommand {
       } else {
         val target = Snapshot.replay(store, path, version)
         // every restored file must still exist — vacuum may have reclaimed
-        // files that only old versions referenced
-        val missing = target.files.filterNot(f =>
-          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/${f.path}")))
+        // files that only old versions referenced; the sweep runs through
+        // Hadoop FS (distributed for large manifests)
+        val missingPaths = graft.write.GraftFs
+          .missing(spark, path, target.files.map(_.path)).toSet
+        val missing = target.files.filter(f => missingPaths.contains(f.path))
         if (missing.nonEmpty) {
           throw new IllegalStateException(
             s"cannot restore $path to version $version: ${missing.length} " +

@@ -49,6 +49,11 @@ object FileStats {
   // collection (write/commit path)
   // ------------------------------------------------------------------
 
+  /** Test spy: footer reads issued from the DRIVER (no TaskContext). The
+    * commit path collects stats executor-side ([[graft.write.GraftCommitProtocol]]);
+    * a driver-side read appearing here is a scale regression. */
+  private[graft] val driverReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Read `file`'s parquet footer and aggregate per-column stats across
     * its row groups. Returns (numRecords, mins, maxs, nullCounts) in the
     * manifest encoding. Any failure degrades to "no stats". */
@@ -58,6 +63,7 @@ object FileStats {
       schema: StructType,
       maxCols: Int = DEFAULT_MAX_COLS):
       (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
+    if (org.apache.spark.TaskContext.get() == null) driverReads.incrementAndGet()
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -108,10 +114,16 @@ object FileStats {
     case _ => false
   }
 
-  /** Parquet footer value -> manifest string; null = not encodable. */
+  /** Parquet footer value -> manifest string; null = not encodable.
+    * Signed zero is normalized to +0.0: Spark compares -0.0 == 0.0 equal,
+    * but the manifest comparisons below use `Double.compare` (total order,
+    * -0.0 < 0.0) — an un-normalized -0.0 max would skip files that match
+    * `d = 0.0` (Delta's stats collection normalizes the same way). */
   private def encode(v: AnyRef, dt: DataType): String = (v, dt) match {
     case (n: Number, FloatType | DoubleType) =>
-      val d = n.doubleValue(); if (d.isNaN) null else d.toString
+      val d0 = n.doubleValue()
+      if (d0.isNaN) null
+      else { val d = if (d0 == 0.0) 0.0 else d0; d.toString }
     case (n: Number, _) => n.toString // int-family, date days, ts micros
     case (b: java.lang.Boolean, BooleanType) => b.toString
     case (b: Binary, StringType) =>
@@ -236,7 +248,8 @@ object FileStats {
     try dt match {
       case ByteType | ShortType | IntegerType | LongType |
            DateType | TimestampType | TimestampNTZType => Some(s.toLong)
-      case FloatType | DoubleType => Some(s.toDouble)
+      case FloatType | DoubleType => // normalize -0.0 (old manifests)
+        val d = s.toDouble; Some(if (d == 0.0) 0.0 else d)
       case BooleanType => Some(s.toBoolean)
       case StringType => Some(s)
       case _ => None
@@ -248,7 +261,8 @@ object FileStats {
     case (null, _) => None
     case (n: Number, ByteType | ShortType | IntegerType | LongType) =>
       Some(n.longValue())
-    case (n: Number, FloatType | DoubleType) => Some(n.doubleValue())
+    case (n: Number, FloatType | DoubleType) => // -0.0 == 0.0 in Spark
+      val d = n.doubleValue(); Some(if (d == 0.0) 0.0 else d)
     case (b: Boolean, BooleanType) => Some(b)
     case (s: String, StringType) => Some(s)
     case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileStats
+import graft.tables.GraftTable
+
+/** The delayed-commit write path: tasks write DIRECTLY to final locations
+  * through Hadoop FileSystem, footer stats are collected EXECUTOR-side and
+  * shipped back in task-commit messages — the driver never opens a data
+  * file (reference `star/DelayedCommitProtocol.scala:37-151` shape).
+  */
+class WriteProtocolSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("commit path performs zero driver-side footer reads") {
+    withTempTable { dir =>
+      FileStats.driverReads.set(0L)
+      // non-PK partitioned write
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
+        .toDF("id", "part", "v")
+        .write.format("graft").option("rangePartitions", "part").save(dir)
+      // PK write spanning several range partitions + delta upsert + compaction
+      val pk = s"$dir-pk"
+      try {
+        (1L to 200L).map(i => (i, s"r${i % 5}", i * 2))
+          .toDF("id", "part", "v")
+          .write.format("graft")
+          .option("rangePartitions", "part")
+          .option("hashPartitions", "id")
+          .option("hashBucketNum", "4")
+          .save(pk)
+        val t = GraftTable.forPath(spark, pk)
+        t.upsert(Seq((7L, "r2", 777L)).toDF("id", "part", "v"))
+        t.compaction(force = true)
+        // stats WERE collected (executor-side), not skipped
+        val files = GraftTable.forPath(spark, pk).snapshot.files
+        assert(files.exists(_.numRecords > 0), "footer stats missing")
+        assert(files.exists(_.minValues.nonEmpty), "min/max stats missing")
+        assert(FileStats.driverReads.get() == 0L,
+          s"${FileStats.driverReads.get()} footer read(s) ran on the driver")
+      } finally graft.commands.DropCommands.dropTable(pk)
+    }
+  }
+
+  test("multi-range PK write is ONE job set, bucket-per-task layout") {
+    withTempTable { dir =>
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      val df = (1L to 400L).map(i => (i, s"p${i % 8}", s"v$i"))
+        .toDF("id", "part", "v")
+      df.count() // materialize input lazily-cached nothing; warm planning
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        df.write.format("graft")
+          .option("rangePartitions", "part")
+          .option("hashPartitions", "id")
+          .option("hashBucketNum", "4")
+          .save(dir)
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // a job-per-range-partition loop would be >= 8 jobs (+1 for the
+      // distinct-ranges collect); the single-pass write stays at <= 3
+      // (shuffle materialization + write job, AQE may add one)
+      assert(jobs.get() <= 3, s"write ran ${jobs.get()} jobs for 8 ranges")
+
+      val files = GraftTable.forPath(spark, dir).snapshot.files
+      assert(files.forall(_.bucket >= 0))
+      assert(files.forall(_.partitionValues.keySet == Set("part")))
+      // at most one file per (range, bucket): the dynamic writer splits
+      // task k's run of sorted rows once per range value
+      val keys = files.map(f => (f.rangeKey, f.bucket))
+      assert(keys.distinct.length == keys.length,
+        s"duplicate (range, bucket) files: $keys")
+      assert(files.map(_.partitionValues("part")).distinct.length == 8)
+      // readback intact (range cols re-appear last on read; reorder)
+      val got = spark.read.format("graft").load(dir).select("id", "part", "v")
+      assertSameRows(got, df)
+      // no staging directory is ever created
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_graft_staging")))
+    }
+  }
+
+  test("empty write to a PK table still commits (no range cols)") {
+    withTempTable { dir =>
+      (1L to 10L).map(i => (i, i)).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val before = t.snapshot.version
+      // overwrite with empty: result table must read back empty
+      spark.emptyDataset[(Long, Long)].toDF("id", "v")
+        .write.format("graft").mode("overwrite")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      assert(spark.read.format("graft").load(dir).count() == 0L)
+      assert(GraftTable.forPath(spark, dir).snapshot.version > before)
+    }
+  }
+
+  test("file names carry bucket id and are collision-free across jobs") {
+    withTempTable { dir =>
+      val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      df1.write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      GraftTable.forPath(spark, dir).upsert(Seq((1L, "a2")).toDF("id", "v"))
+      val files = GraftTable.forPath(spark, dir).snapshot.files
+      assert(files.map(_.path).distinct.length == files.length)
+      files.foreach { f =>
+        assert(f.path.contains(f"-b${f.bucket}%05d"),
+          s"bucket id missing from name: ${f.path}")
+        assert(f.path.endsWith(".parquet"))
+        assert(f.size > 0)
+      }
+    }
+  }
+}
