@@ -409,11 +409,15 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
       val smallFileMax = spark.conf
         .getOption("spark.graft.compaction.smallFileBytes")
         .map(_.toLong).getOrElse(32L * 1024 * 1024)
-      // memoized commit-type lookup for the clustered-already check below
-      val commitTypeOf = scala.collection.mutable.Map.empty[Long, String]
-      def typeOf(v: Long): String = commitTypeOf.getOrElseUpdate(v,
-        SnapshotManagement.store.read(path, v)
-          .flatMap(_.commit).headOption.map(_.commitType).getOrElse(""))
+      // memoized lookup of the clustering a commit RECORDED
+      // (CommitInfo.clusterBy) for the clustered-already check below —
+      // commit-type inference cannot tell a z-ordered rewrite from a plain
+      // bin-pack, so it wrongly skipped partitions compacted before the
+      // property was declared
+      val clusterByCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      def clusterByOf(v: Long): Seq[String] = clusterByCache.getOrElseUpdate(v,
+        SnapshotManagement.store.read(path, v).flatMap(_.commit).headOption
+          .map(_.clusterBy.map(_.toLowerCase)).getOrElse(Nil))
       val toCompact = snapshot.filesByRange.filter { case (key, files) =>
         candidateKeys.contains(key) && {
           if (info.hasPrimaryKey) {
@@ -423,12 +427,15 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
             if (zOrderBy.nonEmpty) files.nonEmpty // explicit: always rewrite
             else {
               // DECLARED clustering must be idempotent: a partition whose
-              // whole file set came out of ONE compaction rewrite is
-              // already clustered — skipping it keeps scheduled
-              // maintenance from rewriting 100% of the table every run
+              // whole file set came out of ONE rewrite that RECORDED these
+              // clustering columns is already clustered — skipping it keeps
+              // scheduled maintenance from rewriting 100% of the table
+              // every run, while partitions compacted under a different
+              // (or no) clustering still get rewritten once
               val versions = files.map(_.writeVersion).distinct
               val alreadyClustered = versions.length == 1 &&
-                files.forall(_.isBase) && typeOf(versions.head) == "compaction"
+                files.forall(_.isBase) &&
+                clusterByOf(versions.head) == zOrderCols.map(_.toLowerCase)
               files.nonEmpty && !alreadyClustered
             }
           } else {
@@ -478,7 +485,7 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
           else df0.coalesce(target)
         }
       val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
-      txn.commit("compaction", None, files, oldFiles)
+      txn.commit("compaction", None, files, oldFiles, clusterBy = zOrderCols)
     }
   }
 }
@@ -491,12 +498,50 @@ object CleanupCommand {
     * set is large; here the dir tree comes from range partitions
     * (metadata-scale), so a driver walk suffices at any table size because
     * the walk is per-partition-dir, not per-row.
+    *
+    * The delete phase runs UNDER THE COMMIT LOG: vacuum first commits a
+    * `vacuum` marker carrying a wall-clock lease (`CommitInfo.leaseUntil`)
+    * with `strictWindow` conflict rules — ANY commit since the pinned
+    * snapshot (a restore re-referencing old files, above all) restarts the
+    * whole vacuum from a fresh snapshot BEFORE anything is deleted. While
+    * the lease is open, RESTORE fails cleanly ("vacuum in progress"), so
+    * the old restore-vs-vacuum TOCTOU window is closed from both sides.
+    * Deletion ends with a `vacuum_end` marker releasing the lease (also on
+    * failure); a vacuum that dies mid-delete blocks restores only until
+    * the lease expires. Appends/rewrites are never blocked: their files
+    * are younger than the retention cutoff by the MIN_RETAIN floor.
     */
   /** Default retention: 5 hours, matching `GraftTable.cleanup`. */
   val DEFAULT_RETAIN_MILLIS: Long = 5L * 3600 * 1000
-  /** Retention floor: below this an in-flight write (files move into the
+  /** Retention floor: below this an in-flight write (files land in the
     * table layout BEFORE the metadata commit) could be vacuumed away. */
   val MIN_RETAIN_MILLIS: Long = 3600 * 1000L
+  /** Default delete-phase lease (conf `spark.graft.cleanup.leaseMillis`). */
+  val DEFAULT_LEASE_MILLIS: Long = 15L * 60 * 1000
+  /** Leases never exceed this; also bounds the lease-scan horizon. */
+  val MAX_LEASE_MILLIS: Long = 24L * 3600 * 1000
+
+  /** The open, unexpired vacuum lease at or below `fromVersion`, if any:
+    * (markerVersion, leaseUntil). Scans DOWN from `fromVersion` and stops
+    * at the first vacuum/vacuum_end marker or at commits too old to hold a
+    * live lease — O(commits since the last vacuum), not O(log). */
+  def activeLease(
+      store: graft.meta.MetaStore, path: String, fromVersion: Long,
+      nowMs: Long): Option[(Long, Long)] = {
+    val horizon = nowMs - MAX_LEASE_MILLIS
+    var v = fromVersion
+    while (v >= 0) {
+      store.read(path, v).flatMap(_.commit).headOption match {
+        case Some(ci) if ci.commitType == "vacuum_end" => return None
+        case Some(ci) if ci.commitType == "vacuum" =>
+          return if (ci.leaseUntil > nowMs) Some((v, ci.leaseUntil)) else None
+        case Some(ci) if ci.timestamp < horizon => return None
+        case _ =>
+      }
+      v -= 1
+    }
+    None
+  }
 
   def run(
       spark: SparkSession,
@@ -514,7 +559,35 @@ object CleanupCommand {
         "spark.graft.cleanup.retentionCheck.enabled=false to override")
     }
     val path = SnapshotManagement.normalize(tablePath)
-    val snapshot = SnapshotManagement.snapshot(path)
+    if (dryRun) {
+      // read-only: no lease, sweep against the latest snapshot
+      return sweep(spark, path, SnapshotManagement.snapshot(path),
+        retainMillis, dryRun = true)
+    }
+    val leaseMillis = math.min(MAX_LEASE_MILLIS,
+      spark.conf.getOption("spark.graft.cleanup.leaseMillis")
+        .map(_.toLong).getOrElse(DEFAULT_LEASE_MILLIS))
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      // the marker commit is the serialization point: it wins or the whole
+      // vacuum restarts against a fresh snapshot — never deletes on stale
+      // state
+      txn.commit("vacuum", None, Nil, Nil,
+        strictWindow = true,
+        leaseUntil = System.currentTimeMillis() + leaseMillis)
+      try sweep(spark, path, snapshot, retainMillis, dryRun = false)
+      finally SnapshotManagement.withNewTransaction(path)(
+        _.commit("vacuum_end", None, Nil, Nil))
+    }
+  }
+
+  private def sweep(
+      spark: SparkSession,
+      path: String,
+      snapshot: Snapshot,
+      retainMillis: Long,
+      dryRun: Boolean): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retainMillis
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       graft.write.GraftFs.conf(spark))

@@ -17,13 +17,15 @@ import graft.meta.{GraftTableNotFoundException, Snapshot, SnapshotManagement}
   * the rewrite-transaction conflict rules (restart on concurrent commit),
   * with the rewrite guard FORCED even for adds-only restores.
   *
-  * Known residual race: the vacuum-existence check runs immediately before
-  * the commit, but `CleanupCommand` takes no transaction, so a cleanup
-  * deleting a restore-target file in that window leaves the restored
-  * snapshot referencing a missing file (reads then fail loudly with
-  * FileNotFound — wrong availability, never wrong data). Closing it needs
-  * vacuum to coordinate through the commit log; until then, do not run
-  * vacuum concurrently with restore.
+  * Restore-vs-vacuum serializes THROUGH THE COMMIT LOG: vacuum commits a
+  * leased `vacuum` marker before its delete phase (`CleanupCommand`), so
+  *  - a restore that pins its snapshot BEFORE the marker loses the commit
+  *    CAS to it, restarts, sees the open lease and fails cleanly;
+  *  - a restore that pins AFTER the marker sees the lease directly;
+  *  - a restore that COMMITS first invalidates the vacuum's strict-window
+  *    marker, restarting the vacuum against the restored file set.
+  * Either loser stops BEFORE deleting/committing — a vacuum can no longer
+  * delete a file between this command's existence check and its commit.
   */
 object RestoreCommand {
 
@@ -36,6 +38,17 @@ object RestoreCommand {
         throw new GraftTableNotFoundException(path))
       require(version >= 0 && version <= current.version,
         s"restore version $version out of range [0, ${current.version}] for $path")
+      // an open vacuum lease means a delete phase may be running — the
+      // existence check below could pass for a file that dies moments
+      // later; fail cleanly instead (a marker committing AFTER this check
+      // is caught by the commit CAS + rewrite restart, which re-runs it)
+      CleanupCommand.activeLease(store, path, current.version,
+          System.currentTimeMillis()).foreach { case (v, until) =>
+        throw new IllegalStateException(
+          s"cannot restore $path: vacuum in progress (lease committed at " +
+          s"v$v, expires ${java.time.Instant.ofEpochMilli(until)}); retry " +
+          "after it completes")
+      }
       if (version == current.version) {
         restored = version // no-op restore
       } else {

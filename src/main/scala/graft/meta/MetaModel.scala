@@ -80,13 +80,28 @@ object DataFileInfo {
 
 /** Commit metadata (one per log entry). `commitType` follows the reference's
   * commit taxonomy (`meta/MetaCommit.scala`): append | overwrite | delta |
-  * compaction | update | delete | streaming.
+  * compaction | update | delete | streaming — plus `vacuum`/`vacuum_end`
+  * marker pairs that serialize cleanup against restore.
+  *
+  * `leaseUntil` (vacuum markers only): wall-clock expiry of the vacuum's
+  * delete-phase lease — restores fail cleanly while an unexpired lease is
+  * open, so a vacuum can never delete a file a concurrent restore is about
+  * to re-reference. Old log entries deserialize with the default (no lease).
+  *
+  * `clusterBy` (compaction commits): the clustering columns this rewrite
+  * applied (empty = plain bin-pack/merge). Declared-clustering idempotence
+  * compares these RECORDED columns against the table's current
+  * `graft.zOrderBy` — commit-type inference could not distinguish a
+  * z-ordered rewrite from a bin-pack, so partitions compacted before the
+  * property was declared were wrongly treated as already clustered.
   */
 case class CommitInfo(
     commitType: String,
     timestamp: Long,
     appId: String = "",
-    comment: String = "")
+    comment: String = "",
+    leaseUntil: Long = 0L,
+    clusterBy: Seq[String] = Nil)
 
 /** Exactly-once bookkeeping for the streaming sink: highest batch id
   * committed per streaming query (reference `meta/StreamingRecord.scala:41-57`).

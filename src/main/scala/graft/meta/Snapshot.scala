@@ -230,7 +230,15 @@ class Transaction(val tablePath: String, store: MetaStore) {
   /** `rewriteGuard` forces the rewrite-class conflict rules even when
     * `removeFiles` is empty — an adds-only RESTORE that resurrects old
     * files shadows concurrent writes exactly like a rewrite does, and the
-    * remove-set gate alone would wave it through. */
+    * remove-set gate alone would wave it through.
+    *
+    * `strictWindow` conflicts on ANY commit since the pinned snapshot (not
+    * just partition touches) and never CAS-retries — the vacuum marker uses
+    * it: the live set a vacuum computed is invalidated by EVERY kind of
+    * concurrent commit, so the whole vacuum must restart from a fresh
+    * snapshot rather than re-CAS a stale marker.
+    *
+    * `leaseUntil` is stamped into the CommitInfo (vacuum lease expiry). */
   def commit(
       commitType: String,
       newTableInfo: Option[TableInfo],
@@ -238,11 +246,19 @@ class Transaction(val tablePath: String, store: MetaStore) {
       removeFiles: Seq[DataFileInfo],
       streaming: Option[StreamingInfo] = None,
       rewriteGuard: Boolean = false,
-      preserveWriteVersions: Boolean = false): Long = {
+      preserveWriteVersions: Boolean = false,
+      strictWindow: Boolean = false,
+      leaseUntil: Long = 0L,
+      clusterBy: Seq[String] = Nil): Long = {
     require(!committed, "transaction already committed")
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = store.latestVersion(tablePath) + 1
+      if (strictWindow && version - 1 > readVersion) {
+        throw new GraftConcurrentModificationException(
+          s"commit(s) landed on $tablePath since snapshot v$readVersion " +
+          s"(latest is v${version - 1}); restarting from a fresh snapshot")
+      }
       // Conflict rule 1: removing a file that a concurrent commit already
       // removed (or that never existed) is a real conflict; pure appends
       // (delta/append/streaming) always re-apply cleanly on top.
@@ -279,7 +295,9 @@ class Transaction(val tablePath: String, store: MetaStore) {
         }
       }
       val entries =
-        Seq(LogEntry(commit = Some(CommitInfo(commitType, System.currentTimeMillis())))) ++
+        Seq(LogEntry(commit = Some(CommitInfo(commitType,
+          System.currentTimeMillis(), leaseUntil = leaseUntil,
+          clusterBy = clusterBy)))) ++
         newTableInfo.map(t => LogEntry(table = Some(t))) ++
         // RESTORE re-adds old files whose merge-on-read ordering must
         // replay as ORIGINALLY committed — including a legitimate

@@ -359,7 +359,8 @@ object GraftMicroBatchStream {
   /** Commits whose adds are NEW rows. */
   val APPEND_TYPES: Set[String] = Set("create", "append", "delta", "streaming")
   /** Commits that only rewrite existing rows into new files. */
-  val REWRITE_TYPES: Set[String] = Set("compaction", "alter")
+  val REWRITE_TYPES: Set[String] =
+    Set("compaction", "alter", "vacuum", "vacuum_end")
 }
 
 /** Streaming offset: `version` is the newest fully-processed log version;

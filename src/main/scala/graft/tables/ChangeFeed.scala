@@ -45,7 +45,7 @@ object ChangeFeed {
   val COMMIT_TIMESTAMP = "_commit_timestamp"
 
   /** Pure rewrites: no logical row change. */
-  private val REWRITE_TYPES = Set("compaction", "alter")
+  private val REWRITE_TYPES = Set("compaction", "alter", "vacuum", "vacuum_end")
 
   def changes(
       spark: SparkSession,

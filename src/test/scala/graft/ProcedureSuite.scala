@@ -14,6 +14,35 @@ class ProcedureSuite extends GraftFunSuite {
     s2
   }
 
+  /** Files the scan PLANNED tasks for (manifest skipping probe). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    val scan = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec leaf"))
+    scan.inputPartitions.map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.length.toLong
+      case _ => 1L
+    }.sum
+  }
+
+  /** Clustering probe robust to sampled range-boundary jitter: a z-ordered
+    * layout must let the corner filter plan at most half the files (a
+    * min/max width check would flake — a sampled boundary landing inside a
+    * z-quadrant widens that one file's range to the full domain). */
+  private def assertClustered(dir: String, label: String): Unit = {
+    val files = GraftTable.forPath(spark, dir).snapshot.files
+    assert(files.length >= 4, s"$label: expected multi-file layout, got ${files.length}")
+    val q = spark.read.format("graft").load(dir).filter(col("a") < 8 && col("b") < 8)
+    assert(q.count() > 0, s"$label: corner region empty")
+    val planned = plannedFiles(q)
+    assert(planned <= files.length / 2,
+      s"$label: clustering not applied — corner filter planned " +
+      s"$planned of ${files.length} files")
+  }
+
   test("CALL system.compact merges a delta stack and reports the version") {
     withTempTable { dir =>
       Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
@@ -78,20 +107,40 @@ class ProcedureSuite extends GraftFunSuite {
         // PLAIN compact (no zorder args): the declared clustering applies
         s2.conf.set("spark.graft.compaction.targetFileBytes", "2048")
         s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
-        val t = GraftTable.forPath(spark, dir)
-        val files = t.snapshot.files
-        assert(files.length >= 4, s"expected multi-file layout, got ${files.length}")
-        // clustered => per-file [min,max] windows on `a` are narrow for
-        // most files (a shuffled rewrite would give every file ~full range)
-        val narrow = files.count { f =>
-          (for (mn <- f.minValues.get("a"); mx <- f.maxValues.get("a"))
-            yield mx.toLong - mn.toLong < 40L).getOrElse(false)
-        }
-        assert(narrow >= files.length / 2,
-          s"declared clustering not applied: only $narrow/${files.length} " +
-          "files have narrow ranges")
+        assertClustered(dir, "declared-zOrderBy plain compact")
         assert(spark.read.format("graft").load(dir).count() == 2000)
       } finally s2.sql("DROP TABLE IF EXISTS zdecl")
+    }
+  }
+
+  test("clusterBy is recorded in the log: declaring zOrderBy AFTER a " +
+      "bin-pack still clusters exactly once") {
+    val s2 = sqlSession
+    withTempTable { dir =>
+      import s2.implicits._
+      s2.sql(s"CREATE TABLE zlate (a BIGINT, b BIGINT) USING graft " +
+        s"LOCATION '$dir'") // no clustering declared yet
+      try {
+        val rnd = new scala.util.Random(23)
+        (0 until 2000).map(_ => (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+          .toDF("a", "b").repartition(4).write.format("graft")
+          .mode("append").save(dir)
+        s2.conf.set("spark.graft.compaction.targetFileBytes", "2048")
+        // plain bin-pack: records clusterBy = [] in its CommitInfo
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        // declare the clustering AFTER that compaction; commit-type
+        // inference would treat the partition as already clustered and
+        // never apply it — the recorded-columns comparison must rewrite it
+        s2.sql(s"ALTER TABLE zlate SET TBLPROPERTIES ('graft.zOrderBy'='a,b')")
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        assertClustered(dir, "late-declared zOrderBy")
+        // and the clustered layout is idempotent: a further plain compact
+        // commits nothing
+        val v = GraftTable.forPath(spark, dir).snapshot.version
+        s2.sql(s"CALL spark_catalog.system.compact('$dir')").collect()
+        assert(GraftTable.forPath(spark, dir).snapshot.version == v,
+          "clustered partition was rewritten again")
+      } finally s2.sql("DROP TABLE IF EXISTS zlate")
     }
   }
 
