@@ -1,0 +1,398 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.{DataFileInfo, Snapshot, TableInfo}
+import graft.tables.ChangeFeed
+
+/** STREAMING Change Data Feed:
+  * `readStream.format("graft").option("readChangeFeed", "true")` emits every
+  * row-level change as it commits, with the Delta-CDF column convention
+  * (`_change_type` / `_commit_version` / `_commit_timestamp`) appended —
+  * the batch `ChangeFeed` semantics, version by version, through the same
+  * admission-controlled micro-batch machinery as the plain source
+  * (maxFilesPerTrigger / maxBytesPerTrigger / Trigger.AvailableNow /
+  * checkpoint restart all work unchanged).
+  *
+  * Per-commit mapping:
+  *   - initial snapshot (or from `startingVersion`): merged current state,
+  *     `insert`;
+  *   - `append`/`create`/`streaming`: added rows, `insert`;
+  *   - `delta` (merge-on-read upsert): rows as written, `upsert`;
+  *   - `overwrite`: removed files' merged pre-state `delete` + added files
+  *     `insert`;
+  *   - `update`/`delete`/merge-upsert/`restore` (PK tables): a ZERO-SHUFFLE
+  *     row diff — the write path keeps pre- and post-files bucket-aligned,
+  *     so each task opens the touched (range, bucket) group's pre-state and
+  *     post-state with two merge readers (both PK-sorted) and emits
+  *     `insert`/`delete`/`update_preimage`/`update_postimage` from a single
+  *     sort-merge pass. Untouched groups are skipped by file-set equality,
+  *     so a restore streams O(changed partitions), not O(table);
+  *   - `compaction`/`alter`/`vacuum` markers: no logical change, skipped;
+  *   - non-PK data-changing rewrites have no per-key identity to diff
+  *     inside a task: the stream fails loudly (or skips them under
+  *     `ignoreChanges`) and points at the batch TVF.
+  *
+  * Scale: planning touches only each version's log metadata; the diff work
+  * is proportional to the data the commit rewrote and runs one task per
+  * touched bucket group with no exchange.
+  */
+class GraftCdfMicroBatchStream(
+    spark: SparkSession,
+    tablePath: String,
+    tableInfo: TableInfo,
+    baseSchema: StructType, // data + range columns, WITHOUT the change cols
+    ignoreChanges: Boolean,
+    options: Map[String, String])
+  extends GraftMicroBatchStream(
+    spark, tablePath, tableInfo, baseSchema, ignoreChanges, options) {
+
+  import GraftMicroBatchStream.REWRITE_TYPES
+
+  /** `startingVersion` skips the initial snapshot and begins the feed at
+    * the given commit (Delta option parity). */
+  private val startingVersion: Option[Long] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") =>
+      v.toLong }
+
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(v) => GraftStreamOffset(math.max(v, 0L) - 1L, -1L)
+    case None => GraftStreamOffset(-1L, -1L)
+  }
+
+  override protected def initialSnapshotEnabled: Boolean =
+    startingVersion.isEmpty
+
+  // ------------------------------------------------------------------
+  // per-version change summaries
+  // ------------------------------------------------------------------
+
+  private case class VersionChanges(
+      commitType: String, tsMillis: Long,
+      adds: Seq[DataFileInfo], removed: Seq[DataFileInfo])
+
+  private val changeCache = mutable.LongMap.empty[VersionChanges]
+
+  private def commitChanges(v: Long): VersionChanges =
+    changeCache.getOrElseUpdate(v, {
+      val entries = store.read(tablePath, v)
+      val info = entries.flatMap(_.commit).headOption
+      val tpe = info.map(_.commitType).getOrElse("append")
+      val ts = info.map(_.timestamp).getOrElse(0L)
+      val adds = entries.flatMap(_.add).map(f =>
+        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      val removePaths = entries.flatMap(_.remove).map(_.path).toSet
+      val removed =
+        if (removePaths.isEmpty) Nil
+        else Snapshot.replay(store, tablePath, v - 1).files
+          .filter(f => removePaths(f.path))
+      VersionChanges(tpe, ts, adds, removed)
+    })
+
+  /** Admission accounting: a CDF batch's cost covers both sides of the
+    * diff. Never throws — rewrites are this source's whole point. */
+  override protected def admissionFiles(v: Long): Seq[DataFileInfo] = {
+    val c = commitChanges(v)
+    if (REWRITE_TYPES.contains(c.commitType)) Nil else c.adds ++ c.removed
+  }
+
+  override def commit(end: Offset): Unit = {
+    super.commit(end)
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (e.index < 0) changeCache.keys.filter(_ <= e.version)
+      .foreach(changeCache.remove)
+  }
+
+  // ------------------------------------------------------------------
+  // planning
+  // ------------------------------------------------------------------
+
+  private def tagAll(parts: Array[InputPartition], tpe: String, v: Long,
+      ts: Long): Array[InputPartition] =
+    parts.map(p => CdfTaggedPartition(p, tpe, v, ts): InputPartition)
+
+  /** Merged read of `files` (PK: one partition per bucket; non-PK: bins). */
+  private def mergedPartitions(files: Seq[DataFileInfo]): Array[InputPartition] =
+    if (files.isEmpty) Array.empty
+    else if (tableInfo.hasPrimaryKey) {
+      pkScanFor(files).planInputPartitions().collect {
+        case p: GraftPkInputPartition if p.groups.nonEmpty => p: InputPartition
+      }
+    } else {
+      checkNullFill(files)
+      binPack(files)
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (e.version < 0) return Array.empty
+    if (inSnapshotPhase(s)) {
+      // initial snapshot slice, tagged insert at the pinned version
+      val sv = if (s.version < 0) e.version else s.version
+      require(e.version == sv,
+        s"corrupt offsets: initial snapshot pinned at $sv but batch end is ${e.version}")
+      val units = snapshotUnits(sv)
+      val from = math.max(s.index, 0L).toInt
+      val until = if (e.index >= 0) e.index.toInt else units.length
+      val slice = units.slice(from, until)
+      if (slice.isEmpty) return Array.empty
+      val ts = commitChanges(sv).tsMillis
+      tagAll(mergedPartitions(slice.flatten), "insert", sv, ts)
+    } else {
+      ((s.version + 1) to e.version).iterator
+        .flatMap(planVersion).toArray
+    }
+  }
+
+  private def planVersion(v: Long): Seq[InputPartition] = {
+    val c = commitChanges(v)
+    c.commitType match {
+      case t if REWRITE_TYPES.contains(t) => Nil
+      case "create" | "append" | "streaming" =>
+        // self-contained new rows: raw file reads
+        checkNullFill(c.adds)
+        tagAll(binPack(c.adds), "insert", v, c.tsMillis).toSeq
+      case "delta" =>
+        checkNullFill(c.adds)
+        tagAll(binPack(c.adds), "upsert", v, c.tsMillis).toSeq
+      case "overwrite" =>
+        // a replacement is a statement about every changed file
+        tagAll(mergedPartitions(c.removed), "delete", v, c.tsMillis).toSeq ++
+          tagAll(mergedPartitions(c.adds), "insert", v, c.tsMillis).toSeq
+      case _ => // update | delete | merge-upsert | restore | unknown rewrite
+        if (tableInfo.hasPrimaryKey) diffPartitions(v, c)
+        else if (ignoreChanges) Nil
+        else throw new UnsupportedOperationException(
+          s"streaming change feed of $tablePath hit a '${c.commitType}' " +
+          s"commit at version $v on a non-primary-key table; row-level " +
+          "diffs need a key to pair pre/post images inside a task. Use the " +
+          "batch feed (graft_table_changes) for this window, or set " +
+          ".option(\"ignoreChanges\", \"true\") to skip such commits")
+    }
+  }
+
+  /** Pair each touched (range, bucket) group's pre-state (version v-1) with
+    * its post-state (version v); groups with identical file sets diff to
+    * nothing and are skipped. */
+  private def diffPartitions(v: Long, c: VersionChanges): Seq[InputPartition] = {
+    val touched = (c.adds ++ c.removed).map(f => (f.rangeKey, f.bucket)).toSet
+    if (touched.isEmpty) return Nil
+    val prevSnap = Snapshot.replay(store, tablePath, v - 1)
+    val snap = Snapshot.replay(store, tablePath, v)
+    def filesOf(s: Snapshot) =
+      s.files.filter(f => touched((f.rangeKey, f.bucket)))
+    val preParts = pkScanFor(filesOf(prevSnap)).planInputPartitions()
+      .collect { case p: GraftPkInputPartition => p }
+    val postParts = pkScanFor(filesOf(snap)).planInputPartitions()
+      .collect { case p: GraftPkInputPartition => p }
+    def keyed(parts: Array[GraftPkInputPartition]) = parts.map(p =>
+      p.bucket -> p.groups.map(g => g.partitionValues -> g).toMap).toMap
+    val pre = keyed(preParts)
+    val post = keyed(postParts)
+    def fileSet(g: Option[GraftFileGroup]): Set[(String, Long)] =
+      g.map(_.files.map(f => (f.absPath, f.writeVersion)).toSet)
+        .getOrElse(Set.empty)
+    val out = Seq.newBuilder[InputPartition]
+    (pre.keySet ++ post.keySet).toSeq.sorted.foreach { b =>
+      val pg = pre.getOrElse(b, Map.empty)
+      val qg = post.getOrElse(b, Map.empty)
+      (pg.keySet ++ qg.keySet).foreach { pv =>
+        val l = pg.get(pv)
+        val r = qg.get(pv)
+        if (fileSet(l) != fileSet(r)) {
+          out += CdfDiffPartition(b, l, r, v, c.tsMillis)
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // reading
+  // ------------------------------------------------------------------
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = super.createReaderFactory().asInstanceOf[GraftStreamReaderFactory]
+    // output layout of every inner reader: dataCols ++ partSchema
+    val layout = StructType(dataCols.fields ++ partSchema.fields)
+    val keyOrdinals = tableInfo.hashColumns.map(c =>
+      layout.fieldNames.indexWhere(_.equalsIgnoreCase(c))).toArray
+    val compareOrdinals = layout.fields.indices
+      .filterNot(keyOrdinals.contains).toArray
+    GraftCdfReaderFactory(inner, layout, keyOrdinals, compareOrdinals)
+  }
+}
+
+/** Appends the three CDF columns to whatever `inner` emits. */
+case class CdfTaggedPartition(
+    inner: InputPartition, changeType: String, version: Long, tsMillis: Long)
+  extends InputPartition
+
+/** One touched (range, bucket) group's pre/post pair for a rewrite diff. */
+case class CdfDiffPartition(
+    bucket: Int,
+    pre: Option[GraftFileGroup],
+    post: Option[GraftFileGroup],
+    version: Long,
+    tsMillis: Long)
+  extends InputPartition
+
+case class GraftCdfReaderFactory(
+    inner: GraftStreamReaderFactory,
+    layout: StructType,
+    keyOrdinals: Array[Int],
+    compareOrdinals: Array[Int])
+  extends PartitionReaderFactory {
+
+  private def changeRow(tpe: String, v: Long, tsMillis: Long): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(tpe), v, tsMillis * 1000L))
+
+  private def tagged(
+      it: PartitionReader[InternalRow], tpe: String, v: Long,
+      ts: Long): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val tag = changeRow(tpe, v, ts)
+      override def next(): Boolean = it.next()
+      override def get(): InternalRow = joined(it.get(), tag)
+      override def close(): Unit = it.close()
+    }
+
+  /** Row ordering over the PK columns (both sides emit PK-sorted rows). */
+  private def keyOrdering: Ordering[InternalRow] =
+    new LazilyGeneratedOrdering(keyOrdinals.toIndexedSeq.map(i =>
+      SortOrder(BoundReference(i, layout(i).dataType, nullable = true),
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  private def valueOrdering: Ordering[InternalRow] =
+    new LazilyGeneratedOrdering(compareOrdinals.toIndexedSeq.map(i =>
+      SortOrder(BoundReference(i, layout(i).dataType, nullable = true),
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case CdfTaggedPartition(ip, tpe, v, ts) =>
+        tagged(inner.createReader(ip), tpe, v, ts)
+      case d: CdfDiffPartition => diffReader(d)
+      case other => inner.createReader(other)
+    }
+
+  /** Single-pass sort-merge diff of a group's pre/post states. */
+  private def diffReader(d: CdfDiffPartition): PartitionReader[InternalRow] = {
+    def side(g: Option[GraftFileGroup]): PartitionReader[InternalRow] =
+      inner.createReader(GraftPkInputPartition(d.bucket, g.toArray))
+    val preR = side(d.pre)
+    val postR = side(d.post)
+    val keyOrd = keyOrdering
+    val valOrd = valueOrdering
+    val joined = new JoinedRow
+    val insertTag = changeRow("insert", d.version, d.tsMillis)
+    val deleteTag = changeRow("delete", d.version, d.tsMillis)
+    val updPreTag = changeRow("update_preimage", d.version, d.tsMillis)
+    val updPostTag = changeRow("update_postimage", d.version, d.tsMillis)
+
+    new PartitionReader[InternalRow] {
+      // one-row lookahead per side; rows COPIED (readers reuse buffers)
+      private var pre: InternalRow = advance(preR)
+      private var post: InternalRow = advance(postR)
+      private val pending = mutable.Queue.empty[InternalRow]
+      private var current: InternalRow = _
+
+      private def advance(r: PartitionReader[InternalRow]): InternalRow =
+        if (r.next()) r.get().copy() else null
+
+      override def next(): Boolean = {
+        while (pending.isEmpty && (pre != null || post != null)) {
+          if (pre == null) {
+            pending.enqueue(joined(post, insertTag).copy())
+            post = advance(postR)
+          } else if (post == null) {
+            pending.enqueue(joined(pre, deleteTag).copy())
+            pre = advance(preR)
+          } else {
+            val c = keyOrd.compare(pre, post)
+            if (c < 0) {
+              pending.enqueue(joined(pre, deleteTag).copy())
+              pre = advance(preR)
+            } else if (c > 0) {
+              pending.enqueue(joined(post, insertTag).copy())
+              post = advance(postR)
+            } else {
+              if (valOrd.compare(pre, post) != 0) {
+                pending.enqueue(joined(pre, updPreTag).copy())
+                pending.enqueue(joined(post, updPostTag).copy())
+              } // identical rows carried over by the rewrite: suppressed
+              pre = advance(preR)
+              post = advance(postR)
+            }
+          }
+        }
+        if (pending.isEmpty) false
+        else { current = pending.dequeue(); true }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = { preR.close(); postR.close() }
+    }
+  }
+}
+
+/** Scan + builder for `readChangeFeed` reads. Batch consumers use the
+  * `graft_table_changes` TVF / `ChangeFeed.changes`; this scan exists for
+  * the STREAMING entry point. */
+class GraftCdfScan(
+    spark: SparkSession,
+    path: String,
+    tableInfo: TableInfo,
+    baseSchema: StructType,
+    options: Map[String, String])
+  extends Scan {
+
+  override def readSchema(): StructType =
+    StructType(baseSchema.fields ++ GraftCdfScan.CHANGE_FIELDS)
+
+  override def description(): String = s"GraftCdfScan $path"
+
+  override def toBatch: Batch = throw new UnsupportedOperationException(
+    "batch change-feed reads go through the graft_table_changes table " +
+    "function (or ChangeFeed.changes); readChangeFeed is a streaming option")
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(spark, path, tableInfo, baseSchema,
+      options.exists { case (k, v) =>
+        k.equalsIgnoreCase("ignoreChanges") && v.toBoolean },
+      options)
+}
+
+object GraftCdfScan {
+  val CHANGE_FIELDS: Array[StructField] = Array(
+    StructField(ChangeFeed.CHANGE_TYPE, StringType, nullable = false),
+    StructField(ChangeFeed.COMMIT_VERSION, LongType, nullable = false),
+    StructField(ChangeFeed.COMMIT_TIMESTAMP, TimestampType, nullable = false))
+
+  def wantsCdf(options: Map[String, String]): Boolean =
+    options.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }
+}
+
+class GraftCdfScanBuilder(
+    spark: SparkSession,
+    path: String,
+    tableInfo: TableInfo,
+    baseSchema: StructType,
+    options: Map[String, String])
+  extends ScanBuilder {
+  override def build(): Scan =
+    new GraftCdfScan(spark, path, tableInfo, baseSchema, options)
+}

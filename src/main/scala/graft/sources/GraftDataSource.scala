@@ -38,7 +38,8 @@ class GraftDataSource
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new GraftTableV2(SparkSession.active, pathOf(options)).schema()
+    new GraftTableV2(SparkSession.active, pathOf(options),
+      extraOptions = options.asCaseSensitiveMap().asScala.toMap).schema()
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     new GraftTableV2(SparkSession.active, pathOf(options)).partitioning()

@@ -25,8 +25,14 @@ object GraftScanBuilder {
       snapshot: Snapshot,
       fullSchema: StructType,
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    val index = new GraftFileIndex(spark, path, snapshot.tableInfo, snapshot.files)
     val ti = snapshot.tableInfo
+    val optMap = options.asCaseSensitiveMap().asScala.toMap
+    if (GraftCdfScan.wantsCdf(optMap)) {
+      // streaming change feed: dedicated scan (no pushdown — every change
+      // row ships with the three CDF columns appended)
+      return new GraftCdfScanBuilder(spark, path, ti, fullSchema, optMap)
+    }
+    val index = new GraftFileIndex(spark, path, snapshot.tableInfo, snapshot.files)
     val ignoreChanges =
       Option(options.get("ignoreChanges")).exists(_.toBoolean)
     if (!ti.hasPrimaryKey) {

@@ -61,7 +61,7 @@ class GraftMicroBatchStream(
 
   import GraftMicroBatchStream._
 
-  private def store = SnapshotManagement.store
+  protected def store = SnapshotManagement.store
 
   /** `Trigger.AvailableNow`: the engine calls this once at query start; the
     * source must then drain exactly the data that existed at that moment
@@ -75,12 +75,12 @@ class GraftMicroBatchStream(
   }
 
   /** Latest log version, clamped to the AvailableNow pin when one is set. */
-  private def latestVersionCapped(): Long = {
+  protected def latestVersionCapped(): Long = {
     val l = store.latestVersion(tablePath)
     if (availableNowCap == Long.MinValue) l else math.min(l, availableNowCap)
   }
 
-  private def optIgnoreCase(key: String): Option[String] =
+  protected def optIgnoreCase(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   private val maxFilesOpt: Option[Int] =
@@ -97,7 +97,7 @@ class GraftMicroBatchStream(
   }
 
   /** (maxFiles, maxBytes) caps from the engine-provided limit. */
-  private def capsOf(limit: ReadLimit): (Option[Long], Option[Long]) = limit match {
+  protected def capsOf(limit: ReadLimit): (Option[Long], Option[Long]) = limit match {
     case _: ReadAllAvailable => (None, None)
     case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
     case b: ReadMaxBytes => (None, Some(b.maxBytes()))
@@ -109,6 +109,15 @@ class GraftMicroBatchStream(
   }
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L, -1L)
+
+  /** False when the stream begins at an explicit `startingVersion` (CDF):
+    * a fresh offset then means "incremental from version 0", not "emit the
+    * current snapshot first". */
+  protected def initialSnapshotEnabled: Boolean = true
+
+  /** Is `s` still inside the initial-snapshot phase? */
+  protected def inSnapshotPhase(s: GraftStreamOffset): Boolean =
+    (s.version < 0 && initialSnapshotEnabled) || s.index >= 0
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called for an admission-" +
@@ -124,7 +133,7 @@ class GraftMicroBatchStream(
     val (maxFiles, maxBytes) = capsOf(limit)
     def under(files: Long, bytes: Long): Boolean =
       maxFiles.forall(files <= _) && maxBytes.forall(bytes <= _)
-    if (s.version < 0 || s.index >= 0) {
+    if (inSnapshotPhase(s)) {
       // ---- initial-snapshot phase: drain units up to the caps ----
       val sv = if (s.version < 0) latestVersionCapped() else s.version
       if (sv < 0) return s // table does not exist yet: no progress
@@ -151,7 +160,7 @@ class GraftMicroBatchStream(
       var v = s.version + 1
       var stop = false
       while (v <= latest && !stop) {
-        val adds = commitAdds(v)
+        val adds = admissionFiles(v)
         val nf = files + adds.length
         val nb = bytes + adds.map(_.size).sum
         // a version is atomic; always admit at least one
@@ -186,7 +195,7 @@ class GraftMicroBatchStream(
     * across restarts (offsets index into it). */
   private var unitsCache: (Long, IndexedSeq[Seq[DataFileInfo]]) = null
 
-  private def snapshotUnits(version: Long): IndexedSeq[Seq[DataFileInfo]] = {
+  protected def snapshotUnits(version: Long): IndexedSeq[Seq[DataFileInfo]] = {
     val cached = unitsCache
     if (cached != null && cached._1 == version) return cached._2
     val files = Snapshot.replay(store, tablePath, version).files
@@ -210,9 +219,14 @@ class GraftMicroBatchStream(
     * reads over its drain. */
   private val commitCache = mutable.LongMap.empty[Seq[DataFileInfo]]
 
+  /** Files driving ADMISSION accounting for version `v`. The base source
+    * reads only appended files; the CDF source overrides this with adds +
+    * removes (and never throws — rewrites are its whole point). */
+  protected def admissionFiles(v: Long): Seq[DataFileInfo] = commitAdds(v)
+
   /** Files ADDED by version `v` if it is an append-like commit; Nil for
     * rewrites; throws for data-changing commits unless `ignoreChanges`. */
-  private def commitAdds(v: Long): Seq[DataFileInfo] =
+  protected def commitAdds(v: Long): Seq[DataFileInfo] =
     commitCache.getOrElseUpdate(v, {
       val entries = store.read(tablePath, v)
       val commitType = entries.flatMap(_.commit).headOption
@@ -235,15 +249,15 @@ class GraftMicroBatchStream(
   // partition planning
   // ------------------------------------------------------------------
 
-  private def partSchema = StructType(requestedSchema.fields.filter(f =>
+  protected def partSchema = StructType(requestedSchema.fields.filter(f =>
     tableInfo.rangeColumns.contains(f.name)))
-  private def dataCols = StructType(requestedSchema.fields.filterNot(f =>
+  protected def dataCols = StructType(requestedSchema.fields.filterNot(f =>
     tableInfo.rangeColumns.contains(f.name)))
 
   /** A batch-independent PK scan pinned to the merge layout: its reader
     * factory and its per-batch partition planning agree on the merged row
     * layout because both come from the same scan parameters. */
-  private def pkScanFor(files: Seq[DataFileInfo]): GraftPkScan =
+  protected def pkScanFor(files: Seq[DataFileInfo]): GraftPkScan =
     GraftPkScan(spark, tablePath, tableInfo, files, dataCols, partSchema,
       Nil, GraftMergeOperator.declaredOperators(tableInfo),
       forceMergeLayout = true)
@@ -252,7 +266,7 @@ class GraftMicroBatchStream(
     * ANALYZED with; a file omitting a column the analyzed schema declares
     * NOT NULL would make downstream codegen read garbage — fail loudly
     * instead (a restart re-analyzes with the widened schema). */
-  private def checkNullFill(files: Seq[DataFileInfo]): Unit = {
+  protected def checkNullFill(files: Seq[DataFileInfo]): Unit = {
     val required = dataCols.fields.filterNot(_.nullable).map(_.name)
     if (required.isEmpty) return
     files.foreach { f =>
@@ -272,7 +286,7 @@ class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     if (e.version < 0) return Array.empty
-    if (s.version < 0 || s.index >= 0) {
+    if (inSnapshotPhase(s)) {
       // ---- initial snapshot slice [from, until) over the unit list ----
       val sv = if (s.version < 0) e.version else s.version
       require(e.version == sv,
@@ -310,7 +324,7 @@ class GraftMicroBatchStream(
     * is charged openCostInBytes like Spark's own FilePartition packing:
     * without it a small-file table packs thousands of footer-opens into one
     * task. */
-  private def binPack(files: Seq[DataFileInfo]): Array[InputPartition] = {
+  protected def binPack(files: Seq[DataFileInfo]): Array[InputPartition] = {
     val tz = castToImpl(spark).sessionState.conf.sessionLocalTimeZone
     val proj = UnsafeProjection.create(partSchema)
     val triples = files.map { f =>

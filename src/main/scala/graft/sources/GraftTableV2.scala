@@ -73,10 +73,13 @@ class GraftTableV2(
   private lazy val computedSchema: StructType = snapshotOpt match {
     case Some(s) =>
       val ti = s.tableInfo
-      GraftPkScan.preciseScanSchema(
+      val base = GraftPkScan.preciseScanSchema(
         StructType(ti.dataSchema.fields ++ ti.rangePartitionSchema.fields),
         s.files,
         neverNull = (ti.hashColumns ++ ti.rangeColumns).toSet)
+      if (GraftCdfScan.wantsCdf(extraOptions))
+        StructType(base.fields ++ GraftCdfScan.CHANGE_FIELDS)
+      else base
     case None => userSchema.getOrElse(new StructType())
   }
 

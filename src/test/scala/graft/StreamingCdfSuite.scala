@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.tables.{ChangeFeed, GraftTable}
+
+/** Streaming Change Data Feed:
+  * `readStream.format("graft").option("readChangeFeed", "true")` — change
+  * rows per commit with `_change_type`/`_commit_version`/`_commit_timestamp`,
+  * through the admission-controlled source with checkpoint restart.
+  */
+class StreamingCdfSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def startCdf(dir: String, name: String,
+      options: Map[String, String] = Map.empty): StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true").options(options)
+      .load(dir)
+      .writeStream.format("memory").queryName(name).start()
+
+  private def mkPk(dir: String): Unit =
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+      .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+
+  /** (change_type, id, v, version) rows of a memory table, sorted. */
+  private def changeRows(name: String): Seq[(String, Long, String, Long)] =
+    spark.table(name)
+      .select(col(ChangeFeed.CHANGE_TYPE), col("id"), col("v"),
+        col(ChangeFeed.COMMIT_VERSION))
+      .as[(String, Long, String, Long)].collect().toSeq
+      .sortBy(t => (t._4, t._1, t._2))
+
+  test("upserts, deletes and a restore stream out as change rows") {
+    withTempTable { dir =>
+      mkPk(dir) // v0: {1->a, 2->b}
+      val t = GraftTable.forPath(spark, dir)
+      val q = startCdf(dir, "cdf1")
+      try {
+        q.processAllAvailable()
+        // initial snapshot: inserts at the pinned version
+        assert(changeRows("cdf1") == Seq(
+          ("insert", 1L, "a", 0L), ("insert", 2L, "b", 0L)))
+
+        t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v")) // v1 delta
+        q.processAllAvailable()
+        assert(changeRows("cdf1").filter(_._4 == 1L) == Seq(
+          ("upsert", 2L, "b2", 1L), ("upsert", 3L, "c", 1L)))
+
+        t.delete(expr("id = 1")) // v2: rewrite — diff must emit ONLY key 1
+        q.processAllAvailable()
+        assert(changeRows("cdf1").filter(_._4 == 2L) == Seq(
+          ("delete", 1L, "a", 2L)))
+
+        t.update(expr("id = 2"), Map("v" -> lit("B2"))) // v3
+        q.processAllAvailable()
+        assert(changeRows("cdf1").filter(_._4 == 3L) == Seq(
+          ("update_postimage", 2L, "B2", 3L),
+          ("update_preimage", 2L, "b2", 3L)))
+
+        // restore to v1 (state {1->a, 2->b2, 3->c}): key 1 comes back,
+        // key 2 reverts, key 3 unchanged (suppressed)
+        val restored = t.restore(1L) // v4
+        q.processAllAvailable()
+        assert(changeRows("cdf1").filter(_._4 == restored) == Seq(
+          ("insert", 1L, "a", restored),
+          ("update_postimage", 2L, "b2", restored),
+          ("update_preimage", 2L, "B2", restored)))
+
+        // compaction is a pure rewrite: nothing new in the feed
+        t.compaction(force = true)
+        q.processAllAvailable()
+        assert(changeRows("cdf1").count(_._4 > restored) == 0)
+      } finally q.stop()
+    }
+  }
+
+  test("startingVersion skips the initial snapshot") {
+    withTempTable { dir =>
+      mkPk(dir) // v0
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((3L, "c")).toDF("id", "v")) // v1
+      t.upsert(Seq((4L, "d")).toDF("id", "v")) // v2
+      val q = startCdf(dir, "cdf2", Map("startingVersion" -> "2"))
+      try {
+        q.processAllAvailable()
+        assert(changeRows("cdf2") == Seq(("upsert", 4L, "d", 2L)))
+      } finally q.stop()
+    }
+  }
+
+  test("checkpoint restart mid-window loses and duplicates nothing") {
+    withTempTable { dir =>
+      val cp = dir + "-cp"
+      val out = dir + "-out"
+      mkPk(dir) // v0
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((3L, "c")).toDF("id", "v")) // v1
+      t.delete(expr("id = 2")) // v2
+      t.restore(1L) // v3: key 2 comes back
+      @volatile var failedOnce = false
+      def run(expectFailure: Boolean): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0") // replay history version-by-version
+          .option("maxFilesPerTrigger", "1")
+          .load(dir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], batchId: Long) =>
+            if (batchId == 2 && !failedOnce) {
+              failedOnce = true
+              throw new RuntimeException("injected mid-window failure")
+            }
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp).start()
+        try {
+          q.processAllAvailable()
+          assert(!expectFailure, "expected the injected failure")
+        } catch {
+          case e: Exception if expectFailure =>
+            def messages(x: Throwable): Seq[String] =
+              if (x == null) Nil
+              else Option(x.getMessage).toSeq ++ messages(x.getCause)
+            assert(messages(e).exists(_.contains("injected")),
+              s"unexpected failure: ${messages(e)}")
+        } finally q.stop()
+      }
+      run(expectFailure = true)
+      run(expectFailure = false)
+      val got = spark.read.parquet(out)
+        .select(col(ChangeFeed.CHANGE_TYPE), col("id"), col("v"),
+          col(ChangeFeed.COMMIT_VERSION))
+        .as[(String, Long, String, Long)].collect().toSeq
+        .sortBy(x => (x._4, x._1, x._2))
+      assert(got == Seq(
+        ("insert", 1L, "a", 0L), ("insert", 2L, "b", 0L),
+        ("upsert", 3L, "c", 1L),
+        ("delete", 2L, "b", 2L),
+        ("insert", 2L, "b", 3L)))
+    }
+  }
+
+  test("non-PK data-changing commit fails the CDF stream unless ignoreChanges") {
+    withTempTable { dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("graft").save(dir) // non-PK
+      val q = startCdf(dir, "cdf4")
+      try {
+        q.processAllAvailable()
+        GraftTable.forPath(spark, dir).delete(expr("id = 1"))
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def messages(x: Throwable): Seq[String] =
+          if (x == null) Nil
+          else Option(x.getMessage).toSeq ++ messages(x.getCause)
+        assert(messages(e).exists(_.contains("graft_table_changes")))
+      } finally q.stop()
+      // ignoreChanges: the commit is skipped, the stream proceeds
+      Seq((9L, "z")).toDF("id", "v").write.format("graft")
+        .mode("append").save(dir)
+      val q2 = startCdf(dir, "cdf4b", Map("ignoreChanges" -> "true",
+        "startingVersion" -> "1"))
+      try {
+        q2.processAllAvailable()
+        assert(changeRows("cdf4b") == Seq(("insert", 9L, "z", 2L)))
+      } finally q2.stop()
+    }
+  }
+
+  test("streamed feed matches the batch ChangeFeed for the same window") {
+    withTempTable { dir =>
+      mkPk(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v")) // v1
+      t.update(expr("id = 3"), Map("v" -> lit("C"))) // v2
+      t.delete(expr("id = 1")) // v3
+      val q = startCdf(dir, "cdf5", Map("startingVersion" -> "1"))
+      try {
+        q.processAllAvailable()
+        val streamed = changeRows("cdf5")
+        val batch = t.changes(1L, 3L)
+          .select(col(ChangeFeed.CHANGE_TYPE), col("id"), col("v"),
+            col(ChangeFeed.COMMIT_VERSION))
+          .as[(String, Long, String, Long)].collect().toSeq
+          .sortBy(x => (x._4, x._1, x._2))
+        assert(streamed == batch)
+      } finally q.stop()
+    }
+  }
+}
