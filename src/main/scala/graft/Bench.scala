@@ -39,20 +39,41 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (pass <- 1 to runs; (name, fn) <- queries) {
+
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, label: String): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name pass $pass failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name $label failed: ${e.getMessage}")
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name pass $pass: $secs%.2f s")
+      System.err.println(f"[bench] $name $label: $secs%.2f s")
       // result consumed: drop the run's stabilized pipeline blocks so the
       // block manager stays flat across the whole suite
       graft.llm.Checkpoints.releaseAll()
-      if (ok) samples(name) = samples(name) :+ secs
+      if (ok) Some(secs) else None
+    }
+
+    for (pass <- 1 to runs; (name, fn) <- queries) {
+      runOnce(name, fn, s"pass $pass").foreach(s =>
+        samples(name) = samples(name) :+ s)
+    }
+
+    // SPARK_GRAFT_BENCH_MODE=warm: AFTER the interleaved passes, run each
+    // query's passes BACK-TO-BACK and report that floor alongside — the
+    // interleaved min measures "warmest pass amid other work" while this
+    // measures steady-state warm capability (JIT + page cache + shuffle
+    // dirs all settled on this one query).
+    val warmMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").exists(_ == "warm")
+    val warmFloor = scala.collection.mutable.Map.empty[String, Double]
+    if (warmMode) {
+      for ((name, fn) <- queries) {
+        val times = (1 to runs).flatMap(i => runOnce(name, fn, s"warm $i"))
+        if (times.nonEmpty) warmFloor(name) = times.min
+      }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -78,18 +99,31 @@ object Bench {
     val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
-    // persist to a file too: stdout is shared with logging frameworks, and a
-    // polluted line leaves the driver's record unparsed
+    val warmJson =
+      if (warmFloor.isEmpty) ""
+      else {
+        val w = warmFloor.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val totalWarm = warmFloor.values.sum
+        s""","queries_warm":$w,"total_warm":$totalWarm"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin$warmJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // Full per-query payload goes to the FILE; stdout ends with a COMPACT
+    // totals-only line — the driver parses the stdout TAIL, and a 50-query
+    // single-line JSON overflows its window (round-6 finding: BENCH json
+    // recorded "parsed": null).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] json written to $outFile")
+      System.err.println(s"[bench] full json written to $outFile")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(json)
+    val totalWarmField =
+      if (warmFloor.isEmpty) ""
+      else s""","total_warm":${warmFloor.values.sum}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin$totalWarmField,"nqueries":${queries.size},"errors":$errJson,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,53 @@ object Checkpoints {
     }
   }
 
+  /** Stabilize a frame whose LAST column is a boolean flag, detecting
+    * whether ANY row is flagged INSIDE the same materialization job (an
+    * accumulator rides the checkpoint action), and return the frame WITHOUT
+    * the flag column. Iterative algorithms (label propagation) use this to
+    * run ONE job per round instead of materialize + convergence probe.
+    *
+    * Accumulator counts can over-count on task retries, but a zero stays a
+    * zero (a retried task that saw no flagged rows adds nothing), so the
+    * "nothing changed" verdict — the one that terminates a loop — is exact.
+    * `persist`/`none` modes keep the two-action shape (those modes trade
+    * speed for elasticity/purity already). */
+  def stabilizeFlagged(df: DataFrame): (DataFrame, Boolean) = {
+    val spark = df.sparkSession
+    val flagCol = df.columns.last
+    spark.conf.getOption(MODE_KEY).getOrElse("local") match {
+      case "none" | "persist" =>
+        val st = stabilize(df)
+        val any = st.filter(org.apache.spark.sql.functions.col(flagCol))
+          .limit(1).count() > 0
+        (st.drop(flagCol), any)
+      case _ =>
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+        val schema = df.schema
+        val flagIdx = schema.length - 1
+        val outSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.dropRight(1))
+        val types = schema.fields.map(_.dataType)
+        val acc = spark.sparkContext.longAccumulator("graft.stabilize.flagged")
+        val rdd = castToImpl(df).queryExecution.toRdd.mapPartitions { it =>
+          val proj = UnsafeProjection.create((0 until flagIdx).map(i =>
+            BoundReference(i, types(i), nullable = true)))
+          it.map { row =>
+            if (!row.isNullAt(flagIdx) && row.getBoolean(flagIdx)) acc.add(1L)
+            // copy: the projection reuses its buffer and the checkpoint
+            // stores row references
+            proj(row).copy(): org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+        rdd.localCheckpoint()
+        rdd.count() // the ONE job: materializes blocks + fills the accumulator
+        tracked.add(WeakRdd(new java.lang.ref.WeakReference(rdd)))
+        val out = org.apache.spark.sql.graft.SparkShims
+          .internalCreateDataFrame(spark, rdd, outSchema)
+        (out, acc.value > 0L)
+    }
+  }
+
   /** Drop every block stabilized since the last call. Only call once the
     * pipeline results built on them have been consumed. */
   def releaseAll(): Unit = {

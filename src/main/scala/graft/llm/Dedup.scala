@@ -143,17 +143,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr_min"))
-      // fold the convergence check into the same pass: `chg` rides the
-      // update row instead of costing a separate old-vs-new join per round
-      val updated = Checkpoints.stabilize(
+      // convergence rides the materialization job itself: `chg` is counted
+      // by an accumulator inside the round's ONE stabilize action instead
+      // of a second probe job per round
+      val (updated, anyChanged) = Checkpoints.stabilizeFlagged(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"),
             (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
               .as("chg")))
-      converged = updated.filter(col("chg")).limit(1).count() == 0
-      labels = updated.select("id", "cluster_id")
+      converged = !anyChanged
+      labels = updated
       i += 1
     }
     // partially-propagated labels would split one real cluster into

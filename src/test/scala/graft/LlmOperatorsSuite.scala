@@ -352,6 +352,34 @@ class LlmOperatorsSuite extends GraftFunSuite {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("stabilizeFlagged: flag detected inside the ONE materialization job") {
+    val df = Seq((1L, 1L, false), (2L, 1L, true), (3L, 2L, false))
+      .toDF("id", "cluster_id", "chg")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (out, any) =
+      try {
+        val r = graft.llm.Checkpoints.stabilizeFlagged(df)
+        Thread.sleep(300) // listener bus is async
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"expected ONE job, saw ${jobs.get()}")
+    assert(any, "flagged row not detected")
+    assert(out.columns.toSeq == Seq("id", "cluster_id"))
+    assert(out.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // all-false flags: converged verdict
+    val (_, any2) = graft.llm.Checkpoints.stabilizeFlagged(
+      out.withColumn("chg", lit(false)))
+    assert(!any2)
+    graft.llm.Checkpoints.releaseAll()
+  }
+
   test("contamination finds train docs overlapping the eval set") {
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
     val train = Seq(
