@@ -309,8 +309,10 @@ object Queries {
           col("o_orderdate") < lit("1996-01-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
-    // ---- declared without SQL oracle (engine-specific hash functions /
-    //      float ranking); verified by ScalaTest suites instead ----
+    // ---- q_changes_feed / q_ann_brute / q_multimodal_decode carry DuckDB
+    //      oracles (deterministic construction / integer-only ranking /
+    //      md5-derived stub); the remaining ANN + hash-sketch queries use
+    //      engine-specific hash functions and are suite-verified ----
     "q_changes_feed" -> ((s, sf) => {
       val dir = GraftData.ordersChangeLogDir(s, sf)
       graft.tables.ChangeFeed.changes(s, dir, 0)
@@ -646,7 +648,44 @@ object Queries {
     // Spark's md5 over the encode(text,'UTF-8') binary payload.
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
-       "MD5(text) AS payload_md5 FROM documents")
+       "MD5(text) AS payload_md5 FROM documents"),
+
+    // The change feed over the deterministic orders change log (create all
+    // -> upsert %100 with zeroed price -> delete %777): insert/upsert rows
+    // are the written batches, delete rows the matching keys. Only
+    // engine-neutral columns (key, type, version) are projected.
+    "q_changes_feed" ->
+      ("SELECT o_orderkey, 'insert' AS _change_type, " +
+       "CAST(0 AS BIGINT) AS _commit_version FROM orders " +
+       "UNION ALL SELECT o_orderkey, 'upsert', CAST(1 AS BIGINT) " +
+       "FROM orders WHERE o_orderkey % 100 = 0 " +
+       "UNION ALL SELECT o_orderkey, 'delete', CAST(2 AS BIGINT) " +
+       "FROM orders WHERE o_orderkey % 777 = 0"),
+
+    // Exact cosine top-k: output is INTEGER-only (qid, rank, nid) with ties
+    // broken by nid, so the two engines' last-ulp float differences cannot
+    // surface unless two distinct vectors score within ~1e-15 of each
+    // other at the k boundary.
+    "q_ann_brute" ->
+      ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings WHERE vec_id < 5), " +
+       "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+       "SELECT qid, CAST(rnk AS INTEGER) AS rank, nid FROM (" +
+       "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "(list_dot_product(q.e, c.e) / NULLIF(sqrt(list_dot_product(q.e, q.e)) " +
+       "* sqrt(list_dot_product(c.e, c.e)), 0)) DESC NULLS LAST, " +
+       "c.vec_id ASC) AS rnk FROM q CROSS JOIN c) s WHERE rnk <= 10"),
+
+    // Fake decode dimensions = md5's first 24 bits (engine-portable stub);
+    // frame sampling always yields 4 slices.
+    "q_multimodal_decode" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+       "CAST(CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 1920 + 1 " +
+       "AS INTEGER) AS width, " +
+       "CAST((CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) * 31) % 1080 " +
+       "+ 1 AS INTEGER) AS height, " +
+       "CAST(4 AS INTEGER) AS frame_cnt FROM documents")
   )
 
   def warm(spark: SparkSession, sfDir: String): Unit = GraftData.warmAll(spark, sfDir)

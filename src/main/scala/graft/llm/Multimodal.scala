@@ -62,11 +62,14 @@ object Multimodal {
     }
   }
 
-  /** Same arithmetic as [[fakeDecodeImage]], for payloads without a codec. */
+  /** Same arithmetic as [[fakeDecodeImage]], for payloads without a codec:
+    * the payload's md5 FIRST THREE BYTES as a 24-bit int. md5 (not crc32)
+    * because every engine computes it identically — the DuckDB oracle
+    * reproduces these fake dimensions exactly, so the multimodal plumbing
+    * is checkable end-to-end. */
   private def fallbackMeta(bytes: Array[Byte]): ImageMeta = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(bytes)
-    val v = crc.getValue
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
     ImageMeta((v % 1920L).toInt + 1, ((v * 31L) % 1080L).toInt + 1, 3,
       "unknown", decoded = false)
   }
@@ -90,11 +93,16 @@ object Multimodal {
       md5(col("payload")).as("payload_md5"))
 
   /** STUB decode: deterministic fake "image" dimensions derived from the
-    * payload hash — stands in for a real image decode. */
-  def fakeDecodeImage(payload: Column): Column = struct(
-    (pmod(crc32(payload), lit(1920L)) + 1L).cast("int").as("width"),
-    (pmod(crc32(payload) * 31L, lit(1080L)) + 1L).cast("int").as("height"),
-    lit(3).as("channels"))
+    * payload's md5 (first 24 bits) — stands in for a real image decode.
+    * md5, not crc32: every engine computes it identically, so the oracle
+    * gate reproduces these values (see [[fallbackMeta]]). */
+  def fakeDecodeImage(payload: Column): Column = {
+    val v = conv(substring(md5(payload), 1, 6), 16, 10).cast("long")
+    struct(
+      (pmod(v, lit(1920L)) + 1L).cast("int").as("width"),
+      (pmod(v * 31L, lit(1080L)) + 1L).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
 
   /** STUB frame sampling: byte-range slices standing in for video frames;
     * the slicing arithmetic (the part Spark executes) is real. */
