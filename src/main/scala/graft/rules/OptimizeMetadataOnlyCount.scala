@@ -71,17 +71,26 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
     case p: Project => statableFiles(p.child)
     case f: Filter =>
       statableFiles(f.child).flatMap { case (files, schema) =>
-        relationInfo(f.child).flatMap { ti =>
-          val rangeSet = ti.rangeColumns.map(_.toLowerCase).toSet
-          val refs = f.condition.references.toSeq.map(_.name)
-          // deterministic only: rand() < 0.5 carries no references, and a
-          // plan-time evaluation would collapse a per-row sample into an
-          // all-or-nothing per-partition verdict
-          if (f.condition.deterministic &&
-              refs.nonEmpty && refs.forall(r => rangeSet.contains(r.toLowerCase)))
-            partitionMatches(f.condition, ti).map(keep =>
-              (files.filter(keep), schema))
-          else None
+        relationNode(f.child).flatMap { r =>
+          relationInfo(f.child).flatMap { ti =>
+            val rangeSet = ti.rangeColumns.map(_.toLowerCase).toSet
+            // deterministic only: rand() < 0.5 carries no references, and a
+            // plan-time evaluation would collapse a per-row sample into an
+            // all-or-nothing per-partition verdict.
+            // References resolve by EXPRID against the RELATION's own
+            // output: an intermediate Project computing or renaming a
+            // column (e.g. `SELECT rand() AS country`) mints a fresh
+            // exprId, so a filter over the shadowing alias bails out here
+            // instead of being mis-evaluated against manifest partition
+            // values.
+            val refs = f.condition.references
+            if (f.condition.deterministic && refs.nonEmpty &&
+                refs.subsetOf(r.outputSet) &&
+                refs.forall(a => rangeSet.contains(a.name.toLowerCase)))
+              partitionMatches(f.condition, ti).map(keep =>
+                (files.filter(keep), schema))
+            else None
+          }
         }
       }
     case r: DataSourceV2Relation => r.table match {
@@ -100,6 +109,16 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
         case t: GraftTableV2 => t.snapshotOpt.map(_.tableInfo)
         case _ => None
       }
+      case _ => None
+    }
+
+  /** The underlying graft relation node (for exprId-level resolution). */
+  private def relationNode(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    plan match {
+      case p: Project => relationNode(p.child)
+      case f: Filter => relationNode(f.child)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+        Some(r)
       case _ => None
     }
 

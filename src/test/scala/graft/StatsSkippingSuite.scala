@@ -277,6 +277,17 @@ class StatsSkippingSuite extends GraftFunSuite {
       // all-or-nothing per-partition verdict
       assert(hasScan(t().filter($"country" === "us" && rand(7) < 0.5)
         .groupBy().count()))
+      // a computed alias SHADOWING a partition-column name must not be
+      // evaluated against manifest partition values: every row maps to
+      // 'us' here, so the true count is 3 while the partition-value answer
+      // would be 2 — the filter's exprId does not resolve to the
+      // relation's output, so the rewrite bails and the scan answers
+      val shadow = t()
+        .select(when($"n" >= 1, "us").otherwise("de").as("country"))
+        .filter($"country" === "us").groupBy().count()
+      assert(hasScan(shadow),
+        "alias shadowing a partition column must block the rewrite")
+      assert(shadow.as[Long].head() == 3L)
       // avg is not answerable -> scan, correct
       val avgQ = t().groupBy().agg(avg($"n"))
       assert(hasScan(avgQ))
