@@ -69,10 +69,12 @@ object Bench {
     // dirs all settled on this one query).
     val warmMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").exists(_ == "warm")
     val warmFloor = scala.collection.mutable.Map.empty[String, Double]
+    val warmFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (warmMode) {
       for ((name, fn) <- queries) {
         val times = (1 to runs).flatMap(i => runOnce(name, fn, s"warm $i"))
         if (times.nonEmpty) warmFloor(name) = times.min
+        else warmFailed += name // surfaced: absent-from-warm != failed
       }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -99,13 +101,14 @@ object Bench {
     val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalWarm = warmFloor.values.sum
     val warmJson =
-      if (warmFloor.isEmpty) ""
+      if (!warmMode) ""
       else {
         val w = warmFloor.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        val totalWarm = warmFloor.values.sum
-        s""","queries_warm":$w,"total_warm":$totalWarm"""
+        val wf = warmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","queries_warm":$w,"total_warm":$totalWarm,"warm_failed":$wf"""
       }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin$warmJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     // Full per-query payload goes to the FILE; stdout ends with a COMPACT
@@ -120,9 +123,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    val totalWarmField =
-      if (warmFloor.isEmpty) ""
-      else s""","total_warm":${warmFloor.values.sum}"""
+    val totalWarmField = if (!warmMode) "" else s""","total_warm":$totalWarm"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin$totalWarmField,"nqueries":${queries.size},"errors":$errJson,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }

@@ -485,7 +485,12 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
           else df0.coalesce(target)
         }
       val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
-      txn.commit("compaction", None, files, oldFiles, clusterBy = zOrderCols)
+      // record clusterBy only when the rewrite ACTUALLY clustered: the PK
+      // branch never applies ZOrder.cluster (buckets are the layout), and a
+      // false claim in the log would mislead any future consumer
+      val recordedCluster = if (info.hasPrimaryKey) Nil else zOrderCols
+      txn.commit("compaction", None, files, oldFiles,
+        clusterBy = recordedCluster)
     }
   }
 }
@@ -570,6 +575,19 @@ object CleanupCommand {
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
+      // one vacuum at a time: a second overlapping vacuum's lease would be
+      // MASKED once the first's vacuum_end commits (the lease scan stops at
+      // the newest end marker), so refuse to start while a lease is open.
+      // The strict marker commit below makes this airtight: a lease that
+      // commits after this check invalidates our marker, restarts the body,
+      // and re-runs this check against the fresh log.
+      activeLease(SnapshotManagement.store, path, snapshot.version,
+          System.currentTimeMillis()).foreach { case (v, until) =>
+        throw new IllegalStateException(
+          s"cannot vacuum $path: another vacuum's lease is open (committed " +
+          s"at v$v, expires ${java.time.Instant.ofEpochMilli(until)}); " +
+          "retry after it completes or expires")
+      }
       // the marker commit is the serialization point: it wins or the whole
       // vacuum restarts against a fresh snapshot — never deletes on stale
       // state

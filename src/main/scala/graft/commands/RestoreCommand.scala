@@ -79,10 +79,17 @@ object RestoreCommand {
           else Some(target.tableInfo)
         // rewriteGuard: even an adds-only restore (forward restore whose
         // target is a superset of the live set) shadows concurrent writes
-        // like a rewrite — the conflict window must be checked and the
-        // whole restore restarted on a concurrent commit
+        // like a rewrite. strictWindow: the commit must fail on ANY
+        // intervening commit — a vacuum MARKER adds/removes nothing, so
+        // the rewrite conflict rules alone would wave the restore through
+        // on an in-loop CAS retry WITHOUT re-running the lease/existence
+        // checks, and the vacuum (live set pinned pre-restore) would then
+        // delete the files this restore just resurrected. A strict
+        // conflict restarts the whole body instead, which re-checks the
+        // lease against the fresh snapshot.
         restored = txn.commit("restore", metaChange, adds, removes,
-          rewriteGuard = true, preserveWriteVersions = true)
+          rewriteGuard = true, preserveWriteVersions = true,
+          strictWindow = true)
       }
     }
     restored

@@ -1,7 +1,7 @@
 package graft
 
 import graft.commands.{CleanupCommand, RestoreCommand}
-import graft.meta.{GraftConcurrentModificationException, SnapshotManagement, Transaction}
+import graft.meta.{CommitInfo, GraftConcurrentModificationException, LogEntry, MetaStore, SnapshotManagement, Transaction}
 import graft.tables.GraftTable
 
 /** Vacuum serializes with restore THROUGH THE COMMIT LOG: a leased `vacuum`
@@ -105,6 +105,74 @@ class VacuumRaceSuite extends GraftFunSuite {
         RestoreCommand.run(spark, dir, preCompaction)
       }
       assert(e.getMessage.contains("vacuumed"))
+    }
+  }
+
+  test("a second vacuum is rejected while a lease is open") {
+    withTempTable { dir =>
+      mkTable(dir)
+      GraftTable.forPath(spark, dir).compaction(force = true)
+      val path = SnapshotManagement.normalize(dir)
+      SnapshotManagement.withNewTransaction(path) { txn =>
+        txn.snapshotOpt
+        txn.commit("vacuum", None, Nil, Nil, strictWindow = true,
+          leaseUntil = System.currentTimeMillis() + 600000L)
+      }
+      val e = withSQLConf(
+          "spark.graft.cleanup.retentionCheck.enabled" -> "false") {
+        intercept[IllegalStateException] {
+          CleanupCommand.run(spark, dir, retainMillis = 0L)
+        }
+      }
+      assert(e.getMessage.contains("another vacuum"))
+      // release: the same vacuum now proceeds
+      SnapshotManagement.withNewTransaction(path)(
+        _.commit("vacuum_end", None, Nil, Nil))
+      withSQLConf("spark.graft.cleanup.retentionCheck.enabled" -> "false") {
+        CleanupCommand.run(spark, dir, retainMillis = 0L)
+      }
+      assert(spark.read.format("graft").load(dir).count() == 2L)
+    }
+  }
+
+  test("restore whose commit loses to a vacuum marker restarts and " +
+      "fails cleanly on the fresh lease — never commits blind") {
+    withTempTable { dir =>
+      mkTable(dir)
+      val path = SnapshotManagement.normalize(dir)
+      val real = SnapshotManagement.store
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // sneak a leased vacuum marker in at the restore's own CAS version:
+      // the restore's first commit attempt must lose the race AFTER its
+      // lease check already passed
+      val racing = new MetaStore {
+        override def latestVersion(p: String): Long = real.latestVersion(p)
+        override def read(p: String, v: Long): Seq[LogEntry] = real.read(p, v)
+        override def commit(p: String, v: Long, entries: Seq[LogEntry]): Boolean = {
+          val isRestore = entries.headOption.flatMap(_.commit)
+            .exists(_.commitType == "restore")
+          if (isRestore && injected.compareAndSet(false, true)) {
+            real.commit(p, v, Seq(LogEntry(commit = Some(CommitInfo(
+              "vacuum", System.currentTimeMillis(),
+              leaseUntil = System.currentTimeMillis() + 600000L)))))
+          }
+          real.commit(p, v, entries)
+        }
+      }
+      SnapshotManagement.setStore(racing)
+      try {
+        val e = intercept[IllegalStateException] {
+          RestoreCommand.run(spark, dir, 0L)
+        }
+        // the in-loop CAS retry must NOT blind-commit past the marker: the
+        // strict window restarts the body, which re-checks the lease
+        assert(e.getMessage.contains("vacuum in progress"), e.getMessage)
+        val latest = real.latestVersion(path)
+        val types = (0L to latest).flatMap(v =>
+          real.read(path, v).flatMap(_.commit).headOption.map(_.commitType))
+        assert(!types.contains("restore"),
+          s"restore committed despite the open lease: $types")
+      } finally SnapshotManagement.setStore(real)
     }
   }
 
