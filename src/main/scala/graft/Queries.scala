@@ -309,10 +309,11 @@ object Queries {
           col("o_orderdate") < lit("1996-01-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
-    // ---- q_changes_feed / q_ann_brute / q_multimodal_decode carry DuckDB
-    //      oracles (deterministic construction / integer-only ranking /
-    //      md5-derived stub); the remaining ANN + hash-sketch queries use
-    //      engine-specific hash functions and are suite-verified ----
+    // ---- q_changes_feed / q_ann_brute / q_multimodal_decode /
+    //      q_doc_fingerprint carry DuckDB oracles (deterministic
+    //      construction / integer-only ranking / md5-derived values); the
+    //      remaining ANN + hash-sketch queries use engine-specific hash
+    //      functions and are suite-verified ----
     "q_changes_feed" -> ((s, sf) => {
       val dir = GraftData.ordersChangeLogDir(s, sf)
       graft.tables.ChangeFeed.changes(s, dir, 0)
@@ -676,6 +677,29 @@ object Queries {
        "(list_dot_product(q.e, c.e) / NULLIF(sqrt(list_dot_product(q.e, q.e)) " +
        "* sqrt(list_dot_product(c.e, c.e)), 0)) DESC NULLS LAST, " +
        "c.vec_id ASC) AS rnk FROM q CROSS JOIN c) s WHERE rnk <= 10"),
+
+    // Rolling fingerprint, re-derived in portable SQL: same 60-bit
+    // md5-token hash, rotl in HUGEINT space (low 64 bits kept, re-signed),
+    // XOR-folded. `h >> 64` = 0 in DuckDB vs Java's mod-64 `h >>> 64` = h,
+    // but at r=0 both reduce to h (h|0 here, h|h there), so the or-form
+    // rotation agrees at every r. NULL text → no unnest rows → NULL via
+    // the is_null flag; zero-token text → COALESCE to the fold seed 0.
+    "q_doc_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, text IS NULL AS is_null, " +
+       "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), " +
+       "e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok, " +
+       "unnest(generate_series(0, len(toks)-1)) AS pos FROM t), " +
+       "rot AS (SELECT doc_id, " +
+       "CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT) " +
+       "THEN m - CAST('18446744073709551616' AS HUGEINT) ELSE m END AS BIGINT) AS contrib " +
+       "FROM (SELECT doc_id, ((CAST(h AS HUGEINT) << r) | CAST(h >> (64 - r) AS HUGEINT)) " +
+       "% CAST('18446744073709551616' AS HUGEINT) AS m " +
+       "FROM (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS h, " +
+       "CAST((5 * (n - 1 - pos)) % 64 AS INTEGER) AS r FROM e) s1) s2), " +
+       "agg AS (SELECT doc_id, bit_xor(contrib) AS fp FROM rot GROUP BY doc_id) " +
+       "SELECT t.doc_id, CASE WHEN t.is_null THEN NULL ELSE COALESCE(agg.fp, 0) END " +
+       "AS fingerprint FROM t LEFT JOIN agg USING (doc_id)"),
 
     // Fake decode dimensions = md5's first 24 bits (engine-portable stub);
     // frame sampling always yields 4 slices.

@@ -40,8 +40,12 @@ object TextAnalysis {
   }
 
   /** Order-sensitive document fingerprint: rotate-xor rolling hash over the
-    * token stream (`rotl5(acc) ^ murmur3(token)`), so permuted documents
-    * fingerprint differently while identical ones collide.
+    * token stream (`rotl5(acc) ^ h(token)`), so permuted documents
+    * fingerprint differently while identical ones collide. The per-token
+    * hash is the first 60 bits of the token's md5 — engine-portable (any
+    * SQL engine with `md5` + hex parsing reproduces it bit-for-bit, unlike
+    * murmur3's seed/tail variants), which is what lets the DuckDB oracle
+    * gate verify this query end-to-end.
     *
     * The fold is XOR-linear (`rotl` distributes over `^`), so it unrolls to
     * `XOR_i rotl(h(t_i), 5*(n-1-i) mod 64)` — an order-independent aggregate
@@ -56,7 +60,10 @@ object TextAnalysis {
     // rotate-by-zero works through the or-form because long shifts take the
     // amount mod 64 (codegen'd as Java `<<`/`>>>`): h<<0 | h>>>64 == h
     val r = pmod(lit(5) * (col("__n") - 1 - col("pos")), lit(64))
-    val h = hash(col("tok")).cast("long")
+    // 60-bit token hash (15 hex chars of md5): positive, so `>>` == `>>>`
+    // on every engine; codegen'd md5 is CSE'd across the two shift operands
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
     val rotated = call_function("shiftleft", h, r)
       .bitwiseOR(call_function("shiftrightunsigned", h, lit(64) - r))
     // posexplode_outer + null guard: zero-token docs must fingerprint to

@@ -121,7 +121,8 @@ case class GraftPkScan(
     streamIgnoreChanges: Boolean = false,
     streamOptions: Map[String, String] = Map.empty,
     forceMergeLayout: Boolean = false)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   /** Streaming read: PK delta files stream as the upsert records they are
     * (rows-as-written); see [[GraftMicroBatchStream]] for the semantics. */
@@ -172,20 +173,70 @@ case class GraftPkScan(
       s"files=${files.size}, pushedPkFilters=${pushedPkFilters.mkString(",")}]"
   }
 
-  /** Buckets a PK point/IN lookup can possibly hit, or None for scans that
-    * do not pin every hash column by equality. The write path places a key
+  // ---- runtime (DPP) narrowing state ------------------------------------
+  // Spark calls `filter` between planning and execution when a dynamic
+  // pruning subquery completes (e.g. the broadcast side of a star join).
+  // Values are catalyst-internal; keys are lower-cased column names.
+  @transient private var runtimePkValues: Map[String, Set[Any]] = Map.empty
+  @transient private var runtimeRangeValues: Map[String, Set[Any]] = Map.empty
+
+  /** Join keys Spark may prune this scan by at runtime: the hash columns
+    * (runtime IN values hash straight to their buckets) and the range
+    * partition columns (manifest partition values drop whole groups) —
+    * restricted to columns surviving column pruning: `PartitionPruning`
+    * resolves these against the scan relation's OUTPUT and THROWS (not
+    * skips) on a miss, so advertising a pruned-away column would fail any
+    * join over this scan at optimization time. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val visible = readSchema().fieldNames.map(_.toLowerCase).toSet
+    (tableInfo.hashColumns ++ tableInfo.rangeColumns)
+      .filter(c => visible.contains(c.toLowerCase)).map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val hashLower = tableInfo.hashColumns.map(_.toLowerCase).toSet
+    val rangeLower = tableInfo.rangeColumns.map(_.toLowerCase).toSet
+    val typeOf = (tableInfo.dataSchema.fields ++
+      tableInfo.rangePartitionSchema.fields)
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    predicates.flatMap(RuntimeFilters.parse).foreach { case (name, lits) =>
+      val lower = name.toLowerCase
+      // type-exact only: a join key cast to another type hashes (buckets)
+      // and compares (partition values) differently — ignoring the filter
+      // is always safe, applying a mistyped one is not
+      if (typeOf.get(lower).exists(dt => lits.forall(_.dataType == dt))) {
+        val vs: Set[Any] = lits.map(_.value.asInstanceOf[Any]).toSet
+        if (hashLower(lower)) {
+          runtimePkValues = RuntimeFilters.intersect(runtimePkValues, lower, vs)
+        } else if (rangeLower(lower)) {
+          runtimeRangeValues =
+            RuntimeFilters.intersect(runtimeRangeValues, lower, vs)
+        }
+      }
+    }
+  }
+
+  /** Buckets this scan can possibly hit, or None when not every hash column
+    * is pinned by equality. Candidate values per column come from the pushed
+    * static conjuncts (point/IN lookups) AND from runtime DPP value sets —
+    * intersected when both pin the same column. The write path places a key
     * at `pmod(murmur3(pk), bucketNum)` (Spark's own
     * `HashPartitioning.partitionIdExpression` — `TransactionalWrite.writePk`
-    * relies on it), so the same hash computed over the filter literals
-    * identifies the ONLY bucket that can hold the key. This is the pruning
-    * file-level stats can NEVER do for bucketed tables: hash scattering
-    * makes every bucket file's pk [min, max] span the whole domain. */
+    * relies on it), so the same hash computed over the literals identifies
+    * the ONLY bucket that can hold each key. This is the pruning file-level
+    * stats can NEVER do for bucketed tables: hash scattering makes every
+    * bucket file's pk [min, max] span the whole domain. */
   private def pointLookupBuckets: Option[Set[Int]] = {
     val hashCols = tableInfo.hashColumns
     val fieldOf = tableInfo.dataSchema.fields
       .map(f => f.name.toLowerCase -> f).toMap
     // per-column equality candidate values from the pushed conjuncts
-    def valuesFor(c: String): Option[Seq[Any]] = {
+    // (EXTERNAL Scala values — Literal.create converts)
+    def staticLits(c: String, dt: DataType): Option[Seq[
+        org.apache.spark.sql.catalyst.expressions.Literal]] = {
       pushedPkFilters.collectFirst {
         case org.apache.spark.sql.sources.EqualTo(a, v)
             if a.equalsIgnoreCase(c) && v != null => Seq(v)
@@ -194,28 +245,60 @@ case class GraftPkScan(
         case org.apache.spark.sql.sources.In(a, vs)
             if a.equalsIgnoreCase(c) && vs != null && vs.nonEmpty &&
               vs.forall(_ != null) && vs.length <= 64 => vs.toSeq
+      }.map(_.map(v =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)))
+    }
+    // runtime DPP values are already INTERNAL — wrap directly
+    def runtimeLits(c: String, dt: DataType): Option[Seq[
+        org.apache.spark.sql.catalyst.expressions.Literal]] =
+      runtimePkValues.get(c.toLowerCase).map(_.toSeq.filter(_ != null)
+        .map(v => org.apache.spark.sql.catalyst.expressions.Literal(v, dt)))
+    def litsFor(c: String): Option[Seq[
+        org.apache.spark.sql.catalyst.expressions.Literal]] = {
+      val dt = fieldOf.get(c.toLowerCase).map(_.dataType).getOrElse(return None)
+      (staticLits(c, dt), runtimeLits(c, dt)) match {
+        case (Some(s), Some(r)) => // both pin the column: intersect values
+          val sv = s.map(_.value).toSet
+          Some(r.filter(l => sv.contains(l.value)))
+        case (s, r) => r.orElse(s)
       }
     }
-    val perCol = hashCols.map(valuesFor)
+    val perCol = hashCols.map(litsFor)
     if (perCol.exists(_.isEmpty)) return None
-    // size check BEFORE expanding the cartesian (64^4 tuples would spike
-    // the driver only to be discarded)
-    if (perCol.map(_.get.length.toLong).product > 256L) return None
-    val tuples = perCol.map(_.get).foldLeft(Seq(Seq.empty[Any])) {
-      (acc, vs) => acc.flatMap(t => vs.map(t :+ _))
-    }
+    // size check BEFORE expanding the cartesian; runtime IN sets can be an
+    // entire dim table's keys — hashing 100k literals is trivial driver
+    // work, but an unbounded cross-column product is not
+    if (perCol.map(_.get.length.toLong).product > 100000L) return None
+    val tuples = perCol.map(_.get)
+      .foldLeft(Seq(Seq.empty[org.apache.spark.sql.catalyst.expressions.Literal])) {
+        (acc, vs) => acc.flatMap(t => vs.map(t :+ _))
+      }
     try {
       val n = tableInfo.bucketNum
-      Some(tuples.map { tuple =>
-        val lits = hashCols.zip(tuple).map { case (c, v) =>
-          val dt = fieldOf.get(c.toLowerCase).map(_.dataType).getOrElse(return None)
-          org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
-        }
+      Some(tuples.map { lits =>
         val hash = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(lits)
           .eval(null).asInstanceOf[Int]
         ((hash % n) + n) % n
       }.toSet)
     } catch { case _: Exception => None }
+  }
+
+  /** Drop whole (range partition) file groups whose manifest partition
+    * value cannot match a runtime IN set. NULL partition values never match
+    * an IN (join keys with NULL never join), so they drop too. */
+  private def runtimeKeptFiles: Seq[DataFileInfo] = {
+    if (runtimeRangeValues.isEmpty) return files
+    val tz = castToImpl(sparkSession).sessionState.conf.sessionLocalTimeZone
+    val pfields = tableInfo.rangePartitionSchema.fields
+    files.filter { f =>
+      runtimeRangeValues.forall { case (lower, vs) =>
+        pfields.find(_.name.toLowerCase == lower).forall { field =>
+          val v = GraftFileIndex.castPartitionValue(
+            f.partitionValues.getOrElse(field.name, null), field, tz)
+          v != null && vs.contains(v)
+        }
+      }
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -227,7 +310,7 @@ case class GraftPkScan(
     // rule declares HashPartitioning with partition index == bucket id),
     // but buckets a pinned key cannot hash to get EMPTY partitions — zero
     // IO, the distribution contract intact
-    val byBucket0 = files.groupBy(_.bucket)
+    val byBucket0 = runtimeKeptFiles.groupBy(_.bucket)
     val byBucket = pointLookupBuckets match {
       case Some(keep) => byBucket0.view.filterKeys(keep).toMap
       case None => byBucket0

@@ -435,16 +435,59 @@ case class GraftStreamReaderFactory(
 }
 
 /** Adds `toMicroBatchStream` to any batch scan the builders produce — the
-  * batch path is untouched (pure delegation). */
+  * batch path is untouched (pure delegation) — and restores the runtime
+  * (DPP) filtering the stock V2 parquet scan lacks: a star join keyed on a
+  * range partition column re-plans this scan with only the partitions the
+  * dim side's completed broadcast can match (`delegate` swaps for a copy
+  * carrying the extra partition filters; Spark re-calls `toBatch` after
+  * `filter`, picking up the narrowed file list). */
 class GraftStreamableScan(
-    private[sources] val delegate: Scan,
+    @volatile private[sources] var delegate: Scan,
     spark: SparkSession,
     tablePath: String,
     tableInfo: TableInfo,
     ignoreChanges: Boolean,
     options: Map[String, String] = Map.empty)
   extends Scan
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // restricted to columns surviving column pruning: PartitionPruning
+  // resolves filterAttributes against the scan relation's OUTPUT and
+  // THROWS (not skips) on a miss
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val visible = delegate.readSchema().fieldNames.map(_.toLowerCase).toSet
+    tableInfo.rangeColumns.filter(c => visible.contains(c.toLowerCase)).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    delegate match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        val pschema = p.fileIndex.partitionSchema
+        val exprs = predicates.toSeq.flatMap(RuntimeFilters.parse).flatMap {
+          case (name, lits) =>
+            pschema.fields.find(_.name.equalsIgnoreCase(name)).flatMap { field =>
+              // type-exact only: a mistyped comparison could wrongly prune
+              if (lits.forall(_.dataType == field.dataType)) {
+                // fresh attribute is fine: PartitioningAwareFileIndex binds
+                // partition filters by NAME, not exprId
+                val attr = org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference(field.name, field.dataType,
+                    nullable = true)()
+                Some(org.apache.spark.sql.catalyst.expressions.In(attr,
+                  lits.map(l => org.apache.spark.sql.catalyst.expressions
+                    .Literal(l.value, l.dataType))))
+              } else None
+            }
+        }
+        if (exprs.nonEmpty) {
+          delegate = p.copy(partitionFilters = p.partitionFilters ++ exprs)
+        }
+      case _ => () // unknown delegate: keep everything (never a correctness gate)
+    }
 
   // stats drive join-side broadcast decisions — losing them through the
   // wrapper would silently degrade batch plans

@@ -50,6 +50,24 @@ object SparkShims {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(castToImpl(spark), plan)
+
+  /** A runtime-filter-shaped V2 IN predicate (exactly what
+    * `DataSourceV2Strategy.translateRuntimeFilterV2` emits from a completed
+    * dynamic-pruning subquery) — `LiteralValue` is `private[sql]`, so tests
+    * exercising `SupportsRuntimeV2Filtering.filter` build it here. Values
+    * are catalyst-INTERNAL (UTF8String for strings, boxed numerics). */
+  def v2InPredicate(
+      col: String,
+      values: Seq[Any],
+      dataType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.filter.Predicate = {
+    val kids: Array[org.apache.spark.sql.connector.expressions.Expression] =
+      org.apache.spark.sql.connector.expressions.FieldReference(col) +:
+        values.toArray.map(v =>
+          org.apache.spark.sql.connector.expressions.LiteralValue(v, dataType)
+            : org.apache.spark.sql.connector.expressions.Expression)
+    new org.apache.spark.sql.connector.expressions.filter.Predicate("IN", kids)
+  }
 }
 
 /** ScanBuilder delegator that keeps the stock `ParquetScanBuilder`'s whole
