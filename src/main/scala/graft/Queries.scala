@@ -49,6 +49,21 @@ object Queries {
         .agg(count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("revenue_cents"))),
 
+    // star join with a selectively-filtered dim: the completed broadcast
+    // side reaches the PK fact scan as a runtime IN filter
+    // (SupportsRuntimeV2Filtering) — matching buckets only, planned at
+    // execution time with zero user hints
+    "q_dpp_join" -> ((s, sf) =>
+      GraftData.ordersPk(s, sf)
+        .join(GraftData.parquet(s, sf, "lineitem")
+          .filter(col("l_quantity") === 50 && col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-02-01"))
+          .select(col("l_orderkey"), col("l_extendedprice")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("l_extendedprice")).as("price_cents"))),
+
     "q_cust_join" -> ((s, sf) =>
       GraftData.customerPk(s, sf)
         .join(GraftData.ordersByCust(s, sf),
@@ -397,6 +412,14 @@ object Queries {
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"),
+
+    "q_dpp_join" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+       "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents " +
+       "FROM orders JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem " +
+       "WHERE l_quantity = 50 AND l_returnflag = 'R' " +
+       "AND l_shipdate >= '1997-01-01' AND l_shipdate < '1997-02-01') l " +
+       "ON o_orderkey = l_orderkey"),
 
     "q_cust_join" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt, " +

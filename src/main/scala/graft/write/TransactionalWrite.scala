@@ -36,7 +36,7 @@ import graft.meta.{DataFileInfo, TableInfo}
   * and ship `DataFileInfo` back in task-commit messages; only the metadata
   * commit makes files live. The driver never opens a data file.
   */
-object TransactionalWrite {
+object TransactionalWrite extends org.apache.spark.internal.Logging {
   val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
   /** Write `df` into the table layout; returns uncommitted DataFileInfo. */
@@ -80,8 +80,57 @@ object TransactionalWrite {
       statsMaxCols = statsMaxCols,
       bucketFromTaskId = tableInfo.hasPrimaryKey)
 
-    executeWrite(spark, tablePath, arranged, rangeCols, protocol)
+    executeWrite(spark, tablePath, arranged, rangeCols, protocol,
+      bloomFilterConf(tableInfo))
     protocol.addedFiles
+  }
+
+  /** Table property declaring per-file parquet BLOOM FILTERS on the named
+    * columns. Manifest min/max stats cannot skip anything for
+    * high-cardinality columns whose values scatter across files (hash-ish
+    * ids, uuids): every file's [min, max] spans the domain. A parquet
+    * bloom filter answers "is this exact value possibly in this row
+    * group?" instead, so pushed equality/IN filters skip row groups
+    * regardless of value order — on a PK table this composes with bucket
+    * pruning (1 of N files planned, then bloom-skipped row groups inside
+    * it). Write-side only; the read side is free (Spark's parquet reader
+    * consumes bloom filters for pushed predicates natively). */
+  val BLOOM_PROPERTY = "graft.bloomFilter.columns"
+
+  /** Expected distinct values per file for bloom sizing (optional; parquet
+    * sizes by its max-bytes cap when unset). */
+  val BLOOM_NDV_PROPERTY = "graft.bloomFilter.ndv"
+
+  /** Hadoop conf entries enabling parquet bloom filters for the declared
+    * columns. Unknown / range-partition columns are logged and ignored
+    * (same convention as the declared-zOrderBy property: a stale property
+    * must not fail every write). */
+  private[graft] def bloomFilterConf(
+      tableInfo: TableInfo): Map[String, String] = {
+    val declared = tableInfo.configuration.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(BLOOM_PROPERTY) =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    if (declared.isEmpty) return Map.empty
+    // physical parquet columns only: range-partition values live in
+    // directory names, not file content
+    val dataFields = tableInfo.dataSchema.fields
+      .map(f => f.name.toLowerCase -> f.name).toMap
+    val rangeSet = tableInfo.rangeColumns.map(_.toLowerCase).toSet
+    val (valid, invalid) = declared.partition(c =>
+      dataFields.contains(c.toLowerCase) && !rangeSet.contains(c.toLowerCase))
+    if (invalid.nonEmpty) {
+      logWarning(s"ignoring $BLOOM_PROPERTY entries without a physical " +
+        s"data column: ${invalid.mkString(", ")}")
+    }
+    val ndv = tableInfo.configuration.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(BLOOM_NDV_PROPERTY) => v.trim
+    }.filter(_.nonEmpty)
+    valid.flatMap { c =>
+      val physical = dataFields(c.toLowerCase)
+      Seq(s"parquet.bloom.filter.enabled#$physical" -> "true") ++
+        ndv.map(n => s"parquet.bloom.filter.expected.ndv#$physical" -> n)
+    }.toMap
   }
 
   /** One `FileFormatWriter` job with our delayed-commit protocol. */
@@ -90,7 +139,8 @@ object TransactionalWrite {
       tablePath: String,
       df: DataFrame,
       partitionCols: Seq[String],
-      protocol: GraftCommitProtocol): Unit = {
+      protocol: GraftCommitProtocol,
+      extraHadoopConf: Map[String, String] = Map.empty): Unit = {
     val session = castToImpl(spark)
     val qe = castToImpl(df).queryExecution
     val outputCols = qe.analyzed.output
@@ -99,6 +149,8 @@ object TransactionalWrite {
       outputCols.find(a => resolver(a.name, c)).getOrElse(
         sys.error(s"partition column $c not found in ${outputCols.map(_.name)}"))
     }
+    val hadoopConf = session.sessionState.newHadoopConf()
+    extraHadoopConf.foreach { case (k, v) => hadoopConf.set(k, v) }
     SQLExecution.withNewExecutionId(qe, Some("graft write")) {
       FileFormatWriter.write(
         sparkSession = session,
@@ -107,7 +159,7 @@ object TransactionalWrite {
         committer = protocol,
         outputSpec =
           FileFormatWriter.OutputSpec(tablePath, Map.empty, outputCols),
-        hadoopConf = session.sessionState.newHadoopConf(),
+        hadoopConf = hadoopConf,
         partitionColumns = partitionAttrs,
         bucketSpec = None,
         statsTrackers = Nil,
