@@ -143,6 +143,74 @@ class StreamingCdfSuite extends GraftFunSuite {
     }
   }
 
+  test("CDC replication: streamed change feed keeps a replica table in sync") {
+    // the change feed's primary audience end-to-end: source mutations ->
+    // CDF stream -> foreachBatch applies upserts/deletes to a REPLICA
+    // graft table, across several micro-batches and a stream restart
+    withTempTable { dir =>
+      val srcDir = s"$dir/src"
+      val repDir = s"$dir/rep"
+      val cp = s"$dir/cp"
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(srcDir) // v0
+      // replica starts empty with the same layout
+      spark.emptyDataset[(Long, String)].toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(repDir)
+
+      def applyChanges(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("maxFilesPerTrigger", "1") // several micro-batches
+          .load(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val rep = GraftTable.forPath(batch.sparkSession, repDir)
+            // versions apply IN ORDER; within one version upserts and
+            // deletes touch disjoint keys (a rewrite diff), so the split
+            // below cannot reorder a key's operations
+            val versions = batch.select(col(ChangeFeed.COMMIT_VERSION))
+              .distinct().collect().map(_.getLong(0)).sorted
+            versions.foreach { ver =>
+              val b = batch.filter(col(ChangeFeed.COMMIT_VERSION) === ver)
+              val dels = b.filter(col(ChangeFeed.CHANGE_TYPE) === "delete")
+                .select("id").collect().map(_.getLong(0))
+              val ups = b.filter(col(ChangeFeed.CHANGE_TYPE).isin(
+                  "insert", "upsert", "update_postimage"))
+                .select("id", "v")
+              if (!ups.isEmpty) rep.upsert(ups)
+              if (dels.nonEmpty) rep.delete(col("id").isin(dels.toSeq: _*))
+            }
+          }
+          .option("checkpointLocation", cp).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      val t = GraftTable.forPath(spark, srcDir)
+      t.upsert(Seq((2L, "b2"), (4L, "d")).toDF("id", "v")) // v1
+      t.delete(expr("id = 1")) // v2
+      applyChanges()
+      def snap(path: String): Seq[(Long, String)] =
+        spark.read.format("graft").load(path)
+          .as[(Long, String)].collect().toSeq.sorted
+      assert(snap(repDir) == snap(srcDir),
+        s"replica diverged: ${snap(repDir)} vs ${snap(srcDir)}")
+
+      // more mutations, then resume from the SAME checkpoint
+      t.update(expr("id = 3"), Map("v" -> lit("C3"))) // v3
+      t.upsert(Seq((5L, "e")).toDF("id", "v")) // v4
+      t.delete(expr("id = 4")) // v5
+      applyChanges()
+      assert(snap(repDir) == snap(srcDir),
+        s"replica diverged after restart: ${snap(repDir)} vs ${snap(srcDir)}")
+      assert(snap(repDir) == Seq((2L, "b2"), (3L, "C3"), (5L, "e")))
+    }
+  }
+
   test("non-PK data-changing commit fails the CDF stream unless ignoreChanges") {
     withTempTable { dir =>
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
