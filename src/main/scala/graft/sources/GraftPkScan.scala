@@ -343,6 +343,27 @@ case class GraftPkScan(
     }.toArray
   }
 
+  /** Runtime (DPP) PK values as v1 IN filters for the parquet readers:
+    * within a kept bucket file, pushed INs skip row groups via
+    * stats/dictionary/bloom — the second half of runtime pruning (bucket
+    * pruning plans 1-of-N files; this skips inside them). Safe under
+    * merge-on-read for the same reason as `pushedPkFilters`: the predicate
+    * is ON the key, so every version of a key is kept or dropped together.
+    * `BatchScanExec.inputRDD` computes `filteredPartitions` (which runs
+    * `filter`) before `readerFactory`, so the state is set by now; an
+    * empty result just means no runtime narrowing. Capped — parquet
+    * range-collapses large INs anyway (`pushdown.inFilterThreshold`), so
+    * externalizing a huge dim key set would burn driver time for nothing. */
+  private[graft] def runtimePkReaderFilters: Seq[Filter] =
+    runtimePkValues.toSeq.flatMap {
+      case (lower, vs) if vs.nonEmpty && vs.size <= 1000 =>
+        tableInfo.dataSchema.fields.find(_.name.toLowerCase == lower).map { f =>
+          org.apache.spark.sql.sources.In(f.name, vs.toArray.map(v =>
+            org.apache.spark.sql.graft.SparkShims.toExternal(v, f.dataType)))
+        }
+      case _ => None
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = castToImpl(sparkSession)
     val fmt = new ParquetFileFormat()
@@ -362,7 +383,7 @@ case class GraftPkScan(
       dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
       partitionSchema = readPartitionSchema,
       requiredSchema = GraftPkScan.asNullable(mergeReadSchema),
-      filters = pushedPkFilters,
+      filters = pushedPkFilters ++ runtimePkReaderFilters,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> returningBatch.toString),
       hadoopConf = hadoopConf)

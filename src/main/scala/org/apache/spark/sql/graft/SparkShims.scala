@@ -51,6 +51,12 @@ object SparkShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(castToImpl(spark), plan)
 
+  /** Catalyst-internal value -> external Scala value of the given type
+    * (UTF8String -> String, Decimal -> BigDecimal, days-int -> Date …);
+    * v1 `sources.Filter` values are external by contract. */
+  def toExternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+
   /** A runtime-filter-shaped V2 IN predicate (exactly what
     * `DataSourceV2Strategy.translateRuntimeFilterV2` emits from a completed
     * dynamic-pruning subquery) — `LiteralValue` is `private[sql]`, so tests

@@ -112,6 +112,51 @@ class RuntimeFilterSuite extends GraftFunSuite {
     }
   }
 
+  test("runtime PK values reach the parquet readers as pushed IN filters") {
+    withTempTable { dir =>
+      (0L until 500L).map(i => (i, s"s${i % 9}", s"v$i")).toDF("id", "s", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "4").save(dir)
+      val df = spark.read.format("graft").load(dir)
+      val scan = pkScanOf(df)
+      scan.filter(Array(
+        SparkShims.v2InPredicate("id", Seq(7L, 13L), LongType),
+        // range/unknown columns never become reader filters
+        SparkShims.v2InPredicate("s",
+          Seq(UTF8String.fromString("s1")), StringType)))
+      // only the PK column becomes a reader filter, with EXTERNAL values
+      val readerFilters = scan.runtimePkReaderFilters
+      assert(readerFilters == Seq(org.apache.spark.sql.sources.In("id",
+        Array[Any](7L, 13L))) ||
+        readerFilters == Seq(org.apache.spark.sql.sources.In("id",
+          Array[Any](13L, 7L))), s"got $readerFilters")
+      // a full read through the narrowed scan still returns the right rows
+      // (bucket pruning + reader-pushed IN must drop only non-matching IO,
+      // never rows — row-group skipping is coarser than the key set)
+      val rows = df.filter($"id".isin(7L, 13L)).collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(7L, 13L))
+      // and the reader factory builds without error over the merge path too
+      assert(scan.createReaderFactory() != null)
+    }
+  }
+
+  test("string-PK runtime values externalize for the reader filter") {
+    withTempTable { dir =>
+      (0 until 100).map(i => (s"k$i", i)).toDF("k", "x")
+        .write.format("graft")
+        .option("hashPartitions", "k").option("hashBucketNum", "4").save(dir)
+      val df = spark.read.format("graft").load(dir)
+      val scan = pkScanOf(df)
+      scan.filter(Array(SparkShims.v2InPredicate("k",
+        Seq(UTF8String.fromString("k42")), StringType)))
+      assert(scan.runtimePkReaderFilters == Seq(
+        org.apache.spark.sql.sources.In("k", Array[Any]("k42"))),
+        s"got ${scan.runtimePkReaderFilters}")
+      assert(df.filter($"k" === "k42").collect().map(_.getInt(1)).toSeq ==
+        Seq(42))
+    }
+  }
+
   test("joins over scans whose projection pruned the filter columns away") {
     // regression: filterAttributes advertising a pruned-away column makes
     // PartitionPruning's resolveRefs THROW on any join over the scan
