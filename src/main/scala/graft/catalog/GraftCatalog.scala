@@ -147,6 +147,29 @@ class GraftCatalog extends DelegatingCatalogExtension
     asGraft(t).getOrElse(t)
   }
 
+  /** SQL time travel: `SELECT ... FROM t VERSION AS OF n`. Also accepts a
+    * numeric string; non-graft tables fall through to the delegate (which
+    * throws unless the underlying source supports versioning). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = super.loadTable(ident)
+    asGraft(t) match {
+      case Some(g) => new GraftTableV2(spark, g.path,
+        extraOptions = Map("versionAsOf" -> version))
+      case None => super.loadTable(ident, version)
+    }
+  }
+
+  /** SQL time travel: `... TIMESTAMP AS OF '...'` — Spark hands the resolved
+    * timestamp as MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = super.loadTable(ident)
+    asGraft(t) match {
+      case Some(g) => new GraftTableV2(spark, g.path,
+        extraOptions = Map("timestampAsOf" -> (timestamp / 1000L).toString))
+      case None => super.loadTable(ident, timestamp)
+    }
+  }
+
   private def asGraft(t: Table): Option[GraftTableV2] = {
     val props = t.properties()
     if (isGraftProvider(props)) {
