@@ -218,10 +218,13 @@ object UpdateCommand {
 
 object DeleteCommand {
 
-  /** Rewrite-on-delete (reference `DeleteCommand.scala:69-147`): keep rows
-    * whose condition is not true (null-safe). */
+  /** DELETE strategy ladder: metadata-only partition delete, then deletion
+    * vectors (non-PK), then rewrite-on-delete (reference
+    * `DeleteCommand.scala:69-147`): keep rows whose condition is not true
+    * (null-safe). */
   def run(spark: SparkSession, tablePath: String, condition: Column): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
+    if (DvDelete.tryRun(spark, path, condition)) return
     RewriteSupport.rewriteMatchingFiles(spark, path, condition, "delete") {
       (df, cond) => df.filter(!coalesce(cond, lit(false)))
     }
@@ -418,31 +421,46 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
       def clusterByOf(v: Long): Seq[String] = clusterByCache.getOrElseUpdate(v,
         SnapshotManagement.store.read(path, v).flatMap(_.commit).headOption
           .map(_.clusterBy.map(_.toLowerCase)).getOrElse(Nil))
-      val toCompact = snapshot.filesByRange.filter { case (key, files) =>
-        candidateKeys.contains(key) && {
-          if (info.hasPrimaryKey) {
+      val toCompact: Map[String, Seq[DataFileInfo]] =
+        snapshot.filesByRange.flatMap { case (key, files) =>
+          if (!candidateKeys.contains(key)) None
+          else if (info.hasPrimaryKey) {
             val deltas = files.count(!_.isBase)
-            (force || deltas >= maxDelta) && files.exists(!_.isBase)
+            if ((force || deltas >= maxDelta) && files.exists(!_.isBase))
+              Some(key -> files)
+            else None
           } else if (zOrderCols.nonEmpty) {
-            if (zOrderBy.nonEmpty) files.nonEmpty // explicit: always rewrite
-            else {
+            if (zOrderBy.nonEmpty) { // explicit: always rewrite
+              if (files.nonEmpty) Some(key -> files) else None
+            } else {
               // DECLARED clustering must be idempotent: a partition whose
               // whole file set came out of ONE rewrite that RECORDED these
               // clustering columns is already clustered — skipping it keeps
               // scheduled maintenance from rewriting 100% of the table
               // every run, while partitions compacted under a different
-              // (or no) clustering still get rewritten once
+              // (or no) clustering still get rewritten once. A deletion
+              // vector voids the verdict: its masked rows only leave on a
+              // rewrite.
               val versions = files.map(_.writeVersion).distinct
               val alreadyClustered = versions.length == 1 &&
-                files.forall(_.isBase) &&
+                files.forall(_.isBase) && !files.exists(_.hasDv) &&
                 clusterByOf(versions.head) == zOrderCols.map(_.toLowerCase)
-              files.nonEmpty && !alreadyClustered
+              if (files.nonEmpty && !alreadyClustered) Some(key -> files)
+              else None
             }
           } else {
-            files.length > 1 && files.forall(_.size < smallFileMax)
+            val fragmented =
+              files.length > 1 && files.forall(_.size < smallFileMax)
+            if (fragmented) Some(key -> files)
+            else {
+              // DV purge: an otherwise-healthy partition rewrites ONLY its
+              // DV'd files (dropping masked rows), leaving clean files
+              // untouched
+              val dvd = files.filter(_.hasDv)
+              if (dvd.nonEmpty) Some(key -> dvd) else None
+            }
           }
         }
-      }
       if (toCompact.isEmpty) return
       val oldFiles = toCompact.values.flatten.toSeq
       // explicit operators win; otherwise the table's DECLARED operators
@@ -612,9 +630,11 @@ object CleanupCommand {
     val root = new HPath(path)
     val fs = root.getFileSystem(hconf.value)
     // live set keyed by FULLY-QUALIFIED path string so the listed files
-    // (qualified by the same FileSystem) compare exactly
-    val live = snapshot.files
-      .map(f => fs.makeQualified(new HPath(root, f.path)).toString).toSet
+    // (qualified by the same FileSystem) compare exactly; deletion vectors
+    // referenced by the snapshot are as live as their data files
+    val live = (snapshot.files.map(_.path) ++
+        snapshot.files.collect { case f if f.hasDv => f.dvPath })
+      .map(rel => fs.makeQualified(new HPath(root, rel)).toString).toSet
 
     // Driver lists only the table root (metadata-scale: one entry per range
     // partition plus root-level files); each partition directory's walk and
@@ -664,7 +684,11 @@ object CleanupCommand {
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath
-        if (p.getName.endsWith(".parquet") &&
+        // reclaimable: data files and deletion-vector files (orphaned by a
+        // newer vector, a purge compaction, or an expired version)
+        val reclaimable = p.getName.endsWith(".parquet") ||
+          (p.getName.startsWith("dv-") && p.getName.endsWith(".bin"))
+        if (reclaimable &&
             !liveSet.contains(fs.makeQualified(p).toString) &&
             st.getModificationTime < cutoff) {
           out += p.toUri.getPath

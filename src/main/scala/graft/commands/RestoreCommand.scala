@@ -53,12 +53,15 @@ object RestoreCommand {
         restored = version // no-op restore
       } else {
         val target = Snapshot.replay(store, path, version)
-        // every restored file must still exist — vacuum may have reclaimed
-        // files that only old versions referenced; the sweep runs through
-        // Hadoop FS (distributed for large manifests)
-        val missingPaths = graft.write.GraftFs
-          .missing(spark, path, target.files.map(_.path)).toSet
-        val missing = target.files.filter(f => missingPaths.contains(f.path))
+        // every restored file — data AND its deletion vector — must still
+        // exist; vacuum may have reclaimed files that only old versions
+        // referenced; the sweep runs through Hadoop FS (distributed for
+        // large manifests)
+        val needed = target.files.map(_.path) ++
+          target.files.collect { case f if f.hasDv => f.dvPath }
+        val missingPaths = graft.write.GraftFs.missing(spark, path, needed).toSet
+        val missing = target.files.filter(f => missingPaths.contains(f.path) ||
+          (f.hasDv && missingPaths.contains(f.dvPath)))
         if (missing.nonEmpty) {
           throw new IllegalStateException(
             s"cannot restore $path to version $version: ${missing.length} " +
@@ -69,10 +72,14 @@ object RestoreCommand {
         val removes = current.files.filterNot(f => targetPaths.contains(f.path))
         // adds carry their ORIGINAL writeVersions (commit preserves
         // non-zero stamps) so merge-on-read ordering replays exactly as it
-        // did at the target version
+        // did at the target version. Compare ENTRIES, not paths: a file
+        // live in both versions under a DIFFERENT deletion vector (a DV
+        // delete between them) must be re-added so replay restores the
+        // target's mask — path identity alone would silently keep the
+        // current one
         val adds = {
-          val livePaths = current.files.map(_.path).toSet
-          target.files.filterNot(f => livePaths.contains(f.path))
+          val liveByPath = current.files.map(f => f.path -> f).toMap
+          target.files.filterNot(f => liveByPath.get(f.path).contains(f))
         }
         val metaChange =
           if (target.tableInfo == current.tableInfo) None

@@ -54,7 +54,17 @@ case class TableInfo(
   * strings verbatim when short) so skipping never depends on session
   * timezone or locale. Absent entries mean "no stats — never skip".
   * Old log entries deserialize with the defaults (stats-free), so logs
-  * written before this field existed replay unchanged. */
+  * written before this field existed replay unchanged.
+  *
+  * `dvPath`/`dvCardinality`: merge-on-read deletion vector (non-PK tables
+  * only). `dvPath` is the table-root-relative path of a serialized bitmap
+  * of DELETED row indices in this file; scans mask those rows out.
+  * Re-adding the same `path` with a new `dvPath` is how a DV delete
+  * commits (replay replaces by path). `minValues`/`maxValues` keep the
+  * PHYSICAL file's bounds (deleted rows included) — skipping by them can
+  * only over-keep, never over-skip; metadata-only MIN/MAX must therefore
+  * refuse files with a DV, and COUNT uses `liveRecords`. Empty `dvPath`
+  * (the default — all pre-DV log entries) means no deleted rows. */
 case class DataFileInfo(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -67,7 +77,14 @@ case class DataFileInfo(
     numRecords: Long = -1L,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty) {
+    nullCounts: Map[String, Long] = Map.empty,
+    dvPath: String = "",
+    dvCardinality: Long = 0L) {
+  /** Rows still visible through the deletion vector (physical − deleted);
+    * -1 when the physical count is unknown. */
+  def liveRecords: Long =
+    if (numRecords < 0L) -1L else numRecords - dvCardinality
+  def hasDv: Boolean = dvPath.nonEmpty
   /** Canonical range-partition identity, e.g. "lang=en/source=web". */
   def rangeKey: String = DataFileInfo.rangeKey(partitionValues)
 }

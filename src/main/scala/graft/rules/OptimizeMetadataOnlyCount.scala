@@ -160,13 +160,16 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
     case Alias(l: Literal, _) => Some(l.value)
     case Alias(AggregateExpression(c: Count, _, false, None, _), _)
         if c.children.forall { case l: Literal => l.value != null; case _ => false } =>
-      if (files.forall(_.numRecords >= 0L)) Some(files.map(_.numRecords).sum)
+      // deletion vectors stay metadata-only: COUNT(*) sums live rows
+      if (files.forall(_.numRecords >= 0L)) Some(files.map(_.liveRecords).sum)
       else None
     case Alias(AggregateExpression(c: Count, _, false, None, _), _) =>
       c.children match {
         case Seq(a: AttributeReference) =>
+          // COUNT(col) is unanswerable for a DV'd file: how many of its
+          // deleted rows were null in `col` is not recorded
           val key = statKeyIn(files, a.name)
-          if (files.forall(f => f.numRecords >= 0L &&
+          if (files.forall(f => f.numRecords >= 0L && !f.hasDv &&
               key.exists(f.nullCounts.contains)))
             Some(files.map(f => f.numRecords - f.nullCounts(key.get)).sum)
           else None
@@ -189,6 +192,9 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
       files: Seq[DataFileInfo], schema: StructType,
       useMax: Boolean): Option[Any] = child match {
     case a: AttributeReference if minMaxSafe(a.dataType) =>
+      // a deletion vector invalidates min/max: the extremum row may be
+      // among the deleted ones (stats describe the PHYSICAL file)
+      if (files.exists(_.hasDv)) return None
       val key = statKeyIn(files, a.name).getOrElse(return None)
       // a file must either contribute a verdict or provably hold no
       // non-null value for the column (all-null or empty)

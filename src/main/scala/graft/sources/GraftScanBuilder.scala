@@ -43,10 +43,17 @@ object GraftScanBuilder {
       // precise nullability (computed by the caller over the snapshot files)
       val preciseData = StructType(
         fullSchema.fields.filterNot(f => ti.rangeColumns.contains(f.name)))
+      // deletion vectors: masked files are keyed by absolute path so the
+      // built scan can mask them; their presence also vetoes aggregate
+      // pushdown (footer counts include deleted rows)
+      val dvByPath = snapshot.files.iterator.filter(_.hasDv).map(f =>
+        graft.meta.FsMetaStore.stripScheme(s"$path/${f.path}") -> f.dvPath)
+        .toMap
       new org.apache.spark.sql.graft.StreamableParquetScanBuilderShim(
         ParquetScanBuilder(spark, index, fullSchema, preciseData, options),
         s => new GraftStreamableScan(s, spark, path, ti, ignoreChanges,
-          options.asCaseSensitiveMap().asScala.toMap))
+          options.asCaseSensitiveMap().asScala.toMap, dvByPath),
+        allowAggPushdown = dvByPath.isEmpty)
     } else {
       new GraftBucketScanBuilder(spark, path, snapshot, index, options)
     }

@@ -447,7 +447,8 @@ class GraftStreamableScan(
     tablePath: String,
     tableInfo: TableInfo,
     ignoreChanges: Boolean,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    private[sources] val dvByPath: Map[String, String] = Map.empty)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -504,7 +505,15 @@ class GraftStreamableScan(
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    delegate.toBatch
+    delegate match {
+      // deletion vectors present: mask them below the scan (runtime
+      // partition filters have already been folded into the delegate)
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+          if dvByPath.nonEmpty =>
+        new DvMaskedBatch(p, dvByPath, tablePath,
+          graft.write.GraftFs.conf(spark))
+      case _ => delegate.toBatch
+    }
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     delegate.supportedCustomMetrics()
@@ -515,9 +524,14 @@ class GraftStreamableScan(
   // Delegate equality to the inner scan: without this, two identical
   // non-PK scans never compare equal and ReuseExchange / scan dedup cannot
   // fire across repeated subplans (e.g. a self-join of one graft table).
+  // dvByPath participates: a DV delete re-adds the SAME data-file paths, so
+  // two snapshots' scans can hold identical delegates (same file listing)
+  // while masking differently — delegate equality alone would let plan
+  // reuse serve unmasked rows
   override def equals(other: Any): Boolean = other match {
-    case s: GraftStreamableScan => delegate == s.delegate
+    case s: GraftStreamableScan =>
+      delegate == s.delegate && dvByPath == s.dvByPath
     case _ => false
   }
-  override def hashCode(): Int = delegate.hashCode()
+  override def hashCode(): Int = delegate.hashCode() * 31 + dvByPath.hashCode()
 }

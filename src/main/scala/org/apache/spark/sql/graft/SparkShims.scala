@@ -31,14 +31,26 @@ object SparkShims {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
-  /** Column <-> catalyst Expression bridges. */
+  /** Column <-> catalyst Expression bridges. Conversion is EAGER
+    * (`ColumnNodeToExpressionConverter`), not the lazy
+    * `ColumnNodeExpression` wrapper: `expr("g = 1")`-style columns carry
+    * raw SQL text until converted, and callers that classify predicates
+    * structurally (partition-conjunct splitting in update/delete) would
+    * silently see an opaque node with no attribute references. */
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Spark's row-index temporary column name (`private[sql]`): a parquet
+    * read schema containing this column gets per-file row indices populated
+    * by the stock readers — the deletion-vector scan keys its masks on it. */
+  def rowIndexColumnName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
 
   /** V2 catalog Column[] -> StructType (CatalogV2Util is private[sql]). */
   def v2ColumnsToStructType(
@@ -87,7 +99,8 @@ object SparkShims {
 class StreamableParquetScanBuilderShim(
     inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
     wrap: org.apache.spark.sql.connector.read.Scan =>
-      org.apache.spark.sql.connector.read.Scan)
+      org.apache.spark.sql.connector.read.Scan,
+    allowAggPushdown: Boolean = true)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -106,9 +119,11 @@ class StreamableParquetScanBuilderShim(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
+  // refused while deletion vectors exist: footer-derived aggregates
+  // (COUNT/MIN/MAX from parquet metadata) would include deleted rows
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = inner.pushAggregation(aggregation)
+      : Boolean = allowAggPushdown && inner.pushAggregation(aggregation)
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
