@@ -234,6 +234,16 @@ object GraftData {
       GraftTable.forPath(spark, dir).deleteExpr("c_acctbal < 0")
     })
 
+  /** Two stacked deletion-vector deletes (the second unions into the
+    * first's vectors) on a non-PK documents copy — reads must mask both. */
+  def documentsDvDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "documents_dv") { dir =>
+      parquet(spark, sfDir, "documents").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.deleteExpr("doc_id % 37 = 5")
+      t.deleteExpr("length(text) % 101 = 7")
+    })
+
   /** State after a SQL `UPDATE` routed through the resolution rule. */
   def customerSqlUpdated(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "customer_sqlupd") { dir =>

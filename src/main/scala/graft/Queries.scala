@@ -197,6 +197,10 @@ object Queries {
       GraftData.customerDeleted(s, sf).select(
         col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
 
+    "q_dv_delete" -> ((s, sf) =>
+      GraftData.documentsDvDeleted(s, sf).select(
+        col("doc_id"), length(col("text")).cast("long").as("text_len"))),
+
     "q_sql_update" -> ((s, sf) =>
       GraftData.customerSqlUpdated(s, sf).select(
         col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"),
@@ -523,6 +527,10 @@ object Queries {
     "q_delete" ->
       ("SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents " +
        "FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    "q_dv_delete" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len FROM documents " +
+       "WHERE NOT (doc_id % 37 = 5) AND NOT (length(text) % 101 = 7)"),
 
     "q_curate" ->
       ("WITH k AS (SELECT doc_id, text, row_number() OVER " +

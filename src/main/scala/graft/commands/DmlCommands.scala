@@ -186,32 +186,36 @@ object UpdateCommand {
       require(bad.isEmpty,
         s"cannot update partition/primary-key column(s): ${bad.mkString(", ")}")
     }
-    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "update") {
-      (df, cond) =>
-        // SQL UPDATE assigns SIMULTANEOUSLY: every SET expression reads the
-        // OLD row. Stage the new values in temp columns first — a foldLeft
-        // of direct withColumn(name, ...) would let later SETs see earlier
-        // columns' NEW values (SET a = b, b = a would swap into a == b).
-        // Dotted keys (`props.a.b`) address nested struct fields (reference
-        // `UpdateExpressionsSupport`); `col("props.a")` reads the old
-        // nested value and `withField` writes the new one in place.
-        // a key naming an actual top-level column wins over nested-path
-        // interpretation: column names may legally contain literal dots
-        val topLevel = df.columns.toSet
-        val staged = setExprs.toSeq.zipWithIndex
-        val withTmp = staged.foldLeft(df) { case (d, ((key, value), i)) =>
-          val old = if (topLevel.contains(key)) col(s"`$key`") else col(key)
-          d.withColumn(s"__graft_set_$i", when(cond, value).otherwise(old))
-        }
-        staged.foldLeft(withTmp) { case (d, ((key, _), i)) =>
-          val parts = key.split("\\.")
-          val assigned =
-            if (topLevel.contains(key) || parts.length == 1)
-              d.withColumn(key, col(s"__graft_set_$i"))
-            else d.withColumn(parts.head, col(s"`${parts.head}`")
-              .withField(parts.tail.mkString("."), col(s"__graft_set_$i")))
-          assigned.drop(s"__graft_set_$i")
-        }
+    if (DvUpdate.tryRun(spark, path, condition, setExprs)) return
+    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "update")(
+      applySet(setExprs))
+  }
+
+  /** SQL UPDATE assigns SIMULTANEOUSLY: every SET expression reads the
+    * OLD row. Stage the new values in temp columns first — a foldLeft
+    * of direct withColumn(name, ...) would let later SETs see earlier
+    * columns' NEW values (SET a = b, b = a would swap into a == b).
+    * Dotted keys (`props.a.b`) address nested struct fields (reference
+    * `UpdateExpressionsSupport`); `col("props.a")` reads the old
+    * nested value and `withField` writes the new one in place.
+    * a key naming an actual top-level column wins over nested-path
+    * interpretation: column names may legally contain literal dots */
+  def applySet(setExprs: Map[String, Column])(
+      df: DataFrame, cond: Column): DataFrame = {
+    val topLevel = df.columns.toSet
+    val staged = setExprs.toSeq.zipWithIndex
+    val withTmp = staged.foldLeft(df) { case (d, ((key, value), i)) =>
+      val old = if (topLevel.contains(key)) col(s"`$key`") else col(key)
+      d.withColumn(s"__graft_set_$i", when(cond, value).otherwise(old))
+    }
+    staged.foldLeft(withTmp) { case (d, ((key, _), i)) =>
+      val parts = key.split("\\.")
+      val assigned =
+        if (topLevel.contains(key) || parts.length == 1)
+          d.withColumn(key, col(s"__graft_set_$i"))
+        else d.withColumn(parts.head, col(s"`${parts.head}`")
+          .withField(parts.tail.mkString("."), col(s"__graft_set_$i")))
+      assigned.drop(s"__graft_set_$i")
     }
   }
 }

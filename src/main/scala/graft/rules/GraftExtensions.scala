@@ -26,6 +26,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(ExtractMergeOperator(_))
     ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))
     ext.injectResolutionRule(ResolveGraftUpdate(_))
+    ext.injectResolutionRule(ResolveGraftDelete(_))
     ext.injectOptimizerRule(OptimizeMetadataOnlyCount(_))
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftTableFunctions.tableChanges)

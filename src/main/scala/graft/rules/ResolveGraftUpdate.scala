@@ -104,3 +104,54 @@ case class GraftUpdateTableCommand(
     Seq.empty
   }
 }
+
+/** Routes SQL `DELETE FROM t WHERE ...` on graft tables to the engine's
+  * full delete ladder (metadata-only / deletion vectors / rewrite). The
+  * `SupportsDelete` bridge on the table only accepts V1-translatable
+  * filters, so without this rule a perfectly good `WHERE id % 500 = 3`
+  * fails analysis ("Cannot delete from table"); here ANY deterministic,
+  * subquery-free condition works — it is carried as SQL text and re-bound
+  * by `DeleteCommand` against its own pinned-snapshot read. */
+case class ResolveGraftDelete(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(
+        table, condition) if d.resolved =>
+      graftPathOf(table) match {
+        case Some(path) =>
+          if (condition.exists(_.isInstanceOf[SubqueryExpression]))
+            throw new UnsupportedOperationException(
+              "DELETE on graft tables does not support subqueries in the " +
+              s"WHERE condition: ${condition.sql}")
+          if (!condition.deterministic)
+            throw new UnsupportedOperationException(
+              "DELETE on graft tables does not support a nondeterministic " +
+              s"WHERE condition: ${condition.sql}")
+          GraftDeleteTableCommand(path, condition.transform {
+            case ar: AttributeReference => ar.withQualifier(Nil)
+          }.sql)
+        case None => d
+      }
+  }
+
+  private def graftPathOf(table: LogicalPlan): Option[String] = table match {
+    case SubqueryAlias(_, child) => graftPathOf(child)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GraftTableV2 => Some(g.path)
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
+/** V1 command executing the transactional delete at runtime. */
+case class GraftDeleteTableCommand(
+    path: String, condSql: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.commands.DeleteCommand.run(session, path, expr(condSql))
+    Seq.empty
+  }
+}

@@ -332,13 +332,13 @@ class GraftMicroBatchStream(
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
-      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy())
+      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy(), f.dvPath)
     }
     val conf = castToImpl(spark).sessionState.conf
     val maxBytes = conf.filesMaxPartitionBytes
     val openCost = conf.filesOpenCostInBytes
     val bins = Seq.newBuilder[GraftStreamFilesPartition]
-    var cur = List.empty[(String, Long, InternalRow)]
+    var cur = List.empty[(String, Long, InternalRow, String)]
     var curBytes = 0L
     triples.foreach { f =>
       val charged = f._2 + openCost
@@ -365,7 +365,29 @@ class GraftMicroBatchStream(
     val pkFactory =
       if (tableInfo.hasPrimaryKey) Some(pkScanFor(Nil).createReaderFactory())
       else None
-    GraftStreamReaderFactory(readFunc, pkFactory)
+    // deletion-vector support for files the initial snapshot carries: a
+    // second read func requests Spark's row-index temp column so the
+    // reader can drop masked rows (same machinery as the batch DvScan)
+    val idxField = org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.graft.SparkShims.rowIndexColumnName,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val dvCols = StructType(GraftPkScan.asNullable(dataCols).fields :+ idxField)
+    val dvReadFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
+      partitionSchema = partSchema,
+      requiredSchema = dvCols,
+      filters = Nil,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
+    val dvSupport = GraftStreamDvSupport(
+      tablePath,
+      new org.apache.spark.util.SerializableConfiguration(
+        graft.write.GraftFs.conf(spark)),
+      idxOrd = dataCols.length,
+      rowTypes = (dvCols.fields ++ partSchema.fields).map(_.dataType))
+    GraftStreamReaderFactory(readFunc, pkFactory, dvReadFunc, dvSupport)
   }
 }
 
@@ -395,16 +417,31 @@ object GraftStreamOffset {
   }
 }
 
-/** One bin of (absPath, length, partitionValues) triples. */
-case class GraftStreamFilesPartition(files: Array[(String, Long, InternalRow)])
+/** One bin of (absPath, length, partitionValues, dvRelPath) entries —
+  * `dvRelPath` is empty for files without a deletion vector. */
+case class GraftStreamFilesPartition(
+    files: Array[(String, Long, InternalRow, String)])
   extends InputPartition
+
+/** Deletion-vector plumbing for the streaming reader: where to load
+  * vectors from, the row-index ordinal in the DV read layout, and that
+  * layout's types (for the strip projection). */
+case class GraftStreamDvSupport(
+    tableRoot: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    idxOrd: Int,
+    rowTypes: Array[org.apache.spark.sql.types.DataType])
 
 /** Dispatching reader factory: raw file bins for incremental batches and
   * non-PK snapshots; the PK merge factory for initial-snapshot merge
-  * groups. */
+  * groups. Files carrying a deletion vector read through `dvReadFunc`
+  * (which adds the row-index column) with masked rows dropped and the
+  * index column stripped back out. */
 case class GraftStreamReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    pkFactory: Option[PartitionReaderFactory] = None)
+    pkFactory: Option[PartitionReaderFactory] = None,
+    dvReadFunc: PartitionedFile => Iterator[InternalRow] = null,
+    dvSupport: GraftStreamDvSupport = null)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
@@ -413,15 +450,30 @@ case class GraftStreamReaderFactory(
         "merge partition planned for a non-PK stream")).createReader(pk)
     case _ =>
       val bin = p.asInstanceOf[GraftStreamFilesPartition]
+      def rows(
+          f: PartitionedFile => Iterator[InternalRow],
+          pf: PartitionedFile): Iterator[InternalRow] =
+        f(pf).asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => scala.jdk.CollectionConverters
+            .IteratorHasAsScala(b.rowIterator()).asScala
+          case r: InternalRow => Iterator.single(r)
+        }
       val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
-        case (absPath, length, partValues) =>
+        case (absPath, length, partValues, dvRel) =>
           val pf = PartitionedFile(partValues,
             SparkPath.fromPathString(absPath), 0, length, Array.empty, 0L,
             length, Map.empty)
-          readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
-            case b: ColumnarBatch => scala.jdk.CollectionConverters
-              .IteratorHasAsScala(b.rowIterator()).asScala
-            case r: InternalRow => Iterator.single(r)
+          if (dvRel.isEmpty) rows(readFunc, pf)
+          else {
+            val s = dvSupport
+            val bm = DeletionVectors.read(s.tableRoot, s.conf.value, dvRel)
+            val proj = UnsafeProjection.create(
+              s.rowTypes.indices.filterNot(_ == s.idxOrd).map(i =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, s.rowTypes(i), nullable = true)))
+            rows(dvReadFunc, pf)
+              .filter(r => !bm.contains(r.getLong(s.idxOrd)))
+              .map(proj)
           }
       }
       new PartitionReader[InternalRow] {

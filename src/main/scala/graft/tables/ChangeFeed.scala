@@ -39,6 +39,13 @@ import graft.sources.GraftRead
   * window is handled by aligning each version's frame to its own snapshot
   * schema and unioning by name with null-fill.
   */
+/** Serializable carrier for a roaring bitmap shipped into a UDF closure —
+  * deserialized lazily once per executor. */
+private class DvBitmapHolder(bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bm = graft.sources.DeletionVectors.fromBytes(bytes)
+  def contains(i: Long): Boolean = bm.contains(i)
+}
+
 object ChangeFeed {
   val CHANGE_TYPE = "_change_type"
   val COMMIT_VERSION = "_commit_version"
@@ -105,6 +112,30 @@ object ChangeFeed {
         Some(tag(post, "insert", v, ts))
       case "delta" =>
         Some(tag(post, "upsert", v, ts))
+      case "update" | "delete" | "upsert"
+          if adds.exists(f => prevSnap.files.exists(p =>
+            p.path == f.path && p.dvPath != f.dvPath)) =>
+        // deletion-vector commit: some adds re-reference LIVE paths with a
+        // new vector. The re-added file's visible rows are NOT new — the
+        // change is exactly the rows the new vector masks beyond the old
+        // one (dvNew \ dvOld per file), emitted as deletions (or update
+        // pre-images for an update's masked-out halves). Fresh files and
+        // removed files still diff as usual.
+        val prevByPath = prevSnap.files.map(f => f.path -> f).toMap
+        val (dvReAdds, freshAdds) = adds.partition(f =>
+          prevByPath.contains(f.path))
+        val label = if (commitType == "delete") "delete" else "update_preimage"
+        val dvFrames = dvReAdds.flatMap { f =>
+          dvNewlyDeleted(spark, path, prevSnap, prevByPath(f.path), f)
+            .map(tag(_, label, v, ts))
+        }
+        val rest =
+          if (freshAdds.isEmpty && removePaths.isEmpty) None
+          else Some(diff(spark, pre,
+            GraftRead.readFiles(spark, path, snap, freshAdds),
+            snap, v, ts, commitType))
+        (dvFrames ++ rest.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
       case "overwrite" =>
         // a replacement is a statement about every changed file: removed
         // rows delete, added rows insert
@@ -124,6 +155,42 @@ object ChangeFeed {
       case _ => // update | delete | upsert (merge mode): diff pre vs post
         Some(diff(spark, pre, post, snap, v, ts, commitType))
     }
+  }
+
+  /** The rows of `preFile` whose indices the new vector masks BEYOND the
+    * old one — the exact row-level deletions a DV commit performed. Read
+    * straight from the parquet file via `_metadata.row_index` (the file is
+    * immutable; its row indices are the coordinate system both vectors
+    * speak), with range-partition values attached as literals. None when
+    * the vector did not grow. */
+  private def dvNewlyDeleted(
+      spark: SparkSession, path: String, prevSnap: Snapshot,
+      preFile: DataFileInfo, postFile: DataFileInfo): Option[DataFrame] = {
+    import org.roaringbitmap.longlong.Roaring64Bitmap
+    if (!postFile.hasDv) return None // vector dropped, not grown: no deletes
+    val conf = graft.write.GraftFs.conf(spark)
+    val dvNew = graft.sources.DeletionVectors.read(path, conf, postFile.dvPath)
+    val delta =
+      if (!preFile.hasDv) dvNew
+      else Roaring64Bitmap.andNot(dvNew,
+        graft.sources.DeletionVectors.read(path, conf, preFile.dvPath))
+    if (delta.isEmpty) return None
+    val holder = new DvBitmapHolder(
+      graft.sources.DeletionVectors.toBytes(delta))
+    val inDelta = udf((i: Long) => holder.contains(i))
+    val ti = prevSnap.tableInfo
+    val readSchema = graft.sources.GraftPkScan.asNullable(ti.dataSchema)
+    val raw = spark.read.schema(readSchema)
+      .parquet(s"$path/${preFile.path}")
+      .filter(inDelta(col("_metadata.row_index")))
+    val withRange = ti.rangePartitionSchema.fields.foldLeft(raw) { (d, sf) =>
+      val v = preFile.partitionValues.getOrElse(sf.name, null)
+      d.withColumn(sf.name,
+        (if (v == null) lit(null) else lit(v)).cast(sf.dataType))
+    }
+    Some(withRange.select(
+      (ti.dataSchema.fields ++ ti.rangePartitionSchema.fields)
+        .map(f => col(f.name)): _*))
   }
 
   /** Row-level diff of one commit's rewrite. PK tables diff by key; non-PK

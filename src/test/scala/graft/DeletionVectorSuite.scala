@@ -136,7 +136,7 @@ class DeletionVectorSuite extends GraftFunSuite {
     withTempTable { dir =>
       (0 until 100).map(i => (i, 0)).toDF("id", "g")
         .write.format("graft").save(dir)
-      withSQLConf(graft.commands.DvDelete.ENABLED_CONF -> "false") {
+      withSQLConf(graft.commands.DvSupport.ENABLED_CONF -> "false") {
         val before = files(dir).map(_.path).toSet
         val t = GraftTable.forPath(spark, dir)
         t.delete(col("id") < 10)
@@ -154,12 +154,154 @@ class DeletionVectorSuite extends GraftFunSuite {
       (0 until 100).map(i => (i, 0)).toDF("id", "g")
         .write.format("graft")
         .option("graft.deletionVectors", "true").save(dir)
-      withSQLConf(graft.commands.DvDelete.ENABLED_CONF -> "false") {
+      withSQLConf(graft.commands.DvSupport.ENABLED_CONF -> "false") {
         val t = GraftTable.forPath(spark, dir)
         t.delete(col("id") < 10)
         assert(files(dir).exists(_.hasDv))
         assert(t.toDF.count() == 90)
       }
+    }
+  }
+
+  test("change feed emits exactly the DV-deleted rows as deletes") {
+    withTempTable { dir =>
+      (0 until 400).map(i => (i, i % 2)).toDF("id", "g")
+        .write.format("graft").partitionBy("g").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.delete(col("id") % 50 === 7) // ids 7,57,...,357 — 8 rows
+      val v = graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(dir)).version
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, v, v)
+      val rows = feed.select("id", "g", "_change_type")
+        .as[(Int, Int, String)].collect().sortBy(_._1)
+      assert(rows.forall(_._3 == "delete"), s"all deletes: ${rows.toSeq}")
+      assert(rows.map(_._1).toSeq == (0 until 400).filter(_ % 50 == 7),
+        s"exact deleted ids: ${rows.map(_._1).toSeq}")
+      assert(rows.forall(r => r._2 == r._1 % 2), "range values attached")
+    }
+  }
+
+  test("change feed: repeated DV deletes only emit the new rows") {
+    withTempTable { dir =>
+      (0 until 100).map(i => (i, 0)).toDF("id", "g")
+        .write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.delete(col("id") < 5)
+      t.delete(col("id") < 10) // 5 NEW deletions (0-4 already gone)
+      val v = graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(dir)).version
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, v, v)
+      assert(feed.select("id").as[Int].collect().sorted.toSeq == (5 until 10))
+    }
+  }
+
+  test("change feed: mixed commit (DV + threshold rewrite) stays exact") {
+    withTempTable { dir =>
+      // two partitions: g=0 loses 90% (rewrite), g=1 loses 2% (DV)
+      val rows = (0 until 1000).map(i => (i, if (i < 500) 0 else 1))
+      rows.toDF("id", "g").repartition(1)
+        .write.format("graft").partitionBy("g").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.delete((col("g") === 0 && col("id") < 450) ||
+        (col("g") === 1 && col("id") >= 990))
+      assert(t.toDF.count() == 1000 - 450 - 10)
+      val v = graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(dir)).version
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, v, v)
+        .filter(col("_change_type") === "delete")
+      assert(feed.select("id").as[Int].collect().sorted.toSeq ==
+        ((0 until 450) ++ (990 until 1000)))
+    }
+  }
+
+  test("streaming initial snapshot masks deletion vectors") {
+    withTempTable { dir =>
+      (0 until 300).map(i => (i, i % 3)).toDF("id", "g")
+        .write.format("graft").partitionBy("g").save(dir)
+      GraftTable.forPath(spark, dir).delete(col("id") % 10 === 0)
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName("dv_snap").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("dv_snap").select("id").as[Int].collect()
+        assert(got.length == 270, s"got ${got.length}")
+        assert(got.forall(_ % 10 != 0))
+      } finally q.stop()
+    }
+  }
+
+  test("sparse update masks old rows and appends updated images") {
+    withTempTable { dir =>
+      (0 until 1000).map(i => (i, i * 10, i % 2)).toDF("id", "v", "g")
+        .write.format("graft").partitionBy("g").save(dir)
+      val before = files(dir).map(_.path).toSet
+      val t = GraftTable.forPath(spark, dir)
+      t.update(col("id") % 100 === 7, Map("v" -> (col("v") + 1)))
+      val after = files(dir)
+      // old files all kept (now DV'd where touched) + appended image files
+      assert(before.subsetOf(after.map(_.path).toSet))
+      assert(after.exists(_.hasDv))
+      assert(t.toDF.count() == 1000)
+      val touched = t.toDF.filter(col("id") % 100 === 7)
+        .select("id", "v").as[(Int, Int)].collect().toMap
+      assert(touched == (0 until 1000).filter(_ % 100 == 7)
+        .map(i => i -> (i * 10 + 1)).toMap)
+      // untouched rows unchanged
+      assert(t.toDF.filter(col("id") === 8).select("v").as[Int].head() == 80)
+    }
+  }
+
+  test("update after delete cannot resurrect deleted rows") {
+    withTempTable { dir =>
+      (0 until 100).map(i => (i, i)).toDF("id", "v")
+        .write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.delete(col("id") < 10)
+      // condition matches BOTH deleted (0-9) and live (10-19) rows
+      t.update(col("id") < 20, Map("v" -> lit(-1)))
+      assert(t.toDF.count() == 90, "deleted rows must stay deleted")
+      assert(t.toDF.filter(col("v") === -1).count() == 10)
+      assert(t.toDF.filter(col("id") < 10).count() == 0)
+    }
+  }
+
+  test("change feed for a DV update pairs pre and post images") {
+    withTempTable { dir =>
+      (0 until 200).map(i => (i, i)).toDF("id", "v")
+        .write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.update(col("id") % 40 === 3, Map("v" -> (col("v") * 2)))
+      val ver = graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(dir)).version
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, ver, ver)
+      val byType = feed.select("id", "v", "_change_type")
+        .as[(Int, Int, String)].collect().groupBy(_._3)
+      val expectIds = (0 until 200).filter(_ % 40 == 3)
+      assert(byType("update_preimage").map(_._1).sorted.toSeq == expectIds)
+      assert(byType("update_preimage").forall(r => r._2 == r._1))
+      assert(byType("update_postimage").map(_._1).sorted.toSeq == expectIds)
+      assert(byType("update_postimage").forall(r => r._2 == r._1 * 2))
+      assert(byType.keySet == Set("update_preimage", "update_postimage"))
+    }
+  }
+
+  test("SQL DELETE with a non-pushable predicate routes to the ladder") {
+    withTempTable { dir =>
+      (0 until 1000).map(i => (i.toLong, i % 2)).toDF("id", "g")
+        .write.format("graft").save(dir)
+      val before = files(dir).map(_.path).toSet
+      // modulo is not expressible as a V1 source filter — previously an
+      // AnalysisException via the SupportsDelete bridge
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 250 = 3")
+      assert(files(dir).map(_.path).toSet == before)
+      assert(files(dir).exists(_.hasDv))
+      assert(spark.read.format("graft").load(dir).count() == 996)
+      // subqueries rejected with a clear message
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(s"DELETE FROM graft.`$dir` WHERE id IN " +
+          s"(SELECT id FROM graft.`$dir` WHERE g = 1)")
+      }
+      assert(e.getMessage.contains("subqueries"))
     }
   }
 
