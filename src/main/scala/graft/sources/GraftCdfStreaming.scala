@@ -171,14 +171,57 @@ class GraftCdfMicroBatchStream(
           tagAll(mergedPartitions(c.adds), "insert", v, c.tsMillis).toSeq
       case _ => // update | delete | merge-upsert | restore | unknown rewrite
         if (tableInfo.hasPrimaryKey) diffPartitions(v, c)
-        else if (ignoreChanges) Nil
-        else throw new UnsupportedOperationException(
-          s"streaming change feed of $tablePath hit a '${c.commitType}' " +
-          s"commit at version $v on a non-primary-key table; row-level " +
-          "diffs need a key to pair pre/post images inside a task. Use the " +
-          "batch feed (graft_table_changes) for this window, or set " +
-          ".option(\"ignoreChanges\", \"true\") to skip such commits")
+        else dvOnlyPartitions(v, c).getOrElse {
+          if (ignoreChanges) Nil
+          else throw new UnsupportedOperationException(
+            s"streaming change feed of $tablePath hit a '${c.commitType}' " +
+            s"commit at version $v on a non-primary-key table; row-level " +
+            "diffs need a key to pair pre/post images inside a task. Use the " +
+            "batch feed (graft_table_changes) for this window, or set " +
+            ".option(\"ignoreChanges\", \"true\") to skip such commits")
+        }
     }
+  }
+
+  /** A non-PK update/delete whose row-level changes are fully expressible
+    * as deletion-vector growth IS streamable without keys: each re-added
+    * file's newly-masked rows (dvNew \ dvOld — row indices against the
+    * immutable file) are the exact pre-images/deletions, and an update's
+    * appended image files are self-contained post-images. Commits that
+    * also REWROTE files (threshold fallback, fully-dead removal) still
+    * need the whole-row diff and stay unstreamable. */
+  private def dvOnlyPartitions(
+      v: Long, c: VersionChanges): Option[Seq[InputPartition]] = {
+    if (c.commitType != "update" && c.commitType != "delete") return None
+    if (c.removed.nonEmpty || c.adds.isEmpty) return None
+    val prevByPath = Snapshot.replay(store, tablePath, v - 1)
+      .files.map(f => f.path -> f).toMap
+    val (reAdds, freshAdds) = c.adds.partition(f => prevByPath.contains(f.path))
+    if (reAdds.isEmpty ||
+        !reAdds.forall(f => f.hasDv && prevByPath(f.path).dvPath != f.dvPath))
+      return None
+    val preLabel =
+      if (c.commitType == "delete") "delete" else "update_preimage"
+    val tz = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.conf.sessionLocalTimeZone
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(partSchema)
+    val dvParts: Seq[InputPartition] = reAdds.map { f =>
+      val values = InternalRow.fromSeq(partSchema.fields.toSeq.map { sf =>
+        GraftFileIndex.castPartitionValue(
+          f.partitionValues.getOrElse(sf.name, null), sf, tz)
+      })
+      CdfDvPartition(s"$tablePath/${f.path}", f.size,
+        proj.apply(values).copy(),
+        prevByPath(f.path).dvPath, f.dvPath, preLabel, v, c.tsMillis)
+    }
+    val postParts =
+      if (freshAdds.isEmpty) Nil
+      else {
+        checkNullFill(freshAdds)
+        tagAll(binPack(freshAdds), "update_postimage", v, c.tsMillis).toSeq
+      }
+    Some(dvParts ++ postParts)
   }
 
   /** Pair each touched (range, bucket) group's pre-state (version v-1) with
@@ -238,6 +281,19 @@ case class CdfTaggedPartition(
     inner: InputPartition, changeType: String, version: Long, tsMillis: Long)
   extends InputPartition
 
+/** One deletion-vector re-add: the file's rows at indices in
+  * (dvNew \ dvOld) are this commit's pre-images/deletions. */
+case class CdfDvPartition(
+    absPath: String,
+    length: Long,
+    partValues: InternalRow,
+    dvOld: String,
+    dvNew: String,
+    changeType: String,
+    version: Long,
+    tsMillis: Long)
+  extends InputPartition
+
 /** One touched (range, bucket) group's pre/post pair for a rewrite diff. */
 case class CdfDiffPartition(
     bucket: Int,
@@ -285,8 +341,38 @@ case class GraftCdfReaderFactory(
       case CdfTaggedPartition(ip, tpe, v, ts) =>
         tagged(inner.createReader(ip), tpe, v, ts)
       case d: CdfDiffPartition => diffReader(d)
+      case d: CdfDvPartition => tagged(dvSelectionReader(d),
+        d.changeType, d.version, d.tsMillis)
       case other => inner.createReader(other)
     }
+
+  /** Reads ONLY the rows of a file whose index the new vector masks beyond
+    * the old — the inverse of the scan-side mask (selection, not
+    * exclusion) — and strips the row-index column back out. */
+  private def dvSelectionReader(d: CdfDvPartition): PartitionReader[InternalRow] = {
+    val s = inner.dvSupport
+    val dvNew = DeletionVectors.read(s.tableRoot, s.conf.value, d.dvNew)
+    val delta =
+      if (d.dvOld.isEmpty) dvNew
+      else org.roaringbitmap.longlong.Roaring64Bitmap.andNot(dvNew,
+        DeletionVectors.read(s.tableRoot, s.conf.value, d.dvOld))
+    val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+      d.partValues, org.apache.spark.paths.SparkPath.fromPathString(d.absPath),
+      0, d.length, Array.empty, 0L, d.length, Map.empty)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(s.rowTypes.indices.filterNot(_ == s.idxOrd).map(i =>
+        BoundReference(i, s.rowTypes(i), nullable = true)))
+    val it = inner.rawRows(inner.dvReadFunc, pf)
+      .filter(r => delta.contains(r.getLong(s.idxOrd)))
+      .map(proj)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 
   /** Single-pass sort-merge diff of a group's pre/post states. */
   private def diffReader(d: CdfDiffPartition): PartitionReader[InternalRow] = {

@@ -444,20 +444,23 @@ case class GraftStreamReaderFactory(
     dvSupport: GraftStreamDvSupport = null)
   extends PartitionReaderFactory {
 
+  /** Rows from a V1 read function, flattening any columnar batches. */
+  def rawRows(
+      f: PartitionedFile => Iterator[InternalRow],
+      pf: PartitionedFile): Iterator[InternalRow] =
+    f(pf).asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => scala.jdk.CollectionConverters
+        .IteratorHasAsScala(b.rowIterator()).asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case pk: GraftPkInputPartition =>
       pkFactory.getOrElse(throw new IllegalStateException(
         "merge partition planned for a non-PK stream")).createReader(pk)
     case _ =>
       val bin = p.asInstanceOf[GraftStreamFilesPartition]
-      def rows(
-          f: PartitionedFile => Iterator[InternalRow],
-          pf: PartitionedFile): Iterator[InternalRow] =
-        f(pf).asInstanceOf[Iterator[Any]].flatMap {
-          case b: ColumnarBatch => scala.jdk.CollectionConverters
-            .IteratorHasAsScala(b.rowIterator()).asScala
-          case r: InternalRow => Iterator.single(r)
-        }
+      def rows = rawRows _
       val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
         case (absPath, length, partValues, dvRel) =>
           val pf = PartitionedFile(partValues,

@@ -305,6 +305,58 @@ class DeletionVectorSuite extends GraftFunSuite {
     }
   }
 
+  test("streaming CDF: pure-DV deletes and updates stream without keys") {
+    withTempTable { dir =>
+      (0 until 300).map(i => (i.toLong, i.toLong, i % 2)).toDF("id", "v", "g")
+        .write.format("graft").partitionBy("g").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName("dv_cdf").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("dv_cdf").count() == 300) // snapshot inserts
+
+        t.delete(col("id") % 30 === 7) // v1: pure-DV delete, 10 rows
+        q.processAllAvailable()
+        val dels = spark.table("dv_cdf")
+          .filter(col("_commit_version") === 1)
+          .select("_change_type", "id").as[(String, Long)].collect().sorted
+        assert(dels.forall(_._1 == "delete"))
+        assert(dels.map(_._2).toSeq.sorted ==
+          (0 until 300).filter(_ % 30 == 7).map(_.toLong))
+
+        t.update(col("id") === 100, Map("v" -> lit(-1L))) // v2: pure-DV upd
+        q.processAllAvailable()
+        val upd = spark.table("dv_cdf")
+          .filter(col("_commit_version") === 2)
+          .select("_change_type", "id", "v").as[(String, Long, Long)]
+          .collect().sortBy(_._1)
+        assert(upd.toSeq == Seq(("update_postimage", 100L, -1L),
+          ("update_preimage", 100L, 100L)))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming CDF: DV commit with a threshold rewrite still refuses") {
+    withTempTable { dir =>
+      (0 until 100).map(i => (i, 0)).toDF("id", "g")
+        .coalesce(1).write.format("graft").save(dir)
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName("dv_cdf2").start()
+      try {
+        q.processAllAvailable()
+        GraftTable.forPath(spark, dir).delete(col("id") < 90) // 90% → rewrite
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("delete") ||
+          e.getCause.getMessage.contains("delete"))
+      } finally q.stop()
+    }
+  }
+
   test("time travel reads the pre-delete snapshot unmasked") {
     withTempTable { dir =>
       (0 until 200).map(i => (i, 0)).toDF("id", "g")
