@@ -244,6 +244,26 @@ object GraftData {
       t.deleteExpr("length(text) % 101 = 7")
     })
 
+  /** State after a SQL `MERGE INTO` (update matched + insert unmatched in
+    * ONE statement → one delta-upsert commit). 91 = 7×13, so every
+    * inserted key's origin row is also updated — both clauses fire. */
+  def customerMerged(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_merged") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "4")
+        .save(dir)
+      val cust = parquet(spark, sfDir, "customer")
+      cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").cast("long").as("k"), col("c_acctbal").as("bal"))
+        .unionAll(cust.filter(col("c_custkey") % 91 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), col("c_acctbal").as("bal")))
+        .createOrReplaceTempView("graft_merge_src")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING graft_merge_src s
+        ON t.c_custkey = s.k
+        WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 500.0
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.bal)""")
+    })
+
   /** State after a SQL `UPDATE` routed through the resolution rule. */
   def customerSqlUpdated(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "customer_sqlupd") { dir =>

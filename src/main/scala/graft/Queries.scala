@@ -197,6 +197,10 @@ object Queries {
       GraftData.customerDeleted(s, sf).select(
         col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))),
 
+    "q_merge_into" -> ((s, sf) =>
+      GraftData.customerMerged(s, sf).select(
+        col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))),
+
     "q_dv_delete" -> ((s, sf) =>
       GraftData.documentsDvDeleted(s, sf).select(
         col("doc_id"), length(col("text")).cast("long").as("text_len"))),
@@ -531,6 +535,12 @@ object Queries {
     "q_dv_delete" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len FROM documents " +
        "WHERE NOT (doc_id % 37 = 5) AND NOT (length(text) % 101 = 7)"),
+
+    "q_merge_into" ->
+      ("SELECT c_custkey, CAST(ROUND((c_acctbal + CASE WHEN c_custkey % 7 = 0 " +
+       "THEN 500.0 ELSE 0.0 END)*100) AS BIGINT) AS acct_cents FROM customer " +
+       "UNION ALL SELECT c_custkey + 1000000, CAST(ROUND(c_acctbal*100) AS BIGINT) " +
+       "AS acct_cents FROM customer WHERE c_custkey % 91 = 0"),
 
     "q_curate" ->
       ("WITH k AS (SELECT doc_id, text, row_number() OVER " +

@@ -27,6 +27,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(graft.mv.RewriteQueryByMaterialView(_))
     ext.injectResolutionRule(ResolveGraftUpdate(_))
     ext.injectResolutionRule(ResolveGraftDelete(_))
+    ext.injectResolutionRule(ResolveGraftMerge(_))
     ext.injectOptimizerRule(OptimizeMetadataOnlyCount(_))
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftTableFunctions.tableChanges)

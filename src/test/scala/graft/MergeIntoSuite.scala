@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.SnapshotManagement
+import graft.tables.GraftTable
+
+/** SQL `MERGE INTO` on primary-key tables, mapped to one delta upsert. */
+class MergeIntoSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def mkPk(dir: String): Unit =
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+      .write.format("graft")
+      .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+
+  test("canonical upsert shape: update matched, insert unmatched") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "B", 200), (4L, "d", 40)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src1")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src1 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)""")
+      assertSameRows(
+        spark.read.format("graft").load(dir).select("id", "v", "n"),
+        Seq((1L, "a", 10), (2L, "B", 200), (3L, "c", 30), (4L, "d", 40))
+          .toDF("id", "v", "n"))
+      // ONE delta commit: no base files rewritten
+      val snap = SnapshotManagement.snapshot(SnapshotManagement.normalize(dir))
+      assert(snap.version == 1)
+      assert(snap.files.exists(!_.isBase), "merge must commit as delta")
+    }
+  }
+
+  test("clause conditions and partial updates referencing both sides") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((1L, 5), (2L, 100), (9L, 9)).toDF("id", "delta")
+        .createOrReplaceTempView("src2")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src2 s ON t.id = s.id
+        WHEN MATCHED AND s.delta < 50 THEN UPDATE SET n = t.n + s.delta
+        WHEN NOT MATCHED AND s.id < 100 THEN
+          INSERT (id, v, n) VALUES (s.id, 'new', s.delta)""")
+      val got = spark.read.format("graft").load(dir)
+        .select("id", "v", "n").as[(Long, String, Int)].collect().sortBy(_._1)
+      // id=1 updated (+5), id=2 matched but condition false -> untouched,
+      // id=9 inserted
+      assert(got.toSeq == Seq((1L, "a", 15), (2L, "b", 20), (3L, "c", 30),
+        (9L, "new", 9)))
+    }
+  }
+
+  test("multiple source rows matching one key fail loudly") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("src3")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING src3 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v""")
+      }
+      assert(e.getMessage.contains("multiple source rows") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("multiple source rows"))
+    }
+  }
+
+  test("unsupported shapes are rejected with clear messages") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "x")).toDF("id", "v").createOrReplaceTempView("src4")
+      def msgOf(sql: String): String =
+        intercept[Exception] { spark.sql(sql) }.getMessage
+      assert(msgOf(s"""MERGE INTO graft.`$dir` t USING src4 s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""").contains("DELETE"))
+      assert(msgOf(s"""MERGE INTO graft.`$dir` t USING src4 s
+        ON t.id = s.id AND t.n > 5
+        WHEN MATCHED THEN UPDATE SET v = s.v""").contains("conjunction"))
+      assert(msgOf(s"""MERGE INTO graft.`$dir` t USING src4 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET id = s.id + 1""")
+        .contains("primary-key"))
+      // non-PK target
+      withTempTable { plainDir =>
+        Seq((1L, "a")).toDF("id", "v").write.format("graft").save(plainDir)
+        assert(msgOf(s"""MERGE INTO graft.`$plainDir` t USING src4 s
+          ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
+          .contains("primary-key table"))
+      }
+    }
+  }
+
+  test("insert-only merge and update-only merge") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((3L, "zz"), (7L, "new7")).toDF("id", "v")
+        .createOrReplaceTempView("src5")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src5 s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+      assert(spark.read.format("graft").load(dir).count() == 4)
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") === 3).select("v").as[String].head() == "c")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src5 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = concat(t.v, '!')""")
+      val vs = spark.read.format("graft").load(dir)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(vs(3L) == "c!" && vs(7L) == "new7!" && vs(1L) == "a")
+    }
+  }
+
+  test("merge works against the merged (delta) state of the target") {
+    withTempTable { dir =>
+      mkPk(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((2L, "b2", 21)).toDF("id", "v", "n")) // delta on top
+      Seq((2L, 1)).toDF("id", "delta").createOrReplaceTempView("src6")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src6 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET n = t.n + s.delta""")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") === 2).select("v", "n").as[(String, Int)].head() ==
+        ("b2", 22))
+    }
+  }
+}
