@@ -186,9 +186,13 @@ object UpdateCommand {
       require(bad.isEmpty,
         s"cannot update partition/primary-key column(s): ${bad.mkString(", ")}")
     }
-    if (DvUpdate.tryRun(spark, path, condition, setExprs)) return
-    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "update")(
-      applySet(setExprs))
+    // one transaction for the whole strategy ladder: the DV probe and the
+    // rewrite fallback share the pinned snapshot and partition-filter work
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
+      if (DvUpdate.tryRunIn(spark, path, condition, setExprs, txn)) return
+      RewriteSupport.rewriteMatchingFilesIn(spark, path, condition, "update",
+        txn)(applySet(setExprs))
+    }
   }
 
   /** SQL UPDATE assigns SIMULTANEOUSLY: every SET expression reads the
@@ -228,9 +232,12 @@ object DeleteCommand {
     * (null-safe). */
   def run(spark: SparkSession, tablePath: String, condition: Column): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
-    if (DvDelete.tryRun(spark, path, condition)) return
-    RewriteSupport.rewriteMatchingFiles(spark, path, condition, "delete") {
-      (df, cond) => df.filter(!coalesce(cond, lit(false)))
+    // one transaction for the whole strategy ladder: the DV probe and the
+    // rewrite fallback share the pinned snapshot and partition-filter work
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
+      if (DvDelete.tryRunIn(spark, path, condition, txn)) return
+      RewriteSupport.rewriteMatchingFilesIn(spark, path, condition, "delete",
+        txn) { (df, cond) => df.filter(!coalesce(cond, lit(false))) }
     }
   }
 }
@@ -242,8 +249,20 @@ object RewriteSupport {
     * `condition`; untouched files stay as-is. */
   def rewriteMatchingFiles(
       spark: SparkSession, path: String, condition: Column, commitType: String)(
-      rewrite: (DataFrame, Column) => DataFrame): Unit = {
+      rewrite: (DataFrame, Column) => DataFrame): Unit =
     SnapshotManagement.withRewriteTransaction(path) { txn =>
+      rewriteMatchingFilesIn(spark, path, condition, commitType, txn)(rewrite)
+    }
+
+  /** Same, inside an already-open transaction — lets the DELETE/UPDATE
+    * strategy ladder ([[DvDelete]]/[[DvUpdate]] probe, then rewrite
+    * fallback) resolve ONE snapshot and create ONE transaction instead of
+    * paying a second log listing + partition-filter job on fallback. */
+  def rewriteMatchingFilesIn(
+      spark: SparkSession, path: String, condition: Column, commitType: String,
+      txn: graft.meta.Transaction)(
+      rewrite: (DataFrame, Column) => DataFrame): Unit = {
+    {
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo

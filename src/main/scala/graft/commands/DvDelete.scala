@@ -71,9 +71,12 @@ object DvSupport {
     val raw = spark.read.schema(readSchema).parquet(paths: _*)
     val needsRange = dataConj.exists(c =>
       RewriteSupport.referencedNames(c).exists(info.rangeColumns.contains))
-    val stripUdf = udf((s: String) => RewriteSupport.stripScheme(s))
+    // relational FsMetaStore.stripScheme (file:///a → /a, file:/a → /a,
+    // other schemes untouched) — keeps the DV hot path fully codegen'd,
+    // no per-row Scala UDF
     val withMeta = raw
-      .withColumn("__gf_file", stripUdf(col("_metadata.file_path")))
+      .withColumn("__gf_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__gf_idx", col("_metadata.row_index"))
     val joined =
       if (!needsRange) withMeta
@@ -174,6 +177,16 @@ object DvDelete {
   def tryRun(spark: SparkSession, tablePath: String, condition: Column): Boolean = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
+      tryRunIn(spark, path, condition, txn)
+    }
+  }
+
+  /** Ladder step inside an already-open transaction (shares the pinned
+    * snapshot + partition-filter work with the rewrite fallback). */
+  def tryRunIn(
+      spark: SparkSession, path: String, condition: Column,
+      txn: graft.meta.Transaction): Boolean = {
+    {
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
@@ -235,6 +248,15 @@ object DvUpdate {
       setExprs: Map[String, Column]): Boolean = {
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
+      tryRunIn(spark, path, condition, setExprs, txn)
+    }
+  }
+
+  /** Ladder step inside an already-open transaction. */
+  def tryRunIn(
+      spark: SparkSession, path: String, condition: Column,
+      setExprs: Map[String, Column], txn: graft.meta.Transaction): Boolean = {
+    {
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
