@@ -95,6 +95,32 @@ object DataFileInfo {
     else values.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
 }
 
+/** Row-level TOMBSTONES for primary-key tables: a delta file may carry the
+  * reserved boolean column `__graft_deleted`; a row with it set to true is
+  * a delete marker for its key. The k-way merge reader resolves markers in
+  * (writeVersion, position) order — a marker RESETS the key's history, so
+  * the key disappears unless a NEWER version re-inserts it (and then only
+  * post-marker versions contribute column values / operator folds). This
+  * makes PK DELETE and `MERGE ... WHEN MATCHED THEN DELETE` append-only:
+  * cost proportional to the keys deleted, never to the buckets touched.
+  * Compaction merges a partition's FULL file stack, so resolved markers
+  * vanish from the rewritten base files.
+  *
+  * The marker is an engine-internal column: never part of the table
+  * schema, never visible to scans' output, skipped by schema evolution and
+  * write invariants. Per-file presence travels in `fileExistCols` — no new
+  * manifest field, so old logs replay unchanged. */
+object Tombstones {
+  val COL = "__graft_deleted"
+
+  def fileHas(f: DataFileInfo): Boolean =
+    f.fileExistCols.exists(_.equalsIgnoreCase(COL))
+
+  def anyHas(files: Seq[DataFileInfo]): Boolean = files.exists(fileHas)
+
+  def isMarkerCol(name: String): Boolean = name.equalsIgnoreCase(COL)
+}
+
 /** Commit metadata (one per log entry). `commitType` follows the reference's
   * commit taxonomy (`meta/MetaCommit.scala`): append | overwrite | delta |
   * compaction | update | delete | streaming — plus `vacuum`/`vacuum_end`

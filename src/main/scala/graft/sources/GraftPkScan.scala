@@ -145,15 +145,26 @@ case class GraftPkScan(
     files.groupBy(groupKey).values.exists(groupNeedsMerge)
 
   /** Columns physically read from files: projected columns plus (when
-    * merging) the PK columns the heap compares on. */
+    * merging) the PK columns the heap compares on, plus the tombstone
+    * marker when any scanned file carries delete markers. The
+    * `forceMergeLayout` (streaming) layout always includes the marker —
+    * it must be file-set-independent (the reader factory is built before
+    * any batch's files are chosen). */
   lazy val mergeReadSchema: StructType =
     if (!scanNeedsMerge) readDataSchema
     else {
       val present = readDataSchema.fieldNames.toSet
       val ds = tableInfo.dataSchema
-      StructType(readDataSchema.fields ++
+      val withPk = readDataSchema.fields ++
         tableInfo.hashColumns.filterNot(present.contains)
-          .map(c => ds.fields(ds.fieldIndex(c))))
+          .map(c => ds.fields(ds.fieldIndex(c)))
+      val withTomb =
+        if (forceMergeLayout || files.exists(graft.meta.Tombstones.fileHas))
+          withPk :+ org.apache.spark.sql.types.StructField(
+            graft.meta.Tombstones.COL,
+            org.apache.spark.sql.types.BooleanType, nullable = true)
+        else withPk
+      StructType(withTomb)
     }
 
   /** Data columns carry PRECISE nullability over this scan's (pruned) file
@@ -378,9 +389,16 @@ case class GraftPkScan(
     // carry NOT NULL (e.g. from a Dataset write). Nullability is a write-
     // time invariant (Invariants.enforce), not a scan-time contract; the
     // k-way merge resolves the nulls via fileExistCols.
+    val tombOrd = mergeReadSchema.fieldNames
+      .indexWhere(graft.meta.Tombstones.isMarkerCol)
+    val fileDataSchema =
+      if (tombOrd < 0) GraftPkScan.asNullable(tableInfo.dataSchema)
+      else StructType(GraftPkScan.asNullable(tableInfo.dataSchema).fields :+
+        org.apache.spark.sql.types.StructField(graft.meta.Tombstones.COL,
+          org.apache.spark.sql.types.BooleanType, nullable = true))
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession,
-      dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
+      dataSchema = fileDataSchema,
       partitionSchema = readPartitionSchema,
       requiredSchema = GraftPkScan.asNullable(mergeReadSchema),
       filters = pushedPkFilters ++ runtimePkReaderFilters,
@@ -415,7 +433,7 @@ case class GraftPkScan(
       .map(n => mergedLayout.fieldIndex(n)).toArray
     GraftPkReaderFactory(readFunc, mergedLayout,
       mergedLayout.fields.map(_.dataType), pkOrdinals, mergeOps,
-      outputOrdinals, scanNeedsMerge, returningBatch)
+      outputOrdinals, scanNeedsMerge, returningBatch, tombOrd)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -439,7 +457,8 @@ case class GraftPkReaderFactory(
     mergeOps: Map[Int, GraftMergeOperator],
     outputOrdinals: Array[Int],
     scanNeedsMerge: Boolean,
-    supportsBatch: Boolean)
+    supportsBatch: Boolean,
+    tombstoneOrdinal: Int = -1)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -480,7 +499,7 @@ case class GraftPkReaderFactory(
                 g.files.map(f => rowIter(g, f)),
                 g.files.map(_.writeVersion),
                 g.files.map(_.hasCols),
-                pkOrdinals, mergedTypes, mergeOps)
+                pkOrdinals, mergedTypes, mergeOps, tombstoneOrdinal)
             }
           merged.map(out)
         }
@@ -535,7 +554,8 @@ class KWayMergeIterator(
     hasCols: Array[Array[Boolean]],
     pkOrdinals: Array[Int],
     types: Array[DataType],
-    mergeOps: Map[Int, GraftMergeOperator])
+    mergeOps: Map[Int, GraftMergeOperator],
+    tombstoneOrdinal: Int = -1)
   extends Iterator[InternalRow] {
 
   private val numFields = types.length
@@ -610,13 +630,28 @@ class KWayMergeIterator(
     }
   }
 
-  override def hasNext: Boolean = heap.nonEmpty
+  // one-row lookahead: a key whose newest version is a tombstone emits
+  // NOTHING, so producing the next row may consume several keys
+  private var lookahead: InternalRow = null
+
+  override def hasNext: Boolean = {
+    while (lookahead == null && heap.nonEmpty) lookahead = nextKeyRow()
+    lookahead != null
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException("empty merge iterator")
+    val r = lookahead
+    lookahead = null
+    r
+  }
 
   // reused per-key scratch: contributions in (writeVersion, seq) order
   private val contribFiles = mutable.ArrayBuffer.empty[Int]
   private val contribVals = mutable.ArrayBuffer.empty[Array[Any]]
 
-  override def next(): InternalRow = {
+  /** Resolve the heap's next key; null when it resolves deleted. */
+  private def nextKeyRow(): InternalRow = {
     contribFiles.clear(); contribVals.clear()
     // the heap pops a key's entries in exactly (writeVersion, seq) order
     val first = heap.dequeue()
@@ -632,6 +667,9 @@ class KWayMergeIterator(
     while (heap.nonEmpty && comparePkToKey(heap.head.row, key) == 0) {
       consume(heap.dequeue())
     }
+    // a tombstone RESET every older contribution and nothing newer
+    // re-inserted the key: it is deleted
+    if (contribFiles.isEmpty) return null
     // fold the contributions column-wise into the output row
     val out = new GenericInternalRow(numFields)
     var c = 0
@@ -660,8 +698,18 @@ class KWayMergeIterator(
   }
 
   /** Extract `e.row`'s values (stable copies), honoring in-file last-wins,
-    * then advance the file — after which `e.row` may be overwritten. */
+    * then advance the file — after which `e.row` may be overwritten. A
+    * tombstone marker row RESETS the fold: every older contribution is
+    * discarded, so the key only survives (with post-marker values only) if
+    * a NEWER version re-inserts it. */
   private def consume(e: Entry): Unit = {
+    if (tombstoneOrdinal >= 0 && hasCols(e.fileIdx)(tombstoneOrdinal) &&
+        !e.row.isNullAt(tombstoneOrdinal) &&
+        e.row.getBoolean(tombstoneOrdinal)) {
+      contribFiles.clear(); contribVals.clear()
+      advance(e.fileIdx)
+      return
+    }
     val vals = new Array[Any](numFields)
     var c = 0
     while (c < numFields) {
