@@ -227,15 +227,16 @@ object UpdateCommand {
 object DeleteCommand {
 
   /** DELETE strategy ladder: metadata-only partition delete, then deletion
-    * vectors (non-PK), then rewrite-on-delete (reference
-    * `DeleteCommand.scala:69-147`): keep rows whose condition is not true
-    * (null-safe). */
+    * vectors (non-PK) or tombstone markers (PK), then rewrite-on-delete
+    * (reference `DeleteCommand.scala:69-147`): keep rows whose condition is
+    * not true (null-safe). */
   def run(spark: SparkSession, tablePath: String, condition: Column): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
     // one transaction for the whole strategy ladder: the DV probe and the
     // rewrite fallback share the pinned snapshot and partition-filter work
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       if (DvDelete.tryRunIn(spark, path, condition, txn)) return
+      if (PkTombstoneDelete.tryRunIn(spark, path, condition, txn)) return
       RewriteSupport.rewriteMatchingFilesIn(spark, path, condition, "delete",
         txn) { (df, cond) => df.filter(!coalesce(cond, lit(false))) }
     }

@@ -232,6 +232,56 @@ object DvDelete {
   }
 }
 
+/** Rewrite-free DELETE for PRIMARY-KEY tables via row-level TOMBSTONES
+  * (see [[graft.meta.Tombstones]]): the matching keys are appended as a
+  * delta file whose rows carry only (range, pk, `__graft_deleted=true`);
+  * the k-way merge reader resolves the marker as "this key's history is
+  * reset", so the key disappears without rewriting ANY bucket. Write cost
+  * is proportional to the keys deleted — at 100 TB a one-key DELETE
+  * commits one tiny delta file where the rewrite path would rewrite every
+  * candidate bucket. Compaction merges the partition's full stack, so
+  * resolved markers leave the physical layout on the normal maintenance
+  * cadence (the same contract delta upserts already rely on).
+  *
+  * The reference always rewrites (`star/commands/DeleteCommand.scala:
+  * 69-147`); this is an engine extension following Delta's published
+  * merge-on-read DELETE design, expressed through the existing delta-file
+  * machinery rather than a new file kind.
+  */
+object PkTombstoneDelete {
+
+  val ENABLED_CONF = "spark.graft.delete.tombstone.enabled"
+
+  /** Ladder step inside an already-open transaction: PK tables only, data
+    * predicates only (partition-only deletes are already pure metadata).
+    * Returns false to fall back to the rewrite engine. */
+  def tryRunIn(
+      spark: SparkSession, path: String, condition: Column,
+      txn: graft.meta.Transaction): Boolean = {
+    val snapshot = txn.snapshotOpt.getOrElse(
+      throw new GraftTableNotFoundException(path))
+    val info = snapshot.tableInfo
+    if (!info.hasPrimaryKey) return false
+    if (!spark.conf.getOption(ENABLED_CONF).forall(_.toBoolean)) return false
+    val (partConj, dataConj) = DvSupport.splitByPartition(info, condition)
+    if (dataConj.isEmpty) return false // metadata-only step already handled
+    val candidates = DvSupport.pruneCandidates(spark, snapshot, partConj)
+    if (candidates.isEmpty) return true // nothing matches — done
+
+    // the MERGED pinned view decides which keys die (a key's visible row
+    // may combine several delta files; deciding on raw files would delete
+    // keys whose merged value no longer matches)
+    val keyCols = (info.rangeColumns ++ info.hashColumns).map(c => col(s"`$c`"))
+    val markers = GraftTableFiles.read(spark, path, snapshot, candidates)
+      .filter(coalesce(condition, lit(false)))
+      .select(keyCols :+ lit(true).as(graft.meta.Tombstones.COL): _*)
+    val files = graft.write.TransactionalWrite.writeFiles(
+      spark, path, info, markers, isBase = false)
+    if (files.nonEmpty) txn.commit("delete", None, files, Nil)
+    true
+  }
+}
+
 /** UPDATE via deletion vectors (non-PK tables): matched rows are masked
   * out of their files by a new vector and their UPDATED images appended as
   * fresh files — write cost proportional to the rows changed, not the

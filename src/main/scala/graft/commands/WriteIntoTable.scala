@@ -367,8 +367,21 @@ object WriteIntoTable {
     val mergeEnabled = options1.get(MERGE_SCHEMA).map(_.toBoolean).getOrElse(
       spark.conf.getOption("spark.graft.schema.autoMerge.enabled").exists(_.toBoolean))
     val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    // the tombstone marker is engine-internal (PK key deletes riding a
+    // delta upsert — MERGE DELETE clauses, CDC apply): it never joins the
+    // table schema and never triggers mergeSchema
+    dfSchema.fields.find(f => graft.meta.Tombstones.isMarkerCol(f.name))
+      .foreach { f =>
+        require(f.dataType == org.apache.spark.sql.types.BooleanType,
+          s"${graft.meta.Tombstones.COL} must be BOOLEAN, got " +
+            f.dataType.simpleString)
+        require(info.hasPrimaryKey,
+          s"${graft.meta.Tombstones.COL} (key-delete marker) requires a " +
+          "primary-key table — non-PK tables have no key to delete by")
+      }
     val newCols = dfSchema.fields.filter(f =>
-      !tableByLower.contains(f.name.toLowerCase))
+      !tableByLower.contains(f.name.toLowerCase) &&
+      !graft.meta.Tombstones.isMarkerCol(f.name))
     // A shared struct column whose incoming value carries EXTRA nested
     // fields also widens the schema (nested evolution).
     val newNested = dfSchema.fields.exists { f =>
@@ -455,8 +468,13 @@ object WriteIntoTable {
         case _ => col(s"`${f.name}`")
       }
     }: _*)
-    SchemaUtils.checkCompatible(tableSchema, casted.schema)
-    val merged = SchemaUtils.mergeSchemas(tableSchema, casted.schema)
+    // the marker column stays out of the persisted table schema (it rides
+    // per-file in fileExistCols only)
+    val castedForSchema = org.apache.spark.sql.types.StructType(
+      casted.schema.fields.filterNot(f =>
+        graft.meta.Tombstones.isMarkerCol(f.name)))
+    SchemaUtils.checkCompatible(tableSchema, castedForSchema)
+    val merged = SchemaUtils.mergeSchemas(tableSchema, castedForSchema)
     val newInfo = if (merged == tableSchema) info
       else info.copy(schemaJson = merged.json)
     (newInfo, casted)

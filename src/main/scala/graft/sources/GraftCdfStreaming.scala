@@ -162,9 +162,14 @@ class GraftCdfMicroBatchStream(
         // self-contained new rows: raw file reads
         checkNullFill(c.adds)
         tagAll(binPack(c.adds), "insert", v, c.tsMillis).toSeq
-      case "delta" =>
+      case "delta" if !graft.meta.Tombstones.anyHas(c.adds) =>
         checkNullFill(c.adds)
         tagAll(binPack(c.adds), "upsert", v, c.tsMillis).toSeq
+      case "delta" =>
+        // tombstone-bearing delta (MERGE with a DELETE clause / tombstone
+        // DELETE): rows-as-written would misreport deleted keys as upserts;
+        // the exact pre/post diff emits insert/delete/update pairs instead
+        diffPartitions(v, c)
       case "overwrite" =>
         // a replacement is a statement about every changed file
         tagAll(mergedPartitions(c.removed), "delete", v, c.tsMillis).toSeq ++

@@ -231,10 +231,21 @@ class GraftMicroBatchStream(
       val entries = store.read(tablePath, v)
       val commitType = entries.flatMap(_.commit).headOption
         .map(_.commitType).getOrElse("append")
-      if (APPEND_TYPES.contains(commitType)) {
-        entries.flatMap(_.add).map(f =>
-          if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
-      } else if (REWRITE_TYPES.contains(commitType)) {
+      val adds = entries.flatMap(_.add).map(f =>
+        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      // a delta file carrying tombstone markers DELETES keys — its rows are
+      // not appends, and this source has no delete concept: treat it as a
+      // data-changing commit (fail loudly / skip under ignoreChanges)
+      val deletesKeys = commitType == "delta" && graft.meta.Tombstones.anyHas(adds)
+      if (APPEND_TYPES.contains(commitType) && !deletesKeys) {
+        adds
+      } else if (deletesKeys && !ignoreChanges) {
+        throw new UnsupportedOperationException(
+          s"streaming read of $tablePath hit a delta commit with tombstone " +
+          s"(key-delete) markers at version $v; use readChangeFeed for " +
+          "row-level deletes, restart from a fresh checkpoint, or set " +
+          ".option(\"ignoreChanges\", \"true\") to skip such commits")
+      } else if (deletesKeys || REWRITE_TYPES.contains(commitType)) {
         Nil
       } else if (!ignoreChanges) {
         throw new UnsupportedOperationException(
