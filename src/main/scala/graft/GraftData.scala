@@ -56,23 +56,41 @@ object GraftData {
       parquet(spark, sfDir, "part").write.format("graft").save(dir)
     })
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp
-    * (integer division — nanosecond longs exceed double precision). */
+  /** The events `ts` column has shipped with different parquet logical
+    * types across driver data generations (TIMESTAMP(NANOS), readable only
+    * as a raw long under the legacy conf; TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 loads as TIMESTAMP_NTZ; plain
+    * UTC TIMESTAMP). Branch on what this environment actually loads so the
+    * conversion survives any of them — the goal state is always a
+    * session-zone TIMESTAMP whose UTC wall-clock matches the file's. */
   def eventsPlain(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "events") { dir =>
-      // scoped conf change, not a lasting session mutation: the legacy
-      // nanos knob has no per-read parquet option, so set it only around
-      // this one eager conversion and restore the caller's value
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try parquet(spark, sfDir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .write.format("graft").save(dir)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      def normalized(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+        case LongType => // legacy nanos-as-long; integer division (nanos
+          // exceed double precision), then micros → timestamp
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // wall-clock == UTC instant in this data;
+          // session zone is UTC everywhere we run, so the cast is exact
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+      try normalized(parquet(spark, sfDir, "events")).write.format("graft").save(dir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("NANOS") || e.getMessage.contains("Parquet") =>
+          // TIMESTAMP(NANOS) file on a Spark that rejects it outright: the
+          // legacy knob has no per-read option, so set it only around this
+          // one eager conversion and restore the caller's value
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try normalized(parquet(spark, sfDir, "events"))
+            .write.format("graft").mode("overwrite").save(dir)
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
       }
     })
 
@@ -361,18 +379,39 @@ object GraftData {
     (graftRead(spark, dir), graftRead(spark, oDir), graftRead(spark, nDir))
   }
 
-  /** Build every table (untimed warm-up for the benchmark). */
+  /** Build every table (untimed warm-up for the benchmark). Each build is
+    * individually guarded: one broken conversion must degrade to per-query
+    * errors for the queries that read that table, never zero the whole
+    * bench artifact (round-8 finding — an events dtype mismatch in warm-up
+    * aborted the entire run before a single measurement). */
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
-    lineitemRange(spark, sfDir); partPlain(spark, sfDir)
-    eventsPlain(spark, sfDir); nationPlain(spark, sfDir)
-    documentsRange(spark, sfDir); embeddingsPlain(spark, sfDir)
-    ordersPk(spark, sfDir); lineitemBucket(spark, sfDir)
-    customerPk(spark, sfDir); ordersByCust(spark, sfDir)
-    ordersUpsertedDir(spark, sfDir); ordersCompacted(spark, sfDir)
-    custCountsDir(spark, sfDir); customerUpdated(spark, sfDir)
-    customerDeleted(spark, sfDir); customerEvolved(spark, sfDir)
-    customerSqlUpdated(spark, sfDir); ordersMvBase(spark, sfDir)
-    ordersMvAgg(spark, sfDir); custOrdersMvJoin(spark, sfDir)
-    custOrdersNationMvJoin(spark, sfDir)
+    val builds: Seq[(String, () => Any)] = Seq(
+      "lineitem_range" -> (() => lineitemRange(spark, sfDir)),
+      "part" -> (() => partPlain(spark, sfDir)),
+      "events" -> (() => eventsPlain(spark, sfDir)),
+      "nation" -> (() => nationPlain(spark, sfDir)),
+      "documents_range" -> (() => documentsRange(spark, sfDir)),
+      "embeddings" -> (() => embeddingsPlain(spark, sfDir)),
+      "orders_pk" -> (() => ordersPk(spark, sfDir)),
+      "lineitem_bucket" -> (() => lineitemBucket(spark, sfDir)),
+      "customer_pk" -> (() => customerPk(spark, sfDir)),
+      "orders_bycust" -> (() => ordersByCust(spark, sfDir)),
+      "orders_upserted" -> (() => ordersUpsertedDir(spark, sfDir)),
+      "orders_compacted" -> (() => ordersCompacted(spark, sfDir)),
+      "cust_counts" -> (() => custCountsDir(spark, sfDir)),
+      "customer_upd" -> (() => customerUpdated(spark, sfDir)),
+      "customer_del" -> (() => customerDeleted(spark, sfDir)),
+      "customer_evolved" -> (() => customerEvolved(spark, sfDir)),
+      "customer_sqlupd" -> (() => customerSqlUpdated(spark, sfDir)),
+      "orders_mv" -> (() => ordersMvBase(spark, sfDir)),
+      "orders_mvagg" -> (() => ordersMvAgg(spark, sfDir)),
+      "cust_orders_mvj" -> (() => custOrdersMvJoin(spark, sfDir)),
+      "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)))
+    builds.foreach { case (name, build) =>
+      try build()
+      catch { case e: Throwable =>
+        System.err.println(s"[warm] $name failed: ${e.getMessage}")
+      }
+    }
   }
 }
