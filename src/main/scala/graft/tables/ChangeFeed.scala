@@ -110,6 +110,16 @@ object ChangeFeed {
       case "create" if adds.isEmpty => None
       case "create" | "append" | "streaming" =>
         Some(tag(post, "insert", v, ts))
+      case "delta" | "delete" | "upsert" if graft.meta.Tombstones.anyHas(adds) =>
+        // tombstone-bearing commit (PK tombstone DELETE / MERGE with a
+        // DELETE clause): adds-only marker files that the merged post-read
+        // resolves to ZERO rows — a file-level pre/post diff of just the
+        // commit's own files would silently drop every deletion. Diff the
+        // touched buckets' merged state at v-1 vs v instead (mirrors the
+        // streaming side's diffPartitions): cost ∝ touched buckets' data,
+        // and the k-way reader applies marker-reset semantics on both sides.
+        Some(touchedBucketDiff(spark, path, prevSnap, snap, adds,
+          removePaths, v, ts, commitType))
       case "delta" =>
         Some(tag(post, "upsert", v, ts))
       case "update" | "delete" | "upsert"
@@ -155,6 +165,25 @@ object ChangeFeed {
       case _ => // update | delete | upsert (merge mode): diff pre vs post
         Some(diff(spark, pre, post, snap, v, ts, commitType))
     }
+  }
+
+  /** Merged pre/post diff restricted to the (range, bucket) groups a
+    * tombstone-bearing commit touched. Both sides go through the full
+    * merge-on-read path, so marker rows resolve correctly (a key deleted by
+    * the commit merges to a row at v-1 and to nothing at v → `delete`; a
+    * key the same commit also re-upserted diffs to an update pair). */
+  private def touchedBucketDiff(
+      spark: SparkSession, path: String,
+      prevSnap: Snapshot, snap: Snapshot,
+      adds: Seq[DataFileInfo], removePaths: Set[String],
+      v: Long, ts: Long, commitType: String): DataFrame = {
+    val removed = prevSnap.files.filter(f => removePaths(f.path))
+    val touched = (adds ++ removed).map(f => (f.rangeKey, f.bucket)).toSet
+    def filesOf(s: Snapshot) =
+      s.files.filter(f => touched((f.rangeKey, f.bucket)))
+    val fullPre = GraftRead.readFiles(spark, path, prevSnap, filesOf(prevSnap))
+    val fullPost = GraftRead.readFiles(spark, path, snap, filesOf(snap))
+    diff(spark, fullPre, fullPost, snap, v, ts, commitType)
   }
 
   /** The rows of `preFile` whose indices the new vector masks BEYOND the
