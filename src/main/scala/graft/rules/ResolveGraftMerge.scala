@@ -113,6 +113,10 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     val conjuncts = graft.commands.RewriteSupport.splitConjuncts(onResolved)
     val pkSet = info.hashColumns.map(_.toLowerCase).toSet
     val covered = scala.collection.mutable.Set.empty[String]
+    // source-side key expressions, one per PK conjunct: the duplicate-match
+    // guard windows over these (never null-skewed — unmatched rows keep
+    // their own key values, unlike the target PK which is null for them)
+    val srcKeys = scala.collection.mutable.ArrayBuffer.empty[String]
     conjuncts.foreach {
       case EqualTo(l, r) =>
         def targetPk(e: Expression): Option[String] = e match {
@@ -123,8 +127,10 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         def sourceOnly(e: Expression): Boolean =
           e.references.forall(sourceAttrs.contains)
         (targetPk(l), targetPk(r)) match {
-          case (Some(c), _) if sourceOnly(r) => covered += c
-          case (_, Some(c)) if sourceOnly(l) => covered += c
+          case (Some(c), _) if sourceOnly(r) =>
+            covered += c; srcKeys += render(r, Seq(m.sourceTable))
+          case (_, Some(c)) if sourceOnly(l) =>
+            covered += c; srcKeys += render(l, Seq(m.sourceTable))
           case _ => fail("the ON condition must be a conjunction of " +
             s"`target.pkCol = <source expression>`; got: ${onResolved.sql}")
         }
@@ -180,16 +186,20 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => fail(s"unsupported not-matched action: $other")
     }
     GraftMergeIntoCommand(path, m.sourceTable, render(onResolved, both),
-      matched, notMatched)
+      srcKeys.toSeq, matched, notMatched)
   }
 }
 
-/** V1 command executing the merge at runtime: join once, emit the rows the
-  * clauses produce, commit them as one delta upsert. */
+/** V1 command executing the merge at runtime: ONE join of source against the
+  * target's merged state feeds both the duplicate-match guard and the emit
+  * projection — the guard is a window count over the source-side join keys
+  * with a conditional `raise_error` in the output, not a second action
+  * (a separate count() would re-execute the dominant join at scale). */
 case class GraftMergeIntoCommand(
     path: String,
     source: LogicalPlan,
     onSql: String,
+    srcKeys: Seq[String],
     matched: Seq[(Option[String], Seq[(String, String)])],
     notMatched: Seq[(Option[String], Seq[(String, String)])])
   extends LeafRunnableCommand {
@@ -197,6 +207,7 @@ case class GraftMergeIntoCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.expressions.Window
     val info = graft.meta.SnapshotManagement
       .snapshot(graft.meta.SnapshotManagement.normalize(path)).tableInfo
     val src = org.apache.spark.sql.graft.SparkShims
@@ -206,14 +217,13 @@ case class GraftMergeIntoCommand(
     val isMatched = col(s"__gt.${info.hashColumns.head}").isNotNull
 
     // SQL's multiple-match rule: >1 source row pairing with one target key
-    // is an error (upsert's last-wins would silently pick one)
-    val dupMatches = joined.filter(isMatched)
-      .groupBy(info.hashColumns.map(c => col(s"__gt.$c")): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    if (dupMatches > 0)
-      throw new IllegalStateException(
-        "MERGE INTO: multiple source rows matched the same target row; " +
-        "deduplicate the source on the join keys first")
+    // is an error (upsert's last-wins would silently pick one). Windowing
+    // over the SOURCE-side key expressions keeps unmatched rows spread
+    // across their own keys (the target PK is null for all of them) and
+    // lets the window reuse the join's partitioning where the planner can.
+    val dupWindow = Window.partitionBy(srcKeys.map(expr): _*)
+    val matchCnt = sum(when(isMatched, lit(1L)).otherwise(lit(0L)))
+      .over(dupWindow)
 
     // one struct per clause, first-true-wins; null = no clause applied
     val schema = tgt.schema
@@ -234,11 +244,18 @@ case class GraftMergeIntoCommand(
         (!isMatched && cond.map(expr).getOrElse(lit(true)),
           image(sets.toMap, forUpdate = false))
       }
-    val picked = clauses.foldRight(lit(null).cast(
-        org.apache.spark.sql.types.StructType(schema.fields))) {
+    val structType = org.apache.spark.sql.types.StructType(schema.fields)
+    val picked = clauses.foldRight(lit(null).cast(structType)) {
       case ((c, img), rest) => when(c, img).otherwise(rest)
     }
-    val out = joined.select(picked.as("__gm"))
+    // the guard rides the emit projection: evaluated per row, throws only
+    // when a duplicate actually exists (branch never taken otherwise)
+    val guarded = when(col("__gm_dup") > 1, raise_error(lit(
+        "MERGE INTO: multiple source rows matched the same target row; " +
+        "deduplicate the source on the join keys first")).cast(structType))
+      .otherwise(picked)
+    val out = joined.withColumn("__gm_dup", matchCnt)
+      .select(guarded.as("__gm"))
       .filter(col("__gm").isNotNull)
       .select(col("__gm.*"))
     graft.commands.UpsertCommand.run(session, path, out)

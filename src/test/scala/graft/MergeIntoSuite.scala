@@ -120,4 +120,26 @@ class MergeIntoSuite extends GraftFunSuite {
         ("b2", 22))
     }
   }
+
+  test("merge executes the source-target join exactly once") {
+    withTempTable { dir =>
+      mkPk(dir)
+      // the accumulator counts source-row evaluations: a second pass over
+      // the join (the old duplicate-match count() action) would double it
+      val acc = spark.sparkContext.longAccumulator("merge_src_rows")
+      val touch = udf { (id: Long) => acc.add(1L); id }
+      Seq((1L, "x"), (9L, "new")).toDF("id0", "v")
+        .select(touch(col("id0")).as("id"), col("v"))
+        .createOrReplaceTempView("src_once")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src_once s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+      assert(acc.value == 2L,
+        s"source rows evaluated ${acc.value} times for 2 rows — " +
+          "the merge must run its join in a single pass")
+      val vs = spark.read.format("graft").load(dir)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(vs(1L) == "x" && vs(9L) == "new" && vs(2L) == "b")
+    }
+  }
 }
