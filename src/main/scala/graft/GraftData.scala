@@ -282,6 +282,31 @@ object GraftData {
         WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.bal)""")
     })
 
+  /** State after a MERGE exercising the full clause surface: matched
+    * DELETE (tombstone markers riding the same delta commit), matched
+    * UPDATE, NOT MATCHED INSERT, and NOT MATCHED BY SOURCE DELETE
+    * (full-outer path). Every %10 key dies, surviving %5 keys gain 250,
+    * %11 keys re-insert shifted, and deep-negative rows outside the
+    * source are purged. */
+  def customerMergeDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_mergedel") { dir =>
+      parquet(spark, sfDir, "customer").write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "4")
+        .save(dir)
+      val cust = parquet(spark, sfDir, "customer")
+      cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").cast("long").as("k"), col("c_acctbal").as("bal"))
+        .unionAll(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 2000000L).as("k"), col("c_acctbal").as("bal")))
+        .createOrReplaceTempView("graft_mergedel_src")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING graft_mergedel_src s
+        ON t.c_custkey = s.k
+        WHEN MATCHED AND t.c_custkey % 10 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 250.0
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.k, s.bal)
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < -900.0 THEN DELETE""")
+    })
+
   /** State after a SQL `UPDATE` routed through the resolution rule. */
   def customerSqlUpdated(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "customer_sqlupd") { dir =>

@@ -201,6 +201,10 @@ object Queries {
       GraftData.customerMerged(s, sf).select(
         col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))),
 
+    "q_merge_delete" -> ((s, sf) =>
+      GraftData.customerMergeDeleted(s, sf).select(
+        col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))),
+
     "q_dv_delete" -> ((s, sf) =>
       GraftData.documentsDvDeleted(s, sf).select(
         col("doc_id"), length(col("text")).cast("long").as("text_len"))),
@@ -541,6 +545,16 @@ object Queries {
        "THEN 500.0 ELSE 0.0 END)*100) AS BIGINT) AS acct_cents FROM customer " +
        "UNION ALL SELECT c_custkey + 1000000, CAST(ROUND(c_acctbal*100) AS BIGINT) " +
        "AS acct_cents FROM customer WHERE c_custkey % 91 = 0"),
+
+    // matched %10 deleted; surviving %5 updated (+250); %11 re-inserted
+    // shifted; non-source deep-negative rows deleted by the BY SOURCE clause
+    "q_merge_delete" ->
+      ("SELECT c_custkey, CAST(ROUND((c_acctbal + CASE WHEN c_custkey % 5 = 0 " +
+       "THEN 250.0 ELSE 0.0 END)*100) AS BIGINT) AS acct_cents FROM customer " +
+       "WHERE NOT (c_custkey % 10 = 0) " +
+       "AND NOT (c_custkey % 5 <> 0 AND c_acctbal < -900.0) " +
+       "UNION ALL SELECT c_custkey + 2000000, CAST(ROUND(c_acctbal*100) AS BIGINT) " +
+       "AS acct_cents FROM customer WHERE c_custkey % 11 = 0"),
 
     "q_curate" ->
       ("WITH k AS (SELECT doc_id, text, row_number() OVER " +

@@ -15,24 +15,30 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * MERGE INTO t USING s ON t.pk1 = <src expr> [AND t.pk2 = ...]
-  * WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ...
+  * WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
   * WHEN NOT MATCHED [AND c] THEN INSERT (cols...) VALUES (...)
+  * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE
   * }}}
+  * plus `WITH SCHEMA EVOLUTION` (new assignment/source-star columns join
+  * the target schema through the delta write's mergeSchema path).
   *
-  * Execution: ONE left-outer join of the source against the target's
-  * merged state evaluates every clause (first-true-wins, per the SQL
-  * ordered-clause rule); the surviving rows — updated images of matched
-  * rows plus insert images of unmatched ones — commit as ONE delta-upsert
-  * (last-wins merge-on-read). Rows no clause touches are simply not
-  * emitted, so the target's other rows never rewrite. Source rows that
-  * match the SAME target key fail loudly (SQL's multiple-match error) —
+  * Execution: ONE join of the source against the target's merged state
+  * evaluates every clause (first-true-wins, per the SQL ordered-clause
+  * rule); the surviving rows — updated images of matched rows, insert
+  * images of unmatched ones, and TOMBSTONE marker rows (key +
+  * `__graft_deleted=true`, see [[graft.meta.Tombstones]]) for DELETE
+  * clauses — commit as ONE delta-upsert (last-wins merge-on-read). The
+  * join is left-outer normally and full-outer only when a NOT MATCHED BY
+  * SOURCE clause needs the target-only rows. Rows no clause touches are
+  * simply not emitted, so the target's other rows never rewrite; a DELETE
+  * costs one marker row, never a bucket rewrite. Source rows that match
+  * the SAME target key fail loudly (SQL's multiple-match error) —
   * last-wins would silently pick one.
   *
   * Rejected loudly (not silently mis-executed): non-PK targets (no key to
-  * merge on), WHEN MATCHED THEN DELETE (PK deletes rewrite buckets — use
-  * DELETE), WHEN NOT MATCHED BY SOURCE, ON conditions beyond a PK-equality
-  * conjunction, subqueries, nondeterministic expressions, assignments to
-  * PK/partition columns, and nested-field assignments.
+  * merge on), ON conditions beyond a PK-equality conjunction, subqueries,
+  * nondeterministic expressions, assignments to PK/partition columns, and
+  * nested-field assignments.
   */
 case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -86,10 +92,13 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!info.hasPrimaryKey)
       fail("the target is not a primary-key table — merge pairs rows by " +
         "key; use upsert tables (hashPartitions) or UPDATE/DELETE instead")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
-    if (m.schemaEvolutionEnabled)
-      fail("WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION: assignment keys may name columns absent from
+    // the target (they join the schema through the delta write's mergeSchema
+    // path) and `SET *`/`INSERT *` also carry source-only columns.
+    // `withSchemaEvolution` is the raw parser flag — the derived
+    // `schemaEvolutionEnabled` requires V2 row-level-operation capabilities
+    // this table intentionally routes around.
+    val evolve = m.withSchemaEvolution
 
     val targetAttrs = m.targetTable.outputSet
     val sourceAttrs = m.sourceTable.outputSet
@@ -113,10 +122,11 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     val conjuncts = graft.commands.RewriteSupport.splitConjuncts(onResolved)
     val pkSet = info.hashColumns.map(_.toLowerCase).toSet
     val covered = scala.collection.mutable.Set.empty[String]
-    // source-side key expressions, one per PK conjunct: the duplicate-match
-    // guard windows over these (never null-skewed — unmatched rows keep
-    // their own key values, unlike the target PK which is null for them)
-    val srcKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (pk column, source-side key expression) pairs, one per PK conjunct:
+    // the duplicate-match guard windows over the source keys (never
+    // null-skewed — unmatched rows keep their own key values, unlike the
+    // target PK which is null for them)
+    val srcKeys = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     conjuncts.foreach {
       case EqualTo(l, r) =>
         def targetPk(e: Expression): Option[String] = e match {
@@ -128,9 +138,9 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
           e.references.forall(sourceAttrs.contains)
         (targetPk(l), targetPk(r)) match {
           case (Some(c), _) if sourceOnly(r) =>
-            covered += c; srcKeys += render(r, Seq(m.sourceTable))
+            covered += c; srcKeys += (c -> render(r, Seq(m.sourceTable)))
           case (_, Some(c)) if sourceOnly(l) =>
-            covered += c; srcKeys += render(l, Seq(m.sourceTable))
+            covered += c; srcKeys += (c -> render(l, Seq(m.sourceTable)))
           case _ => fail("the ON condition must be a conjunction of " +
             s"`target.pkCol = <source expression>`; got: ${onResolved.sql}")
         }
@@ -143,65 +153,117 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val layoutCols = (info.hashColumns ++ info.rangeColumns).map(_.toLowerCase).toSet
     def renderAssignments(
-        as: Seq[Assignment], isUpdate: Boolean): Seq[(String, String)] =
+        as: Seq[Assignment], isUpdate: Boolean,
+        scope: Seq[LogicalPlan]): Seq[(String, String)] =
       as.map { a =>
-        val key = resolveExpr(a.key, Seq(m.targetTable)) match {
-          case ar: AttributeReference => ar.name
-          case other => fail(s"nested-field assignment: ${other.sql}")
+        val key = a.key match {
+          // a name the target can't resolve is a NEW column when evolution
+          // is on — its spelling is the key (single-part names only; a
+          // nested path can't create a column)
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if evolve &&
+              m.targetTable.resolve(u.nameParts,
+                spark.sessionState.conf.resolver).isEmpty =>
+            if (u.nameParts.size > 2) fail(s"nested-field assignment: ${u.sql}")
+            u.nameParts.last
+          case k => resolveExpr(k, Seq(m.targetTable)) match {
+            case ar: AttributeReference => ar.name
+            case other => fail(s"nested-field assignment: ${other.sql}")
+          }
         }
         if (isUpdate && layoutCols.contains(key.toLowerCase))
           fail(s"cannot UPDATE primary-key/partition column $key")
-        // UPDATE values see both sides; INSERT values the source only
-        key -> render(a.value, if (isUpdate) both else Seq(m.sourceTable))
+        key -> render(a.value, scope)
       }
 
     // `SET *` / `INSERT *`: every target column from the same-named source
-    // column (fails when the source lacks one — no silent null-fill)
-    def starAssignments: Seq[(String, String)] =
-      info.schema.fields.toSeq.map { f =>
-        val v = m.sourceTable.resolve(Seq(f.name),
-            spark.sessionState.conf.resolver)
+    // column (fails when the source lacks one — no silent null-fill).
+    // Under WITH SCHEMA EVOLUTION, source-only columns ride along as new
+    // target columns.
+    def starAssignments: Seq[(String, String)] = {
+      val resolver = spark.sessionState.conf.resolver
+      val base = info.schema.fields.toSeq.map { f =>
+        val v = m.sourceTable.resolve(Seq(f.name), resolver)
           .getOrElse(fail(s"`*` needs source column ${f.name}"))
           .toAttribute
         f.name -> v.withQualifier(Seq("__gs")).sql
       }
+      val extra = if (!evolve) Nil else
+        m.sourceTable.output
+          .filterNot(a => info.schema.fieldNames.exists(resolver(_, a.name)))
+          .map(a => a.name -> a.withQualifier(Seq("__gs")).sql)
+      base ++ extra
+    }
 
     val matched = m.matchedActions.map {
       case UpdateAction(cond, as, _) =>
-        (cond.map(render(_, both)), renderAssignments(as, isUpdate = true))
+        MergeClause(cond.map(render(_, both)), MergeClause.UPDATE,
+          renderAssignments(as, isUpdate = true, both))
       case UpdateStarAction(cond) =>
-        (cond.map(render(_, both)),
+        MergeClause(cond.map(render(_, both)), MergeClause.UPDATE,
           starAssignments.filterNot(a => layoutCols.contains(a._1.toLowerCase)))
-      case _: DeleteAction =>
-        fail("WHEN MATCHED THEN DELETE is not supported on primary-key " +
-          "tables (deletes rewrite buckets) — run DELETE separately")
+      case DeleteAction(cond) =>
+        // a PK delete is one tombstone marker row in the same delta commit
+        MergeClause(cond.map(render(_, both)), MergeClause.DELETE, Nil)
       case other => fail(s"unsupported matched action: $other")
     }
     val notMatched = m.notMatchedActions.map {
       case InsertAction(cond, as) =>
-        (cond.map(render(_, Seq(m.sourceTable))),
-          renderAssignments(as, isUpdate = false))
+        MergeClause(cond.map(render(_, Seq(m.sourceTable))), MergeClause.INSERT,
+          renderAssignments(as, isUpdate = false, Seq(m.sourceTable)))
       case InsertStarAction(cond) =>
-        (cond.map(render(_, Seq(m.sourceTable))), starAssignments)
+        MergeClause(cond.map(render(_, Seq(m.sourceTable))), MergeClause.INSERT,
+          starAssignments)
       case other => fail(s"unsupported not-matched action: $other")
     }
+    // NOT MATCHED BY SOURCE rows exist only on the target side — clause
+    // conditions and update values may reference target columns only
+    val bySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        MergeClause(cond.map(render(_, Seq(m.targetTable))), MergeClause.UPDATE,
+          renderAssignments(as, isUpdate = true, Seq(m.targetTable)))
+      case DeleteAction(cond) =>
+        MergeClause(cond.map(render(_, Seq(m.targetTable))),
+          MergeClause.DELETE, Nil)
+      case other => fail(s"unsupported not-matched-by-source action: $other")
+    }
     GraftMergeIntoCommand(path, m.sourceTable, render(onResolved, both),
-      srcKeys.toSeq, matched, notMatched)
+      srcKeys.toSeq, matched, notMatched, bySource, evolve)
   }
+}
+
+/** One rendered MERGE clause: SQL-text condition (already qualified with
+  * `__gs`/`__gt`), the action kind, and the rendered SET/VALUES pairs. */
+case class MergeClause(
+    cond: Option[String], kind: String, sets: Seq[(String, String)])
+
+object MergeClause {
+  val UPDATE = "update"
+  val INSERT = "insert"
+  val DELETE = "delete"
 }
 
 /** V1 command executing the merge at runtime: ONE join of source against the
   * target's merged state feeds both the duplicate-match guard and the emit
-  * projection — the guard is a window count over the source-side join keys
-  * with a conditional `raise_error` in the output, not a second action
-  * (a separate count() would re-execute the dominant join at scale). */
+  * projection — the guard is a window count over the join keys with a
+  * conditional `raise_error` in the output, not a second action (a separate
+  * count() would re-execute the dominant join at scale). The join is
+  * left-outer unless a NOT MATCHED BY SOURCE clause exists, which needs the
+  * target-only rows and upgrades it to full-outer. DELETE clauses emit
+  * tombstone marker rows (target key + `__graft_deleted=true`, other
+  * columns null) into the SAME delta-upsert commit; the k-way merge reader
+  * applies per-row marker-reset semantics, so update/insert/delete images
+  * can share one file.
+  */
 case class GraftMergeIntoCommand(
     path: String,
     source: LogicalPlan,
     onSql: String,
-    srcKeys: Seq[String],
-    matched: Seq[(Option[String], Seq[(String, String)])],
-    notMatched: Seq[(Option[String], Seq[(String, String)])])
+    srcKeys: Seq[(String, String)],
+    matched: Seq[MergeClause],
+    notMatched: Seq[MergeClause],
+    bySource: Seq[MergeClause],
+    evolve: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -210,41 +272,105 @@ case class GraftMergeIntoCommand(
     import org.apache.spark.sql.expressions.Window
     val info = graft.meta.SnapshotManagement
       .snapshot(graft.meta.SnapshotManagement.normalize(path)).tableInfo
+    // presence tag: under full-outer the target-only rows must be
+    // distinguishable from matched rows even if every source column is
+    // legitimately null — a non-null literal on the source side is the
+    // only airtight signal
     val src = org.apache.spark.sql.graft.SparkShims
-      .ofRows(session, source).alias("__gs")
+      .ofRows(session, source).withColumn("__gm_src", lit(true)).alias("__gs")
     val tgt = graft.sources.GraftRead.read(session, path).alias("__gt")
-    val joined = src.join(tgt, expr(onSql), "left_outer")
-    val isMatched = col(s"__gt.${info.hashColumns.head}").isNotNull
+    val joinType = if (bySource.nonEmpty) "full_outer" else "left_outer"
+    val joined = src.join(tgt, expr(onSql), joinType)
+    val srcPresent = col("__gs.__gm_src").isNotNull
+    val tgtPresent = col(s"__gt.${info.hashColumns.head}").isNotNull
+    val isMatched = srcPresent && tgtPresent
 
     // SQL's multiple-match rule: >1 source row pairing with one target key
     // is an error (upsert's last-wins would silently pick one). Windowing
     // over the SOURCE-side key expressions keeps unmatched rows spread
     // across their own keys (the target PK is null for all of them) and
     // lets the window reuse the join's partitioning where the planner can.
-    val dupWindow = Window.partitionBy(srcKeys.map(expr): _*)
+    // Target-only rows (full-outer) have null source keys — coalescing
+    // with the target PK (equal for matched rows by the ON condition)
+    // spreads them across their own keys instead of one null partition.
+    val keyExprs = srcKeys.map { case (pk, srcExpr) =>
+      coalesce(expr(srcExpr), col(s"__gt.`$pk`")) }
+    val dupWindow = Window.partitionBy(keyExprs: _*)
     val matchCnt = sum(when(isMatched, lit(1L)).otherwise(lit(0L)))
       .over(dupWindow)
 
-    // one struct per clause, first-true-wins; null = no clause applied
+    // one struct per clause, first-true-wins; null = no clause applied.
+    // With any DELETE clause the emitted schema gains the marker column:
+    // true on delete images, null elsewhere (so non-delete rows still pass
+    // invariant checks and the reader treats them as plain contributions).
     val schema = tgt.schema
+    val hasDelete = (matched ++ bySource).exists(_.kind == MergeClause.DELETE)
+    val boolType = org.apache.spark.sql.types.BooleanType
+    val keySet = (info.rangeColumns ++ info.hashColumns)
+      .map(_.toLowerCase).toSet
+    // WITH SCHEMA EVOLUTION: assignment keys absent from the target become
+    // new columns; type = what the first assigning expression yields under
+    // the joined plan (analysis only, no job). Clauses that don't set a new
+    // column emit null there — the k-way reader skips null contributions,
+    // so untouched keys keep "column absent" semantics.
+    val targetLower = schema.fieldNames.map(_.toLowerCase).toSet
+    val newFields: Seq[org.apache.spark.sql.types.StructField] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      (matched ++ notMatched ++ bySource).foreach(_.sets.foreach {
+        case (k, v) if !targetLower.contains(k.toLowerCase) =>
+          if (!seen.contains(k.toLowerCase)) seen(k.toLowerCase) = k
+        case _ => ()
+      })
+      seen.values.toSeq.map { k =>
+        val v = (matched ++ notMatched ++ bySource).iterator
+          .flatMap(_.sets).collectFirst {
+            case (k2, v2) if k2.equalsIgnoreCase(k) => v2 }.get
+        org.apache.spark.sql.types.StructField(k,
+          joined.select(expr(v)).schema.head.dataType, nullable = true)
+      }
+    }
+    require(evolve || newFields.isEmpty,
+      s"MERGE assigns unknown column(s) ${newFields.map(_.name).mkString(", ")}")
+    val allFields = schema.fields.toSeq ++ newFields
+    def withMarker(fields: Seq[Column], marker: Column): Seq[Column] =
+      if (hasDelete) fields :+ marker.cast(boolType).as(graft.meta.Tombstones.COL)
+      else fields
     def image(sets: Map[String, String], forUpdate: Boolean): Column =
-      struct(schema.fields.toSeq.map { f =>
+      struct(withMarker(allFields.map { f =>
         sets.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) =>
           expr(v).cast(f.dataType)
         }.getOrElse(
-          if (forUpdate) col(s"__gt.${f.name}")
+          if (forUpdate && targetLower.contains(f.name.toLowerCase))
+            col(s"__gt.${f.name}")
           else lit(null).cast(f.dataType)
         ).as(f.name)
-      }: _*)
-    val clauses: Seq[(Column, Column)] =
-      matched.map { case (cond, sets) =>
-        (isMatched && cond.map(expr).getOrElse(lit(true)),
-          image(sets.toMap, forUpdate = true))
-      } ++ notMatched.map { case (cond, sets) =>
-        (!isMatched && cond.map(expr).getOrElse(lit(true)),
-          image(sets.toMap, forUpdate = false))
+      }, lit(null)): _*)
+    // a delete image is the target key plus the marker — nothing else
+    def deleteImage: Column =
+      struct(withMarker(allFields.map { f =>
+        (if (keySet.contains(f.name.toLowerCase)) col(s"__gt.${f.name}")
+         else lit(null).cast(f.dataType)).as(f.name)
+      }, lit(true)): _*)
+    def render(group: Seq[MergeClause], applies: Column): Seq[(Column, Column)] =
+      group.map { cl =>
+        (applies && cl.cond.map(expr).getOrElse(lit(true)),
+          cl.kind match {
+            case MergeClause.DELETE => deleteImage
+            case MergeClause.INSERT => image(cl.sets.toMap, forUpdate = false)
+            case _ => image(cl.sets.toMap, forUpdate = true)
+          })
       }
-    val structType = org.apache.spark.sql.types.StructType(schema.fields)
+    // the three groups partition the joined rows, so concatenation keeps
+    // first-true-wins exact within each population
+    val clauses: Seq[(Column, Column)] =
+      render(matched, isMatched) ++
+      render(notMatched, srcPresent && !tgtPresent) ++
+      render(bySource, !srcPresent)
+    val structType = org.apache.spark.sql.types.StructType(
+      if (hasDelete)
+        allFields :+ org.apache.spark.sql.types.StructField(
+          graft.meta.Tombstones.COL, boolType, nullable = true)
+      else allFields)
     val picked = clauses.foldRight(lit(null).cast(structType)) {
       case ((c, img), rest) => when(c, img).otherwise(rest)
     }
@@ -258,7 +384,9 @@ case class GraftMergeIntoCommand(
       .select(guarded.as("__gm"))
       .filter(col("__gm").isNotNull)
       .select(col("__gm.*"))
-    graft.commands.UpsertCommand.run(session, path, out)
+    graft.commands.UpsertCommand.run(session, path, out,
+      if (evolve) Map(graft.commands.WriteIntoTable.MERGE_SCHEMA -> "true")
+      else Map.empty)
     Seq.empty
   }
 }

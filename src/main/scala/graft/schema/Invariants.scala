@@ -1,6 +1,6 @@
 package graft.schema
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.meta.TableInfo
@@ -20,16 +20,26 @@ object Invariants {
   val CONSTRAINT_PREFIX = "graft.constraints."
 
   /** Wrap `df` so any invariant violation fails the write with a clear
-    * error. Columns absent from `df` (partial-column upserts) are skipped. */
+    * error. Columns absent from `df` (partial-column upserts) are skipped.
+    * Tombstone marker rows (key deletes riding a delta upsert — MERGE
+    * DELETE clauses) are exempt: their non-key columns are intentionally
+    * null and never surface through the merge reader. The `when` keeps the
+    * exemption branch lazy, so the assert never evaluates for them. */
   def enforce(df: DataFrame, tableInfo: TableInfo): DataFrame = {
     val present = df.columns.toSet
+    val markerCol = df.columns.find(graft.meta.Tombstones.isMarkerCol)
+    def guarded(check: Column): Column = markerCol match {
+      case Some(mc) =>
+        when(coalesce(col(s"`$mc`"), lit(false)), lit(true)).otherwise(check)
+      case None => check
+    }
     val notNullCols = tableInfo.schema.fields
       .filter(f => !f.nullable && present.contains(f.name)).map(_.name)
     val withNotNull = notNullCols.foldLeft(df) { (d, c) =>
-      d.filter(coalesce(
+      d.filter(guarded(coalesce(
         assert_true(col(s"`$c`").isNotNull,
           lit(s"[graft invariant] column $c: NOT NULL constraint violated")),
-        lit(true)))
+        lit(true))))
     }
     val checks = tableInfo.configuration.collect {
       case (k, v) if k.startsWith(CONSTRAINT_PREFIX) =>
@@ -40,10 +50,10 @@ object Invariants {
       val refs = graft.commands.RewriteSupport.referencedNames(
         org.apache.spark.sql.graft.SparkShims.expression(cond))
       if (!refs.forall(present.contains)) d
-      else d.filter(coalesce(
+      else d.filter(guarded(coalesce(
         assert_true(coalesce(cond, lit(false)),
           lit(s"[graft invariant] $name: CHECK ($predicate) violated")),
-        lit(true)))
+        lit(true))))
     }
   }
 }

@@ -71,8 +71,6 @@ class MergeIntoSuite extends GraftFunSuite {
       Seq((2L, "x")).toDF("id", "v").createOrReplaceTempView("src4")
       def msgOf(sql: String): String =
         intercept[Exception] { spark.sql(sql) }.getMessage
-      assert(msgOf(s"""MERGE INTO graft.`$dir` t USING src4 s ON t.id = s.id
-        WHEN MATCHED THEN DELETE""").contains("DELETE"))
       assert(msgOf(s"""MERGE INTO graft.`$dir` t USING src4 s
         ON t.id = s.id AND t.n > 5
         WHEN MATCHED THEN UPDATE SET v = s.v""").contains("conjunction"))
@@ -118,6 +116,93 @@ class MergeIntoSuite extends GraftFunSuite {
       assert(spark.read.format("graft").load(dir)
         .filter(col("id") === 2).select("v", "n").as[(String, Int)].head() ==
         ("b2", 22))
+    }
+  }
+
+  test("WHEN MATCHED THEN DELETE tombstones the key in the same commit") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "kill"), (3L, "keep"), (5L, "e"))
+        .toDF("id", "tag").createOrReplaceTempView("srcd")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcd s ON t.id = s.id
+        WHEN MATCHED AND s.tag = 'kill' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.tag
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.tag, 0)""")
+      assertSameRows(
+        spark.read.format("graft").load(dir).select("id", "v", "n"),
+        Seq((1L, "a", 10), (3L, "keep", 30), (5L, "e", 0))
+          .toDF("id", "v", "n"))
+      // ONE delta commit carries updates, inserts AND the tombstone
+      val snap = SnapshotManagement.snapshot(SnapshotManagement.normalize(dir))
+      assert(snap.version == 1, "delete clauses must not add extra commits")
+      assert(snap.files.exists(!_.isBase), "merge must commit as delta")
+      // the deleted key is re-insertable by a newer version
+      GraftTable.forPath(spark, dir).upsert(
+        Seq((2L, "back", 2)).toDF("id", "v", "n"))
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") === 2).select("v").as[String].head() == "back")
+    }
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE clauses see target-only rows") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "B")).toDF("id", "v").createOrReplaceTempView("srcbs")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcbs s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND t.n < 25 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '-stale')""")
+      // id=1 (n=10) deleted; id=3 (n=30) marked stale; id=2 updated
+      assertSameRows(
+        spark.read.format("graft").load(dir).select("id", "v", "n"),
+        Seq((2L, "B", 20), (3L, "c-stale", 30)).toDF("id", "v", "n"))
+      val snap = SnapshotManagement.snapshot(SnapshotManagement.normalize(dir))
+      assert(snap.version == 1)
+    }
+  }
+
+  test("WITH SCHEMA EVOLUTION adds assignment and star columns") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((2L, "B", 99), (5L, "e", 55)).toDF("id", "v", "extra")
+        .createOrReplaceTempView("srcse")
+      // explicit new-column assignment on both clause kinds
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION
+        INTO graft.`$dir` t USING srcse s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, extra = s.extra
+        WHEN NOT MATCHED THEN
+          INSERT (id, v, n, extra) VALUES (s.id, s.v, 0, s.extra)""")
+      val got = spark.read.format("graft").load(dir)
+        .select("id", "v", "n", "extra")
+        .as[(Long, String, Option[Int], Option[Int])].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "a", Some(10), None), (2L, "B", Some(20), Some(99)),
+        (3L, "c", Some(30), None), (5L, "e", Some(0), Some(55))))
+      // without the flag, a new column is rejected
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcse s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET extra2 = s.extra""")
+      }
+      assert(e.getMessage.contains("extra2") ||
+        e.getCause != null && e.getCause.getMessage.contains("extra2"))
+    }
+  }
+
+  test("WITH SCHEMA EVOLUTION star actions carry source-only columns") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((3L, "C", 33, "x3"), (6L, "f", 66, "x6"))
+        .toDF("id", "v", "n", "tag").createOrReplaceTempView("srcst")
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION
+        INTO graft.`$dir` t USING srcst s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val got = spark.read.format("graft").load(dir)
+        .select("id", "v", "n", "tag")
+        .as[(Long, String, Int, Option[String])].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "a", 10, None), (2L, "b", 20, None),
+        (3L, "C", 33, Some("x3")), (6L, "f", 66, Some("x6"))))
     }
   }
 
