@@ -277,7 +277,14 @@ object PkTombstoneDelete {
       .select(keyCols :+ lit(true).as(graft.meta.Tombstones.COL): _*)
     val files = graft.write.TransactionalWrite.writeFiles(
       spark, path, info, markers, isBase = false)
-    if (files.nonEmpty) txn.commit("delete", None, files, Nil)
+    // rewriteGuard even though this is adds-only: the markers were decided
+    // on the PINNED merged view, so a concurrent upsert of a matching key
+    // landing after the pin would be silently killed by our newer-version
+    // marker even if its fresh value no longer matches the predicate — a
+    // lost update. The guard turns that into a conflict; the ladder's
+    // withRewriteTransaction restarts and re-decides on a fresh snapshot.
+    if (files.nonEmpty)
+      txn.commit("delete", None, files, Nil, rewriteGuard = true)
     true
   }
 }
