@@ -718,11 +718,107 @@ object Queries {
        "UNION ALL SELECT o_orderkey, 'delete', CAST(2 AS BIGINT) " +
        "FROM orders WHERE o_orderkey % 777 = 0"),
 
+    // The emitted pairs are EXACT-verified (LSH is only the candidate
+    // generator; inter/uni are true shingle counts), so the oracle is the
+    // ground truth itself: every word-3-gram pair at >= 40% Jaccard.
+    // Equality asserts banding recall 1, which holds with huge margin: the
+    // corpus' true duplicate pairs all sit at j >= 0.88, where the 16x4
+    // band s-curve misses with probability ~1e-7 (no pair exists anywhere
+    // near the 40% boundary in this generator's output).
+    "q_dedup_minhash" ->
+      ("WITH toks AS (SELECT doc_id, " +
+       "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
+       "FROM toks, LATERAL unnest(generate_series(1, len(t)-2)) AS u(i) " +
+       "WHERE len(t) >= 3), " +
+       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+       "ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ix " +
+       "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+       "SELECT a_id, b_id, ix AS inter, (ca.n + cb.n - ix) AS uni " +
+       "FROM ix JOIN cnt ca ON ca.doc_id = a_id " +
+       "JOIN cnt cb ON cb.doc_id = b_id " +
+       "WHERE ix * 100 >= 40 * (ca.n + cb.n - ix)"),
+
     // Exact cosine top-k: output is INTEGER-only (qid, rank, nid) with ties
     // broken by nid, so the two engines' last-ulp float differences cannot
     // surface unless two distinct vectors score within ~1e-15 of each
     // other at the k boundary.
     "q_ann_brute" ->
+      ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings WHERE vec_id < 5), " +
+       "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+       "SELECT qid, CAST(rnk AS INTEGER) AS rank, nid FROM (" +
+       "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "(list_dot_product(q.e, c.e) / NULLIF(sqrt(list_dot_product(q.e, q.e)) " +
+       "* sqrt(list_dot_product(c.e, c.e)), 0)) DESC NULLS LAST, " +
+       "c.vec_id ASC) AS rnk FROM q CROSS JOIN c) s WHERE rnk <= 10"),
+
+    // Full SimHash replication: 60-bit md5 token hashes make the
+    // fingerprints engine-portable, and banding recall is pigeonhole-
+    // guaranteed (hamming <= 3 pairs always share one of 4 bands), so the
+    // banded Spark pair set EQUALS this exhaustive all-pairs hamming scan.
+    // Integer-only math — no float divergence possible.
+    "q_simhash" ->
+      ("WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " +
+       "'[a-z0-9]+')) AS tok FROM documents), " +
+       "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) " +
+       "AS BIGINT) AS h FROM t), " +
+       "bits AS (SELECT doc_id, bb.b, " +
+       "sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+       "FROM h, (SELECT unnest(range(0, 64)) AS b) bb GROUP BY 1, 2), " +
+       "fp AS (SELECT doc_id, sum(CASE WHEN v >= 0 " +
+       "THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sh FROM bits GROUP BY 1) " +
+       "SELECT a.doc_id AS a_id, b2.doc_id AS b_id, " +
+       "CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming " +
+       "FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id " +
+       "WHERE bit_count(xor(a.sh, b2.sh)) <= 3"),
+
+    // Full LSH replication: the hyperplanes are md5-derived constants
+    // (Ann.planeConst), so DuckDB rebuilds the same 4x64 plane matrix,
+    // buckets every vector by the same sign bits, and ranks the same
+    // bucket-mates by exact cosine. Integer-only output as in q_ann_brute.
+    "q_ann_lsh" ->
+      ("WITH pc AS (SELECT p, list(w ORDER BY d) AS wl FROM (" +
+       "SELECT pp.p, dd.d, (CAST(concat('0x', substr(md5(" +
+       "concat(pp.p, ':', dd.d)), 1, 8)) AS UBIGINT) % 1000) / 1000.0 - 0.5 AS w " +
+       "FROM (SELECT unnest(range(0, 4)) AS p) pp, " +
+       "(SELECT unnest(range(1, 65)) AS d) dd) s GROUP BY p), " +
+       "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+       "bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(e, wl) >= 0 " +
+       "THEN CAST(1 << p AS BIGINT) ELSE 0 END) AS bucket " +
+       "FROM v CROSS JOIN pc GROUP BY vec_id), " +
+       "vb AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)), " +
+       "q AS (SELECT * FROM vb WHERE vec_id < 5) " +
+       "SELECT qid, CAST(rnk AS INTEGER) AS rank, nid FROM (" +
+       "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "(list_dot_product(q.e, c.e) / NULLIF(sqrt(list_dot_product(q.e, q.e)) " +
+       "* sqrt(list_dot_product(c.e, c.e)), 0)) DESC NULLS LAST, " +
+       "c.vec_id ASC) AS rnk FROM q JOIN vb c ON q.bucket = c.bucket) s " +
+       "WHERE rnk <= 10"),
+
+    // Same md5 plane matrix as q_ann_lsh; pairs share a bucket and pass
+    // the EXACT cosine threshold — both sides fully reproducible.
+    "q_embed_neardup" ->
+      ("WITH pc AS (SELECT p, list(w ORDER BY d) AS wl FROM (" +
+       "SELECT pp.p, dd.d, (CAST(concat('0x', substr(md5(" +
+       "concat(pp.p, ':', dd.d)), 1, 8)) AS UBIGINT) % 1000) / 1000.0 - 0.5 AS w " +
+       "FROM (SELECT unnest(range(0, 4)) AS p) pp, " +
+       "(SELECT unnest(range(1, 65)) AS d) dd) s GROUP BY p), " +
+       "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+       "bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(e, wl) >= 0 " +
+       "THEN CAST(1 << p AS BIGINT) ELSE 0 END) AS bucket " +
+       "FROM v CROSS JOIN pc GROUP BY vec_id), " +
+       "vb AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)) " +
+       "SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+       "FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+       "WHERE (list_dot_product(a.e, b.e) / NULLIF(sqrt(list_dot_product(a.e, a.e)) " +
+       "* sqrt(list_dot_product(b.e, b.e)), 0)) >= 0.1"),
+
+    // IVF with angular-bound cell pruning is EXACT (skipped cells provably
+    // hold no top-k member), so its oracle is the same brute-force top-k.
+    "q_ann_ivf" ->
       ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
        "FROM embeddings WHERE vec_id < 5), " +
        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +

@@ -25,10 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic pseudo-random hyperplane component: murmur3(plane, dim)
-    * scaled to [-0.5, 0.5). `dim1` is the 1-based dimension index. */
-  private def planeComponent(plane: Int, dim1: Column): Column =
-    (pmod(hash(lit(plane), dim1), lit(1000)).cast("double") / 1000.0d) - 0.5d
+  /** Deterministic pseudo-random hyperplane component for (plane, 1-based
+    * dim): md5("plane:dim") first-8-hex mod 1000, scaled to [-0.5, 0.5).
+    * md5 (not murmur/xxhash) so ANY engine — the DuckDB oracle included —
+    * reproduces the planes bit-for-bit. Computed ONCE on the driver and
+    * inlined as a literal array: zero per-row hashing on the scan path
+    * (the previous murmur form hashed per (vector, dim, plane) row). */
+  private[llm] def planeConst(plane: Int, dim1: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 1000.0d - 0.5d
+  }
+
+  /** The plane's constants as a literal array column; `try_element_at`
+    * null-pads vectors longer than `dims` (a zero component — those
+    * dimensions simply don't vote). */
+  private[llm] def planeComponent(plane: Int, dim1: Column, dims: Int): Column =
+    coalesce(try_element_at(
+      typedlit((1 to dims).map(planeConst(plane, _))), dim1), lit(0.0d))
 
   /** Exploded (id, dim, x) rows of a vector column, in double. */
   private def explodedRows(
@@ -42,10 +57,11 @@ object Ann {
     * component. No array lambdas anywhere. */
   private def unitRows(
       df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, xAs: String, numPlanes: Int = 0): DataFrame = {
+      idAs: String, xAs: String, numPlanes: Int = 0,
+      dims: Int = 64): DataFrame = {
     val expl = explodedRows(df, idCol, vecCol, idAs)
     val planeAggs = (0 until numPlanes).map { p =>
-      sum(col("x") * planeComponent(p, col("dim") + 1)).as(s"d$p")
+      sum(col("x") * planeComponent(p, col("dim") + 1, dims)).as(s"d$p")
     }
     val per = expl.groupBy(idAs)
       .agg(sum(col("x") * col("x")).as("norm2"), planeAggs: _*)
@@ -91,8 +107,9 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
-    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx", numPlanes)
-    val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx", numPlanes)
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx", numPlanes, dims)
+    val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx", numPlanes,
+      dims)
     val scored = cu.join(broadcast(qu), Seq("bucket", "dim"))
       .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
     topK(scored, k)
@@ -102,9 +119,19 @@ object Ann {
     * centroids, optionally refined by Lloyd (k-means) iterations — set
     * `spark.graft.ann.ivf.kmeansIters` (default 1; 0 restores plain
     * first-N seeding). Every vector is assigned to its nearest centroid by
-    * cosine; queries probe only their own cell. The inverted-file structure
-    * bounds each query's candidate set to ~corpus/nCentroids. Same output
-    * shape as `bruteTopK`.
+    * cosine. Same output shape as `bruteTopK`.
+    *
+    * EXACT, not approximate: each query first scores its nearest cell
+    * exhaustively, giving a provisional kth-best cosine `t`; it then probes
+    * only the cells whose angular upper bound `cos(max(0, angle(q,
+    * centroid) - cellRadius))` can still beat `t` (triangle inequality on
+    * the angular metric — a member of cell c is at most `radius(c)` away
+    * from its centroid, so its cosine to q is at most that bound). Skipped
+    * cells provably contain no top-k member, so the result equals
+    * `bruteTopK` while reading only the cells that matter. On a clustered
+    * corpus (real embedding workloads) radii are small and most cells
+    * prune; on unstructured data the bound degrades gracefully toward an
+    * exhaustive scan — exactness is never traded away.
     *
     * The Lloyd step is PURE relational algebra over the already-exploded
     * unit rows: assign (broadcast join + hash-agg + window) → per-(cell,
@@ -131,7 +158,7 @@ object Ann {
         .agg(sum(col(x) * col("cx")).as("csim"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") === 1)
-        .select(col(id), col("cid"))
+        .select(col(id), col("cid"), col("csim"))
     }
     // seed centroids: deterministic sample (first nCentroids by id —
     // embeddings carry no id-order structure)
@@ -145,7 +172,8 @@ object Ann {
     val iters = corpus.sparkSession.conf
       .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt).getOrElse(1)
     val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
-      val members = cu.join(assign(cents)(cu, "nid", "nx"), "nid")
+      val members = cu.join(
+        assign(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")
       val means = members.groupBy(col("cid"), col("dim"))
         .agg(avg(col("nx")).as("mx"))
       val norms = means.groupBy("cid")
@@ -154,13 +182,53 @@ object Ann {
         .select(col("cid"), col("dim"),
           (col("mx") / when(col("cn") =!= 0.0d, col("cn"))).as("cx"))
     }
-    // the final centroid plan feeds two broadcast assigns (corpus, queries);
+    // the final centroid plan feeds several broadcast assigns/bounds;
     // with refinement iterations in its lineage, run it once
     val cents =
       if (iters > 0) Checkpoints.stabilize(centUnit) else centUnit
-    val cellCorpus = cu.join(assign(cents)(cu, "nid", "nx"), "nid")
-    val cellQueries = qu.join(assign(cents)(qu, "qid", "qx"), "qid")
-    val scored = cellCorpus.join(broadcast(cellQueries), Seq("cid", "dim"))
+    val clamp: Column => Column =
+      c => greatest(lit(-1.0d), least(lit(1.0d), c))
+    // (nid, cid, csim): assignment doubles as the radius input — the
+    // cell's angular radius is acos(min member csim)
+    val cellAssign = Checkpoints.stabilize(assign(cents)(cu, "nid", "nx"))
+    val cellCorpus = cu.join(cellAssign.select("nid", "cid"), "nid")
+    val radii = cellAssign.groupBy("cid")
+      .agg(acos(clamp(min(col("csim")))).as("r"))
+    // every (query, cell) centroid cosine — the pruning bound needs all of
+    // them, not just the winner
+    val qCell = Checkpoints.stabilize(
+      qu.join(broadcast(cents), "dim")
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("qx") * col("cx")).as("qcs")))
+    // pass 1: exhaustive scores within the nearest cell set the pruning
+    // threshold t = kth-best cosine. A cell smaller than k yields t = -2,
+    // below every bound — the probe degenerates to exhaustive, still exact.
+    val w1 = Window.partitionBy("qid").orderBy(col("qcs").desc, col("cid").asc)
+    val nearest = qCell.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1).select("qid", "cid")
+    val firstScored = cellCorpus
+      .join(broadcast(qu.join(nearest, "qid")), Seq("cid", "dim"))
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+    val wk = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    // left join over ALL query ids: a query whose nearest cell is
+    // memberless (possible after Lloyd reassignment) must still probe with
+    // t = -2, not vanish from the output
+    val thresholds = qCell.select("qid").distinct()
+      .join(firstScored.withColumn("rn", row_number().over(wk))
+        .groupBy("qid")
+        .agg(max(when(col("rn") === k, col("sim"))).as("tk")),
+        Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("tk"), lit(-2.0d)).as("t"))
+    // pass 2: probe exactly the cells whose best possible member can still
+    // beat t (1e-9 keeps the acos/cos round-off on the safe side)
+    val probe = qCell.join(broadcast(radii), "cid")
+      .join(broadcast(thresholds), "qid")
+      .filter(when(acos(clamp(col("qcs"))) <= col("r"), lit(1.0d))
+        .otherwise(cos(acos(clamp(col("qcs"))) - col("r"))) + lit(1e-9) >=
+        col("t"))
+      .select("qid", "cid")
+    val scored = cellCorpus
+      .join(broadcast(qu.join(probe, "qid")), Seq("cid", "dim"))
       .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
     topK(scored, k)
   }

@@ -257,10 +257,10 @@ object Dedup {
     // the norm per element, interpreted).
     val expl = df.select(col(idCol).as("doc_id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    // md5-derived literal plane constants (see Ann.planeConst): engine-
+    // portable buckets, zero per-row hashing
     val planeAggs = (0 until numPlanes).map { p =>
-      sum(col("x") *
-        ((pmod(hash(lit(p), col("dim") + 1), lit(1000)).cast("double") / 1000.0d)
-          - 0.5d)).as(s"d$p")
+      sum(col("x") * Ann.planeComponent(p, col("dim") + 1, dims)).as(s"d$p")
     }
     val perDoc = expl.groupBy("doc_id")
       .agg(sum(col("x") * col("x")).as("norm2"), planeAggs: _*)

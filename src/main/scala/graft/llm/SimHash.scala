@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // 60-bit md5 token hash (same family as TextAnalysis.rollingFingerprint):
+    // engine-portable, so fingerprints computed by any md5-capable system —
+    // the DuckDB oracle included — agree bit-for-bit. Bits 60-63 never vote
+    // positive and pack as 0.
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b")

@@ -187,10 +187,12 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"query $q should find itself at rank 1, got ${first.get(q)}"))
   }
 
-  test("IVF k-means refinement improves recall when seeds land in one cluster") {
+  test("IVF is exact even when seeds land in one cluster") {
     // four tight, mutually-orthogonal clusters; ids ordered so the
     // first-N-by-id SEEDS all fall into cluster 0 — the worst case for
-    // unrefined seeding, which Lloyd iterations must dig out of
+    // unrefined seeding. The angular bound must keep the result EXACT
+    // under both bad and refined centroids (pruning quality may differ,
+    // the answer may not).
     val rnd2 = new scala.util.Random(7)
     val centers = Array.tabulate(4) { c =>
       Array.tabulate(16)(d => if (d / 4 == c) 1f else 0f)
@@ -220,8 +222,8 @@ class LlmOperatorsSuite extends GraftFunSuite {
     val r0 = recallWith(0)
     val r2 = recallWith(2)
     info(f"recall@5: seeds-only $r0%.2f, after 2 Lloyd iters $r2%.2f")
-    assert(r2 >= r0, s"refinement must not lose recall: $r0 -> $r2")
-    assert(r2 >= 0.5, s"refined recall too low: $r2")
+    assert(r0 == 1.0, s"bound-pruned IVF must be exact with raw seeds: $r0")
+    assert(r2 == 1.0, s"bound-pruned IVF must be exact after Lloyd: $r2")
   }
 
   test("language id picks the stopword-dominant language deterministically") {
