@@ -39,29 +39,7 @@ object UpsertCommand {
     }
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withNewTransaction(path) { txn =>
-      val snapshot = txn.snapshotOpt.getOrElse(
-        throw new GraftTableNotFoundException(path))
-      val info = snapshot.tableInfo
-      require(info.hasPrimaryKey,
-        "upsert requires a hash-partitioned (primary-key) table")
-      // A condition on a delta upsert is pure row validation: appends only
-      // touch the partitions of the source rows, so there is nothing to
-      // scope — but the caller's predicate must not be silently dropped
-      // (the merge path enforces it; asymmetry would corrupt silently).
-      val checked = extraOptions.get("condition") match {
-        case None => source
-        case Some(p) =>
-          validateUpsertCondition(spark, info, p)
-          source.filter(coalesce(
-            assert_true(expr(p),
-              lit(s"[graft upsert] source row outside condition ($p)")),
-            lit(true)))
-      }
-      val (newInfo, aligned) = WriteIntoTable.evolveSchema(
-        spark, checked, info, extraOptions, allowMissingColumns = true)
-      val files = TransactionalWrite.writeFiles(
-        spark, path, newInfo, aligned, isBase = false)
-      txn.commit("delta", if (newInfo == info) None else Some(newInfo), files, Nil)
+      runDeltaIn(spark, path, source, extraOptions, txn)
     }
     // Compaction trigger (reference `CompactionCommand.scala:50-68`): when a
     // partition's delta-file count reaches the threshold, compact it so the
@@ -69,6 +47,49 @@ object UpsertCommand {
     if (spark.conf.getOption("spark.graft.compaction.auto").exists(_.toBoolean)) {
       CompactionCommand.run(spark, path, force = false)
     }
+  }
+
+  /** Delta-mode upsert inside an already-open transaction. MERGE INTO uses
+    * this with `rewriteGuard` (and `strictWindow` when a NOT MATCHED BY
+    * SOURCE clause read the whole table): its emitted images were computed
+    * from the transaction's PINNED snapshot, so a concurrent commit
+    * touching the same partitions must conflict-and-restart rather than be
+    * silently shadowed by the stale full-row images — the read-modify-write
+    * hazard plain appends don't have. Plain upserts (caller-supplied rows,
+    * no target read) stay unguarded: concurrent delta appends commute by
+    * design. */
+  def runDeltaIn(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      extraOptions: Map[String, String],
+      txn: graft.meta.Transaction,
+      rewriteGuard: Boolean = false,
+      strictWindow: Boolean = false): Unit = {
+    val snapshot = txn.snapshotOpt.getOrElse(
+      throw new GraftTableNotFoundException(path))
+    val info = snapshot.tableInfo
+    require(info.hasPrimaryKey,
+      "upsert requires a hash-partitioned (primary-key) table")
+    // A condition on a delta upsert is pure row validation: appends only
+    // touch the partitions of the source rows, so there is nothing to
+    // scope — but the caller's predicate must not be silently dropped
+    // (the merge path enforces it; asymmetry would corrupt silently).
+    val checked = extraOptions.get("condition") match {
+      case None => source
+      case Some(p) =>
+        validateUpsertCondition(spark, info, p)
+        source.filter(coalesce(
+          assert_true(expr(p),
+            lit(s"[graft upsert] source row outside condition ($p)")),
+          lit(true)))
+    }
+    val (newInfo, aligned) = WriteIntoTable.evolveSchema(
+      spark, checked, info, extraOptions, allowMissingColumns = true)
+    val files = TransactionalWrite.writeFiles(
+      spark, path, newInfo, aligned, isBase = false)
+    txn.commit("delta", if (newInfo == info) None else Some(newInfo), files,
+      Nil, rewriteGuard = rewriteGuard, strictWindow = strictWindow)
   }
 
   /** The upsert condition must reference ONLY range partition columns —

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - `lshTopK`: random-hyperplane LSH buckets the corpus once; queries
   *    probe only their own bucket, bounding each query's candidate set to
   *    corpus/2^planes on average.
-  *  - `ivfTopK`: IVF-style — a deterministic coarse-centroid set partitions
-  *    the corpus into cells; queries probe only their own cell.
+  *  - `ivfTopK`: IVF — a coarse-centroid set partitions the corpus into
+  *    cells; queries probe only the cells whose angular bound can still
+  *    beat their provisional kth-best, which keeps the result EXACT.
   *
   * All cosine math is expressed RELATIONALLY: vectors are unit-normalized
   * once, dimensions exploded to (id, dim, x/|v|) rows, and each pairwise

@@ -270,15 +270,25 @@ case class GraftMergeIntoCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.expressions.Window
-    val info = graft.meta.SnapshotManagement
-      .snapshot(graft.meta.SnapshotManagement.normalize(path)).tableInfo
+    val npath = graft.meta.SnapshotManagement.normalize(path)
+    // the transaction opens BEFORE the target read: the emitted images are
+    // a read-modify-write over the pinned snapshot, and the guarded commit
+    // below turns any concurrent touch of the written partitions into a
+    // conflict. withRewriteTransaction restarts this whole body (fresh
+    // pin, fresh join) on conflict, so the merge re-decides instead of
+    // shadowing the concurrent writer's rows with stale full images.
+    graft.meta.SnapshotManagement.withRewriteTransaction(npath) { txn =>
+    val snapshot = txn.snapshotOpt.getOrElse(
+      throw new graft.meta.GraftTableNotFoundException(npath))
+    val info = snapshot.tableInfo
     // presence tag: under full-outer the target-only rows must be
     // distinguishable from matched rows even if every source column is
     // legitimately null — a non-null literal on the source side is the
     // only airtight signal
     val src = org.apache.spark.sql.graft.SparkShims
       .ofRows(session, source).withColumn("__gm_src", lit(true)).alias("__gs")
-    val tgt = graft.sources.GraftRead.read(session, path).alias("__gt")
+    val tgt = graft.sources.GraftRead
+      .readFiles(session, npath, snapshot, snapshot.files).alias("__gt")
     val joinType = if (bySource.nonEmpty) "full_outer" else "left_outer"
     val joined = src.join(tgt, expr(onSql), joinType)
     val srcPresent = col("__gs.__gm_src").isNotNull
@@ -384,9 +394,14 @@ case class GraftMergeIntoCommand(
       .select(guarded.as("__gm"))
       .filter(col("__gm").isNotNull)
       .select(col("__gm.*"))
-    graft.commands.UpsertCommand.run(session, path, out,
+    // strictWindow when BY SOURCE clauses read the WHOLE table: their
+    // conditions may depend on rows in partitions the output never
+    // touches, so partition-level conflict detection is not enough
+    graft.commands.UpsertCommand.runDeltaIn(session, npath, out,
       if (evolve) Map(graft.commands.WriteIntoTable.MERGE_SCHEMA -> "true")
-      else Map.empty)
+      else Map.empty,
+      txn, rewriteGuard = true, strictWindow = bySource.nonEmpty)
+    }
     Seq.empty
   }
 }

@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.meta.SnapshotManagement
 import graft.tables.GraftTable
 
+/** Static rendezvous for the concurrency test's executor-side UDF (local
+  * mode: one JVM, so the object is shared with the driver). */
+object MergeIntoSuite {
+  val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var stagedFiles: Seq[graft.meta.DataFileInfo] = Nil
+  @volatile var stagedPath: String = ""
+}
+
 /** SQL `MERGE INTO` on primary-key tables, mapped to one delta upsert. */
 class MergeIntoSuite extends GraftFunSuite {
   import spark.implicits._
@@ -203,6 +211,45 @@ class MergeIntoSuite extends GraftFunSuite {
       assert(got.toSeq == Seq(
         (1L, "a", 10, None), (2L, "b", 20, None),
         (3L, "C", 33, Some("x3")), (6L, "f", 66, Some("x6"))))
+    }
+  }
+
+  test("a concurrent upsert landing mid-merge is re-read, not shadowed") {
+    withTempTable { dir =>
+      mkPk(dir)
+      val path = SnapshotManagement.normalize(dir)
+      import graft.meta.SnapshotManagement
+      // pre-stage delta files for key 3 (uncommitted: invisible to scans)
+      val info = SnapshotManagement.snapshot(path).tableInfo
+      val staged = graft.write.TransactionalWrite.writeFiles(
+        spark, path, info,
+        Seq((3L, "concurrent", 333)).toDF("id", "v", "n"), isBase = false)
+      // the source's UDF commits them WHILE the merge's join evaluates —
+      // inside the merge transaction's conflict window (metadata-only
+      // commit; no nested Spark job)
+      MergeIntoSuite.committed.set(false)
+      MergeIntoSuite.stagedFiles = staged
+      MergeIntoSuite.stagedPath = path
+      val sneak = udf { (id: Long) =>
+        if (MergeIntoSuite.committed.compareAndSet(false, true)) {
+          SnapshotManagement.withNewTransaction(MergeIntoSuite.stagedPath) {
+            _.commit("delta", None, MergeIntoSuite.stagedFiles, Nil)
+          }
+        }
+        id
+      }
+      Seq((1L, "x"), (3L, "y")).toDF("id0", "nv")
+        .select(sneak(col("id0")).as("id"), col("nv"))
+        .createOrReplaceTempView("src_race")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING src_race s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET n = t.n + 1""")
+      // the merge restarted on the conflict and re-read key 3's concurrent
+      // value: 333 + 1, NOT the stale 30 + 1
+      val got = spark.read.format("graft").load(dir)
+        .select("id", "n").as[(Long, Int)].collect().toMap
+      assert(got(3L) == 334,
+        s"merge must re-decide over the concurrent upsert, got n=${got(3L)}")
+      assert(got(1L) == 11 && got(2L) == 20)
     }
   }
 
