@@ -35,8 +35,10 @@ import graft.meta.{DataFileInfo, Snapshot, SnapshotManagement, TableInfo}
   *   - pure rewrites (`compaction`, `alter`) add no new rows and are always
   *     skipped;
   *   - data-changing rewrites (`overwrite/upsert/update/delete`) FAIL the
-  *     stream unless `.option("ignoreChanges", "true")`, which skips them
-  *     (downstream then misses those modifications — the caller opted in).
+  *     stream unless `.option("ignoreChanges", "true")`, which re-emits
+  *     their (re-)added files — Delta's documented `ignoreChanges`
+  *     at-least-once contract: already-processed rows may repeat,
+  *     deletions are not propagated (the caller opted in).
   *
   * Admission control (`SupportsAdmissionControl`): `maxFilesPerTrigger` /
   * `maxBytesPerTrigger` cap each micro-batch. The INITIAL SNAPSHOT splits
@@ -239,21 +241,33 @@ class GraftMicroBatchStream(
       val deletesKeys = commitType == "delta" && graft.meta.Tombstones.anyHas(adds)
       if (APPEND_TYPES.contains(commitType) && !deletesKeys) {
         adds
+      } else if (REWRITE_TYPES.contains(commitType)) {
+        Nil
       } else if (deletesKeys && !ignoreChanges) {
         throw new UnsupportedOperationException(
           s"streaming read of $tablePath hit a delta commit with tombstone " +
           s"(key-delete) markers at version $v; use readChangeFeed for " +
           "row-level deletes, restart from a fresh checkpoint, or set " +
           ".option(\"ignoreChanges\", \"true\") to skip such commits")
-      } else if (deletesKeys || REWRITE_TYPES.contains(commitType)) {
-        Nil
       } else if (!ignoreChanges) {
         throw new UnsupportedOperationException(
           s"streaming read of $tablePath hit a '$commitType' commit at " +
           s"version $v, which modifies existing rows; restart from a fresh " +
-          "checkpoint or set .option(\"ignoreChanges\", \"true\") to skip " +
-          "such commits (downstream will miss those modifications)")
-      } else Nil
+          "checkpoint or set .option(\"ignoreChanges\", \"true\") to " +
+          "re-emit its rewritten files (at-least-once: rows already " +
+          "processed may repeat, deletions are not propagated)")
+      } else if (deletesKeys) {
+        // lossy by contract: marker-bearing files hold deletions, not
+        // appends — skip them; marker-free sibling files still stream
+        adds.filterNot(graft.meta.Tombstones.fileHas)
+      } else {
+        // Delta `ignoreChanges` parity: re-emit the commit's (re-)added
+        // files instead of silently dropping the new values. Per-file
+        // deletion vectors mask dead rows at read, so a DV delete/update
+        // re-emits only surviving/updated rows; deletions themselves are
+        // not propagated (use readChangeFeed for that).
+        adds
+      }
     })
 
   // ------------------------------------------------------------------

@@ -84,6 +84,29 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("ignoreChanges re-emits rewritten files (Delta at-least-once parity)") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = startToMemory(dir, "gss_reemit", Map("ignoreChanges" -> "true"))
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss_reemit").count() == 2)
+        t.updateExpr("id = 1", Map("v" -> "100"))
+        q.processAllAvailable()
+        val rows = spark.table("gss_reemit").select("id", "v")
+          .as[(Long, Int)].collect().toSeq
+        // the UPDATE's new value must reach the stream (the old behavior
+        // dropped the whole commit); sibling rows may repeat — that is the
+        // documented at-least-once contract
+        assert(rows.contains((1L, 100)),
+          s"updated row must be re-emitted, got $rows")
+        assert(!rows.contains((1L, 1)) || rows.count(_ == (1L, 1)) == 1,
+          "the masked pre-image must not be emitted by the update commit")
+      } finally q.stop()
+    }
+  }
+
   test("range-partitioned table streams partition column values") {
     withTempTable { dir =>
       Seq((1L, "us", 1), (2L, "de", 2)).toDF("id", "country", "v")
