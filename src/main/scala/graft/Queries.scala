@@ -336,11 +336,12 @@ object Queries {
           col("o_orderdate") < lit("1996-01-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
-    // ---- q_changes_feed / q_ann_brute / q_multimodal_decode /
-    //      q_doc_fingerprint carry DuckDB oracles (deterministic
-    //      construction / integer-only ranking / md5-derived values); the
-    //      remaining ANN + hash-sketch queries use engine-specific hash
-    //      functions and are suite-verified ----
+    // ---- every query below carries a DuckDB oracle: deterministic
+    //      construction (q_changes_feed), integer-only ranking (ANN),
+    //      md5-derived hashes DuckDB reproduces bit-for-bit (fingerprints,
+    //      SimHash, LSH planes), exact-verified sketch output whose oracle
+    //      is the ground truth itself (minhash), and bound-pruned EXACT
+    //      IVF (shares the brute-force oracle) ----
     "q_changes_feed" -> ((s, sf) => {
       val dir = GraftData.ordersChangeLogDir(s, sf)
       graft.tables.ChangeFeed.changes(s, dir, 0)
