@@ -214,6 +214,31 @@ class MergeIntoSuite extends GraftFunSuite {
     }
   }
 
+  test("evolution + DELETE clauses in one merge: state and change feed agree") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((1L, "up", "x1"), (2L, "", "kill"), (7L, "new", "x7"))
+        .toDF("id", "nv", "tag").createOrReplaceTempView("evokill")
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+        USING evokill s ON t.id = s.id
+        WHEN MATCHED AND s.tag = 'kill' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv, tag = s.tag
+        WHEN NOT MATCHED THEN
+          INSERT (id, v, n, tag) VALUES (s.id, s.nv, 0, s.tag)""")
+      assertSameRows(
+        spark.read.format("graft").load(dir).select("id", "v", "n", "tag"),
+        Seq((1L, "up", 10, Some("x1")), (3L, "c", 30, None),
+          (7L, "new", 0, Some("x7"))).toDF("id", "v", "n", "tag"))
+      // the ONE evolved+tombstoned commit diffs exactly: update pair for 1,
+      // delete pre-image for 2, insert for 7 — nothing for untouched 3
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, 1L, 1L)
+        .select(col("id"), col(graft.tables.ChangeFeed.CHANGE_TYPE))
+        .as[(Long, String)].collect().toSet
+      assert(feed == Set((1L, "update_preimage"), (1L, "update_postimage"),
+        (2L, "delete"), (7L, "insert")), s"got $feed")
+    }
+  }
+
   test("a concurrent upsert landing mid-merge is re-read, not shadowed") {
     withTempTable { dir =>
       mkPk(dir)
