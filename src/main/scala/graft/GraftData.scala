@@ -427,11 +427,16 @@ object GraftData {
       "customer_upd" -> (() => customerUpdated(spark, sfDir)),
       "customer_del" -> (() => customerDeleted(spark, sfDir)),
       "customer_evolved" -> (() => customerEvolved(spark, sfDir)),
+      "customer_merged" -> (() => customerMerged(spark, sfDir)),
+      "customer_mergedel" -> (() => customerMergeDeleted(spark, sfDir)),
       "customer_sqlupd" -> (() => customerSqlUpdated(spark, sfDir)),
       "orders_mv" -> (() => ordersMvBase(spark, sfDir)),
       "orders_mvagg" -> (() => ordersMvAgg(spark, sfDir)),
       "cust_orders_mvj" -> (() => custOrdersMvJoin(spark, sfDir)),
-      "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)))
+      "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)),
+      "documents_dv" -> (() => documentsDvDeleted(spark, sfDir)),
+      "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),
+      "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)))
     builds.foreach { case (name, build) =>
       try build()
       catch { case e: Throwable =>

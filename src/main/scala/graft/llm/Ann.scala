@@ -207,9 +207,11 @@ object Ann {
     val w1 = Window.partitionBy("qid").orderBy(col("qcs").desc, col("cid").asc)
     val nearest = qCell.withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1).select("qid", "cid")
-    val firstScored = cellCorpus
+    // stabilized: consumed by the threshold derivation AND unioned into
+    // the final ranking — one scoring of the nearest cell, not two
+    val firstScored = Checkpoints.stabilize(cellCorpus
       .join(broadcast(qu.join(nearest, "qid")), Seq("cid", "dim"))
-      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim")))
     val wk = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     // left join over ALL query ids: a query whose nearest cell is
     // memberless (possible after Lloyd reassignment) must still probe with
@@ -221,16 +223,21 @@ object Ann {
         Seq("qid"), "left_outer")
       .select(col("qid"), coalesce(col("tk"), lit(-2.0d)).as("t"))
     // pass 2: probe exactly the cells whose best possible member can still
-    // beat t (1e-9 keeps the acos/cos round-off on the safe side)
+    // beat t (1e-9 keeps the acos/cos round-off on the safe side). The
+    // nearest cell is excluded — pass 1 already scored it exhaustively and
+    // its results union back in below (on a well-clustered corpus the
+    // nearest cell is most of the probed data; re-scoring it would nearly
+    // double the work).
     val probe = qCell.join(broadcast(radii), "cid")
       .join(broadcast(thresholds), "qid")
       .filter(when(acos(clamp(col("qcs"))) <= col("r"), lit(1.0d))
         .otherwise(cos(acos(clamp(col("qcs"))) - col("r"))) + lit(1e-9) >=
         col("t"))
       .select("qid", "cid")
+      .join(nearest, Seq("qid", "cid"), "left_anti")
     val scored = cellCorpus
       .join(broadcast(qu.join(probe, "qid")), Seq("cid", "dim"))
       .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
-    topK(scored, k)
+    topK(firstScored.unionAll(scored), k)
   }
 }

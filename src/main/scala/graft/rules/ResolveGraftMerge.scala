@@ -295,19 +295,23 @@ case class GraftMergeIntoCommand(
     val tgtPresent = col(s"__gt.${info.hashColumns.head}").isNotNull
     val isMatched = srcPresent && tgtPresent
 
-    // SQL's multiple-match rule: >1 source row pairing with one target key
-    // is an error (upsert's last-wins would silently pick one). Windowing
-    // over the SOURCE-side key expressions keeps unmatched rows spread
-    // across their own keys (the target PK is null for all of them) and
-    // lets the window reuse the join's partitioning where the planner can.
-    // Target-only rows (full-outer) have null source keys — coalescing
-    // with the target PK (equal for matched rows by the ON condition)
-    // spreads them across their own keys instead of one null partition.
+    // Multiple-row guard: >1 EMITTED row per key is an error — two matched
+    // source rows both updating/deleting one target row (SQL's multiple-
+    // match rule) or two unmatched source rows both inserting the same new
+    // key (a PK-violation last-wins would silently swallow). Rows no
+    // clause touches don't count, per the standard: extra matches are fine
+    // as long as at most one row actually changes the key. The window runs
+    // over the SOURCE-side key expressions, so it can reuse the join's
+    // partitioning; under full-outer, target-only rows have null source
+    // keys and coalesce to their own target PK (equal to the source key on
+    // matched rows by the ON condition) instead of one skewed null
+    // partition.
+    val exactPk = (lc: String) => info.hashColumns
+      .find(_.equalsIgnoreCase(lc)).getOrElse(lc)
     val keyExprs = srcKeys.map { case (pk, srcExpr) =>
-      coalesce(expr(srcExpr), col(s"__gt.`$pk`")) }
+      if (bySource.isEmpty) expr(srcExpr)
+      else coalesce(expr(srcExpr), col(s"__gt.`${exactPk(pk)}`")) }
     val dupWindow = Window.partitionBy(keyExprs: _*)
-    val matchCnt = sum(when(isMatched, lit(1L)).otherwise(lit(0L)))
-      .over(dupWindow)
 
     // one struct per clause, first-true-wins; null = no clause applied.
     // With any DELETE clause the emitted schema gains the marker column:
@@ -384,13 +388,18 @@ case class GraftMergeIntoCommand(
     val picked = clauses.foldRight(lit(null).cast(structType)) {
       case ((c, img), rest) => when(c, img).otherwise(rest)
     }
-    // the guard rides the emit projection: evaluated per row, throws only
-    // when a duplicate actually exists (branch never taken otherwise)
-    val guarded = when(col("__gm_dup") > 1, raise_error(lit(
-        "MERGE INTO: multiple source rows matched the same target row; " +
-        "deduplicate the source on the join keys first")).cast(structType))
-      .otherwise(picked)
-    val out = joined.withColumn("__gm_dup", matchCnt)
+    // the guard rides the emit projection: the struct is materialized once
+    // per row, the window counts the non-null (= emitted) ones per key, and
+    // raise_error's branch is taken only when a real duplicate exists
+    val emitCnt = sum(when(col("__gm_pick").isNotNull, lit(1L))
+      .otherwise(lit(0L))).over(dupWindow)
+    val guarded = when(col("__gm_cnt") > 1, raise_error(lit(
+        "MERGE INTO: multiple source rows update, delete, or insert the " +
+        "same key; deduplicate the source on the join keys first"))
+        .cast(structType))
+      .otherwise(col("__gm_pick"))
+    val out = joined.withColumn("__gm_pick", picked)
+      .withColumn("__gm_cnt", emitCnt)
       .select(guarded.as("__gm"))
       .filter(col("__gm").isNotNull)
       .select(col("__gm.*"))
@@ -401,6 +410,12 @@ case class GraftMergeIntoCommand(
       if (evolve) Map(graft.commands.WriteIntoTable.MERGE_SCHEMA -> "true")
       else Map.empty,
       txn, rewriteGuard = true, strictWindow = bySource.nonEmpty)
+    }
+    // merges are delta appends too: the same fan-in trigger that bounds
+    // upsert stacks applies (mirrors UpsertCommand.run)
+    if (session.conf.getOption("spark.graft.compaction.auto")
+        .exists(_.toBoolean)) {
+      graft.commands.CompactionCommand.run(session, npath, force = false)
     }
     Seq.empty
   }

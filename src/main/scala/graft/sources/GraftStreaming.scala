@@ -256,17 +256,19 @@ class GraftMicroBatchStream(
           "checkpoint or set .option(\"ignoreChanges\", \"true\") to " +
           "re-emit its rewritten files (at-least-once: rows already " +
           "processed may repeat, deletions are not propagated)")
-      } else if (deletesKeys) {
-        // lossy by contract: marker-bearing files hold deletions, not
-        // appends — skip them; marker-free sibling files still stream
-        adds.filterNot(graft.meta.Tombstones.fileHas)
       } else {
         // Delta `ignoreChanges` parity: re-emit the commit's (re-)added
         // files instead of silently dropping the new values. Per-file
         // deletion vectors mask dead rows at read, so a DV delete/update
         // re-emits only surviving/updated rows; deletions themselves are
-        // not propagated (use readChangeFeed for that).
-        adds
+        // not propagated (use readChangeFeed for that). Marker-bearing
+        // files never re-emit — their rows are key deletions (or ride
+        // with them: merge-written files carry the marker column in
+        // fileExistCols even for their update/insert rows), and a raw
+        // read would surface deleted keys as ghost null rows. So a
+        // tombstone DELETE or a MERGE with any DELETE clause re-emits
+        // nothing — readChangeFeed is the lossless tool for those.
+        adds.filterNot(graft.meta.Tombstones.fileHas)
       }
     })
 

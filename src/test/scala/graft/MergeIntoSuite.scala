@@ -73,6 +73,35 @@ class MergeIntoSuite extends GraftFunSuite {
     }
   }
 
+  test("duplicate UNMATCHED source keys fail too (no last-wins inserts)") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((9L, "x"), (9L, "y")).toDF("id", "v").createOrReplaceTempView("srci")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srci s ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+      }
+      def messages(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+      assert(messages(e).exists(_.contains("multiple source rows")),
+        s"got: ${messages(e)}")
+    }
+  }
+
+  test("extra matches whose clauses do not apply are NOT an error") {
+    withTempTable { dir =>
+      mkPk(dir)
+      // both rows match key 2, but only the 'hit' row's clause applies —
+      // SQL's multiple-match rule errors only when >1 row CHANGES the key
+      Seq((2L, "hit"), (2L, "miss")).toDF("id", "tag")
+        .createOrReplaceTempView("srcm")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcm s ON t.id = s.id
+        WHEN MATCHED AND s.tag = 'hit' THEN UPDATE SET v = s.tag""")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") === 2).select("v").as[String].head() == "hit")
+    }
+  }
+
   test("unsupported shapes are rejected with clear messages") {
     withTempTable { dir =>
       mkPk(dir)
