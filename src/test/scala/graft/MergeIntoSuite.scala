@@ -307,6 +307,27 @@ class MergeIntoSuite extends GraftFunSuite {
     }
   }
 
+  test("MERGE works on catalog-registered table names, not just paths") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gmerge")
+      s2.sql(s"CREATE TABLE gmerge (id BIGINT, v STRING) USING graft " +
+        s"LOCATION '$dir/t' TBLPROPERTIES " +
+        "('hashPartitions'='id', 'hashBucketNum'='2')")
+      s2.sql("INSERT INTO gmerge VALUES (1, 'a'), (2, 'b')")
+      s2.sql("""CREATE OR REPLACE TEMPORARY VIEW gmsrc AS
+        SELECT * FROM VALUES (1L, 'A'), (2L, 'kill'), (3L, 'c') AS t(id, nv)""")
+      s2.sql("""MERGE INTO gmerge t USING gmsrc s ON t.id = s.id
+        WHEN MATCHED AND s.nv = 'kill' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+      assert(rowsOf(s2.sql("SELECT id, v FROM gmerge")) ==
+        Seq(Seq(1L, "A"), Seq(3L, "c")))
+      s2.sql("DROP TABLE gmerge")
+    }
+  }
+
   test("merge executes the source-target join exactly once") {
     withTempTable { dir =>
       mkPk(dir)
