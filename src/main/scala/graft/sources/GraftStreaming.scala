@@ -262,13 +262,14 @@ class GraftMicroBatchStream(
         // deletion vectors mask dead rows at read, so a DV delete/update
         // re-emits only surviving/updated rows; deletions themselves are
         // not propagated (use readChangeFeed for that). Marker-bearing
-        // files never re-emit — their rows are key deletions (or ride
-        // with them: merge-written files carry the marker column in
-        // fileExistCols even for their update/insert rows), and a raw
-        // read would surface deleted keys as ghost null rows. So a
-        // tombstone DELETE or a MERGE with any DELETE clause re-emits
-        // nothing — readChangeFeed is the lossless tool for those.
-        adds.filterNot(graft.meta.Tombstones.fileHas)
+        // files (a tombstone DELETE, or a MERGE with a DELETE clause —
+        // merge-written files carry the marker column in fileExistCols
+        // even for their update/insert rows) re-emit through a row-level
+        // filter dropping rows where the marker is true: fresh
+        // INSERT/UPDATE rows still flow (Delta re-emits new rows in such
+        // commits too), only the deletions themselves are withheld. A
+        // pure tombstone DELETE commit therefore re-emits zero rows.
+        adds
       }
     })
 
@@ -297,7 +298,11 @@ class GraftMicroBatchStream(
     val required = dataCols.fields.filterNot(_.nullable).map(_.name)
     if (required.isEmpty) return
     files.foreach { f =>
-      if (f.fileExistCols.nonEmpty) {
+      // marker-bearing files are exempt: their non-marker rows always carry
+      // full columns (MERGE emits complete rows), and a marker-ONLY delete
+      // file (keys + marker, omitting value columns) has zero surviving
+      // rows after the delete-marker filter — nothing null-fills.
+      if (f.fileExistCols.nonEmpty && !graft.meta.Tombstones.fileHas(f)) {
         val lower = f.fileExistCols.map(_.toLowerCase).toSet
         required.find(r => !lower.contains(r.toLowerCase)).foreach { col =>
           throw new IllegalStateException(
@@ -359,13 +364,14 @@ class GraftMicroBatchStream(
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
-      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy(), f.dvPath)
+      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy(), f.dvPath,
+        graft.meta.Tombstones.fileHas(f))
     }
     val conf = castToImpl(spark).sessionState.conf
     val maxBytes = conf.filesMaxPartitionBytes
     val openCost = conf.filesOpenCostInBytes
     val bins = Seq.newBuilder[GraftStreamFilesPartition]
-    var cur = List.empty[(String, Long, InternalRow, String)]
+    var cur = List.empty[(String, Long, InternalRow, String, Boolean)]
     var curBytes = 0L
     triples.foreach { f =>
       val charged = f._2 + openCost
@@ -414,7 +420,29 @@ class GraftMicroBatchStream(
         graft.write.GraftFs.conf(spark)),
       idxOrd = dataCols.length,
       rowTypes = (dvCols.fields ++ partSchema.fields).map(_.dataType))
-    GraftStreamReaderFactory(readFunc, pkFactory, dvReadFunc, dvSupport)
+    // tombstone-marker support: marker-bearing files (re-emitted only under
+    // ignoreChanges) read with the marker column appended so the reader can
+    // withhold delete-marker rows and strip the column back out. Mutually
+    // exclusive with DVs (markers are PK-only, DVs non-PK-only).
+    val tombField = org.apache.spark.sql.types.StructField(
+      graft.meta.Tombstones.COL, org.apache.spark.sql.types.BooleanType,
+      nullable = true)
+    val tsCols = StructType(GraftPkScan.asNullable(dataCols).fields :+ tombField)
+    val tsReadFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = StructType(
+        GraftPkScan.asNullable(tableInfo.dataSchema).fields :+ tombField),
+      partitionSchema = partSchema,
+      requiredSchema = tsCols,
+      filters = Nil,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
+    val tsSupport = GraftStreamTombstoneSupport(
+      tombOrd = dataCols.length,
+      rowTypes = (tsCols.fields ++ partSchema.fields).map(_.dataType))
+    GraftStreamReaderFactory(readFunc, pkFactory, dvReadFunc, dvSupport,
+      tsReadFunc, tsSupport)
   }
 }
 
@@ -444,10 +472,12 @@ object GraftStreamOffset {
   }
 }
 
-/** One bin of (absPath, length, partitionValues, dvRelPath) entries —
-  * `dvRelPath` is empty for files without a deletion vector. */
+/** One bin of (absPath, length, partitionValues, dvRelPath, hasTombstones)
+  * entries — `dvRelPath` is empty for files without a deletion vector;
+  * `hasTombstones` marks files carrying the `__graft_deleted` marker
+  * column (their delete-marker rows are filtered at read). */
 case class GraftStreamFilesPartition(
-    files: Array[(String, Long, InternalRow, String)])
+    files: Array[(String, Long, InternalRow, String, Boolean)])
   extends InputPartition
 
 /** Deletion-vector plumbing for the streaming reader: where to load
@@ -459,6 +489,13 @@ case class GraftStreamDvSupport(
     idxOrd: Int,
     rowTypes: Array[org.apache.spark.sql.types.DataType])
 
+/** Tombstone-marker plumbing for the streaming reader: the marker column's
+  * ordinal in the marker read layout and that layout's types (for the
+  * strip projection). */
+case class GraftStreamTombstoneSupport(
+    tombOrd: Int,
+    rowTypes: Array[org.apache.spark.sql.types.DataType])
+
 /** Dispatching reader factory: raw file bins for incremental batches and
   * non-PK snapshots; the PK merge factory for initial-snapshot merge
   * groups. Files carrying a deletion vector read through `dvReadFunc`
@@ -468,7 +505,9 @@ case class GraftStreamReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     pkFactory: Option[PartitionReaderFactory] = None,
     dvReadFunc: PartitionedFile => Iterator[InternalRow] = null,
-    dvSupport: GraftStreamDvSupport = null)
+    dvSupport: GraftStreamDvSupport = null,
+    tsReadFunc: PartitionedFile => Iterator[InternalRow] = null,
+    tsSupport: GraftStreamTombstoneSupport = null)
   extends PartitionReaderFactory {
 
   /** Rows from a V1 read function, flattening any columnar batches. */
@@ -489,11 +528,21 @@ case class GraftStreamReaderFactory(
       val bin = p.asInstanceOf[GraftStreamFilesPartition]
       def rows = rawRows _
       val iter: Iterator[InternalRow] = bin.files.iterator.flatMap {
-        case (absPath, length, partValues, dvRel) =>
+        case (absPath, length, partValues, dvRel, hasTombstones) =>
           val pf = PartitionedFile(partValues,
             SparkPath.fromPathString(absPath), 0, length, Array.empty, 0L,
             length, Map.empty)
-          if (dvRel.isEmpty) rows(readFunc, pf)
+          if (hasTombstones) {
+            // withhold delete-marker rows; strip the marker column
+            val s = tsSupport
+            val proj = UnsafeProjection.create(
+              s.rowTypes.indices.filterNot(_ == s.tombOrd).map(i =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, s.rowTypes(i), nullable = true)))
+            rows(tsReadFunc, pf)
+              .filter(r => r.isNullAt(s.tombOrd) || !r.getBoolean(s.tombOrd))
+              .map(proj)
+          } else if (dvRel.isEmpty) rows(readFunc, pf)
           else {
             val s = dvSupport
             val bm = DeletionVectors.read(s.tableRoot, s.conf.value, dvRel)

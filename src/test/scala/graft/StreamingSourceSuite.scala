@@ -107,6 +107,60 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("ignoreChanges: MERGE with a DELETE clause re-emits fresh " +
+      "insert/update rows, withholds only the deletions") {
+    withTempTable { dir =>
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val q = startToMemory(dir, "gss_mergedel", Map("ignoreChanges" -> "true"))
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss_mergedel").count() == 3)
+        // one MERGE commit: deletes id=1, updates id=2, inserts id=4 — its
+        // delta files all carry the tombstone marker column
+        Seq((1L, "x", 0), (2L, "B", 200), (4L, "d", 40)).toDF("id", "v", "n")
+          .createOrReplaceTempView("gss_mergedel_src")
+        spark.sql(
+          s"""MERGE INTO graft.`$dir` t USING gss_mergedel_src s ON t.id = s.id
+             WHEN MATCHED AND s.id = 1 THEN DELETE
+             WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+             WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)""")
+        q.processAllAvailable()
+        val rows = spark.table("gss_mergedel").select("id", "v", "n")
+          .as[(Long, String, Int)].collect().toSeq
+        // the commit's NEW rows must reach the stream (they were never
+        // processed before)
+        assert(rows.contains((2L, "B", 200)),
+          s"merge-updated row must be re-emitted, got $rows")
+        assert(rows.contains((4L, "d", 40)),
+          s"merge-inserted row must be re-emitted, got $rows")
+        // the delete marker itself must NOT surface as a row
+        assert(!rows.exists(r => r._1 == 1L && r._2 == null),
+          s"delete marker must not surface as a ghost row, got $rows")
+        assert(rows.count(_._1 == 1L) == 1, // only the initial snapshot's
+          s"deleted key must not be re-emitted by the merge commit, got $rows")
+      } finally q.stop()
+    }
+  }
+
+  test("ignoreChanges: a pure tombstone DELETE commit re-emits nothing") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = startToMemory(dir, "gss_tombdel", Map("ignoreChanges" -> "true"))
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss_tombdel").count() == 2)
+        t.deleteExpr("id = 2") // PK tombstone delete: marker-only delta file
+        q.processAllAvailable()
+        assert(spark.table("gss_tombdel").count() == 2,
+          "a marker-only commit must add no rows to the stream")
+      } finally q.stop()
+    }
+  }
+
   test("range-partitioned table streams partition column values") {
     withTempTable { dir =>
       Seq((1L, "us", 1), (2L, "de", 2)).toDF("id", "country", "v")
