@@ -38,7 +38,10 @@ import graft.meta.{DataFileInfo, Snapshot, SnapshotManagement, TableInfo}
   *     stream unless `.option("ignoreChanges", "true")`, which re-emits
   *     their (re-)added files — Delta's documented `ignoreChanges`
   *     at-least-once contract: already-processed rows may repeat,
-  *     deletions are not propagated (the caller opted in).
+  *     deletions are not propagated (the caller opted in). The narrower
+  *     `.option("ignoreDeletes", "true")` skips only partition-scoped
+  *     metadata-only DELETE commits (files removed whole, no adds);
+  *     any delete that rewrites, DV-masks, or tombstones still fails.
   *
   * Admission control (`SupportsAdmissionControl`): `maxFilesPerTrigger` /
   * `maxBytesPerTrigger` cap each micro-batch. The INITIAL SNAPSHOT splits
@@ -84,6 +87,16 @@ class GraftMicroBatchStream(
 
   protected def optIgnoreCase(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** Delta-parity `ignoreDeletes`: lets PARTITION-SCOPED metadata-only
+    * DELETE commits (whole files removed, nothing rewritten — no added
+    * files) pass through an append-only stream silently. Narrower than
+    * `ignoreChanges` (which subsumes it): a delete that rewrites files,
+    * attaches deletion vectors, or appends tombstone markers still fails,
+    * because those commits carry rows the option gives no license to
+    * reinterpret. */
+  private val ignoreDeletes: Boolean =
+    optIgnoreCase("ignoreDeletes").exists(_.toBoolean)
 
   private val maxFilesOpt: Option[Int] =
     optIgnoreCase("maxFilesPerTrigger").map(_.toInt)
@@ -243,6 +256,10 @@ class GraftMicroBatchStream(
         adds
       } else if (REWRITE_TYPES.contains(commitType)) {
         Nil
+      } else if (adds.isEmpty && ignoreDeletes) {
+        // partition-scoped metadata-only DELETE: whole files removed,
+        // nothing rewritten — append-only consumers opted in to skip it
+        Nil
       } else if (deletesKeys && !ignoreChanges) {
         throw new UnsupportedOperationException(
           s"streaming read of $tablePath hit a delta commit with tombstone " +
@@ -250,12 +267,16 @@ class GraftMicroBatchStream(
           "row-level deletes, restart from a fresh checkpoint, or set " +
           ".option(\"ignoreChanges\", \"true\") to skip such commits")
       } else if (!ignoreChanges) {
+        val deleteHint =
+          if (adds.isEmpty) " For partition-scoped metadata-only deletes, " +
+            ".option(\"ignoreDeletes\", \"true\") skips just those commits."
+          else ""
         throw new UnsupportedOperationException(
           s"streaming read of $tablePath hit a '$commitType' commit at " +
           s"version $v, which modifies existing rows; restart from a fresh " +
           "checkpoint or set .option(\"ignoreChanges\", \"true\") to " +
           "re-emit its rewritten files (at-least-once: rows already " +
-          "processed may repeat, deletions are not propagated)")
+          "processed may repeat, deletions are not propagated)." + deleteHint)
       } else {
         // Delta `ignoreChanges` parity: re-emit the commit's (re-)added
         // files instead of silently dropping the new values. Per-file

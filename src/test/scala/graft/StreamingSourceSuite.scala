@@ -161,6 +161,38 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("ignoreDeletes: partition-scoped metadata-only delete streams " +
+      "through; data-predicate delete still fails") {
+    withTempTable { dir =>
+      // one file per partition (repartition(1)) so the later data-predicate
+      // delete can't resolve metadata-only by dropping a single-row file
+      Seq((1L, "us", 1), (2L, "de", 2), (3L, "us", 3))
+        .toDF("id", "country", "v").repartition(1)
+        .write.format("graft").partitionBy("country").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val q = startToMemory(dir, "gss_igdel", Map("ignoreDeletes" -> "true"))
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gss_igdel").count() == 3)
+        // whole-partition delete: metadata-only (files removed, no adds)
+        t.deleteExpr("country = 'de'")
+        Seq((4L, "us", 4)).toDF("id", "country", "v")
+          .write.format("graft").mode("append").save(dir)
+        q.processAllAvailable()
+        // delete skipped silently, the append flows
+        assert(spark.table("gss_igdel").count() == 4)
+        // a delete that touches rows INSIDE files is not covered by
+        // ignoreDeletes — it must still fail the stream
+        t.deleteExpr("v = 1")
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def messages(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+        assert(messages(e).exists(_.contains("ignoreChanges")),
+          s"data-predicate delete must fail under ignoreDeletes: ${messages(e)}")
+      } finally q.stop()
+    }
+  }
+
   test("range-partitioned table streams partition column values") {
     withTempTable { dir =>
       Seq((1L, "us", 1), (2L, "de", 2)).toDF("id", "country", "v")
