@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
   * the SAME target key fail loudly (SQL's multiple-match error) —
   * last-wins would silently pick one.
   *
-  * Rejected loudly (not silently mis-executed): non-PK targets (no key to
-  * merge on), ON conditions beyond a PK-equality conjunction, subqueries,
-  * nondeterministic expressions, assignments to PK/partition columns, and
-  * nested-field assignments.
+  * UPDATE assignments may address nested struct fields (`SET props.a =
+  * ...`) — the emit projection starts from the target's old struct value
+  * and writes each assigned field in place via `withField`, the same
+  * mechanism SQL UPDATE uses. Rejected loudly (not silently mis-executed):
+  * non-PK targets (no key to merge on), ON conditions beyond a PK-equality
+  * conjunction, subqueries, nondeterministic expressions, assignments to
+  * PK/partition columns, nested-field assignment in INSERT, and schema
+  * evolution of a nested field.
   */
 case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -152,10 +156,24 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         s"(${info.hashColumns.mkString(", ")}); covered: ${covered.mkString(", ")}")
 
     val layoutCols = (info.hashColumns ++ info.rangeColumns).map(_.toLowerCase).toSet
+    val targetCols = info.schema.fieldNames.map(_.toLowerCase).toSet
+    // a resolved assignment key is either a column attribute or a
+    // GetStructField chain over one (`SET props.a.b = ...`) — the chain
+    // renders as the dotted path, and its successful RESOLUTION already
+    // proves every step of the path exists in the target schema
+    def keyPath(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => Some(ar.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        keyPath(g.child).map(p => s"$p.${g.extractFieldName}")
+      case _ => None
+    }
+    // dotted path addressing a nested field (vs a literal-dot column name)
+    def isNestedKey(k: String): Boolean =
+      k.contains(".") && !targetCols.contains(k.toLowerCase)
     def renderAssignments(
         as: Seq[Assignment], isUpdate: Boolean,
-        scope: Seq[LogicalPlan]): Seq[(String, String)] =
-      as.map { a =>
+        scope: Seq[LogicalPlan]): Seq[(String, String)] = {
+      val rendered = as.map { a =>
         val key = a.key match {
           // a name the target can't resolve is a NEW column when evolution
           // is on — its spelling is the key (single-part names only; a
@@ -164,17 +182,35 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
               if evolve &&
               m.targetTable.resolve(u.nameParts,
                 spark.sessionState.conf.resolver).isEmpty =>
-            if (u.nameParts.size > 2) fail(s"nested-field assignment: ${u.sql}")
+            if (u.nameParts.size > 2 ||
+                (u.nameParts.size == 2 &&
+                  targetCols.contains(u.nameParts.head.toLowerCase)))
+              fail(s"schema evolution cannot create the nested field " +
+                s"${u.sql}; add the field with ALTER TABLE first")
             u.nameParts.last
           case k => resolveExpr(k, Seq(m.targetTable)) match {
             case ar: AttributeReference => ar.name
-            case other => fail(s"nested-field assignment: ${other.sql}")
+            case other => keyPath(other).getOrElse(
+              fail(s"unsupported assignment target: ${other.sql}"))
           }
         }
-        if (isUpdate && layoutCols.contains(key.toLowerCase))
-          fail(s"cannot UPDATE primary-key/partition column $key")
+        if (isNestedKey(key) && !isUpdate)
+          fail(s"nested-field assignment in INSERT ($key); INSERT must " +
+            "assign whole columns")
+        val head = key.split("\\.").head
+        if (isUpdate && layoutCols.contains(head.toLowerCase))
+          fail(s"cannot UPDATE primary-key/partition column $head")
         key -> render(a.value, scope)
       }
+      // within one clause: no duplicate targets, and no assignment to both
+      // a path and one of its prefixes (`SET props = ..., props.a = ...`)
+      val keys = rendered.map(_._1.toLowerCase)
+      keys.diff(keys.distinct).distinct.foreach(k =>
+        fail(s"duplicate assignment to $k in one clause"))
+      for (k1 <- keys; k2 <- keys if k2.startsWith(k1 + "."))
+        fail(s"conflicting assignments to $k1 and $k2 in one clause")
+      rendered
+    }
 
     // `SET *` / `INSERT *`: every target column from the same-named source
     // column (fails when the source lacks one — no silent null-fill).
@@ -323,24 +359,43 @@ case class GraftMergeIntoCommand(
     val keySet = (info.rangeColumns ++ info.hashColumns)
       .map(_.toLowerCase).toSet
     // WITH SCHEMA EVOLUTION: assignment keys absent from the target become
-    // new columns; type = what the first assigning expression yields under
-    // the joined plan (analysis only, no job). Clauses that don't set a new
-    // column emit null there — the k-way reader skips null contributions,
-    // so untouched keys keep "column absent" semantics.
+    // new columns (a dotted key whose head IS a target column addresses a
+    // nested field, not a new column); the column's type is the widest
+    // common type over ALL expressions assigning it — mismatched clause
+    // types either widen like UNION would or fail analysis loudly, never
+    // an opaque runtime cast. Clauses that don't set a new column emit
+    // null there — the k-way reader skips null contributions, so untouched
+    // keys keep "column absent" semantics.
     val targetLower = schema.fieldNames.map(_.toLowerCase).toSet
+    def nestedKeySplit(k: String): Option[(String, Seq[String])] = {
+      if (targetLower.contains(k.toLowerCase)) return None
+      val parts = k.split("\\.").toSeq
+      if (parts.length > 1 && targetLower.contains(parts.head.toLowerCase))
+        Some((parts.head, parts.tail))
+      else None
+    }
     val newFields: Seq[org.apache.spark.sql.types.StructField] = {
       val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
       (matched ++ notMatched ++ bySource).foreach(_.sets.foreach {
-        case (k, v) if !targetLower.contains(k.toLowerCase) =>
+        case (k, v) if !targetLower.contains(k.toLowerCase) &&
+            nestedKeySplit(k).isEmpty =>
           if (!seen.contains(k.toLowerCase)) seen(k.toLowerCase) = k
         case _ => ()
       })
       seen.values.toSeq.map { k =>
-        val v = (matched ++ notMatched ++ bySource).iterator
-          .flatMap(_.sets).collectFirst {
-            case (k2, v2) if k2.equalsIgnoreCase(k) => v2 }.get
-        org.apache.spark.sql.types.StructField(k,
-          joined.select(expr(v)).schema.head.dataType, nullable = true)
+        val types = (matched ++ notMatched ++ bySource).iterator
+          .flatMap(_.sets).collect {
+            case (k2, v2) if k2.equalsIgnoreCase(k) =>
+              joined.select(expr(v2)).schema.head.dataType }.toSeq.distinct
+        val dt = if (types.size == 1) types.head
+          else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findWiderCommonType(types).getOrElse(throw
+              new UnsupportedOperationException(
+                s"MERGE WITH SCHEMA EVOLUTION: clauses assign new column " +
+                s"$k incompatible types " +
+                s"(${types.map(_.simpleString).mkString(", ")}); cast the " +
+                "assignments to one type"))
+        org.apache.spark.sql.types.StructField(k, dt, nullable = true)
       }
     }
     require(evolve || newFields.isEmpty,
@@ -349,10 +404,38 @@ case class GraftMergeIntoCommand(
     def withMarker(fields: Seq[Column], marker: Column): Seq[Column] =
       if (hasDelete) fields :+ marker.cast(boolType).as(graft.meta.Tombstones.COL)
       else fields
+    // navigate a struct type along a (case-insensitive) nested path — the
+    // analysis rule proved the path resolves, so the navigation succeeds
+    def nestedType(dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): Option[org.apache.spark.sql.types.DataType] =
+      path.foldLeft(Option(dt)) {
+        case (Some(st: org.apache.spark.sql.types.StructType), p) =>
+          st.fields.find(_.name.equalsIgnoreCase(p)).map(_.dataType)
+        case _ => None
+      }
     def image(sets: Map[String, String], forUpdate: Boolean): Column =
       struct(withMarker(allFields.map { f =>
-        sets.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) =>
-          expr(v).cast(f.dataType)
+        val whole = sets.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(f.name) => expr(v).cast(f.dataType)
+        }
+        // nested-field sets (`SET props.a = ...`): start from the target's
+        // OLD struct value and write each assigned field in place — the
+        // same withField mechanism SQL UPDATE uses (UpdateCommand.applySet)
+        val nested = sets.toSeq.flatMap { case (k, v) =>
+          nestedKeySplit(k) match {
+            case Some((head, rest)) if head.equalsIgnoreCase(f.name) =>
+              Some((rest, v))
+            case _ => None
+          }
+        }
+        whole.orElse {
+          if (nested.isEmpty) None
+          else Some(nested.foldLeft(col(s"__gt.${f.name}")) {
+            case (c, (rest, v)) =>
+              val cast = nestedType(f.dataType, rest)
+                .map(expr(v).cast).getOrElse(expr(v))
+              c.withField(rest.mkString("."), cast)
+          })
         }.getOrElse(
           if (forUpdate && targetLower.contains(f.name.toLowerCase))
             col(s"__gt.${f.name}")
@@ -390,14 +473,32 @@ case class GraftMergeIntoCommand(
     }
     // the guard rides the emit projection: the struct is materialized once
     // per row, the window counts the non-null (= emitted) ones per key, and
-    // raise_error's branch is taken only when a real duplicate exists
-    val emitCnt = sum(when(col("__gm_pick").isNotNull, lit(1L))
+    // raise_error's branch is taken only when a real duplicate exists.
+    // NULL-key emissions get their own dedicated error FIRST: a NULL source
+    // key never matches anything (SQL three-valued logic), so the only way
+    // a NULL lands in an emitted key is an INSERT clause producing a NULL
+    // primary-key value — without this check all such rows would share one
+    // window partition and misreport as "multiple source rows".
+    val pkNull = info.hashColumns.map(c => col(s"__gm_pick.`$c`").isNull)
+      .reduce(_ || _)
+    // rows with a NULL source-key component are excluded from the count:
+    // they are distinct non-matches sharing the one null window partition,
+    // and counting them would flag independent NULL-key inserts as
+    // duplicates (an insert that still emits a NULL key hits pkNull above;
+    // one that supplies full PK values is a legitimate standalone insert)
+    val srcKeyNull = srcKeys.map { case (_, s) => expr(s).isNull }
+      .reduce(_ || _)
+    val emitCnt = sum(when(col("__gm_pick").isNotNull && !srcKeyNull, lit(1L))
       .otherwise(lit(0L))).over(dupWindow)
-    val guarded = when(col("__gm_cnt") > 1, raise_error(lit(
+    val guarded = when(col("__gm_pick").isNotNull && pkNull, raise_error(lit(
+        "MERGE INTO: an emitted row has a NULL primary-key value — INSERT " +
+        "values must supply every primary-key column (NULL keys never " +
+        "match and cannot identify a row)")).cast(structType))
+      .otherwise(when(col("__gm_cnt") > 1, raise_error(lit(
         "MERGE INTO: multiple source rows update, delete, or insert the " +
         "same key; deduplicate the source on the join keys first"))
         .cast(structType))
-      .otherwise(col("__gm_pick"))
+      .otherwise(col("__gm_pick")))
     val out = joined.withColumn("__gm_pick", picked)
       .withColumn("__gm_cnt", emitCnt)
       .select(guarded.as("__gm"))

@@ -349,4 +349,141 @@ class MergeIntoSuite extends GraftFunSuite {
       assert(vs(1L) == "x" && vs(9L) == "new" && vs(2L) == "b")
     }
   }
+
+  private def mkStructPk(dir: String): Unit =
+    Seq((1L, 10, "x", 1.0), (2L, 20, "y", 2.0), (3L, 30, "z", 3.0))
+      .toDF("id", "a", "b", "w")
+      .select(col("id"),
+        struct(col("a"), col("b"),
+          struct(col("w").as("inner")).as("deep")).as("props"),
+        (col("a") * 10).as("n"))
+      .write.format("graft")
+      .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+
+  test("MERGE UPDATE sets a nested struct field, preserving siblings") {
+    withTempTable { dir =>
+      mkStructPk(dir)
+      Seq((2L, 200), (4L, 400)).toDF("id", "newa")
+        .createOrReplaceTempView("srcns1")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns1 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET props.a = s.newa, n = s.newa""")
+      val got = spark.read.format("graft").load(dir)
+        .select(col("id"), col("props.a"), col("props.b"),
+          col("props.deep.inner"), col("n"))
+        .as[(Long, Int, String, Double, Int)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 10, "x", 1.0, 100), (2L, 200, "y", 2.0, 200),
+        (3L, 30, "z", 3.0, 300)),
+        s"nested SET must update props.a only, keep b/deep intact: $got")
+    }
+  }
+
+  test("MERGE UPDATE sets a two-level nested field") {
+    withTempTable { dir =>
+      mkStructPk(dir)
+      Seq((1L, 9.5)).toDF("id", "wv").createOrReplaceTempView("srcns2")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET props.deep.inner = s.wv""")
+      val got = spark.read.format("graft").load(dir)
+        .select(col("id"), col("props.a"), col("props.b"),
+          col("props.deep.inner"))
+        .as[(Long, Int, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 10, "x", 9.5), (2L, 20, "y", 2.0),
+        (3L, 30, "z", 3.0)), s"got $got")
+    }
+  }
+
+  test("nested SET in NOT MATCHED BY SOURCE clauses works too") {
+    withTempTable { dir =>
+      mkStructPk(dir)
+      Seq((1L, 111)).toDF("id", "newa").createOrReplaceTempView("srcns3")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns3 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET props.a = s.newa
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET props.b = 'gone'""")
+      val got = spark.read.format("graft").load(dir)
+        .select(col("id"), col("props.a"), col("props.b"))
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 111, "x"), (2L, 20, "gone"), (3L, 30, "gone")),
+        s"got $got")
+    }
+  }
+
+  test("nested-field rejections: INSERT, conflicts, evolution") {
+    withTempTable { dir =>
+      mkStructPk(dir)
+      Seq((5L, 50)).toDF("id", "newa").createOrReplaceTempView("srcns4")
+      // nested assignment in INSERT
+      val e1 = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns4 s ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, props.a) VALUES (s.id, s.newa)""")
+      }
+      assert(e1.getMessage.contains("INSERT") ||
+        Option(e1.getCause).exists(_.getMessage.contains("INSERT")),
+        s"nested INSERT must fail clearly: ${e1.getMessage}")
+      // whole-column + nested conflict in one clause
+      val e2 = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns4 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET props = t.props, props.a = s.newa""")
+      }
+      assert(e2.getMessage.toLowerCase.contains("conflict"),
+        s"conflicting whole/nested must fail: ${e2.getMessage}")
+      // evolution cannot create a nested field
+      val e3 = intercept[Exception] {
+        spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+          USING srcns4 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET props.brandnew = s.newa""")
+      }
+      assert(e3.getMessage.contains("ALTER TABLE") ||
+        e3.getMessage.contains("No such struct field") ||
+        e3.getMessage.toLowerCase.contains("nested"),
+        s"nested evolution must fail clearly: ${e3.getMessage}")
+    }
+  }
+
+  test("evolution: conflicting new-column types across clauses fail; " +
+      "compatible ones widen") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((1L, 5), (9L, 9)).toDF("id", "x").createOrReplaceTempView("srcev1")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+          USING srcev1 s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET extra = s.x
+          WHEN NOT MATCHED THEN INSERT (id, v, n, extra)
+            VALUES (s.id, 'e', 0, named_struct('z', s.x))""")
+      }
+      assert(e.getMessage.contains("incompatible types"),
+        s"type conflict must fail analysis: ${e.getMessage}")
+      // int vs bigint widens to bigint
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+        USING srcev1 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET extra = s.x
+        WHEN NOT MATCHED THEN INSERT (id, v, n, extra)
+          VALUES (s.id, 'e', 0, CAST(s.x AS BIGINT))""")
+      val df = spark.read.format("graft").load(dir)
+      assert(df.schema("extra").dataType ==
+        org.apache.spark.sql.types.LongType, df.schema.treeString)
+      val got = df.select("id", "extra").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(got(1L).contains(5L) && got(9L).contains(9L) && got(2L).isEmpty)
+    }
+  }
+
+  test("NULL-key source rows get the dedicated NULL-PK error, not the " +
+      "multiple-source-rows error") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((Option.empty[Long], "p"), (Option.empty[Long], "q"))
+        .toDF("id", "v").createOrReplaceTempView("srcnull")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcnull s ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("NULL primary-key")),
+        s"expected the dedicated NULL-PK error, got: ${msgs(e)}")
+      assert(!msgs(e).exists(_.contains("multiple source rows")),
+        s"NULL keys must not misreport as duplicates: ${msgs(e)}")
+    }
+  }
 }
