@@ -118,9 +118,10 @@ object Ann {
 
   /** IVF-style ANN: a deterministic sample of the corpus seeds the coarse
     * centroids, optionally refined by Lloyd (k-means) iterations — set
-    * `spark.graft.ann.ivf.kmeansIters` (default 1; 0 restores plain
-    * first-N seeding). Every vector is assigned to its nearest centroid by
-    * cosine. Same output shape as `bruteTopK`.
+    * `spark.graft.ann.ivf.kmeansIters` (0 = plain first-N seeding; unset =
+    * AUTO, refining only corpora big enough for tighter radii to pay for
+    * the extra passes). Every vector is assigned to its nearest centroid
+    * by cosine. Same output shape as `bruteTopK`.
     *
     * EXACT, not approximate: each query first scores its nearest cell
     * exhaustively, giving a provisional kth-best cosine `t`; it then probes
@@ -170,8 +171,17 @@ object Ann {
     // Lloyd refinement: mean of each cell's members per dimension,
     // re-normalized to the unit sphere (spherical k-means step). Empty
     // cells simply drop out — their members reassign to surviving cells.
+    // Default is AUTO: refinement tightens cell radii so the angular bound
+    // prunes more cells, which pays only when the corpus is big enough
+    // that pruned work exceeds the refinement's own extra passes. Below
+    // the size threshold (plan-time statistics — no job) Lloyd is skipped;
+    // exactness never depends on centroid quality, only probe cost does.
     val iters = corpus.sparkSession.conf
-      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt).getOrElse(1)
+      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt).getOrElse {
+        val bytes = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(corpus).queryExecution.optimizedPlan.stats.sizeInBytes
+        if (bytes < BigInt(256L << 20)) 0 else 1
+      }
     val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
       val members = cu.join(
         assign(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")
@@ -183,18 +193,23 @@ object Ann {
         .select(col("cid"), col("dim"),
           (col("mx") / when(col("cn") =!= 0.0d, col("cn"))).as("cx"))
     }
-    // the final centroid plan feeds several broadcast assigns/bounds;
-    // with refinement iterations in its lineage, run it once
-    val cents =
-      if (iters > 0) Checkpoints.stabilize(centUnit) else centUnit
+    // the final centroid plan feeds several broadcast assigns/bounds and is
+    // tiny (nCentroids × dims rows) — one small materialization beats
+    // re-running the seed scan (and any refinement passes) per consumer
+    val cents = Checkpoints.stabilize(centUnit)
     val clamp: Column => Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     // (nid, cid, csim): assignment doubles as the radius input — the
-    // cell's angular radius is acos(min member csim)
+    // cell's angular radius r is acos(min member csim), carried as
+    // (cos r, sin r) so the probe bound below never round-trips through
+    // acos/cos (whose error amplifies to ~1e-8 near |csim|≈1 and could
+    // wrongly prune a near-tie cell)
     val cellAssign = Checkpoints.stabilize(assign(cents)(cu, "nid", "nx"))
     val cellCorpus = cu.join(cellAssign.select("nid", "cid"), "nid")
     val radii = cellAssign.groupBy("cid")
-      .agg(acos(clamp(min(col("csim")))).as("r"))
+      .agg(clamp(min(col("csim"))).as("cosr"))
+      .withColumn("sinr", sqrt(greatest(lit(0.0d),
+        lit(1.0d) - col("cosr") * col("cosr"))))
     // every (query, cell) centroid cosine — the pruning bound needs all of
     // them, not just the winner
     val qCell = Checkpoints.stabilize(
@@ -223,15 +238,20 @@ object Ann {
         Seq("qid"), "left_outer")
       .select(col("qid"), coalesce(col("tk"), lit(-2.0d)).as("t"))
     // pass 2: probe exactly the cells whose best possible member can still
-    // beat t (1e-9 keeps the acos/cos round-off on the safe side). The
-    // nearest cell is excluded — pass 1 already scored it exhaustively and
-    // its results union back in below (on a well-clustered corpus the
-    // nearest cell is most of the probed data; re-scoring it would nearly
-    // double the work).
+    // beat t. The bound cos(max(0, angle(q,c) - r)) is computed by the
+    // cosine addition formula — cos(a-r) = cos a·cos r + sin a·sin r with
+    // cos a = qcs — so no acos/cos round-trip (1e-9 then safely covers
+    // plain double arithmetic error). angle ≤ r  ⟺  qcs ≥ cos r, in which
+    // case the bound is 1. The nearest cell is excluded — pass 1 already
+    // scored it exhaustively and its results union back in below (on a
+    // well-clustered corpus the nearest cell is most of the probed data;
+    // re-scoring it would nearly double the work).
+    val qcsC = clamp(col("qcs"))
+    val sinA = sqrt(greatest(lit(0.0d), lit(1.0d) - qcsC * qcsC))
     val probe = qCell.join(broadcast(radii), "cid")
       .join(broadcast(thresholds), "qid")
-      .filter(when(acos(clamp(col("qcs"))) <= col("r"), lit(1.0d))
-        .otherwise(cos(acos(clamp(col("qcs"))) - col("r"))) + lit(1e-9) >=
+      .filter(when(qcsC >= col("cosr"), lit(1.0d))
+        .otherwise(qcsC * col("cosr") + sinA * col("sinr")) + lit(1e-9) >=
         col("t"))
       .select("qid", "cid")
       .join(nearest, Seq("qid", "cid"), "left_anti")
