@@ -135,6 +135,12 @@ object Ann {
     * prune; on unstructured data the bound degrades gracefully toward an
     * exhaustive scan — exactness is never traded away.
     *
+    * ADAPTIVE: below `spark.graft.ann.ivf.smallCorpusBytes` (default
+    * 256 MB, judged from plan-time statistics) the two-pass bound
+    * machinery costs more in job orchestration than pruning can save, so
+    * queries probe every cell in one pass instead — FAISS's flat-search
+    * fallback for small indexes. Same exact result, minimal job count.
+    *
     * The Lloyd step is PURE relational algebra over the already-exploded
     * unit rows: assign (broadcast join + hash-agg + window) → per-(cell,
     * dim) mean → re-normalize to unit length. Each iteration is one extra
@@ -145,6 +151,20 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCentroids: Int = 16): DataFrame = {
+    // Plan-time corpus size (no job) steers the adaptive choices below —
+    // Lloyd refinement and the probe strategy. Below the threshold the
+    // bound-pruning machinery costs more in orchestration (each eager
+    // materialization and broadcast is a whole scheduled job — a measured
+    // ~30 jobs at ~50 ms apiece on a toy corpus) than pruning can possibly
+    // save, so small corpora probe every cell in one pass instead (the
+    // same flat-search fallback FAISS applies to small indexes). Identical
+    // exact results either way; only the job count changes.
+    val smallBytes = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.ivf.smallCorpusBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    val smallCorpus = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(corpus).queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(smallBytes)
     // corpus unit rows feed three consumers (centroid set, assignment,
     // scoring) — an eager localCheckpoint runs the explode+norm pipeline
     // once, truncates lineage (small downstream plans), and leaves no
@@ -177,11 +197,8 @@ object Ann {
     // the size threshold (plan-time statistics — no job) Lloyd is skipped;
     // exactness never depends on centroid quality, only probe cost does.
     val iters = corpus.sparkSession.conf
-      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt).getOrElse {
-        val bytes = org.apache.spark.sql.classic.ClassicConversions
-          .castToImpl(corpus).queryExecution.optimizedPlan.stats.sizeInBytes
-        if (bytes < BigInt(256L << 20)) 0 else 1
-      }
+      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt)
+      .getOrElse(if (smallCorpus) 0 else 1)
     val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
       val members = cu.join(
         assign(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")
@@ -195,8 +212,10 @@ object Ann {
     }
     // the final centroid plan feeds several broadcast assigns/bounds and is
     // tiny (nCentroids × dims rows) — one small materialization beats
-    // re-running the seed scan (and any refinement passes) per consumer
-    val cents = Checkpoints.stabilize(centUnit)
+    // re-running the seed scan (and any refinement passes) per consumer.
+    // In the small-corpus flat path both cents and the assignment have a
+    // single consumer, so stabilizing them would only add jobs.
+    val cents = if (smallCorpus) centUnit else Checkpoints.stabilize(centUnit)
     val clamp: Column => Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     // (nid, cid, csim): assignment doubles as the radius input — the
@@ -204,8 +223,19 @@ object Ann {
     // (cos r, sin r) so the probe bound below never round-trips through
     // acos/cos (whose error amplifies to ~1e-8 near |csim|≈1 and could
     // wrongly prune a near-tie cell)
-    val cellAssign = Checkpoints.stabilize(assign(cents)(cu, "nid", "nx"))
+    val cellAssign0 = assign(cents)(cu, "nid", "nx")
+    val cellAssign =
+      if (smallCorpus) cellAssign0 else Checkpoints.stabilize(cellAssign0)
     val cellCorpus = cu.join(cellAssign.select("nid", "cid"), "nid")
+    if (smallCorpus) {
+      // flat probe (nprobe = nlist): score every cell in one pass. The
+      // cell-tagged corpus still flows through the scan, but no threshold
+      // passes, radii, or per-cell bound filters are planned — on a corpus
+      // this size they are pure orchestration overhead.
+      val scored = cellCorpus.join(broadcast(qu), "dim")
+        .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+      return topK(scored, k)
+    }
     val radii = cellAssign.groupBy("cid")
       .agg(clamp(min(col("csim"))).as("cosr"))
       .withColumn("sinr", sqrt(greatest(lit(0.0d),

@@ -179,12 +179,36 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.filter(col("vec_id") < 5)
-    val got = Ann.ivfTopK(df, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 3, nCentroids = 8)
-      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
-    val first = got.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
-    (0L until 5L).foreach(q => assert(first(q) == q,
-      s"query $q should find itself at rank 1, got ${first.get(q)}"))
+    // force the bound-pruning path (a frame this small would otherwise
+    // take the flat nprobe=nlist fallback)
+    spark.conf.set("spark.graft.ann.ivf.smallCorpusBytes", "0")
+    try {
+      val got = Ann.ivfTopK(df, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3, nCentroids = 8)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      val first = got.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+      (0L until 5L).foreach(q => assert(first(q) == q,
+        s"query $q should find itself at rank 1, got ${first.get(q)}"))
+    } finally spark.conf.unset("spark.graft.ann.ivf.smallCorpusBytes")
+  }
+
+  test("IVF flat fallback (small corpus) matches the pruning path exactly") {
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    def run(): Seq[(Long, Int, Long)] =
+      Ann.ivfTopK(df, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3, nCentroids = 8)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)]
+        .collect().toSeq.sorted
+    val flat = run() // small frame → flat path by default
+    spark.conf.set("spark.graft.ann.ivf.smallCorpusBytes", "0")
+    val pruned = try run()
+      finally spark.conf.unset("spark.graft.ann.ivf.smallCorpusBytes")
+    assert(flat == pruned,
+      s"flat and bound-pruned probe must agree row-for-row")
   }
 
   test("IVF is exact even when seeds land in one cluster") {
@@ -209,6 +233,10 @@ class LlmOperatorsSuite extends GraftFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def recallWith(iters: Int): Double = {
       spark.conf.set("spark.graft.ann.ivf.kmeansIters", iters.toString)
+      // force the bound-pruning path: this test exists to prove the
+      // angular bound never trades exactness, so the flat fallback (which
+      // is trivially exact) must not mask it
+      spark.conf.set("spark.graft.ann.ivf.smallCorpusBytes", "0")
       try {
         val ivf = Ann.ivfTopK(df, "vec_id", "embedding",
             queries, "vec_id", "embedding", k = 5, nCentroids = 4)
@@ -217,7 +245,10 @@ class LlmOperatorsSuite extends GraftFunSuite {
         brute.keys.toSeq.map { q =>
           ivf.getOrElse(q, Set.empty).intersect(brute(q)).size / 5.0
         }.sum / brute.size
-      } finally spark.conf.unset("spark.graft.ann.ivf.kmeansIters")
+      } finally {
+        spark.conf.unset("spark.graft.ann.ivf.kmeansIters")
+        spark.conf.unset("spark.graft.ann.ivf.smallCorpusBytes")
+      }
     }
     val r0 = recallWith(0)
     val r2 = recallWith(2)
