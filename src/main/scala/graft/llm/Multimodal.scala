@@ -74,11 +74,41 @@ object Multimodal {
       "unknown", decoded = false)
   }
 
+  private val metaType = "struct<width:int,height:int,channels:int," +
+    "format:string,decoded:boolean>"
+
   /** Column-level decode: real header decode where a JDK codec exists,
-    * deterministic fake fallback elsewhere. */
+    * deterministic fake fallback elsewhere.
+    *
+    * A RELATIONAL magic-byte prefilter routes payloads: only candidates
+    * whose first bytes carry a known image signature (PNG/JPEG/GIF/BMP/
+    * TIFF/RIFF) enter the ImageIO UDF; everything else — at 100 TB of
+    * mostly-text payloads, nearly everything — takes the codegen'd md5
+    * fallback without ever paying a reader probe. `CaseWhen` evaluates
+    * per-row lazily, so the UDF truly runs only on candidate rows. The
+    * fallback arithmetic is identical to [[fallbackMeta]] (and to what a
+    * magic-matching-but-corrupt payload gets from the UDF's own fallback),
+    * so routing never changes values. */
   def decodeImage(payload: Column): Column = {
     val u = udf((b: Array[Byte]) => decodeMeta(b))
-    u(payload)
+    val h8 = hex(substring(payload, 1, 4))
+    val looksImage =
+      h8 === "89504E47" ||                    // PNG  \x89PNG
+      substring(h8, 1, 6) === "FFD8FF" ||     // JPEG
+      h8 === "47494638" ||                    // GIF8
+      substring(h8, 1, 4) === "424D" ||       // BMP  "BM"
+      h8.isin("49492A00", "4D4D002A") ||      // TIFF II*\0 / MM\0*
+      h8 === "52494646"                       // RIFF (WEBP et al.)
+    val v = conv(substring(md5(payload), 1, 6), 16, 10).cast("long")
+    val fallback = struct(
+      (pmod(v, lit(1920L)) + 1L).cast("int").as("width"),
+      (pmod(v * 31L, lit(1080L)) + 1L).cast("int").as("height"),
+      lit(3).as("channels"),
+      lit("unknown").as("format"),
+      lit(false).as("decoded"))
+    when(payload.isNull, lit(null).cast(metaType))
+      .when(looksImage, u(payload))
+      .otherwise(fallback)
   }
 
   /** Wrap text documents as binary payloads (stand-in for image bytes). */

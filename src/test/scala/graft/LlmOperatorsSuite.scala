@@ -331,6 +331,33 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("decode routing: corrupt image-magic payloads get the SAME fallback " +
+      "values as non-image payloads (UDF and relational paths agree)") {
+    // one payload with a PNG signature but garbage after (enters the
+    // ImageIO UDF, falls back inside it) and its twin without the
+    // signature (skips the UDF entirely, relational fallback)
+    val junk = "garbage-after-magic".getBytes("UTF-8")
+    val withMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ junk
+    val df = Seq((1L, withMagic)).toDF("doc_id", "payload")
+    val got = df.withColumn("image", Multimodal.decodeImage(col("payload")))
+      .select("image.*").collect().head
+    assert(!got.getAs[Boolean]("decoded"))
+    // the UDF's internal fallback must equal the relational fallback
+    // arithmetic for the same bytes
+    val expected = df.select(
+      Multimodal.fakeDecodeImage(col("payload")).as("f"))
+      .select("f.*").collect().head
+    assert(got.getAs[Int]("width") == expected.getAs[Int]("width") &&
+      got.getAs[Int]("height") == expected.getAs[Int]("height"),
+      s"fallback values diverge: $got vs $expected")
+    // null payload decodes to a null struct, not a struct of nulls
+    val nullRow = Seq((2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+      .withColumn("image", Multimodal.decodeImage(col("payload")))
+      .select("image").collect().head
+    assert(nullRow.isNullAt(0), "null payload must decode to null")
+  }
+
   test("pii scrub redacts planted emails/ips/phones/ssns and counts them") {
     val df = Seq(
       (1L, "contact bob.smith+x@example.co.uk or 192.168.1.10 today"),
