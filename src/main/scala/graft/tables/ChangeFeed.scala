@@ -67,9 +67,100 @@ object ChangeFeed {
     require(startVersion >= 0 && startVersion <= end && end <= latest,
       s"change window [$startVersion, $end] out of range [0, $latest] for $path")
 
-    val frames = (startVersion to end).flatMap(v => changesAt(spark, path, v))
+    // Plan-size discipline for long windows: CONSECUTIVE append-like
+    // versions (create/append/streaming, and tombstone-free delta — the
+    // versions that pile up by the thousands under CDC ingest) collapse
+    // into ONE multi-file scan per run, with each file's version/
+    // timestamp/change-type attached from a broadcast-joined metadata
+    // frame. Only rewrite-style commits (update/delete/overwrite/restore/
+    // DV) still plan an individual diff subtree, so a window of N versions
+    // plans O(runs + rewrites) subtrees, not O(N). The remaining frames
+    // union in a balanced tree (log depth), not a left-deep chain.
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val run = scala.collection.mutable.ArrayBuffer.empty[RunFile]
+    var runEnd = -1L
+    def flushRun(): Unit = if (run.nonEmpty) {
+      frames += runFrame(spark, path, run.toSeq,
+        Snapshot.replay(store, path, runEnd))
+      run.clear()
+    }
+    (startVersion to end).foreach { v =>
+      val entries = store.read(path, v)
+      val info = entries.flatMap(_.commit).headOption
+      val commitType = info.map(_.commitType).getOrElse("append")
+      val ts = info.map(_.timestamp).getOrElse(0L)
+      val adds = entries.flatMap(_.add).map(f =>
+        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      val removes = entries.flatMap(_.remove)
+      val appendLike =
+        Set("create", "append", "streaming", "delta").contains(commitType) &&
+        removes.isEmpty && !graft.meta.Tombstones.anyHas(adds)
+      if (appendLike) {
+        val tpe = if (commitType == "delta") "upsert" else "insert"
+        adds.foreach(f => run += RunFile(f, v, ts, tpe))
+        runEnd = v
+      } else if (REWRITE_TYPES.contains(commitType)) {
+        // conservative run break: an `alter` inside the window may change
+        // column types, and the run frame reads with ONE schema
+        flushRun()
+      } else {
+        flushRun()
+        changesAt(spark, path, v).foreach(frames += _)
+      }
+    }
+    flushRun()
     if (frames.isEmpty) emptyFrame(spark, path, end)
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else balancedUnion(frames.toSeq)
+  }
+
+  /** One file of an append-run, with the commit facts its rows carry. */
+  private case class RunFile(f: DataFileInfo, v: Long, ts: Long, tpe: String)
+
+  /** Log-depth union: a left-deep fold over thousands of frames makes the
+    * analyzer recurse a list-shaped tree. */
+  private def balancedUnion(fs: Seq[DataFrame]): DataFrame =
+    if (fs.size == 1) fs.head
+    else balancedUnion(fs.grouped(2).map(g =>
+      g.reduce(_.unionByName(_, allowMissingColumns = true))).toSeq)
+
+  /** ONE scan over every file of an append-run. Rows are tagged with their
+    * own commit's version/timestamp/type by joining `_metadata.file_path`
+    * (keyed on the unique part-file name) against a broadcast per-file
+    * metadata frame, which also carries each file's range-partition values
+    * (they live in the manifest, not the file). Files from before a
+    * mid-run schema ADD simply null-fill the newer columns — exactly what
+    * the per-version frames' unionByName(allowMissingColumns) produced. */
+  private def runFrame(
+      spark: SparkSession, path: String,
+      files: Seq[RunFile], endSnap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ti = endSnap.tableInfo
+    val dataSchema = graft.sources.GraftPkScan.asNullable(ti.dataSchema)
+    val partFields = ti.rangePartitionSchema.fields.toSeq
+    val metaSchema = StructType(
+      StructField("__cf_name", StringType) ::
+      StructField("__cf_ver", LongType) ::
+      StructField("__cf_ts", LongType) ::
+      StructField("__cf_tpe", StringType) ::
+      partFields.map(f => StructField(s"__cf_p_${f.name}", StringType)).toList)
+    val metaRows: java.util.List[Row] = scala.jdk.CollectionConverters
+      .SeqHasAsJava(files.map { rf =>
+        Row.fromSeq(rf.f.path.split("/").last +: rf.v +: rf.ts +: rf.tpe +:
+          partFields.map(f => rf.f.partitionValues.getOrElse(f.name, null)))
+      }).asJava
+    val meta = spark.createDataFrame(metaRows, metaSchema)
+    val raw = spark.read.schema(dataSchema)
+      .parquet(files.map(rf => s"$path/${rf.f.path}"): _*)
+      .withColumn("__cf_name",
+        substring_index(col("_metadata.file_path"), "/", -1))
+    raw.join(broadcast(meta), "__cf_name")
+      .select(dataSchema.fields.toSeq.map(f => col(f.name)) ++
+        partFields.map(f =>
+          col(s"__cf_p_${f.name}").cast(f.dataType).as(f.name)) ++
+        Seq(col("__cf_tpe").as(CHANGE_TYPE),
+          col("__cf_ver").as(COMMIT_VERSION),
+          timestamp_millis(col("__cf_ts")).as(COMMIT_TIMESTAMP)): _*)
   }
 
   /** Typed empty frame: latest window schema + the three change columns. */

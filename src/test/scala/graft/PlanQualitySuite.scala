@@ -198,4 +198,49 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }
     }
   }
+
+  test("change feed collapses append runs: a long window plans O(runs) " +
+      "scan subtrees, not O(versions)") {
+    import spark.implicits._
+    withTable { dir =>
+      // 1 create + 29 appends (run 1), one rewrite update (its own diff),
+      // 10 more appends (run 2) → 41 versions
+      (0 until 2).map(i => (i.toLong, i)).toDF("id", "v")
+        .repartition(1).write.format("graft").save(dir)
+      (1 until 30).foreach { i =>
+        Seq((100L + i, i)).toDF("id", "v").repartition(1)
+          .write.format("graft").mode("append").save(dir)
+      }
+      graft.tables.GraftTable.forPath(spark, dir)
+        .updateExpr("id = 0", Map("v" -> "999"))
+      (0 until 10).foreach { i =>
+        Seq((200L + i, i)).toDF("id", "v").repartition(1)
+          .write.format("graft").mode("append").save(dir)
+      }
+      val latest = graft.meta.SnapshotManagement.store.latestVersion(
+        graft.meta.SnapshotManagement.normalize(dir))
+      assert(latest >= 40, s"expected 41 versions, got ${latest + 1}")
+      val feed = graft.tables.ChangeFeed.changes(spark, dir, 0L)
+      // every append version's rows present, each tagged with its OWN version
+      val byType = feed.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(byType("insert") == 41L, s"got $byType") // 2 create + 39 appends
+      val versions = feed.filter(col("_change_type") === "insert")
+        .select("_commit_version").distinct().count()
+      assert(versions == 40L, s"each append tags its own version: $versions")
+      // the plan reads the window through O(runs) scan relations: 2 run
+      // scans + the update diff's pre/post reads — far below 41
+      val leaves = org.apache.spark.sql.classic.ClassicConversions
+        .castToImpl(feed).queryExecution.optimizedPlan.collectLeaves()
+      val scans = leaves.count {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+        case _ => false
+      }
+      assert(scans <= 8,
+        s"41-version window must plan O(runs) scans, found $scans:\n" +
+        leaves.map(_.nodeName).mkString(", "))
+    }
+  }
 }
