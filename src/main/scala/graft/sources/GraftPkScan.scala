@@ -378,7 +378,10 @@ case class GraftPkScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = castToImpl(sparkSession)
     val fmt = new ParquetFileFormat()
-    val hadoopConf = session.sessionState.newHadoopConfWithOptions(Map.empty)
+    // async-I/O choice (GraftScanBuilder.ASYNC_IO_CONF) applies to the
+    // merge/bucket readers the same as to the stock no-PK scan
+    val hadoopConf = session.sessionState.newHadoopConfWithOptions(
+      GraftScanBuilder.asyncIoOptions(sparkSession))
     val supportsBatch = fmt.supportBatch(sparkSession,
       StructType(mergeReadSchema.fields ++ readPartitionSchema.fields))
     // Merging consumes rows; only the compacted fast path streams batches.

@@ -19,6 +19,26 @@ import graft.meta.Snapshot
   *  - PK, delta files  -> merge-on-read scan (k-way versioned merge).
   */
 object GraftScanBuilder {
+
+  /** Async-I/O parity with the reference (`star/catalog/
+    * StarLakeScanBuilder.scala:159-179`): there an async parquet reader is
+    * reflection-gated on a patched-Spark class and opted in per table.
+    * Spark 4's stock reader SUBSUMES it — Parquet 1.16 issues Hadoop
+    * VECTORED I/O (asynchronous, coalesced parallel range reads,
+    * PARQUET-2171) by default. This conf makes the choice explicit per
+    * session for every graft scan: set `false` to fall back to sequential
+    * positioned reads (e.g. object stores that mishandle range fan-out),
+    * `true` to pin it on; unset leaves Parquet's default (on). */
+  val ASYNC_IO_CONF = "spark.graft.scan.asyncIO.enabled"
+  private val PARQUET_VECTORED_KEY = "parquet.hadoop.vectored.io.enabled"
+
+  /** Extra hadoop-conf entries implementing [[ASYNC_IO_CONF]]; empty when
+    * the session leaves the default. */
+  def asyncIoOptions(spark: SparkSession): Map[String, String] =
+    spark.conf.getOption(ASYNC_IO_CONF)
+      .map(v => Map(PARQUET_VECTORED_KEY -> v.toBoolean.toString))
+      .getOrElse(Map.empty)
+
   def create(
       spark: SparkSession,
       path: String,
@@ -49,8 +69,16 @@ object GraftScanBuilder {
       val dvByPath = snapshot.files.iterator.filter(_.hasDv).map(f =>
         graft.meta.FsMetaStore.stripScheme(s"$path/${f.path}") -> f.dvPath)
         .toMap
+      // the stock builder derives its hadoopConf from these options, so
+      // the async-I/O choice rides them into the parquet reader
+      val optionsWithIo = {
+        val extra = asyncIoOptions(spark)
+        if (extra.isEmpty) options
+        else new CaseInsensitiveStringMap(
+          (options.asCaseSensitiveMap().asScala ++ extra).asJava)
+      }
       new org.apache.spark.sql.graft.StreamableParquetScanBuilderShim(
-        ParquetScanBuilder(spark, index, fullSchema, preciseData, options),
+        ParquetScanBuilder(spark, index, fullSchema, preciseData, optionsWithIo),
         s => new GraftStreamableScan(s, spark, path, ti, ignoreChanges,
           options.asCaseSensitiveMap().asScala.toMap, dvByPath),
         allowAggPushdown = dvByPath.isEmpty)

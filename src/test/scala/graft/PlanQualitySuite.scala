@@ -199,6 +199,46 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("async-I/O conf reaches the parquet reader's hadoop configuration " +
+      "on both scan paths; reads stay correct either way") {
+    import spark.implicits._
+    withTable { dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft").save(dir)
+      def builtScanConf(): Option[String] = {
+        val q = spark.read.format("graft").load(dir)
+        val scans = collectWithSubqueries(
+          org.apache.spark.sql.classic.ClassicConversions.castToImpl(q)
+            .queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+        }
+        scans.collectFirst {
+          case g: graft.sources.GraftStreamableScan =>
+            // delegate is private[sources]; reach it reflectively
+            val f = g.getClass.getDeclaredField("delegate")
+            f.setAccessible(true)
+            f.get(g)
+        }.flatMap {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            Option(p.hadoopConf.get("parquet.hadoop.vectored.io.enabled"))
+          case _ => None
+        }
+      }
+      // unset: Parquet's own default governs (no explicit entry)
+      assert(builtScanConf().isEmpty, "unset conf must not pin a value")
+      spark.conf.set(graft.sources.GraftScanBuilder.ASYNC_IO_CONF, "false")
+      try {
+        assert(builtScanConf().contains("false"))
+        assert(spark.read.format("graft").load(dir).count() == 2,
+          "read must work with vectored I/O disabled")
+      } finally spark.conf.unset(graft.sources.GraftScanBuilder.ASYNC_IO_CONF)
+      spark.conf.set(graft.sources.GraftScanBuilder.ASYNC_IO_CONF, "true")
+      try {
+        assert(builtScanConf().contains("true"))
+        assert(spark.read.format("graft").load(dir).count() == 2)
+      } finally spark.conf.unset(graft.sources.GraftScanBuilder.ASYNC_IO_CONF)
+    }
+  }
+
   test("change feed collapses append runs: a long window plans O(runs) " +
       "scan subtrees, not O(versions)") {
     import spark.implicits._
