@@ -289,6 +289,20 @@ object Queries {
           k = 3, minInter = 3),
         "a_id", "b_id")),
 
+    "q_pii_scrub" -> ((s, sf) => {
+      // the synthetic corpus carries no PII — plant deterministic
+      // doc_id-derived emails/IPs/SSNs (and phones on every third doc) so
+      // the scrub patterns genuinely fire and the oracle checks them
+      val planted = GraftData.documentsRange(s, sf).select(col("doc_id"),
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@ex.org or 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7 ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" call +1-555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(planted, "doc_id", "text")
+    }),
+
     "q_contamination" -> ((s, sf) => {
       val docs = GraftData.documentsRange(s, sf)
       Dedup.contamination(
@@ -638,6 +652,32 @@ object Queries {
        "SELECT doc_id, CASE WHEN non_ascii > 0 THEN 'zh' " +
        "WHEN score_fr > s2 THEN 'fr' ELSE l2 END AS lang_guess, " +
        "CASE WHEN score_fr > s2 THEN score_fr ELSE s2 END AS lang_score FROM c"),
+
+    // Same planted-PII construction as the Spark side; patterns are
+    // dialect-portable (plain character classes + \b), counts run on the
+    // ORIGINAL text and replacements chain in declaration order.
+    "q_pii_scrub" ->
+      ("WITH planted AS (SELECT doc_id, text || ' reach user' || " +
+       "CAST(doc_id AS VARCHAR) || '@ex.org or 10.0.' || " +
+       "CAST(doc_id % 200 AS VARCHAR) || '.7 ssn 123-45-' || " +
+       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+       "CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-123-4567' ELSE '' END " +
+       "AS text FROM documents) " +
+       "SELECT doc_id, " +
+       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+       "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', '<PHONE>', 'g'), " +
+       "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed_text, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS email_cnt, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS ipv4_cnt, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}')) AS INTEGER) AS phone_cnt, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS ssn_cnt " +
+       "FROM planted"),
 
     "q_token_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS char_len, " +
