@@ -43,7 +43,8 @@ object MaterializedViews {
   private def mvMetaPath(viewPath: String) =
     Paths.get(SnapshotManagement.normalize(viewPath), "_graft_mv.json")
 
-  def create(spark: SparkSession, viewPath: String, sqlText: String): Unit = {
+  def create(spark: SparkSession, viewPath: String, sqlText: String,
+      options: Map[String, String] = Map.empty): Unit = {
     // analyze WITHOUT the rewrite rule: if another registered view contained
     // this query, the rewritten plan would record a dependency on that VIEW
     // instead of the base tables — and this view would then never go stale
@@ -51,7 +52,9 @@ object MaterializedViews {
     val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
     val relations = graftRelationVersions(df)
     RewriteQueryByMaterialView.withoutRewrite {
-      df.write.format("graft").mode("overwrite").save(viewPath)
+      val w = df.write.format("graft").mode("overwrite")
+      options.foreach { case (k, v) => w.option(k, v) }
+      w.save(viewPath)
     }
     val info = MaterialViewInfo(viewPath, sqlText, relations)
     Files.write(mvMetaPath(viewPath),

@@ -70,6 +70,27 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def deleteExpr(condition: String): Unit =
     delete(org.apache.spark.sql.functions.expr(condition))
 
+  /** Delete EVERY row (reference `StarTable.delete()` no-arg form). */
+  def delete(): Unit = delete(org.apache.spark.sql.functions.lit(true))
+
+  /** Unconditional update — every row (reference `StarTable.update(set)`). */
+  def update(set: Map[String, Column]): Unit =
+    update(org.apache.spark.sql.functions.lit(true), set)
+
+  /** Unconditional `updateExpr` (reference `StarTable.updateExpr(set)`). */
+  def updateExpr(set: Map[String, String]): Unit = updateExpr("true", set)
+
+  /** Aliased DataFrame over the table (reference `StarTable.as`). */
+  def as(alias: String): DataFrame = toDF.as(alias)
+
+  def alias(a: String): DataFrame = as(a)
+
+  /** Refresh this table when it backs a registered materialized view and
+    * any base relation advanced (reference
+    * `StarTable.updateMaterialView()`); no-op result `false` when fresh. */
+  def updateMaterialView(): Boolean =
+    graft.mv.MaterializedViews.refresh(spark, path)
+
   /** Merge delta files into deduplicated base files. `mergeOperators`
     * (column -> operator name) materializes operator results into the
     * rewritten files (reference `compaction(mergeOperatorInfo)`). */
@@ -142,4 +163,96 @@ object GraftTable {
 
   def exists(path: String): Boolean =
     SnapshotManagement.exists(SnapshotManagement.normalize(path))
+
+  /** Reference `StarTable.isStarTable` parity. */
+  def isGraftTable(path: String): Boolean = exists(path)
+
+  /** Register a [[graft.merge.GraftMergeOperator]] class under `funName`
+    * (reference `StarTable.registerMergeOperator`): scan options and the
+    * SQL markers `graft_merge_op_<funName>(col)` then resolve it by that
+    * name regardless of the class's own `name`. */
+  def registerMergeOperator(
+      spark: SparkSession, className: String, funName: String): Unit = {
+    val inner = Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[graft.merge.GraftMergeOperator]
+    graft.merge.GraftMergeOperator.register(
+      new graft.merge.GraftMergeOperator {
+        override def name: String = funName
+        override def merge(values: Seq[Any]): Any = inner.merge(values)
+      })
+  }
+
+  /** Create a materialized view over `sqlText` (reference
+    * `StarTable.createMaterialView`); layout options shape the view table
+    * itself (`rangePartitions`/`hashPartitions`+`hashBucketNum` — a PK
+    * layout gives the view shuffle-free serving on its key).
+    * `viewName` registers a catalog short name when non-empty. Refresh is
+    * explicit via [[GraftTable.updateMaterialView]] (the engine's rewrite
+    * rule never serves a stale view, so eager auto-update is a freshness
+    * convenience, not a correctness switch). */
+  def createMaterialView(
+      spark: SparkSession,
+      viewName: String,
+      viewPath: String,
+      sqlText: String,
+      rangePartitions: String = "",
+      hashPartitions: String = "",
+      hashBucketNum: Int = -1): Unit = {
+    val opts = Map.newBuilder[String, String]
+    if (rangePartitions.nonEmpty) opts += "rangePartitions" -> rangePartitions
+    if (hashPartitions.nonEmpty) {
+      opts += "hashPartitions" -> hashPartitions
+      opts += "hashBucketNum" ->
+        (if (hashBucketNum > 0) hashBucketNum else 16).toString
+    }
+    graft.mv.MaterializedViews.create(spark, viewPath, sqlText,
+      opts.result())
+    if (viewName.nonEmpty) registerShortName(spark, viewName, viewPath)
+  }
+
+  /** Catalog-register `name` -> existing graft table at `path` (the
+    * engine's analog of the reference's meta-store short names). */
+  private def registerShortName(
+      spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING graft " +
+      s"LOCATION '${SnapshotManagement.normalize(path)}'")
+
+  /** Fluent table creator (reference `StarTable.create()` builder):
+    * {{{
+    *   GraftTable.create().data(df).path(p)
+    *     .hashPartitions("id").hashBucketNum(4).create()
+    * }}} */
+  def create(): TableCreator = new TableCreator
+
+  class TableCreator private[GraftTable] () {
+    private val options = scala.collection.mutable.HashMap.empty[String, String]
+    private var writeData: DataFrame = _
+    private var tablePath: String = _
+
+    def data(d: DataFrame): TableCreator = { writeData = d; this }
+    def path(p: String): TableCreator = { tablePath = p; this }
+    def rangePartitions(cols: String): TableCreator = {
+      options += "rangePartitions" -> cols; this }
+    def rangePartitions(cols: Seq[String]): TableCreator =
+      rangePartitions(cols.mkString(","))
+    def hashPartitions(cols: String): TableCreator = {
+      options += "hashPartitions" -> cols; this }
+    def hashPartitions(cols: Seq[String]): TableCreator =
+      hashPartitions(cols.mkString(","))
+    def hashBucketNum(n: Int): TableCreator = {
+      options += "hashBucketNum" -> n.toString; this }
+    private var shortName: Option[String] = None
+    def shortTableName(name: String): TableCreator = {
+      shortName = Some(name); this }
+
+    def create(): Unit = {
+      require(writeData != null && tablePath != null,
+        "TableCreator needs both .data(df) and .path(p)")
+      val w = writeData.write.format("graft").mode("overwrite")
+      options.foreach { case (k, v) => w.option(k, v) }
+      w.save(tablePath)
+      shortName.foreach(n =>
+        registerShortName(writeData.sparkSession, n, tablePath))
+    }
+  }
 }

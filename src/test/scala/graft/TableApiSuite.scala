@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** Reference-parity `StarTable` API conveniences on [[GraftTable]]:
+  * no-arg delete, unconditional update, the fluent TableCreator,
+  * registerMergeOperator-with-name, and createMaterialView layout
+  * options. */
+class TableApiSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  test("delete() clears every row; update(set) touches every row") {
+    withTempTable { dir =>
+      Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "n")
+        .write.format("graft").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.update(Map("n" -> (col("n") * 10)))
+      assert(t.toDF.select(sum("n")).as[Long].head() == 60L)
+      t.updateExpr(Map("n" -> "n + 1"))
+      assert(t.toDF.select(sum("n")).as[Long].head() == 63L)
+      t.delete()
+      assert(t.toDF.count() == 0)
+    }
+  }
+
+  test("TableCreator builder creates a PK table with the fluent options") {
+    withTempTable { dir =>
+      GraftTable.create()
+        .data(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+        .path(dir)
+        .hashPartitions("id")
+        .hashBucketNum(2)
+        .create()
+      val t = GraftTable.forPath(spark, dir)
+      assert(t.snapshot.tableInfo.hashColumns == Seq("id"))
+      assert(t.snapshot.tableInfo.bucketNum == 2)
+      // PK layout is live: upsert works
+      t.upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "v"))
+      assert(rowsOf(t.toDF.select("id", "v")) ==
+        Seq(Seq(1L, "A"), Seq(2L, "b"), Seq(3L, "c")))
+    }
+  }
+
+  test("registerMergeOperator registers a class under the given name") {
+    GraftTable.registerMergeOperator(spark,
+      classOf[TestMaxMergeOp].getName, "tapi_max")
+    withTempTable { dir =>
+      Seq((1L, 5)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 3)).toDF("id", "n"))
+      val got = spark.read.format("graft")
+        .option("mergeOperators", "n:tapi_max").load(dir)
+        .select("n").as[Int].head()
+      assert(got == 5, s"max merge op should keep 5, got $got")
+    }
+  }
+
+  test("createMaterialView applies layout options and registers the name") {
+    withTempTable { base => withTempTable { view =>
+      Seq((1L, "us", 10), (2L, "de", 20), (3L, "us", 30))
+        .toDF("id", "country", "amt").write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE tapi_base USING graft LOCATION '$base'")
+      try {
+        GraftTable.createMaterialView(spark, viewName = "",
+          viewPath = view,
+          sqlText = s"SELECT id, country, amt FROM tapi_base WHERE amt > 5",
+          hashPartitions = "id", hashBucketNum = 2)
+        val vt = GraftTable.forPath(spark, view)
+        assert(vt.snapshot.tableInfo.hashColumns == Seq("id"),
+          "MV table must carry the requested PK layout")
+        // stale after a base write; updateMaterialView refreshes
+        Seq((4L, "fr", 40)).toDF("id", "country", "amt")
+          .write.format("graft").mode("append").save(base)
+        assert(vt.updateMaterialView(), "stale view must refresh")
+        assert(GraftTable.forPath(spark, view).toDF.count() == 4)
+      } finally spark.sql("DROP TABLE IF EXISTS tapi_base")
+    } }
+  }
+}
+
+/** Test merge operator: numeric max (exists to exercise registration by
+  * class name under an arbitrary function name). */
+class TestMaxMergeOp extends graft.merge.GraftMergeOperator {
+  override def name: String = "test_max_default_name"
+  override def merge(values: Seq[Any]): Any = {
+    val nn = values.filter(_ != null)
+    if (nn.isEmpty) null else nn.maxBy(_.asInstanceOf[Number].doubleValue())
+  }
+}
