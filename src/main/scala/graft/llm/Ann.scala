@@ -136,10 +136,11 @@ object Ann {
     * exhaustive scan — exactness is never traded away.
     *
     * ADAPTIVE: below `spark.graft.ann.ivf.smallCorpusBytes` (default
-    * 256 MB, judged from plan-time statistics) the two-pass bound
-    * machinery costs more in job orchestration than pruning can save, so
-    * queries probe every cell in one pass instead — FAISS's flat-search
-    * fallback for small indexes. Same exact result, minimal job count.
+    * 256 MB, judged from plan-time statistics) building and probing a
+    * cell index costs more in job orchestration than pruning can save,
+    * so queries score the whole corpus in one flat pass instead —
+    * FAISS's flat-search fallback for small indexes. Same exact result,
+    * minimal job count.
     *
     * The Lloyd step is PURE relational algebra over the already-exploded
     * unit rows: assign (broadcast join + hash-agg + window) → per-(cell,
@@ -171,6 +172,16 @@ object Ann {
     // CacheManager entry to tax later queries' planning
     val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
     val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
+    if (smallCorpus) {
+      // flat probe (nprobe = nlist): one exhaustive scoring pass, no cell
+      // index at all — building centroids/assignments whose output the
+      // flat scoring never reads would spend exactly the jobs this path
+      // exists to avoid. Identical exact result as the pruning path
+      // (suite-asserted row-for-row).
+      val scored = cu.join(broadcast(qu), "dim")
+        .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
+      return topK(scored, k)
+    }
     // nearest centroid by cosine (both sides unit: sum of products IS the
     // cosine); deterministic tie-break on centroid id
     def assign(cents: DataFrame)(unit: DataFrame, id: String, x: String): DataFrame = {
@@ -212,10 +223,8 @@ object Ann {
     }
     // the final centroid plan feeds several broadcast assigns/bounds and is
     // tiny (nCentroids × dims rows) — one small materialization beats
-    // re-running the seed scan (and any refinement passes) per consumer.
-    // In the small-corpus flat path both cents and the assignment have a
-    // single consumer, so stabilizing them would only add jobs.
-    val cents = if (smallCorpus) centUnit else Checkpoints.stabilize(centUnit)
+    // re-running the seed scan (and any refinement passes) per consumer
+    val cents = Checkpoints.stabilize(centUnit)
     val clamp: Column => Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     // (nid, cid, csim): assignment doubles as the radius input — the
@@ -223,19 +232,8 @@ object Ann {
     // (cos r, sin r) so the probe bound below never round-trips through
     // acos/cos (whose error amplifies to ~1e-8 near |csim|≈1 and could
     // wrongly prune a near-tie cell)
-    val cellAssign0 = assign(cents)(cu, "nid", "nx")
-    val cellAssign =
-      if (smallCorpus) cellAssign0 else Checkpoints.stabilize(cellAssign0)
+    val cellAssign = Checkpoints.stabilize(assign(cents)(cu, "nid", "nx"))
     val cellCorpus = cu.join(cellAssign.select("nid", "cid"), "nid")
-    if (smallCorpus) {
-      // flat probe (nprobe = nlist): score every cell in one pass. The
-      // cell-tagged corpus still flows through the scan, but no threshold
-      // passes, radii, or per-cell bound filters are planned — on a corpus
-      // this size they are pure orchestration overhead.
-      val scored = cellCorpus.join(broadcast(qu), "dim")
-        .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
-      return topK(scored, k)
-    }
     val radii = cellAssign.groupBy("cid")
       .agg(clamp(min(col("csim"))).as("cosr"))
       .withColumn("sinr", sqrt(greatest(lit(0.0d),

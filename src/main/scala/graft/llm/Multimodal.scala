@@ -98,7 +98,13 @@ object Multimodal {
       h8 === "47494638" ||                    // GIF8
       substring(h8, 1, 4) === "424D" ||       // BMP  "BM"
       h8.isin("49492A00", "4D4D002A") ||      // TIFF II*\0 / MM\0*
-      h8 === "52494646"                       // RIFF (WEBP et al.)
+      h8 === "52494646" ||                    // RIFF (WEBP et al.)
+      // WBMP (the JDK ships a reader): type byte 0 + fix-header 0. A weak
+      // two-zero-byte signature — some non-image binary payloads will
+      // match and pay one reader probe before falling back, but a real
+      // WBMP must keep decoding for real (routing may cost, never change
+      // values). Text payloads never start with NULs.
+      substring(h8, 1, 4) === "0000"
     val v = conv(substring(md5(payload), 1, 6), 16, 10).cast("long")
     val fallback = struct(
       (pmod(v, lit(1920L)) + 1L).cast("int").as("width"),

@@ -197,9 +197,13 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         if (isNestedKey(key) && !isUpdate)
           fail(s"nested-field assignment in INSERT ($key); INSERT must " +
             "assign whole columns")
-        val head = key.split("\\.").head
-        if (isUpdate && layoutCols.contains(head.toLowerCase))
-          fail(s"cannot UPDATE primary-key/partition column $head")
+        // layout guard target: the whole key when it IS a column (covers
+        // literal-dot column names); the path head when it is a nested
+        // field (layout columns are scalar, so only the head can collide)
+        val guardKey =
+          if (isNestedKey(key)) key.split("\\.").head else key
+        if (isUpdate && layoutCols.contains(guardKey.toLowerCase))
+          fail(s"cannot UPDATE primary-key/partition column $guardKey")
         key -> render(a.value, scope)
       }
       // within one clause: no duplicate targets, and no assignment to both
@@ -337,16 +341,22 @@ case class GraftMergeIntoCommand(
     // key (a PK-violation last-wins would silently swallow). Rows no
     // clause touches don't count, per the standard: extra matches are fine
     // as long as at most one row actually changes the key. The window runs
-    // over the SOURCE-side key expressions, so it can reuse the join's
-    // partitioning; under full-outer, target-only rows have null source
-    // keys and coalesce to their own target PK (equal to the source key on
-    // matched rows by the ON condition) instead of one skewed null
-    // partition.
+    // over the SOURCE-side key expressions (matched rows carry them by the
+    // ON condition); each key coalesces through the fallbacks that cover
+    // the rows whose source key is null: the target PK (target-only rows
+    // under full-outer) and finally the EMITTED image's own PK — so a
+    // NULL-key source row whose INSERT supplies an explicit PK value is
+    // counted against every other emission of that same key instead of
+    // piling into one null partition (or, worse, escaping the count).
+    // Untouched null-key rows stay in the null partition but emit nothing,
+    // so they can never trip the guard.
     val exactPk = (lc: String) => info.hashColumns
       .find(_.equalsIgnoreCase(lc)).getOrElse(lc)
     val keyExprs = srcKeys.map { case (pk, srcExpr) =>
-      if (bySource.isEmpty) expr(srcExpr)
-      else coalesce(expr(srcExpr), col(s"__gt.`${exactPk(pk)}`")) }
+      val tgtFallback =
+        if (bySource.isEmpty) Nil else Seq(col(s"__gt.`${exactPk(pk)}`"))
+      coalesce(expr(srcExpr) +: tgtFallback :+
+        col(s"__gm_pick.`${exactPk(pk)}`"): _*) }
     val dupWindow = Window.partitionBy(keyExprs: _*)
 
     // one struct per clause, first-true-wins; null = no clause applied.
@@ -481,14 +491,10 @@ case class GraftMergeIntoCommand(
     // window partition and misreport as "multiple source rows".
     val pkNull = info.hashColumns.map(c => col(s"__gm_pick.`$c`").isNull)
       .reduce(_ || _)
-    // rows with a NULL source-key component are excluded from the count:
-    // they are distinct non-matches sharing the one null window partition,
-    // and counting them would flag independent NULL-key inserts as
-    // duplicates (an insert that still emits a NULL key hits pkNull above;
-    // one that supplies full PK values is a legitimate standalone insert)
-    val srcKeyNull = srcKeys.map { case (_, s) => expr(s).isNull }
-      .reduce(_ || _)
-    val emitCnt = sum(when(col("__gm_pick").isNotNull && !srcKeyNull, lit(1L))
+    // every emitted row counts: the window keys coalesce down to the
+    // emitted image's PK, so NULL-source-key inserts supplying explicit
+    // PK values land in that key's partition and duplicate against it
+    val emitCnt = sum(when(col("__gm_pick").isNotNull, lit(1L))
       .otherwise(lit(0L))).over(dupWindow)
     val guarded = when(col("__gm_pick").isNotNull && pkNull, raise_error(lit(
         "MERGE INTO: an emitted row has a NULL primary-key value — INSERT " +

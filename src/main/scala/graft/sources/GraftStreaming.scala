@@ -256,9 +256,13 @@ class GraftMicroBatchStream(
         adds
       } else if (REWRITE_TYPES.contains(commitType)) {
         Nil
-      } else if (adds.isEmpty && ignoreDeletes) {
-        // partition-scoped metadata-only DELETE: whole files removed,
-        // nothing rewritten — append-only consumers opted in to skip it
+      } else if (commitType == "delete" && adds.isEmpty && ignoreDeletes) {
+        // partition-scoped metadata-only DELETE (incl. drop partition):
+        // whole files removed, nothing rewritten — append-only consumers
+        // opted in to skip it. Restricted to 'delete' commits: a
+        // removes-only RESTORE also has no adds but REVERTS live values
+        // (e.g. dropping a delta file resurrects a key's older image) and
+        // must still fail the stream.
         Nil
       } else if (deletesKeys && !ignoreChanges) {
         throw new UnsupportedOperationException(

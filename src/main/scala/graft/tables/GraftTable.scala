@@ -211,11 +211,15 @@ object GraftTable {
   }
 
   /** Catalog-register `name` -> existing graft table at `path` (the
-    * engine's analog of the reference's meta-store short names). */
+    * engine's analog of the reference's meta-store short names).
+    * Identifier and location are escaped — a quote in a POSIX path or a
+    * backtick in a name must not break (or rewrite) the statement. */
   private def registerShortName(
-      spark: SparkSession, name: String, path: String): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING graft " +
-      s"LOCATION '${SnapshotManagement.normalize(path)}'")
+      spark: SparkSession, name: String, path: String): Unit = {
+    val n = name.replace("`", "``")
+    val p = SnapshotManagement.normalize(path).replace("'", "''")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$n` USING graft LOCATION '$p'")
+  }
 
   /** Fluent table creator (reference `StarTable.create()` builder):
     * {{{

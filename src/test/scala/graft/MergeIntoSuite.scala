@@ -486,4 +486,33 @@ class MergeIntoSuite extends GraftFunSuite {
         s"NULL keys must not misreport as duplicates: ${msgs(e)}")
     }
   }
+
+  test("two NULL-key source rows inserting the SAME explicit PK still " +
+      "trip the duplicate guard (no silent last-wins)") {
+    withTempTable { dir =>
+      mkPk(dir)
+      Seq((Option.empty[Long], "p"), (Option.empty[Long], "q"))
+        .toDF("id", "v").createOrReplaceTempView("srcnull2")
+      val e = intercept[Exception] {
+        // both unmatched rows supply the SAME literal key 42
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcnull2 s
+          ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (42, s.v, 0)""")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("multiple source rows")),
+        s"duplicate explicit-PK inserts must fail loudly: ${msgs(e)}")
+
+      // distinct explicit PKs from NULL-key rows are fine
+      Seq((Option.empty[Long], 101L, "p"), (Option.empty[Long], 102L, "q"))
+        .toDF("id", "newid", "v").createOrReplaceTempView("srcnull3")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcnull3 s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.newid, s.v, 0)""")
+      val got = spark.read.format("graft").load(dir)
+        .select("id").as[Long].collect().toSet
+      assert(got.contains(101L) && got.contains(102L),
+        s"distinct explicit-PK inserts from NULL-key rows must land: $got")
+    }
+  }
 }

@@ -193,6 +193,27 @@ class StreamingSourceSuite extends GraftFunSuite {
     }
   }
 
+  test("ignoreDeletes does NOT swallow a removes-only RESTORE") {
+    withTempTable { dir =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, 2)).toDF("id", "v")) // v1: delta
+      val q = startToMemory(dir, "gss_igres", Map("ignoreDeletes" -> "true"))
+      try {
+        q.processAllAvailable()
+        // RESTORE to v0: removes the delta file, adds nothing — it REVERTS
+        // key 1 to its old value and must fail the stream, not skip
+        t.restore(0L)
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def messages(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+        assert(messages(e).exists(_.contains("ignoreChanges")),
+          s"restore must fail under ignoreDeletes: ${messages(e)}")
+      } finally q.stop()
+    }
+  }
+
   test("range-partitioned table streams partition column values") {
     withTempTable { dir =>
       Seq((1L, "us", 1), (2L, "de", 2)).toDF("id", "country", "v")
