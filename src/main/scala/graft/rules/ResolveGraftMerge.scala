@@ -341,22 +341,23 @@ case class GraftMergeIntoCommand(
     // key (a PK-violation last-wins would silently swallow). Rows no
     // clause touches don't count, per the standard: extra matches are fine
     // as long as at most one row actually changes the key. The window runs
-    // over the SOURCE-side key expressions (matched rows carry them by the
-    // ON condition); each key coalesces through the fallbacks that cover
-    // the rows whose source key is null: the target PK (target-only rows
-    // under full-outer) and finally the EMITTED image's own PK — so a
-    // NULL-key source row whose INSERT supplies an explicit PK value is
-    // counted against every other emission of that same key instead of
-    // piling into one null partition (or, worse, escaping the count).
-    // Untouched null-key rows stay in the null partition but emit nothing,
-    // so they can never trip the guard.
+    // over the EMITTED image's own PK first: UPDATE of a PK column is
+    // rejected at analysis, so for matched/by-source emissions the emitted
+    // PK IS the matched target key, and for INSERT emissions it is the key
+    // the row will actually land under — two unmatched source rows with
+    // DIFFERENT source keys whose INSERT clauses supply the SAME explicit
+    // PK value therefore collide in one partition and fail loudly instead
+    // of committing a silent last-wins pair. Rows that emit nothing have a
+    // null image and fall back to the source key expression (and, under
+    // full-outer, the target PK); they contribute 0 to the count, so their
+    // partition assignment is immaterial.
     val exactPk = (lc: String) => info.hashColumns
       .find(_.equalsIgnoreCase(lc)).getOrElse(lc)
     val keyExprs = srcKeys.map { case (pk, srcExpr) =>
       val tgtFallback =
         if (bySource.isEmpty) Nil else Seq(col(s"__gt.`${exactPk(pk)}`"))
-      coalesce(expr(srcExpr) +: tgtFallback :+
-        col(s"__gm_pick.`${exactPk(pk)}`"): _*) }
+      coalesce(col(s"__gm_pick.`${exactPk(pk)}`") +: expr(srcExpr) +:
+        tgtFallback: _*) }
     val dupWindow = Window.partitionBy(keyExprs: _*)
 
     // one struct per clause, first-true-wins; null = no clause applied.
@@ -491,9 +492,9 @@ case class GraftMergeIntoCommand(
     // window partition and misreport as "multiple source rows".
     val pkNull = info.hashColumns.map(c => col(s"__gm_pick.`$c`").isNull)
       .reduce(_ || _)
-    // every emitted row counts: the window keys coalesce down to the
-    // emitted image's PK, so NULL-source-key inserts supplying explicit
-    // PK values land in that key's partition and duplicate against it
+    // every emitted row counts: the window keys lead with the emitted
+    // image's PK, so any two emissions of the same final key — whatever
+    // their source keys were — land in one partition and duplicate
     val emitCnt = sum(when(col("__gm_pick").isNotNull, lit(1L))
       .otherwise(lit(0L))).over(dupWindow)
     val guarded = when(col("__gm_pick").isNotNull && pkNull, raise_error(lit(

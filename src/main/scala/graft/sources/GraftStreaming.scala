@@ -322,12 +322,19 @@ class GraftMicroBatchStream(
   protected def checkNullFill(files: Seq[DataFileInfo]): Unit = {
     val required = dataCols.fields.filterNot(_.nullable).map(_.name)
     if (required.isEmpty) return
+    val keyLower = (tableInfo.rangeColumns ++ tableInfo.hashColumns)
+      .map(_.toLowerCase).toSet
     files.foreach { f =>
-      // marker-bearing files are exempt: their non-marker rows always carry
-      // full columns (MERGE emits complete rows), and a marker-ONLY delete
-      // file (keys + marker, omitting value columns) has zero surviving
-      // rows after the delete-marker filter — nothing null-fills.
-      if (f.fileExistCols.nonEmpty && !graft.meta.Tombstones.fileHas(f)) {
+      // the only exempt shape is a marker-ONLY delete file (keys + marker,
+      // omitting value columns): it has zero surviving rows after the
+      // delete-marker filter, so nothing null-fills. A marker-BEARING file
+      // that also carries value columns (a CDC-style upsert mixing delete
+      // and update images) can have surviving rows, so a missing NOT NULL
+      // column there is the same codegen-garbage hazard as anywhere else.
+      val markerOnlyDelete = graft.meta.Tombstones.fileHas(f) &&
+        f.fileExistCols.forall(c => keyLower.contains(c.toLowerCase) ||
+          c.equalsIgnoreCase(graft.meta.Tombstones.COL))
+      if (f.fileExistCols.nonEmpty && !markerOnlyDelete) {
         val lower = f.fileExistCols.map(_.toLowerCase).toSet
         required.find(r => !lower.contains(r.toLowerCase)).foreach { col =>
           throw new IllegalStateException(
@@ -411,6 +418,10 @@ class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // async-I/O choice (GraftScanBuilder.ASYNC_IO_CONF) applies to the
+    // streaming read functions the same as to the batch scans
+    def ioConf = castToImpl(spark).sessionState
+      .newHadoopConfWithOptions(GraftScanBuilder.asyncIoOptions(spark))
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
@@ -419,26 +430,30 @@ class GraftMicroBatchStream(
       filters = Nil,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
+      hadoopConf = ioConf)
     val pkFactory =
       if (tableInfo.hasPrimaryKey) Some(pkScanFor(Nil).createReaderFactory())
       else None
     // deletion-vector support for files the initial snapshot carries: a
     // second read func requests Spark's row-index temp column so the
-    // reader can drop masked rows (same machinery as the batch DvScan)
+    // reader can drop masked rows (same machinery as the batch DvScan).
+    // DVs exist only on non-PK tables, so PK streams skip the build (each
+    // buildReaderWithPartitionValues broadcasts a serialized hadoop conf —
+    // not free per micro-batch).
     val idxField = org.apache.spark.sql.types.StructField(
       org.apache.spark.sql.graft.SparkShims.rowIndexColumnName,
       org.apache.spark.sql.types.LongType, nullable = true)
     val dvCols = StructType(GraftPkScan.asNullable(dataCols).fields :+ idxField)
-    val dvReadFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark,
-      dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
-      partitionSchema = partSchema,
-      requiredSchema = dvCols,
-      filters = Nil,
-      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
+    val dvReadFunc = if (tableInfo.hasPrimaryKey) null else
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark,
+        dataSchema = GraftPkScan.asNullable(tableInfo.dataSchema),
+        partitionSchema = partSchema,
+        requiredSchema = dvCols,
+        filters = Nil,
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = ioConf)
     val dvSupport = GraftStreamDvSupport(
       tablePath,
       new org.apache.spark.util.SerializableConfiguration(
@@ -448,21 +463,23 @@ class GraftMicroBatchStream(
     // tombstone-marker support: marker-bearing files (re-emitted only under
     // ignoreChanges) read with the marker column appended so the reader can
     // withhold delete-marker rows and strip the column back out. Mutually
-    // exclusive with DVs (markers are PK-only, DVs non-PK-only).
+    // exclusive with DVs (markers are PK-only, DVs non-PK-only) — non-PK
+    // streams never see marker files, so they skip this build.
     val tombField = org.apache.spark.sql.types.StructField(
       graft.meta.Tombstones.COL, org.apache.spark.sql.types.BooleanType,
       nullable = true)
     val tsCols = StructType(GraftPkScan.asNullable(dataCols).fields :+ tombField)
-    val tsReadFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark,
-      dataSchema = StructType(
-        GraftPkScan.asNullable(tableInfo.dataSchema).fields :+ tombField),
-      partitionSchema = partSchema,
-      requiredSchema = tsCols,
-      filters = Nil,
-      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = castToImpl(spark).sessionState.newHadoopConfWithOptions(Map.empty))
+    val tsReadFunc = if (!tableInfo.hasPrimaryKey) null else
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark,
+        dataSchema = StructType(
+          GraftPkScan.asNullable(tableInfo.dataSchema).fields :+ tombField),
+        partitionSchema = partSchema,
+        requiredSchema = tsCols,
+        filters = Nil,
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = ioConf)
     val tsSupport = GraftStreamTombstoneSupport(
       tombOrd = dataCols.length,
       rowTypes = (tsCols.fields ++ partSchema.fields).map(_.dataType))

@@ -105,7 +105,7 @@ object ChangeFeed {
         flushRun()
       } else {
         flushRun()
-        changesAt(spark, path, v).foreach(frames += _)
+        changesAt(spark, path, v, entries).foreach(frames += _)
       }
     }
     flushRun()
@@ -175,9 +175,13 @@ object ChangeFeed {
       .withColumn(COMMIT_VERSION, lit(v))
       .withColumn(COMMIT_TIMESTAMP, timestamp_millis(lit(tsMillis)))
 
-  private def changesAt(spark: SparkSession, path: String, v: Long): Option[DataFrame] = {
+  /** `entries` are the version's pre-read log entries — the window loop
+    * already holds them, so a rewrite-heavy window pays ONE metadata read
+    * per version, not two. */
+  private def changesAt(
+      spark: SparkSession, path: String, v: Long,
+      entries: Seq[graft.meta.LogEntry]): Option[DataFrame] = {
     val store = SnapshotManagement.store
-    val entries = store.read(path, v)
     val info = entries.flatMap(_.commit).headOption
     val commitType = info.map(_.commitType).getOrElse("append")
     val ts = info.map(_.timestamp).getOrElse(0L)

@@ -201,9 +201,14 @@ object GraftTable {
     val opts = Map.newBuilder[String, String]
     if (rangePartitions.nonEmpty) opts += "rangePartitions" -> rangePartitions
     if (hashPartitions.nonEmpty) {
+      // same contract as the write path (WriteIntoTable.tableInfoFromOptions):
+      // a hash layout without an explicit positive bucket count is an error,
+      // not a silent default — the layout is immutable once created
+      require(hashBucketNum > 0,
+        s"createMaterialView: hashPartitions='$hashPartitions' needs an " +
+        "explicit hashBucketNum > 0")
       opts += "hashPartitions" -> hashPartitions
-      opts += "hashBucketNum" ->
-        (if (hashBucketNum > 0) hashBucketNum else 16).toString
+      opts += "hashBucketNum" -> hashBucketNum.toString
     }
     graft.mv.MaterializedViews.create(spark, viewPath, sqlText,
       opts.result())
@@ -252,7 +257,10 @@ object GraftTable {
     def create(): Unit = {
       require(writeData != null && tablePath != null,
         "TableCreator needs both .data(df) and .path(p)")
-      val w = writeData.write.format("graft").mode("overwrite")
+      // a CREATE builder must not destroy an existing table: ErrorIfExists
+      // fails loudly when the path already holds one (use the DataFrame
+      // writer with mode("overwrite") directly for replace semantics)
+      val w = writeData.write.format("graft").mode("errorifexists")
       options.foreach { case (k, v) => w.option(k, v) }
       w.save(tablePath)
       shortName.foreach(n =>

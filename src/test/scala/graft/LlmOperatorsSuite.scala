@@ -211,6 +211,39 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"flat and bound-pruned probe must agree row-for-row")
   }
 
+  test("zero-norm vectors are excluded identically on every ANN path") {
+    // cosine is undefined for the all-zero vector: it must neither return
+    // results as a query nor appear as a neighbor — on brute, LSH, and
+    // both IVF probe strategies alike (null sims would otherwise surface
+    // probe-strategy-dependent candidate sets)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong,
+        if (i == 1 || i == 20) Array.fill(16)(0.0f)
+        else Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3) // query 1 is the zero vector
+    def collectOf(got: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      got.select("qid", "rank", "nid").as[(Long, Int, Long)]
+        .collect().toSeq.sorted
+    val brute = collectOf(Ann.bruteTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val flat = collectOf(Ann.ivfTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nCentroids = 4))
+    spark.conf.set("spark.graft.ann.ivf.smallCorpusBytes", "0")
+    val pruned = try collectOf(Ann.ivfTopK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nCentroids = 4))
+      finally spark.conf.unset("spark.graft.ann.ivf.smallCorpusBytes")
+    val lsh = collectOf(Ann.lshTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numPlanes = 2, dims = 16))
+    assert(brute.forall(r => r._1 != 1L && r._3 != 20L),
+      s"zero-norm vectors must not appear as query or neighbor: $brute")
+    assert(flat == brute, "IVF flat must equal brute with zero vectors present")
+    assert(pruned == brute, "IVF pruned must equal brute with zero vectors present")
+    assert(lsh.forall(r => r._1 != 1L && r._3 != 20L),
+      s"LSH must exclude zero-norm vectors too: $lsh")
+  }
+
   test("IVF is exact even when seeds land in one cluster") {
     // four tight, mutually-orthogonal clusters; ids ordered so the
     // first-N-by-id SEEDS all fall into cluster 0 — the worst case for

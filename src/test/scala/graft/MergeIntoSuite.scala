@@ -515,4 +515,42 @@ class MergeIntoSuite extends GraftFunSuite {
         s"distinct explicit-PK inserts from NULL-key rows must land: $got")
     }
   }
+
+  test("two NON-null distinct source keys inserting the SAME explicit PK " +
+      "trip the duplicate guard (window keys lead with the emitted PK)") {
+    withTempTable { dir =>
+      mkPk(dir)
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      // source keys 5 and 6 (non-null, unmatched) both insert literal 42:
+      // partitioning the guard by the SOURCE key would count each once
+      Seq((5L, "p"), (6L, "q")).toDF("id", "v")
+        .createOrReplaceTempView("srcdup_nn")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcdup_nn s
+          ON t.id = s.id
+          WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (42, s.v, 0)""")
+      }
+      assert(msgs(e).exists(_.contains("multiple source rows")),
+        s"explicit-PK collision from distinct source keys must fail: ${msgs(e)}")
+
+      // a matched UPDATE of key 1 plus an unmatched INSERT supplying
+      // literal 1 is the same final-key collision
+      Seq((1L, "upd"), (7L, "ins")).toDF("id", "v")
+        .createOrReplaceTempView("srcdup_mix")
+      val e2 = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcdup_mix s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (1, s.v, 0)""")
+      }
+      assert(msgs(e2).exists(_.contains("multiple source rows")),
+        s"update+insert of one final key must fail: ${msgs(e2)}")
+
+      // table unchanged by the failed merges
+      val got = spark.read.format("graft").load(dir)
+        .select("id").as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 3L), s"failed merges must not commit: $got")
+    }
+  }
 }

@@ -79,6 +79,38 @@ class TableApiSuite extends GraftFunSuite {
       } finally spark.sql("DROP TABLE IF EXISTS tapi_base")
     } }
   }
+
+  test("TableCreator refuses to clobber an existing table (ErrorIfExists)") {
+    withTempTable { dir =>
+      Seq((1L, "keep")).toDF("id", "v").write.format("graft").save(dir)
+      val e = intercept[Exception] {
+        GraftTable.create().data(Seq((9L, "new")).toDF("id", "v"))
+          .path(dir).create()
+      }
+      assert(e.getMessage.contains("already exists"),
+        s"create() over an existing table must error: ${e.getMessage}")
+      // the existing table's data survives the failed create
+      val got = spark.read.format("graft").load(dir)
+        .select("v").as[String].collect().toSeq
+      assert(got == Seq("keep"), s"existing data must be untouched: $got")
+    }
+  }
+
+  test("createMaterialView rejects hashPartitions without a bucket count") {
+    withTempTable { base => withTempTable { view =>
+      Seq((1L, 10)).toDF("id", "amt").write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE tapi_base2 USING graft LOCATION '$base'")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          GraftTable.createMaterialView(spark, viewName = "", viewPath = view,
+            sqlText = "SELECT id, amt FROM tapi_base2",
+            hashPartitions = "id") // hashBucketNum left at -1
+        }
+        assert(e.getMessage.contains("hashBucketNum"),
+          s"missing bucket count must be an explicit error: ${e.getMessage}")
+      } finally spark.sql("DROP TABLE IF EXISTS tapi_base2")
+    } }
+  }
 }
 
 /** Test merge operator: numeric max (exists to exercise registration by
