@@ -74,17 +74,18 @@ object Ann {
       else Nil)
     val keyed = per.select(keyedCols: _*)
     // zero-norm guard: cosine is UNDEFINED for an all-zero vector, so such
-    // vectors are excluded outright (nullified norm -> null components ->
-    // filtered; ANSI mode would otherwise throw DIVIDE_BY_ZERO). Dropping
-    // them here — rather than letting null sims rank last — keeps every
-    // algorithm consistent: a zero-norm query returns no rows and a
-    // zero-norm corpus vector is never a neighbor, identically under
-    // brute, LSH, IVF-flat and IVF-pruned (null sims would otherwise
-    // surface arbitrary candidate sets that differ per probe strategy).
-    val safeN = when(col("n") =!= 0.0d, col("n"))
-    val outCols = Seq(col(idAs), col("dim"), (col("x") / safeN).as(xAs)) ++
+    // vectors are excluded outright (ANSI mode would otherwise throw
+    // DIVIDE_BY_ZERO on the normalization). The filter runs on the per-ID
+    // aggregate — one row per vector, before the fan-out join — so it
+    // costs nothing per component. Dropping zero vectors — rather than
+    // letting null sims rank last — keeps every algorithm consistent: a
+    // zero-norm query returns no rows and a zero-norm corpus vector is
+    // never a neighbor, identically under brute, LSH, IVF-flat and
+    // IVF-pruned (null sims would otherwise surface arbitrary candidate
+    // sets that differ per probe strategy).
+    val outCols = Seq(col(idAs), col("dim"), (col("x") / col("n")).as(xAs)) ++
       (if (numPlanes > 0) Seq(col("bucket")) else Nil)
-    expl.join(keyed, idAs).select(outCols: _*).filter(col(xAs).isNotNull)
+    expl.join(keyed.filter(col("n") =!= 0.0d), idAs).select(outCols: _*)
   }
 
   /** Per-query top-k of `scored(qid, nid, sim)`; ties break by id. */
