@@ -126,8 +126,8 @@ object Ann {
   /** IVF-style ANN: a deterministic sample of the corpus seeds the coarse
     * centroids, optionally refined by Lloyd (k-means) iterations — set
     * `spark.graft.ann.ivf.kmeansIters` (0 = plain first-N seeding; unset =
-    * AUTO, refining only corpora big enough for tighter radii to pay for
-    * the extra passes). Every vector is assigned to its nearest centroid
+    * one iteration; small corpora take the flat path below and never run
+    * Lloyd at all). Every vector is assigned to its nearest centroid
     * by cosine. Same output shape as `bruteTopK`.
     *
     * EXACT, not approximate: each query first scores its nearest cell
@@ -173,22 +173,25 @@ object Ann {
     val smallCorpus = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(corpus).queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(smallBytes)
-    // corpus unit rows feed three consumers (centroid set, assignment,
-    // scoring) — an eager localCheckpoint runs the explode+norm pipeline
-    // once, truncates lineage (small downstream plans), and leaves no
-    // CacheManager entry to tax later queries' planning
-    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
     val qu = unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
     if (smallCorpus) {
       // flat probe (nprobe = nlist): one exhaustive scoring pass, no cell
       // index at all — building centroids/assignments whose output the
       // flat scoring never reads would spend exactly the jobs this path
       // exists to avoid. Identical exact result as the pruning path
-      // (suite-asserted row-for-row).
-      val scored = cu.join(broadcast(qu), "dim")
+      // (suite-asserted row-for-row). The unit rows are NOT stabilized
+      // here: this path has exactly one consumer, so an eager
+      // materialization job would be pure overhead.
+      val flat = unitRows(corpus, idCol, vecCol, "nid", "nx")
+      val scored = flat.join(broadcast(qu), "dim")
         .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim"))
       return topK(scored, k)
     }
+    // corpus unit rows feed three consumers (centroid set, assignment,
+    // scoring) — an eager localCheckpoint runs the explode+norm pipeline
+    // once, truncates lineage (small downstream plans), and leaves no
+    // CacheManager entry to tax later queries' planning
+    val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
     // nearest centroid by cosine (both sides unit: sum of products IS the
     // cosine); deterministic tie-break on centroid id
     def assign(cents: DataFrame)(unit: DataFrame, id: String, x: String): DataFrame = {
@@ -209,14 +212,13 @@ object Ann {
     // Lloyd refinement: mean of each cell's members per dimension,
     // re-normalized to the unit sphere (spherical k-means step). Empty
     // cells simply drop out — their members reassign to surviving cells.
-    // Default is AUTO: refinement tightens cell radii so the angular bound
-    // prunes more cells, which pays only when the corpus is big enough
-    // that pruned work exceeds the refinement's own extra passes. Below
-    // the size threshold (plan-time statistics — no job) Lloyd is skipped;
-    // exactness never depends on centroid quality, only probe cost does.
+    // Only reached for large corpora (the small-corpus flat path returned
+    // above), where refinement tightens cell radii so the angular bound
+    // prunes more cells; one iteration by default, tunable via conf.
+    // Exactness never depends on centroid quality, only probe cost does.
     val iters = corpus.sparkSession.conf
       .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt)
-      .getOrElse(if (smallCorpus) 0 else 1)
+      .getOrElse(1)
     val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
       val members = cu.join(
         assign(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")

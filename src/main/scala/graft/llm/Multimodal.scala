@@ -88,11 +88,29 @@ object Multimodal {
     * per-row lazily, so the UDF truly runs only on candidate rows. The
     * fallback arithmetic is identical to [[fallbackMeta]] (and to what a
     * magic-matching-but-corrupt payload gets from the UDF's own fallback),
-    * so routing never changes values. */
+    * so routing never changes values.
+    *
+    * The built-in signature list matches the STOCK JDK's codecs. A cluster
+    * carrying service-loaded ImageIO plugins (e.g. PSD/PCX readers) must
+    * widen the routing to match, or those payloads get the fake fallback
+    * instead of their plugin decode: list extra uppercase hex magic
+    * prefixes in `spark.graft.multimodal.extraMagicPrefixes` (comma-
+    * separated, e.g. "38425053" for PSD), or set
+    * `spark.graft.multimodal.prefilter=false` to probe every payload (the
+    * pre-prefilter behavior — plugin-complete, slower on text corpora). */
   def decodeImage(payload: Column): Column = {
     val u = udf((b: Array[Byte]) => decodeMeta(b))
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    if (conf.getOption("spark.graft.multimodal.prefilter").contains("false"))
+      return when(payload.isNull, lit(null).cast(metaType))
+        .otherwise(u(payload))
+    val extras = conf
+      .getOption("spark.graft.multimodal.extraMagicPrefixes").toSeq
+      .flatMap(_.split(",")).map(_.trim.toUpperCase).filter(_.nonEmpty)
     val h8 = hex(substring(payload, 1, 4))
-    val looksImage =
+    val extraMatch = extras.map(p =>
+      substring(h8, 1, p.length) === p: Column)
+    val looksImage = (extraMatch :+ (
       h8 === "89504E47" ||                    // PNG  \x89PNG
       substring(h8, 1, 6) === "FFD8FF" ||     // JPEG
       h8 === "47494638" ||                    // GIF8
@@ -104,7 +122,7 @@ object Multimodal {
       // match and pay one reader probe before falling back, but a real
       // WBMP must keep decoding for real (routing may cost, never change
       // values). Text payloads never start with NULs.
-      substring(h8, 1, 4) === "0000"
+      substring(h8, 1, 4) === "0000")).reduce(_ || _)
     val v = conv(substring(md5(payload), 1, 6), 16, 10).cast("long")
     val fallback = struct(
       (pmod(v, lit(1920L)) + 1L).cast("int").as("width"),

@@ -51,6 +51,9 @@ object MaterializedViews {
     // when the base advances (silent stale serving)
     val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
     val relations = graftRelationVersions(df)
+    options.get("hashPartitions").foreach(hp =>
+      assertKeyUnique(df, hp.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        s"createMaterialView($viewPath)"))
     RewriteQueryByMaterialView.withoutRewrite {
       val w = df.write.format("graft").mode("overwrite")
       options.foreach { case (k, v) => w.option(k, v) }
@@ -72,6 +75,12 @@ object MaterializedViews {
           spark.sql(info.sqlText)
         }
         val relations = graftRelationVersions(df)
+        // the overwrite inherits the existing view table's layout, so a
+        // PK-layout view re-checks key uniqueness on every rebuild — the
+        // base tables may have grown duplicates since create
+        SnapshotManagement.snapshotOpt(SnapshotManagement.normalize(viewPath))
+          .map(_.tableInfo).filter(_.hasPrimaryKey).foreach(ti =>
+            assertKeyUnique(df, ti.hashColumns, s"refresh($viewPath)"))
         RewriteQueryByMaterialView.withoutRewrite {
           df.write.format("graft").mode("overwrite").save(viewPath)
         }
@@ -82,6 +91,28 @@ object MaterializedViews {
         true
       case _ => false
     }
+  }
+
+  /** A PK-layout view table deduplicates its key at read (merge-on-read
+    * last-wins) — if the view SQL yields multiple rows per hash key, the
+    * view would silently LOSE rows and the rewrite rule would then serve
+    * wrong results for contained queries. One extra aggregate pass over
+    * the view query at create/refresh (rare, write-time) buys the loud
+    * failure. */
+  private def assertKeyUnique(
+      df: DataFrame, keys: Seq[String], ctx: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = df
+      .groupBy(keys.map(k => col(s"`${k.replace("`", "``")}`")): _*)
+      .agg(count(lit(1)).as("__gmv_cnt"))
+      .filter(col("__gmv_cnt") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"$ctx: the view query returns multiple rows for hash key " +
+      s"(${keys.mkString(", ")}) = " +
+      s"(${dup.head.toSeq.dropRight(1).mkString(", ")}); a hash-partitioned " +
+      "view keeps ONE row per key (last-wins), so serving it would " +
+      "silently drop rows — aggregate the view query on its key or drop " +
+      "the hashPartitions layout")
   }
 
   def isStale(info: MaterialViewInfo): Boolean =

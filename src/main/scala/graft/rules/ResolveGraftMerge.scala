@@ -332,7 +332,8 @@ case class GraftMergeIntoCommand(
     val joinType = if (bySource.nonEmpty) "full_outer" else "left_outer"
     val joined = src.join(tgt, expr(onSql), joinType)
     val srcPresent = col("__gs.__gm_src").isNotNull
-    val tgtPresent = col(s"__gt.${info.hashColumns.head}").isNotNull
+    val tgtPresent =
+      col(s"__gt.`${info.hashColumns.head.replace("`", "``")}`").isNotNull
     val isMatched = srcPresent && tgtPresent
 
     // Multiple-row guard: >1 EMITTED row per key is an error — two matched
@@ -415,6 +416,11 @@ case class GraftMergeIntoCommand(
     def withMarker(fields: Seq[Column], marker: Column): Seq[Column] =
       if (hasDelete) fields :+ marker.cast(boolType).as(graft.meta.Tombstones.COL)
       else fields
+    // old-value reference into the target side, backtick-escaped: a column
+    // literally named `a.b` (or carrying a backtick) must resolve as ONE
+    // column of __gt, not as field b of column a
+    def tgtCol(name: String): Column =
+      col(s"__gt.`${name.replace("`", "``")}`")
     // navigate a struct type along a (case-insensitive) nested path — the
     // analysis rule proved the path resolves, so the navigation succeeds
     def nestedType(dt: org.apache.spark.sql.types.DataType,
@@ -441,7 +447,7 @@ case class GraftMergeIntoCommand(
         }
         whole.orElse {
           if (nested.isEmpty) None
-          else Some(nested.foldLeft(col(s"__gt.${f.name}")) {
+          else Some(nested.foldLeft(tgtCol(f.name)) {
             case (c, (rest, v)) =>
               val cast = nestedType(f.dataType, rest)
                 .map(expr(v).cast).getOrElse(expr(v))
@@ -449,14 +455,14 @@ case class GraftMergeIntoCommand(
           })
         }.getOrElse(
           if (forUpdate && targetLower.contains(f.name.toLowerCase))
-            col(s"__gt.${f.name}")
+            tgtCol(f.name)
           else lit(null).cast(f.dataType)
         ).as(f.name)
       }, lit(null)): _*)
     // a delete image is the target key plus the marker — nothing else
     def deleteImage: Column =
       struct(withMarker(allFields.map { f =>
-        (if (keySet.contains(f.name.toLowerCase)) col(s"__gt.${f.name}")
+        (if (keySet.contains(f.name.toLowerCase)) tgtCol(f.name)
          else lit(null).cast(f.dataType)).as(f.name)
       }, lit(true)): _*)
     def render(group: Seq[MergeClause], applies: Column): Seq[(Column, Column)] =

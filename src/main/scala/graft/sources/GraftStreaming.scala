@@ -271,8 +271,13 @@ class GraftMicroBatchStream(
           "row-level deletes, restart from a fresh checkpoint, or set " +
           ".option(\"ignoreChanges\", \"true\") to skip such commits")
       } else if (!ignoreChanges) {
+        // only suggest ignoreDeletes when it would actually apply — the
+        // skip path above is restricted to adds-empty 'delete' commits, so
+        // hinting it for an adds-empty RESTORE would send the user through
+        // a restart into the exact same failure
         val deleteHint =
-          if (adds.isEmpty) " For partition-scoped metadata-only deletes, " +
+          if (commitType == "delete" && adds.isEmpty)
+            " For partition-scoped metadata-only deletes, " +
             ".option(\"ignoreDeletes\", \"true\") skips just those commits."
           else ""
         throw new UnsupportedOperationException(

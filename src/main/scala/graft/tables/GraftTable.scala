@@ -222,7 +222,20 @@ object GraftTable {
   private def registerShortName(
       spark: SparkSession, name: String, path: String): Unit = {
     val n = name.replace("`", "``")
-    val p = SnapshotManagement.normalize(path).replace("'", "''")
+    val norm = SnapshotManagement.normalize(path)
+    // IF NOT EXISTS alone would silently no-op when the name is already
+    // bound elsewhere — the caller would then read the OLD table under the
+    // new name with no indication. Re-registering the same path stays an
+    // idempotent no-op; a conflicting binding fails loudly.
+    if (spark.catalog.tableExists(s"`$n`")) {
+      val existing = scala.util.Try(forName(spark, s"`$n`").path).toOption
+      if (existing.contains(norm)) return
+      throw new IllegalStateException(
+        s"catalog name $name is already bound to " +
+        s"${existing.getOrElse("a non-graft table")}, not $norm; drop it " +
+        "first or pick another name")
+    }
+    val p = norm.replace("'", "''")
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$n` USING graft LOCATION '$p'")
   }
 

@@ -391,6 +391,40 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(nullRow.isNullAt(0), "null payload must decode to null")
   }
 
+  test("decode routing confs: prefilter=false probes everything; " +
+      "extraMagicPrefixes widens the candidate set") {
+    // a payload with a signature the built-in list does NOT carry (PSD
+    // magic 8BPS) — stands in for a third-party-plugin format
+    val psdish = "8BPSrest-of-payload".getBytes("UTF-8")
+    val df = Seq((1L, psdish)).toDF("doc_id", "payload")
+    def decode() = df.withColumn("image",
+        Multimodal.decodeImage(col("payload"))).select("image.*")
+      .collect().head
+    // default: routed to the relational fallback without a probe
+    assert(!decode().getAs[Boolean]("decoded"))
+    // widened routing: enters the UDF (no JDK PSD reader here, so it still
+    // falls back — to the SAME values, proving routing never changes them)
+    val base = decode()
+    withSQLConf("spark.graft.multimodal.extraMagicPrefixes" -> "38425053") {
+      val got = decode()
+      assert(got == base, s"widened routing changed values: $got vs $base")
+    }
+    // prefilter off: every payload probes ImageIO (plugin-complete mode);
+    // values again identical, and planted PNGs still really decode
+    withSQLConf("spark.graft.multimodal.prefilter" -> "false") {
+      assert(decode() == base)
+      val img = new java.awt.image.BufferedImage(
+        17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val real = Seq((2L, bos.toByteArray)).toDF("doc_id", "payload")
+        .withColumn("image", Multimodal.decodeImage(col("payload")))
+        .select("image.*").collect().head
+      assert(real.getAs[Boolean]("decoded") &&
+        real.getAs[Int]("width") == 17 && real.getAs[Int]("height") == 9)
+    }
+  }
+
   test("pii scrub redacts planted emails/ips/phones/ssns and counts them") {
     val df = Seq(
       (1L, "contact bob.smith+x@example.co.uk or 192.168.1.10 today"),

@@ -360,6 +360,33 @@ class MergeIntoSuite extends GraftFunSuite {
       .write.format("graft")
       .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
 
+  test("a column literally named a.b survives MERGE update and delete") {
+    withTempTable { dir =>
+      // `a.b` here is ONE top-level column whose name contains a dot —
+      // every old-value reference in the emit projection must backtick it,
+      // or it resolves as field b of column a and the merge fails
+      Seq((1L, "x", 10), (2L, "y", 20)).toDF("id", "a.b", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      Seq((1L, 100), (3L, 300)).toDF("id", "n")
+        .createOrReplaceTempView("srcdot")
+      // UPDATE leaves `a.b` unset -> carried-value branch; INSERT supplies it
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcdot s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET n = s.n
+        WHEN NOT MATCHED THEN INSERT (id, `a.b`, n) VALUES (s.id, 'z', s.n)""")
+      assertSameRows(
+        spark.read.format("graft").load(dir).select("id", "`a.b`", "n"),
+        Seq((1L, "x", 100), (2L, "y", 20), (3L, "z", 300))
+          .toDF("id", "a.b", "n"))
+      // DELETE image references the dotted column through the same helper
+      Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("srcdot2")
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcdot2 s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+      assert(spark.read.format("graft").load(dir)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    }
+  }
+
   test("MERGE UPDATE sets a nested struct field, preserving siblings") {
     withTempTable { dir =>
       mkStructPk(dir)

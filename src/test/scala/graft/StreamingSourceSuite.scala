@@ -210,6 +210,11 @@ class StreamingSourceSuite extends GraftFunSuite {
           if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
         assert(messages(e).exists(_.contains("ignoreChanges")),
           s"restore must fail under ignoreDeletes: ${messages(e)}")
+        // and the error must NOT suggest ignoreDeletes — the option would
+        // not skip this commit, so the hint would loop the user through a
+        // restart into the same failure
+        assert(!messages(e).exists(_.contains("ignoreDeletes")),
+          s"restore error must not hint ignoreDeletes: ${messages(e)}")
       } finally q.stop()
     }
   }

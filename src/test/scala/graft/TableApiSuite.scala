@@ -96,6 +96,77 @@ class TableApiSuite extends GraftFunSuite {
     }
   }
 
+  test("createMaterialView rejects a PK layout whose view SQL has duplicate keys") {
+    withTempTable { base => withTempTable { view =>
+      Seq((1L, "us", 10), (1L, "us", 20), (2L, "de", 30))
+        .toDF("id", "country", "amt").write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE tapi_base3 USING graft LOCATION '$base'")
+      try {
+        val e = intercept[IllegalStateException] {
+          GraftTable.createMaterialView(spark, viewName = "", viewPath = view,
+            sqlText = "SELECT id, country, amt FROM tapi_base3",
+            hashPartitions = "id", hashBucketNum = 2)
+        }
+        assert(e.getMessage.contains("multiple rows"),
+          s"dup-key PK view must fail loudly: ${e.getMessage}")
+        // an aggregated (unique-key) view over the same base is fine
+        GraftTable.createMaterialView(spark, viewName = "", viewPath = view,
+          sqlText =
+            "SELECT id, sum(amt) AS amt FROM tapi_base3 GROUP BY id",
+          hashPartitions = "id", hashBucketNum = 2)
+        assert(GraftTable.forPath(spark, view).toDF.count() == 2)
+      } finally spark.sql("DROP TABLE IF EXISTS tapi_base3")
+    } }
+  }
+
+  test("refresh re-checks key uniqueness after the base grows duplicates") {
+    withTempTable { base => withTempTable { view =>
+      Seq((1L, 10), (2L, 20)).toDF("id", "amt")
+        .write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE tapi_base4 USING graft LOCATION '$base'")
+      try {
+        GraftTable.createMaterialView(spark, viewName = "", viewPath = view,
+          sqlText = "SELECT id, amt FROM tapi_base4",
+          hashPartitions = "id", hashBucketNum = 2)
+        // base grows a duplicate id — the stale refresh must refuse to
+        // rebuild a view that would silently drop one of the rows
+        Seq((1L, 99)).toDF("id", "amt")
+          .write.format("graft").mode("append").save(base)
+        val e = intercept[IllegalStateException] {
+          GraftTable.forPath(spark, view).updateMaterialView()
+        }
+        assert(e.getMessage.contains("multiple rows"),
+          s"refresh over dup keys must fail loudly: ${e.getMessage}")
+      } finally spark.sql("DROP TABLE IF EXISTS tapi_base4")
+    } }
+  }
+
+  test("a name already bound to another path fails registration loudly") {
+    withTempTable { p1 => withTempTable { p2 => withTempTable { view =>
+      Seq((1L, "old")).toDF("id", "v").write.format("graft").save(p1)
+      spark.sql(s"CREATE TABLE tapi_bound USING graft LOCATION '$p1'")
+      try {
+        // conflicting binding: the name must NOT silently keep pointing at
+        // the old table while the caller believes it registered the new one
+        val e = intercept[IllegalStateException] {
+          GraftTable.create().data(Seq((3L, "x")).toDF("id", "v"))
+            .path(p2).shortTableName("tapi_bound").create()
+        }
+        assert(e.getMessage.contains("already bound"),
+          s"conflicting name registration must error: ${e.getMessage}")
+        // SAME name+path twice (MV re-create) is an idempotent no-op
+        GraftTable.createMaterialView(spark, viewName = "tapi_bound_mv",
+          viewPath = view, sqlText = "SELECT 1 AS one")
+        GraftTable.createMaterialView(spark, viewName = "tapi_bound_mv",
+          viewPath = view, sqlText = "SELECT 1 AS one")
+        assert(spark.table("tapi_bound_mv").count() == 1)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS tapi_bound")
+        spark.sql("DROP TABLE IF EXISTS tapi_bound_mv")
+      }
+    } } }
+  }
+
   test("createMaterialView rejects hashPartitions without a bucket count") {
     withTempTable { base => withTempTable { view =>
       Seq((1L, 10)).toDF("id", "amt").write.format("graft").save(base)
