@@ -283,6 +283,10 @@ object Queries {
       TextAnalysis.packSequences(GraftData.documentsRange(s, sf), "doc_id", "text",
         maxTokens = 2048, numShards = 8)),
 
+    "q_tfidf_topk" -> ((s, sf) =>
+      TextAnalysis.tfidfTopK(GraftData.documentsRange(s, sf), "doc_id", "text",
+        k = 5)),
+
     "q_dedup_clusters" -> ((s, sf) =>
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
@@ -726,6 +730,23 @@ object Queries {
        "tr AS (SELECT * FROM ex WHERE doc_id % 50 != 0) " +
        "SELECT tr.doc_id AS train_id, ev.eval_id, CAST(count(*) AS BIGINT) AS overlap " +
        "FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2 HAVING count(*) >= 1"),
+
+    // Raw-idf tf-idf (score = tf/doc_freq): small-integer IEEE division is
+    // bit-exact on both engines, so the rank order (and its term-asc tie
+    // break) reproduces exactly — a log-damped idf would hang the oracle
+    // on libm rounding. Output stays integer/string.
+    "q_tfidf_topk" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " +
+       "'[a-z0-9]+')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf " +
+       "FROM toks GROUP BY 1, 2), " +
+       "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) doc_freq " +
+       "FROM tf GROUP BY 1), " +
+       "ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq, " +
+       "CAST(row_number() OVER (PARTITION BY tf.doc_id " +
+       "ORDER BY tf.tf * 1.0 / dfreq.doc_freq DESC, tf.term ASC) AS INTEGER) " +
+       "AS rank FROM tf JOIN dfreq USING (term)) " +
+       "SELECT doc_id, rank, term, tf, doc_freq FROM ranked WHERE rank <= 5"),
 
     "q_distinct_ratio" ->
       ("SELECT doc_id, " +

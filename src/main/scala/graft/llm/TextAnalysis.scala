@@ -162,6 +162,38 @@ object TextAnalysis {
         (col("offset") / maxTokens).cast("long").as("seq_id"))
   }
 
+  /** TF-IDF top-`k` distinctive terms per document: for every document the
+    * `k` terms with the highest `tf / doc_freq` score (term frequency ×
+    * inverse document frequency, RAW-idf variant). Raw `1/df` instead of
+    * the log-damped `ln(N/df)` is a deliberate choice: small-integer IEEE
+    * division is bit-exact on every engine, while `ln` is libm-dependent —
+    * a near-tie could order differently across engines and break the
+    * cross-engine oracle. Ties break by term, ascending. Output is
+    * integer/string only: (doc_id, rank, term, tf, doc_freq).
+    *
+    * Scale: ONE (doc_id, term) shuffle builds per-doc term counts
+    * (map-side partial aggregation collapses repeated terms before the
+    * exchange); document frequencies aggregate from that frame — vocab-
+    * sized, so AQE broadcasts it back onto the join; the top-k window
+    * partitions by document, never global. */
+  def tfidfTopK(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    // stabilized: document frequencies AND the scoring join both read the
+    // term-count frame — one tokenize+aggregate pass, not two
+    val tf = Checkpoints.stabilize(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy((col("tf") / col("doc_freq")).desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("doc_freq"))
+  }
+
   /** PII patterns scrubbed by [[piiScrub]], applied in this order. Kept to
     * simple character-class regexes that mean the same thing in Java and
     * RE2 dialects. */

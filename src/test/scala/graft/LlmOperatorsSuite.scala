@@ -450,6 +450,27 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
   }
 
+  test("tfidf top-k ranks rare high-frequency terms first, ties by term") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // doc1: apple tf2/df1=2 > banana 1/2; doc2: common 2/3 > banana 1/2;
+    // doc3: cherry 1/1 > common 1/3
+    assert(got == Seq(
+      (1L, 1, "apple", 2L, 1L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "common", 2L, 3L), (2L, 2, "banana", 1L, 2L),
+      (3L, 1, "cherry", 1L, 1L), (3L, 2, "common", 1L, 3L)))
+    // exact ties (same tf/df score) break by term ascending
+    val tied = Seq((9L, "zebra alpha")).toDF("doc_id", "text")
+    val t = TextAnalysis.tfidfTopK(tied, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(t.map(_._3) == Seq("alpha", "zebra"))
+  }
+
   test("sequence packing: shard-local offsets and boundary-spanning seq ids") {
     // one shard (numShards=1), maxTokens=5; docs of 3, 4, 2 tokens:
     // offsets 0, 3, 7 -> seq ids 0, 0 (spans into 1), 1
