@@ -641,19 +641,22 @@ object Queries {
 
     "q_lang_id" ->
       ("WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks, " +
-       "CAST(length(regexp_replace(text, '[ -~\\s]', '', 'g')) AS INTEGER) non_ascii FROM documents), " +
-       "s AS (SELECT doc_id, non_ascii, " +
+       "CAST(length(regexp_replace(text, '[ -~\\s]', '', 'g')) AS INTEGER) non_ascii, " +
+       "CAST(length(text) AS INTEGER) char_len FROM documents), " +
+       "s AS (SELECT doc_id, non_ascii, char_len, " +
        "CAST(len(list_filter(toks, x -> list_contains(['der','und','das','die','ist'], x))) AS INTEGER) score_de, " +
        "CAST(len(list_filter(toks, x -> list_contains(['the','of','and','is','to'], x))) AS INTEGER) score_en, " +
        "CAST(len(list_filter(toks, x -> list_contains(['que','los','una','con','para'], x))) AS INTEGER) score_es, " +
        "CAST(len(list_filter(toks, x -> list_contains(['les','des','une','avec','pour'], x))) AS INTEGER) score_fr " +
        "FROM t), " +
-       "b AS (SELECT doc_id, non_ascii, score_de, score_en, score_es, score_fr, " +
+       "b AS (SELECT doc_id, non_ascii, char_len, " +
+       "score_de, score_en, score_es, score_fr, " +
        "CASE WHEN score_en > score_de THEN 'en' ELSE 'de' END AS l1, " +
        "CASE WHEN score_en > score_de THEN score_en ELSE score_de END AS s1 FROM s), " +
        "c AS (SELECT *, CASE WHEN score_es > s1 THEN 'es' ELSE l1 END AS l2, " +
        "CASE WHEN score_es > s1 THEN score_es ELSE s1 END AS s2 FROM b) " +
-       "SELECT doc_id, CASE WHEN non_ascii > 0 THEN 'zh' " +
+       // zh on DOMINANCE (majority non-ASCII chars), not mere presence
+       "SELECT doc_id, CASE WHEN non_ascii * 2 > char_len THEN 'zh' " +
        "WHEN score_fr > s2 THEN 'fr' ELSE l2 END AS lang_guess, " +
        "CASE WHEN score_fr > s2 THEN score_fr ELSE s2 END AS lang_score FROM c"),
 
@@ -666,22 +669,28 @@ object Queries {
        "CAST(doc_id % 200 AS VARCHAR) || '.7 ssn 123-45-' || " +
        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
        "CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-123-4567' ELSE '' END " +
-       "AS text FROM documents) " +
-       "SELECT doc_id, " +
-       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
-       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-       "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
-       "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', '<PHONE>', 'g'), " +
-       "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed_text, " +
-       "CAST(len(regexp_extract_all(text, " +
+       "AS text FROM documents), " +
+       // sequential audit (mirrors piiScrub): each category counts on the
+       // text as it stands AFTER the previous categories scrubbed
+       "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, " +
        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS email_cnt, " +
-       "CAST(len(regexp_extract_all(text, " +
+       "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
+       "'<EMAIL>', 'g') AS text FROM planted), " +
+       "s2 AS (SELECT doc_id, email_cnt, CAST(len(regexp_extract_all(text, " +
        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS ipv4_cnt, " +
-       "CAST(len(regexp_extract_all(text, " +
+       "regexp_replace(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', " +
+       "'<IP>', 'g') AS text FROM s1), " +
+       "s3 AS (SELECT doc_id, email_cnt, ipv4_cnt, CAST(len(regexp_extract_all(text, " +
        "'\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}')) AS INTEGER) AS phone_cnt, " +
+       "regexp_replace(text, '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', " +
+       "'<PHONE>', 'g') AS text FROM s2), " +
+       "s4 AS (SELECT doc_id, email_cnt, ipv4_cnt, phone_cnt, " +
        "CAST(len(regexp_extract_all(text, " +
-       "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS ssn_cnt " +
-       "FROM planted"),
+       "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS ssn_cnt, " +
+       "regexp_replace(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') " +
+       "AS text FROM s3) " +
+       "SELECT doc_id, text AS scrubbed_text, email_cnt, ipv4_cnt, " +
+       "phone_cnt, ssn_cnt FROM s4"),
 
     "q_token_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INTEGER) AS char_len, " +
@@ -695,7 +704,10 @@ object Queries {
        "FROM documents"),
 
     "q_pack_sequences" ->
-      ("WITH t AS (SELECT doc_id, doc_id % 8 AS shard, " +
+      // shard = md5-derived hash mod 8, matching TextAnalysis.packSequences
+      ("WITH t AS (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) % 8 AS shard, " +
        "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) n_tokens " +
        "FROM documents) " +
        // DuckDB SUM(BIGINT) yields HUGEINT; cast back so the dumped column

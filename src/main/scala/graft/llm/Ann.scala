@@ -56,7 +56,7 @@ object Ann {
     * grouped pass computes the norm (and, when `numPlanes > 0`, the
     * hyperplane sign-sums) as plain aggregates, then a self-join scales each
     * component. No array lambdas anywhere. */
-  private def unitRows(
+  private[llm] def unitRows(
       df: DataFrame, idCol: String, vecCol: String,
       idAs: String, xAs: String, numPlanes: Int = 0,
       dims: Int = 64): DataFrame = {

@@ -223,6 +223,12 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    // a non-dividing band count would silently ignore the trailing
+    // signature entries (paid for, never consulted) and quietly change the
+    // s-curve from the requested tuning — make the contract explicit
+    require(numHashes % bands == 0,
+      s"minhash banding: bands=$bands must divide numHashes=$numHashes " +
+      "(bands * rowsPerBand == numHashes)")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
     // eager localCheckpoint: the band self-join consumes this frame twice —
@@ -251,27 +257,19 @@ object Dedup {
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
-    // (doc_id, dim, x): one exploded pass computes norms AND hyperplane
-    // sign-sums as plain aggregates — no array lambdas anywhere (Catalyst
-    // inlines projected aliases into lambda bodies, which would re-evaluate
-    // the norm per element, interpreted).
-    val expl = df.select(col(idCol).as("doc_id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-    // md5-derived literal plane constants (see Ann.planeConst): engine-
-    // portable buckets, zero per-row hashing
-    val planeAggs = (0 until numPlanes).map { p =>
-      sum(col("x") * Ann.planeComponent(p, col("dim") + 1, dims)).as(s"d$p")
-    }
-    val perDoc = expl.groupBy("doc_id")
-      .agg(sum(col("x") * col("x")).as("norm2"), planeAggs: _*)
-    val keyed = perDoc.select(col("doc_id"), sqrt(col("norm2")).as("n"),
-      (0 until numPlanes).map(p =>
-        when(col(s"d$p") >= 0, lit(1 << p)).otherwise(lit(0)): Column)
-        .reduce(_ + _).as("bucket"))
+    // Shared pipeline with the ANN family (Ann.unitRows): one exploded
+    // pass computes norms AND hyperplane sign-sums as plain aggregates —
+    // no array lambdas — with md5-derived literal plane constants
+    // (engine-portable buckets, zero per-row hashing) and the zero-norm
+    // guard: an all-zero embedding has no defined cosine, and without the
+    // guard its x/n = 0/0 = NaN would poison every bucket-mate's pair sum
+    // — and Spark orders NaN ABOVE every number, so `NaN >= minCosine`
+    // would emit the whole bucket as spurious near-duplicates (and
+    // downstream clustering would merge unrelated documents). Dropping
+    // zero vectors matches Ann: they are never anyone's neighbor.
     // eager localCheckpoint: both sides of the bucket self-join read this
-    val unit = expl.join(keyed, "doc_id")
-      .select(col("doc_id"), col("bucket"), col("dim"),
-        (col("x") / col("n")).as("x"))
+    val unit = Ann
+      .unitRows(df, idCol, vecCol, "doc_id", "x", numPlanes, dims)
       .transform(Checkpoints.stabilize)
     unit.as("a").join(unit.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&

@@ -99,14 +99,17 @@ object TextAnalysis {
   }
 
   /** n-gram-heuristic language ID: per-language stopword hit counts with a
-    * deterministic arg-max (count desc, language asc). Documents dominated
-    * by non-ASCII text classify as "zh". */
+    * deterministic arg-max (count desc, language asc). Documents DOMINATED
+    * by non-ASCII text (more than half the characters) classify as "zh" —
+    * dominance, not mere presence: one accented é or a curly quote in
+    * otherwise-Latin text must not override the stopword evidence. */
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     val langs = LANG_STOPWORDS.keys.toSeq.sorted
     val withScores = df.select(
       col(idCol) +:
       regexp_count(t, lit("[^ -~\\s]")).cast("int").as("non_ascii") +:
+      length(t).cast("int").as("__char_len") +:
       langs.map(l => stopwordHits(t, LANG_STOPWORDS(l)).as(s"score_$l")): _*)
     // deterministic arg-max: fold over languages in sorted order, keeping
     // the strictly-greater score, so ties resolve to the earlier language
@@ -118,7 +121,7 @@ object TextAnalysis {
     }
     withScores.select(
       col(idCol),
-      when(col("non_ascii") > 0, lit("zh")) // any CJK content
+      when(col("non_ascii") * 2 > col("__char_len"), lit("zh")) // CJK-dominant
         .otherwise(best._1).as("lang_guess"),
       best._2.as("lang_score"))
   }
@@ -145,17 +148,27 @@ object TextAnalysis {
     * boundary continue into the next sequence, exactly like the standard
     * pretraining data loader.
     *
-    * Scale: packing is per-SHARD (`hash(id) mod numShards`, the way real
-    * pipelines pack per data-loader worker), so the cumulative sum windows
-    * over shard partitions — each holds corpus/numShards documents — and
-    * never a global single-partition ordering. One shuffle on shard. */
+    * Scale: packing is per-SHARD (an md5-derived hash of the id mod
+    * numShards, the way real pipelines pack per data-loader worker), so
+    * the cumulative sum windows over shard partitions — each holds
+    * corpus/numShards documents — and never a global single-partition
+    * ordering. One shuffle on shard. A real HASH (not `id mod n`)
+    * matters twice: ids sharing a common factor with numShards (zeroed
+    * low bits, every-Nth sampling) would otherwise all land in one shard
+    * and rebuild exactly the global window this sharding avoids, and
+    * non-numeric ids would cast to null. md5 (not murmur) keeps the
+    * shard assignment engine-portable for the oracle gate. */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int = 2048, numShards: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(idCol), pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(numShards.toLong))
+    df.select(col(idCol), shard.as("shard"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("shard"), col("n_tokens"), col("offset"),
@@ -212,15 +225,17 @@ object TextAnalysis {
     * (phone before SSN would double-fire; SSN runs last of the digit
     * family on the already-scrubbed text). */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counted = PII_PATTERNS.foldLeft(df) { case (d, (name, pattern, _)) =>
-      d.withColumn(s"${name}_cnt",
-        regexp_count(col(textCol), lit(pattern)).cast("int"))
-    }
-    val scrubbed = PII_PATTERNS.foldLeft(col(textCol)) {
-      case (c, (_, pattern, token)) => regexp_replace(c, lit(pattern), lit(token))
-    }
-    counted.select(
-      col(idCol) +: scrubbed.as("scrubbed_text") +:
-      PII_PATTERNS.map { case (name, _, _) => col(s"${name}_cnt") }: _*)
+    // each category counts on the text AS IT STANDS when its scrub runs
+    // (post the previous replacements), so the audit counts exactly the
+    // redactions that actually happened — counting every pattern on the
+    // ORIGINAL text would over-report when patterns nest (an IP-shaped
+    // substring inside an email is scrubbed once, as the email)
+    val (scrubbed, counts) = PII_PATTERNS
+      .foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((c, acc), (name, pattern, token)) =>
+          (regexp_replace(c, lit(pattern), lit(token)),
+           acc :+ regexp_count(c, lit(pattern)).cast("int").as(s"${name}_cnt"))
+      }
+    df.select(col(idCol) +: scrubbed.as("scrubbed_text") +: counts: _*)
   }
 }

@@ -174,6 +174,15 @@ class GraftCdfMicroBatchStream(
         // a replacement is a statement about every changed file
         tagAll(mergedPartitions(c.removed), "delete", v, c.tsMillis).toSeq ++
           tagAll(mergedPartitions(c.adds), "insert", v, c.tsMillis).toSeq
+      case "delete" if !tableInfo.hasPrimaryKey &&
+          c.adds.isEmpty && c.removed.nonEmpty =>
+        // partition-scoped metadata-only DELETE (files removed whole,
+        // nothing rewritten): the removed files' surviving rows ARE the
+        // exact deletions — no pre/post pairing needed, same shape as the
+        // overwrite case's removed side (and exactly what the batch feed
+        // emits for this commit). DV-masked rows were already dead and do
+        // not re-report.
+        tagAll(mergedPartitions(c.removed), "delete", v, c.tsMillis).toSeq
       case _ => // update | delete | merge-upsert | restore | unknown rewrite
         if (tableInfo.hasPrimaryKey) diffPartitions(v, c)
         else dvOnlyPartitions(v, c).getOrElse {

@@ -51,8 +51,15 @@ object ChangeFeed {
   val COMMIT_VERSION = "_commit_version"
   val COMMIT_TIMESTAMP = "_commit_timestamp"
 
-  /** Pure rewrites: no logical row change. */
-  private val REWRITE_TYPES = Set("compaction", "alter", "vacuum", "vacuum_end")
+  /** Pure rewrites: no logical row change. Shared with the streaming
+    * source — a new pure-rewrite commit type added to one reader but not
+    * the other would make batch and stream feeds diverge silently. */
+  private val REWRITE_TYPES =
+    graft.sources.GraftMicroBatchStream.REWRITE_TYPES
+
+  /** Backtick-escape a column name for `col()` — a column literally named
+    * `a.b` must resolve as one column, not a struct path. */
+  private def bq(name: String): String = s"`${name.replace("`", "``")}`"
 
   def changes(
       spark: SparkSession,
@@ -155,9 +162,9 @@ object ChangeFeed {
       .withColumn("__cf_name",
         substring_index(col("_metadata.file_path"), "/", -1))
     raw.join(broadcast(meta), "__cf_name")
-      .select(dataSchema.fields.toSeq.map(f => col(f.name)) ++
+      .select(dataSchema.fields.toSeq.map(f => col(bq(f.name))) ++
         partFields.map(f =>
-          col(s"__cf_p_${f.name}").cast(f.dataType).as(f.name)) ++
+          col(bq(s"__cf_p_${f.name}")).cast(f.dataType).as(f.name)) ++
         Seq(col("__cf_tpe").as(CHANGE_TYPE),
           col("__cf_ver").as(COMMIT_VERSION),
           timestamp_millis(col("__cf_ts")).as(COMMIT_TIMESTAMP)): _*)
@@ -314,7 +321,7 @@ object ChangeFeed {
     }
     Some(withRange.select(
       (ti.dataSchema.fields ++ ti.rangePartitionSchema.fields)
-        .map(f => col(f.name)): _*))
+        .map(f => col(bq(f.name))): _*))
   }
 
   /** Row-level diff of one commit's rewrite. PK tables diff by key; non-PK
@@ -327,7 +334,7 @@ object ChangeFeed {
     val outCols = post.columns.toSeq
     // align pre to post's columns: evolution-added columns null-fill
     val pre = pre0.select(outCols.map { c =>
-      if (pre0.columns.contains(c)) col(c)
+      if (pre0.columns.contains(c)) col(bq(c))
       else lit(null).cast(post.schema(c).dataType).as(c)
     }: _*)
 
@@ -335,19 +342,19 @@ object ChangeFeed {
       val keys = (ti.rangeColumns ++ ti.hashColumns).filter(outCols.contains)
       val l = pre.alias("pre")
       val r = post.alias("post")
-      val cond = keys.map(k => col(s"pre.$k") <=> col(s"post.$k"))
+      val cond = keys.map(k => col(s"pre.${bq(k)}") <=> col(s"post.${bq(k)}"))
         .reduce(_ && _)
       val j = l.join(r, cond, "full_outer")
       // PK and range-partition values are never null (upserts require
       // them), so a null key marks side absence
-      val preAbsent = col("pre." + keys.head).isNull
-      val postAbsent = col("post." + keys.head).isNull
+      val preAbsent = col("pre." + bq(keys.head)).isNull
+      val postAbsent = col("post." + bq(keys.head)).isNull
       val nonKey = outCols.filterNot(keys.contains)
       val changed: Column = nonKey
-        .map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
+        .map(c => !(col(s"pre.${bq(c)}") <=> col(s"post.${bq(c)}")))
         .reduceOption(_ || _).getOrElse(lit(false))
       def side(prefix: String): Seq[Column] =
-        outCols.map(c => col(s"$prefix.$c").as(c))
+        outCols.map(c => col(s"$prefix.${bq(c)}").as(c))
       val inserts = j.filter(preAbsent).select(side("post"): _*)
       val deletes = j.filter(postAbsent).select(side("pre"): _*)
       val updPre = j.filter(!preAbsent && !postAbsent && changed)

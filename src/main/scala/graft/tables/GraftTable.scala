@@ -26,7 +26,11 @@ class GraftTable private (spark: SparkSession, val path: String) {
     * addedFiles, removedFiles). */
   def history(): DataFrame = {
     import spark.implicits._
-    val store = graft.meta.MetaStore.fs
+    // the ACTIVE store, not MetaStore.fs: a deployment that swapped in an
+    // object-store log via SnapshotManagement.setStore would otherwise get
+    // an empty (or stale local) history while every other read sees the
+    // real log
+    val store = SnapshotManagement.store
     val latest = store.latestVersion(path)
     (0L to latest).map { v =>
       val entries = store.read(path, v)

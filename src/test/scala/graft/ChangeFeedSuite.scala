@@ -13,6 +13,26 @@ class ChangeFeedSuite extends GraftFunSuite {
     df.groupBy(ChangeFeed.CHANGE_TYPE).count().as[(String, Long)]
       .collect().toMap
 
+  test("change feed survives a column literally named a.b") {
+    withTempTable { dir =>
+      // every feed path builds old/new-value references by column NAME —
+      // an unescaped dotted name would parse as a struct path and fail
+      Seq((1L, "x", 1), (2L, "y", 2)).toDF("id", "a.b", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((1L, "X", 10)).toDF("id", "a.b", "n")) // v1: append-run
+      t.delete($"id" === 2L) // v2: tombstone delete -> merged-state diff
+      val got = t.changes(0)
+        .select(col(graft.tables.ChangeFeed.CHANGE_TYPE), col("id"),
+          col("`a.b`"))
+        .as[(String, Long, String)].collect().toSeq
+      assert(got.contains(("delete", 2L, "y")), s"missing delete: $got")
+      assert(got.contains(("upsert", 1L, "X")), s"missing upsert: $got")
+      assert(got.count(_._1 == "insert") == 2, s"missing inserts: $got")
+    }
+  }
+
   test("PK table: append, delta upsert, update, delete, compaction") {
     withTempTable { dir =>
       Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "v")

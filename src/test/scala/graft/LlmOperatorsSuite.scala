@@ -296,10 +296,14 @@ class LlmOperatorsSuite extends GraftFunSuite {
       (2L, "der hund und das haus ist die katze und der"),
       (3L, "los gatos que una casa con para los que"),
       (4L, "les chats des maisons une avec pour les des"),
-      (5L, "你好世界")).toDF("doc_id", "text")
+      (5L, "你好世界"),
+      // accented Latin text: one é must NOT flip the verdict to zh —
+      // zh requires non-ASCII DOMINANCE (majority of characters)
+      (6L, "les cafés des maisons une avec pour les des")).toDF("doc_id", "text")
     val got = TextAnalysis.langId(df, "text", "doc_id")
       .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh", 6L -> "fr"))
   }
 
   test("rolling fingerprint: order-sensitive, deterministic") {
@@ -439,6 +443,14 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(out(1).getAs[Int]("phone_cnt") == 1 && out(1).getAs[Int]("ssn_cnt") == 1)
     assert(out(2).getAs[String]("scrubbed_text") == "nothing sensitive here at all")
     assert((0 to 2).forall(i => out(2).toSeq.drop(2).forall(_ == 0) || i < 2))
+    // sequential audit: an IP-shaped substring INSIDE an email is scrubbed
+    // once (as the email) — ipv4_cnt counts zero actual IP redactions
+    val nested = Seq((9L, "mail john@mail.192.168.0.99.example.com now"))
+      .toDF("doc_id", "text")
+    val n = TextAnalysis.piiScrub(nested, "doc_id", "text").collect().head
+    assert(n.getAs[String]("scrubbed_text") == "mail <EMAIL> now")
+    assert(n.getAs[Int]("email_cnt") == 1 && n.getAs[Int]("ipv4_cnt") == 0,
+      s"audit must count actual redactions: $n")
   }
 
   test("repetition stats count total vs distinct tokens") {
@@ -448,6 +460,23 @@ class LlmOperatorsSuite extends GraftFunSuite {
     val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
+  }
+
+  test("embedding near-dup finds the planted pair; zero vectors never pair") {
+    val base = Array.tabulate(8)(d => (d + 1).toFloat)
+    val near = base.clone(); near(0) = base(0) + 0.01f
+    val other = Array.tabulate(8)(d => if (d % 2 == 0) 1f else -2f)
+    val zero = Array.fill(8)(0f)
+    val df = Seq((1L, base), (2L, near), (10L, other), (99L, zero))
+      .toDF("doc_id", "embedding")
+    val got = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+        minCosine = 0.99, numPlanes = 1, dims = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), s"expected only the planted pair: $got")
+    // a zero-norm embedding has no defined cosine: it must produce NO
+    // pairs (its NaN sims would otherwise pass every >= threshold and
+    // spuriously pair it with the whole bucket)
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
   test("tfidf top-k ranks rare high-frequency terms first, ties by term") {
@@ -482,11 +511,24 @@ class LlmOperatorsSuite extends GraftFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 0L, 3L, 0L, 0L), (2L, 0L, 4L, 3L, 0L),
       (3L, 0L, 2L, 7L, 1L)))
-    // two shards: odd/even ids pack independently with their own offsets
+    // two shards pack independently with their own offsets. Shards come
+    // from the md5-derived id hash (engine-portable, skew-resistant):
+    // md5("1")%2 = 0, md5("2")%2 = 1, md5("3")%2 = 0 — so docs 1 and 3
+    // share shard 0 (offsets 0 then 3) and doc 2 is alone in shard 1.
     val sharded = TextAnalysis.packSequences(df, "doc_id", "text",
         maxTokens = 5, numShards = 2)
-      .select("doc_id", "offset").as[(Long, Long)].collect().toMap
-    assert(sharded == Map(1L -> 0L, 3L -> 3L, 2L -> 0L))
+      .select("doc_id", "shard", "offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sharded ==
+      Map(1L -> (0L, 0L), 2L -> (1L, 0L), 3L -> (0L, 3L)))
+    // ids sharing a common factor with numShards must NOT collapse into
+    // one shard (the id%n failure mode): multiples of 4 spread across
+    // shards under the hash
+    val mult4 = (1 to 12).map(i => (i * 4L, "x y z")).toDF("doc_id", "text")
+    val shards = TextAnalysis.packSequences(mult4, "doc_id", "text",
+        maxTokens = 5, numShards = 4)
+      .select("shard").as[Long].collect().toSet
+    assert(shards.size > 1, s"multiples of 4 all packed into shards $shards")
   }
 
   test("duplicate clusters: multi-hop chains collapse to the min id") {

@@ -117,6 +117,10 @@ class MetaStoreContractSuite extends GraftFunSuite {
       t.upsert(Seq((1L, 11), (101L, 1)).toDF("id", "v"))
       assert(t.toDF.count() == 101)
       assert(t.toDF.filter($"id" === 1L).head().getInt(1) == 11)
+      // history() must read the ACTIVE store (create + upsert = 2 commits);
+      // reading MetaStore.fs here would see no log and return nothing
+      assert(t.history().count() == 2,
+        "history() bypassed the swapped-in object store")
 
       // concurrent upserts all land (optimistic CAS retry over the store)
       val pool = Executors.newFixedThreadPool(4)

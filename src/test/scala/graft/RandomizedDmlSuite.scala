@@ -142,9 +142,14 @@ class RandomizedDmlSuite extends GraftFunSuite {
     }
   }
 
-  // 6 seeds x 30 ops = 180 randomized operations, each followed by a full
-  // state cross-check
-  (1 to 6).foreach { seed =>
+  // 6 seeds x 30 ops = 180 randomized operations by default, each followed
+  // by a full state cross-check (~7 s per sequence keeps CI fast). Deep
+  // soak: GRAFT_RANDOM_DML_SEEDS=100 sbt "testOnly graft.RandomizedDmlSuite"
+  // replays 100 independent sequences — a failure prints its seed, and
+  // rerunning with any seed count >= that seed reproduces it exactly.
+  private val numSeeds =
+    sys.env.getOrElse("GRAFT_RANDOM_DML_SEEDS", "6").toInt
+  (1 to numSeeds).foreach { seed =>
     test(s"random DML sequence, seed $seed (30 ops, checked per commit)") {
       runSequence(seed, 30)
     }

@@ -218,7 +218,13 @@ class StreamingCdfSuite extends GraftFunSuite {
       val q = startCdf(dir, "cdf4")
       try {
         q.processAllAvailable()
-        GraftTable.forPath(spark, dir).delete(expr("id = 1"))
+        // a RESTORE is the non-PK commit shape no stream can express:
+        // removes-only, but it REVERTS live rows rather than deleting them
+        // (a whole-file 'delete' commit, by contrast, now streams — its
+        // removed rows ARE the deletions; see the partition-delete test)
+        Seq((5L, "e")).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir) // v1
+        GraftTable.forPath(spark, dir).restore(0L) // v2: removes-only revert
         val e = intercept[Exception] { q.processAllAvailable() }
         def messages(x: Throwable): Seq[String] =
           if (x == null) Nil
@@ -227,13 +233,41 @@ class StreamingCdfSuite extends GraftFunSuite {
       } finally q.stop()
       // ignoreChanges: the commit is skipped, the stream proceeds
       Seq((9L, "z")).toDF("id", "v").write.format("graft")
-        .mode("append").save(dir)
+        .mode("append").save(dir) // v3
       val q2 = startCdf(dir, "cdf4b", Map("ignoreChanges" -> "true",
-        "startingVersion" -> "1"))
+        "startingVersion" -> "2"))
       try {
         q2.processAllAvailable()
-        assert(changeRows("cdf4b") == Seq(("insert", 9L, "z", 2L)))
+        assert(changeRows("cdf4b") == Seq(("insert", 9L, "z", 3L)))
       } finally q2.stop()
+    }
+  }
+
+  test("non-PK partition-scoped metadata-only delete streams as deletions") {
+    withTempTable { dir =>
+      // range-partitioned non-PK table: deleting a whole partition removes
+      // files whole (metadata-only commit, no adds) — the removed files'
+      // rows ARE the deletions, so the CDF stream emits them without
+      // needing a key to pair pre/post images
+      Seq((1L, "us", "a"), (2L, "us", "b"), (3L, "de", "c"))
+        .toDF("id", "country", "v")
+        .write.format("graft").partitionBy("country").save(dir)
+      val q = startCdf(dir, "cdf_pdel")
+      try {
+        q.processAllAvailable()
+        GraftTable.forPath(spark, dir).delete(expr("country = 'de'"))
+        q.processAllAvailable()
+        val got = changeRows("cdf_pdel")
+        assert(got.contains(("delete", 3L, "c", 1L)),
+          s"partition delete must stream as delete rows: $got")
+        assert(got.count(_._1 == "delete") == 1,
+          s"only the dropped partition's rows are deletions: $got")
+        // batch feed agrees on the same window
+        val batch = ChangeFeed.changes(spark, dir, 1, 1)
+          .select(col(ChangeFeed.CHANGE_TYPE), col("id"))
+          .as[(String, Long)].collect().toSeq
+        assert(batch == Seq(("delete", 3L)), s"batch feed disagrees: $batch")
+      } finally q.stop()
     }
   }
 
