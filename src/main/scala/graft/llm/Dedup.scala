@@ -166,6 +166,26 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** The dedup pipeline's final step: drop every document that belongs to
+    * a duplicate cluster but is not its canonical representative (the
+    * cluster's minimum id, as labeled by [[duplicateClusters]]). Documents
+    * in no cluster pass through untouched. No broadcast hint on the
+    * anti-join: the drop set is usually small (duplicates minus one per
+    * cluster) and AQE picks broadcast at runtime when it is — but a
+    * heavily-duplicated 100 TB corpus can have a drop set far beyond
+    * broadcast limits, where a forced hint would OOM the build side.
+    *
+    * `keepCanonical(df, "id", duplicateClusters(pairs, "a", "b"))` turns
+    * any pair producer ([[ngramJaccardPairs]], [[minhashNearDuplicates]],
+    * SimHash, [[embeddingNearDuplicates]]) into an applied dedup. */
+  def keepCanonical(
+      df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drops = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__graft_drop_id"))
+    df.join(drops, col(s"`${idCol.replace("`", "``")}`") ===
+      col("__graft_drop_id"), "left_anti")
+  }
+
   /** Benchmark-contamination check (decontamination): for every training
     * document sharing at least `minOverlap` distinct word `k`-grams with an
     * evaluation document, emit (train_id, eval_id, overlap). Training sets

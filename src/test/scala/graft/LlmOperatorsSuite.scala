@@ -462,6 +462,17 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(got == Seq((1L, 4, 1), (2L, 4, 4)))
   }
 
+  test("keepCanonical drops every clustered doc except the minimum id") {
+    val docs = Seq((5L, "a"), (7L, "a2"), (9L, "a3"), (20L, "b"),
+      (21L, "b2"), (40L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((5L, 7L), (7L, 9L), (20L, 21L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id",
+        Dedup.duplicateClusters(pairs, "a_id", "b_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // clusters {5,7,9} and {20,21} keep their minimum; 40 was never paired
+    assert(kept == Seq(5L, 20L, 40L))
+  }
+
   test("embedding near-dup finds the planted pair; zero vectors never pair") {
     val base = Array.tabulate(8)(d => (d + 1).toFloat)
     val near = base.clone(); near(0) = base(0) + 0.01f

@@ -121,4 +121,35 @@ class StreamingSinkSuite extends GraftFunSuite {
         s"expected closed window for k=x with count 2, got ${rowsOf(rows)}")
     }
   }
+
+  test("dedup-on-ingest: cross-batch content dedup into the sink") {
+    withTempTable { dir =>
+      implicit val ctx = classicSpark.sqlContext
+      // the LLM-pipeline ingest shape: stream documents, hash the content,
+      // dropDuplicates on the hash (Spark keeps the seen-hash set in the
+      // state store ACROSS micro-batches and restarts), append to a graft
+      // table — each distinct content lands exactly once
+      val input = MemoryStream[(Long, String)]
+      val deduped = input.toDF().toDF("doc_id", "text")
+        .withColumn("content_hash",
+          org.apache.spark.sql.functions.md5($"text"))
+        .dropDuplicates("content_hash")
+      def run(): Unit = {
+        val q = deduped.writeStream.format("graft")
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", dir + "-ckpt")
+          .trigger(Trigger.AvailableNow()).start(dir)
+        q.awaitTermination(60000)
+      }
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      run()
+      // batch 2 repeats batch-1 content: the state store must remember it
+      input.addData((4L, "beta"), (5L, "gamma"), (6L, "alpha"))
+      run()
+      val got = GraftTable.forPath(spark, dir).toDF
+        .select("text").as[String].collect().sorted.toSeq
+      assert(got == Seq("alpha", "beta", "gamma"),
+        s"each distinct content must land exactly once: $got")
+    }
+  }
 }
