@@ -163,12 +163,20 @@ object UpsertCommand {
       val s = source.as("s")
       val joinCond = pk.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ && _)
       val targetCols = target.columns.toSeq
-      val sourceCols = source.columns.toSet
+      // CASE-INSENSITIVE source-column lookup (like every other write
+      // path): exact-case matching would silently drop a source `Val`'s
+      // updates for target `val` AND append `Val` as a duplicate-modulo-
+      // case column whose reads then fail as ambiguous
+      val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
       val merged = target.join(s, joinCond, "full_outer").select(
         (targetCols.map { c =>
-          if (sourceCols.contains(c)) coalesce(col(s"s.`$c`"), col(s"t.`$c`")).as(c)
-          else col(s"t.`$c`").as(c)
-        } ++ source.columns.toSeq.filterNot(targetCols.contains)
+          srcByLower.get(c.toLowerCase) match {
+            case Some(sc) =>
+              coalesce(col(s"s.`$sc`"), col(s"t.`$c`")).as(c)
+            case None => col(s"t.`$c`").as(c)
+          }
+        } ++ source.columns.toSeq
+          .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
           .map(c => col(s"s.`$c`").as(c))): _*)
       val newInfo =
         if (merged.columns.length == targetCols.length) info
@@ -313,11 +321,15 @@ object RewriteSupport {
           // candidate buckets (reference: all candidates on PK tables).
           candidates
         } else {
-          // case 3: ask the data which files hold matching rows
+          // case 3: ask the data which files hold matching rows.
+          // input_file_name() returns URL-ENCODED URIs — decode before
+          // comparing against the manifest's raw paths, or a partition
+          // value with a space ("p=New%20York") silently matches nothing
+          // and the DML no-ops
           val reader = GraftTableFiles.read(spark, path, snapshot, candidates)
           val names = reader.filter(condition)
             .select(input_file_name()).distinct().collect().map(_.getString(0))
-          val nameSet = names.map(stripScheme).toSet
+          val nameSet = names.map(n => stripScheme(decodeFileUri(n))).toSet
           candidates.filter(f => nameSet.contains(s"$path/${f.path}"))
         }
       if (touched.isEmpty) return
@@ -352,6 +364,15 @@ object RewriteSupport {
   }
 
   def stripScheme(p: String): String = graft.meta.FsMetaStore.stripScheme(p)
+
+  /** Decode the URL-encoded URI strings `input_file_name()` /
+    * `_metadata.file_path` return (e.g. `file:/a/p=New%20York/x.parquet`)
+    * back to the raw on-disk path the manifest records. Percent-decoding
+    * ONLY: a literal `+` in a path is legal and stays un-encoded in the
+    * URI, so it is protected first (URLDecoder would form-decode it to a
+    * space and corrupt the key). */
+  def decodeFileUri(uri: String): String =
+    java.net.URLDecoder.decode(uri.replace("+", "%2B"), "UTF-8")
 }
 
 /** Reads a pinned file list of a table as a DataFrame (the
@@ -494,16 +515,18 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
               else None
             }
           } else {
-            val fragmented =
-              files.length > 1 && files.forall(_.size < smallFileMax)
-            if (fragmented) Some(key -> files)
-            else {
-              // DV purge: an otherwise-healthy partition rewrites ONLY its
-              // DV'd files (dropping masked rows), leaving clean files
-              // untouched
-              val dvd = files.filter(_.hasDv)
-              if (dvd.nonEmpty) Some(key -> dvd) else None
-            }
+            // bin-pack the SMALL subset: one already-large file must not
+            // block compaction of any number of small neighbors (a
+            // `forall(small)` gate would let streaming appends grow the
+            // read fan-in unboundedly next to a single 200 MB base file).
+            // Large files stay untouched unless they carry a DV to purge.
+            val small = files.filter(_.size < smallFileMax)
+            val dvdLarge = files.filter(f =>
+              f.size >= smallFileMax && f.hasDv)
+            val pick =
+              (if (small.length > 1) small
+               else small.filter(_.hasDv)) ++ dvdLarge
+            if (pick.nonEmpty) Some(key -> pick) else None
           }
         }
       if (toCompact.isEmpty) return

@@ -72,11 +72,18 @@ object DvSupport {
     val needsRange = dataConj.exists(c =>
       RewriteSupport.referencedNames(c).exists(info.rangeColumns.contains))
     // relational FsMetaStore.stripScheme (file:///a → /a, file:/a → /a,
-    // other schemes untouched) — keeps the DV hot path fully codegen'd,
-    // no per-row Scala UDF
+    // other schemes untouched) + URL-decode — `_metadata.file_path` is a
+    // URL-ENCODED URI, while every driver-side key below is the manifest's
+    // raw path: without the decode a partition value with a space
+    // ("p=New%20York") would never match `byStripped`/`oldDv` and the
+    // DELETE would crash or silently miss rows. `+` is protected first
+    // (legal raw in a URI path; url_decode would form-decode it to a
+    // space). All built-ins — the DV hot path stays codegen'd, no UDF.
     val withMeta = raw
       .withColumn("__gf_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")))
       .withColumn("__gf_idx", col("_metadata.row_index"))
     val joined =
       if (!needsRange) withMeta

@@ -37,7 +37,11 @@ object WriteIntoTable {
       mode: SaveMode,
       options: Map[String, String]): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
-    SnapshotManagement.withNewTransaction(path) { txn =>
+    // restart-on-conflict: a lost create race (expectVersion gate in
+    // firstWrite) or a replaceWhere/overwrite conflict re-runs the whole
+    // dispatch against a fresh snapshot — the second attempt sees the
+    // winner's table and applies the caller's SaveMode semantics to it
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
       txn.snapshotOpt match {
         case None =>
           firstWrite(spark, path, dropNullTypeColumns(df, options, None), options, txn)
@@ -251,7 +255,12 @@ object WriteIntoTable {
     val info = tableInfoFromOptions(df, options)
     SchemaUtils.validateSchema(df.schema)
     val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
-    txn.commit("append", Some(info), files, Nil)
+    // expectVersion = 0: the table-creating commit must land FIRST. Losing
+    // that race throws a conflict, and run()'s restart re-dispatches the
+    // whole write against the winner's table under the caller's SaveMode
+    // (ErrorIfExists fails, Append appends, ...) instead of silently
+    // committing a second TableInfo at version 1.
+    txn.commit("append", Some(info), files, Nil, expectVersion = 0L)
   }
 
   private def append(
@@ -342,7 +351,11 @@ object WriteIntoTable {
     if (bad.nonEmpty) throw new GraftWriteException(
       s"replaceWhere may reference only range partition columns " +
       s"[${info.rangeColumns.mkString(", ")}]; got [${bad.mkString(", ")}]")
-    val offending = df.filter(!cond).limit(1).collect()
+    // NOT coalesce(cond, false): a row where the predicate evaluates to
+    // NULL does not satisfy it and must be rejected — plain `!cond` is
+    // NULL for such rows and the filter would silently let them through
+    // into a partition the commit does not replace
+    val offending = df.filter(!coalesce(cond, lit(false))).limit(1).collect()
     if (offending.nonEmpty) {
       throw new GraftWriteException(
         s"written data does not satisfy replaceWhere '$predicate'")

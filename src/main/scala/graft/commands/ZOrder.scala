@@ -44,12 +44,17 @@ object ZOrder {
         " (numeric, date, or timestamp required)")
       f
     }
+    // backtick-escaped reference: a z-order column literally named `a.b`
+    // passed validation above (it is in dataSchema) and must not resolve
+    // as a nested-field path here
+    def fcol(f: StructField): Column =
+      col(s"`${f.name.replace("`", "``")}`")
     def asDouble(f: StructField): Column = f.dataType match {
-      case DateType => unix_date(col(f.name)).cast(DoubleType)
-      case TimestampType => unix_micros(col(f.name)).cast(DoubleType)
+      case DateType => unix_date(fcol(f)).cast(DoubleType)
+      case TimestampType => unix_micros(fcol(f)).cast(DoubleType)
       case TimestampNTZType =>
-        unix_micros(col(f.name).cast(TimestampType)).cast(DoubleType)
-      case _ => col(f.name).cast(DoubleType)
+        unix_micros(fcol(f).cast(TimestampType)).cast(DoubleType)
+      case _ => fcol(f).cast(DoubleType)
     }
     // one pass to learn each dimension's range (metadata-scale result)
     val aggs = fields.flatMap(f =>

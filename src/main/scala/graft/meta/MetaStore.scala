@@ -128,7 +128,7 @@ class FsMetaStore extends MetaStore {
       tablePath: String, maxVersion: Long): Option[(Long, CheckpointState)] = {
     val dir = logDir(tablePath)
     if (!Files.isDirectory(dir)) return None
-    var best = -1L
+    val candidates = Seq.newBuilder[Long]
     val stream = Files.newDirectoryStream(dir, "*.checkpoint.json")
     try {
       val it = stream.iterator()
@@ -136,16 +136,22 @@ class FsMetaStore extends MetaStore {
         val name = it.next().getFileName.toString.stripSuffix(".checkpoint.json")
         try {
           val v = name.toLong
-          if (v <= maxVersion && v > best) best = v
+          if (v <= maxVersion) candidates += v
         } catch { case NonFatal(_) => }
       }
     } finally stream.close()
-    if (best < 0) return None
-    try {
-      val body = new String(
-        Files.readAllBytes(checkpointFile(tablePath, best)), StandardCharsets.UTF_8)
-      Some(best -> MetaJson.readCheckpoint(body))
-    } catch { case NonFatal(_) => None } // corrupt checkpoint: full replay
+    // newest first, falling back to OLDER retained checkpoints when one is
+    // unreadable (a crash mid-move can leave the newest truncated):
+    // pruneCheckpoints keeps 2 exactly so a healthy older one bounds the
+    // replay; only when every candidate is corrupt does replay go full-log.
+    // Same ladder the object-store counterpart walks.
+    candidates.result().sorted(Ordering[Long].reverse).iterator.flatMap { v =>
+      try {
+        val body = new String(
+          Files.readAllBytes(checkpointFile(tablePath, v)), StandardCharsets.UTF_8)
+        Some(v -> MetaJson.readCheckpoint(body))
+      } catch { case NonFatal(_) => None }
+    }.nextOption()
   }
 }
 

@@ -249,11 +249,23 @@ class Transaction(val tablePath: String, store: MetaStore) {
       preserveWriteVersions: Boolean = false,
       strictWindow: Boolean = false,
       leaseUntil: Long = 0L,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      expectVersion: Long = -1L): Long = {
     require(!committed, "transaction already committed")
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = store.latestVersion(tablePath) + 1
+      // expectVersion pins the commit to ONE slot (the table-creating
+      // write uses 0): losing that CAS means another writer created the
+      // table first, and silently re-CASing at version 1 would land a
+      // SECOND TableInfo — both writers' layouts/files unioned, where
+      // SaveMode semantics should have re-dispatched (error/append/
+      // overwrite) against the winner's table. Conflict, don't retry.
+      if (expectVersion >= 0 && version != expectVersion) {
+        throw new GraftConcurrentModificationException(
+          s"commit expected to land at v$expectVersion of $tablePath but " +
+          s"latest is v${version - 1}: a concurrent writer got there first")
+      }
       if (strictWindow && version - 1 > readVersion) {
         throw new GraftConcurrentModificationException(
           s"commit(s) landed on $tablePath since snapshot v$readVersion " +
