@@ -75,7 +75,13 @@ class GraftCatalog extends DelegatingCatalogExtension
     }
     val schema = SparkShims.v2ColumnsToStructType(columns)
     val path = tablePathFor(ident, properties)
-    val (rangeCols, hashCols, bucketNum) = parsePartitioning(partitions, properties)
+    val (rangeCols0, hashCols0, bucketNum) =
+      parsePartitioning(partitions, properties)
+    val rangeCols = normalizeAgainstSchema(rangeCols0, schema, "partition")
+    val hashCols = normalizeAgainstSchema(hashCols0, schema, "hashPartitions")
+    if (hashCols.nonEmpty) require(bucketNum > 0,
+      s"hashPartitions [${hashCols.mkString(", ")}] needs an explicit " +
+      "hashBucketNum > 0")
 
     if (!SnapshotManagement.exists(path)) {
       val info = TableInfo(
@@ -137,10 +143,26 @@ class GraftCatalog extends DelegatingCatalogExtension
       }
     }
     Option(properties.get("hashPartitions")).foreach(h =>
-      hash = h.split(",").map(_.trim).toSeq)
+      hash = h.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     Option(properties.get("hashBucketNum")).foreach(n => buckets = n.toInt)
     (range, hash, buckets)
   }
+
+  /** Resolve each declared partition/key column against the schema,
+    * case-insensitively, returning the SCHEMA's exact spelling. The layout
+    * is immutable once created: an off-case (`'ID'` vs `id`) or typo'd
+    * name accepted verbatim here would commit a TableInfo whose key column
+    * the case-sensitive write path can never satisfy — a permanently
+    * unusable table. Fail at CREATE instead (the DataFrame write path's
+    * normalizePartitionCol contract). */
+  private def normalizeAgainstSchema(
+      cols: Seq[String], schema: StructType, what: String): Seq[String] =
+    cols.map { c =>
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what column $c not found in table schema " +
+          s"[${schema.fieldNames.mkString(", ")}]"))
+    }
 
   override def loadTable(ident: Identifier): Table = {
     val t = super.loadTable(ident)

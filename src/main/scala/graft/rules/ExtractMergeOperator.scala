@@ -53,37 +53,47 @@ case class ExtractMergeOperator(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case p @ Project(exprs, child) if p.resolved &&
         exprs.exists(_.exists(_.isInstanceOf[GraftMergeOpMarker])) =>
-      findGraftRelation(child) match {
-        case Some(_) =>
-          val assignments = scala.collection.mutable.Map.empty[String, String]
-          val stripped: Seq[NamedExpression] = exprs.map { ne =>
-            ne.transformUp {
-              case m @ GraftMergeOpMarker(arg, op) =>
-                arg.references.headOption match {
-                  case Some(attr) => assignments += (attr.name -> op); arg
-                  case None => m
-                }
-            }.asInstanceOf[NamedExpression]
+      // Attribute each marker BY EXPRID to the graft relation that actually
+      // produces its column — not to "the first graft relation anywhere
+      // below". In a join, a marker over the OTHER side's column must stay
+      // un-stripped (the check rule then rejects it loudly) instead of
+      // silently folding an unrelated same-named column; in a self-join,
+      // each side gets exactly its own assignments.
+      val graftRels = child.collect {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] => r
+      }
+      if (graftRels.isEmpty) p
+      else {
+        val perRel = scala.collection.mutable.Map
+          .empty[DataSourceV2Relation,
+            scala.collection.mutable.Map[String, String]]
+        val stripped: Seq[NamedExpression] = exprs.map { ne =>
+          ne.transformUp {
+            case m @ GraftMergeOpMarker(arg, op) =>
+              val owner = arg.references.headOption.flatMap(attr =>
+                graftRels.find(_.outputSet.contains(attr)).map((attr, _)))
+              owner match {
+                case Some((attr, r)) =>
+                  perRel.getOrElseUpdate(r,
+                    scala.collection.mutable.Map.empty) += (attr.name -> op)
+                  arg
+                case None => m
+              }
+          }.asInstanceOf[NamedExpression]
+        }
+        if (perRel.isEmpty) p
+        else {
+          val newChild = child.transform {
+            case r: DataSourceV2Relation if perRel.contains(r) =>
+              val merged = r.options.asCaseSensitiveMap().asScala.toMap ++ Map(
+                GraftMergeOperator.SCAN_OPTION ->
+                  GraftMergeOperator.formatAssignments(perRel(r).toMap))
+              r.copy(options = new CaseInsensitiveStringMap(merged.asJava))
           }
-          if (assignments.isEmpty) p
-          else {
-            val newChild = child.transform {
-              case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
-                val merged = r.options.asCaseSensitiveMap().asScala.toMap ++ Map(
-                  GraftMergeOperator.SCAN_OPTION ->
-                    GraftMergeOperator.formatAssignments(assignments.toMap))
-                r.copy(options = new CaseInsensitiveStringMap(merged.asJava))
-            }
-            Project(stripped, newChild)
-          }
-        case None => p
+          Project(stripped, newChild)
+        }
       }
   }
-
-  private def findGraftRelation(plan: LogicalPlan): Option[DataSourceV2Relation] =
-    plan.collectFirst {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] => r
-    }
 }
 
 /** Check rule: a merge-operator marker that survived analysis means it was

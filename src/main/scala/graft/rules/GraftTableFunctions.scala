@@ -31,7 +31,8 @@ object GraftTableFunctions {
   }
 
   private def litLong(e: Expression, fn: String, pos: Int): Long = e match {
-    case l: Literal if l.dataType == IntegerType || l.dataType == LongType =>
+    case l: Literal if (l.dataType == IntegerType ||
+        l.dataType == LongType) && l.value != null =>
       l.value.toString.toLong
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")

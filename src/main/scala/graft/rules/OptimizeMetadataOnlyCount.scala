@@ -52,7 +52,17 @@ case class OptimizeMetadataOnlyCount(spark: SparkSession)
       case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
         statableFiles(child) match {
           case Some((files, schema)) =>
-            val answers = aggExprs.map(answer(_, files, schema))
+            // EXPRID guard (mirrors the Filter case): every attribute the
+            // aggregate reads must be the RELATION's own output. An
+            // intermediate Project can alias a computed value under a real
+            // column's NAME (`SELECT max(b) FROM (SELECT rand() AS b FROM
+            // t)`); answering that from t.b's manifest stats would be a
+            // wrong result, not a missed optimization.
+            val fromRelation = relationNode(child).exists(r =>
+              aggExprs.forall(_.references.subsetOf(r.outputSet)))
+            val answers =
+              if (fromRelation) aggExprs.map(answer(_, files, schema))
+              else Seq(None)
             if (answers.forall(_.isDefined)) {
               LocalRelation(agg.output,
                 Seq(InternalRow.fromSeq(answers.map(_.get))))

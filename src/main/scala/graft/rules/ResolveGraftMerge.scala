@@ -170,6 +170,16 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     // dotted path addressing a nested field (vs a literal-dot column name)
     def isNestedKey(k: String): Boolean =
       k.contains(".") && !targetCols.contains(k.toLowerCase)
+    // names the target side may legitimately be qualified by (its alias /
+    // table name): a TWO-part evolution key must use one of these as its
+    // head, or `SET tt.newcol = 1` with a typo'd alias would silently
+    // create (or update) `newcol` under the wrong qualifier
+    lazy val targetQualifiers: Set[String] =
+      (m.targetTable.output.flatMap(_.qualifier) ++
+        m.targetTable.collect {
+          case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+            s.alias
+        }).map(_.toLowerCase).toSet
     def renderAssignments(
         as: Seq[Assignment], isUpdate: Boolean,
         scope: Seq[LogicalPlan]): Seq[(String, String)] = {
@@ -187,6 +197,11 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
                   targetCols.contains(u.nameParts.head.toLowerCase)))
               fail(s"schema evolution cannot create the nested field " +
                 s"${u.sql}; add the field with ALTER TABLE first")
+            if (u.nameParts.size == 2 &&
+                !targetQualifiers.contains(u.nameParts.head.toLowerCase))
+              fail(s"cannot resolve ${u.sql} in MERGE assignment: " +
+                s"'${u.nameParts.head}' is neither a target column nor " +
+                "the target's alias")
             u.nameParts.last
           case k => resolveExpr(k, Seq(m.targetTable)) match {
             case ar: AttributeReference => ar.name

@@ -278,8 +278,14 @@ case class GraftPkScan(
     if (perCol.exists(_.isEmpty)) return None
     // size check BEFORE expanding the cartesian; runtime IN sets can be an
     // entire dim table's keys — hashing 100k literals is trivial driver
-    // work, but an unbounded cross-column product is not
-    if (perCol.map(_.get.length.toLong).product > 100000L) return None
+    // work, but an unbounded cross-column product is not. Overflow-safe:
+    // a plain Long product of several 100k-element columns wraps (possibly
+    // below the cap) and would wave an astronomical expansion through.
+    val product = perCol.map(_.get.length.toLong).foldLeft(1L) { (acc, n) =>
+      try Math.multiplyExact(acc, n)
+      catch { case _: ArithmeticException => return None }
+    }
+    if (product > 100000L) return None
     val tuples = perCol.map(_.get)
       .foldLeft(Seq(Seq.empty[org.apache.spark.sql.catalyst.expressions.Literal])) {
         (acc, vs) => acc.flatMap(t => vs.map(t :+ _))

@@ -170,6 +170,132 @@ class CoreHardeningSuite extends GraftFunSuite {
     }
   }
 
+  test("pushed string filters treat % and _ as literals, not wildcards") {
+    import org.apache.spark.sql.sources._
+    // LIKE would read the user's '100%' as prefix '100' + wildcard
+    assert(graft.sources.FilterSql.toSql(StringStartsWith("c", "100%")) ==
+      "startswith(`c`, '100%')")
+    val df = Seq("100%", "1000", "100abc").toDF("c")
+    val kept = df.filter(expr(
+        graft.sources.FilterSql.toSql(StringStartsWith("c", "100%"))))
+      .as[String].collect().toSeq
+    assert(kept == Seq("100%"), s"wildcard leak: $kept")
+    assert(graft.sources.FilterSql.toSql(StringContains("c", "a_b")) ==
+      "contains(`c`, 'a_b')")
+  }
+
+  test("pushed timestamp filters are timezone-proof (absolute instants)") {
+    import org.apache.spark.sql.sources._
+    // the rendering must carry the INSTANT, not a wall-clock string that
+    // re-parses in the session timezone
+    val inst = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val sql = graft.sources.FilterSql.toSql(EqualTo("ts", inst))
+    assert(sql == s"`ts` = timestamp_micros(${inst.getEpochSecond * 1000000L})")
+    val df = Seq(java.sql.Timestamp.from(inst),
+      java.sql.Timestamp.from(inst.plusSeconds(3600))).toDF("ts")
+    assert(df.filter(expr(sql)).count() == 1)
+  }
+
+  test("metadata-only aggregate refuses a Project alias shadowing a column") {
+    withTempTable { dir =>
+      (1 to 10).map(i => (i.toLong, i * 100L)).toDF("id", "b")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mshadow")
+      // inner projection REDEFINES b; answering max(b) from the manifest
+      // stats of the real column would return 1000 instead of 0
+      val got = spark.sql(
+        "SELECT max(b) AS m FROM (SELECT id * 0 AS b FROM mshadow)")
+        .as[Long].head()
+      assert(got == 0L, s"stats answered a shadowed alias: $got")
+      // the genuine metadata path still fires for the real column
+      assert(spark.sql("SELECT max(b) FROM mshadow").as[Long].head() == 1000L)
+    }
+  }
+
+  test("merge-op marker on a non-graft join column fails instead of folding " +
+      "the graft side's same-named column") {
+    withTempTable { dir =>
+      Seq((1L, 10L)).toDF("id", "x").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mg")
+      Seq((1L, 7L)).toDF("id", "x").createOrReplaceTempView("mo_other")
+      val e = intercept[Exception] {
+        spark.sql("""SELECT graft_merge_op_sum(o.x) AS s
+          FROM mg g JOIN mo_other o ON g.id = o.id""").collect()
+      }
+      assert(e.getMessage.contains("graft primary-key table"),
+        s"marker on the other side must fail loudly: ${e.getMessage}")
+      // the graft side's own column still takes the operator in a join
+      val ok = spark.sql("""SELECT graft_merge_op_sum(g.x) AS s
+        FROM mg g JOIN mo_other o ON g.id = o.id""").as[Long].head()
+      assert(ok == 10L)
+    }
+  }
+
+  test("catalog CREATE normalizes and validates hashPartitions case") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS ghard1")
+      // off-case 'ID' must normalize to the schema's 'id', not commit a
+      // layout the case-sensitive write path can never satisfy
+      s2.sql(s"CREATE TABLE ghard1 (id BIGINT, v STRING) USING graft " +
+        s"LOCATION '$dir/t1' " +
+        "TBLPROPERTIES('hashPartitions'='ID','hashBucketNum'='2')")
+      try {
+        val t = GraftTable.forPath(spark, s"$dir/t1")
+        assert(t.snapshot.tableInfo.hashColumns == Seq("id"),
+          s"layout must carry the schema spelling: ${t.snapshot.tableInfo.hashColumns}")
+        s2.sql("INSERT INTO ghard1 VALUES (1, 'a')")
+        assert(s2.sql("SELECT count(*) FROM ghard1").head().getLong(0) == 1)
+      } finally s2.sql("DROP TABLE IF EXISTS ghard1")
+      // a typo'd column fails at CREATE, not at first INSERT
+      val e = intercept[Exception] {
+        s2.sql(s"CREATE TABLE ghard2 (id BIGINT, v STRING) USING graft " +
+          s"LOCATION '$dir/t2' " +
+          "TBLPROPERTIES('hashPartitions'='idd','hashBucketNum'='2')")
+      }
+      assert(e.getMessage.contains("not found in table schema"),
+        s"typo'd key column must fail at CREATE: ${e.getMessage}")
+    }
+  }
+
+  test("MERGE evolution rejects a typo'd qualifier instead of creating " +
+      "the column") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1").save(dir)
+      Seq((1L, 9)).toDF("id", "n").createOrReplaceTempView("mq_src")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+          USING mq_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET tt.newcol = s.n""")
+      }
+      assert(e.getMessage.contains("neither a target column"),
+        s"typo'd qualifier must fail analysis: ${e.getMessage}")
+      // the honest alias-qualified form still evolves
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+        USING mq_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.newcol = s.n""")
+      assert(spark.read.format("graft").load(dir)
+        .select("newcol").as[Int].head() == 9)
+    }
+  }
+
+  test("graft_table_changes with a typed NULL version argument errors " +
+      "cleanly") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "v").write.format("graft").save(dir)
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM graft_table_changes('$dir', CAST(NULL AS INT))")
+          .collect()
+      }
+      assert(e.getMessage.contains("integer literal"),
+        s"typed NULL must get the friendly error, not an NPE: ${e.getMessage}")
+    }
+  }
+
   test("a corrupt newest checkpoint falls back to the older retained one") {
     withTempTable { dir =>
       Seq((0L, 0)).toDF("id", "v").write.format("graft")
