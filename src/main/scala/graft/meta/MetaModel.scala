@@ -93,6 +93,15 @@ object DataFileInfo {
   def rangeKey(values: Map[String, String]): String =
     if (values.isEmpty) ""
     else values.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  /** A version's add entries with their merge-on-read writeVersion stamped:
+    * fresh files arrive with the 0 sentinel and take the commit's version;
+    * a re-add (RESTORE) keeps its original. THE one stamping rule — every
+    * log reader (streaming source, CDF stream, batch change feed) must
+    * apply it identically or merge ordering diverges between consumers. */
+  def stampedAdds(entries: Seq[LogEntry], version: Long): Seq[DataFileInfo] =
+    entries.flatMap(_.add).map(f =>
+      if (f.writeVersion == 0L) f.copy(writeVersion = version) else f)
 }
 
 /** Row-level TOMBSTONES for primary-key tables: a delta file may carry the

@@ -191,17 +191,29 @@ object MaterializedViews {
   /** Remove the view from the session's registry (storage untouched). */
   def unregister(spark: SparkSession, viewPath: String): Unit = {
     val norm = SnapshotManagement.normalize(viewPath)
-    val cur = spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
-      .map(_.split(",").toSeq).getOrElse(Nil)
-    spark.conf.set(CONF_KEY, cur.filterNot(_ == norm).mkString(","))
+    spark.conf.set(CONF_KEY, registeredPaths(spark)
+      .filterNot(_ == norm).map(encodePath).mkString(","))
   }
 
   def register(spark: SparkSession, viewPath: String): Unit = {
-    val cur = spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
-      .map(_.split(",").toSeq).getOrElse(Nil)
+    val cur = registeredPaths(spark)
     val norm = SnapshotManagement.normalize(viewPath)
-    if (!cur.contains(norm)) spark.conf.set(CONF_KEY, (cur :+ norm).mkString(","))
+    if (!cur.contains(norm)) spark.conf.set(CONF_KEY,
+      (cur :+ norm).map(encodePath).mkString(","))
   }
+
+  /** Registry entries are URL-encoded before the comma-join — a view path
+    * containing a comma would otherwise split into garbage entries and the
+    * real view would never match again. Decoding tolerates legacy
+    * un-encoded entries (no '%' in them decodes to itself). */
+  private def encodePath(p: String): String =
+    java.net.URLEncoder.encode(p, "UTF-8")
+
+  private[mv] def registeredPaths(spark: SparkSession): Seq[String] =
+    spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Nil)
 
   def graftRelationVersions(df: DataFrame): Map[String, Long] = {
     castToImpl(df).queryExecution.analyzed.collect {
@@ -221,8 +233,7 @@ case class RewriteQueryByMaterialView(spark: SparkSession) extends Rule[LogicalP
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (inRewrite.get()) return plan
-    val views = spark.conf.getOption(MaterializedViews.CONF_KEY)
-      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    val views = MaterializedViews.registeredPaths(spark)
     if (views.isEmpty || !plan.resolved) return plan
     // never rewrite DML target relations: a fresh all-column view would
     // otherwise replace the UPDATE/DELETE/MERGE target (or a write's table)
@@ -931,12 +942,17 @@ object RewriteQueryByMaterialView {
   }
 
   /** Literal value cast (up-cast only) to the attribute's type; null when
-    * incomparable. */
+    * incomparable. Guarded: this rule runs at RESOLUTION time, before the
+    * optimizer substitutes `current_date()`/`current_timestamp()` — those
+    * are foldable yet Unevaluable here, and an unguarded eval would fail
+    * the WHOLE query's analysis instead of just skipping the rewrite. */
   private def litValue(
       l: Expression, dt: org.apache.spark.sql.types.DataType): Any =
-    if (l.dataType == dt) l.eval(null)
-    else if (Cast.canUpCast(l.dataType, dt)) Cast(l, dt).eval(null)
-    else null
+    try {
+      if (l.dataType == dt) l.eval(null)
+      else if (Cast.canUpCast(l.dataType, dt)) Cast(l, dt).eval(null)
+      else null
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** (value, inclusive) bound. */
   private case class Bound(value: Any, inclusive: Boolean)

@@ -26,7 +26,10 @@ object Invariants {
     * null and never surface through the merge reader. The `when` keeps the
     * exemption branch lazy, so the assert never evaluates for them. */
   def enforce(df: DataFrame, tableInfo: TableInfo): DataFrame = {
-    val present = df.columns.toSet
+    // CASE-INSENSITIVE presence (Spark's default resolution): a constraint
+    // or schema spelled `X` must still bind to a written column `x`, or
+    // the invariant silently never fires
+    val present = df.columns.map(_.toLowerCase).toSet
     val markerCol = df.columns.find(graft.meta.Tombstones.isMarkerCol)
     def guarded(check: Column): Column = markerCol match {
       case Some(mc) =>
@@ -34,7 +37,8 @@ object Invariants {
       case None => check
     }
     val notNullCols = tableInfo.schema.fields
-      .filter(f => !f.nullable && present.contains(f.name)).map(_.name)
+      .filter(f => !f.nullable && present.contains(f.name.toLowerCase))
+      .map(f => df.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(f.name))
     val withNotNull = notNullCols.foldLeft(df) { (d, c) =>
       d.filter(guarded(coalesce(
         assert_true(col(s"`$c`").isNotNull,
@@ -47,9 +51,15 @@ object Invariants {
     }
     checks.foldLeft(withNotNull) { case (d, (name, predicate)) =>
       val cond = expr(predicate)
+      // a reference applies if its ROOT column is present: `props.score`
+      // references nested field score of column props; a column literally
+      // named props.score also passes via the whole-name check
       val refs = graft.commands.RewriteSupport.referencedNames(
         org.apache.spark.sql.graft.SparkShims.expression(cond))
-      if (!refs.forall(present.contains)) d
+      val applies = refs.forall(r =>
+        present.contains(r.toLowerCase) ||
+        present.contains(r.split("\\.").head.toLowerCase))
+      if (!applies) d
       else d.filter(guarded(coalesce(
         assert_true(coalesce(cond, lit(false)),
           lit(s"[graft invariant] $name: CHECK ($predicate) violated")),

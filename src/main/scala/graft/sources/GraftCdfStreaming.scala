@@ -88,8 +88,7 @@ class GraftCdfMicroBatchStream(
       val info = entries.flatMap(_.commit).headOption
       val tpe = info.map(_.commitType).getOrElse("append")
       val ts = info.map(_.timestamp).getOrElse(0L)
-      val adds = entries.flatMap(_.add).map(f =>
-        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
       val removePaths = entries.flatMap(_.remove).map(_.path).toSet
       val removed =
         if (removePaths.isEmpty) Nil
@@ -345,10 +344,60 @@ case class GraftCdfReaderFactory(
       SortOrder(BoundReference(i, layout(i).dataType, nullable = true),
         org.apache.spark.sql.catalyst.expressions.Ascending)))
 
-  private def valueOrdering: Ordering[InternalRow] =
-    new LazilyGeneratedOrdering(compareOrdinals.toIndexedSeq.map(i =>
-      SortOrder(BoundReference(i, layout(i).dataType, nullable = true),
-        org.apache.spark.sql.catalyst.expressions.Ascending)))
+  /** Pre/post value EQUALITY (the diff never needs an order): codegen'd
+    * ordering over the orderable columns, plus interpreted semantic
+    * equality for unorderable ones — a MAP column would make
+    * GenerateOrdering throw at reader creation, failing the stream for a
+    * table the write path happily accepts. Map equality is unordered
+    * (entry multisets; SQL map keys are always orderable scalars). Any
+    * other unorderable type conservatively compares unequal — a spurious
+    * update pre/post pair beats a crashed stream or a missed change. */
+  private def valuesEqualFn: (InternalRow, InternalRow) => Boolean = {
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    val (orderable, unorderable) = compareOrdinals.partition(i =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(layout(i).dataType))
+    val ord: Ordering[InternalRow] =
+      if (orderable.isEmpty) null
+      else new LazilyGeneratedOrdering(orderable.toIndexedSeq.map(i =>
+        SortOrder(BoundReference(i, layout(i).dataType, nullable = true),
+          org.apache.spark.sql.catalyst.expressions.Ascending)))
+    def valueEq(dt: org.apache.spark.sql.types.DataType,
+        a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case _ => dt match {
+        case mt: org.apache.spark.sql.types.MapType =>
+          val (ma, mb) =
+            (a.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+             b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+          if (ma.numElements() != mb.numElements()) false
+          else {
+            val ko = TypeUtils.getInterpretedOrdering(mt.keyType)
+              .asInstanceOf[Ordering[Any]]
+            def entries(m: org.apache.spark.sql.catalyst.util.MapData) =
+              (0 until m.numElements()).map(i =>
+                (m.keyArray().get(i, mt.keyType),
+                 m.valueArray().get(i, mt.valueType))).sortBy(_._1)(ko)
+            entries(ma).zip(entries(mb)).forall { case ((k1, v1), (k2, v2)) =>
+              ko.compare(k1, k2) == 0 && valueEq(mt.valueType, v1, v2)
+            }
+          }
+        case other
+            if org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(other) =>
+          TypeUtils.getInterpretedOrdering(other)
+            .asInstanceOf[Ordering[Any]].compare(a, b) == 0
+        case _ => false
+      }
+    }
+    (pre, post) =>
+      (ord == null || ord.compare(pre, post) == 0) &&
+      unorderable.forall { i =>
+        val dt = layout(i).dataType
+        valueEq(dt, pre.get(i, dt), post.get(i, dt))
+      }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -395,7 +444,7 @@ case class GraftCdfReaderFactory(
     val preR = side(d.pre)
     val postR = side(d.post)
     val keyOrd = keyOrdering
-    val valOrd = valueOrdering
+    val valuesEqual = valuesEqualFn
     val joined = new JoinedRow
     val insertTag = changeRow("insert", d.version, d.tsMillis)
     val deleteTag = changeRow("delete", d.version, d.tsMillis)
@@ -429,7 +478,7 @@ case class GraftCdfReaderFactory(
               pending.enqueue(joined(post, insertTag).copy())
               post = advance(postR)
             } else {
-              if (valOrd.compare(pre, post) != 0) {
+              if (!valuesEqual(pre, post)) {
                 pending.enqueue(joined(pre, updPreTag).copy())
                 pending.enqueue(joined(post, updPostTag).copy())
               } // identical rows carried over by the rewrite: suppressed

@@ -101,8 +101,16 @@ class GraftSink(
           val files = TransactionalWrite.writeFiles(
             spark, path, newInfo, aligned,
             isBase = !newInfo.hasPrimaryKey || outputMode == OutputMode.Complete())
+          // Complete mode is a full-table REPLACEMENT and must commit as
+          // "overwrite" (the batch writer's type for the same operation):
+          // "streaming" is an APPEND type, so a downstream stream would
+          // re-emit the whole table every batch as fresh rows and the
+          // change feeds would tag replaced state as inserts with no
+          // deletes. Batch-id idempotence rides the StreamingInfo entry,
+          // not the commit type.
           val commitType =
-            if (newInfo.hasPrimaryKey && outputMode != OutputMode.Complete()) "delta"
+            if (outputMode == OutputMode.Complete()) "overwrite"
+            else if (newInfo.hasPrimaryKey) "delta"
             else "streaming"
           txn.commit(commitType,
             if (newInfo == info) None else Some(newInfo), files, expired,

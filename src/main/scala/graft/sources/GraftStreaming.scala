@@ -246,8 +246,7 @@ class GraftMicroBatchStream(
       val entries = store.read(tablePath, v)
       val commitType = entries.flatMap(_.commit).headOption
         .map(_.commitType).getOrElse("append")
-      val adds = entries.flatMap(_.add).map(f =>
-        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
       // a delta file carrying tombstone markers DELETES keys — its rows are
       // not appends, and this source has no delete concept: treat it as a
       // data-changing commit (fail loudly / skip under ignoreChanges)

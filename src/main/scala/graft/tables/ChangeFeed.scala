@@ -96,8 +96,7 @@ object ChangeFeed {
       val info = entries.flatMap(_.commit).headOption
       val commitType = info.map(_.commitType).getOrElse("append")
       val ts = info.map(_.timestamp).getOrElse(0L)
-      val adds = entries.flatMap(_.add).map(f =>
-        if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+      val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
       val removes = entries.flatMap(_.remove)
       val appendLike =
         Set("create", "append", "streaming", "delta").contains(commitType) &&
@@ -194,8 +193,7 @@ object ChangeFeed {
     val ts = info.map(_.timestamp).getOrElse(0L)
     if (REWRITE_TYPES.contains(commitType)) return None
 
-    val adds = entries.flatMap(_.add).map(f =>
-      if (f.writeVersion == 0L) f.copy(writeVersion = v) else f)
+    val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
     val removePaths = entries.flatMap(_.remove).map(_.path).toSet
     if (adds.isEmpty && removePaths.isEmpty) return None
 

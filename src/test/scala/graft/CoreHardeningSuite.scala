@@ -296,6 +296,67 @@ class CoreHardeningSuite extends GraftFunSuite {
     }
   }
 
+  test("queries with current_date() survive a registered materialized view") {
+    withTempTable { base => withTempTable { view =>
+      Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("dt", "v")
+        .write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE mvcur_base USING graft LOCATION '$base'")
+      try {
+        graft.tables.GraftTable.createMaterialView(spark, "", view,
+          "SELECT dt, v FROM mvcur_base WHERE v > 0")
+        // the rewrite rule runs at RESOLUTION time, before the optimizer
+        // folds current_date(); its containment probe must skip such
+        // predicates, not crash the whole query's analysis
+        val got = spark.sql(
+          "SELECT count(*) FROM mvcur_base WHERE dt >= current_date()")
+          .head().getLong(0)
+        assert(got == 0L) // test dates are in the past
+        assert(spark.sql(
+          "SELECT count(*) FROM mvcur_base WHERE dt <= current_timestamp()")
+          .head().getLong(0) == 2L)
+      } finally spark.sql("DROP TABLE IF EXISTS mvcur_base")
+    } }
+  }
+
+  test("CHECK constraints and NOT NULL bind case-insensitively") {
+    withTempTable { dir =>
+      // constraint spelled with the wrong case must still fire
+      Seq((1L, 5)).toDF("id", "v").write.format("graft")
+        .option("graft.constraints.pos", "V > 0").save(dir)
+      val e = intercept[Exception] {
+        Seq((2L, -1)).toDF("id", "v").write.format("graft")
+          .mode("append").save(dir)
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+      assert(msgs(e).contains("CHECK"),
+        s"off-case constraint must still be enforced: ${msgs(e).take(300)}")
+      assert(graft.tables.GraftTable.forPath(spark, dir).toDF.count() == 1)
+    }
+  }
+
+  test("MV registry survives a view path containing a comma") {
+    withTempTable { base => withTempTable { root =>
+      Seq((1L, 1)).toDF("id", "v").write.format("graft").save(base)
+      spark.sql(s"CREATE TABLE mvcomma_base USING graft LOCATION '$base'")
+      val commaPath = s"$root/a,b/view"
+      try {
+        graft.tables.GraftTable.createMaterialView(spark, "", commaPath,
+          "SELECT id, v FROM mvcomma_base")
+        // the comma must not split the registry into garbage entries
+        val reg = spark.conf.get(graft.mv.MaterializedViews.CONF_KEY)
+        assert(!reg.split(",").exists(_ == s"$root/a"),
+          s"registry corrupted by comma path: $reg")
+        // the view is findable: refresh() sees it as fresh (false = no-op)
+        assert(!graft.mv.MaterializedViews.refresh(spark, commaPath))
+        // and goes stale when the base advances
+        Seq((2L, 2)).toDF("id", "v").write.format("graft")
+          .mode("append").save(base)
+        assert(graft.mv.MaterializedViews.refresh(spark, commaPath))
+      } finally spark.sql("DROP TABLE IF EXISTS mvcomma_base")
+    } }
+  }
+
   test("a corrupt newest checkpoint falls back to the older retained one") {
     withTempTable { dir =>
       Seq((0L, 0)).toDF("id", "v").write.format("graft")

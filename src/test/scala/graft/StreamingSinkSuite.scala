@@ -72,6 +72,24 @@ class StreamingSinkSuite extends GraftFunSuite {
       val t = GraftTable.forPath(spark, dir)
       assert(rowsOf(t.toDF.select("k", "count")) ==
         rowsOf(Seq(("a", 3L), ("b", 1L)).toDF("k", "count")))
+      // a Complete batch is a full-table REPLACEMENT and must commit as
+      // "overwrite": an append-type commit would make a downstream stream
+      // re-emit the whole table each batch as fresh rows and the change
+      // feeds tag replaced state as pure inserts
+      import spark.implicits._
+      // v0 CREATES the table (nothing replaced — plain streaming append);
+      // every later Complete batch replaces state and must be "overwrite"
+      val types = t.history().select("version", "commitType")
+        .as[(Long, String)].collect().toMap
+      assert(types(0L) == "streaming" && types(1L) == "overwrite",
+        s"Complete replacement batches must commit as overwrite: $types")
+      // the batch ChangeFeed sees the replacement: v1 emits deletes for
+      // the replaced state alongside the new inserts
+      val v1types = t.changes(1, 1)
+        .select(graft.tables.ChangeFeed.CHANGE_TYPE).as[String]
+        .collect().toSet
+      assert(v1types.contains("delete") && v1types.contains("insert"),
+        s"replacement must emit deletes + inserts, got $v1types")
     }
   }
 
