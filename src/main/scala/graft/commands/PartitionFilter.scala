@@ -50,11 +50,14 @@ object PartitionFilter {
   }
 
   /** Partition values are stored as strings; cast back to the column type
-    * and convert to the external (Row) representation. */
+    * and convert to the external (Row) representation. Delegates the
+    * stored-string cast (HIVE_NULL marker + session-timezone Cast) to
+    * [[graft.sources.GraftFileIndex.castPartitionValue]] — ONE copy of
+    * that convention, shared with the scan-side file index. */
   def castToExternal(spark: SparkSession, s: String, dt: DataType): Any = {
-    if (s == null || s == TransactionalWrite.HIVE_NULL) return null
-    val catalyst = Cast(Literal(UTF8String.fromString(s), StringType), dt,
-      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    val catalyst = graft.sources.GraftFileIndex.castPartitionValue(s,
+      org.apache.spark.sql.types.StructField("p", dt),
+      spark.sessionState.conf.sessionLocalTimeZone)
     CatalystTypeConverters.convertToScala(catalyst, dt)
   }
 }

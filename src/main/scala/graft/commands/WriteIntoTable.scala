@@ -174,9 +174,21 @@ object WriteIntoTable {
         }
         // First N columns map positionally onto the table; extra TRAILING
         // columns keep their own names, so evolveSchema can either reject
-        // them (no mergeSchema) or append them to the schema.
+        // them (no mergeSchema) or append them to the schema. An extra
+        // whose name collides with a table column would make the renamed
+        // frame ambiguous (two columns named `a`) and crash the select
+        // below with an unhelpful error — reject it cleanly here.
+        val extras = incoming.drop(readOrder.length)
+        val collide = extras.filter(e =>
+          readOrder.exists(_.equalsIgnoreCase(e)))
+        if (collide.nonEmpty) {
+          throw new GraftWriteException(
+            s"INSERT by position: extra trailing column(s) " +
+            s"[${collide.mkString(", ")}] collide with table column names; " +
+            "rename them or use an INSERT with an explicit column list")
+        }
         val renamed = df.toDF(
-          (readOrder ++ incoming.drop(readOrder.length)).toIndexedSeq: _*)
+          (readOrder ++ extras).toIndexedSeq: _*)
         // Struct fields ALSO map by position for positional inserts
         // ((col1, col2) tuples land in (x, y)): rename nested field names
         // to the table's via a pure-rename cast so the downstream by-name
@@ -323,11 +335,16 @@ object WriteIntoTable {
         }
         val info = info0.copy(schemaJson = renamed.schema.json)
         val files = TransactionalWrite.writeFiles(spark, path, info, renamed, isBase = true)
-        txn.commit("overwrite", Some(info), files, snapshot.files)
+        // rewriteGuard: with an EMPTY snapshot (registered-but-unloaded
+        // table) the remove-set gate alone would skip conflict detection
+        // and a concurrent append would silently survive the replacement
+        txn.commit("overwrite", Some(info), files, snapshot.files,
+          rewriteGuard = true)
       case None =>
         val (newInfo, aligned) = evolveSchema(spark, df, info0, options, isOverwrite = true)
         val files = TransactionalWrite.writeFiles(spark, path, newInfo, aligned, isBase = true)
-        txn.commit("overwrite", Some(newInfo), files, snapshot.files)
+        txn.commit("overwrite", Some(newInfo), files, snapshot.files,
+          rewriteGuard = true)
     }
   }
 
@@ -351,19 +368,24 @@ object WriteIntoTable {
     if (bad.nonEmpty) throw new GraftWriteException(
       s"replaceWhere may reference only range partition columns " +
       s"[${info.rangeColumns.mkString(", ")}]; got [${bad.mkString(", ")}]")
-    // NOT coalesce(cond, false): a row where the predicate evaluates to
-    // NULL does not satisfy it and must be rejected — plain `!cond` is
-    // NULL for such rows and the filter would silently let them through
-    // into a partition the commit does not replace
-    val offending = df.filter(!coalesce(cond, lit(false))).limit(1).collect()
-    if (offending.nonEmpty) {
-      throw new GraftWriteException(
-        s"written data does not satisfy replaceWhere '$predicate'")
-    }
+    // Containment rides the WRITE itself (same single-pass pattern as the
+    // conditional upsert, DmlCommands): a separate validation collect()
+    // would re-execute the DataFrame, and a non-deterministic source could
+    // pass the probe yet write different rows into partitions the commit
+    // does not replace. `coalesce(cond, false)`: a NULL predicate row does
+    // not satisfy the clause and must fail too.
+    val guarded = df.filter(coalesce(
+      assert_true(coalesce(cond, lit(false)),
+        lit(s"[graft replaceWhere] written data does not satisfy " +
+          s"'$predicate'")),
+      lit(true)))
     // Determine which existing partitions match the predicate.
     val removed = PartitionFilter.filterFiles(spark, snapshot, Seq(condExpr))
-    val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
-    txn.commit("overwrite", metaChange, files, removed)
+    val files = TransactionalWrite.writeFiles(spark, path, info, guarded,
+      isBase = true)
+    // rewriteGuard: detect concurrent appends into the replaced partitions
+    // even when they currently hold no files (removed == Nil)
+    txn.commit("overwrite", metaChange, files, removed, rewriteGuard = true)
   }
 
   /** Schema check + optional auto-merge (reference

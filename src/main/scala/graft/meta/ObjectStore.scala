@@ -44,8 +44,18 @@ trait ObjectStoreClient {
   * correctness never depends on that optimization.
   */
 class ObjectStoreMetaStore(client: ObjectStoreClient) extends MetaStore {
-  private def logPrefix(tablePath: String): String =
-    s"${FsMetaStore.stripScheme(tablePath)}/${FsMetaStore.LOG_DIR_NAME}/"
+  /** CANONICAL key prefix: leading slash, empty segments collapsed. A
+    * scheme'd path ("s3a://bucket/tbl") carries a double slash that the
+    * Dir client's list() reconstruction would never reproduce — its keys
+    * would then fail the caller's startsWith and latestVersion would stay
+    * -1 forever (first commit lands, every read says table-not-found).
+    * Canonicalizing ONCE here keeps every client's put/get/list in one
+    * key space. */
+  private def logPrefix(tablePath: String): String = {
+    val p = FsMetaStore.stripScheme(tablePath)
+    "/" + (p.split("/").filter(_.nonEmpty) :+ FsMetaStore.LOG_DIR_NAME)
+      .mkString("/") + "/"
+  }
   private def versionKey(tablePath: String, version: Long): String =
     f"${logPrefix(tablePath)}$version%020d.json"
   private def checkpointKey(tablePath: String, version: Long): String =

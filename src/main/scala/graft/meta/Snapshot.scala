@@ -266,6 +266,23 @@ class Transaction(val tablePath: String, store: MetaStore) {
           s"commit expected to land at v$expectVersion of $tablePath but " +
           s"latest is v${version - 1}: a concurrent writer got there first")
       }
+      // Meta lost-update guard: a commit carrying a TableInfo change
+      // computed it against the PINNED snapshot; if another commit changed
+      // the table's info since the pin, re-committing ours would silently
+      // revert theirs (replay is last-writer-wins on the table entry) —
+      // two concurrent mergeSchema appends would drop each other's new
+      // columns. Conflict instead; the caller's restart re-merges against
+      // fresh state.
+      if (newTableInfo.isDefined && version - 1 > readVersion) {
+        val pinned = snapshotOpt.map(_.tableInfo)
+        val current = Snapshot.replay(store, tablePath, version - 1).tableInfo
+        if (!pinned.contains(current)) {
+          throw new GraftConcurrentModificationException(
+            s"table metadata of $tablePath changed concurrently (snapshot " +
+            s"v$readVersion -> v${version - 1}); restarting from a fresh " +
+            "snapshot")
+        }
+      }
       if (strictWindow && version - 1 > readVersion) {
         throw new GraftConcurrentModificationException(
           s"commit(s) landed on $tablePath since snapshot v$readVersion " +

@@ -42,7 +42,11 @@ class GraftDataSource
       extraOptions = options.asCaseSensitiveMap().asScala.toMap).schema()
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
-    new GraftTableV2(SparkSession.active, pathOf(options)).partitioning()
+    // same options as inferSchema: a versionAsOf/timestampAsOf read must
+    // report the PINNED snapshot's partitioning (and reuse its resolution
+    // instead of paying a second independent replay)
+    new GraftTableV2(SparkSession.active, pathOf(options),
+      extraOptions = options.asCaseSensitiveMap().asScala.toMap).partitioning()
 
   override def getTable(
       schema: StructType,

@@ -27,8 +27,10 @@ class CoreHardeningSuite extends GraftFunSuite {
           .write.format("graft").mode("overwrite")
           .option("replaceWhere", "date = '2024-01-01'").save(dir)
       }
-      assert(e.getMessage.contains("does not satisfy"),
-        s"NULL-predicate row must fail the containment check: ${e.getMessage}")
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+      assert(msgs(e).contains("does not satisfy"),
+        s"NULL-predicate row must fail the containment check: ${msgs(e).take(400)}")
       // table untouched by the failed write
       assert(spark.read.format("graft").load(dir).count() == 2)
     }
@@ -293,6 +295,88 @@ class CoreHardeningSuite extends GraftFunSuite {
       }
       assert(e.getMessage.contains("integer literal"),
         s"typed NULL must get the friendly error, not an NPE: ${e.getMessage}")
+    }
+  }
+
+  test("concurrent mergeSchema appends keep BOTH writers' new columns") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    withTempTable { dir =>
+      Seq((1L, "base")).toDF("id", "v").write.format("graft").save(dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // both writers evolve the schema from the same starting snapshot;
+      // without the metadata conflict guard the last TableInfo wins and
+      // the other writer's column silently vanishes from the schema
+      val fx = Future {
+        Seq((2L, "a", 10)).toDF("id", "v", "x").write.format("graft")
+          .mode("append").option("mergeSchema", "true").save(dir)
+      }
+      val fy = Future {
+        Seq((3L, "b", 20L)).toDF("id", "v", "y").write.format("graft")
+          .mode("append").option("mergeSchema", "true").save(dir)
+      }
+      Await.result(Future.sequence(Seq(fx, fy)), 120.seconds)
+      pool.shutdown()
+      val cols = spark.read.format("graft").load(dir).columns.toSet
+      assert(cols == Set("id", "v", "x", "y"),
+        s"a concurrent evolution dropped a column: $cols")
+      assert(spark.read.format("graft").load(dir).count() == 3)
+    }
+  }
+
+  test("a metadata-changing commit conflicts when the table info moved") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "v").write.format("graft").save(dir)
+      val path = SnapshotManagement.normalize(dir)
+      SnapshotManagement.withNewTransaction(path) { txn =>
+        val pinnedInfo = txn.snapshotOpt.get.tableInfo
+        // a concurrent writer evolves the schema while ours is staged
+        Seq((2L, "b", 1)).toDF("id", "v", "w").write.format("graft")
+          .mode("append").option("mergeSchema", "true").save(dir)
+        val mine = pinnedInfo.copy(schemaJson =
+          Seq((9L, "x", 0.5)).toDF("id", "v", "z").schema.json)
+        val files = graft.write.TransactionalWrite.writeFiles(
+          spark, path, mine, Seq((9L, "x", 0.5)).toDF("id", "v", "z"),
+          isBase = true)
+        intercept[GraftConcurrentModificationException] {
+          txn.commit("append", Some(mine), files, Nil)
+        }
+      }
+    }
+  }
+
+  test("object-store log round-trips a scheme'd table path") {
+    val store = new graft.meta.ObjectStoreMetaStore(
+      new graft.meta.InMemoryObjectStoreClient)
+    val path = "s3a://bucket/warehouse/tbl"
+    assert(store.latestVersion(path) == -1L)
+    // the double slash in the scheme must not wedge list/latestVersion
+    assert(store.commit(path, 0L, Seq(graft.meta.LogEntry(
+      commit = Some(graft.meta.CommitInfo("create", 1L))))))
+    assert(store.latestVersion(path) == 0L,
+      "scheme'd path never round-tripped through list()")
+    assert(store.read(path, 0L).flatMap(_.commit)
+      .exists(_.commitType == "create"))
+  }
+
+  test("positional INSERT with an extra column colliding with a table " +
+      "column fails cleanly") {
+    withTempTable { dir =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
+      s2.sql("DROP TABLE IF EXISTS gcollide")
+      s2.sql(s"CREATE TABLE gcollide (a BIGINT, b STRING) USING graft " +
+        s"LOCATION '$dir/t'")
+      try {
+        val e = intercept[Exception] {
+          s2.sql("INSERT INTO gcollide SELECT 1L, 'x', 2L AS a")
+        }
+        def msgs(t: Throwable): String =
+          if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+        assert(msgs(e).contains("collide") || msgs(e).contains("column"),
+          s"collision must fail with a clear error: ${msgs(e).take(300)}")
+      } finally s2.sql("DROP TABLE IF EXISTS gcollide")
     }
   }
 
