@@ -136,6 +136,52 @@ object Queries {
             .as("minute_str"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
 
+    // ---- as-of join / range join / KMV sketch (graft.ops.Relational) ----
+
+    // backward as-of join: for each purchase, the user's latest click
+    // at-or-before it — union + carry-forward window, ONE shuffle on the
+    // user key (never an inequality join); the oracle spells the same
+    // semantics as an honest inequality join + row_number
+    "q_asof_join" -> ((s, sf) => {
+      val ev = GraftData.eventsPlain(s, sf)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          cents(col("value")).as("click_cents"))
+      graft.ops.Relational.asOfJoin(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts", rightTime = "c_ts",
+          payload = Seq("click_cents"), asofTimeAlias = "click_ts")
+        .select(col("event_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"), col("click_cents"))
+    }),
+
+    // interval containment with NO equi key: per 10-minute error window,
+    // the non-error events inside it — intervals explode onto fixed time
+    // buckets and equi-join there (cost ∝ true matches), never a
+    // nested-loop; the oracle runs the plain inequality join
+    "q_range_join" -> ((s, sf) => {
+      val ev = GraftData.eventsPlain(s, sf)
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          timestamp_micros(unix_micros(col("ts")) + 600L * 1000000L)
+            .as("w_end"))
+      val probes = ev.filter(col("event_type") =!= "error")
+        .select(col("ts").as("p_ts"), cents(col("value")).as("p_cents"))
+      graft.ops.Relational.rangeJoin(probes, "p_ts", windows,
+          "w_start", "w_end", bucketMicros = 600L * 1000000L)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("p_cents")).as("sum_cents"))
+    }),
+
+    // KMV distinct sketch: md5-derived 60-bit hashes make the k-minimum-
+    // values estimate fully deterministic, so DuckDB rebuilds the SAME
+    // sketch bit-for-bit — an oracle-able cardinality sketch (HLL isn't)
+    "q_kmv_distinct" -> ((s, sf) =>
+      graft.ops.Relational.kmvDistinct(GraftData.eventsPlain(s, sf),
+        Seq("event_type"), "user_id", k = 64)),
+
     "q_math_funcs" -> ((s, sf) =>
       GraftData.partPlain(s, sf).select(
         col("p_partkey"),
@@ -501,6 +547,51 @@ object Queries {
        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
        "FROM events GROUP BY 1, 2"),
+
+    // as-of via honest inequality join + row_number — same backward-
+    // inclusive semantics the union+window operator computes; clicks
+    // collapse to the greatest cents per (user, ts) exactly like the
+    // operator's deterministic tiebreak
+    "q_asof_join" ->
+      ("WITH cl AS (SELECT user_id, ts, " +
+       "MAX(CAST(ROUND(value*100) AS BIGINT)) AS click_cents " +
+       "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+       "pur AS (SELECT event_id, user_id, ts FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "best AS (SELECT event_id, c_ts, click_cents FROM (" +
+       "SELECT p.event_id, c.ts AS c_ts, c.click_cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) rn " +
+       "FROM pur p JOIN cl c ON c.user_id = p.user_id AND c.ts <= p.ts) " +
+       "WHERE rn = 1) " +
+       "SELECT p.event_id, EPOCH_US(b.c_ts) AS click_ts_us, b.click_cents " +
+       "FROM pur p LEFT JOIN best b USING (event_id)"),
+
+    "q_range_join" ->
+      ("WITH w AS (SELECT event_id AS window_id, ts AS w_start, " +
+       "ts + INTERVAL 10 MINUTE AS w_end FROM events " +
+       "WHERE event_type = 'error'), " +
+       "p AS (SELECT ts, CAST(ROUND(value*100) AS BIGINT) AS cents " +
+       "FROM events WHERE event_type <> 'error') " +
+       "SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "CAST(SUM(p.cents) AS BIGINT) AS sum_cents " +
+       "FROM w JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end GROUP BY 1"),
+
+    // the same 60-bit md5 hash arithmetic as Relational.kmvDistinct:
+    // 63.0 * 2^60 is exact in a double and x/y is correctly rounded in
+    // both engines, so FLOOR agrees bit-for-bit; FLOOR (not bare CAST)
+    // because DuckDB's double→BIGINT cast rounds while Spark's truncates
+    "q_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) " +
+       "AS BIGINT) AS kh FROM events), " +
+       "r AS (SELECT event_type, kh, " +
+       "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY kh) rn FROM h) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+       "MAX(kh) AS kth_hash, " +
+       "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT) " +
+       "ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / " +
+       "CAST(MAX(kh) AS DOUBLE)) AS BIGINT) END AS est_distinct " +
+       "FROM r WHERE rn <= 64 GROUP BY 1"),
 
     // abs/ceil/floor/sqrt/mod are IEEE-exact in both engines (no libm
     // transcendentals, whose last-ulp behavior differs across builds)

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed from shuffle-
+  * aware primitives so they hold at 100 TB. Three families:
+  *
+  *  - '''as-of join''' (backward, inclusive): for each left row, the
+  *    latest right row with the same key and `rightTime <= leftTime`.
+  *    Implemented as union + carry-forward window — ONE hash shuffle on
+  *    the key and an in-partition sort, never an inequality join (whose
+  *    equi-key hash build degenerates to per-key cross products when keys
+  *    are hot) and never a broadcast nested loop.
+  *  - '''range join''' (interval containment, no equi key): probe rows
+  *    against `[start, end)` intervals. Each interval is exploded onto the
+  *    fixed-width time buckets it covers, probes map to their single
+  *    bucket, and an equi-join on the bucket plus an exact residual filter
+  *    replaces the nested loop. Cost is pairs-that-could-match, not
+  *    |probe| × |intervals|.
+  *  - '''KMV distinct sketch''': k-minimum-values cardinality estimate
+  *    from md5-derived 60-bit hashes. Fully deterministic (no seed, no
+  *    RNG), so an external engine replaying the same md5 arithmetic
+  *    reproduces the estimate bit-for-bit — the sketch is oracle-able,
+  *    unlike HLL whose register layout is engine-private.
+  */
+object Relational {
+
+  /** Backward as-of join, inclusive on ties.
+    *
+    * For every `left` row: the payload of the latest `right` row whose
+    * `rightKey` equals the row's `leftKey` and whose `rightTime` is
+    * `<= leftTime`; `null`s when no such row exists. The result carries
+    * every `left` column, the matched time as `asofTimeAlias`, and the
+    * requested `payload` columns.
+    *
+    * Right rows sharing one `(key, time)` resolve to the greatest payload
+    * tuple (deterministic last-wins) — an as-of answer must be a function
+    * of the data, not of partition iteration order. The tiebreak costs
+    * nothing: it is one more sort column in the window ordering, not a
+    * pre-aggregation pass.
+    *
+    * Scale shape: both sides union and shuffle ONCE on the key, and a
+    * running `last(_, ignoreNulls)` over `(time, side, payload)` carries
+    * each right payload forward to the left rows that follow it. Per-key
+    * work is a sort — no per-key cross product, no broadcast requirement
+    * on either side. Skewed keys cost one partition's sort, not a
+    * quadratic join.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      asofTimeAlias: String = "asof_time"): DataFrame = {
+    require(payload.nonEmpty, "asOfJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains(asofTimeAlias),
+      s"left side already has a column named $asofTimeAlias")
+    val payStruct = struct(payload.map(right(_)): _*)
+    val r = right.select(
+      right(rightKey).as("__ak"), right(rightTime).as("__at"),
+      payStruct.as("__ap"), lit(0).as("__aside"))
+    val l = left
+      .withColumn("__ak", left(leftKey))
+      .withColumn("__at", left(leftTime))
+      .withColumn("__aside", lit(1))
+    // right-before-left on equal timestamps makes the bound inclusive;
+    // ascending payload last makes the greatest tuple the one last()
+    // carries when right rows tie on (key, time)
+    val w = Window.partitionBy(col("__ak"))
+      .orderBy(col("__at").asc, col("__aside").asc, col("__ap").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = struct(col("__at").as("t"), col("__ap").as("p"))
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__asof",
+        last(when(col("__aside") === 0, carried), ignoreNulls = true).over(w))
+      .filter(col("__aside") === 1)
+      .select(leftCols.map(col) ++
+        (col("__asof").getField("t").as(asofTimeAlias) +:
+          payload.map(p =>
+            col("__asof").getField("p").getField(p).as(p))): _*)
+  }
+
+  /** Interval containment join without an equi key: every `(probe,
+    * interval)` pair with `start <= probeTime < end`, inner, carrying all
+    * columns of both sides (disambiguate names before calling).
+    *
+    * `bucketMicros` is the equi-join granule: intervals explode onto the
+    * buckets they cover (`floor(start/w) .. floor((end-1µs)/w)`), probes
+    * map to exactly one bucket, and the residual containment filter runs
+    * after the bucket equi-join. Pick a width near the typical interval
+    * length — an interval then lands on ~2 buckets, and join fan-out
+    * tracks the true match count instead of |probe| × |intervals|. Both
+    * sides shuffle once on the bucket; no nested-loop plan at any size.
+    * Empty intervals (`end <= start`) match nothing, as containment
+    * dictates.
+    */
+  def rangeJoin(
+      probe: DataFrame,
+      probeTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val overlap = probe.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin: rename the shared column(s) ${overlap.mkString(", ")} first")
+    def bucketOf(t: Column): Column =
+      floor(unix_micros(t.cast("timestamp")) / bucketMicros)
+    val iv = intervals
+      .filter(col(endCol).cast("timestamp") > col(startCol).cast("timestamp"))
+      .withColumn("__rb",
+        explode(sequence(bucketOf(col(startCol)),
+          bucketOf(timestamp_micros(
+            unix_micros(col(endCol).cast("timestamp")) - 1)))))
+    val pb = probe.withColumn("__rb", bucketOf(col(probeTime)))
+    pb.join(iv, Seq("__rb"))
+      .filter(col(probeTime).cast("timestamp") >= col(startCol).cast("timestamp") &&
+        col(probeTime).cast("timestamp") < col(endCol).cast("timestamp"))
+      .drop("__rb")
+  }
+
+  /** K-minimum-values distinct-count sketch, per group.
+    *
+    * Hash: the first 15 hex digits of `md5(cast(value as string))` read as
+    * a base-16 integer — 60 uniform bits, zero configuration, and exactly
+    * reproducible by any engine with md5 (the DuckDB oracle rebuilds the
+    * identical sketch). Estimate: with the k smallest distinct hashes and
+    * `kth` their maximum, `floor((k-1) * 2^60 / kth)`; groups with fewer
+    * than k distinct hashes report the exact count (the sketch IS the full
+    * distinct set there). Standard error ~ `1/sqrt(k-2)` (Bar-Yossef et
+    * al., "Counting distinct elements in a data stream", RANDOM 2002).
+    *
+    * Returns `groupCols :+ (n_kept, kth_hash, est_distinct)`.
+    *
+    * Scale shape: `distinct` over `(group, hash)` partial-aggregates
+    * map-side, so the shuffle carries at most one row per distinct value —
+    * afterwards per-group top-k is a window over data already bounded by
+    * the distinct cardinality, never by row count. At 100 TB the wire cost
+    * is the distinct set, and a pre-`limit`-per-partition refinement can
+    * bound even that if cardinality itself explodes.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__kh"))
+    val pow60 = 1152921504606846976.0 // 2^60, exact in a double
+    df.select(groupCols.map(col) :+ h.as("__kh"): _*)
+      .distinct()
+      .withColumn("__krn", row_number().over(w))
+      .filter(col("__krn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__kh")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(pow60) /
+            col("kth_hash").cast("double")).cast("long")))
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** graft.ops.Relational: as-of join, bucketed range join, KMV sketch. */
+class RelationalOpsSuite extends GraftFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def trades: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+      (2L, "A", ts("2024-01-01 10:00:30"), 101.0),
+      (3L, "B", ts("2024-01-01 10:00:10"), 50.0),
+      (4L, "C", ts("2024-01-01 10:00:10"), 7.0) // no quotes for C at all
+    ).toDF("trade_id", "sym", "t_ts", "t_px")
+  }
+
+  private def quotes: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("A", ts("2024-01-01 10:00:00"), 99.5),
+      ("A", ts("2024-01-01 10:00:05"), 99.9), // tie with trade 1 → inclusive
+      ("A", ts("2024-01-01 10:00:20"), 100.5),
+      ("B", ts("2024-01-01 10:00:15"), 49.0) // after B's only trade
+    ).toDF("q_sym", "q_ts", "q_px")
+  }
+
+  test("asOfJoin: backward inclusive, per-key, null when no prior row") {
+    val out = Relational.asOfJoin(trades, quotes,
+      leftKey = "sym", rightKey = "q_sym", leftTime = "t_ts",
+      rightTime = "q_ts", payload = Seq("q_px"), asofTimeAlias = "q_at")
+      .select(col("trade_id"), col("q_at"), col("q_px"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2))))
+      .toMap
+    // trade 1: tie at 10:00:05 is inclusive → 99.9, not 99.5
+    assert(out(1L) == (Some("2024-01-01 10:00:05.0"), Some(99.9)))
+    // trade 2: latest quote at-or-before 10:00:30 is 10:00:20
+    assert(out(2L) == (Some("2024-01-01 10:00:20.0"), Some(100.5)))
+    // trade 3: B's only quote is later → no match
+    assert(out(3L) == (None, None))
+    // trade 4: key with no right rows → no match
+    assert(out(4L) == (None, None))
+  }
+
+  test("asOfJoin: right rows tying on (key, time) resolve to greatest payload") {
+    import spark.implicits._
+    val l = Seq(("A", ts("2024-01-01 00:00:10"))).toDF("k", "lt")
+    val r = Seq(
+      ("A", ts("2024-01-01 00:00:05"), 1.0),
+      ("A", ts("2024-01-01 00:00:05"), 3.0),
+      ("A", ts("2024-01-01 00:00:05"), 2.0)).toDF("rk", "rt", "v")
+    val out = Relational.asOfJoin(l, r, "k", "rk", "lt", "rt", Seq("v"))
+    assert(out.select("v").as[Double].collect().toSeq == Seq(3.0))
+  }
+
+  test("asOfJoin: multi-column payload travels as one tuple") {
+    import spark.implicits._
+    val l = Seq((1L, "A", ts("2024-01-01 00:01:00"))).toDF("id", "k", "lt")
+    val r = Seq(
+      ("A", ts("2024-01-01 00:00:30"), 5.0, "early"),
+      ("A", ts("2024-01-01 00:00:50"), 2.0, "late")).toDF("rk", "rt", "v", "tag")
+    val row = Relational.asOfJoin(l, r, "k", "rk", "lt", "rt", Seq("v", "tag"))
+      .select("v", "tag").collect().head
+    // latest row wins as a unit — v and tag come from the SAME right row
+    assert(row.getDouble(0) == 2.0 && row.getString(1) == "late")
+  }
+
+  test("asOfJoin: exactly one shuffle") {
+    val out = Relational.asOfJoin(trades, quotes,
+      "sym", "q_sym", "t_ts", "q_ts", Seq("q_px"))
+    val plan = out.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, plan.toString)
+  }
+
+  test("rangeJoin: containment exact at bucket boundaries") {
+    import spark.implicits._
+    // bucket = 60 s; interval spans 3 buckets; probes sit on the edges
+    val iv = Seq((10L, ts("2024-01-01 00:00:30"), ts("2024-01-01 00:02:30")))
+      .toDF("iv_id", "s", "e")
+    val probes = Seq(
+      (1L, ts("2024-01-01 00:00:29")), // just before start → out
+      (2L, ts("2024-01-01 00:00:30")), // start inclusive → in
+      (3L, ts("2024-01-01 00:01:00")), // interior, different bucket → in
+      (4L, ts("2024-01-01 00:02:29")), // last µs-grain instant → in
+      (5L, ts("2024-01-01 00:02:30")) // end exclusive → out
+    ).toDF("p_id", "p_ts")
+    val got = Relational.rangeJoin(probes, "p_ts", iv, "s", "e",
+      bucketMicros = 60L * 1000000L)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
+
+  test("rangeJoin: overlapping intervals each match; empty interval matches nothing") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:15:00")),
+      (3L, ts("2024-01-01 00:07:00"), ts("2024-01-01 00:07:00")) // empty
+    ).toDF("iv_id", "s", "e")
+    val probes = Seq((100L, ts("2024-01-01 00:07:00"))).toDF("p_id", "p_ts")
+    val got = Relational.rangeJoin(probes, "p_ts", iv, "s", "e",
+      bucketMicros = 600L * 1000000L)
+      .select("iv_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("rangeJoin: equi-join on buckets, no nested-loop plan") {
+    import spark.implicits._
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")))
+      .toDF("iv_id", "s", "e")
+    val probes = Seq((100L, ts("2024-01-01 00:07:00"))).toDF("p_id", "p_ts")
+    val plan = Relational.rangeJoin(probes, "p_ts", iv, "s", "e",
+      bucketMicros = 600L * 1000000L).queryExecution.executedPlan
+    val nested = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, plan.toString)
+  }
+
+  test("rangeJoin: rejects shared column names") {
+    import spark.implicits._
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")))
+      .toDF("id", "s", "e")
+    val probes = Seq((100L, ts("2024-01-01 00:07:00"))).toDF("id", "p_ts")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rangeJoin(probes, "p_ts", iv, "s", "e", 600000000L)
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("kmvDistinct: below k the sketch is the exact distinct count") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i % 7)).toDF("grp", "v")
+    val row = Relational.kmvDistinct(df, Seq("grp"), "v", k = 64)
+      .collect().head
+    assert(row.getAs[Long]("n_kept") == 7L)
+    assert(row.getAs[Long]("est_distinct") == 7L)
+  }
+
+  test("kmvDistinct: estimate lands near truth, deterministically") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i)).toDF("grp", "v")
+    val est1 = Relational.kmvDistinct(df, Seq("grp"), "v", k = 256)
+      .collect().head.getAs[Long]("est_distinct")
+    val est2 = Relational.kmvDistinct(df.repartition(7), Seq("grp"), "v",
+      k = 256).collect().head.getAs[Long]("est_distinct")
+    // ±3 standard errors at k=256 is ~19%
+    assert(math.abs(est1 - n).toDouble / n < 0.19, s"est=$est1")
+    assert(est1 == est2) // partitioning-independent: no RNG anywhere
+  }
+
+  test("kmvDistinct: per-group isolation") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("a", i)) ++ (1 to 3).map(i => ("b", i)))
+      .toDF("grp", "v")
+    val byGrp = Relational.kmvDistinct(df, Seq("grp"), "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(byGrp == Map("a" -> 16L, "b" -> 3L))
+  }
+}
