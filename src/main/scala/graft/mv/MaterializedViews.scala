@@ -204,15 +204,23 @@ object MaterializedViews {
 
   /** Registry entries are URL-encoded before the comma-join — a view path
     * containing a comma would otherwise split into garbage entries and the
-    * real view would never match again. Decoding tolerates legacy
-    * un-encoded entries (no '%' in them decodes to itself). */
+    * real view would never match again. */
   private def encodePath(p: String): String =
     java.net.URLEncoder.encode(p, "UTF-8")
 
+  /** Legacy un-encoded entries (hand-set conf, pre-encoding registries)
+    * must pass through VERBATIM: encodePath escapes '/' to %2F, so any
+    * entry still containing '/' is raw — decoding it would turn a literal
+    * '+' into a space, and a stray '%' would make URLDecoder throw inside
+    * the analyzer rule and fail every query in the session. */
+  private def decodePath(p: String): String =
+    if (p.contains("/")) p
+    else try java.net.URLDecoder.decode(p, "UTF-8")
+    catch { case _: IllegalArgumentException => p }
+
   private[mv] def registeredPaths(spark: SparkSession): Seq[String] =
     spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map(decodePath))
       .getOrElse(Nil)
 
   def graftRelationVersions(df: DataFrame): Map[String, Long] = {

@@ -61,10 +61,25 @@ object Relational {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(asofTimeAlias),
       s"left side already has a column named $asofTimeAlias")
+    val reserved = Seq("__ak", "__at", "__ap", "__aside", "__asof")
+    val clash = leftCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"left side uses asOfJoin's reserved column name(s) ${clash.mkString(", ")}")
+    val payClash = payload.filter(leftCols.contains)
+    require(payClash.isEmpty,
+      s"payload column(s) ${payClash.mkString(", ")} collide with left-side " +
+      "columns; alias one side first")
     val payStruct = struct(payload.map(right(_)): _*)
-    val r = right.select(
-      right(rightKey).as("__ak"), right(rightTime).as("__at"),
-      payStruct.as("__ap"), lit(0).as("__aside"))
+    // SQL semantics: a NULL key matches nothing (equi-join three-valued
+    // logic) and a NULL time satisfies no `rightTime <= leftTime` — but in
+    // the union encoding a null-key right row would share the null key
+    // GROUP and a null-time row sorts FIRST (carried into every left row),
+    // so both must leave before the union
+    val r = right
+      .filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
+      .select(
+        right(rightKey).as("__ak"), right(rightTime).as("__at"),
+        payStruct.as("__ap"), lit(0).as("__aside"))
     val l = left
       .withColumn("__ak", left(leftKey))
       .withColumn("__at", left(leftTime))

@@ -53,7 +53,10 @@ object FilterSql {
     case null => "NULL"
     case s: String => s"'${escape(s)}'"
     case t: java.sql.Timestamp =>
-      s"timestamp_micros(${(t.getTime / 1000) * 1000000L + t.getNanos / 1000})"
+      // floorDiv: plain long division truncates toward zero, so a
+      // pre-epoch timestamp with fractional seconds (getTime = -500 ms,
+      // getNanos = 500e6) would render one full second late
+      s"timestamp_micros(${Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000})"
     case t: java.time.Instant =>
       s"timestamp_micros(${t.getEpochSecond * 1000000L + t.getNano / 1000})"
     case d: java.sql.Date => s"DATE '$d'"

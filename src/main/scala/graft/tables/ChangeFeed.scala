@@ -152,8 +152,16 @@ object ChangeFeed {
       partFields.map(f => StructField(s"__cf_p_${f.name}", StringType)).toList)
     val metaRows: java.util.List[Row] = scala.jdk.CollectionConverters
       .SeqHasAsJava(files.map { rf =>
+        // the null-partition sentinel must become a real null BEFORE the
+        // typed cast below — the per-version path this run replaces mapped
+        // it via GraftFileIndex.castPartitionValue, and an ANSI cast of
+        // the literal sentinel to int/date would throw instead
         Row.fromSeq(rf.f.path.split("/").last +: rf.v +: rf.ts +: rf.tpe +:
-          partFields.map(f => rf.f.partitionValues.getOrElse(f.name, null)))
+          partFields.map(f =>
+            rf.f.partitionValues.getOrElse(f.name, null) match {
+              case graft.write.TransactionalWrite.HIVE_NULL => null
+              case v => v
+            }))
       }).asJava
     val meta = spark.createDataFrame(metaRows, metaSchema)
     val raw = spark.read.schema(dataSchema)

@@ -187,6 +187,25 @@ class ChangeFeedSuite extends GraftFunSuite {
     }
   }
 
+  test("collapsed append-run keeps null partition values null") {
+    withTempTable { dir =>
+      // a null int partition value lands on disk as the Hive null-marker
+      // directory; the collapsed run's typed cast must see a real null,
+      // not the sentinel string (ANSI cast of it to int would throw)
+      Seq((1L, Option(7), "a"), (2L, Option.empty[Int], "b"))
+        .toDF("id", "p", "s").write.format("graft")
+        .option("rangePartitions", "p").save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.toDF.write.format("graft").mode("append").save(dir) // extend the run
+      val got = t.changes(0)
+        .select(col("id"), col("p"), col(ChangeFeed.CHANGE_TYPE))
+        .as[(Long, Option[Int], String)].collect().toSeq
+      assert(got.size == 4, s"got $got")
+      assert(got.count(_ == ((2L, None, "insert"))) == 2, s"got $got")
+      assert(got.count(_ == ((1L, Some(7), "insert"))) == 2, s"got $got")
+    }
+  }
+
   test("window validation and empty windows") {
     withTempTable { dir =>
       Seq((1, 1)).toDF("id", "v").write.format("graft")

@@ -419,6 +419,44 @@ class CoreHardeningSuite extends GraftFunSuite {
     }
   }
 
+  test("pushed pre-epoch timestamp filters keep fractional seconds") {
+    import org.apache.spark.sql.sources._
+    // long division truncates toward zero: -500 ms / 1000 * 1e6 = 0, plus
+    // the 500 ms nano carry would render +0.5 s instead of -0.5 s
+    val t = new java.sql.Timestamp(-500L) // 1969-12-31T23:59:59.5Z
+    assert(t.getNanos == 500000000, "Timestamp normalization changed")
+    val sql = graft.sources.FilterSql.toSql(EqualTo("ts", t))
+    assert(sql == "`ts` = timestamp_micros(-500000)", sql)
+    val df = Seq(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(-500L)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(500L)))
+      .toDF("ts")
+    assert(df.filter(expr(sql)).count() == 1)
+  }
+
+  test("MV registry tolerates legacy un-encoded entries with % and +") {
+    val cur = spark.conf.getOption(graft.mv.MaterializedViews.CONF_KEY)
+    try {
+      // a raw (never-encoded) path: '%of' is not valid percent-encoding
+      // (URLDecoder would throw inside the analyzer rule, failing every
+      // query) and '+' must NOT decode to a space
+      spark.conf.set(graft.mv.MaterializedViews.CONF_KEY,
+        "/data/50%off/x+y/view")
+      assert(Seq(1, 2).toDF("n").count() == 2) // analyzer rule must survive
+      // registering another view re-encodes the registry; the legacy entry
+      // must round-trip verbatim (no '+'→space, no decode crash)
+      graft.mv.MaterializedViews.register(spark, "/tmp/mv_legacy_other")
+      val entries = spark.conf.get(graft.mv.MaterializedViews.CONF_KEY)
+        .split(",").toSeq
+      assert(entries.exists(e =>
+        java.net.URLDecoder.decode(e, "UTF-8") == "/data/50%off/x+y/view"),
+        entries.toString)
+    } finally cur match {
+      case Some(v) => spark.conf.set(graft.mv.MaterializedViews.CONF_KEY, v)
+      case None => spark.conf.unset(graft.mv.MaterializedViews.CONF_KEY)
+    }
+  }
+
   test("MV registry survives a view path containing a comma") {
     withTempTable { base => withTempTable { root =>
       Seq((1L, 1)).toDF("id", "v").write.format("graft").save(base)

@@ -63,6 +63,41 @@ class RelationalOpsSuite extends GraftFunSuite
     assert(out.select("v").as[Double].collect().toSeq == Seq(3.0))
   }
 
+  test("asOfJoin: null-key and null-time right rows match nothing") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Option("A"), ts("2024-01-01 00:01:00")),
+      (2L, Option.empty[String], ts("2024-01-01 00:01:00")))
+      .toDF("id", "k", "lt")
+    val r = Seq(
+      (Option("A"), Option(ts("2024-01-01 00:00:30")), 5.0),
+      // null time: would sort FIRST in the window and leak into every row
+      (Option("A"), Option.empty[java.sql.Timestamp], 9.0),
+      // null key: SQL equi-join semantics — matches nothing, including
+      // the null-key left row
+      (Option.empty[String], Option(ts("2024-01-01 00:00:40")), 7.0))
+      .toDF("rk", "rt", "v")
+    val out = Relational.asOfJoin(l, r, "k", "rk", "lt", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(out == Map(1L -> Some(5.0), 2L -> None))
+  }
+
+  test("asOfJoin: reserved internal names and payload collisions rejected") {
+    import spark.implicits._
+    val l = Seq(("A", ts("2024-01-01 00:01:00"), 1)).toDF("k", "lt", "__at")
+    val r = Seq(("A", ts("2024-01-01 00:00:30"), 5.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asOfJoin(l, r, "k", "rk", "lt", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("__at"))
+    val l2 = Seq(("A", ts("2024-01-01 00:01:00"), 0.0)).toDF("k", "lt", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.asOfJoin(l2, r, "k", "rk", "lt", "rt", Seq("v"))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("asOfJoin: multi-column payload travels as one tuple") {
     import spark.implicits._
     val l = Seq((1L, "A", ts("2024-01-01 00:01:00"))).toDF("id", "k", "lt")
