@@ -182,6 +182,28 @@ object Queries {
       graft.ops.Relational.kmvDistinct(GraftData.eventsPlain(s, sf),
         Seq("event_type"), "user_id", k = 64)),
 
+    // gap-based sessionization (1-day gap): one shuffle on the user key,
+    // session analytics reduce per (user, session); event_id tiebreak pins
+    // the visit order so the oracle's stacked-CTE replay can't split ties
+    "q_sessionize" -> ((s, sf) =>
+      graft.ops.Relational.sessionize(GraftData.eventsPlain(s, sf),
+          "user_id", "ts", gapMicros = 86400L * 1000000L,
+          tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("cents"))),
+
+    // exact discrete quantiles by explicit rank arithmetic (value at
+    // ceil(p*n), 1-based) — percentile_disc's discrete-selection
+    // convention is engine-defined, the rank formula is not
+    "q_quantiles" -> ((s, sf) =>
+      graft.ops.Relational.discQuantiles(
+        GraftData.eventsPlain(s, sf)
+          .select(col("event_type"), cents(col("value")).as("cents")),
+        Seq("event_type"), "cents", Seq(0.5, 0.9, 0.99))),
+
     "q_math_funcs" -> ((s, sf) =>
       GraftData.partPlain(s, sf).select(
         col("p_partkey"),
@@ -592,6 +614,38 @@ object Queries {
        "ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / " +
        "CAST(MAX(kh) AS DOUBLE)) AS BIGINT) END AS est_distinct " +
        "FROM r WHERE rn <= 64 GROUP BY 1"),
+
+    // both window levels order by (ts, event_id) — without the tiebreak
+    // the two sorts could visit equal timestamps in different orders and
+    // split a tie across sessions
+    "q_sessionize" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, " +
+       "CAST(ROUND(value*100) AS BIGINT) AS cents, " +
+       "CASE WHEN LAG(ts) OVER w IS NULL " +
+       "OR ts - LAG(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk " +
+       "FROM events " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, ts, cents, " +
+       "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS session_id FROM o) " +
+       "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+       "EPOCH_US(MIN(ts)) AS start_us, EPOCH_US(MAX(ts)) AS end_us, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "CAST(SUM(cents) AS BIGINT) AS cents FROM s GROUP BY 1, 2"),
+
+    "q_quantiles" ->
+      ("WITH r AS (SELECT event_type, cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn, " +
+       "COUNT(*) OVER (PARTITION BY event_type) AS n FROM " +
+       "(SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents " +
+       "FROM events)) " +
+       "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+       "MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) " +
+       "THEN cents END) AS p50, " +
+       "MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) " +
+       "THEN cents END) AS p90, " +
+       "MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) " +
+       "THEN cents END) AS p99 FROM r GROUP BY 1"),
 
     // abs/ceil/floor/sqrt/mod are IEEE-exact in both engines (no libm
     // transcendentals, whose last-ulp behavior differs across builds)

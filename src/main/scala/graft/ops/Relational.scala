@@ -141,6 +141,87 @@ object Relational {
       .drop("__rb")
   }
 
+  /** Gap-based sessionization: append a per-key session index to every
+    * row. A new session starts at a key's first event and whenever the gap
+    * from the previous event exceeds `gapMicros`.
+    *
+    * Timestamp ties: within ONE engine the break flag and the running sum
+    * share a single window sort, so tied rows always land in the same
+    * session (the first-visited tie takes the break decision against the
+    * earlier DISTINCT timestamp; the rest see gap 0 and follow). An
+    * engine REPLAYING the formula in two separate sorts (e.g. a SQL
+    * oracle's stacked CTEs) can visit ties in different orders between
+    * the two levels and split them — pass `tieBreak` (a unique column)
+    * to pin one visit order everywhere when cross-engine reproducibility
+    * matters.
+    *
+    * Scale shape: ONE shuffle on the key, an in-partition sort, two
+    * running windows. Session analytics then reduce per (key, session) —
+    * map-side combinable. Per-key cost is that key's own event count. */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gapMicros: Long,
+      sessionCol: String = "session_id",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    require(!df.columns.contains(sessionCol),
+      s"input already has a column named $sessionCol")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol) +: tieBreak.map(col): _*)
+    val t = unix_micros(col(timeCol).cast("timestamp"))
+    val prev = lag(t, 1).over(w)
+    val brk = when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  /** Exact discrete quantiles per group: for each probability `p`, the
+    * value at sorted position `ceil(p * n)` (1-based) — the explicit rank
+    * formula, NOT `percentile_disc`, because the SQL-standard function
+    * leaves the discrete-selection convention to the engine and two
+    * engines disagreeing at a boundary row would be undetectable
+    * noise; the rank arithmetic is the same everywhere. Tied values make
+    * the boundary row's VALUE unambiguous regardless of tie order.
+    *
+    * Returns `groupCols :+ n :+ p<NN> per requested quantile` (p named by
+    * percent, e.g. 0.5 → `p50`; fractional percents get the dot stripped,
+    * 0.999 → `p99_9`).
+    *
+    * Scale shape: one shuffle on the group key + in-partition sort (the
+    * cost floor for EXACT quantiles — rank selection needs total order
+    * within each group), then a map-side-combinable conditional aggregate.
+    * When an approximation is acceptable at 100 TB, Spark's
+    * `percentile_approx` avoids the sort — but its sketch is
+    * engine-private, so exactness here is also what makes the operator
+    * oracle-able. */
+  def discQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "quantile probabilities must be in (0, 1]")
+    def pName(p: Double): String =
+      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_").replace("-", "")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+    val ranked = df
+      .withColumn("__qrn", row_number().over(w))
+      .withColumn("__qn",
+        count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+    val qAggs = ps.map { p =>
+      max(when(col("__qrn") ===
+        greatest(lit(1L), ceil(lit(p) * col("__qn")).cast("long")),
+        col(valueCol))).as(pName(p))
+    }
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__qn")).as("n"), qAggs: _*)
+  }
+
   /** K-minimum-values distinct-count sketch, per group.
     *
     * Hash: the first 15 hex digits of `md5(cast(value as string))` read as

@@ -177,6 +177,55 @@ class RelationalOpsSuite extends GraftFunSuite
     assert(e.getMessage.contains("id"))
   }
 
+  test("sessionize: gap boundary is exclusive, sessions count per key") {
+    import spark.implicits._
+    val gap = 60L * 1000000L // 1 minute
+    val df = Seq(
+      ("u1", ts("2024-01-01 00:00:00")),
+      ("u1", ts("2024-01-01 00:01:00")), // gap == 60s exactly → SAME session
+      ("u1", ts("2024-01-01 00:02:01")), // gap 61s → new session
+      ("u2", ts("2024-01-01 00:00:30")) // separate key → its own session 1
+    ).toDF("k", "t")
+    val got = Relational.sessionize(df, "k", "t", gap)
+      .select("k", "t", "session_id")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2))).toSet
+    assert(got == Set(
+      ("u1", "2024-01-01 00:00:00.0", 1L),
+      ("u1", "2024-01-01 00:01:00.0", 1L),
+      ("u1", "2024-01-01 00:02:01.0", 2L),
+      ("u2", "2024-01-01 00:00:30.0", 1L)))
+  }
+
+  test("sessionize: tied timestamps share a session") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00")),
+      (2L, "u", ts("2024-01-01 01:00:00")), // new session (gap 1 h > 1 min)
+      (3L, "u", ts("2024-01-01 01:00:00")) // tie → same session as 2
+    ).toDF("id", "k", "t")
+    val bySess = Relational
+      .sessionize(df, "k", "t", 60L * 1000000L, tieBreak = Seq("id"))
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(bySess(2L) == bySess(3L))
+    assert(bySess(1L) != bySess(2L))
+  }
+
+  test("discQuantiles: explicit-rank selection and column naming") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++ Seq(("b", 42L)))
+      .toDF("g", "v")
+    val out = Relational
+      .discQuantiles(df, Seq("g"), "v", Seq(0.5, 0.9, 0.999))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99_9"))).toMap
+    // ceil(0.5*100)=50, ceil(0.9*100)=90, ceil(0.999*100)=100
+    assert(out("a") == ((100L, 50L, 90L, 100L)))
+    // single-row group: every quantile is that row
+    assert(out("b") == ((1L, 42L, 42L, 42L)))
+  }
+
   test("kmvDistinct: below k the sketch is the exact distinct count") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i % 7)).toDF("grp", "v")
