@@ -140,6 +140,41 @@ class RandomizedDmlSuite extends GraftFunSuite {
       history(latestVersion()) = model.toMap
       assertState(dir, model, seed, i, op)
     }
+
+    // Change-feed replay invariant: applying every change row of
+    // changes(0) in commit order must reconstruct the final state — the
+    // whole-feed integration check the per-operator ChangeFeedSuite can't
+    // give (restore compensation diffs, tombstone bucket diffs, DV masks
+    // and append runs all have to compose). 'upsert' rows carry the
+    // delta file's own image (documented contract): in this harness only
+    // partial-column upserts write n-less files, so a null n there means
+    // "column absent — keep the merged value", never "set to null".
+    val feed = t.changes(0)
+      .select(col("id"), col("v"), col("n"),
+        col(graft.tables.ChangeFeed.CHANGE_TYPE),
+        col(graft.tables.ChangeFeed.COMMIT_VERSION))
+      .collect()
+    val replayed = mutable.Map.empty[Long, ModelRow]
+    feed.groupBy(_.getLong(4)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val img = (r.getAs[String]("v"),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))
+        r.getString(3) match {
+          case "insert" | "update_postimage" => replayed(id) = img
+          case "upsert" =>
+            replayed(id) = (img._1,
+              img._2.orElse(replayed.get(id).flatMap(_._2)))
+          case "delete" => replayed.remove(id)
+          case "update_preimage" => ()
+          case other => fail(s"seed=$seed: unexpected change type $other")
+        }
+      }
+    }
+    assert(replayed.toMap == model.toMap,
+      s"seed=$seed: change-feed replay diverged from the model\n" +
+      s"  only in replay: ${(replayed.toSet -- model.toSet).take(5)}\n" +
+      s"  only in model: ${(model.toSet -- replayed.toSet).take(5)}")
   }
 
   // 6 seeds x 30 ops = 180 randomized operations by default, each followed
