@@ -168,11 +168,19 @@ object Relational {
     require(gapMicros > 0, "gapMicros must be positive")
     require(!df.columns.contains(sessionCol),
       s"input already has a column named $sessionCol")
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol) +: tieBreak.map(col): _*)
     val t = unix_micros(col(timeCol).cast("timestamp"))
+    // order by the SAME casted expression the gap reads — for a castable-
+    // but-not-timestamp column (string times) a raw-column sort would be
+    // lexicographic while the gaps are temporal
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(t.asc +: tieBreak.map(col(_).asc): _*)
     val prev = lag(t, 1).over(w)
-    val brk = when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L)
+    // a NULL time satisfies no gap comparison: such rows become singleton
+    // sessions (brk = 1 for them AND for the first real-time row after
+    // them, whose prev is the null) instead of silently gluing onto
+    // whatever three-valued logic made of `null > gap`
+    val brk = when(prev.isNull || t.isNull || t - prev > gapMicros, 1L)
+      .otherwise(0L)
     df.withColumn(sessionCol,
       sum(brk).over(w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)))
@@ -204,18 +212,36 @@ object Relational {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "quantile probabilities must be in (0, 1]")
+    // p as the exact decimal its source text denotes — double arithmetic
+    // would pick the wrong row for many p (ceil(0.07 * 100.0) = 8.0: the
+    // product is 7.000000000000001) and break both the documented
+    // contract and any exact-decimal replay (DuckDB parses 0.07 as
+    // DECIMAL). Decimal × bigint stays exact, so ceil is the true rank.
+    def pDec(p: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(p.toString)
     def pName(p: Double): String =
-      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
-        .replace(".", "_").replace("-", "")
+      "p" + (BigDecimal(pDec(p)) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+    val names = ps.map(pName)
+    require(names.distinct == names,
+      s"duplicate quantile columns: ${names.mkString(", ")}")
+    require(!df.columns.contains("__qrn") && !df.columns.contains("__qn"),
+      "input uses discQuantiles' reserved column names __qrn/__qn")
+    require(!groupCols.contains("n") && !groupCols.exists(names.contains),
+      s"group column collides with an output column (n, ${names.mkString(", ")})")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol))
+    // NULL values are excluded, per SQL aggregate convention: unfiltered
+    // they would sort FIRST and both occupy low ranks and inflate n; a
+    // group with no non-null values is absent from the output
     val ranked = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__qrn", row_number().over(w))
       .withColumn("__qn",
         count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
     val qAggs = ps.map { p =>
       max(when(col("__qrn") ===
-        greatest(lit(1L), ceil(lit(p) * col("__qn")).cast("long")),
+        greatest(lit(1L), ceil(lit(pDec(p)) * col("__qn")).cast("long")),
         col(valueCol))).as(pName(p))
     }
     ranked.groupBy(groupCols.map(col): _*)

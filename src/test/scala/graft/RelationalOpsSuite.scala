@@ -226,6 +226,65 @@ class RelationalOpsSuite extends GraftFunSuite
     assert(out("b") == ((1L, 42L, 42L, 42L)))
   }
 
+  test("discQuantiles: exact decimal ranks — no double round-off drift") {
+    import spark.implicits._
+    // ceil(0.07 * 100) must be 7; the double product is 7.000000000000001
+    // and would select the 8th-ranked value
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
+    val out = Relational.discQuantiles(df, Seq("g"), "v", Seq(0.07, 0.007))
+      .collect().head
+    assert(out.getAs[Long]("p7") == 7L)
+    // 0.007 names as p0_7 (decimal, not 0.7000000000000001) with rank
+    // ceil(0.7) = 1
+    assert(out.getAs[Long]("p0_7") == 1L)
+  }
+
+  test("discQuantiles: NULL values excluded from ranks and counts") {
+    import spark.implicits._
+    val df = Seq(("g", Option.empty[Long]), ("g", Some(10L)),
+      ("g", Some(20L)), ("g", Some(30L)), ("h", Option.empty[Long]))
+      .toDF("g", "v")
+    val rows = Relational.discQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"))).toMap
+    // n counts non-nulls only; the median of {10,20,30} is 20 (rank 2),
+    // not 10 (which a NULLS-FIRST rank shift would return)
+    assert(rows == Map("g" -> ((3L, 20L))))
+    // all-null group is absent, SQL-aggregate style
+    assert(!rows.contains("h"))
+  }
+
+  test("discQuantiles: reserved and colliding names rejected") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 2L)).toDF("g", "v", "__qn")
+    intercept[IllegalArgumentException] {
+      Relational.discQuantiles(df, Seq("g"), "v", Seq(0.5))
+    }
+    val df2 = Seq(("g", 1L)).toDF("n", "v")
+    intercept[IllegalArgumentException] {
+      Relational.discQuantiles(df2, Seq("n"), "v", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] { // 0.5 and 0.50 → both p50
+      Relational.discQuantiles(Seq(("g", 1L)).toDF("g", "v"),
+        Seq("g"), "v", Seq(0.5, 0.50))
+    }
+  }
+
+  test("sessionize: string times order temporally; null times are singletons") {
+    import spark.implicits._
+    // lexicographic order would put 2024-1-10 before 2024-1-2
+    val df = Seq(
+      (1L, "u", "2024-01-02 00:00:00"),
+      (2L, "u", "2024-01-10 00:00:00"),
+      (3L, "u", null)
+    ).toDF("id", "k", "t")
+    val out = Relational
+      .sessionize(df, "k", "t", 86400L * 1000000L, tieBreak = Seq("id"))
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    // 8-day gap splits 1 and 2; the null-time row is its own session
+    assert(out.values.toSet.size == 3, out.toString)
+  }
+
   test("kmvDistinct: below k the sketch is the exact distinct count") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i % 7)).toDF("grp", "v")
