@@ -67,10 +67,14 @@ object MaterializedViews {
   }
 
   /** Recompute iff any relation table advanced (reference
-    * `UpdateMaterialViewCommand.scala:30-76`). */
+    * `UpdateMaterialViewCommand.scala:30-76`). Single-table aggregate
+    * views refresh INCREMENTALLY from the change feed when eligible (see
+    * [[tryIncrementalRefresh]]) — cost ∝ changed data, not base size. */
   def refresh(spark: SparkSession, viewPath: String): Boolean = {
     readInfo(viewPath) match {
       case Some(info) if isStale(info) =>
+        if (spark.conf.getOption(INCREMENTAL_KEY).forall(_.toBoolean) &&
+            tryIncrementalRefresh(spark, viewPath, info)) return true
         val df = RewriteQueryByMaterialView.withoutRewrite {
           spark.sql(info.sqlText)
         }
@@ -91,6 +95,240 @@ object MaterializedViews {
         true
       case _ => false
     }
+  }
+
+  /** Conf gate for incremental refresh (default on; full recompute is the
+    * universal fallback either way). */
+  val INCREMENTAL_KEY = "spark.graft.mv.incremental.enabled"
+
+  /** Incremental refreshes applied this process (test observability). */
+  private[graft] val incrementalRefreshes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Incremental view maintenance: fold the base table's change-feed
+    * window into the stored aggregates instead of rescanning the base.
+    * Applies when ALL of:
+    *
+    *  - the view is a filter + GROUP BY aggregate over ONE graft table,
+    *    every group expression is projected as an output column (the join
+    *    key back into the stored state), and every aggregate is a
+    *    non-DISTINCT, non-FILTER `COUNT`/`SUM`;
+    *  - some output column is a row count (`COUNT(*)` or `COUNT` of a
+    *    non-nullable argument) — group lifecycle (a group's row count
+    *    reaching zero deletes its row) is undecidable without one;
+    *  - each `SUM(e)` is over an exact type (integral/decimal — a double
+    *    sum would accumulate float error across refreshes and drift from
+    *    the recompute), and, when `e` is nullable, some output column is
+    *    `COUNT(e)` (the combined sum must return to NULL when the last
+    *    non-null contributor is deleted; sum+count is how AVG-serving
+    *    views are written anyway);
+    *  - the window's commits all have row-level pre/post images: raw-image
+    *    delta upserts (no pre-state) and `alter` (schema change) fall back
+    *    to full recompute. Checked from commit METADATA only — the
+    *    fallback decision costs zero data I/O.
+    *
+    * The delta is `changes(lastVersion+1, current)` with weight +1 for
+    * insert/update_postimage and -1 for delete/update_preimage, pushed
+    * through the view's own filter and group/aggregate expressions
+    * (re-bound by name onto the feed frame), then full-outer-joined with
+    * the stored view state: counts add, sums add, groups whose row count
+    * reaches 0 drop out. At 100 TB this turns an O(base) nightly rebuild
+    * into an O(changed rows) fold. */
+  private def tryIncrementalRefresh(
+      spark: SparkSession, viewPath: String,
+      info: MaterialViewInfo): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.SparkShims
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    import graft.tables.ChangeFeed
+    val RQ = RewriteQueryByMaterialView
+
+    if (info.relationVersions.size != 1) return false
+    val (basePath, fromV) = info.relationVersions.head
+    val baseSnap = SnapshotManagement.snapshotOpt(
+      SnapshotManagement.normalize(basePath)).getOrElse(return false)
+    val toV = baseSnap.version
+    if (toV <= fromV) return false
+    // metadata-only window precheck: every commit must yield row-level
+    // pre/post images in the feed
+    val store = SnapshotManagement.store
+    val norm = SnapshotManagement.normalize(basePath)
+    val windowOk = ((fromV + 1) to toV).forall { v =>
+      val entries = store.read(norm, v)
+      val ct = entries.flatMap(_.commit).headOption
+        .map(_.commitType).getOrElse("append")
+      val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
+      ct match {
+        case "alter" => false // may retype columns mid-window
+        case "delta" => graft.meta.Tombstones.anyHas(adds) // raw images: no
+        case _ => true
+      }
+    }
+    if (!windowOk) return false
+
+    val viewDf = RQ.withoutRewrite { spark.sql(info.sqlText) }
+    val plan = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(viewDf).queryExecution.analyzed
+    val dec = RQ.decomposeAgg(plan).getOrElse(return false)
+    dec.source match {
+      case RQ.RelSource(rel) if RQ.graftPath(rel)
+        .map(SnapshotManagement.normalize).contains(norm) => ()
+      case _ => return false
+    }
+    if (dec.groupExprs.exists(!_.deterministic) ||
+      dec.conjuncts.exists(!_.deterministic)) return false
+
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case other => other
+    }
+    // classify output columns against the group/agg expressions
+    sealed trait Kind
+    case class KeyCol(groupIdx: Int) extends Kind
+    case class CountCol(arg: Option[Expression]) extends Kind // None = count(*)
+    case class SumCol(arg: Expression) extends Kind
+    val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
+      dec.aggList.map { ne: NamedExpression =>
+        val kind = strip(ne) match {
+          case ae: AggregateExpression
+              if ae.isDistinct || ae.filter.isDefined => return false
+          case AggregateExpression(Count(args), _, _, _, _) =>
+            if (args.forall(_.foldable)) CountCol(None)
+            else if (args.size == 1 && args.head.deterministic)
+              CountCol(Some(args.head))
+            else return false
+          case AggregateExpression(Sum(e, _), _, _, _, _) =>
+            e.dataType match {
+              case DoubleType | FloatType => return false // fp drift
+              case _ if !e.deterministic => return false
+              case _ => SumCol(e)
+            }
+          case e =>
+            val i = dec.groupExprs.indexWhere(_.semanticEquals(e))
+            if (i < 0) return false
+            KeyCol(i)
+        }
+        (ne.name, kind, ne.dataType)
+      }
+    // every group expression must surface as a key column, exactly once
+    val keyIdx = cols.collect { case (_, KeyCol(i), _) => i }
+    if (keyIdx.sorted != dec.groupExprs.indices.toSeq) return false
+    // a row-count column decides group lifecycle
+    val rowCountCol = cols.collectFirst {
+      case (n, CountCol(None), _) => n
+      case (n, CountCol(Some(e)), _) if !e.nullable => n
+    }.getOrElse(return false)
+    // nullable sums need a matching count(e) to restore NULL-ness
+    val countByArg = cols.collect { case (n, CountCol(Some(e)), _) => (e, n) }
+    val sumGuards: Map[String, String] = cols.collect {
+      case (n, SumCol(e), _) if e.nullable =>
+        n -> countByArg.collectFirst {
+          case (ce, cn) if ce.semanticEquals(e) => cn
+        }.getOrElse(return false)
+    }.toMap
+
+    // the change window, weighted; re-bind the view's expressions onto the
+    // feed frame by (case-resolver) name
+    val changes = ChangeFeed.changes(spark, norm, fromV + 1, toV)
+    val feedAttrs = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(changes).queryExecution.analyzed.output
+    val resolver = spark.sessionState.conf.resolver
+    def rebind(e: Expression): Option[Expression] = {
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference =>
+          feedAttrs.find(fa => resolver(fa.name, a.name)) match {
+            case Some(fa) => fa
+            case None => ok = false; a
+          }
+      }
+      if (ok) Some(out) else None
+    }
+    // a view expression referencing something absent from the feed frame
+    // aborts eligibility from arbitrarily deep call positions
+    val bail = new scala.util.control.ControlThrowable() {}
+    def rebindCol(e: Expression): org.apache.spark.sql.Column =
+      SparkShims.column(rebind(e).getOrElse(throw bail))
+    try {
+
+    val weighted = changes.withColumn("__w",
+      when(col(ChangeFeed.CHANGE_TYPE)
+        .isin("insert", "update_postimage"), lit(1L))
+        .when(col(ChangeFeed.CHANGE_TYPE)
+          .isin("delete", "update_preimage"), lit(-1L))
+        .otherwise(raise_error(concat(lit("incremental MV refresh: " +
+          "unexpected change type "), col(ChangeFeed.CHANGE_TYPE)))
+          .cast("long")))
+    val filtered = dec.conjuncts.foldLeft(weighted)((d, c) =>
+      d.filter(rebindCol(c)))
+    val keyNames: Seq[String] = dec.groupExprs.indices.map(i =>
+      cols.collectFirst { case (n, KeyCol(`i`), _) => n }.get)
+    val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+      case (n, CountCol(None), _) =>
+        sum(col("__w")).as(s"__d_$n")
+      case (n, CountCol(Some(e)), _) =>
+        sum(when(rebindCol(e).isNotNull, col("__w")).otherwise(lit(0L)))
+          .as(s"__d_$n")
+      case (n, SumCol(e), _) =>
+        sum(rebindCol(e) * col("__w")).as(s"__d_$n")
+    }
+    val deltaAgg = filtered
+      .groupBy(dec.groupExprs.zip(keyNames).map { case (g, n) =>
+        rebindCol(g).as(n) }: _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    val cur = RQ.withoutRewrite {
+      spark.read.format("graft").load(viewPath)
+    }
+    def bq(n: String) = s"`${n.replace("`", "``")}`"
+    val joined = cur.alias("__mo").join(deltaAgg.alias("__md"),
+      keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
+        .reduce(_ && _),
+      "full_outer")
+    def comb(n: String, dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column = {
+      val z = lit(0).cast(dt match {
+        case d: DecimalType => d
+        case _ => org.apache.spark.sql.types.LongType
+      })
+      coalesce(col(s"__mo.${bq(n)}"), z) + coalesce(col(s"__md.`__d_$n`"), z)
+    }
+    val outCols = cols.map {
+      case (n, KeyCol(_), dt) =>
+        coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}")).as(n)
+      case (n, CountCol(_), dt) => comb(n, dt).cast(dt).as(n)
+      case (n, SumCol(_), dt) =>
+        val raw = comb(n, dt)
+        sumGuards.get(n) match {
+          case Some(cntName) =>
+            when(comb(cntName, org.apache.spark.sql.types.LongType) === 0L,
+              lit(null)).otherwise(raw).cast(dt).as(n)
+          case None => raw.cast(dt).as(n)
+        }
+    }
+    val combined = joined
+      .filter(comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L)
+      .select(outCols: _*)
+    // combined state is unique per FULL group key by construction, but a
+    // PK-layout view hashes on a (possibly narrower) key set — re-check it
+    // exactly like the full-recompute path does (the base may have grown
+    // key collisions since create); the probe runs over MV-sized data
+    SnapshotManagement.snapshotOpt(SnapshotManagement.normalize(viewPath))
+      .map(_.tableInfo).filter(_.hasPrimaryKey).foreach(ti =>
+        assertKeyUnique(combined, ti.hashColumns,
+          s"incremental refresh($viewPath)"))
+    RQ.withoutRewrite {
+      combined.write.format("graft").mode("overwrite").save(viewPath)
+    }
+    Files.write(mvMetaPath(viewPath),
+      Serialization.write(info.copy(relationVersions = Map(basePath -> toV)))
+        .getBytes(StandardCharsets.UTF_8))
+    invalidateProbeCaches(viewPath)
+    incrementalRefreshes.incrementAndGet()
+    true
+    } catch { case t: Throwable if t eq bail => false }
   }
 
   /** A PK-layout view table deduplicates its key at read (merge-on-read

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mv.MaterializedViews
+import graft.tables.GraftTable
+
+/** Incremental materialized-view refresh: eligible single-table aggregate
+  * views fold the base's change feed into the stored state instead of
+  * rescanning the base; anything else falls back to full recompute. Every
+  * test cross-checks the refreshed view content against a from-scratch
+  * evaluation of the view SQL. */
+class MvIncrementalSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def incCount = MaterializedViews.incrementalRefreshes.get()
+
+  /** View content (rewrite suppressed) vs a fresh evaluation of the SQL. */
+  private def assertMatchesRecompute(viewDir: String, sql: String): Unit = {
+    val fresh = graft.mv.RewriteQueryByMaterialView.withoutRewrite {
+      rowsOf(spark.sql(sql))
+    }
+    val stored = rowsOf(spark.read.format("graft").load(viewDir))
+    assert(stored == fresh, s"view state diverged\n view: $stored\n sql: $fresh")
+  }
+
+  test("append-only window refreshes incrementally; content exact") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_a")
+      // sum(v) over a (nullable-on-read) column: eligibility requires the
+      // count(v) companion, the same shape AVG-serving views use
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_a GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      Seq((4L, "b", 40L), (5L, "c", 5L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "expected the incremental path")
+      assertMatchesRecompute(viewDir, sql)
+      // rewrite serves the refreshed state
+      assert(rowsOf(spark.sql(sql)).contains(Seq("c", 1L, 1L, 5L)))
+    }
+  }
+
+  test("update and delete commits fold through pre/post images") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      (1L to 10L).map(i => (i, if (i % 2 == 0) "e" else "o", i))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_b")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_b GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      val t = GraftTable.forPath(spark, dir)
+      t.updateExpr("id <= 3", Map("v" -> "v + 100"))
+      t.deleteExpr("id >= 9")
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1)
+      assertMatchesRecompute(viewDir, sql)
+    }
+  }
+
+  test("group lifecycle: emptied groups drop, sums return to NULL") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "gone", Some(1L)), (2L, "nulls", Some(7L)),
+        (3L, "nulls", Option.empty[Long]), (4L, "keep", Some(4L)))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_c")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_c GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      val t = GraftTable.forPath(spark, dir)
+      t.deleteExpr("id = 1") // 'gone' loses its only row
+      t.deleteExpr("id = 2") // 'nulls' loses its only NON-NULL v
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1)
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.read.format("graft").load(viewDir))
+      assert(!rows.exists(_.head == "gone"), s"emptied group survived: $rows")
+      // the all-null group keeps its row; the sum is NULL again, not 0
+      assert(rows.contains(Seq("nulls", 1L, 0L, null)), rows.toString)
+    }
+  }
+
+  test("view filter scopes the delta") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "b", 90L)).toDF("id", "g", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_d")
+      val sql = "SELECT g, count(*) AS cnt FROM mvi_d WHERE v < 50 GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      Seq((3L, "a", 99L), (4L, "a", 7L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1)
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.read.format("graft").load(viewDir)) ==
+        Seq(Seq("a", 2L))) // only the v<50 append counted
+    }
+  }
+
+  test("raw-image delta upserts on a PK base fall back to full recompute") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_e")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_e GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      // delta upsert: the feed would emit raw images with no pre-state
+      GraftTable.forPath(spark, dir)
+        .upsert(Seq((1L, "a", 11L), (3L, "c", 30L)).toDF("id", "g", "v"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before, "raw-image window must not go incremental")
+      assertMatchesRecompute(viewDir, sql)
+    }
+  }
+
+  test("ineligible shapes (avg, double sum) fall back and stay correct") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      val viewDir2 = dir + "-mv2"
+      Seq((1L, "a", 10L, 1.5), (2L, "b", 20L, 2.5))
+        .toDF("id", "g", "v", "d").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_f")
+      val avgSql = "SELECT g, avg(v) AS av FROM mvi_f GROUP BY g"
+      val dblSql = "SELECT g, count(*) AS cnt, sum(d) AS sd " +
+        "FROM mvi_f GROUP BY g"
+      MaterializedViews.create(spark, viewDir, avgSql)
+      MaterializedViews.create(spark, viewDir2, dblSql)
+      Seq((3L, "a", 30L, 3.5)).toDF("id", "g", "v", "d")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(MaterializedViews.refresh(spark, viewDir2))
+      assert(incCount == before, "avg/double-sum views must recompute fully")
+      assertMatchesRecompute(viewDir, avgSql)
+      assertMatchesRecompute(viewDir2, dblSql)
+    }
+  }
+
+  test("conf gate disables the incremental path") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L)).toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_g")
+      val sql = "SELECT g, count(*) AS cnt FROM mvi_g GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      Seq((2L, "b", 20L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      withSQLConf(MaterializedViews.INCREMENTAL_KEY -> "false") {
+        val before = incCount
+        assert(MaterializedViews.refresh(spark, viewDir))
+        assert(incCount == before)
+        assertMatchesRecompute(viewDir, sql)
+      }
+    }
+  }
+}
