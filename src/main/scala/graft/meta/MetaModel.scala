@@ -183,12 +183,18 @@ case class CheckpointState(
 
 /** Materialized view metadata: SQL text plus the pinned (path -> version)
   * of every relation table at build time (reference `MaterialViewInfo`,
-  * `utils/MetaData.scala:208-222`).
-  */
+  * `utils/MetaData.scala:208-222`). `viewTableVersion` pins the VIEW
+  * table's own commit version as of the last (re)build: the table write
+  * and this meta file cannot commit atomically, and incremental refresh
+  * folds a delta into the stored state — folding it twice (a crash
+  * between the two writes) would double-count, so the incremental path
+  * requires the pin to match and falls back to the idempotent full
+  * recompute otherwise. None on legacy meta files → same fallback. */
 case class MaterialViewInfo(
     viewName: String,
     sqlText: String,
-    relationVersions: Map[String, Long] = Map.empty)
+    relationVersions: Map[String, Long] = Map.empty,
+    viewTableVersion: Option[Long] = None)
 
 class GraftConcurrentModificationException(msg: String)
     extends RuntimeException(msg)

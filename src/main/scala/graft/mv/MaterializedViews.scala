@@ -59,7 +59,9 @@ object MaterializedViews {
       options.foreach { case (k, v) => w.option(k, v) }
       w.save(viewPath)
     }
-    val info = MaterialViewInfo(viewPath, sqlText, relations)
+    val info = MaterialViewInfo(viewPath, sqlText, relations,
+      viewTableVersion = Some(SnapshotManagement.store
+        .latestVersion(SnapshotManagement.normalize(viewPath))))
     Files.write(mvMetaPath(viewPath),
       Serialization.write(info).getBytes(StandardCharsets.UTF_8))
     invalidateProbeCaches(viewPath)
@@ -89,7 +91,9 @@ object MaterializedViews {
           df.write.format("graft").mode("overwrite").save(viewPath)
         }
         Files.write(mvMetaPath(viewPath),
-          Serialization.write(info.copy(relationVersions = relations))
+          Serialization.write(info.copy(relationVersions = relations,
+            viewTableVersion = Some(SnapshotManagement.store
+              .latestVersion(SnapshotManagement.normalize(viewPath)))))
             .getBytes(StandardCharsets.UTF_8))
         invalidateProbeCaches(viewPath)
         true
@@ -146,6 +150,14 @@ object MaterializedViews {
     val RQ = RewriteQueryByMaterialView
 
     if (info.relationVersions.size != 1) return false
+    // idempotence pin: the stored state must be EXACTLY the one this
+    // meta file describes — a crash between a previous refresh's table
+    // write and its meta write leaves them out of step, and folding the
+    // same delta into an already-folded state double-counts. Mismatch
+    // (or a legacy meta without the pin) → idempotent full recompute.
+    val normView = SnapshotManagement.normalize(viewPath)
+    if (!info.viewTableVersion.contains(
+      SnapshotManagement.store.latestVersion(normView))) return false
     val (basePath, fromV) = info.relationVersions.head
     val baseSnap = SnapshotManagement.snapshotOpt(
       SnapshotManagement.normalize(basePath)).getOrElse(return false)
@@ -323,7 +335,9 @@ object MaterializedViews {
       combined.write.format("graft").mode("overwrite").save(viewPath)
     }
     Files.write(mvMetaPath(viewPath),
-      Serialization.write(info.copy(relationVersions = Map(basePath -> toV)))
+      Serialization.write(info.copy(relationVersions = Map(basePath -> toV),
+        viewTableVersion =
+          Some(SnapshotManagement.store.latestVersion(normView))))
         .getBytes(StandardCharsets.UTF_8))
     invalidateProbeCaches(viewPath)
     incrementalRefreshes.incrementAndGet()

@@ -151,6 +151,36 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("a view table advanced past its meta pin falls back to recompute") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L)).toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_h")
+      val sql = "SELECT g, count(*) AS cnt FROM mvi_h GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      // simulate the crash window: the view TABLE commits a state the meta
+      // file never recorded (here: a stray direct write) — folding a delta
+      // onto that state would double-count, so the pin must force the
+      // idempotent full path
+      graft.mv.RewriteQueryByMaterialView.withoutRewrite {
+        spark.read.format("graft").load(viewDir)
+          .write.format("graft").mode("overwrite").save(viewDir)
+      }
+      Seq((2L, "a", 20L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before, "unpinned view state must not fold a delta")
+      assertMatchesRecompute(viewDir, sql)
+      // the recompute re-pinned: the next eligible window is incremental
+      Seq((3L, "b", 30L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1)
+      assertMatchesRecompute(viewDir, sql)
+    }
+  }
+
   test("conf gate disables the incremental path") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
