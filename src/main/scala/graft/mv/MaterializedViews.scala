@@ -291,14 +291,7 @@ object MaterializedViews {
         rebindCol(g).as(n) }: _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    val cur = RQ.withoutRewrite {
-      spark.read.format("graft").load(viewPath)
-    }
     def bq(n: String) = s"`${n.replace("`", "``")}`"
-    val joined = cur.alias("__mo").join(deltaAgg.alias("__md"),
-      keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
-        .reduce(_ && _),
-      "full_outer")
     def comb(n: String, dt: org.apache.spark.sql.types.DataType)
         : org.apache.spark.sql.Column = {
       val z = lit(0).cast(dt match {
@@ -320,19 +313,74 @@ object MaterializedViews {
           case None => raw.cast(dt).as(n)
         }
     }
-    val combined = joined
-      .filter(comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L)
-      .select(outCols: _*)
-    // combined state is unique per FULL group key by construction, but a
-    // PK-layout view hashes on a (possibly narrower) key set — re-check it
-    // exactly like the full-recompute path does (the base may have grown
-    // key collisions since create); the probe runs over MV-sized data
-    SnapshotManagement.snapshotOpt(SnapshotManagement.normalize(viewPath))
-      .map(_.tableInfo).filter(_.hasPrimaryKey).foreach(ti =>
+    def alive = comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L
+
+    // PK-LAYOUT views whose (range ∪ hash) key is drawn from the group
+    // columns skip the overwrite entirely: ONLY the changed groups write —
+    // survivors as delta-upsert images, emptied groups as tombstone marker
+    // rows in the SAME commit — so refresh WRITE cost is ∝ changed groups,
+    // not view size (a per-user aggregate view at 100 TB is itself huge).
+    // Any other layout takes the whole-state overwrite below.
+    val viewTi = SnapshotManagement.snapshotOpt(normView).map(_.tableInfo)
+    val layoutCols = viewTi.toSeq
+      .flatMap(ti => ti.rangeColumns ++ ti.hashColumns)
+    val keyLower = keyNames.map(_.toLowerCase).toSet
+    val canUpsert = viewTi.exists(_.hasPrimaryKey) && layoutCols.nonEmpty &&
+      layoutCols.forall(c => keyLower.contains(c.toLowerCase))
+
+    if (canUpsert) {
+      SnapshotManagement.withRewriteTransaction(normView) { txn =>
+        val vsnap = txn.snapshotOpt.getOrElse(throw bail)
+        // re-verify the idempotence pin against the PINNED snapshot: a
+        // conflict restart re-enters here with a fresh (advanced) version
+        if (!info.viewTableVersion.contains(vsnap.version)) throw bail
+        val curPinned = graft.sources.GraftRead
+          .readFiles(spark, normView, vsnap, vsnap.files)
+        val joinedD = deltaAgg.alias("__md").join(curPinned.alias("__mo"),
+          keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
+            .reduce(_ && _),
+          "left_outer")
+        val survivors = joinedD.filter(alive).select(outCols: _*)
+        // narrower layout key than the full group key: a NEW group may
+        // collide with a STORED group's key and last-wins would silently
+        // swallow one — detect and let the full path fail loudly
+        if (layoutCols.map(_.toLowerCase).toSet != keyLower) {
+          val hit = curPinned.alias("__c").join(survivors.alias("__s"),
+            layoutCols.map(c =>
+              col(s"__c.${bq(c)}") <=> col(s"__s.${bq(c)}")).reduce(_ && _) &&
+            !keyNames.map(k =>
+              col(s"__c.${bq(k)}") <=> col(s"__s.${bq(k)}")).reduce(_ && _))
+            .limit(1).count() > 0
+          if (hit) throw bail
+        }
+        val deletes = joinedD.filter(!alive).select(cols.map {
+          case (n, KeyCol(_), _) =>
+            coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}")).as(n)
+          case (n, _, dt) => lit(null).cast(dt).as(n)
+        }: _*)
+        val marker = graft.meta.Tombstones.COL
+        val out = survivors.withColumn(marker, lit(null).cast("boolean"))
+          .unionByName(deletes.withColumn(marker, lit(true)))
+        graft.commands.UpsertCommand.runDeltaIn(spark, normView, out,
+          Map.empty, txn, rewriteGuard = true)
+      }
+    } else {
+      val cur = RQ.withoutRewrite {
+        spark.read.format("graft").load(viewPath)
+      }
+      val joined = cur.alias("__mo").join(deltaAgg.alias("__md"),
+        keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
+          .reduce(_ && _),
+        "full_outer")
+      val combined = joined.filter(alive).select(outCols: _*)
+      // a PK-layout view that fell through here (layout key not a subset
+      // of the group key) re-checks uniqueness like the full path does
+      viewTi.filter(_.hasPrimaryKey).foreach(ti =>
         assertKeyUnique(combined, ti.hashColumns,
           s"incremental refresh($viewPath)"))
-    RQ.withoutRewrite {
-      combined.write.format("graft").mode("overwrite").save(viewPath)
+      RQ.withoutRewrite {
+        combined.write.format("graft").mode("overwrite").save(viewPath)
+      }
     }
     Files.write(mvMetaPath(viewPath),
       Serialization.write(info.copy(relationVersions = Map(basePath -> toV),

@@ -151,6 +151,63 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("PK-layout view: incremental refresh writes only changed groups") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 5L), (4L, "gone", 9L))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_pk")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_pk GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql,
+        Map("hashPartitions" -> "g", "hashBucketNum" -> "2"))
+      Seq((5L, "b", 100L), (6L, "c", 7L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      GraftTable.forPath(spark, dir).deleteExpr("g = 'gone'")
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1)
+      assertMatchesRecompute(viewDir, sql)
+      // the refresh committed a DELTA (changed groups + tombstone), not an
+      // overwrite of the whole view table
+      val norm = graft.meta.SnapshotManagement.normalize(viewDir)
+      val lastV = graft.meta.SnapshotManagement.store.latestVersion(norm)
+      val ct = graft.meta.SnapshotManagement.store.read(norm, lastV)
+        .flatMap(_.commit).head.commitType
+      assert(ct == "delta", s"expected a delta commit, got $ct")
+      // emptied group is gone through the merge-on-read tombstone
+      assert(!rowsOf(spark.read.format("graft").load(viewDir))
+        .exists(_.head == "gone"))
+      // a second incremental window composes on top of the delta state
+      Seq((7L, "c", 3L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 2)
+      assertMatchesRecompute(viewDir, sql)
+    }
+  }
+
+  test("PK layout narrower than the group key fails loudly on collision") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", "b1", 10L)).toDF("id", "g1", "g2", "v")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_nk")
+      val sql = "SELECT g1, g2, count(*) AS cnt FROM mvi_nk GROUP BY g1, g2"
+      // hash key g1 is unique at create (one group) — legal then
+      MaterializedViews.create(spark, viewDir, sql,
+        Map("hashPartitions" -> "g1", "hashBucketNum" -> "1"))
+      // a second g2 under the same g1 collides on the narrow hash key:
+      // last-wins storage would silently drop one of the two groups
+      Seq((2L, "a", "b2", 20L)).toDF("id", "g1", "g2", "v")
+        .write.format("graft").mode("append").save(dir)
+      val e = intercept[IllegalStateException] {
+        MaterializedViews.refresh(spark, viewDir)
+      }
+      assert(e.getMessage.contains("multiple rows for hash key"))
+    }
+  }
+
   test("a view table advanced past its meta pin falls back to recompute") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
