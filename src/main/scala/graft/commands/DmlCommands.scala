@@ -65,7 +65,7 @@ object UpsertCommand {
       extraOptions: Map[String, String],
       txn: graft.meta.Transaction,
       rewriteGuard: Boolean = false,
-      strictWindow: Boolean = false): Unit = {
+      strictWindow: Boolean = false): Long = {
     val snapshot = txn.snapshotOpt.getOrElse(
       throw new GraftTableNotFoundException(path))
     val info = snapshot.tableInfo

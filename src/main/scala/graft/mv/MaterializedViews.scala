@@ -54,14 +54,15 @@ object MaterializedViews {
     options.get("hashPartitions").foreach(hp =>
       assertKeyUnique(df, hp.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         s"createMaterialView($viewPath)"))
+    val beforeV = SnapshotManagement.store
+      .latestVersion(SnapshotManagement.normalize(viewPath))
     RewriteQueryByMaterialView.withoutRewrite {
       val w = df.write.format("graft").mode("overwrite")
       options.foreach { case (k, v) => w.option(k, v) }
       w.save(viewPath)
     }
     val info = MaterialViewInfo(viewPath, sqlText, relations,
-      viewTableVersion = Some(SnapshotManagement.store
-        .latestVersion(SnapshotManagement.normalize(viewPath))))
+      viewTableVersion = pinIfOwn(viewPath, beforeV))
     Files.write(mvMetaPath(viewPath),
       Serialization.write(info).getBytes(StandardCharsets.UTF_8))
     invalidateProbeCaches(viewPath)
@@ -87,18 +88,30 @@ object MaterializedViews {
         SnapshotManagement.snapshotOpt(SnapshotManagement.normalize(viewPath))
           .map(_.tableInfo).filter(_.hasPrimaryKey).foreach(ti =>
             assertKeyUnique(df, ti.hashColumns, s"refresh($viewPath)"))
+        val beforeV = SnapshotManagement.store
+          .latestVersion(SnapshotManagement.normalize(viewPath))
         RewriteQueryByMaterialView.withoutRewrite {
           df.write.format("graft").mode("overwrite").save(viewPath)
         }
         Files.write(mvMetaPath(viewPath),
           Serialization.write(info.copy(relationVersions = relations,
-            viewTableVersion = Some(SnapshotManagement.store
-              .latestVersion(SnapshotManagement.normalize(viewPath)))))
+            viewTableVersion = pinIfOwn(viewPath, beforeV)))
             .getBytes(StandardCharsets.UTF_8))
         invalidateProbeCaches(viewPath)
         true
       case _ => false
     }
+  }
+
+  /** The view table's latest version, pinned only when it is provably the
+    * version OUR write just committed (exactly one commit past `beforeV`).
+    * A stray concurrent commit leaves the pin EMPTY, so the next refresh
+    * takes the idempotent full recompute instead of folding a delta onto
+    * state the meta never described. */
+  private def pinIfOwn(viewPath: String, beforeV: Long): Option[Long] = {
+    val after = SnapshotManagement.store
+      .latestVersion(SnapshotManagement.normalize(viewPath))
+    if (after == beforeV + 1) Some(after) else None
   }
 
   /** Conf gate for incremental refresh (default on; full recompute is the
@@ -300,36 +313,47 @@ object MaterializedViews {
       })
       coalesce(col(s"__mo.${bq(n)}"), z) + coalesce(col(s"__md.`__d_$n`"), z)
     }
-    val outCols = cols.map {
-      case (n, KeyCol(_), dt) =>
-        coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}")).as(n)
-      case (n, CountCol(_), dt) => comb(n, dt).cast(dt).as(n)
-      case (n, SumCol(_), dt) =>
-        val raw = comb(n, dt)
-        sumGuards.get(n) match {
-          case Some(cntName) =>
-            when(comb(cntName, org.apache.spark.sql.types.LongType) === 0L,
-              lit(null)).otherwise(raw).cast(dt).as(n)
-          case None => raw.cast(dt).as(n)
-        }
-    }
+    // unaliased combined-image expression per output column (aliases are
+    // applied at the projection site — an alias nested inside a later
+    // when() would be illegal)
+    def outExpr(n: String, kind: Kind,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      kind match {
+        case KeyCol(_) =>
+          coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}"))
+        case CountCol(_) => comb(n, dt).cast(dt)
+        case SumCol(_) =>
+          val raw = comb(n, dt)
+          sumGuards.get(n) match {
+            case Some(cntName) =>
+              when(comb(cntName, org.apache.spark.sql.types.LongType) === 0L,
+                lit(null)).otherwise(raw).cast(dt)
+            case None => raw.cast(dt)
+          }
+      }
+    val outCols = cols.map { case (n, k, dt) => outExpr(n, k, dt).as(n) }
     def alive = comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L
 
-    // PK-LAYOUT views whose (range ∪ hash) key is drawn from the group
-    // columns skip the overwrite entirely: ONLY the changed groups write —
-    // survivors as delta-upsert images, emptied groups as tombstone marker
-    // rows in the SAME commit — so refresh WRITE cost is ∝ changed groups,
-    // not view size (a per-user aggregate view at 100 TB is itself huge).
-    // Any other layout takes the whole-state overwrite below.
+    // PK-LAYOUT views whose (range ∪ hash) key IS the group key skip the
+    // overwrite entirely: ONLY the changed groups write — survivors as
+    // delta-upsert images, emptied groups as tombstone marker rows in the
+    // SAME commit — so refresh WRITE cost is ∝ changed groups, not view
+    // size (a per-user aggregate view at 100 TB is itself huge). The key
+    // sets must match EXACTLY: merge-on-read identity is the layout key,
+    // so a narrower layout cannot address groups individually — two new
+    // groups sharing a layout key, or a net-zero new group's tombstone
+    // erasing a different stored group, would corrupt silently. Narrower
+    // (or non-PK) layouts take the whole-state overwrite below, where
+    // assertKeyUnique still reports genuine collisions loudly.
     val viewTi = SnapshotManagement.snapshotOpt(normView).map(_.tableInfo)
     val layoutCols = viewTi.toSeq
       .flatMap(ti => ti.rangeColumns ++ ti.hashColumns)
     val keyLower = keyNames.map(_.toLowerCase).toSet
-    val canUpsert = viewTi.exists(_.hasPrimaryKey) && layoutCols.nonEmpty &&
-      layoutCols.forall(c => keyLower.contains(c.toLowerCase))
+    val canUpsert = viewTi.exists(_.hasPrimaryKey) &&
+      layoutCols.map(_.toLowerCase).toSet == keyLower
 
-    if (canUpsert) {
-      SnapshotManagement.withRewriteTransaction(normView) { txn =>
+    val committedVersion: Option[Long] = if (canUpsert) {
+      Some(SnapshotManagement.withRewriteTransaction(normView) { txn =>
         val vsnap = txn.snapshotOpt.getOrElse(throw bail)
         // re-verify the idempotence pin against the PINNED snapshot: a
         // conflict restart re-enters here with a fresh (advanced) version
@@ -340,56 +364,59 @@ object MaterializedViews {
           keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
             .reduce(_ && _),
           "left_outer")
-        val survivors = joinedD.filter(alive).select(outCols: _*)
-        // narrower layout key than the full group key: a NEW group may
-        // collide with a STORED group's key and last-wins would silently
-        // swallow one — detect and let the full path fail loudly
-        if (layoutCols.map(_.toLowerCase).toSet != keyLower) {
-          val hit = curPinned.alias("__c").join(survivors.alias("__s"),
-            layoutCols.map(c =>
-              col(s"__c.${bq(c)}") <=> col(s"__s.${bq(c)}")).reduce(_ && _) &&
-            !keyNames.map(k =>
-              col(s"__c.${bq(k)}") <=> col(s"__s.${bq(k)}")).reduce(_ && _))
-            .limit(1).count() > 0
-          if (hit) throw bail
-        }
-        val deletes = joinedD.filter(!alive).select(cols.map {
-          case (n, KeyCol(_), _) =>
-            coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}")).as(n)
-          case (n, _, dt) => lit(null).cast(dt).as(n)
-        }: _*)
+        // ONE projection over ONE evaluation of the join: survivors carry
+        // their combined image (marker null), emptied groups carry their
+        // key + marker true — a filter/filter/union would run the feed
+        // aggregation and the view scan once per branch
         val marker = graft.meta.Tombstones.COL
-        val out = survivors.withColumn(marker, lit(null).cast("boolean"))
-          .unionByName(deletes.withColumn(marker, lit(true)))
+        val out = joinedD.select(cols.map {
+          case (n, k @ KeyCol(_), dt) => outExpr(n, k, dt).as(n)
+          case (n, k, dt) =>
+            when(alive, outExpr(n, k, dt)).otherwise(lit(null).cast(dt)).as(n)
+        } :+ when(alive, lit(null).cast("boolean")).otherwise(lit(true))
+          .as(marker): _*)
         graft.commands.UpsertCommand.runDeltaIn(spark, normView, out,
           Map.empty, txn, rewriteGuard = true)
-      }
+      })
     } else {
-      val cur = RQ.withoutRewrite {
-        spark.read.format("graft").load(viewPath)
-      }
+      // pin the read: a stray write landing between the version check and
+      // the (lazy) scan must not be folded into the combined state
+      val vsnap = SnapshotManagement.snapshotOpt(normView).getOrElse(throw bail)
+      if (!info.viewTableVersion.contains(vsnap.version)) throw bail
+      val cur = graft.sources.GraftRead
+        .readFiles(spark, normView, vsnap, vsnap.files)
       val joined = cur.alias("__mo").join(deltaAgg.alias("__md"),
         keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
           .reduce(_ && _),
         "full_outer")
       val combined = joined.filter(alive).select(outCols: _*)
-      // a PK-layout view that fell through here (layout key not a subset
-      // of the group key) re-checks uniqueness like the full path does
+      // a PK-layout view that fell through here (layout key narrower than
+      // the group key) re-checks uniqueness like the full path does
       viewTi.filter(_.hasPrimaryKey).foreach(ti =>
         assertKeyUnique(combined, ti.hashColumns,
           s"incremental refresh($viewPath)"))
+      val beforeV = SnapshotManagement.store.latestVersion(normView)
       RQ.withoutRewrite {
         combined.write.format("graft").mode("overwrite").save(viewPath)
       }
+      // pin only a version that is provably OUR commit — if a stray write
+      // raced in, leave the pin stale so the next refresh heals via the
+      // idempotent full recompute instead of folding onto unknown state
+      val afterV = SnapshotManagement.store.latestVersion(normView)
+      if (afterV == beforeV + 1) Some(afterV) else None
     }
-    Files.write(mvMetaPath(viewPath),
-      Serialization.write(info.copy(relationVersions = Map(basePath -> toV),
-        viewTableVersion =
-          Some(SnapshotManagement.store.latestVersion(normView))))
-        .getBytes(StandardCharsets.UTF_8))
+    committedVersion.foreach { v =>
+      Files.write(mvMetaPath(viewPath),
+        Serialization.write(info.copy(relationVersions = Map(basePath -> toV),
+          viewTableVersion = Some(v)))
+          .getBytes(StandardCharsets.UTF_8))
+      incrementalRefreshes.incrementAndGet()
+    }
     invalidateProbeCaches(viewPath)
-    incrementalRefreshes.incrementAndGet()
-    true
+    // None = the overwrite raced a stray commit and could not pin its own
+    // version: report ineligible so the caller's idempotent full recompute
+    // re-establishes a known state + pin
+    committedVersion.isDefined
     } catch { case t: Throwable if t eq bail => false }
   }
 

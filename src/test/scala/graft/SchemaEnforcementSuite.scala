@@ -469,11 +469,14 @@ class SchemaEnforcementSuite extends GraftFunSuite {
           .trigger(Trigger.AvailableNow()).start(dir)
         input.addData(1L, 2L)
         q1.awaitTermination(60000)
+        // data BEFORE start: AvailableNow snapshots the available offsets
+        // at start, so a later addData may not be processed at all and the
+        // query would terminate cleanly without attempting the write
+        input.addData(3L)
         val q2 = input.toDF().toDF("id").withColumn("part", $"id" + 1)
           .writeStream.format("graft").outputMode(OutputMode.Append)
           .option("checkpointLocation", dir + "-ckpt")
           .trigger(Trigger.AvailableNow()).start(dir)
-        input.addData(3L)
         val e = intercept[Exception] { q2.awaitTermination(60000) }
         assert(messagesOf(e).contains("mergeSchema"), messagesOf(e))
         assert(graftDf(dir).schema.length == 1)
@@ -491,12 +494,12 @@ class SchemaEnforcementSuite extends GraftFunSuite {
         .trigger(Trigger.AvailableNow()).start(dir)
       input.addData(1L, 2L)
       q1.awaitTermination(60000)
+      input.addData(3L) // before start — see the rejection test above
       val q2 = input.toDF().toDF("id").withColumn("part", $"id" + 1)
         .writeStream.format("graft").outputMode(OutputMode.Append)
         .option("checkpointLocation", dir + "-ckpt")
         .option("mergeSchema", "true")
         .trigger(Trigger.AvailableNow()).start(dir)
-      input.addData(3L)
       q2.awaitTermination(60000)
       assert(graftDf(dir).schema.fieldNames.toSeq == Seq("id", "part"))
       enableAutoMerge {
