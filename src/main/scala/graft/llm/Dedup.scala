@@ -127,6 +127,19 @@ object Dedup {
     // would run end-to-end once per branch
     val p0 = Checkpoints.stabilize(pairs.select(
       col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    // ADAPTIVE small-graph path (same philosophy as the IVF flat
+    // fallback): below a pair-count threshold the distributed rounds are
+    // pure scheduling overhead — each round is 2 shuffles + an eager
+    // materialization job, and near-dup pair lists are usually orders of
+    // magnitude smaller than the corpus that produced them. A driver
+    // union-find over the (already materialized) pair list computes the
+    // SAME min-label components in one collect. The threshold bounds
+    // driver memory explicitly (default 1M pairs ≈ 16 MB of longs); the
+    // distributed loop remains the path for genuinely huge graphs.
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.dedup.localClusterMaxPairs").map(_.toLong)
+      .getOrElse(1L << 20)
+    if (p0.count() <= localMax) return localClusters(p0)
     // cache edges PRE-PARTITIONED on the join key: every round joins on
     // dst, and a cached hash layout means only the (small) label side
     // shuffles per round, never the edge list
@@ -164,6 +177,35 @@ object Dedup {
       s"duplicateClusters did not converge within $maxIter rounds: a " +
       "duplicate chain is longer than maxIter hops; raise maxIter")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Driver union-find over a small pair list: identical (doc_id,
+    * cluster_id = min member id) output as the distributed loop, one
+    * collect + one parallelize instead of O(diameter) rounds of jobs. */
+  private def localClusters(p0: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var x = x0 // path compression
+      while (parent(x) != r) { val nxt = parent(x); parent(x) = r; x = nxt }
+      r
+    }
+    p0.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the root IS the canonical min member, so no
+      // second pass is needed to compute per-component minima
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = p0.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** The dedup pipeline's final step: drop every document that belongs to

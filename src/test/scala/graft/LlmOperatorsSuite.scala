@@ -551,6 +551,15 @@ class LlmOperatorsSuite extends GraftFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 10L -> 5L,
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // the distributed label-propagation path (forced by a zero small-graph
+    // threshold) must produce the identical labeling
+    val key = "spark.graft.dedup.localClusterMaxPairs"
+    spark.conf.set(key, "0")
+    try {
+      val dist = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .as[(Long, Long)].collect().toMap
+      assert(dist == got, s"distributed/local divergence: $dist vs $got")
+    } finally spark.conf.unset(key)
   }
 
   test("stabilizeFlagged: flag detected inside the ONE materialization job") {
