@@ -355,6 +355,19 @@ object Queries {
       TextAnalysis.tfidfTopK(GraftData.documentsRange(s, sf), "doc_id", "text",
         k = 5)),
 
+    "q_chunk_docs" -> ((s, sf) =>
+      TextAnalysis.chunkDocuments(GraftData.documentsRange(s, sf),
+        "doc_id", "text", chunkChars = 400, strideChars = 300)),
+
+    "q_heavy_hitters" -> ((s, sf) =>
+      TextAnalysis.heavyHitters(GraftData.documentsRange(s, sf),
+        "doc_id", "text", k = 20)),
+
+    "q_split_assign" -> ((s, sf) =>
+      graft.llm.Curation.assignSplit(GraftData.documentsRange(s, sf),
+        "doc_id", trainBps = 9000, valBps = 500)
+        .select(col("doc_id"), col("split_bucket"), col("split"))),
+
     "q_dedup_clusters" -> ((s, sf) =>
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
@@ -904,6 +917,41 @@ object Queries {
        "ORDER BY tf.tf * 1.0 / dfreq.doc_freq DESC, tf.term ASC) AS INTEGER) " +
        "AS rank FROM tf JOIN dfreq USING (term)) " +
        "SELECT doc_id, rank, term, tf, doc_freq FROM ranked WHERE rank <= 5"),
+
+    // Chunk count via exact INTEGER ceil-division ((n-400+299)//300 + 1)
+    // so the row set reproduces bit-for-bit; both engines' length/substr
+    // are character-based (zh docs included).
+    "q_chunk_docs" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+       "c AS (SELECT doc_id, text, unnest(range(0, CASE WHEN n <= 400 THEN 1 " +
+       "ELSE (n - 400 + 299) // 300 + 1 END)) AS chunk_idx FROM d) " +
+       "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, " +
+       "substr(text, CAST(chunk_idx * 300 + 1 AS INTEGER), 400) AS chunk_text, " +
+       "CAST(length(substr(text, CAST(chunk_idx * 300 + 1 AS INTEGER), 400)) " +
+       "AS INTEGER) AS chunk_len FROM c"),
+
+    // Exact top-20 terms; count DESC + term ASC makes the cut line
+    // deterministic. DuckDB SUM(BIGINT) is HUGEINT — cast back to match
+    // Spark's long.
+    "q_heavy_hitters" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " +
+       "'[a-z0-9]+')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf " +
+       "FROM toks GROUP BY 1, 2) " +
+       "SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt, " +
+       "CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term " +
+       "ORDER BY cnt DESC, term ASC LIMIT 20"),
+
+    // Same md5-bucket selector as q_sample_mix, folded through cumulative
+    // 90/5/5 thresholds.
+    "q_split_assign" ->
+      ("SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), " +
+       "1, 8)) AS BIGINT) % 10000 AS split_bucket, " +
+       "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) % 10000 < 9000 THEN 'train' " +
+       "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) % 10000 < 9500 THEN 'val' ELSE 'test' END AS split " +
+       "FROM documents"),
 
     "q_distinct_ratio" ->
       ("SELECT doc_id, " +

@@ -66,4 +66,29 @@ object Curation {
     }
     df.filter(bucket < rate)
   }
+
+  /** Deterministic train/validation/test split assignment: each row lands
+    * in a split by `md5(id) mod 10000` against cumulative basis-point
+    * thresholds (default 90/5/5). The same hash-selection argument as
+    * [[stratifiedSample]]: a pure per-row projection — reproducible across
+    * runs, engines, partitioning and cluster growth, with no RNG state —
+    * and STABLE under corpus evolution: a document keeps its split when
+    * others are added or removed, so eval sets never silently absorb
+    * training data. Emits the bucket too, so audits can re-derive the
+    * assignment. At 100 TB this is a scan-speed map with no shuffle. */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      trainBps: Int = 9000, valBps: Int = 500): DataFrame = {
+    require(trainBps >= 0 && valBps >= 0 && trainBps + valBps <= 10000,
+      s"assignSplit: train/val basis points must fit in 10000 " +
+        s"(got train=$trainBps val=$valBps)")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("bigint"),
+      lit(10000L))
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainBps, lit("train"))
+          .when(col("split_bucket") < trainBps + valBps, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

@@ -216,6 +216,64 @@ object TextAnalysis {
     ("phone", "\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}", "<PHONE>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
 
+  /** Overlapping fixed-size character chunks per document — the standard
+    * pre-embedding / context-window split (chunk `chunkChars` wide, stride
+    * `strideChars`, so consecutive chunks overlap by `chunkChars -
+    * strideChars`). Every document yields at least one chunk (short and
+    * empty docs keep a representative row); the last chunk may be shorter
+    * than `chunkChars`.
+    *
+    * Scale: a pure narrow `posexplode` over a `sequence` of chunk indices —
+    * no shuffle, no UDF, output rows ∝ total text volume / stride. The
+    * chunk count comes from INTEGER arithmetic (`ceil((n - chunk) /
+    * stride) + 1` spelled as an exact integer division) so the row set is
+    * bit-reproducible on any engine — fp `ceil` near an exact multiple
+    * could differ by one chunk between engines. */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int = 400, strideChars: Int = 300): DataFrame = {
+    require(chunkChars > 0 && strideChars > 0 && strideChars <= chunkChars,
+      s"chunkDocuments: need 0 < strideChars <= chunkChars " +
+        s"(got chunk=$chunkChars stride=$strideChars)")
+    val n = length(col(textCol)).cast("long")
+    // exact integer ceil-div: extra strides needed past the first chunk
+    val extra = floor(((n - chunkChars) + (strideChars - 1)) / strideChars)
+      .cast("long")
+    val numChunks = when(n <= chunkChars, lit(1L)).otherwise(extra + 1L)
+    df.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0L), numChunks - 1L)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col(textCol).substr(
+          (col("pos") * strideChars + 1L).cast("int"), lit(chunkChars))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  /** Exact corpus-level heavy hitters: the `k` most frequent tokens with
+    * deterministic (count DESC, term ASC) ordering, plus each term's
+    * document frequency. The "what does my corpus look like" profiler and
+    * the vocabulary seed for tokenizer training.
+    *
+    * Scale: per-document tokenize is narrow; the (term) aggregate gets
+    * map-side partial aggregation so the exchange carries one row per
+    * distinct term per task, not one per token occurrence; the final top-k
+    * is a `TakeOrderedAndProject` over the vocab-sized aggregate — never a
+    * global sort of the corpus. Exactness is affordable because the
+    * shuffled key space is the VOCABULARY (millions), independent of corpus
+    * size; a Space-Saving sketch would only save the vocab-sized exchange
+    * while giving up the oracle. */
+  def heavyHitters(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
+    val perDoc = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("term")
+      .agg(sum("tf").as("cnt"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("cnt"), col("doc_freq"))
+  }
+
   /** PII scrubbing for training corpora: redact emails, IPv4 addresses,
     * phone numbers and SSN-shaped ids, returning the scrubbed text plus a
     * per-category redaction count (audit trail for the pipeline). A chain

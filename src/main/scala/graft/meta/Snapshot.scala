@@ -283,6 +283,27 @@ class Transaction(val tablePath: String, store: MetaStore) {
             "snapshot")
         }
       }
+      // Layout guard: files in an add-carrying commit were bucketed /
+      // range-assigned against the PINNED snapshot's layout. If a commit
+      // since the pin changed that layout (rebucket above all), landing
+      // ours would mix files whose bucket ids mean different things —
+      // merge-on-read would pair wrong buckets silently. Conflict and let
+      // the caller restart against the new layout. Only layout fields
+      // matter here: concurrent SCHEMA evolution stays compatible (per-file
+      // schemas are self-describing) and is already covered by the
+      // newTableInfo guard when this commit carries its own info change.
+      if (addFiles.nonEmpty && newTableInfo.isEmpty && version - 1 > readVersion) {
+        snapshotOpt.map(_.tableInfo).foreach { p =>
+          val cur = Snapshot.replay(store, tablePath, version - 1).tableInfo
+          if ((cur.bucketNum, cur.hashColumns, cur.rangeColumns) !=
+              ((p.bucketNum, p.hashColumns, p.rangeColumns))) {
+            throw new GraftConcurrentModificationException(
+              s"table layout of $tablePath changed concurrently (snapshot " +
+              s"v$readVersion -> v${version - 1}: bucketNum/hash/range " +
+              "columns differ); restarting from a fresh snapshot")
+          }
+        }
+      }
       if (strictWindow && version - 1 > readVersion) {
         throw new GraftConcurrentModificationException(
           s"commit(s) landed on $tablePath since snapshot v$readVersion " +

@@ -625,4 +625,64 @@ class LlmOperatorsSuite extends GraftFunSuite {
     // zero rate drops the stratum entirely
     assert(ids(Map("en" -> 0, "de" -> 10000)).forall(_ % 2 == 1))
   }
+
+  test("chunkDocuments: overlap, tail chunk, short and empty docs") {
+    val df = Seq(
+      (1L, "a" * 10),   // shorter than one chunk
+      (2L, "b" * 25),   // 25 chars, chunk=10 stride=6 -> ceil(15/6)+1 = 4
+      (3L, ""),         // empty still yields one (empty) chunk
+      (4L, "c" * 16)    // exact chunk+stride boundary: 2 chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkChars = 10, strideChars = 6)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_len")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "a" * 10, 10),
+      (2L, 0, "b" * 10, 10), (2L, 1, "b" * 10, 10),
+      (2L, 2, "b" * 10, 10), (2L, 3, "b" * 7, 7),
+      (3L, 0, "", 0),
+      (4L, 0, "c" * 10, 10), (4L, 1, "c" * 10, 10)))
+    // consecutive chunks overlap by chunk - stride characters
+    val two = TextAnalysis.chunkDocuments(
+        Seq((9L, "0123456789ABCDEF")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkChars = 10, strideChars = 6)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(two.toSeq == Seq("0123456789", "6789ABCDEF"))
+  }
+
+  test("heavyHitters: exact counts, doc frequencies, deterministic ties") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry"),
+      (3L, "banana cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(df, "doc_id", "text", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // apple 3x/2docs, cherry 3x/2docs (tie broken term-asc), banana 2x/2docs
+    assert(got == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L),
+      ("banana", 2L, 2L)))
+  }
+
+  test("assignSplit: deterministic, stable under corpus growth, " +
+      "thresholds respected") {
+    val small = (0 until 1000).map(_.toLong).toDF("doc_id")
+    val big = (0 until 2000).map(_.toLong).toDF("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Curation.assignSplit(df, "doc_id")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s1 = splits(small)
+    val s2 = splits(big)
+    // stability: every doc keeps its split when the corpus doubles
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // rough proportions at 90/5/5 over 2000 ids
+    val byLabel = s2.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel("train") > 1700 && byLabel("train") < 1900, byLabel)
+    assert(byLabel("val") > 50 && byLabel("val") < 170, byLabel)
+    assert(byLabel("test") > 50 && byLabel("test") < 170, byLabel)
+    // bucket column re-derives the label
+    val rows = Curation.assignSplit(big, "doc_id")
+      .select("split_bucket", "split").as[(Long, String)].collect()
+    assert(rows.forall { case (b, sp) =>
+      sp == (if (b < 9000) "train" else if (b < 9500) "val" else "test") })
+  }
 }
