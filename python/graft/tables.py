@@ -168,6 +168,12 @@ class GraftTable(object):
             self._jbridge.compaction(
                 self._jtable, bool(force), partitionPredicate or "", jmap)
 
+    def rebucket(self, newBucketNum):
+        """Change the table's hash-bucket count in one transactional
+        rewrite (primary-key tables). Returns the rebucket commit's
+        version."""
+        return self._jbridge.rebucket(self._jtable, int(newBucketNum))
+
     def cleanup(self, retainMillis=5 * 3600 * 1000, dryRun=False):
         """Vacuum unreferenced files older than ``retainMillis``.
 

@@ -85,6 +85,9 @@ def main():
         t.compaction()
         check("compaction", t.toDF().count() == 3)
 
+        v_rb = t.rebucket(4)
+        check("rebucket", v_rb > 0 and t.toDF().count() == 3)
+
         check("cleanup dryRun", t.cleanup(dryRun=True) == [])
 
         check("history", t.history().count() >= 4)

@@ -28,13 +28,15 @@ import graft.meta.SnapshotManagement
 object GraftProcedures {
   val NAMESPACE: Array[String] = Array("system")
 
-  val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore")
+  val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
+    "rebucket")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
     case "zorder" => Some(ZOrderProcedure)
     case "vacuum" => Some(VacuumProcedure)
     case "restore" => Some(RestoreProcedure)
+    case "rebucket" => Some(RebucketProcedure)
     case _ => None
   }
 
@@ -124,6 +126,22 @@ object GraftProcedures {
       val v = graft.commands.RestoreCommand.run(spark, path, input.getLong(1))
       // report the RESTORE commit's own version (re-reading latestVersion
       // would race with concurrent writers)
+      one(resultScan(versionSchema,
+        Seq(InternalRow(UTF8String.fromString(path), v))))
+    }
+  }
+
+  object RebucketProcedure extends MaintenanceProcedure("rebucket",
+      "Change a primary-key table's hash-bucket count in one rewrite") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("bucket_num", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolvePath(spark, str(input, 0).get)
+      require(!input.isNullAt(1), "rebucket: bucket_num must not be NULL")
+      val v = graft.commands.RebucketCommand.run(spark, path, input.getInt(1))
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(path), v))))
     }

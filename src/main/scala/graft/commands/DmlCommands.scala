@@ -581,6 +581,62 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
   }
 }
 
+object RebucketCommand {
+
+  /** Change a primary-key table's hash-bucket count in ONE transactional
+    * rewrite. The bucket count is the table's parallelism unit — it bounds
+    * shuffle-free join/agg width AND per-bucket file size — and the number
+    * chosen at creation is wrong after 100× growth: too few buckets at
+    * 100 TB means multi-GB bucket files and 16-way parallelism on a
+    * 1000-executor cluster. The reference cannot change it after creation;
+    * this command can, without table downtime.
+    *
+    * Mechanics: full merge-on-read of the current snapshot (tombstones and
+    * deletion vectors resolve, declared merge operators materialize —
+    * exactly like compaction), rewritten through the normal bucketed write
+    * under the NEW bucket count, committed with the new `TableInfo` and the
+    * removal of every old file in one `rebucket` commit. Readers pin
+    * snapshots, so running queries keep the old layout; time travel to an
+    * old version replays the old TableInfo with the old files (the log
+    * pairs them by construction).
+    *
+    * Concurrency: `strictWindow` — ANY commit landing since the pinned
+    * snapshot restarts the rewrite (its rows must be re-read under the new
+    * layout). The reverse race — a writer that pinned the OLD layout
+    * committing bucketed files AFTER the rebucket — is closed by the
+    * layout guard in [[graft.meta.Transaction.commit]].
+    *
+    * Returns the rebucket commit's version. */
+  def run(spark: SparkSession, tablePath: String, newBucketNum: Int): Long = {
+    require(newBucketNum > 0, s"rebucket: bucket count must be positive " +
+      s"(got $newBucketNum)")
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
+      val snapshot = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path))
+      val info = snapshot.tableInfo
+      require(info.hasPrimaryKey,
+        "rebucket applies to hash-partitioned (primary-key) tables; non-PK " +
+        "tables have no bucket layout — use compaction() to re-bin files")
+      if (newBucketNum == info.bucketNum) return snapshot.version
+      val oldFiles = snapshot.files
+      // declared merge operators materialize here like in compaction — the
+      // rewrite is a full merge, so operator semantics must fold now
+      val ops = graft.merge.GraftMergeOperator.declaredOperators(info)
+      val readOpts =
+        if (ops.isEmpty) Map.empty[String, String]
+        else Map(graft.merge.GraftMergeOperator.SCAN_OPTION ->
+          graft.merge.GraftMergeOperator.formatAssignments(ops))
+      val df = GraftTableFiles.read(spark, path, snapshot, oldFiles, readOpts)
+      val newInfo = info.copy(bucketNum = newBucketNum)
+      val files = TransactionalWrite.writeFiles(spark, path, newInfo, df,
+        isBase = true)
+      txn.commit("rebucket", Some(newInfo), files, oldFiles,
+        strictWindow = true)
+    }
+  }
+}
+
 object CleanupCommand {
 
   /** Vacuum: delete files under the table dir that the latest snapshot does

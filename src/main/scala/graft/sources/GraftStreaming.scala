@@ -497,7 +497,7 @@ object GraftMicroBatchStream {
   val APPEND_TYPES: Set[String] = Set("create", "append", "delta", "streaming")
   /** Commits that only rewrite existing rows into new files. */
   val REWRITE_TYPES: Set[String] =
-    Set("compaction", "alter", "vacuum", "vacuum_end")
+    Set("compaction", "rebucket", "alter", "vacuum", "vacuum_end")
 }
 
 /** Streaming offset: `version` is the newest fully-processed log version;

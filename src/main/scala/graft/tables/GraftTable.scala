@@ -110,6 +110,14 @@ class GraftTable private (spark: SparkSession, val path: String) {
     CompactionCommand.run(spark, path, force = true, partitionPredicate,
       zOrderBy = cols)
 
+  /** Change the table's hash-bucket count in one transactional rewrite
+    * (primary-key tables; see [[graft.commands.RebucketCommand]]). The
+    * bucket count bounds shuffle-free join/agg parallelism and per-bucket
+    * file size — re-size it as the table grows instead of living with the
+    * creation-time guess. Returns the rebucket commit's version. */
+  def rebucket(newBucketNum: Int): Long =
+    RebucketCommand.run(spark, path, newBucketNum)
+
   /** Rewind the table to `version` with one metadata-only commit (files
     * are re-referenced, not rewritten; lineage preserved — the restore is
     * itself a new commit). Fails if a needed file was vacuumed. Returns

@@ -72,6 +72,9 @@ object PyBridge {
     t.compaction(force, Option(predicate).filter(_.nonEmpty),
       scala.jdk.CollectionConverters.MapHasAsScala(mergeOperators).asScala.toMap)
 
+  def rebucket(t: GraftTable, newBucketNum: Int): Long =
+    t.rebucket(newBucketNum)
+
   def cleanup(
       t: GraftTable, retainMillis: Long,
       dryRun: Boolean): java.util.List[String] =
