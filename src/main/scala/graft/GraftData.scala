@@ -105,6 +105,16 @@ object GraftData {
         .option("rangePartitions", "lang").save(dir)
     })
 
+  /** MinHash-LSH signature index over the documents whose `doc_id % 3 != 0`
+    * (the "already-ingested corpus" for the incremental-dedup query; the
+    * remaining third plays the new batch). */
+  def minhashIndexPartial(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "minhash_index_partial") { dir =>
+      graft.llm.MinhashIndex.upsert(spark, dir,
+        documentsRange(spark, sfDir).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+    }
+
   def embeddingsPlain(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "embeddings") { dir =>
       parquet(spark, sfDir, "embeddings").write.format("graft").save(dir)
@@ -436,7 +446,8 @@ object GraftData {
       "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)),
       "documents_dv" -> (() => documentsDvDeleted(spark, sfDir)),
       "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),
-      "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)))
+      "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)),
+      "minhash_index_partial" -> (() => minhashIndexPartial(spark, sfDir)))
     builds.foreach { case (name, build) =>
       try build()
       catch { case e: Throwable =>

@@ -453,6 +453,18 @@ object Queries {
       Dedup.minhashNearDuplicates(GraftData.documentsRange(s, sf),
         "doc_id", "text", minJaccardPct = 40)),
 
+    // Incremental dedup: the corpus two-thirds is pre-indexed in a graft
+    // PK signature table (one-time, untimed ensure); the query ingests the
+    // remaining third against the STORED index — signatures compute for
+    // the new batch only, the corpus is never re-minhashed.
+    "q_dedup_incremental" -> ((s, sf) => {
+      val docs = GraftData.documentsRange(s, sf)
+      graft.llm.MinhashIndex.incrementalPairs(s,
+        GraftData.minhashIndexPartial(s, sf), docs,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        minJaccardPct = 40)
+    }),
+
     "q_simhash" -> ((s, sf) =>
       SimHash.nearDuplicates(GraftData.documentsRange(s, sf), "doc_id", "text",
         maxHamming = 3)),
@@ -1005,6 +1017,25 @@ object Queries {
        "FROM ix JOIN cnt ca ON ca.doc_id = a_id " +
        "JOIN cnt cb ON cb.doc_id = b_id " +
        "WHERE ix * 100 >= 40 * (ca.n + cb.n - ix)"),
+
+    // Ground-truth Jaccard restricted to pairs touching the "new batch"
+    // (doc_id % 3 = 0): exactly what the incremental ingest must emit —
+    // banding is per-document, so incremental == batch, and the verify is
+    // the same exact-Jaccard code path q_dedup_minhash proves.
+    "q_dedup_incremental" ->
+      ("WITH toks AS (SELECT doc_id, " +
+       "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
+       "FROM toks, LATERAL unnest(generate_series(1, len(t)-2)) AS u(i) " +
+       "WHERE len(t) >= 3), " +
+       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+       "ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ix " +
+       "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+       "SELECT a_id, b_id, ix AS inter, (ca.n + cb.n - ix) AS uni " +
+       "FROM ix JOIN cnt ca ON ca.doc_id = a_id " +
+       "JOIN cnt cb ON cb.doc_id = b_id " +
+       "WHERE ix * 100 >= 40 * (ca.n + cb.n - ix) " +
+       "AND (a_id % 3 = 0 OR b_id % 3 = 0)"),
 
     // Exact cosine top-k: output is INTEGER-only (qid, rank, nid) with ties
     // broken by nid, so the two engines' last-ulp float differences cannot

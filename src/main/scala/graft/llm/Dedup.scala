@@ -282,7 +282,12 @@ object Dedup {
     * key become candidates (pairs only WITHIN a band bucket — never O(n^2)).
     * Classic s-curve tuning: bands * rows == numHashes.
     */
-  def minhashCandidatePairs(
+  /** Per-document banded LSH keys `(doc_id, band, key)` — the unit both the
+    * self-join dedup and the persistent [[MinhashIndex]] consume. A
+    * document's rows depend only on ITS text (signatures are per-doc), so
+    * banding is stable across batches — the property that makes
+    * incremental indexing equal batch recomputation. */
+  def bandedSignatureRows(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     // a non-dividing band count would silently ignore the trailing
@@ -293,13 +298,20 @@ object Dedup {
       "(bands * rowsPerBand == numHashes)")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-    // eager localCheckpoint: the band self-join consumes this frame twice —
-    // without it the whole 64-aggregate signature pipeline runs twice
-    val banded = sig.select(col("doc_id"), explode(
+    sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows)), b)
           .as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    // eager localCheckpoint: the band self-join consumes this frame twice —
+    // without it the whole 64-aggregate signature pipeline runs twice
+    val banded = bandedSignatureRows(df, idCol, textCol, numHashes, bands,
+        shingleK)
       .transform(Checkpoints.stabilize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -360,12 +372,23 @@ object Dedup {
     // the count is an extra job, so it must not fire for ordinary callers.
     if (df.sparkSession.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
       System.err.println(s"[graft-dedup] minhash candidate pairs: ${cands.count()}")
+    verifyPairsExact(df, idCol, textCol, cands, minJaccardPct)
+  }
+
+  /** Exact shingle-Jaccard verification of an (a_id, b_id) candidate list
+    * against the corpus texts: re-tokenizes ONLY candidate documents,
+    * keeps pairs at `minJaccardPct` (integer percentage — engine-exact).
+    * Output: (a_id, b_id, inter, uni). */
+  def verifyPairsExact(
+      df: DataFrame, idCol: String, textCol: String, cands: DataFrame,
+      minJaccardPct: Int, shingleK: Int = 3): DataFrame = {
     val candIds = cands.select(explode(array(col("a_id"), col("b_id"))).as("cand_id"))
       .distinct()
     val candDocs = df.join(broadcast(candIds),
       col(s"`$idCol`") === col("cand_id"), "left_semi")
     // Checkpointed: consumed three times below (sizes + both verify joins).
-    val sh = shingleRows(candDocs, idCol, textCol).transform(Checkpoints.stabilize)
+    val sh = shingleRows(candDocs, idCol, textCol, shingleK)
+      .transform(Checkpoints.stabilize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
@@ -377,5 +400,87 @@ object Dedup {
       .withColumn("uni", col("a_size") + col("b_size") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+}
+
+/** Persistent MinHash-LSH index for INCREMENTAL deduplication: the banded
+  * signature rows live in a graft primary-key table, so each ingest batch
+  * computes signatures for its OWN documents only and joins them against
+  * the stored index — the corpus is never re-tokenized or re-minhashed. At
+  * 100 TB the index table is a tiny fraction of the corpus (bands × 16
+  * bytes per document) while re-running full dedup per ingest would re-read
+  * everything.
+  *
+  * Index schema: `(doc_id, band, key)`, primary key `(doc_id, band)` — one
+  * row per (document, band), so re-ingesting a document (text updates)
+  * OVERWRITES its old signature rows via merge-on-read last-wins instead of
+  * leaving stale buckets behind.
+  *
+  * Exactness: a document's banded keys depend only on its own text, so
+  * "pairs found when the later document arrives" over any batch split
+  * equals the one-shot [[Dedup.minhashNearDuplicates]] output — candidates
+  * band-match identically, and the exact-Jaccard verify is shared code.
+  *
+  * Ingest protocol (per batch): `incrementalPairs` FIRST (new batch vs
+  * stored index + within-batch), then `upsert` the batch into the index.
+  */
+object MinhashIndex {
+
+  /** Write `docs`' banded signature rows into the index table at
+    * `indexPath` (created on first use; hash-bucketed on the
+    * `(doc_id, band)` primary key). */
+  def upsert(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      bucketNum: Int = 4): Unit = {
+    val rows = Dedup.bandedSignatureRows(docs, idCol, textCol, numHashes,
+      bands, shingleK)
+    if (graft.meta.SnapshotManagement.snapshotOpt(
+        graft.meta.SnapshotManagement.normalize(indexPath)).isEmpty) {
+      rows.write.format("graft")
+        .option("hashPartitions", "doc_id,band")
+        .option("hashBucketNum", bucketNum.toString)
+        .save(indexPath)
+    } else {
+      graft.tables.GraftTable.forPath(spark, indexPath).upsert(rows)
+    }
+  }
+
+  /** Near-duplicate pairs involving at least one document of `newDocs`:
+    * within-batch pairs plus new-vs-indexed pairs, exact-verified at
+    * `minJaccardPct` against `corpus` (which must contain the texts of
+    * both sides — the already-indexed documents and the new batch).
+    * `a_id < b_id` in the output, matching the batch operator.
+    *
+    * Scale: the new batch's banded rows broadcast against ONE scan of the
+    * index table — the corpus-sized side never shuffles; the verify
+    * re-tokenizes candidate documents only. */
+  def incrementalPairs(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50,
+      shingleK: Int = 3): DataFrame = {
+    val fresh = Dedup
+      .bandedSignatureRows(newDocs, idCol, textCol, numHashes, bands, shingleK)
+      .transform(Checkpoints.stabilize)
+    val stored = spark.read.format("graft").load(indexPath)
+      .select(col("doc_id"), col("band"), col("key"))
+    // new-vs-indexed: skip pairs whose both sides are new (the within-batch
+    // self-join below owns those; doc ids may collide across the two frames
+    // only if the caller re-ingests a document, which the PK upsert handles)
+    val vsIndexed = fresh.as("n").join(stored.as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
+        col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
+    val withinBatch = fresh.as("a").join(fresh.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val cands = vsIndexed.unionByName(withinBatch).distinct()
+      .transform(Checkpoints.stabilize)
+    Dedup.verifyPairsExact(corpus, idCol, textCol, cands, minJaccardPct,
+      shingleK)
   }
 }

@@ -105,6 +105,11 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
                        WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
                        WHEN NOT MATCHED THEN
                          INSERT (id, v, n) VALUES (s.id, s.v, s.n)""")
+                case 4 if i % 4 == 1 => // layout change racing the writers:
+                  // rebucket restarts itself on conflict; writers pinned to
+                  // the old layout must conflict cleanly (layout guard),
+                  // never land mis-bucketed files
+                  GraftTable.forPath(spark, dir).rebucket(1 + rnd.nextInt(4))
                 case _ => // rewrite racing the writers
                   GraftTable.forPath(spark, dir).compaction(force = true)
               }

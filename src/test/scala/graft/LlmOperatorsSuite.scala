@@ -626,6 +626,54 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(ids(Map("en" -> 0, "de" -> 10000)).forall(_ % 2 == 1))
   }
 
+  test("MinhashIndex: incremental ingest over two batches equals one-shot " +
+      "batch dedup; re-ingest overwrites signatures") {
+    val base = (0 until 30).map(i => (i.toLong, sentence(120)))
+    val pairs = (0 until 4).flatMap { i =>
+      val s = sentence(120)
+      val mutated = s.split(" ").zipWithIndex
+        .map { case (w, j) => if (j % 25 == 0) "zz" + j else w }.mkString(" ")
+      Seq((200L + i * 2, s), (201L + i * 2, mutated))
+    }
+    val corpus = (base ++ pairs).toDF("doc_id", "text")
+    // split so planted pairs straddle batches: evens batch1, odds batch2
+    val b1 = corpus.filter($"doc_id" % 2 === 0)
+    val b2 = corpus.filter($"doc_id" % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx_").toString + "/ix"
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    // ingest protocol per batch: pairs against the stored index, then
+    // upsert the batch's signatures (batch 1 starts the index, so its
+    // internal pairs come from the one-shot operator below)
+    MinhashIndex.upsert(spark, idx, b1, "doc_id", "text")
+    val inc1 = pairsOf(MinhashIndex.incrementalPairs(spark, idx,
+      corpus, b2, "doc_id", "text", minJaccardPct = 50))
+    MinhashIndex.upsert(spark, idx, b2, "doc_id", "text")
+
+    val batch1Internal = pairsOf(
+      Dedup.minhashNearDuplicates(b1, "doc_id", "text", minJaccardPct = 50))
+    val oneShot = pairsOf(
+      Dedup.minhashNearDuplicates(corpus, "doc_id", "text", minJaccardPct = 50))
+    assert(batch1Internal ++ inc1 == oneShot,
+      s"incremental != batch: missing ${oneShot -- (batch1Internal ++ inc1)}, " +
+      s"extra ${(batch1Internal ++ inc1) -- oneShot}")
+    // the planted straddling pairs all surfaced in the incremental step
+    assert((0 until 4).forall(i => inc1.contains((200L + i * 2, 201L + i * 2))))
+
+    // re-ingest a CHANGED document: its old signature rows must be
+    // replaced, not accumulated (PK (doc_id, band) last-wins)
+    val before = spark.read.format("graft").load(idx)
+      .filter($"doc_id" === 200L).count()
+    MinhashIndex.upsert(spark, idx,
+      Seq((200L, sentence(90))).toDF("doc_id", "text"), "doc_id", "text")
+    val after = spark.read.format("graft").load(idx)
+      .filter($"doc_id" === 200L).count()
+    assert(before == after,
+      s"re-ingest must overwrite per-(doc,band) rows: $before -> $after")
+  }
+
   test("chunkDocuments: overlap, tail chunk, short and empty docs") {
     val df = Seq(
       (1L, "a" * 10),   // shorter than one chunk

@@ -65,7 +65,7 @@ class RandomizedDmlSuite extends GraftFunSuite {
     def randKey(): Long = rnd.nextInt(40).toLong
 
     (0 until ops).foreach { i =>
-      val op = rnd.nextInt(10) match {
+      val op = rnd.nextInt(11) match {
         case 0 | 1 => // full-row upsert, random batch
           val rows = (0 until 1 + rnd.nextInt(5)).map(_ =>
             (randKey(), s"u$i-${rnd.nextInt(100)}", Some(rnd.nextInt(1000))))
@@ -133,6 +133,12 @@ class RandomizedDmlSuite extends GraftFunSuite {
           // targets a version the current timeline still agrees with
           history.filterInPlace { case (ver, _) => ver <= target }
           s"restore($target)"
+        case 9 => // rebucket: layout change is a no-op on state; later
+          // ops (and restores ACROSS it, which must revert TableInfo too)
+          // keep composing
+          val n = 1 + rnd.nextInt(6)
+          t.rebucket(n)
+          s"rebucket($n)"
         case _ => // no-op read between writes (exercises snapshot caching)
           spark.read.format("graft").load(dir).count()
           "read"
