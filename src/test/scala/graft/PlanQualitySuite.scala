@@ -144,6 +144,46 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("chunking and split assignment plan ZERO exchanges; heavy hitters " +
+      "shuffles only vocab-sized aggregates") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, ("word " * (10 + i)).trim))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length
+      finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    // narrow per-row operators: a shuffle here would be a plan regression
+    assert(exchanges(graft.llm.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text")) == 0)
+    assert(exchanges(graft.llm.Curation.assignSplit(docs, "doc_id")) == 0)
+    // heavy hitters: text must never cross an exchange — only the
+    // (doc_id, term) and (term) aggregate rows do, post partial-agg
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.llm.TextAnalysis.heavyHitters(docs, "doc_id", "text")
+        .queryExecution.executedPlan
+      finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val exs = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exs.nonEmpty)
+    exs.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("text"),
+        s"text crossed an exchange in heavyHitters: $cols")
+      // partial aggregation below every exchange: rows are pre-combined
+      assert(e.child.exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }, s"no partial aggregate below exchange:\n${e.child}")
+    }
+  }
+
   test("pk scan plans exactly bucketNum partitions and declares ordering") {
     import spark.implicits._
     withTable { dir =>
