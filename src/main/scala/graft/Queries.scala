@@ -934,7 +934,8 @@ object Queries {
     // so the row set reproduces bit-for-bit; both engines' length/substr
     // are character-based (zh docs included).
     "q_chunk_docs" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+      ("WITH d AS (SELECT doc_id, text, COALESCE(length(text), 0) AS n " +
+       "FROM documents), " +
        "c AS (SELECT doc_id, text, unnest(range(0, CASE WHEN n <= 400 THEN 1 " +
        "ELSE (n - 400 + 299) // 300 + 1 END)) AS chunk_idx FROM d) " +
        "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, " +

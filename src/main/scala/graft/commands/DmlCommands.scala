@@ -409,6 +409,25 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
     * stats ([[graft.sources.FileStats]]) prune multi-dimensional filters.
     * Implies a full rewrite of the selected partitions (clustering is the
     * point), not just the small-file ones. */
+  /** Guard shared by every full-merge rewrite (compaction, rebucket): an
+    * operator naming an unknown column would be silently dropped by the
+    * scan and the rewrite would irreversibly materialize last-wins values
+    * for a column whose semantics were declared as sum/concat. */
+  private[commands] def validateMergeOperators(
+      info: graft.meta.TableInfo, ops: Map[String, String]): Unit = {
+    if (ops.isEmpty) return
+    require(info.hasPrimaryKey,
+      "merge operators need a hash-partitioned (primary-key) table")
+    val dataCols = info.dataSchema.fieldNames.map(_.toLowerCase).toSet
+    val pkCols = info.hashColumns.map(_.toLowerCase).toSet
+    ops.keys.foreach { c =>
+      require(dataCols.contains(c.toLowerCase), s"merge operator " +
+        s"column $c does not exist in the table schema")
+      require(!pkCols.contains(c.toLowerCase),
+        s"merge operator column $c is a primary-key column")
+    }
+  }
+
   def run(
       spark: SparkSession,
       tablePath: String,
@@ -538,20 +557,7 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
       val ops =
         if (mergeOperators.nonEmpty) mergeOperators
         else graft.merge.GraftMergeOperator.declaredOperators(info)
-      if (ops.nonEmpty) {
-        // an unknown column would be silently dropped by the scan and the
-        // compaction would irreversibly materialize last-wins values
-        require(info.hasPrimaryKey,
-          "merge operators need a hash-partitioned (primary-key) table")
-        val dataCols = info.dataSchema.fieldNames.map(_.toLowerCase).toSet
-        val pkCols = info.hashColumns.map(_.toLowerCase).toSet
-        ops.keys.foreach { c =>
-          require(dataCols.contains(c.toLowerCase), s"merge operator " +
-            s"column $c does not exist in the table schema")
-          require(!pkCols.contains(c.toLowerCase),
-            s"merge operator column $c is a primary-key column")
-        }
-      }
+      validateMergeOperators(info, ops)
       val readOpts =
         if (ops.isEmpty) Map.empty[String, String]
         else Map(graft.merge.GraftMergeOperator.SCAN_OPTION ->
@@ -623,6 +629,7 @@ object RebucketCommand {
       // declared merge operators materialize here like in compaction — the
       // rewrite is a full merge, so operator semantics must fold now
       val ops = graft.merge.GraftMergeOperator.declaredOperators(info)
+      CompactionCommand.validateMergeOperators(info, ops)
       val readOpts =
         if (ops.isEmpty) Map.empty[String, String]
         else Map(graft.merge.GraftMergeOperator.SCAN_OPTION ->

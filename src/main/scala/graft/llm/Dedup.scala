@@ -277,11 +277,6 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Banded-LSH candidate pairs over MinHash signatures:
-    * band key = hash(bandIdx, signature slice); documents sharing any band
-    * key become candidates (pairs only WITHIN a band bucket — never O(n^2)).
-    * Classic s-curve tuning: bands * rows == numHashes.
-    */
   /** Per-document banded LSH keys `(doc_id, band, key)` — the unit both the
     * self-join dedup and the persistent [[MinhashIndex]] consume. A
     * document's rows depend only on ITS text (signatures are per-doc), so
@@ -305,6 +300,9 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
+  /** Banded-LSH candidate pairs over MinHash signatures: documents sharing
+    * any band key become candidates (pairs only WITHIN a band bucket —
+    * never O(n^2)). Classic s-curve tuning: bands * rows == numHashes. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
@@ -426,14 +424,45 @@ object Dedup {
   */
 object MinhashIndex {
 
+  /** Signature parameters are pinned in the index table's configuration at
+    * creation and validated on every later call: band keys hash different
+    * signature slices under different (numHashes, bands, shingleK), so a
+    * mismatched batch would silently match NOTHING stored — every
+    * cross-batch near-duplicate lost as a false negative. Loud failure
+    * instead. */
+  private def checkOrDescribeParams(
+      indexPath: String, numHashes: Int, bands: Int, shingleK: Int): Unit = {
+    val norm = graft.meta.SnapshotManagement.normalize(indexPath)
+    graft.meta.SnapshotManagement.snapshotOpt(norm).foreach { snap =>
+      val conf = snap.tableInfo.configuration
+      def stored(key: String): Option[Int] = conf.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v.toInt
+      }
+      val declared = Seq(
+        ("graft.minhash.numHashes", numHashes),
+        ("graft.minhash.bands", bands),
+        ("graft.minhash.shingleK", shingleK))
+      declared.foreach { case (key, got) =>
+        stored(key).foreach { want =>
+          require(want == got,
+            s"minhash index at $indexPath was built with $key=$want; " +
+            s"this call passed $got — signatures would never band-match. " +
+            "Use the index's parameters or build a new index")
+        }
+      }
+    }
+  }
+
   /** Write `docs`' banded signature rows into the index table at
     * `indexPath` (created on first use; hash-bucketed on the
-    * `(doc_id, band)` primary key). */
+    * `(doc_id, band)` primary key, signature parameters pinned as table
+    * properties). */
   def upsert(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       bucketNum: Int = 4): Unit = {
+    checkOrDescribeParams(indexPath, numHashes, bands, shingleK)
     val rows = Dedup.bandedSignatureRows(docs, idCol, textCol, numHashes,
       bands, shingleK)
     if (graft.meta.SnapshotManagement.snapshotOpt(
@@ -441,6 +470,9 @@ object MinhashIndex {
       rows.write.format("graft")
         .option("hashPartitions", "doc_id,band")
         .option("hashBucketNum", bucketNum.toString)
+        .option("graft.minhash.numHashes", numHashes.toString)
+        .option("graft.minhash.bands", bands.toString)
+        .option("graft.minhash.shingleK", shingleK.toString)
         .save(indexPath)
     } else {
       graft.tables.GraftTable.forPath(spark, indexPath).upsert(rows)
@@ -461,6 +493,7 @@ object MinhashIndex {
       corpus: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, minJaccardPct: Int = 50,
       shingleK: Int = 3): DataFrame = {
+    checkOrDescribeParams(indexPath, numHashes, bands, shingleK)
     val fresh = Dedup
       .bandedSignatureRows(newDocs, idCol, textCol, numHashes, bands, shingleK)
       .transform(Checkpoints.stabilize)
@@ -468,8 +501,12 @@ object MinhashIndex {
       .select(col("doc_id"), col("band"), col("key"))
     // new-vs-indexed: skip pairs whose both sides are new (the within-batch
     // self-join below owns those; doc ids may collide across the two frames
-    // only if the caller re-ingests a document, which the PK upsert handles)
-    val vsIndexed = fresh.as("n").join(stored.as("o"),
+    // only if the caller re-ingests a document, which the PK upsert handles).
+    // Explicit broadcast of the (small) new batch: the stored index is the
+    // corpus-scale side and must stream through the join unshuffled — the
+    // checkpointed frame's stats are not reliable enough to leave the
+    // build-side choice to the planner.
+    val vsIndexed = broadcast(fresh).as("n").join(stored.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
         col("n.doc_id") =!= col("o.doc_id"))
       .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),

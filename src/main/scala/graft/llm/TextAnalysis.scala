@@ -235,7 +235,10 @@ object TextAnalysis {
     require(chunkChars > 0 && strideChars > 0 && strideChars <= chunkChars,
       s"chunkDocuments: need 0 < strideChars <= chunkChars " +
         s"(got chunk=$chunkChars stride=$strideChars)")
-    val n = length(col(textCol)).cast("long")
+    // NULL text counts as empty: without the coalesce, length(NULL) makes
+    // numChunks NULL and posexplode(NULL) emits ZERO rows — the document
+    // would silently vanish instead of keeping its representative chunk
+    val n = coalesce(length(col(textCol)), lit(0)).cast("long")
     // exact integer ceil-div: extra strides needed past the first chunk
     val extra = floor(((n - chunkChars) + (strideChars - 1)) / strideChars)
       .cast("long")

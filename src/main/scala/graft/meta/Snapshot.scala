@@ -266,6 +266,9 @@ class Transaction(val tablePath: String, store: MetaStore) {
           s"commit expected to land at v$expectVersion of $tablePath but " +
           s"latest is v${version - 1}: a concurrent writer got there first")
       }
+      // one replay of the pre-commit state shared by every guard below
+      // (valid only when version >= 1; each use site checks)
+      lazy val priorState = Snapshot.replay(store, tablePath, version - 1)
       // Meta lost-update guard: a commit carrying a TableInfo change
       // computed it against the PINNED snapshot; if another commit changed
       // the table's info since the pin, re-committing ours would silently
@@ -275,7 +278,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
       // fresh state.
       if (newTableInfo.isDefined && version - 1 > readVersion) {
         val pinned = snapshotOpt.map(_.tableInfo)
-        val current = Snapshot.replay(store, tablePath, version - 1).tableInfo
+        val current = priorState.tableInfo
         if (!pinned.contains(current)) {
           throw new GraftConcurrentModificationException(
             s"table metadata of $tablePath changed concurrently (snapshot " +
@@ -294,7 +297,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
       // newTableInfo guard when this commit carries its own info change.
       if (addFiles.nonEmpty && newTableInfo.isEmpty && version - 1 > readVersion) {
         snapshotOpt.map(_.tableInfo).foreach { p =>
-          val cur = Snapshot.replay(store, tablePath, version - 1).tableInfo
+          val cur = priorState.tableInfo
           if ((cur.bucketNum, cur.hashColumns, cur.rangeColumns) !=
               ((p.bucketNum, p.hashColumns, p.rangeColumns))) {
             throw new GraftConcurrentModificationException(
@@ -313,8 +316,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
       // removed (or that never existed) is a real conflict; pure appends
       // (delta/append/streaming) always re-apply cleanly on top.
       if ((removeFiles.nonEmpty || rewriteGuard) && version > 0) {
-        val current = Snapshot.replay(store, tablePath, version - 1)
-        val live = current.files.map(_.path).toSet
+        val live = priorState.files.map(_.path).toSet
         val gone = removeFiles.filterNot(f => live.contains(f.path))
         if (gone.nonEmpty) {
           throw new GraftConcurrentModificationException(
@@ -337,8 +339,7 @@ class Transaction(val tablePath: String, store: MetaStore) {
       streaming.foreach { s =>
         val committedBatch =
           if (version == 0) -1L
-          else Snapshot.replay(store, tablePath, version - 1)
-            .streamingBatchIds.getOrElse(s.queryId, -1L)
+          else priorState.streamingBatchIds.getOrElse(s.queryId, -1L)
         if (s.batchId <= committedBatch) {
           committed = true
           return version - 1 // already applied; staged files are vacuumable

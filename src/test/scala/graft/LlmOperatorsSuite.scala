@@ -697,6 +697,35 @@ class LlmOperatorsSuite extends GraftFunSuite {
         "doc_id", "text", chunkChars = 10, strideChars = 6)
       .orderBy("chunk_idx").select("chunk_text").as[String].collect()
     assert(two.toSeq == Seq("0123456789", "6789ABCDEF"))
+    // NULL text must not make the document vanish: it keeps one chunk row
+    val withNull = Seq((10L, Some("xy")), (11L, None))
+      .toDF("doc_id", "text")
+    val nullRows = TextAnalysis.chunkDocuments(withNull, "doc_id", "text",
+        chunkChars = 10, strideChars = 6)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(nullRows == Seq(10L, 11L),
+      s"null-text doc dropped from chunk output: $nullRows")
+  }
+
+  test("MinhashIndex rejects mismatched signature parameters loudly") {
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx_p_").toString + "/ix"
+    val docs = Seq((1L, sentence(50))).toDF("doc_id", "text")
+    MinhashIndex.upsert(spark, idx, docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    // different banding would silently never match stored keys — must throw
+    val e1 = intercept[IllegalArgumentException] {
+      MinhashIndex.incrementalPairs(spark, idx, docs, docs, "doc_id", "text",
+        numHashes = 64, bands = 8)
+    }
+    assert(e1.getMessage.contains("bands"))
+    val e2 = intercept[IllegalArgumentException] {
+      MinhashIndex.upsert(spark, idx, docs, "doc_id", "text",
+        numHashes = 32, bands = 16)
+    }
+    assert(e2.getMessage.contains("numHashes"))
+    // matching parameters still work
+    MinhashIndex.incrementalPairs(spark, idx, docs, docs, "doc_id", "text")
+      .collect()
   }
 
   test("heavyHitters: exact counts, doc frequencies, deterministic ties") {
