@@ -479,6 +479,71 @@ object MinhashIndex {
     }
   }
 
+  /** Keep the index in lockstep with a graft DOCUMENTS table using its
+    * change feed: only documents touched since the last sync re-signature
+    * (inserted/updated docs upsert their banded rows, deleted docs
+    * tombstone ALL their (doc_id, band) rows — band ids are dense 0..N-1,
+    * so the death warrant needs no index read), in ONE delta commit. The
+    * synced version persists in a sidecar (`_graft_minhash_sync.json`,
+    * vacuum-safe like the MV meta); a crash between commit and sidecar
+    * write re-processes the window idempotently — every sync step is a
+    * keyed overwrite. First call builds the index from the full table.
+    *
+    * At 100 TB this is the missing lifecycle piece: corpora are graft
+    * tables that evolve by upsert/delete, and the index follows at
+    * O(changed docs) per sync instead of O(corpus). Returns the docs-table
+    * version the index now reflects. */
+  def syncFromTable(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      docsPath: String, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      bucketNum: Int = 4): Long = {
+    import graft.meta.SnapshotManagement
+    val normDocs = SnapshotManagement.normalize(docsPath)
+    val normIdx = SnapshotManagement.normalize(indexPath)
+    val current = SnapshotManagement.snapshot(normDocs).version
+    val metaPath = java.nio.file.Paths.get(normIdx, "_graft_minhash_sync.json")
+    val last: Long =
+      if (java.nio.file.Files.exists(metaPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(metaPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      } else -1L
+    val docsNow = spark.read.format("graft").load(docsPath)
+    if (last < 0) {
+      upsert(spark, indexPath, docsNow, idCol, textCol, numHashes, bands,
+        shingleK, bucketNum)
+    } else if (current > last) {
+      checkOrDescribeParams(indexPath, numHashes, bands, shingleK)
+      val touched = graft.tables.ChangeFeed
+        .changes(spark, normDocs, last + 1, current)
+        .select(col(s"`$idCol`")).distinct()
+        .transform(Checkpoints.stabilize)
+      if (!touched.isEmpty) {
+        val live = docsNow.join(broadcast(touched), Seq(idCol), "left_semi")
+        val liveSig = Dedup.bandedSignatureRows(live, idCol, textCol,
+          numHashes, bands, shingleK)
+        val dead = touched
+          .join(docsNow.select(col(s"`$idCol`")), Seq(idCol), "left_anti")
+        val tomb = dead.select(col(s"`$idCol`").as("doc_id"),
+            explode(sequence(lit(0), lit(bands - 1))).as("band"),
+            lit(true).as(graft.meta.Tombstones.COL))
+        val delta = liveSig.unionByName(tomb, allowMissingColumns = true)
+        SnapshotManagement.withRewriteTransaction(normIdx) { txn =>
+          graft.commands.UpsertCommand.runDeltaIn(
+            spark, normIdx, delta, Map.empty, txn)
+        }
+      }
+    }
+    if (current != last) {
+      java.nio.file.Files.write(metaPath,
+        s"""{"docsPath":"$normDocs","version":$current}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    current
+  }
+
   /** Near-duplicate pairs involving at least one document of `newDocs`:
     * within-batch pairs plus new-vs-indexed pairs, exact-verified at
     * `minJaccardPct` against `corpus` (which must contain the texts of

@@ -707,6 +707,50 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"null-text doc dropped from chunk output: $nullRows")
   }
 
+  test("MinhashIndex.syncFromTable follows the docs table's change feed: " +
+      "update re-signatures, delete tombstones, insert appends") {
+    withTempTable { docsDir =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("mh_sync_").toString + "/ix"
+      val t0 = Seq((1L, sentence(60)), (2L, sentence(60)), (3L, sentence(60)))
+        .toDF("doc_id", "text")
+      t0.write.format("graft")
+        .option("hashPartitions", "doc_id").option("hashBucketNum", "2")
+        .save(docsDir)
+
+      // first sync = full build
+      MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+      def indexState(): Map[Long, Set[Int]] =
+        spark.read.format("graft").load(idx)
+          .select("doc_id", "key").as[(Long, Int)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val s0 = indexState()
+      assert(s0.keySet == Set(1L, 2L, 3L))
+
+      // mutate the docs table: update 1's text, insert 4, delete 2
+      val t = graft.tables.GraftTable.forPath(spark, docsDir)
+      t.upsert(Seq((1L, sentence(60)), (4L, sentence(60)))
+        .toDF("doc_id", "text"))
+      t.delete(org.apache.spark.sql.functions.col("doc_id") === 2L)
+
+      val v = MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+      assert(v == graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(docsDir)).version)
+      val s1 = indexState()
+      assert(s1.keySet == Set(1L, 3L, 4L), s"index keys ${s1.keySet}")
+      assert(s1(1L) != s0(1L), "updated doc must carry NEW signatures")
+      assert(s1(3L) == s0(3L), "untouched doc's signatures must not change")
+
+      // idempotence: re-sync with no table change commits nothing new
+      val idxVer = graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(idx)).version
+      MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+      assert(graft.meta.SnapshotManagement
+        .snapshot(graft.meta.SnapshotManagement.normalize(idx)).version
+        == idxVer)
+    }
+  }
+
   test("MinhashIndex rejects mismatched signature parameters loudly") {
     val idx = java.nio.file.Files.createTempDirectory("mh_idx_p_").toString + "/ix"
     val docs = Seq((1L, sentence(50))).toDF("doc_id", "text")
