@@ -115,6 +115,15 @@ object GraftData {
         "doc_id", "text")
     }
 
+  /** Persistent IVF index over the embeddings table (one-time build for
+    * the indexed-ANN query). Path root, not a single table. */
+  def annIndexDir(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "ann_index") { dir =>
+      graft.llm.AnnIndex.build(spark, dir,
+        embeddingsPlain(spark, sfDir), "vec_id", "embedding",
+        nCentroids = 16)
+    }
+
   def embeddingsPlain(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ensure(spark, sfDir, "embeddings") { dir =>
       parquet(spark, sfDir, "embeddings").write.format("graft").save(dir)
@@ -447,7 +456,8 @@ object GraftData {
       "documents_dv" -> (() => documentsDvDeleted(spark, sfDir)),
       "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),
       "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)),
-      "minhash_index_partial" -> (() => minhashIndexPartial(spark, sfDir)))
+      "minhash_index_partial" -> (() => minhashIndexPartial(spark, sfDir)),
+      "ann_index" -> (() => annIndexDir(spark, sfDir)))
     builds.foreach { case (name, build) =>
       try build()
       catch { case e: Throwable =>

@@ -481,6 +481,15 @@ object Queries {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    // ANN against the PERSISTED IVF index (built once, untimed): the query
+    // reads centroids + only the partition-pruned probed cells — never the
+    // whole corpus — and is still exact (same angular bound as q_ann_ivf).
+    "q_ann_index" -> ((s, sf) => {
+      val emb = GraftData.embeddingsPlain(s, sf)
+      graft.llm.AnnIndex.topK(s, GraftData.annIndexDir(s, sf),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
     "q_ann_lsh" -> ((s, sf) => {
       val emb = GraftData.embeddingsPlain(s, sf)
       Ann.lshTopK(emb, "vec_id", "embedding",
@@ -1043,6 +1052,19 @@ object Queries {
     // surface unless two distinct vectors score within ~1e-15 of each
     // other at the k boundary.
     "q_ann_brute" ->
+      ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings WHERE vec_id < 5), " +
+       "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+       "SELECT qid, CAST(rnk AS INTEGER) AS rank, nid FROM (" +
+       "SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "(list_dot_product(q.e, c.e) / NULLIF(sqrt(list_dot_product(q.e, q.e)) " +
+       "* sqrt(list_dot_product(c.e, c.e)), 0)) DESC NULLS LAST, " +
+       "c.vec_id ASC) AS rnk FROM q CROSS JOIN c) s WHERE rnk <= 10"),
+
+    // The persisted-IVF query is EXACT (angular-bound pruning), so it
+    // shares the brute-force ground truth.
+    "q_ann_index" ->
       ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
        "FROM embeddings WHERE vec_id < 5), " +
        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +

@@ -88,6 +88,47 @@ object Ann {
     expl.join(keyed.filter(col("n") =!= 0.0d), idAs).select(outCols: _*)
   }
 
+  /** Nearest centroid by cosine for every vector of `unit` (both sides
+    * unit-normalized: sum of products IS the cosine); deterministic
+    * tie-break on centroid id. Output: (id, cid, csim). */
+  private[llm] def assignCells(cents: DataFrame)(
+      unit: DataFrame, id: String, x: String): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
+    unit.join(broadcast(cents), "dim")
+      .groupBy(col(id), col("cid"))
+      .agg(sum(col(x) * col("cx")).as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col(id), col("cid"), col("csim"))
+  }
+
+  /** Coarse centroid set as unit vectors (cid, dim, cx): deterministic
+    * first-N-by-id seeding, refined by `spark.graft.ann.ivf.kmeansIters`
+    * spherical-k-means iterations (pure relational algebra over the
+    * exploded unit rows — see [[ivfTopK]]'s scaladoc). */
+  private[llm] def buildCentroids(
+      corpus: DataFrame, idCol: String, cu: DataFrame,
+      nCentroids: Int, defaultIters: Int = 1): DataFrame = {
+    val centIds = corpus.select(col(idCol).as("cid")).orderBy("cid")
+      .limit(nCentroids)
+    val seed = cu.join(broadcast(centIds), col("nid") === col("cid"))
+      .select(col("cid"), col("dim"), col("nx").as("cx"))
+    val iters = corpus.sparkSession.conf
+      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt)
+      .getOrElse(defaultIters)
+    (0 until iters).foldLeft(seed) { (cents, _) =>
+      val members = cu.join(
+        assignCells(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")
+      val means = members.groupBy(col("cid"), col("dim"))
+        .agg(avg(col("nx")).as("mx"))
+      val norms = means.groupBy("cid")
+        .agg(sqrt(sum(col("mx") * col("mx"))).as("cn"))
+      means.join(norms, "cid")
+        .select(col("cid"), col("dim"),
+          (col("mx") / when(col("cn") =!= 0.0d, col("cn"))).as("cx"))
+    }
+  }
+
   /** Per-query top-k of `scored(qid, nid, sim)`; ties break by id. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -192,48 +233,19 @@ object Ann {
     // once, truncates lineage (small downstream plans), and leaves no
     // CacheManager entry to tax later queries' planning
     val cu = unitRows(corpus, idCol, vecCol, "nid", "nx").transform(Checkpoints.stabilize)
-    // nearest centroid by cosine (both sides unit: sum of products IS the
-    // cosine); deterministic tie-break on centroid id
-    def assign(cents: DataFrame)(unit: DataFrame, id: String, x: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
-      unit.join(broadcast(cents), "dim")
-        .groupBy(col(id), col("cid"))
-        .agg(sum(col(x) * col("cx")).as("csim"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col(id), col("cid"), col("csim"))
-    }
-    // seed centroids: deterministic sample (first nCentroids by id —
-    // embeddings carry no id-order structure)
-    val centIds = corpus.select(col(idCol).as("cid")).orderBy("cid")
-      .limit(nCentroids)
-    val seed = cu.join(broadcast(centIds), col("nid") === col("cid"))
-      .select(col("cid"), col("dim"), col("nx").as("cx"))
-    // Lloyd refinement: mean of each cell's members per dimension,
-    // re-normalized to the unit sphere (spherical k-means step). Empty
-    // cells simply drop out — their members reassign to surviving cells.
-    // Only reached for large corpora (the small-corpus flat path returned
-    // above), where refinement tightens cell radii so the angular bound
-    // prunes more cells; one iteration by default, tunable via conf.
+    // Lloyd refinement inside buildCentroids: mean of each cell's members
+    // per dimension, re-normalized to the unit sphere (spherical k-means).
+    // Empty cells simply drop out — their members reassign to surviving
+    // cells. Only reached for large corpora (the small-corpus flat path
+    // returned above), where refinement tightens cell radii so the angular
+    // bound prunes more cells; one iteration by default, tunable via conf.
     // Exactness never depends on centroid quality, only probe cost does.
-    val iters = corpus.sparkSession.conf
-      .getOption("spark.graft.ann.ivf.kmeansIters").map(_.toInt)
-      .getOrElse(1)
-    val centUnit = (0 until iters).foldLeft(seed) { (cents, _) =>
-      val members = cu.join(
-        assign(cents)(cu, "nid", "nx").select("nid", "cid"), "nid")
-      val means = members.groupBy(col("cid"), col("dim"))
-        .agg(avg(col("nx")).as("mx"))
-      val norms = means.groupBy("cid")
-        .agg(sqrt(sum(col("mx") * col("mx"))).as("cn"))
-      means.join(norms, "cid")
-        .select(col("cid"), col("dim"),
-          (col("mx") / when(col("cn") =!= 0.0d, col("cn"))).as("cx"))
-    }
-    // the final centroid plan feeds several broadcast assigns/bounds and is
+    // The final centroid plan feeds several broadcast assigns/bounds and is
     // tiny (nCentroids × dims rows) — one small materialization beats
-    // re-running the seed scan (and any refinement passes) per consumer
-    val cents = Checkpoints.stabilize(centUnit)
+    // re-running the seed scan (and any refinement passes) per consumer.
+    val cents = Checkpoints.stabilize(
+      buildCentroids(corpus, idCol, cu, nCentroids))
+    val assign = assignCells _
     val clamp: Column => Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     // (nid, cid, csim): assignment doubles as the radius input — the

@@ -674,6 +674,39 @@ class LlmOperatorsSuite extends GraftFunSuite {
       s"re-ingest must overwrite per-(doc,band) rows: $before -> $after")
   }
 
+  test("AnnIndex: persisted IVF equals brute force row-for-row; " +
+      "probed-cell scan is partition-pruned") {
+    val rndv = new scala.util.Random(11)
+    val emb = ((0 until 200).map(i =>
+        (i.toLong, Array.fill(16)(rndv.nextFloat() * 2 - 1))) :+
+        (500L, Array.fill(16)(0.0f))) // zero vector: dropped everywhere
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4 || $"vec_id" === 500L)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ann_idx_").toString + "/ix"
+    AnnIndex.build(spark, idx, emb, "vec_id", "embedding", nCentroids = 8)
+
+    val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding", k = 7)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val want = Ann.bruteTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 7)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(got == want,
+      s"index != brute: missing ${want -- got}, extra ${got -- want}")
+    assert(!got.exists(_._1 == 500L), "zero-norm query must return no rows")
+
+    // the cells table is range-partitioned by cid: a one-cell filter scans
+    // a strict subset of the partitions
+    val cells = spark.read.format("graft").load(s"$idx/cells")
+    val allCids = cells.select("cid").distinct().as[Long].collect()
+    assert(allCids.length > 1, "corpus should spread over multiple cells")
+    val snap = graft.meta.SnapshotManagement.snapshot(
+      graft.meta.SnapshotManagement.normalize(s"$idx/cells"))
+    val oneCellFiles = snap.files.count(_.rangeKey.contains(s"cid=${allCids.head}"))
+    assert(oneCellFiles < snap.files.length,
+      "one-cell scan must not touch every partition's files")
+  }
+
   test("chunkDocuments: overlap, tail chunk, short and empty docs") {
     val df = Seq(
       (1L, "a" * 10),   // shorter than one chunk
