@@ -65,8 +65,109 @@ object AnnIndex {
       .select(col("cid"), col("nid"), col("uvec"))
     cents.write.format("graft").mode("overwrite").save(centroidsPath(indexPath))
     radii.write.format("graft").mode("overwrite").save(statsPath(indexPath))
+    // cells: RANGE-partitioned by cid (partition-pruned probes) AND
+    // PK-bucketed by nid (per-vector upsert/tombstone for syncFromTable)
     cells.write.format("graft").mode("overwrite")
-      .option("rangePartitions", "cid").save(cellsPath(indexPath))
+      .option("rangePartitions", "cid")
+      .option("hashPartitions", "nid")
+      .option("hashBucketNum", "4")
+      .save(cellsPath(indexPath))
+  }
+
+  /** Keep the index in lockstep with a graft CORPUS table via its change
+    * feed — the ANN twin of [[MinhashIndex.syncFromTable]]. Touched
+    * vectors re-assign to their nearest EXISTING centroid; a changed
+    * vector's previous row is tombstoned in EVERY cell (cheap: nCentroids
+    * marker rows per changed vector — cheaper than reading the index to
+    * learn its old cell) before the new assignment lands, all in delta
+    * commits. Cell radii only ever GROW here (`cosr = min(stored, new
+    * member csims)`): a deleted extreme member leaves the stored radius
+    * conservatively large, which keeps the angular bound VALID (exactness
+    * never at risk) at the cost of probing a little more until the next
+    * full [[build]]. Centroids stay fixed between builds for the same
+    * reason. First call (no sidecar) builds from the full table. Returns
+    * the corpus version the index now reflects. */
+  def syncFromTable(
+      spark: SparkSession, indexPath: String,
+      corpusPath: String, idCol: String, vecCol: String,
+      nCentroids: Int = 16): Long = {
+    import graft.meta.SnapshotManagement
+    val normCorpus = SnapshotManagement.normalize(corpusPath)
+    val current = SnapshotManagement.snapshot(normCorpus).version
+    val metaPath = java.nio.file.Paths.get(
+      SnapshotManagement.normalize(indexPath))
+    java.nio.file.Files.createDirectories(metaPath)
+    val syncFile = metaPath.resolve("_graft_ann_sync.json")
+    val last: Long =
+      if (java.nio.file.Files.exists(syncFile)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(syncFile),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      } else -1L
+    val corpusNow = spark.read.format("graft").load(corpusPath)
+    if (last < 0) {
+      build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids)
+    } else if (current > last) {
+      val touched = graft.tables.ChangeFeed
+        .changes(spark, normCorpus, last + 1, current)
+        .select(col(s"`$idCol`")).distinct()
+        .transform(Checkpoints.stabilize)
+      if (!touched.isEmpty) {
+        val cents = spark.read.format("graft")
+          .load(centroidsPath(indexPath)).transform(Checkpoints.stabilize)
+        val live = corpusNow.join(broadcast(touched), Seq(idCol), "left_semi")
+        val cu = Ann.unitRows(live, idCol, vecCol, "nid", "nx")
+          .transform(Checkpoints.stabilize)
+        val assignNew = Checkpoints.stabilize(
+          Ann.assignCells(cents)(cu, "nid", "nx"))
+        val unitVec = cu.groupBy("nid")
+          .agg(array_sort(collect_list(struct(col("dim"), col("nx")))).as("s"))
+          .select(col("nid"), col("s").getField("nx").as("uvec"))
+        val newRows = assignNew.select("cid", "nid").join(unitVec, "nid")
+          .select(col("cid"), col("nid"), col("uvec"))
+        // death warrants: every touched id (changed, deleted, OR zero-norm
+        // now) gets a tombstone in every cell except the one its fresh row
+        // lands in — the fresh row itself supersedes that cell's old image
+        val allCids = cents.select("cid").distinct()
+        val tomb = touched.select(col(s"`$idCol`").as("nid"))
+          .crossJoin(allCids)
+          .join(assignNew.select("nid", "cid"), Seq("nid", "cid"), "left_anti")
+          .select(col("cid"), col("nid"),
+            lit(true).as(graft.meta.Tombstones.COL))
+        val delta = newRows.unionByName(tomb, allowMissingColumns = true)
+        val normCells = SnapshotManagement.normalize(cellsPath(indexPath))
+        SnapshotManagement.withRewriteTransaction(normCells) { txn =>
+          graft.commands.UpsertCommand.runDeltaIn(
+            spark, normCells, delta, Map.empty, txn)
+        }
+        // radii: grow-only fold of the new members' csims into the stored
+        // stats (tiny table — full overwrite is the honest cost)
+        val stored = spark.read.format("graft").load(statsPath(indexPath))
+        val grown = assignNew.groupBy("cid")
+          .agg(greatest(lit(-1.0d), least(lit(1.0d), min(col("csim"))))
+            .as("newCosr"))
+        // FULL outer: a cell empty at build time (no stored radius) that
+        // receives its first member now must enter the stats — an inner or
+        // left fold would hide it from the probe's radii join and silently
+        // break exactness
+        val folded = stored.join(grown, Seq("cid"), "full_outer")
+          .select(col("cid"),
+            least(coalesce(col("cosr"), col("newCosr")),
+              coalesce(col("newCosr"), col("cosr"))).as("cosr"))
+          .withColumn("sinr", sqrt(greatest(lit(0.0d),
+            lit(1.0d) - col("cosr") * col("cosr"))))
+          .transform(Checkpoints.stabilize)
+        folded.write.format("graft").mode("overwrite")
+          .save(statsPath(indexPath))
+      }
+    }
+    if (current != last) {
+      java.nio.file.Files.write(syncFile,
+        s"""{"corpusPath":"$normCorpus","version":$current}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    current
   }
 
   /** Exact cosine top-k of `queries` against the indexed corpus. Output
@@ -119,10 +220,14 @@ object AnnIndex {
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     val qcsC = clamp(col("qcs"))
     val sinA = sqrt(greatest(lit(0.0d), lit(1.0d) - qcsC * qcsC))
-    val probe = qCell.join(broadcast(radii), "cid")
+    // left join + widest-radius default: a cell somehow missing its stats
+    // row must be PROBED (bound 1), never silently skipped — conservative
+    // costs a scan, the alternative costs exactness
+    val probe = qCell.join(broadcast(radii), Seq("cid"), "left_outer")
       .join(broadcast(thresholds), "qid")
-      .filter(when(qcsC >= col("cosr"), lit(1.0d))
-        .otherwise(qcsC * col("cosr") + sinA * col("sinr")) + lit(1e-9) >=
+      .filter(when(qcsC >= coalesce(col("cosr"), lit(-1.0d)), lit(1.0d))
+        .otherwise(qcsC * coalesce(col("cosr"), lit(-1.0d)) +
+          sinA * coalesce(col("sinr"), lit(0.0d))) + lit(1e-9) >=
         col("t"))
       .select("qid", "cid")
       .join(nearest, Seq("qid", "cid"), "left_anti")

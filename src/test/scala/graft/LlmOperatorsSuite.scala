@@ -707,6 +707,44 @@ class LlmOperatorsSuite extends GraftFunSuite {
       "one-cell scan must not touch every partition's files")
   }
 
+  test("AnnIndex.syncFromTable: index follows the corpus table's feed and " +
+      "stays exact vs brute force after update/insert/delete") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(23)
+      def vec() = Array.fill(16)(rndv.nextFloat() * 2 - 1)
+      val t0 = (0 until 120).map(i => (i.toLong, vec()))
+        .toDF("vec_id", "embedding")
+      t0.write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_sync_").toString + "/ix"
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 6) // first call = full build
+
+      // mutate: update vec 3, insert 300, delete 7
+      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      t.upsert(Seq((3L, vec()), (300L, vec())).toDF("vec_id", "embedding"))
+      t.delete(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 6)
+
+      val corpusNow = spark.read.format("graft").load(corpusDir)
+      val queries = corpusNow.filter($"vec_id" < 3 || $"vec_id" === 300L)
+      val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding", k = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(got == want,
+        s"synced index != brute: missing ${want -- got}, extra ${got -- want}")
+      // the deleted vector is gone from the index entirely
+      assert(!got.exists(_._3 == 7L))
+      assert(spark.read.format("graft").load(s"$idx/cells")
+        .filter($"nid" === 7L).count() == 0)
+    }
+  }
+
   test("chunkDocuments: overlap, tail chunk, short and empty docs") {
     val df = Seq(
       (1L, "a" * 10),   // shorter than one chunk
