@@ -245,7 +245,6 @@ object Ann {
     // re-running the seed scan (and any refinement passes) per consumer.
     val cents = Checkpoints.stabilize(
       buildCentroids(corpus, idCol, cu, nCentroids))
-    val assign = assignCells _
     val clamp: Column => Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     // (nid, cid, csim): assignment doubles as the radius input — the
@@ -253,7 +252,7 @@ object Ann {
     // (cos r, sin r) so the probe bound below never round-trips through
     // acos/cos (whose error amplifies to ~1e-8 near |csim|≈1 and could
     // wrongly prune a near-tie cell)
-    val cellAssign = Checkpoints.stabilize(assign(cents)(cu, "nid", "nx"))
+    val cellAssign = Checkpoints.stabilize(assignCells(cents)(cu, "nid", "nx"))
     val cellCorpus = cu.join(cellAssign.select("nid", "cid"), "nid")
     val radii = cellAssign.groupBy("cid")
       .agg(clamp(min(col("csim"))).as("cosr"))

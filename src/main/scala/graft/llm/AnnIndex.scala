@@ -35,6 +35,15 @@ object AnnIndex {
   private def statsPath(p: String) = s"$p/cellstats"
   private def cellsPath(p: String) = s"$p/cells"
 
+  /** Reassemble each vector's unit components from its exploded rows into
+    * an array (sorted by dim; struct sort is lexicographic on (dim, nx)
+    * and dim is unique per vector; `.getField` over the struct array
+    * extracts the components without a higher-order lambda). */
+  private def unitVecArray(cu: DataFrame): DataFrame =
+    cu.groupBy("nid")
+      .agg(array_sort(collect_list(struct(col("dim"), col("nx")))).as("s"))
+      .select(col("nid"), col("s").getField("nx").as("uvec"))
+
   /** Build (or rebuild) the index tables from `corpus`. One pass computes
     * unit rows; centroids refine per `spark.graft.ann.ivf.kmeansIters`
     * (default 1); assignments write range-partitioned by cell. */
@@ -54,13 +63,7 @@ object AnnIndex {
       .agg(clamp(min(col("csim"))).as("cosr"))
       .withColumn("sinr", sqrt(greatest(lit(0.0d),
         lit(1.0d) - col("cosr") * col("cosr"))))
-    // reassemble each vector's unit components into an array (sorted by
-    // dim; struct sort is lexicographic on (dim, nx), and dim is unique
-    // per vector). `.getField` over the struct array extracts the
-    // components without a higher-order lambda.
-    val unitVec = cu.groupBy("nid")
-      .agg(array_sort(collect_list(struct(col("dim"), col("nx")))).as("s"))
-      .select(col("nid"), col("s").getField("nx").as("uvec"))
+    val unitVec = unitVecArray(cu)
     val cells = cellAssign.select("cid", "nid").join(unitVec, "nid")
       .select(col("cid"), col("nid"), col("uvec"))
     cents.write.format("graft").mode("overwrite").save(centroidsPath(indexPath))
@@ -93,18 +96,10 @@ object AnnIndex {
       nCentroids: Int = 16): Long = {
     import graft.meta.SnapshotManagement
     val normCorpus = SnapshotManagement.normalize(corpusPath)
+    val normIdx = SnapshotManagement.normalize(indexPath)
     val current = SnapshotManagement.snapshot(normCorpus).version
-    val metaPath = java.nio.file.Paths.get(
-      SnapshotManagement.normalize(indexPath))
-    java.nio.file.Files.createDirectories(metaPath)
-    val syncFile = metaPath.resolve("_graft_ann_sync.json")
-    val last: Long =
-      if (java.nio.file.Files.exists(syncFile)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(syncFile),
-          java.nio.charset.StandardCharsets.UTF_8)
-        "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong).getOrElse(-1L)
-      } else -1L
+    val last = SyncSidecar.readValidated(normIdx, SYNC_FILE, normCorpus,
+      current)
     val corpusNow = spark.read.format("graft").load(corpusPath)
     if (last < 0) {
       build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids)
@@ -121,9 +116,7 @@ object AnnIndex {
           .transform(Checkpoints.stabilize)
         val assignNew = Checkpoints.stabilize(
           Ann.assignCells(cents)(cu, "nid", "nx"))
-        val unitVec = cu.groupBy("nid")
-          .agg(array_sort(collect_list(struct(col("dim"), col("nx")))).as("s"))
-          .select(col("nid"), col("s").getField("nx").as("uvec"))
+        val unitVec = unitVecArray(cu)
         val newRows = assignNew.select("cid", "nid").join(unitVec, "nid")
           .select(col("cid"), col("nid"), col("uvec"))
         // death warrants: every touched id (changed, deleted, OR zero-norm
@@ -136,13 +129,14 @@ object AnnIndex {
           .select(col("cid"), col("nid"),
             lit(true).as(graft.meta.Tombstones.COL))
         val delta = newRows.unionByName(tomb, allowMissingColumns = true)
-        val normCells = SnapshotManagement.normalize(cellsPath(indexPath))
-        SnapshotManagement.withRewriteTransaction(normCells) { txn =>
-          graft.commands.UpsertCommand.runDeltaIn(
-            spark, normCells, delta, Map.empty, txn)
-        }
-        // radii: grow-only fold of the new members' csims into the stored
-        // stats (tiny table — full overwrite is the honest cost)
+        // RADII FIRST, cells second: a crash (or concurrent topK) between
+        // the two writes must land on the conservative side. An over-grown
+        // radius with the old cells only costs extra probes; the reverse
+        // order would expose a window where a fresh far-from-centroid
+        // member is visible while the bound still claims the old, tighter
+        // radius — and the probe would skip its cell, breaking exactness.
+        // Grow-only fold of the new members' csims into the stored stats
+        // (tiny table — full overwrite is the honest cost).
         val stored = spark.read.format("graft").load(statsPath(indexPath))
         val grown = assignNew.groupBy("cid")
           .agg(greatest(lit(-1.0d), least(lit(1.0d), min(col("csim"))))
@@ -160,15 +154,20 @@ object AnnIndex {
           .transform(Checkpoints.stabilize)
         folded.write.format("graft").mode("overwrite")
           .save(statsPath(indexPath))
+        val normCells = SnapshotManagement.normalize(cellsPath(indexPath))
+        SnapshotManagement.withRewriteTransaction(normCells) { txn =>
+          graft.commands.UpsertCommand.runDeltaIn(
+            spark, normCells, delta, Map.empty, txn)
+        }
       }
     }
     if (current != last) {
-      java.nio.file.Files.write(syncFile,
-        s"""{"corpusPath":"$normCorpus","version":$current}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current)
     }
     current
   }
+
+  private val SYNC_FILE = "_graft_ann_sync.json"
 
   /** Exact cosine top-k of `queries` against the indexed corpus. Output
     * (qid, rank, nid) — identical to [[Ann.bruteTopK]] over the corpus the

@@ -450,6 +450,36 @@ object MinhashIndex {
             "Use the index's parameters or build a new index")
         }
       }
+      // PIN ("describe") any missing parameter: an index predating the
+      // pinning (or created by hand) would otherwise accept a mismatched
+      // later call silently — the exact hole this guard exists to close.
+      // First caller's parameters become the contract.
+      if (declared.exists { case (key, _) => stored(key).isEmpty }) {
+        graft.meta.SnapshotManagement.withRewriteTransaction(norm) { txn =>
+          val s = txn.snapshotOpt.get
+          val fresh = s.tableInfo.configuration
+          // recompute against the txn's own snapshot: a concurrent pinner
+          // may have won the race — validate what it pinned, add the rest
+          val stillMissing = declared.filter { case (key, got) =>
+            fresh.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(key) => v.toInt
+            } match {
+              case Some(want) =>
+                require(want == got,
+                  s"minhash index at $indexPath pinned $key=$want " +
+                  s"concurrently; this call passed $got")
+                false
+              case None => true
+            }
+          }
+          if (stillMissing.nonEmpty) {
+            txn.commit("alter", Some(s.tableInfo.copy(
+              configuration = fresh ++
+                stillMissing.map { case (k, v) => k -> v.toString })),
+              Nil, Nil)
+          }
+        }
+      }
     }
   }
 
@@ -502,14 +532,7 @@ object MinhashIndex {
     val normDocs = SnapshotManagement.normalize(docsPath)
     val normIdx = SnapshotManagement.normalize(indexPath)
     val current = SnapshotManagement.snapshot(normDocs).version
-    val metaPath = java.nio.file.Paths.get(normIdx, "_graft_minhash_sync.json")
-    val last: Long =
-      if (java.nio.file.Files.exists(metaPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(metaPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong).getOrElse(-1L)
-      } else -1L
+    val last = SyncSidecar.readValidated(normIdx, SYNC_FILE, normDocs, current)
     val docsNow = spark.read.format("graft").load(docsPath)
     if (last < 0) {
       upsert(spark, indexPath, docsNow, idCol, textCol, numHashes, bands,
@@ -523,9 +546,16 @@ object MinhashIndex {
       if (!touched.isEmpty) {
         val live = docsNow.join(broadcast(touched), Seq(idCol), "left_semi")
         val liveSig = Dedup.bandedSignatureRows(live, idCol, textCol,
-          numHashes, bands, shingleK)
+            numHashes, bands, shingleK)
+          .transform(Checkpoints.stabilize)
+        // death warrants for every touched id with NO fresh signature rows
+        // — that's deleted docs AND live docs whose new text fell below
+        // shingleK tokens (zero shingles → zero rows): anti-joining against
+        // the docs table instead would leave a shriveled doc's old bands
+        // matching future batches forever
         val dead = touched
-          .join(docsNow.select(col(s"`$idCol`")), Seq(idCol), "left_anti")
+          .join(liveSig.select(col("doc_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
         val tomb = dead.select(col(s"`$idCol`").as("doc_id"),
             explode(sequence(lit(0), lit(bands - 1))).as("band"),
             lit(true).as(graft.meta.Tombstones.COL))
@@ -536,13 +566,11 @@ object MinhashIndex {
         }
       }
     }
-    if (current != last) {
-      java.nio.file.Files.write(metaPath,
-        s"""{"docsPath":"$normDocs","version":$current}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    if (current != last) SyncSidecar.write(normIdx, SYNC_FILE, normDocs, current)
     current
   }
+
+  private val SYNC_FILE = "_graft_minhash_sync.json"
 
   /** Near-duplicate pairs involving at least one document of `newDocs`:
     * within-batch pairs plus new-vs-indexed pairs, exact-verified at

@@ -1,0 +1,51 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Shared sidecar for change-feed-synced indexes ([[MinhashIndex]],
+  * [[AnnIndex]]): records which SOURCE table, at which version, the index
+  * currently reflects. Lives at the index root (non-parquet, so vacuum
+  * never touches it, like the MV meta).
+  *
+  * Validation is the point: a sidecar naming a DIFFERENT source table, or
+  * a source whose latest version went BACKWARDS (table dropped and
+  * recreated, or restored past the synced point), means the stored index
+  * rows and the feed window no longer describe the same history — applying
+  * deltas would corrupt silently. Both fail loudly with a rebuild hint.
+  */
+private[llm] object SyncSidecar {
+  implicit private val formats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private case class Meta(sourcePath: String, version: Long)
+
+  /** Last synced version, after validating the sidecar matches
+    * `sourcePath` and `currentVersion` has not gone backwards. -1 when no
+    * sidecar exists (first sync = full build). */
+  def readValidated(
+      indexDir: String, fileName: String, sourcePath: String,
+      currentVersion: Long): Long = {
+    val p = Paths.get(indexDir, fileName)
+    if (!Files.exists(p)) return -1L
+    val m = org.json4s.jackson.Serialization.read[Meta](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    require(m.sourcePath == sourcePath,
+      s"index at $indexDir is synced to '${m.sourcePath}', not " +
+      s"'$sourcePath' — delete the index (or pick the right source) and " +
+      "rebuild")
+    require(currentVersion >= m.version,
+      s"source table $sourcePath is at v$currentVersion but the index at " +
+      s"$indexDir reflects v${m.version} — the table history was rewound " +
+      "(restore/recreate); delete the index and rebuild")
+    m.version
+  }
+
+  def write(
+      indexDir: String, fileName: String, sourcePath: String,
+      version: Long): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    Files.write(Paths.get(indexDir, fileName),
+      org.json4s.jackson.Serialization.write(Meta(sourcePath, version))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -76,7 +76,12 @@ object StreamingOps {
         // intervals an event bridges (list stays sorted by start)
         var intervals = state.getOption.map(_.intervals).getOrElse(Nil).toList
         rows.foreach { case (_, ts) =>
-          val t = ts.getTime * 1000L
+          // full microsecond precision: getTime carries only millis, the
+          // sub-millisecond digits live in getNanos — `getTime * 1000`
+          // would truncate and diverge from the micros-exact batch
+          // sessionizer on sub-ms gaps
+          val t = Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+            ts.getNanos / 1000L
           val (touching, rest) = intervals.partition { case (s, e, _) =>
             t >= s - gapMicros && t <= e + gapMicros }
           val merged = touching.foldLeft((t, t, 1L)) {
@@ -100,9 +105,13 @@ object StreamingOps {
         } else {
           state.remove()
         }
+        def microsTs(us: Long): java.sql.Timestamp = {
+          val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          t
+        }
         closed.sortBy(_._1).iterator.map { case (s, e, c) =>
-          ClosedSession(key, new java.sql.Timestamp(s / 1000L),
-            new java.sql.Timestamp(e / 1000L), c)
+          ClosedSession(key, microsTs(s), microsTs(e), c)
         }
     }
   }

@@ -798,9 +798,13 @@ class LlmOperatorsSuite extends GraftFunSuite {
       val s0 = indexState()
       assert(s0.keySet == Set(1L, 2L, 3L))
 
-      // mutate the docs table: update 1's text, insert 4, delete 2
+      // mutate the docs table: update 1's text, insert 4, delete 2, and
+      // SHRIVEL 5 (text falls below shingleK tokens — doc stays LIVE in
+      // the table but must leave the index: zero shingles, zero bands)
       val t = graft.tables.GraftTable.forPath(spark, docsDir)
-      t.upsert(Seq((1L, sentence(60)), (4L, sentence(60)))
+      t.upsert(Seq((5L, sentence(60))).toDF("doc_id", "text"))
+      MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+      t.upsert(Seq((1L, sentence(60)), (4L, sentence(60)), (5L, "wo"))
         .toDF("doc_id", "text"))
       t.delete(org.apache.spark.sql.functions.col("doc_id") === 2L)
 
@@ -809,6 +813,9 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .snapshot(graft.meta.SnapshotManagement.normalize(docsDir)).version)
       val s1 = indexState()
       assert(s1.keySet == Set(1L, 3L, 4L), s"index keys ${s1.keySet}")
+      assert(spark.read.format("graft").load(docsDir)
+        .filter($"doc_id" === 5L).count() == 1,
+        "doc 5 must still be LIVE in the docs table")
       assert(s1(1L) != s0(1L), "updated doc must carry NEW signatures")
       assert(s1(3L) == s0(3L), "untouched doc's signatures must not change")
 
@@ -820,6 +827,43 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .snapshot(graft.meta.SnapshotManagement.normalize(idx)).version
         == idxVer)
     }
+  }
+
+  test("sync sidecar validation: wrong source table and rewound history " +
+      "both fail loudly instead of corrupting the index") {
+    withTempTable { dirA => withTempTable { dirB =>
+      val docs = Seq((1L, sentence(40))).toDF("doc_id", "text")
+      docs.write.format("graft")
+        .option("hashPartitions", "doc_id").option("hashBucketNum", "1")
+        .save(dirA)
+      docs.write.format("graft")
+        .option("hashPartitions", "doc_id").option("hashBucketNum", "1")
+        .save(dirB)
+      val idx = java.nio.file.Files
+        .createTempDirectory("mh_sidecar_").toString + "/ix"
+      MinhashIndex.syncFromTable(spark, idx, dirA, "doc_id", "text")
+      // different source table: must refuse, not mix histories
+      val e1 = intercept[IllegalArgumentException] {
+        MinhashIndex.syncFromTable(spark, idx, dirB, "doc_id", "text")
+      }
+      assert(e1.getMessage.contains("synced to"))
+      // advance A a few versions, sync, then recreate A from scratch
+      // (history rewound): version goes backwards -> must refuse
+      val t = graft.tables.GraftTable.forPath(spark, dirA)
+      t.upsert(Seq((2L, sentence(40))).toDF("doc_id", "text"))
+      t.upsert(Seq((3L, sentence(40))).toDF("doc_id", "text"))
+      MinhashIndex.syncFromTable(spark, idx, dirA, "doc_id", "text")
+      graft.write.TransactionalWrite.deleteRecursively(
+        java.nio.file.Paths.get(dirA))
+      graft.meta.SnapshotManagement.invalidate(dirA)
+      docs.write.format("graft")
+        .option("hashPartitions", "doc_id").option("hashBucketNum", "1")
+        .save(dirA)
+      val e2 = intercept[IllegalArgumentException] {
+        MinhashIndex.syncFromTable(spark, idx, dirA, "doc_id", "text")
+      }
+      assert(e2.getMessage.contains("rewound"))
+    }}
   }
 
   test("MinhashIndex rejects mismatched signature parameters loudly") {

@@ -76,6 +76,38 @@ class StreamingOpsSuite extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("sub-millisecond gaps honor the micros contract") {
+    implicit val ctx = classicSpark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val name = "so_sessions_us"
+    def tsMicros(us: Long): Timestamp = {
+      val t = new Timestamp(Base * 1000L + us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val q = StreamingOps.sessionize(input.toDF().toDF("key", "t"),
+        "key", "t", gapMicros = 1000L, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // events 1500us apart with a 1000us gap: two singleton sessions —
+      // millisecond truncation would see them 1000us apart and merge
+      input.addData(("k", tsMicros(0)), ("k", tsMicros(1500)))
+      input.addData(("zz", ts(100))) // watermark push
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def k_sessions() = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("key") === "k")
+        .collect().map(_.getLong(3)).toSeq
+      var got = k_sessions()
+      while (got != Seq(1L, 1L) && System.nanoTime() < deadline) {
+        Thread.sleep(200); got = k_sessions()
+      }
+      assert(got == Seq(1L, 1L),
+        s"1500us-apart events with 1000us gap must form 2 sessions: $got")
+    } finally q.stop()
+  }
+
   test("gap splitting matches the batch sessionizer on the same events") {
     implicit val ctx = classicSpark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
