@@ -125,8 +125,31 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
           }
         })
       }
+      // a racing READER: snapshot isolation means every read during the
+      // melee must succeed and see a complete, un-torn state (compaction
+      // and rebucket swap files in one commit; vacuum is the only deleter
+      // and never runs here). The reader asserts basic shape invariants —
+      // ids unique (merge-on-read dedups), values well-formed.
+      @volatile var readerDone = false
+      val reader = new Thread(() => {
+        try {
+          while (!readerDone) {
+            val rows = spark.read.format("graft").load(dir)
+              .select("id", "v").collect()
+            val ids = rows.map(_.getLong(0))
+            if (ids.length != ids.distinct.length)
+              unexpected.add(new IllegalStateException(
+                s"reader saw duplicate ids: ${ids.toSeq.sorted}"))
+            if (rows.exists(_.isNullAt(1)))
+              unexpected.add(new IllegalStateException("reader saw null v"))
+          }
+        } catch { case e: Throwable => unexpected.add(e) }
+      })
+      reader.start()
       threads.foreach(_.start())
       threads.foreach(_.join(300000))
+      readerDone = true
+      reader.join(60000)
       assert(unexpected.isEmpty,
         s"non-conflict failures under concurrency: " +
         s"${unexpected.toArray.take(3).mkString("\n")}")
