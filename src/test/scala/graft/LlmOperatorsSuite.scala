@@ -829,6 +829,43 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("AnnIndex sync soak: exact vs brute after every one of 5 random " +
+      "mutation rounds (radii only ever grow)") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(37)
+      def vec() = Array.fill(12)(rndv.nextFloat() * 2 - 1)
+      (0 until 80).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_soak_").toString + "/ix"
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 5)
+      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      (1 to 5).foreach { round =>
+        // random batch of upserts (mix of updates and fresh ids) + deletes
+        val ups = (0 until 3 + rndv.nextInt(5))
+          .map(_ => (rndv.nextInt(120).toLong, vec())).distinctBy(_._1)
+        t.upsert(ups.toDF("vec_id", "embedding"))
+        val del = rndv.nextInt(120).toLong
+        t.delete(org.apache.spark.sql.functions.col("vec_id") === del)
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 5)
+        val corpusNow = spark.read.format("graft").load(corpusDir)
+        val queries = corpusNow.limit(3)
+        val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+            k = 4)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+        val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 4)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+        assert(got == want, s"round $round: index diverged from brute — " +
+          s"missing ${want -- got}, extra ${got -- want}")
+      }
+    }
+  }
+
   test("sync sidecar validation: wrong source table and rewound history " +
       "both fail loudly instead of corrupting the index") {
     withTempTable { dirA => withTempTable { dirB =>
