@@ -74,6 +74,16 @@ class GraftTable(object):
         """DataFrame of the table's commit history."""
         return DataFrame(self._jbridge.history(self._jtable), self._spark)
 
+    def detail(self):
+        """One-row table summary (layout, file/byte counts) from the
+        manifest — zero data I/O."""
+        return DataFrame(self._jbridge.detail(self._jtable), self._spark)
+
+    def partitions(self):
+        """Range partitions with per-partition file/byte/row counts from
+        the manifest — zero data I/O."""
+        return DataFrame(self._jbridge.partitions(self._jtable), self._spark)
+
     def restore(self, version):
         """Rewind the table to ``version`` (metadata-only commit; lineage
         preserved). Returns the restore commit's version."""

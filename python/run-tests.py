@@ -92,6 +92,10 @@ def main():
 
         check("history", t.history().count() >= 4)
 
+        check("detail", t.detail().count() == 1 and
+              t.detail().collect()[0]["numFiles"] > 0)
+        check("partitions", t.partitions().count() >= 1)
+
         ch = t.changes(0)
         check("changes feed", ch.count() > 0 and
               "_change_type" in ch.columns and "_commit_version" in ch.columns)

@@ -42,6 +42,46 @@ class GraftTable private (spark: SparkSession, val path: String) {
       .toDF("version", "commitType", "timestamp", "addedFiles", "removedFiles")
   }
 
+  /** One-row table summary (Delta's `DESCRIBE DETAIL` analog), entirely
+    * from the manifest — zero data I/O at any table size: version, layout
+    * (range/hash columns, bucket count), file count, total bytes, delta
+    * (un-compacted) file count, and configuration. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val info = s.tableInfo
+    Seq((path, s.version, info.rangeColumns.mkString(","),
+      info.hashColumns.mkString(","), info.bucketNum,
+      s.files.length.toLong, s.sizeInBytes,
+      s.files.count(!_.isBase).toLong,
+      info.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted
+        .mkString(";")))
+      .toDF("path", "version", "rangeColumns", "hashColumns", "bucketNum",
+        "numFiles", "sizeInBytes", "numDeltaFiles", "configuration")
+  }
+
+  /** Range partitions with per-partition file/byte/delta counts and — when
+    * every file carries footer row stats — exact row counts, all from the
+    * manifest (SHOW PARTITIONS with sizes; zero data I/O). At 100 TB this
+    * is how operators find skewed or fragmented partitions without a
+    * scan. */
+  def partitions(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    s.filesByRange.toSeq.map { case (key, files) =>
+      // liveRecords subtracts deletion-vector masks; -1 = footer stats
+      // absent for that file, so the partition reports -1 ("unknown")
+      // rather than an under-count. PK delta stacks can still over-count
+      // (merge-on-read dedups keys at read) — hence "approx".
+      val rows = files.map(_.liveRecords)
+      (key, files.length.toLong, files.map(_.size).sum,
+        files.count(!_.isBase).toLong,
+        if (rows.exists(_ < 0L)) -1L else rows.sum)
+    }.sortBy(_._1)
+      .toDF("partition", "numFiles", "sizeInBytes", "numDeltaFiles",
+        "approxRows")
+  }
+
   /** Change Data Feed over `[startVersion, endVersion]` (endVersion = -1 →
     * latest): row-level changes with `_change_type` / `_commit_version` /
     * `_commit_timestamp` columns. See [[ChangeFeed]] for per-commit-type

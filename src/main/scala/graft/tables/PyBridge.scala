@@ -27,6 +27,10 @@ object PyBridge {
 
   def history(t: GraftTable): DataFrame = t.history()
 
+  def detail(t: GraftTable): DataFrame = t.detail()
+
+  def partitions(t: GraftTable): DataFrame = t.partitions()
+
   def changes(t: GraftTable, startVersion: Long, endVersion: Long): DataFrame =
     t.changes(startVersion, endVersion)
 

@@ -182,6 +182,47 @@ class TableApiSuite extends GraftFunSuite {
       } finally spark.sql("DROP TABLE IF EXISTS tapi_base2")
     } }
   }
+  test("detail() and partitions(): manifest-only table introspection") {
+    withTempTable { dir =>
+      Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"))
+        .toDF("id", "lang", "v").write.format("graft")
+        .option("rangePartitions", "lang")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((4L, "en", "d")).toDF("id", "lang", "v"))
+
+      val d = t.detail().collect().head
+      assert(d.getAs[String]("rangeColumns") == "lang")
+      assert(d.getAs[String]("hashColumns") == "id")
+      assert(d.getAs[Int]("bucketNum") == 2)
+      assert(d.getAs[Long]("version") == 1L)
+      assert(d.getAs[Long]("numFiles") > 0 &&
+        d.getAs[Long]("sizeInBytes") > 0)
+      assert(d.getAs[Long]("numDeltaFiles") > 0, "upsert left a delta stack")
+
+      val parts = t.partitions().collect()
+        .map(r => r.getAs[String]("partition") ->
+          (r.getAs[Long]("numFiles"), r.getAs[Long]("approxRows"))).toMap
+      assert(parts.keySet == Set("lang=en", "lang=de"), parts.keySet)
+      assert(parts("lang=de")._2 == 1L, s"de rows: ${parts("lang=de")}")
+      // en: 2 base rows + 1 delta row, all keys distinct -> 3 exact
+      assert(parts("lang=en")._2 == 3L, s"en rows: ${parts("lang=en")}")
+      // zero data I/O claim: both run with scans disabled would be nice,
+      // but the cheap proxy is that they answer from the SNAPSHOT even
+      // with the parquet files unreadable — rename one data file away
+      val snap = t.snapshot
+      val f = snap.files.head.path
+      val p = java.nio.file.Paths.get(dir, f)
+      java.nio.file.Files.move(p, p.resolveSibling(p.getFileName.toString + ".bak"))
+      try {
+        assert(GraftTable.forPath(spark, dir).detail().count() == 1)
+        assert(GraftTable.forPath(spark, dir).partitions().count() == 2)
+      } finally {
+        java.nio.file.Files.move(p.resolveSibling(p.getFileName.toString + ".bak"), p)
+      }
+    }
+  }
 }
 
 /** Test merge operator: numeric max (exists to exercise registration by
