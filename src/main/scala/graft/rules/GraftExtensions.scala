@@ -32,6 +32,8 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     GraftMergeOpMarker.functionInjections.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftTableFunctions.tableChanges)
     ext.injectTableFunction(GraftTableFunctions.tableHistory)
+    ext.injectTableFunction(GraftTableFunctions.tableDetail)
+    ext.injectTableFunction(GraftTableFunctions.tablePartitions)
     ext.injectCheckRule(_ => MergeOperatorMarkerCheck)
     // Note: the reference's StarLakeUnsupportedOperationsCheck (rejecting
     // ADD/DROP/RECOVER PARTITION, LOAD DATA, SerDe DDL) is unnecessary on

@@ -67,4 +67,28 @@ object GraftTableFunctions {
       analyzed(graft.tables.GraftTable
         .forPath(spark, litString(args.head, fn, 0)).history())
     })
+
+  val tableDetail: TableFunction = (
+    FunctionIdentifier("graft_table_detail"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName,
+      "graft_table_detail"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_table_detail"
+      require(args.size == 1, s"$fn takes (path), got ${args.size} args")
+      val spark = SparkSession.active
+      analyzed(graft.tables.GraftTable
+        .forPath(spark, litString(args.head, fn, 0)).detail())
+    })
+
+  val tablePartitions: TableFunction = (
+    FunctionIdentifier("graft_table_partitions"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName,
+      "graft_table_partitions"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_table_partitions"
+      require(args.size == 1, s"$fn takes (path), got ${args.size} args")
+      val spark = SparkSession.active
+      analyzed(graft.tables.GraftTable
+        .forPath(spark, litString(args.head, fn, 0)).partitions())
+    })
 }

@@ -178,6 +178,13 @@ class ChangeFeedSuite extends GraftFunSuite {
       val hist = spark.sql(s"SELECT * FROM graft_table_history('$dir')")
       assert(hist.count() == 2L &&
         hist.columns.contains("commitType"))
+      val det = spark.sql(s"SELECT * FROM graft_table_detail('$dir')")
+      assert(det.count() == 1L &&
+        det.collect().head.getAs[Int]("bucketNum") == 1)
+      val parts = spark.sql(
+        s"SELECT * FROM graft_table_partitions('$dir')")
+      assert(parts.count() == 1L &&
+        parts.collect().head.getAs[Long]("numFiles") >= 2L)
       // non-literal argument is rejected loudly
       val err = intercept[Exception] {
         spark.sql(s"SELECT * FROM graft_table_changes('$dir', id)").collect()
