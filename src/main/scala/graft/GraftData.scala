@@ -99,11 +99,14 @@ object GraftData {
       parquet(spark, sfDir, "nation").write.format("graft").save(dir)
     })
 
-  def documentsRange(spark: SparkSession, sfDir: String): DataFrame =
-    graftRead(spark, ensure(spark, sfDir, "documents_range") { dir =>
+  def documentsRangeDir(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "documents_range") { dir =>
       parquet(spark, sfDir, "documents").write.format("graft")
         .option("rangePartitions", "lang").save(dir)
-    })
+    }
+
+  def documentsRange(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, documentsRangeDir(spark, sfDir))
 
   /** MinHash-LSH signature index over the documents whose `doc_id % 3 != 0`
     * (the "already-ingested corpus" for the incremental-dedup query; the
@@ -211,6 +214,25 @@ object GraftData {
 
   def ordersUpserted(spark: SparkSession, sfDir: String): DataFrame =
     graftRead(spark, ordersUpsertedDir(spark, sfDir))
+
+  /** Same upsert history as [[ordersUpsertedDir]], then REBUCKETED 16→8:
+    * the rebucket rewrite must preserve merged content exactly (tombstone
+    * resolution + last-wins through the layout change). */
+  def ordersRebucketed(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "orders_rebucketed") { dir =>
+      val orders = parquet(spark, sfDir, "orders")
+      orders.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "16")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U1")))
+      t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice")))
+      t.deleteExpr("o_orderkey % 777 = 0")
+      t.rebucket(8)
+    })
 
   /** Same state as `ordersUpserted`, then compacted — results must be
     * identical (the reference's `CompactionDoNotChangeResult` invariant). */
@@ -457,7 +479,8 @@ object GraftData {
       "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),
       "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)),
       "minhash_index_partial" -> (() => minhashIndexPartial(spark, sfDir)),
-      "ann_index" -> (() => annIndexDir(spark, sfDir)))
+      "ann_index" -> (() => annIndexDir(spark, sfDir)),
+      "orders_rebucketed" -> (() => ordersRebucketed(spark, sfDir)))
     builds.foreach { case (name, build) =>
       try build()
       catch { case e: Throwable =>

@@ -251,6 +251,20 @@ object Queries {
         col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
         col("o_orderstatus"))),
 
+    // rebucket (16 -> 8 buckets) must preserve the merged state exactly:
+    // upsert history + tombstone delete resolve through the layout rewrite
+    "q_rebucket_stable" -> ((s, sf) =>
+      GraftData.ordersRebucketed(s, sf).select(
+        col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderstatus"))),
+
+    // SHOW PARTITIONS row counts from the MANIFEST (footer stats, zero
+    // data I/O); the oracle computes them honestly from the raw parquet
+    "q_partitions_meta" -> ((s, sf) =>
+      graft.tables.GraftTable
+        .forPath(s, GraftData.documentsRangeDir(s, sf)).partitions()
+        .select(col("partition"), col("approxRows").as("n_rows"))),
+
     "q_merge_op_sum" -> ((s, sf) =>
       s.read.format("graft").option("mergeOperators", "cnt:sum")
         .load(GraftData.custCountsDir(s, sf))
@@ -715,6 +729,20 @@ object Queries {
        "WHEN o_orderkey % 3 = 0 THEN o_totalprice*2 ELSE o_totalprice END)*100) AS BIGINT) AS total_cents, " +
        "CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus " +
        "FROM orders"),
+
+    // rebucket preserves the merged state: same reconstruction as
+    // q_upsert_lastwins minus the tombstone-deleted keys
+    "q_rebucket_stable" ->
+      ("SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*3 " +
+       "WHEN o_orderkey % 3 = 0 THEN o_totalprice*2 ELSE o_totalprice END)*100) AS BIGINT) AS total_cents, " +
+       "CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus " +
+       "FROM orders WHERE o_orderkey % 777 != 0"),
+
+    // the engine answers from manifest footer stats (zero data I/O);
+    // DuckDB computes the same partition row counts honestly
+    "q_partitions_meta" ->
+      ("SELECT concat('lang=', lang) AS partition, " +
+       "CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang"),
 
     "q_compaction_stable" ->
       ("SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*3 " +
