@@ -92,8 +92,8 @@ def main():
 
         check("history", t.history().count() >= 4)
 
-        check("detail", t.detail().count() == 1 and
-              t.detail().collect()[0]["numFiles"] > 0)
+        drows = t.detail().collect()
+        check("detail", len(drows) == 1 and drows[0]["numFiles"] > 0)
         check("partitions", t.partitions().count() >= 1)
 
         ch = t.changes(0)

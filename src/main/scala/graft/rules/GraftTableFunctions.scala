@@ -13,6 +13,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *   SELECT * FROM graft_table_changes('/path/to/table', 2)      -- to latest
   *   SELECT * FROM graft_table_changes('/path/to/table', 2, 5)   -- window
   *   SELECT * FROM graft_table_history('/path/to/table')
+  *   SELECT * FROM graft_table_detail('/path/to/table')
+  *   SELECT * FROM graft_table_partitions('/path/to/table')
   * }}}
   *
   * The Delta `table_changes` UX for the [[graft.tables.ChangeFeed]];

@@ -150,6 +150,8 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
       threads.foreach(_.join(300000))
       readerDone = true
       reader.join(60000)
+      assert(!reader.isAlive, "reader thread still running after join — " +
+        "its queue may hold unasserted violations")
       assert(unexpected.isEmpty,
         s"non-conflict failures under concurrency: " +
         s"${unexpected.toArray.take(3).mkString("\n")}")

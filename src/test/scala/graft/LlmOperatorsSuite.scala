@@ -853,7 +853,9 @@ class LlmOperatorsSuite extends GraftFunSuite {
         AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
           nCentroids = 5)
         val corpusNow = spark.read.format("graft").load(corpusDir)
-        val queries = corpusNow.limit(3)
+        // deterministic query pick: an unordered limit(3) could evaluate
+        // to DIFFERENT rows on the index and brute paths (CI flake)
+        val queries = corpusNow.orderBy("vec_id").limit(3)
         val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
             k = 4)
           .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
