@@ -180,11 +180,14 @@ object MaterializedViews {
     // pre/post images in the feed
     val store = SnapshotManagement.store
     val norm = SnapshotManagement.normalize(basePath)
-    val windowOk = ((fromV + 1) to toV).forall { v =>
+    val windowMeta = ((fromV + 1) to toV).map { v =>
       val entries = store.read(norm, v)
       val ct = entries.flatMap(_.commit).headOption
         .map(_.commitType).getOrElse("append")
       val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
+      (ct, adds)
+    }
+    val windowOk = windowMeta.forall { case (ct, adds) =>
       ct match {
         case "alter" => false // may retype columns mid-window
         case "delta" => graft.meta.Tombstones.anyHas(adds) // raw images: no
@@ -192,6 +195,13 @@ object MaterializedViews {
       }
     }
     if (!windowOk) return false
+    // INSERT-ONLY window (pure file-add commits): the feed carries +1 rows
+    // exclusively — no deletions, no update pre-images. This is what makes
+    // MIN/MAX foldable below: an extreme can only be EXTENDED by inserts,
+    // never retracted. Any other commit type in the window keeps MIN/MAX
+    // views on the full-recompute path.
+    val appendOnly = windowMeta.forall { case (ct, _) =>
+      Set("create", "append", "streaming").contains(ct) }
 
     val viewDf = RQ.withoutRewrite { spark.sql(info.sqlText) }
     val plan = org.apache.spark.sql.classic.ClassicConversions
@@ -214,6 +224,8 @@ object MaterializedViews {
     case class KeyCol(groupIdx: Int) extends Kind
     case class CountCol(arg: Option[Expression]) extends Kind // None = count(*)
     case class SumCol(arg: Expression) extends Kind
+    case class MinCol(arg: Expression) extends Kind // append-only windows
+    case class MaxCol(arg: Expression) extends Kind // append-only windows
     val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
       dec.aggList.map { ne: NamedExpression =>
         val kind = strip(ne) match {
@@ -230,6 +242,16 @@ object MaterializedViews {
               case _ if !e.deterministic => return false
               case _ => SumCol(e)
             }
+          // MIN/MAX fold exactly (selection, not accumulation — floats
+          // are fine) but ONLY over insert-only windows: a deletion could
+          // retract the stored extreme and the fold cannot know the
+          // runner-up without the base
+          case AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+              _, _, _, _) if appendOnly && e.deterministic => MinCol(e)
+          case AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+              _, _, _, _) if appendOnly && e.deterministic => MaxCol(e)
           case e =>
             val i = dec.groupExprs.indexWhere(_.semanticEquals(e))
             if (i < 0) return false
@@ -298,6 +320,8 @@ object MaterializedViews {
           .as(s"__d_$n")
       case (n, SumCol(e), _) =>
         sum(rebindCol(e) * col("__w")).as(s"__d_$n")
+      case (n, MinCol(e), _) => min(rebindCol(e)).as(s"__d_$n")
+      case (n, MaxCol(e), _) => max(rebindCol(e)).as(s"__d_$n")
     }
     val deltaAgg = filtered
       .groupBy(dec.groupExprs.zip(keyNames).map { case (g, n) =>
@@ -330,6 +354,13 @@ object MaterializedViews {
                 lit(null)).otherwise(raw).cast(dt)
             case None => raw.cast(dt)
           }
+        // least/greatest SKIP nulls (null only when both sides are null) —
+        // exactly SQL MIN/MAX semantics for a new group (no stored image)
+        // or an all-null delta window
+        case MinCol(_) =>
+          least(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
+        case MaxCol(_) =>
+          greatest(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
       }
     val outCols = cols.map { case (n, k, dt) => outExpr(n, k, dt).as(n) }
     def alive = comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L

@@ -46,6 +46,42 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("MIN/MAX fold incrementally over append-only windows; any other " +
+      "commit type sends them back to full recompute") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq[(Long, String, Option[Long])](
+          (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "b", Some(30L)))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_mm")
+      val sql = "SELECT g, count(*) AS cnt, min(v) AS mn, max(v) AS mx " +
+        "FROM mvi_mm GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // append-only window: extends one extreme, opens a new group, and
+      // carries a NULL v (min/max must skip it)
+      Seq((4L, "a", 5L), (5L, "c", 7L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      Seq[(Long, String, Option[Long])]((6L, "b", None))
+        .toDF("id", "g", "v").write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1,
+        "append-only MIN/MAX must take the incremental path")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("a", 3L, 5L, 20L)))
+
+      // a DELETE in the window could retract an extreme: MUST fall back
+      GraftTable.forPath(spark, dir).delete(col("v") === 5L)
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2,
+        "a delete-bearing window must take the full recompute for MIN/MAX")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("a", 2L, 10L, 20L)))
+    }
+  }
+
   test("update and delete commits fold through pre/post images") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
