@@ -155,7 +155,7 @@ object MaterializedViews {
       spark: SparkSession, viewPath: String,
       info: MaterialViewInfo): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.SparkShims
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
@@ -180,28 +180,36 @@ object MaterializedViews {
     // pre/post images in the feed
     val store = SnapshotManagement.store
     val norm = SnapshotManagement.normalize(basePath)
-    val windowMeta = ((fromV + 1) to toV).map { v =>
-      val entries = store.read(norm, v)
+    // ONE short-circuiting metadata pass decides both verdicts: a
+    // disqualifying commit (alter, raw-image delta) returns immediately —
+    // a 10k-commit backlog must not read 10k commit files just to learn
+    // the first one already forces the full recompute. `appendOnly` =
+    // every commit either yields pure INSERT feed rows (insert-only type
+    // cross-checked against the removes/tombstone evidence, the same
+    // defense ChangeFeed's appendLike applies — a mislabeled commit must
+    // degrade to the safe fallback, never to a wrong fold) or is a
+    // REWRITE that yields no feed rows at all (compaction / rebucket /
+    // vacuum — routine maintenance must not defeat the MIN/MAX fold).
+    // This is what makes MIN/MAX foldable below: an extreme can only be
+    // EXTENDED by inserts, never retracted.
+    var appendOnly = true
+    var wv = fromV + 1
+    while (wv <= toV) {
+      val entries = store.read(norm, wv)
       val ct = entries.flatMap(_.commit).headOption
         .map(_.commitType).getOrElse("append")
-      val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
-      (ct, adds)
+      val adds = graft.meta.DataFileInfo.stampedAdds(entries, wv)
+      val hasTomb = graft.meta.Tombstones.anyHas(adds)
+      if (ct == "alter") return false // may retype columns mid-window
+      if (ct == "delta" && !hasTomb) return false // raw images: no feed
+      val insertOnly =
+        graft.sources.GraftMicroBatchStream.INSERT_ONLY_TYPES.contains(ct) &&
+        entries.forall(_.remove.isEmpty) && !hasTomb
+      val rewriteNoRows =
+        graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct)
+      if (!insertOnly && !rewriteNoRows) appendOnly = false
+      wv += 1
     }
-    val windowOk = windowMeta.forall { case (ct, adds) =>
-      ct match {
-        case "alter" => false // may retype columns mid-window
-        case "delta" => graft.meta.Tombstones.anyHas(adds) // raw images: no
-        case _ => true
-      }
-    }
-    if (!windowOk) return false
-    // INSERT-ONLY window (pure file-add commits): the feed carries +1 rows
-    // exclusively — no deletions, no update pre-images. This is what makes
-    // MIN/MAX foldable below: an extreme can only be EXTENDED by inserts,
-    // never retracted. Any other commit type in the window keeps MIN/MAX
-    // views on the full-recompute path.
-    val appendOnly = windowMeta.forall { case (ct, _) =>
-      Set("create", "append", "streaming").contains(ct) }
 
     val viewDf = RQ.withoutRewrite { spark.sql(info.sqlText) }
     val plan = org.apache.spark.sql.classic.ClassicConversions
@@ -246,12 +254,10 @@ object MaterializedViews {
           // are fine) but ONLY over insert-only windows: a deletion could
           // retract the stored extreme and the fold cannot know the
           // runner-up without the base
-          case AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
-              _, _, _, _) if appendOnly && e.deterministic => MinCol(e)
-          case AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
-              _, _, _, _) if appendOnly && e.deterministic => MaxCol(e)
+          case AggregateExpression(Min(e), _, _, _, _)
+              if appendOnly && e.deterministic => MinCol(e)
+          case AggregateExpression(Max(e), _, _, _, _)
+              if appendOnly && e.deterministic => MaxCol(e)
           case e =>
             val i = dec.groupExprs.indexWhere(_.semanticEquals(e))
             if (i < 0) return false

@@ -495,6 +495,11 @@ class GraftMicroBatchStream(
 object GraftMicroBatchStream {
   /** Commits whose adds are NEW rows. */
   val APPEND_TYPES: Set[String] = Set("create", "append", "delta", "streaming")
+  /** Commit types whose feed rows are pure INSERTS when the commit also
+    * carries no removes and no tombstone markers ("delta" excluded — its
+    * adds may OVERWRITE existing keys). Consumers must still cross-check
+    * the removes/tombstone evidence (see ChangeFeed's appendLike). */
+  val INSERT_ONLY_TYPES: Set[String] = Set("create", "append", "streaming")
   /** Commits that only rewrite existing rows into new files. */
   val REWRITE_TYPES: Set[String] =
     Set("compaction", "rebucket", "alter", "vacuum", "vacuum_end")

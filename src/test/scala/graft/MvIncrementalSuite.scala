@@ -71,6 +71,18 @@ class MvIncrementalSuite extends GraftFunSuite {
       assertMatchesRecompute(viewDir, sql)
       assert(rowsOf(spark.sql(sql)).contains(Seq("a", 3L, 5L, 20L)))
 
+      // routine maintenance mid-window yields ZERO feed rows and must NOT
+      // defeat the fold: compaction + another append still folds
+      GraftTable.forPath(spark, dir).compaction(force = true)
+      Seq[(Long, String, Option[Long])]((7L, "c", Some(3L)))
+        .toDF("id", "g", "v").write.format("graft").mode("append").save(dir)
+      val beforeC = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == beforeC + 1,
+        "a compaction in the window must not force the full recompute")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("c", 2L, 3L, 7L)))
+
       // a DELETE in the window could retract an extreme: MUST fall back
       GraftTable.forPath(spark, dir).delete(col("v") === 5L)
       val before2 = incCount
