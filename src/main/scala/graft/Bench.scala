@@ -36,7 +36,11 @@ object Bench {
     System.err.println(f"[bench] warm-up took ${(System.nanoTime() - w0) / 1e9}%.1f s")
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // dev loop: SPARK_GRAFT_BENCH_FILTER=q_a,q_b times just those queries
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => filter.forall(_.contains(q._1)))
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
 

@@ -34,6 +34,7 @@ object AnnIndex {
   private def centroidsPath(p: String) = s"$p/centroids"
   private def statsPath(p: String) = s"$p/cellstats"
   private def cellsPath(p: String) = s"$p/cells"
+  private def assignPath(p: String) = s"$p/assign"
 
   /** Reassemble each vector's unit components from its exploded rows into
     * an array (sorted by dim; struct sort is lexicographic on (dim, nx)
@@ -50,7 +51,7 @@ object AnnIndex {
   def build(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16): Unit = {
+      nCentroids: Int = 16, hashBucketNum: Int = 4): Unit = {
     val cu = Ann.unitRows(corpus, idCol, vecCol, "nid", "nx")
       .transform(Checkpoints.stabilize)
     val cents = Checkpoints.stabilize(
@@ -59,41 +60,58 @@ object AnnIndex {
       Ann.assignCells(cents)(cu, "nid", "nx"))
     val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
+    // cnt = live members per cell: with the radius it gives topK a
+    // metadata-only kth-best lower bound (no cell scanned to get a
+    // threshold). Probing correctness needs cnt <= true count, never the
+    // reverse — build writes it exact, sync only ever DECREMENTS it.
     val radii = cellAssign.groupBy("cid")
-      .agg(clamp(min(col("csim"))).as("cosr"))
+      .agg(clamp(min(col("csim"))).as("cosr"), count(lit(1)).as("cnt"))
       .withColumn("sinr", sqrt(greatest(lit(0.0d),
         lit(1.0d) - col("cosr") * col("cosr"))))
+      .select("cid", "cosr", "sinr", "cnt")
     val unitVec = unitVecArray(cu)
     val cells = cellAssign.select("cid", "nid").join(unitVec, "nid")
       .select(col("cid"), col("nid"), col("uvec"))
     cents.write.format("graft").mode("overwrite").save(centroidsPath(indexPath))
     radii.write.format("graft").mode("overwrite").save(statsPath(indexPath))
     // cells: RANGE-partitioned by cid (partition-pruned probes) AND
-    // PK-bucketed by nid (per-vector upsert/tombstone for syncFromTable)
+    // PK-bucketed by nid (per-vector upsert/tombstone for syncFromTable).
+    // hashBucketNum is a caller choice: the creation-time guess goes stale
+    // at corpus growth, and REBUCKET can fix it online — but large builds
+    // should size it up front
     cells.write.format("graft").mode("overwrite")
       .option("rangePartitions", "cid")
       .option("hashPartitions", "nid")
-      .option("hashBucketNum", "4")
+      .option("hashBucketNum", hashBucketNum.toString)
       .save(cellsPath(indexPath))
+    // assign: (nid -> cid), PK nid — the sync path's O(1)-per-id lookup of
+    // which SINGLE cell holds a touched vector's old row, so re-assignment
+    // tombstones exactly one (cid, nid) instead of fanning out to every
+    // cell. Tiny next to cells (two longs/row vs a full unit vector).
+    cellAssign.select(col("nid"), col("cid")).write.format("graft")
+      .mode("overwrite")
+      .option("hashPartitions", "nid")
+      .option("hashBucketNum", hashBucketNum.toString)
+      .save(assignPath(indexPath))
   }
 
   /** Keep the index in lockstep with a graft CORPUS table via its change
     * feed — the ANN twin of [[MinhashIndex.syncFromTable]]. Touched
-    * vectors re-assign to their nearest EXISTING centroid; a changed
-    * vector's previous row is tombstoned in EVERY cell (cheap: nCentroids
-    * marker rows per changed vector — cheaper than reading the index to
-    * learn its old cell) before the new assignment lands, all in delta
-    * commits. Cell radii only ever GROW here (`cosr = min(stored, new
-    * member csims)`): a deleted extreme member leaves the stored radius
-    * conservatively large, which keeps the angular bound VALID (exactness
-    * never at risk) at the cost of probing a little more until the next
-    * full [[build]]. Centroids stay fixed between builds for the same
-    * reason. First call (no sidecar) builds from the full table. Returns
-    * the corpus version the index now reflects. */
+    * vectors re-assign to their nearest EXISTING centroid; the `assign`
+    * table pins down the SINGLE cell holding each touched id's previous
+    * row, so re-assignment tombstones exactly one (cid, nid) per moved or
+    * deleted id — tombstone rows per sync are bounded by |touched|, never
+    * |touched|×|cells|. Cell radii only ever GROW here (`cosr =
+    * min(stored, new member csims)`): a deleted extreme member leaves the
+    * stored radius conservatively large, which keeps the angular bound
+    * VALID (exactness never at risk) at the cost of probing a little more
+    * until the next full [[build]]. Centroids stay fixed between builds
+    * for the same reason. First call (no sidecar) builds from the full
+    * table. Returns the corpus version the index now reflects. */
   def syncFromTable(
       spark: SparkSession, indexPath: String,
       corpusPath: String, idCol: String, vecCol: String,
-      nCentroids: Int = 16): Long = {
+      nCentroids: Int = 16, hashBucketNum: Int = 4): Long = {
     import graft.meta.SnapshotManagement
     val normCorpus = SnapshotManagement.normalize(corpusPath)
     val normIdx = SnapshotManagement.normalize(indexPath)
@@ -101,8 +119,11 @@ object AnnIndex {
     val last = SyncSidecar.readValidated(normIdx, SYNC_FILE, normCorpus,
       current)
     val corpusNow = spark.read.format("graft").load(corpusPath)
-    if (last < 0) {
-      build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids)
+    if (last < 0 || !SnapshotManagement.exists(assignPath(indexPath))) {
+      // no sidecar (first sync) OR a pre-assign-table index layout: both
+      // mean incremental bookkeeping can't be trusted — rebuild in full
+      build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
+        hashBucketNum)
     } else if (current > last) {
       val touched = graft.tables.ChangeFeed
         .changes(spark, normCorpus, last + 1, current)
@@ -119,16 +140,33 @@ object AnnIndex {
         val unitVec = unitVecArray(cu)
         val newRows = assignNew.select("cid", "nid").join(unitVec, "nid")
           .select(col("cid"), col("nid"), col("uvec"))
-        // death warrants: every touched id (changed, deleted, OR zero-norm
-        // now) gets a tombstone in every cell except the one its fresh row
-        // lands in — the fresh row itself supersedes that cell's old image
-        val allCids = cents.select("cid").distinct()
-        val tomb = touched.select(col(s"`$idCol`").as("nid"))
-          .crossJoin(allCids)
-          .join(assignNew.select("nid", "cid"), Seq("nid", "cid"), "left_anti")
-          .select(col("cid"), col("nid"),
-            lit(true).as(graft.meta.Tombstones.COL))
+        // the assign table names each touched id's ONE previous cell: a
+        // bucketed semi-join on the (tiny, PK-nid) assign table, never a
+        // cells-table scan. Tombstone exactly that (cid, nid) when the id
+        // moved cells, was deleted, or went zero-norm; an id that stays in
+        // its cell needs no marker (the fresh upsert row supersedes it),
+        // and a brand-new insert has no old cell at all. Rows written per
+        // sync: |new assignments| + |moved ∪ deleted| ≤ 2·|touched|.
+        val touchedN = touched.select(col(s"`$idCol`").as("nid"))
+        val oldAssign = spark.read.format("graft").load(assignPath(indexPath))
+          .join(broadcast(touchedN), Seq("nid"), "left_semi")
+          .select(col("nid"), col("cid").as("oldCid"))
+          .transform(Checkpoints.stabilize)
+        val moved = oldAssign
+          .join(assignNew.select(col("nid"), col("cid").as("newCid")),
+            Seq("nid"), "left_outer")
+          .filter(col("newCid").isNull || col("newCid") =!= col("oldCid"))
+        val tomb = moved.select(col("oldCid").as("cid"), col("nid"),
+          lit(true).as(graft.meta.Tombstones.COL))
         val delta = newRows.unionByName(tomb, allowMissingColumns = true)
+        // assign-table delta: fresh assignments upsert; ids with an old
+        // assignment and no new one (deleted / zero-norm) tombstone out
+        val assignDelta = assignNew.select(col("nid"), col("cid"))
+          .unionByName(
+            oldAssign.join(assignNew.select("nid"), Seq("nid"), "left_anti")
+              .select(col("nid"), col("oldCid").as("cid"),
+                lit(true).as(graft.meta.Tombstones.COL)),
+            allowMissingColumns = true)
         // RADII FIRST, cells second: a crash (or concurrent topK) between
         // the two writes must land on the conservative side. An over-grown
         // radius with the old cells only costs extra probes; the reverse
@@ -141,16 +179,31 @@ object AnnIndex {
         val grown = assignNew.groupBy("cid")
           .agg(greatest(lit(-1.0d), least(lit(1.0d), min(col("csim"))))
             .as("newCosr"))
+        // cnt fold mirrors the radii's conservatism, in the direction that
+        // keeps the METADATA THRESHOLD valid: cnt must never exceed the
+        // cell's true live membership, so sync only DECREMENTS (members
+        // leaving their old cell), never counts arrivals — an undercount
+        // merely weakens the kth-best bound (more probing), an overcount
+        // would let topK skip a cell holding a true neighbor. Replays of a
+        // crashed window double-decrement at worst: still conservative.
+        // The next full build restores exact counts, like the radii.
+        val losses = moved.groupBy(col("oldCid").as("cid"))
+          .agg(count(lit(1)).as("loss"))
         // FULL outer: a cell empty at build time (no stored radius) that
         // receives its first member now must enter the stats — an inner or
         // left fold would hide it from the probe's radii join and silently
         // break exactness
         val folded = stored.join(grown, Seq("cid"), "full_outer")
+          .join(losses, Seq("cid"), "left_outer")
           .select(col("cid"),
             least(coalesce(col("cosr"), col("newCosr")),
-              coalesce(col("newCosr"), col("cosr"))).as("cosr"))
+              coalesce(col("newCosr"), col("cosr"))).as("cosr"),
+            greatest(lit(0L),
+              coalesce(col("cnt"), lit(0L)) - coalesce(col("loss"), lit(0L)))
+              .as("cnt"))
           .withColumn("sinr", sqrt(greatest(lit(0.0d),
             lit(1.0d) - col("cosr") * col("cosr"))))
+          .select("cid", "cosr", "sinr", "cnt")
           .transform(Checkpoints.stabilize)
         folded.write.format("graft").mode("overwrite")
           .save(statsPath(indexPath))
@@ -158,6 +211,17 @@ object AnnIndex {
         SnapshotManagement.withRewriteTransaction(normCells) { txn =>
           graft.commands.UpsertCommand.runDeltaIn(
             spark, normCells, delta, Map.empty, txn)
+        }
+        // assign LAST (after cells, before the sidecar): a crash anywhere
+        // in between replays the same feed window next sync, and every
+        // step is idempotent — re-tombstoning an already-dead (cid, nid)
+        // and re-upserting the same rows are both no-ops under the merge
+        // reader, whether the replay sees the stale or the fresh assign
+        // state
+        val normAssign = SnapshotManagement.normalize(assignPath(indexPath))
+        SnapshotManagement.withRewriteTransaction(normAssign) { txn =>
+          graft.commands.UpsertCommand.runDeltaIn(
+            spark, normAssign, assignDelta, Map.empty, txn)
         }
       }
     }
@@ -169,6 +233,44 @@ object AnnIndex {
 
   private val SYNC_FILE = "_graft_ann_sync.json"
 
+  /** Centroids + cell radii are metadata-scale BY CONSTRUCTION (nCentroids
+    * rows), yet as graft tables each read pays snapshot + scan planning —
+    * and [[topK]]'s probe logic derives from them in several separate
+    * actions. Collect them ONCE per (index, versions) into driver rows and
+    * replay as LocalRelations: planning becomes trivial, repeats are free,
+    * and a [[build]]/[[syncFromTable]] bump of either table's version
+    * invalidates the entry. One entry per index path, so the cache can't
+    * grow past the set of indexes a session actually queries. */
+  private case class CellMeta(
+      centsRows: java.util.List[org.apache.spark.sql.Row],
+      centsSchema: org.apache.spark.sql.types.StructType,
+      radiiRows: java.util.List[org.apache.spark.sql.Row],
+      radiiSchema: org.apache.spark.sql.types.StructType)
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, CellMeta)]()
+
+  private def cellMeta(
+      spark: SparkSession, normIdx: String,
+      indexPath: String): (DataFrame, DataFrame) = {
+    import graft.meta.SnapshotManagement
+    val cv = SnapshotManagement
+      .snapshot(SnapshotManagement.normalize(centroidsPath(indexPath))).version
+    val rv = SnapshotManagement
+      .snapshot(SnapshotManagement.normalize(statsPath(indexPath))).version
+    val cached = metaCache.get(normIdx) match {
+      case (ccv, crv, m) if ccv == cv && crv == rv => m
+      case _ =>
+        val c = spark.read.format("graft").load(centroidsPath(indexPath))
+        val r = spark.read.format("graft").load(statsPath(indexPath))
+        val m = CellMeta(c.collectAsList(), c.schema, r.collectAsList(), r.schema)
+        metaCache.put(normIdx, (cv, rv, m))
+        m
+    }
+    (spark.createDataFrame(cached.centsRows, cached.centsSchema),
+      spark.createDataFrame(cached.radiiRows, cached.radiiSchema))
+  }
+
   /** Exact cosine top-k of `queries` against the indexed corpus. Output
     * (qid, rank, nid) — identical to [[Ann.bruteTopK]] over the corpus the
     * index was built from (zero-norm corpus vectors were dropped at build,
@@ -177,68 +279,122 @@ object AnnIndex {
       spark: SparkSession, indexPath: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10): DataFrame = {
-    val cents = spark.read.format("graft").load(centroidsPath(indexPath))
-    val radii = spark.read.format("graft").load(statsPath(indexPath))
-    val qu = Ann.unitRows(queries, queryIdCol, queryVecCol, "qid", "qx")
-      .transform(Checkpoints.stabilize)
-    val qCell = Checkpoints.stabilize(
-      qu.join(broadcast(cents), "dim")
-        .groupBy(col("qid"), col("cid"))
-        .agg(sum(col("qx") * col("cx")).as("qcs")))
+    val (cents, radii) = cellMeta(spark,
+      graft.meta.SnapshotManagement.normalize(indexPath), indexPath)
+    // SINGLE-SCAN probe plan: the kth-best threshold comes from METADATA
+    // alone, so the corpus is touched exactly once. Each cell's stats give
+    // every member a sim interval around the query: with a = angle(q,
+    // centroid) and r = cell radius, every member sim ∈ [cos(a+r),
+    // cos(a-r)]. Sorting a query's cells by that LOWER bound and walking
+    // until member counts accumulate to k proves "at least k corpus
+    // vectors score >= t0" — so any cell whose UPPER bound misses t0
+    // provably holds no top-k member and is skipped. t0 is weaker than the
+    // old scan-the-nearest-cell threshold, but it is FREE: the old design
+    // paid a second corpus-touching phase (scan nearest cells, rank, then
+    // probe the rest) whose fixed job cost dominated small query batches,
+    // and on weak-bound corpora it degenerated to scanning everything
+    // TWICE. cnt is maintained conservatively low by sync (see the fold),
+    // which only ever weakens t0 — exactness never depends on it.
+    //
+    // The ONLY stabilized intermediate is `qu` (upstream cost unknown —
+    // the caller's frame). qCell/bounds/probe are per-query metadata
+    // derived from `qu` and the LOCAL centroid/stats relations; deriving
+    // them twice (once for the cid collect, once inside the final job)
+    // costs microseconds, while a localCheckpoint each would cost a full
+    // scheduled job.
+    // RAW query components, not unit rows: cosine RANKS per query are
+    // invariant under the positive per-query scale 1/|q|, so the final
+    // scoring join never needs normalized values — only the angular
+    // bounds below do, and there cos(q, c) comes from ONE fused aggregate
+    // (sum(x·cx) and sum(x²) in the same groupBy — the cid-dim join is
+    // dense, so the per-group x² sum IS the query norm). That drops the
+    // norm-then-rescale shuffle+join of Ann.unitRows from the plan. Lazy
+    // checkpoint: the probe-pair collect below is the first action — it
+    // fills qx's blocks and computes the probe plan in ONE scheduled job.
+    val qx = Checkpoints.stabilize(
+      queries.select(col(s"`$queryIdCol`").as("qid"),
+        posexplode(col(s"`$queryVecCol`").cast("array<double>"))
+          .as(Seq("dim", "x"))),
+      eager = false)
+    // zero-norm queries drop here (cosine undefined), exactly as
+    // Ann.unitRows does for every ANN variant
+    val qCell = qx.join(broadcast(cents), "dim")
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("x") * col("cx")).as("dotr"), sum(col("x") * col("x"))
+        .as("norm2"))
+      .filter(col("norm2") > 0.0d)
+      .select(col("qid"), col("cid"),
+        (col("dotr") / sqrt(col("norm2"))).as("qcs"))
 
-    // partition-pruned exploded rows of the given cells only: the isin
-    // literals push into the range-partition filter at scan planning
-    def cellRows(cids: Seq[Any]): DataFrame =
-      spark.read.format("graft").load(cellsPath(indexPath))
-        .filter(col("cid").isin(cids: _*))
-        .select(col("cid"), col("nid"),
-          posexplode(col("uvec")).as(Seq("dim", "nx")))
-
-    val w1 = Window.partitionBy("qid").orderBy(col("qcs").desc, col("cid").asc)
-    val nearest = qCell.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1).select("qid", "cid")
-      .transform(Checkpoints.stabilize)
-    val nearCids = nearest.select("cid").distinct().collect().map(_.get(0)).toSeq
-    if (nearCids.isEmpty) {
-      // no query survived unit-normalization — empty, correctly-shaped out
-      return qCell.select(col("qid"), lit(0).as("rank"),
-        col("cid").as("nid")).limit(0)
-    }
-    val firstScored = Checkpoints.stabilize(cellRows(nearCids)
-      .join(nearest, Seq("cid"))
-      .join(broadcast(qu), Seq("qid", "dim"))
-      .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim")))
-    val wk = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    val thresholds = qCell.select("qid").distinct()
-      .join(firstScored.withColumn("rn", row_number().over(wk))
-        .groupBy("qid")
-        .agg(max(when(col("rn") === k, col("sim"))).as("tk")),
-        Seq("qid"), "left_outer")
-      .select(col("qid"), coalesce(col("tk"), lit(-2.0d)).as("t"))
     val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => greatest(lit(-1.0d), least(lit(1.0d), c))
     val qcsC = clamp(col("qcs"))
     val sinA = sqrt(greatest(lit(0.0d), lit(1.0d) - qcsC * qcsC))
+    val cosr = coalesce(col("cosr"), lit(-1.0d))
+    val sinr = coalesce(col("sinr"), lit(0.0d))
     // left join + widest-radius default: a cell somehow missing its stats
-    // row must be PROBED (bound 1), never silently skipped — conservative
-    // costs a scan, the alternative costs exactness
-    val probe = qCell.join(broadcast(radii), Seq("cid"), "left_outer")
-      .join(broadcast(thresholds), "qid")
-      .filter(when(qcsC >= coalesce(col("cosr"), lit(-1.0d)), lit(1.0d))
-        .otherwise(qcsC * coalesce(col("cosr"), lit(-1.0d)) +
-          sinA * coalesce(col("sinr"), lit(0.0d))) + lit(1e-9) >=
-        col("t"))
+    // row must be PROBED (ub 1) and must claim nothing for the threshold
+    // (lb -1, cnt 0) — conservative costs a scan, the alternative costs
+    // exactness. cos(a±r) expands via the angle-sum identities on the
+    // stored (cos r, sin r) — no acos anywhere. Clamps: a+r past pi means
+    // the interval floor is -1; a-r below 0 means the ceiling is 1.
+    val cntCol =
+      if (radii.columns.contains("cnt")) coalesce(col("cnt"), lit(0L))
+      else lit(0L) // pre-cnt stats: threshold degrades to probe-everything
+    val bounds = qCell.join(broadcast(radii), Seq("cid"), "left_outer")
+      .select(col("qid"), col("cid"),
+        when(qcsC >= cosr, lit(1.0d))
+          .otherwise(qcsC * cosr + sinA * sinr).as("ub"),
+        when(qcsC < -cosr, lit(-1.0d))
+          .otherwise(qcsC * cosr - sinA * sinr).as("lb"),
+        cntCol.as("cnt"))
+    val wlb = Window.partitionBy("qid")
+      .orderBy(col("lb").desc, col("cid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // t0 = lb of the first cell (in lb-desc order) at which cumulative
+    // membership reaches k; fewer than k counted members => -2 (probe all)
+    val t0 = bounds.withColumn("cum", sum(col("cnt")).over(wlb))
+      .groupBy("qid")
+      .agg(coalesce(max(when(col("cum") >= k, col("lb"))), lit(-2.0d))
+        .as("t0"))
+    val probe = bounds.join(broadcast(t0), "qid")
+      .filter(col("ub") + lit(1e-9) >= col("t0"))
       .select("qid", "cid")
-      .join(nearest, Seq("qid", "cid"), "left_anti")
-      .transform(Checkpoints.stabilize)
-    val probeCids = probe.select("cid").distinct().collect().map(_.get(0)).toSeq
-    val scored =
-      if (probeCids.isEmpty) firstScored
-      else firstScored.unionAll(
-        cellRows(probeCids)
-          .join(probe, Seq("cid"))
-          .join(broadcast(qu), Seq("qid", "dim"))
-          .groupBy("qid", "nid").agg(sum(col("nx") * col("qx")).as("sim")))
+    // one planning action collects the (qid, cid) probe pairs themselves
+    // when they fit (they're bounded by |queries| × probed cells — tiny
+    // for the common point-lookup / small-batch case), so the final job
+    // joins a LOCAL relation instead of re-deriving the probe plan
+    // distributively. The limit(cap + 1) probe is the overflow detector:
+    // a truncated collect is discarded and only the distinct cids are
+    // collected (bounded by nCentroids — metadata-scale by construction),
+    // with the pair set re-derived inside the final job.
+    val maxLocalPairs = 100000
+    val pairRows = probe.limit(maxLocalPairs + 1).collect()
+    val (probeCids, probePairs) =
+      if (pairRows.length <= maxLocalPairs) {
+        (pairRows.map(_.get(1)).distinct.toSeq,
+          spark.createDataFrame(
+            java.util.Arrays.asList(pairRows: _*), probe.schema))
+      } else {
+        (probe.select("cid").distinct().collect().map(_.get(0)).toSeq, probe)
+      }
+    if (probeCids.isEmpty) {
+      // no query survived unit-normalization — empty, correctly-shaped out
+      return qCell.select(col("qid"), lit(0).as("rank"),
+        col("cid").as("nid")).limit(0)
+    }
+    // ONE partition-pruned pass over the probed cells: the isin literals
+    // push into the range-partition filter at scan PLANNING, each cell row
+    // fans out only to the queries probing that cell, and the rank window
+    // finishes the job
+    val scored = spark.read.format("graft").load(cellsPath(indexPath))
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col("cid"), col("nid"),
+        posexplode(col("uvec")).as(Seq("dim", "nx")))
+      .join(broadcast(probePairs), Seq("cid"))
+      .join(broadcast(qx), Seq("qid", "dim"))
+      // raw-x sim = |q| × cosine: same per-query order, same ties
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("x")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

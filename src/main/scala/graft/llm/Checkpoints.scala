@@ -59,7 +59,14 @@ object Checkpoints {
 
   private val tracked = new ConcurrentLinkedQueue[Tracked]()
 
-  def stabilize(df: DataFrame): DataFrame = {
+  def stabilize(df: DataFrame): DataFrame = stabilize(df, eager = true)
+
+  /** `eager = false` defers materialization to the FIRST consuming action:
+    * that action both fills the blocks and computes its own result in one
+    * scheduled job, and later consumers read the blocks. Use when the
+    * first consumer runs immediately anyway (e.g. a collect that gates the
+    * rest of the pipeline) — it saves one whole job over the eager form. */
+  def stabilize(df: DataFrame, eager: Boolean): DataFrame = {
     df.sparkSession.conf.getOption(MODE_KEY).getOrElse("local") match {
       case "none" => df
       case "persist" =>
@@ -67,7 +74,7 @@ object Checkpoints {
         tracked.add(StrongCached(p))
         p
       case _ =>
-        val c = df.localCheckpoint()
+        val c = df.localCheckpoint(eager)
         // the checkpointed blocks belong to the LogicalRDD's internal RDD;
         // track it directly so release does not depend on RDD GC timing
         castToImpl(c).queryExecution.analyzed.collectFirst {

@@ -27,8 +27,17 @@ private[llm] object SyncSidecar {
       currentVersion: Long): Long = {
     val p = Paths.get(indexDir, fileName)
     if (!Files.exists(p)) return -1L
-    val m = org.json4s.jackson.Serialization.read[Meta](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val m = try {
+      org.json4s.jackson.Serialization.read[Meta](
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        // unreadable sidecar (e.g. torn by a crash on a filesystem without
+        // atomic rename): same remedy as every other mismatch — rebuild
+        throw new IllegalStateException(
+          s"sync sidecar at $p is unreadable (${e.getMessage}) — delete " +
+          "the index and rebuild", e)
+    }
     require(m.sourcePath == sourcePath,
       s"index at $indexDir is synced to '${m.sourcePath}', not " +
       s"'$sourcePath' — delete the index (or pick the right source) and " +
@@ -44,8 +53,14 @@ private[llm] object SyncSidecar {
       indexDir: String, fileName: String, sourcePath: String,
       version: Long): Unit = {
     Files.createDirectories(Paths.get(indexDir))
-    Files.write(Paths.get(indexDir, fileName),
+    // temp + atomic rename: a crash mid-write must leave either the old
+    // sidecar or the new one, never truncated JSON
+    val tmp = Files.createTempFile(Paths.get(indexDir), s".$fileName", ".tmp")
+    Files.write(tmp,
       org.json4s.jackson.Serialization.write(Meta(sourcePath, version))
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(indexDir, fileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -239,8 +239,10 @@ object TextAnalysis {
     // numChunks NULL and posexplode(NULL) emits ZERO rows — the document
     // would silently vanish instead of keeping its representative chunk
     val n = coalesce(length(col(textCol)), lit(0)).cast("long")
-    // exact integer ceil-div: extra strides needed past the first chunk
-    val extra = floor(((n - chunkChars) + (strideChars - 1)) / strideChars)
+    // exact integer ceil-div (IntegralDivide, not fp `/` + floor): extra
+    // strides needed past the first chunk
+    val extra = call_function("div",
+      (n - chunkChars) + (strideChars - 1), lit(strideChars.toLong))
       .cast("long")
     val numChunks = when(n <= chunkChars, lit(1L)).otherwise(extra + 1L)
     df.select(col(idCol), col(textCol),

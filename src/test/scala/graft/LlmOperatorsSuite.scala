@@ -742,6 +742,28 @@ class LlmOperatorsSuite extends GraftFunSuite {
       assert(!got.exists(_._3 == 7L))
       assert(spark.read.format("graft").load(s"$idx/cells")
         .filter($"nid" === 7L).count() == 0)
+
+      // tombstone economy: the sync touched 3 ids (update 3, insert 300,
+      // delete 7) and must write AT MOST one death warrant per touched id
+      // (only moved/deleted ids get one) — not |touched| × |cells|
+      val cellsSnap = graft.meta.SnapshotManagement.snapshot(
+        graft.meta.SnapshotManagement.normalize(s"$idx/cells"))
+      val syncTombFiles = cellsSnap.files.filter(f =>
+        f.writeVersion == cellsSnap.version && graft.meta.Tombstones.fileHas(f))
+      val tombRows =
+        if (syncTombFiles.isEmpty) 0L
+        else spark.read.parquet(
+            syncTombFiles.map(f => s"${cellsSnap.tablePath}/${f.path}"): _*)
+          .filter(org.apache.spark.sql.functions
+            .col(graft.meta.Tombstones.COL) === true).count()
+      assert(tombRows <= 3L,
+        s"sync wrote $tombRows tombstones for 3 touched ids — fan-out is back")
+      // the assign table tracks live ids exactly: 7 out, 300 in, 3 current
+      val assign = spark.read.format("graft").load(s"$idx/assign")
+      assert(assign.filter($"nid" === 7L).count() == 0)
+      assert(assign.filter($"nid" === 300L).count() == 1)
+      assert(assign.count() == corpusNow.count(),
+        "assign table must hold exactly one row per live corpus vector")
     }
   }
 
