@@ -122,14 +122,19 @@ object MaterializedViews {
   private[graft] val incrementalRefreshes =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Incremental view maintenance: fold the base table's change-feed
-    * window into the stored aggregates instead of rescanning the base.
-    * Applies when ALL of:
+  /** Incremental view maintenance: fold the changed base table's
+    * change-feed window into the stored aggregates instead of rescanning
+    * the base. Applies when ALL of:
     *
-    *  - the view is a filter + GROUP BY aggregate over ONE graft table,
-    *    every group expression is projected as an output column (the join
-    *    key back into the stored state), and every aggregate is a
-    *    non-DISTINCT, non-FILTER `COUNT`/`SUM`;
+    *  - the view is a filter + GROUP BY aggregate over one graft table OR
+    *    an inner equi-join tree of graft tables in which EXACTLY ONE
+    *    relation changed since the last refresh (the delta distributes
+    *    over the join against the others' pinned snapshots; two relations
+    *    changing leaves a ΔA ⋈ ΔB cross term — full recompute). Every
+    *    group expression must surface as an output column (the join key
+    *    back into the stored state) and every aggregate is non-DISTINCT,
+    *    non-FILTER `COUNT`/`SUM` (plus `MIN`/`MAX`/`AVG` under the
+    *    conditions below);
     *  - some output column is a row count (`COUNT(*)` or `COUNT` of a
     *    non-nullable argument) — group lifecycle (a group's row count
     *    reaching zero deletes its row) is undecidable without one;
@@ -137,20 +142,26 @@ object MaterializedViews {
     *    sum would accumulate float error across refreshes and drift from
     *    the recompute), and, when `e` is nullable, some output column is
     *    `COUNT(e)` (the combined sum must return to NULL when the last
-    *    non-null contributor is deleted; sum+count is how AVG-serving
-    *    views are written anyway);
-    *  - the window's commits all have row-level pre/post images: raw-image
-    *    delta upserts (no pre-state) and `alter` (schema change) fall back
-    *    to full recompute. Checked from commit METADATA only — the
-    *    fallback decision costs zero data I/O.
+    *    non-null contributor is deleted);
+    *  - `AVG(e)` folds only through companion `SUM(e)` + `COUNT(e)`
+    *    output columns (integral `e`): the stored avg value already
+    *    carries its division's rounding and cannot reconstruct the exact
+    *    sum; the companions re-derive it bit-for-bit;
+    *  - the window's commits all yield row-level pre/post images in the
+    *    feed: raw-image delta upserts (the canonical CDC ingest) DO —
+    *    the feed runs with `resolveUpserts`, diffing the touched buckets'
+    *    merged state — while `alter` (schema change) falls back. Checked
+    *    from commit METADATA only — the fallback decision costs zero
+    *    data I/O.
     *
     * The delta is `changes(lastVersion+1, current)` with weight +1 for
-    * insert/update_postimage and -1 for delete/update_preimage, pushed
-    * through the view's own filter and group/aggregate expressions
-    * (re-bound by name onto the feed frame), then full-outer-joined with
-    * the stored view state: counts add, sums add, groups whose row count
-    * reaches 0 drop out. At 100 TB this turns an O(base) nightly rebuild
-    * into an O(changed rows) fold. */
+    * insert/update_postimage and -1 for delete/update_preimage, joined
+    * against any pinned relations, pushed through the view's own filter
+    * and group/aggregate expressions (re-bound onto the feed and pinned
+    * frames), then full-outer-joined with the stored view state: counts
+    * add, sums add, groups whose row count reaches 0 drop out. At 100 TB
+    * this turns an O(base) nightly rebuild into an O(changed rows ⋈
+    * pinned) fold. */
   private def tryIncrementalRefresh(
       spark: SparkSession, viewPath: String,
       info: MaterialViewInfo): Boolean = {
@@ -162,7 +173,7 @@ object MaterializedViews {
     import graft.tables.ChangeFeed
     val RQ = RewriteQueryByMaterialView
 
-    if (info.relationVersions.size != 1) return false
+    if (info.relationVersions.isEmpty) return false
     // idempotence pin: the stored state must be EXACTLY the one this
     // meta file describes — a crash between a previous refresh's table
     // write and its meta write leaves them out of step, and folding the
@@ -171,15 +182,31 @@ object MaterializedViews {
     val normView = SnapshotManagement.normalize(viewPath)
     if (!info.viewTableVersion.contains(
       SnapshotManagement.store.latestVersion(normView))) return false
-    val (basePath, fromV) = info.relationVersions.head
-    val baseSnap = SnapshotManagement.snapshotOpt(
-      SnapshotManagement.normalize(basePath)).getOrElse(return false)
-    val toV = baseSnap.version
-    if (toV <= fromV) return false
+    // multi-relation views fold when EXACTLY ONE relation changed: the
+    // delta then distributes over the inner join (post ⋈ pinned = pre ⋈
+    // pinned + Δ ⋈ pinned — multiset linearity), so the feed window joins
+    // against the other relations' PINNED snapshots and folds as usual.
+    // Two relations changing in the same window would need the cross term
+    // ΔA ⋈ ΔB on top; full recompute handles that (rarer) shape.
+    val normBy: Map[String, (String, Long)] = info.relationVersions.map {
+      case (p, v) => SnapshotManagement.normalize(p) -> (p, v) }
+    if (normBy.size != info.relationVersions.size) return false
+    val snapsNow = normBy.keys.map { np =>
+      np -> SnapshotManagement.snapshotOpt(np).getOrElse(return false)
+    }.toMap
+    // a pinned version AHEAD of the table's current one means the history
+    // was rewound (restore/recreate) — only the full recompute heals that
+    if (normBy.exists { case (np, (_, v)) => snapsNow(np).version < v })
+      return false
+    val changedPaths = normBy.keys.toSeq
+      .filter(np => snapsNow(np).version > normBy(np)._2)
+    if (changedPaths.size != 1) return false
+    val norm = changedPaths.head
+    val (basePathKey, fromV) = normBy(norm)
+    val toV = snapsNow(norm).version
     // metadata-only window precheck: every commit must yield row-level
     // pre/post images in the feed
     val store = SnapshotManagement.store
-    val norm = SnapshotManagement.normalize(basePath)
     // ONE short-circuiting metadata pass decides both verdicts: a
     // disqualifying commit (alter, raw-image delta) returns immediately —
     // a 10k-commit backlog must not read 10k commit files just to learn
@@ -201,7 +228,11 @@ object MaterializedViews {
       val adds = graft.meta.DataFileInfo.stampedAdds(entries, wv)
       val hasTomb = graft.meta.Tombstones.anyHas(adds)
       if (ct == "alter") return false // may retype columns mid-window
-      if (ct == "delta" && !hasTomb) return false // raw images: no feed
+      // raw-image delta (the canonical CDC upsert) IS foldable: the feed
+      // below runs with resolveUpserts = true, which diffs the touched
+      // buckets' merged state to recover per-key pre-images. It still
+      // counts as NOT insert-only (an overwrite can retract a stored
+      // extreme), so MIN/MAX folding stays disabled over such windows.
       val insertOnly =
         graft.sources.GraftMicroBatchStream.INSERT_ONLY_TYPES.contains(ct) &&
         entries.forall(_.remove.isEmpty) && !hasTomb
@@ -215,13 +246,21 @@ object MaterializedViews {
     val plan = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(viewDf).queryExecution.analyzed
     val dec = RQ.decomposeAgg(plan).getOrElse(return false)
-    dec.source match {
-      case RQ.RelSource(rel) if RQ.graftPath(rel)
-        .map(SnapshotManagement.normalize).contains(norm) => ()
-      case _ => return false
+    val (rels, joinConjs) = dec.source match {
+      case RQ.RelSource(rel) => (Seq(rel), Seq.empty[Expression])
+      case RQ.JoinSource(rs, js) => (rs, js)
     }
+    val relPaths = rels.map(r => RQ.graftPath(r)
+      .map(SnapshotManagement.normalize).getOrElse(return false))
+    // a self-join reads the changed table twice — both sides change
+    // together and the per-side delta decomposition above doesn't hold
+    if (relPaths.distinct.size != relPaths.size) return false
+    if (relPaths.toSet != normBy.keySet) return false
+    val changedRel = rels(relPaths.indexOf(norm))
+    val pinnedRels = rels.zip(relPaths).filter(_._2 != norm)
     if (dec.groupExprs.exists(!_.deterministic) ||
-      dec.conjuncts.exists(!_.deterministic)) return false
+      dec.conjuncts.exists(!_.deterministic) ||
+      joinConjs.exists(!_.deterministic)) return false
 
     def strip(e: Expression): Expression = e match {
       case a: Alias => strip(a.child)
@@ -234,6 +273,7 @@ object MaterializedViews {
     case class SumCol(arg: Expression) extends Kind
     case class MinCol(arg: Expression) extends Kind // append-only windows
     case class MaxCol(arg: Expression) extends Kind // append-only windows
+    case class AvgCol(arg: Expression) extends Kind // needs sum+count mates
     val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
       dec.aggList.map { ne: NamedExpression =>
         val kind = strip(ne) match {
@@ -258,6 +298,25 @@ object MaterializedViews {
               if appendOnly && e.deterministic => MinCol(e)
           case AggregateExpression(Max(e), _, _, _, _)
               if appendOnly && e.deterministic => MaxCol(e)
+          // AVG folds exactly ONLY via companion SUM + COUNT columns in
+          // the view (validated below): the stored avg value alone cannot
+          // reconstruct the exact sum (it already carries the division's
+          // rounding), and folding through it would drift from the
+          // recompute — the very thing the double-SUM bail above forbids.
+          // Integral args only: their avg is exact-long-sum / count, which
+          // the fold reproduces bit-for-bit; decimal avg's result scale
+          // follows Average's own internal division and is not replayed
+          // here; fp args are already excluded by their sums.
+          case AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .Average(e, _), _, _, _, _)
+              if e.deterministic && (e.dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType => true
+                case _ => false
+              }) => AvgCol(e)
           case e =>
             val i = dec.groupExprs.indexWhere(_.semanticEquals(e))
             if (i < 0) return false
@@ -281,18 +340,66 @@ object MaterializedViews {
           case (ce, cn) if ce.semanticEquals(e) => cn
         }.getOrElse(return false)
     }.toMap
+    // AVG companions: the exact sum and the matching denominator count.
+    // A nullable arg REQUIRES count(arg) (count(*) would count null
+    // contributions into the denominator); a non-nullable arg may borrow
+    // count(*). Views without the companions take the full recompute.
+    val avgComp: Map[String, (String, String,
+        org.apache.spark.sql.types.DataType)] = cols.collect {
+      case (n, AvgCol(e), _) =>
+        val (sn, sdt) = cols.collectFirst {
+          case (sn2, SumCol(se), sdt2) if se.semanticEquals(e) => (sn2, sdt2)
+        }.getOrElse(return false)
+        val cn = countByArg.collectFirst {
+          case (ce, cn2) if ce.semanticEquals(e) => cn2
+        }.orElse(if (!e.nullable) cols.collectFirst {
+          case (cn2, CountCol(None), _) => cn2
+        } else None).getOrElse(return false)
+        n -> ((sn, cn, sdt))
+    }.toMap
 
-    // the change window, weighted; re-bind the view's expressions onto the
-    // feed frame by (case-resolver) name
-    val changes = ChangeFeed.changes(spark, norm, fromV + 1, toV)
+    // the change window, weighted; re-bind the view's expressions onto
+    // the replacement frames: the CHANGED relation's attributes map (by
+    // case-resolver name) onto the feed frame, each PINNED relation's
+    // onto a frame reading its pinned snapshot's files directly —
+    // immutable files, so a commit racing this refresh cannot leak newer
+    // pinned-side rows into the fold. Lookups key on the original
+    // expression ids, so duplicate column names ACROSS relations stay
+    // unambiguous.
+    val changes = ChangeFeed.changes(spark, norm, fromV + 1, toV,
+      resolveUpserts = true)
     val feedAttrs = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(changes).queryExecution.analyzed.output
+    val pinnedFrames: Seq[(org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan, DataFrame)] =
+      pinnedRels.map { case (r, np) =>
+        val s = snapsNow(np)
+        (r, graft.sources.GraftRead.readFiles(spark, np, s, s.files))
+      }
     val resolver = spark.sessionState.conf.resolver
+    val attrMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        Expression] = {
+      val pairs = scala.collection.mutable.ArrayBuffer
+        .empty[(org.apache.spark.sql.catalyst.expressions.ExprId, Expression)]
+      def link(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+          frameAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+          : Unit =
+        out.foreach { a =>
+          frameAttrs.find(fa => resolver(fa.name, a.name))
+            .foreach(fa => pairs += (a.exprId -> fa))
+        }
+      link(changedRel.output, feedAttrs)
+      pinnedFrames.foreach { case (r, df) =>
+        link(r.output, org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(df).queryExecution.analyzed.output)
+      }
+      pairs.toMap
+    }
     def rebind(e: Expression): Option[Expression] = {
       var ok = true
       val out = e.transform {
         case a: AttributeReference =>
-          feedAttrs.find(fa => resolver(fa.name, a.name)) match {
+          attrMap.get(a.exprId) match {
             case Some(fa) => fa
             case None => ok = false; a
           }
@@ -314,7 +421,14 @@ object MaterializedViews {
         .otherwise(raise_error(concat(lit("incremental MV refresh: " +
           "unexpected change type "), col(ChangeFeed.CHANGE_TYPE)))
           .cast("long")))
-    val filtered = dec.conjuncts.foldLeft(weighted)((d, c) =>
+    // Δ ⋈ pinned: chain the pinned frames onto the weighted feed and let
+    // the equi-conjuncts (applied as filters) collapse the cross joins
+    // into inner equi-joins in the optimizer — join order/shape is
+    // Catalyst's call (broadcast for dimension-sized pinned sides, AQE
+    // otherwise). Each feed row's ±weight rides through the fan-out, so a
+    // pre-image joining m pinned rows retracts exactly m joined rows.
+    val joinedSrc = pinnedFrames.map(_._2).foldLeft(weighted)(_ crossJoin _)
+    val filtered = (dec.conjuncts ++ joinConjs).foldLeft(joinedSrc)((d, c) =>
       d.filter(rebindCol(c)))
     val keyNames: Seq[String] = dec.groupExprs.indices.map(i =>
       cols.collectFirst { case (n, KeyCol(`i`), _) => n }.get)
@@ -367,6 +481,15 @@ object MaterializedViews {
           least(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
         case MaxCol(_) =>
           greatest(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
+        // AVG re-derives from its companions' combined images: exact long
+        // sum / long count, the same division Average itself performs for
+        // integral args. NULL when the denominator returns to zero.
+        case AvgCol(_) =>
+          val (sn, cn, sdt) = avgComp(n)
+          val den = comb(cn, org.apache.spark.sql.types.LongType)
+          when(den === 0L, lit(null))
+            .otherwise(comb(sn, sdt).cast("double") / den.cast("double"))
+            .cast(dt)
       }
     val outCols = cols.map { case (n, k, dt) => outExpr(n, k, dt).as(n) }
     def alive = comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L
@@ -444,7 +567,9 @@ object MaterializedViews {
     }
     committedVersion.foreach { v =>
       Files.write(mvMetaPath(viewPath),
-        Serialization.write(info.copy(relationVersions = Map(basePath -> toV),
+        Serialization.write(info.copy(
+          relationVersions = info.relationVersions
+            .updated(basePathKey, toV),
           viewTableVersion = Some(v)))
           .getBytes(StandardCharsets.UTF_8))
       incrementalRefreshes.incrementAndGet()

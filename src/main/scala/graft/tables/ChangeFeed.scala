@@ -61,11 +61,21 @@ object ChangeFeed {
     * `a.b` must resolve as one column, not a struct path. */
   private def bq(name: String): String = s"`${name.replace("`", "``")}`"
 
+  /** `resolveUpserts = true` trades feed cost for exact images: instead of
+    * emitting a tombstone-free `delta` commit's rows as-written with type
+    * `upsert` (the cheap default — one scan of the commit's own files), it
+    * diffs the touched buckets' MERGED state at v-1 vs v, so every row
+    * resolves to `insert` or an `update_preimage`/`update_postimage` pair.
+    * Consumers that fold ±weighted images (incremental MV refresh) need
+    * the pre-images; plain CDC mirroring does not and should keep the
+    * default. Cost: ∝ the touched buckets' data per delta commit, and
+    * delta commits no longer collapse into append-runs. */
   def changes(
       spark: SparkSession,
       tablePath: String,
       startVersion: Long,
-      endVersion: Long = -1L): DataFrame = {
+      endVersion: Long = -1L,
+      resolveUpserts: Boolean = false): DataFrame = {
     val path = SnapshotManagement.normalize(tablePath)
     val store = SnapshotManagement.store
     val latest = store.latestVersion(path)
@@ -100,7 +110,8 @@ object ChangeFeed {
       val removes = entries.flatMap(_.remove)
       val appendLike =
         Set("create", "append", "streaming", "delta").contains(commitType) &&
-        removes.isEmpty && !graft.meta.Tombstones.anyHas(adds)
+        removes.isEmpty && !graft.meta.Tombstones.anyHas(adds) &&
+        !(resolveUpserts && commitType == "delta")
       if (appendLike) {
         val tpe = if (commitType == "delta") "upsert" else "insert"
         adds.foreach(f => run += RunFile(f, v, ts, tpe))
@@ -111,7 +122,8 @@ object ChangeFeed {
         flushRun()
       } else {
         flushRun()
-        changesAt(spark, path, v, entries).foreach(frames += _)
+        changesAt(spark, path, v, entries, resolveUpserts)
+          .foreach(frames += _)
       }
     }
     flushRun()
@@ -194,7 +206,8 @@ object ChangeFeed {
     * per version, not two. */
   private def changesAt(
       spark: SparkSession, path: String, v: Long,
-      entries: Seq[graft.meta.LogEntry]): Option[DataFrame] = {
+      entries: Seq[graft.meta.LogEntry],
+      resolveUpserts: Boolean = false): Option[DataFrame] = {
     val store = SnapshotManagement.store
     val info = entries.flatMap(_.commit).headOption
     val commitType = info.map(_.commitType).getOrElse("append")
@@ -226,6 +239,13 @@ object ChangeFeed {
         // touched buckets' merged state at v-1 vs v instead (mirrors the
         // streaming side's diffPartitions): cost ∝ touched buckets' data,
         // and the k-way reader applies marker-reset semantics on both sides.
+        Some(touchedBucketDiff(spark, path, prevSnap, snap, adds,
+          removePaths, v, ts, commitType))
+      case "delta" if resolveUpserts =>
+        // raw-image upsert, but the caller asked for true pre/post images:
+        // the merged-bucket diff resolves each written row against the
+        // bucket's v-1 state — an overwritten key becomes an update pair,
+        // a fresh key an insert, an identical re-write is suppressed
         Some(touchedBucketDiff(spark, path, prevSnap, snap, adds,
           removePaths, v, ts, commitType))
       case "delta" =>

@@ -156,7 +156,8 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
-  test("raw-image delta upserts on a PK base fall back to full recompute") {
+  test("raw-image delta upserts (the canonical CDC shape) fold " +
+      "incrementally via resolved pre-images") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
       Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v")
@@ -166,14 +167,111 @@ class MvIncrementalSuite extends GraftFunSuite {
       val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
         "FROM mvi_e GROUP BY g"
       MaterializedViews.create(spark, viewDir, sql)
-      // delta upsert: the feed would emit raw images with no pre-state
+      // delta upsert writes raw images; the fold resolves pre-images by
+      // diffing the touched buckets' merged state — key 1 overwritten
+      // (update pair), key 3 fresh (insert), key 2 moves groups b→c
       GraftTable.forPath(spark, dir)
-        .upsert(Seq((1L, "a", 11L), (3L, "c", 30L)).toDF("id", "g", "v"))
+        .upsert(Seq((1L, "a", 11L), (3L, "c", 30L), (2L, "c", 20L))
+          .toDF("id", "g", "v"))
       val before = incCount
       assert(MaterializedViews.refresh(spark, viewDir))
-      assert(incCount == before, "raw-image window must not go incremental")
+      assert(incCount == before + 1,
+        "an upsert-only window must take the incremental path")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("a", 1L, 1L, 11L)))
+      // group b emptied by the move; c holds both movers
+      assert(!rowsOf(spark.sql(sql)).exists(_.head == "b"))
+      assert(rowsOf(spark.sql(sql)).contains(Seq("c", 2L, 2L, 50L)))
+
+      // a second window mixing another upsert with a tombstone DELETE
+      // still folds (both commit kinds yield pre/post images)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((4L, "a", 4L)).toDF("id", "g", "v"))
+      t.delete(col("id") === 1L)
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1)
       assertMatchesRecompute(viewDir, sql)
     }
+  }
+
+  test("AVG folds through its sum+count companions; integral args exact") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", Some(10L)), (2L, "a", Option.empty[Long]),
+        (3L, "b", Some(7L))).toDF("id", "g", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_avg")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv, " +
+        "avg(v) AS av FROM mvi_avg GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      // window with an insert AND an upsert that retracts a contributor
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((4L, "a", Some(20L))).toDF("id", "g", "v"))
+      t.upsert(Seq((3L, "b", Option.empty[Long])).toDF("id", "g", "v"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "avg with companions must fold")
+      assertMatchesRecompute(viewDir, sql)
+      // b's only non-null contributor was retracted: avg returns to NULL
+      assert(rowsOf(spark.sql(sql)).contains(Seq("b", 1L, 0L, null, null)))
+      assert(rowsOf(spark.sql(sql)).contains(Seq("a", 3L, 2L, 30L, 15.0d)))
+    }
+  }
+
+  test("join view folds when exactly one relation changed; both-changed " +
+      "windows fall back") {
+    withTempTable { factDir => withTempTable { dimDir =>
+      val viewDir = factDir + "-mv"
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 10L, 50L))
+        .toDF("id", "dim_id", "amount").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(factDir)
+      Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("did", "dname")
+        .write.format("graft")
+        .option("hashPartitions", "did").option("hashBucketNum", "1")
+        .save(dimDir)
+      spark.read.format("graft").load(factDir)
+        .createOrReplaceTempView("mvi_fact")
+      spark.read.format("graft").load(dimDir)
+        .createOrReplaceTempView("mvi_dim")
+      val sql = "SELECT dname, count(*) AS cnt, sum(amount) AS amt " +
+        "FROM mvi_fact JOIN mvi_dim ON dim_id = did GROUP BY dname"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // fact-only window: append + upsert (update moves a row across dims,
+      // insert lands on a dim with no prior rows)
+      val tf = GraftTable.forPath(spark, factDir)
+      tf.upsert(Seq((4L, 20L, 1L)).toDF("id", "dim_id", "amount"))
+      tf.upsert(Seq((1L, 30L, 100L)).toDF("id", "dim_id", "amount"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "fact-only window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("z", 1L, 100L)))
+      assert(rowsOf(spark.sql(sql)).contains(Seq("y", 2L, 201L)))
+
+      // dim-only window folds too (the fold is symmetric in which side
+      // changed): rename dim 10 — every joined fact row re-labels
+      GraftTable.forPath(spark, dimDir)
+        .upsert(Seq((10L, "x2")).toDF("did", "dname"))
+      val beforeD = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == beforeD + 1, "dim-only window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("x2", 1L, 50L)))
+
+      // both sides changed in one window: cross-term — full recompute
+      GraftTable.forPath(spark, factDir)
+        .upsert(Seq((5L, 30L, 7L)).toDF("id", "dim_id", "amount"))
+      GraftTable.forPath(spark, dimDir)
+        .upsert(Seq((30L, "z2")).toDF("did", "dname"))
+      val beforeB = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == beforeB, "both-changed window must recompute fully")
+      assertMatchesRecompute(viewDir, sql)
+    } }
   }
 
   test("ineligible shapes (avg, double sum) fall back and stay correct") {
