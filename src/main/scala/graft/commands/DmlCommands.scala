@@ -606,24 +606,141 @@ object RebucketCommand {
     * old version replays the old TableInfo with the old files (the log
     * pairs them by construction).
     *
-    * Concurrency: `strictWindow` — ANY commit landing since the pinned
-    * snapshot restarts the rewrite (its rows must be re-read under the new
-    * layout). The reverse race — a writer that pinned the OLD layout
-    * committing bucketed files AFTER the rebucket — is closed by the
-    * layout guard in [[graft.meta.Transaction.commit]].
+    * Concurrency: the rewrite must not LIVELOCK under sustained writes, so
+    * it converges incrementally instead of restarting. Phase 1 rewrites
+    * the pinned snapshot's full merged state into new-layout BASE files
+    * (no transaction held — writers keep committing). Each commit attempt
+    * then pins the current version, replays only the commits since the
+    * last replay as new-layout DELTA files — per-key last-state from the
+    * change feed (`resolveUpserts` gives true post-images), tombstone
+    * markers for deleted keys — and tries a `strictWindow` cutover. A
+    * commit racing the cutover costs one more sliver-sized catch-up round,
+    * never a second full rewrite; per-file `writeVersion`s (base stamped
+    * below every round, rounds stamped with their window end) make the
+    * k-way merge reader resolve base < round 1 < … < future commits. The
+    * reverse race — a writer that pinned the OLD layout committing
+    * bucketed files AFTER the rebucket — is closed by the layout guard in
+    * [[graft.meta.Transaction.commit]]. Tables with declared merge
+    * operators take the old whole-rewrite restart path: their feed rows
+    * are raw contributions, and replaying them onto the materialized base
+    * would apply the operator fold twice.
     *
     * Returns the rebucket commit's version. */
-  def run(spark: SparkSession, tablePath: String, newBucketNum: Int): Long = {
+  def run(spark: SparkSession, tablePath: String, newBucketNum: Int,
+      onBaseRewritten: () => Unit = () => ()): Long = {
     require(newBucketNum > 0, s"rebucket: bucket count must be positive " +
       s"(got $newBucketNum)")
     val path = SnapshotManagement.normalize(tablePath)
+    val first = SnapshotManagement.snapshotOpt(path).getOrElse(
+      throw new GraftTableNotFoundException(path))
+    val info0 = first.tableInfo
+    require(info0.hasPrimaryKey,
+      "rebucket applies to hash-partitioned (primary-key) tables; non-PK " +
+      "tables have no bucket layout — use compaction() to re-bin files")
+    if (newBucketNum == info0.bucketNum) return first.version
+    val ops = graft.merge.GraftMergeOperator.declaredOperators(info0)
+    CompactionCommand.validateMergeOperators(info0, ops)
+    if (ops.nonEmpty) return runStrict(spark, path, newBucketNum)
+
+    // phase 1 — full merged rewrite from the PINNED snapshot, outside any
+    // transaction. Base files stamp writeVersion 1: every catch-up round
+    // stamps its window's end version (>= first.version + 1 >= 1), and
+    // within the one rebucket commit ties resolve in addFiles order (base
+    // first), so the merge order is always base, then rounds, then any
+    // post-rebucket commit (stamped with its own, higher, version).
+    val newInfo = info0.copy(bucketNum = newBucketNum)
+    val df = GraftTableFiles.read(spark, path, first, first.files)
+    var newFiles = TransactionalWrite
+      .writeFiles(spark, path, newInfo, df, isBase = true)
+      .map(_.copy(writeVersion = 1L))
+    onBaseRewritten()
+    // Catch-up rounds run OUTSIDE any transaction — their (Spark-job-
+    // sized) duration must not sit inside the conflict window. The cutover
+    // attempt only fires when the replay is fully caught up, so its window
+    // is pin→CAS: milliseconds. A busy table costs sliver-sized rounds
+    // (each triggered by the commits that landed during the previous one,
+    // so slivers SHRINK as the replay closes in); a table with genuinely
+    // continuous sub-second commits exhausts the round bound and fails
+    // with quiesce advice rather than silently rewriting forever.
+    var replayedTo = first.version
+    var rounds = 0
+    val maxRounds = 10
+    while (true) {
+      val cur = SnapshotManagement.snapshot(path)
+      // a mid-flight TableInfo change (ALTER, schema-evolving write)
+      // invalidates the pinned layout and the catch-up frames' schema:
+      // only the whole-rewrite restart path heals that (rare) race
+      if (cur.tableInfo != info0) return runStrict(spark, path, newBucketNum)
+      if (cur.version > replayedTo) {
+        rounds += 1
+        if (rounds > maxRounds) throw new IllegalStateException(
+          s"rebucket($path): still chasing concurrent commits after " +
+          s"$maxRounds catch-up rounds — quiesce writers (or raise " +
+          "the round bound) and retry")
+        val catchup = catchupFrame(spark, path, replayedTo, cur.version)
+        newFiles = newFiles ++ TransactionalWrite
+          .writeFiles(spark, path, newInfo, catchup, isBase = false)
+          .map(_.copy(writeVersion = cur.version))
+        replayedTo = cur.version
+      } else {
+        try {
+          return SnapshotManagement.withNewTransaction(path) { txn =>
+            val pinned = txn.snapshotOpt.getOrElse(
+              throw new GraftTableNotFoundException(path))
+            if (pinned.version != replayedTo || pinned.tableInfo != info0) {
+              // a commit slipped in between the snapshot above and the
+              // pin: loop — the next round replays just that sliver
+              throw new GraftConcurrentModificationException(
+                s"rebucket($path): new commits since replay")
+            }
+            txn.commit("rebucket", Some(newInfo), newFiles, pinned.files,
+              preserveWriteVersions = true, strictWindow = true)
+          }
+        } catch {
+          case _: GraftConcurrentModificationException =>
+            SnapshotManagement.invalidate(path)
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Per-key LAST state of the window (fromV, toV], as new-layout delta
+    * rows: live keys carry their resolved post-image, deleted keys a
+    * tombstone marker. `resolveUpserts` makes raw delta commits yield
+    * resolved post-images (merged bucket state), so one row per key per
+    * commit survives the pre-image filter and the per-key window is
+    * unambiguous. */
+  private def catchupFrame(
+      spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    import graft.tables.ChangeFeed
+    val snap = SnapshotManagement.snapshot(path)
+    val keys = snap.tableInfo.rangeColumns ++ snap.tableInfo.hashColumns
+    val changes = ChangeFeed.changes(spark, path, fromV + 1, toV,
+      resolveUpserts = true)
+      .filter(col(ChangeFeed.CHANGE_TYPE) =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"`${k.replace("`", "``")}`")): _*)
+      .orderBy(col(ChangeFeed.COMMIT_VERSION).desc)
+    val dataCols = changes.columns.filterNot(Set(ChangeFeed.CHANGE_TYPE,
+      ChangeFeed.COMMIT_VERSION, ChangeFeed.COMMIT_TIMESTAMP))
+    changes.withColumn("__rb_rn", row_number().over(w))
+      .filter(col("__rb_rn") === 1)
+      .select(dataCols.map(c => col(s"`${c.replace("`", "``")}`")).toSeq :+
+        when(col(ChangeFeed.CHANGE_TYPE) === "delete", lit(true))
+          .otherwise(lit(null).cast("boolean"))
+          .as(graft.meta.Tombstones.COL): _*)
+  }
+
+  /** The original whole-rewrite path (merge operators materialize like in
+    * compaction); `strictWindow` + whole-body restart on any concurrent
+    * commit. Kept for operator tables and mid-flight schema changes. */
+  private def runStrict(
+      spark: SparkSession, path: String, newBucketNum: Int): Long = {
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       val snapshot = txn.snapshotOpt.getOrElse(
         throw new GraftTableNotFoundException(path))
       val info = snapshot.tableInfo
-      require(info.hasPrimaryKey,
-        "rebucket applies to hash-partitioned (primary-key) tables; non-PK " +
-        "tables have no bucket layout — use compaction() to re-bin files")
       if (newBucketNum == info.bucketNum) return snapshot.version
       val oldFiles = snapshot.files
       // declared merge operators materialize here like in compaction — the

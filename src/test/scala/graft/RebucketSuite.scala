@@ -135,6 +135,47 @@ class RebucketSuite extends GraftFunSuite {
     }
   }
 
+  test("rebucket under sustained writes converges via catch-up rounds, " +
+      "not a second full rewrite") {
+    withTempTable { dir =>
+      (1L to 200L).map(i => (i, i)).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2").save(dir)
+      // the hook fires after the full base rewrite and before the first
+      // cutover attempt — exactly where a busy table's commits land
+      var raced = false
+      val vNew = graft.commands.RebucketCommand.run(spark, dir, 6,
+        onBaseRewritten = () => if (!raced) {
+          raced = true
+          val t = GraftTable.forPath(spark, dir)
+          t.upsert(Seq((5L, 555L), (300L, 300L)).toDF("id", "v"))
+          t.delete($"id" === 10L)
+          t.upsert(Seq((300L, 301L)).toDF("id", "v")) // re-overwrite
+        })
+      val after = GraftTable.forPath(spark, dir)
+      assert(after.snapshot.version == vNew)
+      assert(after.snapshot.tableInfo.bucketNum == 6)
+      // content reflects EVERY concurrent commit: update, insert, delete,
+      // and the second overwrite of the inserted key
+      val got = after.toDF.as[(Long, Long)].collect().toMap
+      assert(got(5L) == 555L)
+      assert(got(300L) == 301L)
+      assert(!got.contains(10L))
+      assert(got.size == 200L) // 200 - deleted + inserted
+      // the convergence was incremental: the rebucket commit carries the
+      // base rewrite PLUS catch-up delta files (a second full rewrite
+      // would have produced base-only files like the quiet-path test)
+      val files = after.snapshot.files
+      assert(files.exists(!_.isBase), "expected catch-up delta files")
+      assert(files.filter(!_.isBase).forall(f =>
+        files.filter(_.isBase).forall(_.writeVersion < f.writeVersion)),
+        "catch-up deltas must merge-order after the rewritten base")
+      // a later upsert merge-orders after the catch-up rows
+      after.upsert(Seq((5L, 5555L)).toDF("id", "v"))
+      assert(GraftTable.forPath(spark, dir).toDF
+        .filter($"id" === 5L).select("v").as[Long].head() == 5555L)
+    }
+  }
+
   test("CALL graft.rebucket procedure") {
     withTempTable { dir =>
       Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.format("graft")
