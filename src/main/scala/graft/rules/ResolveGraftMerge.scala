@@ -209,9 +209,10 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
               fail(s"unsupported assignment target: ${other.sql}"))
           }
         }
-        if (isNestedKey(key) && !isUpdate)
-          fail(s"nested-field assignment in INSERT ($key); INSERT must " +
-            "assign whole columns")
+        // nested-field assignment is legal in INSERT too: the emitted
+        // image composes the whole column from an all-null struct shell
+        // plus the assigned paths (image() below) — there is no target
+        // old value to start from on the not-matched side
         // layout guard target: the whole key when it IS a column (covers
         // literal-dot column names); the path head when it is a nested
         // field (layout columns are scalar, so only the head can collide)
@@ -460,9 +461,21 @@ case class GraftMergeIntoCommand(
             case _ => None
           }
         }
+        // INSERT has no old target value to patch: its nested base is a
+        // struct SHELL — non-null structs all the way down, null leaves —
+        // because withField into a NULL (sub)struct yields null and would
+        // silently swallow the assignment
+        def nullShell(dt: org.apache.spark.sql.types.DataType): Column =
+          dt match {
+            case st: org.apache.spark.sql.types.StructType =>
+              struct(st.fields.toSeq.map(sf =>
+                nullShell(sf.dataType).as(sf.name)): _*)
+            case other => lit(null).cast(other)
+          }
         whole.orElse {
           if (nested.isEmpty) None
-          else Some(nested.foldLeft(tgtCol(f.name)) {
+          else Some(nested.foldLeft(
+            if (forUpdate) tgtCol(f.name) else nullShell(f.dataType)) {
             case (c, (rest, v)) =>
               val cast = nestedType(f.dataType, rest)
                 .map(expr(v).cast).getOrElse(expr(v))

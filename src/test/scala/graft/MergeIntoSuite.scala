@@ -434,18 +434,30 @@ class MergeIntoSuite extends GraftFunSuite {
     }
   }
 
-  test("nested-field rejections: INSERT, conflicts, evolution") {
+  test("nested INSERT composes the column from a null shell + assigned " +
+      "paths") {
+    withTempTable { dir =>
+      mkStructPk(dir)
+      Seq((5L, 50)).toDF("id", "newa").createOrReplaceTempView("srcni")
+      // a two-level path too: the null SHELL must be non-null structs all
+      // the way down or withField would swallow the deep assignment
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING srcni s ON t.id = s.id
+        WHEN NOT MATCHED THEN
+        INSERT (id, props.a, props.deep.inner, n)
+        VALUES (s.id, s.newa, 7.5, 500)""")
+      val got = spark.read.format("graft").load(dir).filter(col("id") === 5L)
+        .select(col("props").isNotNull, col("props.a"),
+          col("props.b").isNull, col("props.deep.inner"))
+        .as[(Boolean, Int, Boolean, Double)].collect().toSeq
+      assert(got == Seq((true, 50, true, 7.5)),
+        s"props must be a non-null struct with a=50, b=null, deep.inner=7.5: $got")
+    }
+  }
+
+  test("nested-field rejections: conflicts, evolution") {
     withTempTable { dir =>
       mkStructPk(dir)
       Seq((5L, 50)).toDF("id", "newa").createOrReplaceTempView("srcns4")
-      // nested assignment in INSERT
-      val e1 = intercept[Exception] {
-        spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns4 s ON t.id = s.id
-          WHEN NOT MATCHED THEN INSERT (id, props.a) VALUES (s.id, s.newa)""")
-      }
-      assert(e1.getMessage.contains("INSERT") ||
-        Option(e1.getCause).exists(_.getMessage.contains("INSERT")),
-        s"nested INSERT must fail clearly: ${e1.getMessage}")
       // whole-column + nested conflict in one clause
       val e2 = intercept[Exception] {
         spark.sql(s"""MERGE INTO graft.`$dir` t USING srcns4 s ON t.id = s.id
