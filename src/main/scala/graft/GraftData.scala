@@ -445,6 +445,103 @@ object GraftData {
     (graftRead(spark, dir), graftRead(spark, oDir), graftRead(spark, nDir))
   }
 
+  /** PK orders base + a count/sum/avg MV refreshed INCREMENTALLY through a
+    * raw-image upsert + insert + tombstone-delete window — the canonical
+    * CDC shape the round-11 fold unlocked. The fixture THROWS if the
+    * refresh takes the full-recompute path, so the oracle hash genuinely
+    * gates the FOLD (a recompute would also match — requiring the counter
+    * bump is what pins the code path). Returns the VIEW's own content; the
+    * oracle recomputes the same aggregate over the final table state. */
+  def ordersMvIncFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val viewDir = s"${root(sfDir)}/orders_mvinc_view"
+    ensure(spark, sfDir, "orders_mvinc_base") { d =>
+      TransactionalWrite.deleteRecursively(Paths.get(viewDir))
+      graft.meta.SnapshotManagement.invalidate(viewDir)
+      // integral cents: the fold refuses FP sums (drift), and avg folds
+      // exactly through its sum+count companions only over exact integers
+      val base = parquet(spark, sfDir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("p"))
+      base.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "4")
+        .save(d)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT o_custkey, count(1) AS cnt, count(p) AS cp, " +
+          s"sum(p) AS sp, avg(p) AS ap FROM graft.`$d` GROUP BY o_custkey")
+      val t = GraftTable.forPath(spark, d)
+      // raw-image updates (no pre-images in the feed — the fold resolves
+      // them by diffing merged bucket state), fresh inserts re-keyed far
+      // above the live range, then a tombstone delete of base keys only
+      t.upsert(base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("p", col("p") + 10000L))
+      t.upsert(base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      t.delete(col("o_orderkey") % 55 === 0 && col("o_orderkey") < 10000000L)
+      val before = graft.mv.MaterializedViews.incrementalRefreshes.get()
+      require(graft.mv.MaterializedViews.refresh(spark, viewDir),
+        "mvinc fixture: view must be stale after the CDC window")
+      require(
+        graft.mv.MaterializedViews.incrementalRefreshes.get() == before + 1,
+        "mvinc fixture: the upsert+delete window must FOLD, not recompute")
+    }
+    graftRead(spark, viewDir)
+  }
+
+  /** Aggregate-over-join MV (orders ⋈ customer, grouped by segment) folded
+    * incrementally through TWO single-relation windows: a fact-only
+    * upsert+insert window, then a dim-only relabel window. Each refresh
+    * must take the delta-join fold (counter-asserted) — both-changed
+    * windows are the documented fallback and deliberately not exercised
+    * here. Returns the view content; the oracle replays both mutations
+    * over the base parquet. */
+  def ordersMvIncJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val viewDir = s"${root(sfDir)}/orders_mvij_view"
+    val dimDir = s"${root(sfDir)}/customer_mvij_dim"
+    ensure(spark, sfDir, "orders_mvij_fact") { factDir =>
+      Seq(viewDir, dimDir).foreach { p =>
+        TransactionalWrite.deleteRecursively(Paths.get(p))
+        graft.meta.SnapshotManagement.invalidate(p)
+      }
+      val fact = parquet(spark, sfDir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("p"))
+      fact.write.format("graft")
+        .option("hashPartitions", "o_orderkey").option("hashBucketNum", "4")
+        .save(factDir)
+      val dim = parquet(spark, sfDir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+      dim.write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "2")
+        .save(dimDir)
+      graft.mv.MaterializedViews.create(spark, viewDir,
+        s"SELECT c_mktsegment, count(1) AS cnt, count(p) AS cp, " +
+          s"sum(p) AS sp FROM graft.`$factDir` JOIN graft.`$dimDir` " +
+          s"ON o_custkey = c_custkey GROUP BY c_mktsegment")
+      def foldRefresh(what: String): Unit = {
+        val before = graft.mv.MaterializedViews.incrementalRefreshes.get()
+        require(graft.mv.MaterializedViews.refresh(spark, viewDir),
+          s"mvij fixture: view must be stale after the $what window")
+        require(
+          graft.mv.MaterializedViews.incrementalRefreshes.get() == before + 1,
+          s"mvij fixture: the $what-only window must FOLD, not recompute")
+      }
+      GraftTable.forPath(spark, factDir)
+        .upsert(fact.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("p", col("p") + 10000L))
+      GraftTable.forPath(spark, factDir)
+        .upsert(fact.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      foldRefresh("fact")
+      GraftTable.forPath(spark, dimDir)
+        .upsert(dim.filter(col("c_custkey") % 9 === 0)
+          .withColumn("c_mktsegment", lit("SEG9")))
+      foldRefresh("dim")
+    }
+    graftRead(spark, viewDir)
+  }
+
   /** Build every table (untimed warm-up for the benchmark). Each build is
     * individually guarded: one broken conversion must degrade to per-query
     * errors for the queries that read that table, never zero the whole
@@ -475,6 +572,8 @@ object GraftData {
       "orders_mvagg" -> (() => ordersMvAgg(spark, sfDir)),
       "cust_orders_mvj" -> (() => custOrdersMvJoin(spark, sfDir)),
       "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)),
+      "orders_mvinc" -> (() => ordersMvIncFold(spark, sfDir)),
+      "orders_mvij" -> (() => ordersMvIncJoin(spark, sfDir)),
       "documents_dv" -> (() => documentsDvDeleted(spark, sfDir)),
       "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),
       "orders_zorder" -> (() => ordersZOrdered(spark, sfDir)),

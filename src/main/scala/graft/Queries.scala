@@ -326,6 +326,19 @@ object Queries {
           cents(col("o_totalprice")).as("total_cents"))
     }),
 
+    // round-11 incremental-refresh folds, gated end-to-end: the fixtures
+    // THROW unless the refresh takes the fold path (counter-asserted), and
+    // the oracle recomputes the aggregate from the replayed final state —
+    // so a wrong fold fails the hash and a silent recompute fails the build
+    "q_mv_inc_fold" -> ((s, sf) =>
+      GraftData.ordersMvIncFold(s, sf)
+        .select(col("o_custkey"), col("cnt"), col("cp"), col("sp"),
+          col("ap"))),
+
+    "q_mv_inc_join" -> ((s, sf) =>
+      GraftData.ordersMvIncJoin(s, sf)
+        .select(col("c_mktsegment"), col("cnt"), col("cp"), col("sp"))),
+
     "q_mv_join3" -> ((s, sf) => {
       val (c, o, n) = GraftData.custOrdersNationMvJoin(s, sf)
       c.join(o, col("c_custkey") === col("o_custkey"))
@@ -817,6 +830,32 @@ object Queries {
        "FROM customer JOIN orders ON c_custkey = o_custkey " +
        "WHERE c_custkey >= 10 AND c_custkey <= 500 " +
        "AND c_mktsegment = 'BUILDING'"),
+
+    "q_mv_inc_fold" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+       "CAST(ROUND(o_totalprice*100) AS BIGINT) AS p FROM orders), " +
+       "final AS (" +
+       "SELECT o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN p + 10000 " +
+       "ELSE p END AS p FROM base WHERE o_orderkey % 55 <> 0 " +
+       "UNION ALL " +
+       "SELECT o_custkey, p FROM base WHERE o_orderkey % 13 = 0) " +
+       "SELECT o_custkey, count(1) AS cnt, count(p) AS cp, " +
+       "CAST(sum(p) AS BIGINT) AS sp, avg(p) AS ap " +
+       "FROM final GROUP BY o_custkey"),
+
+    "q_mv_inc_join" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+       "CAST(ROUND(o_totalprice*100) AS BIGINT) AS p FROM orders), " +
+       "f AS (" +
+       "SELECT o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN p + 10000 " +
+       "ELSE p END AS p FROM base " +
+       "UNION ALL " +
+       "SELECT o_custkey, p FROM base WHERE o_orderkey % 13 = 0), " +
+       "c AS (SELECT c_custkey, CASE WHEN c_custkey % 9 = 0 THEN 'SEG9' " +
+       "ELSE c_mktsegment END AS c_mktsegment FROM customer) " +
+       "SELECT c_mktsegment, count(1) AS cnt, count(p) AS cp, " +
+       "CAST(sum(p) AS BIGINT) AS sp FROM f JOIN c " +
+       "ON o_custkey = c_custkey GROUP BY c_mktsegment"),
 
     "q_mv_join3" ->
       ("SELECT c_custkey, c_name, n_name, o_orderkey, " +

@@ -223,6 +223,14 @@ object AnnIndex {
           graft.commands.UpsertCommand.runDeltaIn(
             spark, normAssign, assignDelta, Map.empty, txn)
         }
+        // threshold-gated compaction (the trigger plain upserts get): sync
+        // deltas + death warrants otherwise accumulate in every cell range
+        // partition between full builds and every topK merge-read pays the
+        // fan-in. Safe under the crash-replay contract — compaction is a
+        // semantics-preserving rewrite, and a replayed warrant for a row
+        // the compaction already resolved away is a no-op merge-side.
+        graft.commands.CompactionCommand.run(spark, normCells, force = false)
+        graft.commands.CompactionCommand.run(spark, normAssign, force = false)
       }
     }
     if (current != last) {

@@ -564,6 +564,10 @@ object MinhashIndex {
           graft.commands.UpsertCommand.runDeltaIn(
             spark, normIdx, delta, Map.empty, txn)
         }
+        // threshold-gated compaction (same trigger a plain upsert gets):
+        // sync deltas + death warrants otherwise stack up between full
+        // builds and every candidate probe pays the merge fan-in
+        graft.commands.CompactionCommand.run(spark, normIdx, force = false)
       }
     }
     if (current != last) SyncSidecar.write(normIdx, SYNC_FILE, normDocs, current)

@@ -864,8 +864,12 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .createTempDirectory("ann_soak_").toString + "/ix"
       AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
         nCentroids = 5)
+      // low compaction threshold so the bounded-fan-in assertion below
+      // genuinely discriminates: without sync-time compaction the hot cell
+      // partitions stack one delta per round and blow past 2 by round 3
+      spark.conf.set("spark.graft.compaction.deltaFileMaxNum", "2")
       val t = graft.tables.GraftTable.forPath(spark, corpusDir)
-      (1 to 5).foreach { round =>
+      try (1 to 5).foreach { round =>
         // random batch of upserts (mix of updates and fresh ids) + deletes
         val ups = (0 until 3 + rndv.nextInt(5))
           .map(_ => (rndv.nextInt(120).toLong, vec())).distinctBy(_._1)
@@ -886,6 +890,19 @@ class LlmOperatorsSuite extends GraftFunSuite {
           .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
         assert(got == want, s"round $round: index diverged from brute — " +
           s"missing ${want -- got}, extra ${got -- want}")
+      } finally spark.conf.unset("spark.graft.compaction.deltaFileMaxNum")
+      // sync-time compaction keeps the index tables' merge fan-in bounded:
+      // without it every sync stacks one more delta file (plus death
+      // warrants) onto each touched cell partition until the next full
+      // build, and topK pays the fan-in forever. The trigger is the same
+      // threshold a plain upsert gets (deltaFileMaxNum, 2 here).
+      Seq(s"$idx/cells", s"$idx/assign").foreach { p =>
+        val snap = graft.meta.SnapshotManagement.snapshot(
+          graft.meta.SnapshotManagement.normalize(p))
+        val worst = snap.deltaFileCountByRange.values.maxOption.getOrElse(0)
+        assert(worst <= 2,
+          s"$p: a partition holds $worst delta files after 5 syncs — " +
+            "sync-time compaction is not firing")
       }
     }
   }
