@@ -542,6 +542,39 @@ object GraftData {
     graftRead(spark, viewDir)
   }
 
+  /** SHALLOW CLONE of a PK customer table + divergent DML on the clone:
+    * the clone is zero-copy (external refs into the source), then an
+    * upsert and a tombstone delete land clone-side only. Read back from
+    * the CLONE; the fixture also asserts the source never moved, so the
+    * oracle hash covers isolation in both directions. */
+  def customerCloneDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val cloneDir = s"${root(sfDir)}/customer_clone"
+    ensure(spark, sfDir, "customer_clone_src") { srcDir =>
+      TransactionalWrite.deleteRecursively(Paths.get(cloneDir))
+      graft.meta.SnapshotManagement.invalidate(cloneDir)
+      val base = parquet(spark, sfDir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      base.write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "4")
+        .save(srcDir)
+      graft.commands.CloneCommand.run(spark, srcDir, cloneDir)
+      val t = GraftTable.forPath(spark, cloneDir)
+      t.upsert(base.filter(col("c_custkey") % 6 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 500L))
+      t.delete(col("c_custkey") % 17 === 0)
+      // isolation: the source still hash-matches its pristine content
+      val srcCnt = graftRead(spark, srcDir)
+        .agg(count(lit(1)), sum(col("bal_cents"))).collect().head
+      val wantCnt = base.agg(count(lit(1)), sum(col("bal_cents")))
+        .collect().head
+      require(srcCnt == wantCnt,
+        s"clone DML leaked into the source: $srcCnt != $wantCnt")
+    }
+    graftRead(spark, cloneDir)
+  }
+
   /** Build every table (untimed warm-up for the benchmark). Each build is
     * individually guarded: one broken conversion must degrade to per-query
     * errors for the queries that read that table, never zero the whole
@@ -573,6 +606,7 @@ object GraftData {
       "cust_orders_mvj" -> (() => custOrdersMvJoin(spark, sfDir)),
       "con_mvj3" -> (() => custOrdersNationMvJoin(spark, sfDir)),
       "orders_mvinc" -> (() => ordersMvIncFold(spark, sfDir)),
+      "customer_clone" -> (() => customerCloneDml(spark, sfDir)),
       "orders_mvij" -> (() => ordersMvIncJoin(spark, sfDir)),
       "documents_dv" -> (() => documentsDvDeleted(spark, sfDir)),
       "orders_changelog" -> (() => ordersChangeLogDir(spark, sfDir)),

@@ -339,6 +339,14 @@ object Queries {
       GraftData.ordersMvIncJoin(s, sf)
         .select(col("c_mktsegment"), col("cnt"), col("cp"), col("sp"))),
 
+    // SHALLOW CLONE + divergent DML, fully oracled: the clone reads
+    // through zero-copy external refs, the upsert/delete land clone-side
+    // only (the fixture asserts source isolation), and the oracle replays
+    // the same mutations over the base parquet
+    "q_clone_dml" -> ((s, sf) =>
+      GraftData.customerCloneDml(s, sf)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))),
+
     "q_mv_join3" -> ((s, sf) => {
       val (c, o, n) = GraftData.custOrdersNationMvJoin(s, sf)
       c.join(o, col("c_custkey") === col("o_custkey"))
@@ -856,6 +864,13 @@ object Queries {
        "SELECT c_mktsegment, count(1) AS cnt, count(p) AS cp, " +
        "CAST(sum(p) AS BIGINT) AS sp FROM f JOIN c " +
        "ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+
+    "q_clone_dml" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+       "CASE WHEN c_custkey % 6 = 0 " +
+       "THEN CAST(ROUND(c_acctbal*100) AS BIGINT) + 500 " +
+       "ELSE CAST(ROUND(c_acctbal*100) AS BIGINT) END AS bal_cents " +
+       "FROM customer WHERE c_custkey % 17 <> 0"),
 
     "q_mv_join3" ->
       ("SELECT c_custkey, c_name, n_name, o_orderkey, " +

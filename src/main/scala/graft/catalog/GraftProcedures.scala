@@ -29,7 +29,7 @@ object GraftProcedures {
   val NAMESPACE: Array[String] = Array("system")
 
   val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
-    "rebucket")
+    "rebucket", "clone")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
@@ -37,6 +37,7 @@ object GraftProcedures {
     case "vacuum" => Some(VacuumProcedure)
     case "restore" => Some(RestoreProcedure)
     case "rebucket" => Some(RebucketProcedure)
+    case "clone" => Some(CloneProcedure)
     case _ => None
   }
 
@@ -144,6 +145,28 @@ object GraftProcedures {
       val v = graft.commands.RebucketCommand.run(spark, path, input.getInt(1))
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(path), v))))
+    }
+  }
+
+  object CloneProcedure extends MaintenanceProcedure("clone",
+      "Zero-copy SHALLOW CLONE of a table (optionally at a past version)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("source table path or catalog name").build(),
+      ProcedureParameter.in("dest", StringType)
+        .comment("destination table path (must not exist)").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("NULL")
+        .comment("source version to clone; default latest").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val src = resolvePath(spark, str(input, 0).get)
+      val dest = str(input, 1).get
+      val version = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val v = graft.commands.CloneCommand.run(spark, src, dest, version)
+      one(resultScan(versionSchema,
+        Seq(InternalRow(UTF8String.fromString(
+          SnapshotManagement.normalize(dest)), v))))
     }
   }
 

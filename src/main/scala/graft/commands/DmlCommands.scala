@@ -330,7 +330,7 @@ object RewriteSupport {
           val names = reader.filter(condition)
             .select(input_file_name()).distinct().collect().map(_.getString(0))
           val nameSet = names.map(n => stripScheme(decodeFileUri(n))).toSet
-          candidates.filter(f => nameSet.contains(s"$path/${f.path}"))
+          candidates.filter(f => nameSet.contains(f.resolvedPath(path)))
         }
       if (touched.isEmpty) return
 
@@ -506,12 +506,22 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
       def clusterByOf(v: Long): Seq[String] = clusterByCache.getOrElseUpdate(v,
         SnapshotManagement.store.read(path, v).flatMap(_.commit).headOption
           .map(_.clusterBy.map(_.toLowerCase)).getOrElse(Nil))
+      // a FORCED compaction also localizes shallow-clone state: partitions
+      // still referencing files outside the table root rewrite into local
+      // files even when they hold a single clean base generation (the
+      // "no work" heuristics below would otherwise skip them and the clone
+      // could never cut its dependency on the source's storage)
+      def externalRefs(f: DataFileInfo): Boolean =
+        DataFileInfo.isExternal(f.path) ||
+          (f.hasDv && DataFileInfo.isExternal(f.dvPath))
       val toCompact: Map[String, Seq[DataFileInfo]] =
         snapshot.filesByRange.flatMap { case (key, files) =>
           if (!candidateKeys.contains(key)) None
           else if (info.hasPrimaryKey) {
             val deltas = files.count(!_.isBase)
-            if ((force || deltas >= maxDelta) && files.exists(!_.isBase))
+            if ((force || deltas >= maxDelta) &&
+                (files.exists(!_.isBase) ||
+                  (force && files.exists(externalRefs))))
               Some(key -> files)
             else None
           } else if (zOrderCols.nonEmpty) {
@@ -543,8 +553,9 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
             val dvdLarge = files.filter(f =>
               f.size >= smallFileMax && f.hasDv)
             val pick =
-              (if (small.length > 1) small
-               else small.filter(_.hasDv)) ++ dvdLarge
+              ((if (small.length > 1) small
+                else small.filter(_.hasDv)) ++ dvdLarge ++
+                (if (force) files.filter(externalRefs) else Nil)).distinct
             if (pick.nonEmpty) Some(key -> pick) else None
           }
         }
@@ -880,9 +891,13 @@ object CleanupCommand {
     // live set keyed by FULLY-QUALIFIED path string so the listed files
     // (qualified by the same FileSystem) compare exactly; deletion vectors
     // referenced by the snapshot are as live as their data files
+    // external (shallow-clone) refs resolve OUTSIDE the table root: they
+    // qualify to paths the listing below never visits, so a clone's vacuum
+    // can never delete source-table files — only the clone's own orphans
     val live = (snapshot.files.map(_.path) ++
         snapshot.files.collect { case f if f.hasDv => f.dvPath })
-      .map(rel => fs.makeQualified(new HPath(root, rel)).toString).toSet
+      .map(rel => fs.makeQualified(
+        new HPath(graft.meta.DataFileInfo.resolve(path, rel))).toString).toSet
 
     // Driver lists only the table root (metadata-scale: one entry per range
     // partition plus root-level files); each partition directory's walk and

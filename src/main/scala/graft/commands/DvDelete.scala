@@ -67,7 +67,7 @@ object DvSupport {
     val dataCond = SparkShims.column(
       dataConj.map(RewriteSupport.rebindByName(_)).reduce(And))
     val readSchema = graft.sources.GraftPkScan.asNullable(info.dataSchema)
-    val paths = candidates.map(f => s"$path/${f.path}")
+    val paths = candidates.map(_.resolvedPath(path))
     val raw = spark.read.schema(readSchema).parquet(paths: _*)
     val needsRange = dataConj.exists(c =>
       RewriteSupport.referencedNames(c).exists(info.rangeColumns.contains))
@@ -96,7 +96,7 @@ object DvSupport {
         // strings in the manifest
         val strRows = candidates.map { f =>
           org.apache.spark.sql.Row.fromSeq(
-            RewriteSupport.stripScheme(s"$path/${f.path}") +:
+            RewriteSupport.stripScheme(f.resolvedPath(path)) +:
               pschema.fields.toSeq.map(sf =>
                 f.partitionValues.getOrElse(sf.name, null)))
         }
@@ -121,7 +121,7 @@ object DvSupport {
 
     // ---- build + write vectors executor-side -------------------------
     val oldDv = candidates.iterator.filter(_.hasDv).map(f =>
-      RewriteSupport.stripScheme(s"$path/${f.path}") -> f.dvPath).toMap
+      RewriteSupport.stripScheme(f.resolvedPath(path)) -> f.dvPath).toMap
     val hconf = new SerializableConfiguration(GraftFs.conf(spark))
     val results: Array[(String, String, Long)] = matched
       .groupByKey(_._1)
@@ -140,7 +140,7 @@ object DvSupport {
     val maxFrac = spark.conf.getOption(MAX_FRACTION_CONF).map(_.toDouble)
       .getOrElse(DEFAULT_MAX_FRACTION)
     val byStripped = candidates.map(f =>
-      RewriteSupport.stripScheme(s"$path/${f.path}") -> f).toMap
+      RewriteSupport.stripScheme(f.resolvedPath(path)) -> f).toMap
     val dvAdds = Seq.newBuilder[DataFileInfo]
     val toRewrite = Seq.newBuilder[DataFileInfo]
     val fullyGone = Seq.newBuilder[DataFileInfo]

@@ -87,9 +87,22 @@ case class DataFileInfo(
   def hasDv: Boolean = dvPath.nonEmpty
   /** Canonical range-partition identity, e.g. "lang=en/source=web". */
   def rangeKey: String = DataFileInfo.rangeKey(partitionValues)
+  /** Physical location of this file. Usually `path` is table-root-relative;
+    * a SHALLOW CLONE commits entries whose `path` points into the SOURCE
+    * table absolutely (leading `/` or a scheme), which resolve as-is. */
+  def resolvedPath(tableRoot: String): String =
+    DataFileInfo.resolve(tableRoot, path)
 }
 
 object DataFileInfo {
+  /** A path that must NOT be joined onto the table root: an absolute
+    * filesystem path or a full URI (shallow-clone external references). */
+  def isExternal(p: String): Boolean =
+    p.startsWith("/") || p.contains("://")
+
+  def resolve(tableRoot: String, p: String): String =
+    if (isExternal(p)) p else s"$tableRoot/$p"
+
   def rangeKey(values: Map[String, String]): String =
     if (values.isEmpty) ""
     else values.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")

@@ -157,7 +157,7 @@ class GraftCdfMicroBatchStream(
     val c = commitChanges(v)
     c.commitType match {
       case t if REWRITE_TYPES.contains(t) => Nil
-      case "create" | "append" | "streaming" =>
+      case "create" | "clone" | "append" | "streaming" =>
         // self-contained new rows: raw file reads
         checkNullFill(c.adds)
         tagAll(binPack(c.adds), "insert", v, c.tsMillis).toSeq
@@ -224,7 +224,7 @@ class GraftCdfMicroBatchStream(
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
-      CdfDvPartition(s"$tablePath/${f.path}", f.size,
+      CdfDvPartition(f.resolvedPath(tablePath), f.size,
         proj.apply(values).copy(),
         prevByPath(f.path).dvPath, f.dvPath, preLabel, v, c.tsMillis)
     }

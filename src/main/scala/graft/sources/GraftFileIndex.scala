@@ -52,7 +52,7 @@ class GraftFileIndex(
     (tablePath, tableInfo, files).hashCode()
 
   private def absPath(f: DataFileInfo): Path =
-    fs.makeQualified(new Path(s"$tablePath/${f.path}"))
+    fs.makeQualified(new Path(f.resolvedPath(tablePath)))
 
   private lazy val statuses: Seq[(DataFileInfo, FileStatus)] = files.map { f =>
     f -> new FileStatus(f.size, false, 1, 128L * 1024 * 1024,
@@ -98,9 +98,21 @@ class GraftFileIndex(
     m
   }
 
+  // Keyed by the file's LOGICAL directory under THIS table's root (root
+  // itself, or root/<range-dir>), not the physical parent: a shallow
+  // clone's manifest references files living under the SOURCE table, and
+  // PartitioningAwareFileIndex resolves its lookups against rootPaths /
+  // PartitionPath dirs — keys must match those, while the FileStatus keeps
+  // the physical (possibly external) path tasks actually open.
   override lazy val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    statuses.groupBy(_._2.getPath.getParent)
+    statuses.groupBy { case (f, _) => logicalDir(f) }
       .map { case (dir, fs) => dir -> fs.map(_._2).toArray }
+
+  private def logicalDir(f: DataFileInfo): Path =
+    if (tableInfo.rangeColumns.isEmpty) root
+    else new Path(root, tableInfo.rangeColumns
+      .map(c => s"$c=${ExternalCatalogUtils.escapePathName(f.partitionValues(c))}")
+      .mkString("/"))
 
   override def partitionSpec(): PartitionSpec = cachedPartitionSpec
 

@@ -351,7 +351,7 @@ case class GraftPkScan(
               // partition columns are appended by the reader for every file
               var i = mergeReadSchema.length
               while (i < mergedLayoutLen) { has(i) = true; i += 1 }
-              GraftFileDesc(s"$tablePath/${f.path}", f.size, f.writeVersion,
+              GraftFileDesc(f.resolvedPath(tablePath), f.size, f.writeVersion,
                 f.isBase, has)
             }.toArray,
             proj.apply(values).copy())

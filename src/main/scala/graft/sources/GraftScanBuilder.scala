@@ -67,7 +67,7 @@ object GraftScanBuilder {
       // built scan can mask them; their presence also vetoes aggregate
       // pushdown (footer counts include deleted rows)
       val dvByPath = snapshot.files.iterator.filter(_.hasDv).map(f =>
-        graft.meta.FsMetaStore.stripScheme(s"$path/${f.path}") -> f.dvPath)
+        graft.meta.FsMetaStore.stripScheme(f.resolvedPath(path)) -> f.dvPath)
         .toMap
       // the stock builder derives its hadoopConf from these options, so
       // the async-I/O choice rides them into the parquet reader

@@ -400,7 +400,7 @@ class GraftMicroBatchStream(
         GraftFileIndex.castPartitionValue(
           f.partitionValues.getOrElse(sf.name, null), sf, tz)
       })
-      (s"$tablePath/${f.path}", f.size, proj.apply(values).copy(), f.dvPath,
+      (f.resolvedPath(tablePath), f.size, proj.apply(values).copy(), f.dvPath,
         graft.meta.Tombstones.fileHas(f))
     }
     val conf = castToImpl(spark).sessionState.conf
@@ -494,12 +494,14 @@ class GraftMicroBatchStream(
 
 object GraftMicroBatchStream {
   /** Commits whose adds are NEW rows. */
-  val APPEND_TYPES: Set[String] = Set("create", "append", "delta", "streaming")
+  val APPEND_TYPES: Set[String] =
+    Set("create", "clone", "append", "delta", "streaming")
   /** Commit types whose feed rows are pure INSERTS when the commit also
     * carries no removes and no tombstone markers ("delta" excluded — its
     * adds may OVERWRITE existing keys). Consumers must still cross-check
     * the removes/tombstone evidence (see ChangeFeed's appendLike). */
-  val INSERT_ONLY_TYPES: Set[String] = Set("create", "append", "streaming")
+  val INSERT_ONLY_TYPES: Set[String] =
+    Set("create", "clone", "append", "streaming")
   /** Commits that only rewrite existing rows into new files. */
   val REWRITE_TYPES: Set[String] =
     Set("compaction", "rebucket", "alter", "vacuum", "vacuum_end")

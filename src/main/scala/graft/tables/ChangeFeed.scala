@@ -109,7 +109,8 @@ object ChangeFeed {
       val adds = graft.meta.DataFileInfo.stampedAdds(entries, v)
       val removes = entries.flatMap(_.remove)
       val appendLike =
-        Set("create", "append", "streaming", "delta").contains(commitType) &&
+        Set("create", "clone", "append", "streaming", "delta")
+          .contains(commitType) &&
         removes.isEmpty && !graft.meta.Tombstones.anyHas(adds) &&
         !(resolveUpserts && commitType == "delta")
       if (appendLike) {
@@ -177,7 +178,7 @@ object ChangeFeed {
       }).asJava
     val meta = spark.createDataFrame(metaRows, metaSchema)
     val raw = spark.read.schema(dataSchema)
-      .parquet(files.map(rf => s"$path/${rf.f.path}"): _*)
+      .parquet(files.map(rf => rf.f.resolvedPath(path)): _*)
       .withColumn("__cf_name",
         substring_index(col("_metadata.file_path"), "/", -1))
     raw.join(broadcast(meta), "__cf_name")
@@ -228,8 +229,10 @@ object ChangeFeed {
       prevSnap.files.filter(f => removePaths(f.path)))
 
     commitType match {
-      case "create" if adds.isEmpty => None
-      case "create" | "append" | "streaming" =>
+      case "create" | "clone" if adds.isEmpty => None
+      // a clone's initial commit is adds-only by construction: the cloned
+      // state surfaces as the feed's first inserts, like any fresh write
+      case "create" | "clone" | "append" | "streaming" =>
         Some(tag(post, "insert", v, ts))
       case "delta" | "delete" | "upsert" if graft.meta.Tombstones.anyHas(adds) =>
         // tombstone-bearing commit (PK tombstone DELETE / MERGE with a
@@ -338,7 +341,7 @@ object ChangeFeed {
     val ti = prevSnap.tableInfo
     val readSchema = graft.sources.GraftPkScan.asNullable(ti.dataSchema)
     val raw = spark.read.schema(readSchema)
-      .parquet(s"$path/${preFile.path}")
+      .parquet(preFile.resolvedPath(path))
       .filter(inDelta(col("_metadata.row_index")))
     val withRange = ti.rangePartitionSchema.fields.foldLeft(raw) { (d, sf) =>
       val v = preFile.partitionValues.getOrElse(sf.name, null)

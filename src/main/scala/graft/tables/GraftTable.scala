@@ -164,6 +164,13 @@ class GraftTable private (spark: SparkSession, val path: String) {
     * the restore commit's version. */
   def restore(version: Long): Long = RestoreCommand.run(spark, path, version)
 
+  /** Zero-copy SHALLOW CLONE of this table (optionally at a past version)
+    * into `destPath` — see [[graft.commands.CloneCommand]] for the
+    * ordering contract and source-vacuum caveat. Returns the source
+    * version the clone reflects. */
+  def cloneTo(destPath: String, version: Option[Long] = None): Long =
+    graft.commands.CloneCommand.run(spark, path, destPath, version)
+
   /** Rewind to the newest version committed at or before `timestamp`
     * (accepts the same forms as the `timestampAsOf` read option: timestamp
     * strings, yyyyMMdd dates, epoch millis). */

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.commands.CloneCommand
+import graft.meta.SnapshotManagement
+import graft.tables.GraftTable
+
+class CloneSuite extends GraftFunSuite {
+  import spark.implicits._
+
+  private def dataFilesUnder(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Nil
+    val out = Seq.newBuilder[String]
+    Files.walk(root).forEach { p =>
+      val s = p.toString
+      if (s.endsWith(".parquet") && !s.contains("_graft_log")) out += s
+    }
+    out.result()
+  }
+
+  private def snap(dir: String) =
+    SnapshotManagement.snapshot(SnapshotManagement.normalize(dir))
+
+  test("non-PK shallow clone: zero data copy, same content, independent " +
+      "thereafter in both directions") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.format("graft").save(src)
+      val v = CloneCommand.run(spark, src, dest)
+      assert(v == snap(src).version)
+      assert(dataFilesUnder(dest).isEmpty,
+        "shallow clone must not copy any data file")
+      assert(CloneCommand.hasExternalRefs(snap(dest)))
+      assertSameRows(spark.read.format("graft").load(dest),
+        spark.read.format("graft").load(src))
+
+      // clone-side append stays local to the clone
+      Seq((4L, "d")).toDF("id", "v")
+        .write.format("graft").mode("append").save(dest)
+      assert(spark.read.format("graft").load(dest).count() == 4)
+      assert(spark.read.format("graft").load(src).count() == 3,
+        "append to the clone must not leak into the source")
+      assert(dataFilesUnder(dest).nonEmpty, "the new file lives in the clone")
+
+      // source-side append after the clone is invisible to the clone
+      Seq((9L, "z")).toDF("id", "v")
+        .write.format("graft").mode("append").save(src)
+      assert(spark.read.format("graft").load(dest).count() == 4)
+    } }
+  }
+
+  test("PK clone refuses delta stacks, accepts the compacted version; " +
+      "post-clone upserts outrank cloned state") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      Seq((1L, 10), (2L, 20)).toDF("id", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.upsert(Seq((1L, 11), (3L, 30)).toDF("id", "n"))
+      // delta stack present: the collapse would erase upsert order
+      val e = intercept[IllegalStateException] {
+        CloneCommand.run(spark, src, dest)
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+
+      t.compaction()
+      CloneCommand.run(spark, src, dest)
+      assertSameRows(spark.read.format("graft").load(dest),
+        Seq((1L, 11), (2L, 20), (3L, 30)).toDF("id", "n"))
+
+      // the writeVersion collapse must leave post-clone commits on top:
+      // an upsert overwriting a cloned key has to win the merge
+      GraftTable.forPath(spark, dest)
+        .upsert(Seq((1L, 111), (4L, 40)).toDF("id", "n"))
+      assertSameRows(spark.read.format("graft").load(dest),
+        Seq((1L, 111), (2L, 20), (3L, 30), (4L, 40)).toDF("id", "n"))
+      // and a tombstone delete of a cloned key resolves against it
+      GraftTable.forPath(spark, dest).delete(col("id") === 2L)
+      assert(spark.read.format("graft").load(dest)
+        .filter(col("id") === 2L).count() == 0)
+      // source never moved
+      assertSameRows(spark.read.format("graft").load(src),
+        Seq((1L, 11), (2L, 20), (3L, 30)).toDF("id", "n"))
+    } }
+  }
+
+  test("clone at a past version pins that state; the clone's own time " +
+      "travel starts at its v0") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      Seq((1L, "a")).toDF("id", "v").write.format("graft").save(src)
+      val v0 = snap(src).version
+      Seq((2L, "b")).toDF("id", "v")
+        .write.format("graft").mode("append").save(src)
+      assert(CloneCommand.run(spark, src, dest, Some(v0)) == v0)
+      assert(spark.read.format("graft").load(dest).count() == 1,
+        "clone at v0 must not see the later append")
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("graft").mode("append").save(dest)
+      val travel = spark.read.format("graft").option("versionAsOf", "0")
+        .load(dest)
+      assert(travel.count() == 1, "clone v0 = the cloned state")
+    } }
+  }
+
+  test("vacuum on a clone never deletes source files; localization by " +
+      "compaction makes the clone survive source deletion") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      (1 to 100).map(i => (i.toLong, i.toString)).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      CloneCommand.run(spark, src, dest)
+      val srcFilesBefore = dataFilesUnder(src).toSet
+      withSQLConf("spark.graft.cleanup.retentionCheck.enabled" -> "false") {
+        val deleted = GraftTable.forPath(spark, dest).cleanup(retainMillis = 0)
+        assert(deleted.isEmpty, s"clone vacuum deleted: $deleted")
+      }
+      assert(dataFilesUnder(src).toSet == srcFilesBefore)
+      assert(spark.read.format("graft").load(dest).count() == 100)
+
+      // localize: force-compaction rewrites through the external refs
+      GraftTable.forPath(spark, dest).compaction(force = true)
+      assert(!CloneCommand.hasExternalRefs(snap(dest)),
+        "force compaction must leave no external references")
+      // the clone now survives the source disappearing entirely
+      graft.write.TransactionalWrite.deleteRecursively(Paths.get(src))
+      SnapshotManagement.invalidate(src)
+      assert(spark.read.format("graft").load(dest).count() == 100)
+    } }
+  }
+
+  test("DV flows: a clone sees the source's deletion vectors, and a DV " +
+      "delete on the clone masks the SHARED file only clone-side") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      // ONE multi-row file: with a row per file, a single-row delete drops
+      // the whole file (fullyGone) and never exercises the DV path
+      (1 to 10).map(i => (i.toLong, i)).toDF("id", "n").coalesce(1)
+        .write.format("graft").save(src)
+      // non-PK delete → deletion vector against the source file
+      GraftTable.forPath(spark, src).delete(col("id") === 1L)
+      assert(snap(src).files.exists(_.hasDv), "source delete must be a DV")
+      CloneCommand.run(spark, src, dest)
+      assert(spark.read.format("graft").load(dest).count() == 9,
+        "clone must read through the source's DV")
+
+      GraftTable.forPath(spark, dest).delete(col("id") === 2L)
+      assert(spark.read.format("graft").load(dest).count() == 8)
+      assert(spark.read.format("graft").load(src).count() == 9,
+        "the clone's DV must not mask rows in the source")
+      // the clone's new DV bitmap lives under the clone root
+      val cloneDvs = snap(dest).files.filter(_.hasDv).map(_.dvPath)
+      assert(cloneDvs.nonEmpty &&
+        cloneDvs.forall(!graft.meta.DataFileInfo.isExternal(_)),
+        s"clone-side DV must be clone-relative: $cloneDvs")
+    } }
+  }
+
+  test("CALL clone procedure: SQL surface, optional version, " +
+      "dest-must-not-exist error") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("graft").save(src)
+      // CALL resolves through the GraftCatalog's ProcedureCatalog: catalog
+      // conf is read at session creation, so use a fresh session
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog",
+        "graft.catalog.GraftCatalog")
+      val out = s2.sql(
+        s"CALL spark_catalog.system.clone('$src', '$dest')").collect()
+      assert(out.length == 1)
+      assert(spark.read.format("graft").load(dest).count() == 2)
+      val e = intercept[Exception] {
+        s2.sql(s"CALL spark_catalog.system.clone('$src', '$dest')")
+          .collect()
+      }
+      assert(e.getMessage.contains("exists"), e.getMessage)
+      // provenance recorded
+      val conf = snap(dest).tableInfo.configuration
+      assert(conf.get("graft.clone.sourcePath")
+        .contains(SnapshotManagement.normalize(src)))
+      assert(conf.contains("graft.clone.sourceVersion"))
+    } }
+  }
+
+  test("change feed and streaming read of a clone treat the cloned state " +
+      "as its initial commit") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/clone"
+      Seq((1L, 10), (2L, 20)).toDF("id", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1")
+        .save(src)
+      CloneCommand.run(spark, src, dest)
+      GraftTable.forPath(spark, dest)
+        .upsert(Seq((3L, 30)).toDF("id", "n"))
+      val feed = graft.tables.ChangeFeed.changes(spark, dest, 0,
+        snap(dest).version)
+      val inserts = feed.filter(col(graft.tables.ChangeFeed.CHANGE_TYPE)
+        === "insert").select("id").as[Long].collect().toSet
+      assert(inserts == Set(1L, 2L),
+        s"cloned rows must surface as v0 inserts: $inserts")
+      val upserts = feed.filter(col(graft.tables.ChangeFeed.CHANGE_TYPE)
+        === "upsert").select("id").as[Long].collect().toSet
+      assert(upserts == Set(3L),
+        s"the post-clone delta must follow as an upsert: $upserts")
+    } }
+  }
+}
