@@ -184,6 +184,16 @@ class GraftTable(object):
         version."""
         return self._jbridge.rebucket(self._jtable, int(newBucketNum))
 
+    def cloneTo(self, destPath, version=None):
+        """Zero-copy SHALLOW CLONE of this table into ``destPath``
+        (optionally at a past ``version``). The clone references the
+        source's data files; its own writes land under ``destPath``, and a
+        ``compaction(force=True)`` localizes it fully. Returns the source
+        version the clone reflects."""
+        if version is None:
+            return self._jbridge.cloneTo(self._jtable, destPath)
+        return self._jbridge.cloneTo(self._jtable, destPath, int(version))
+
     def cleanup(self, retainMillis=5 * 3600 * 1000, dryRun=False):
         """Vacuum unreferenced files older than ``retainMillis``.
 

@@ -90,6 +90,12 @@ def main():
 
         check("cleanup dryRun", t.cleanup(dryRun=True) == [])
 
+        cpath = os.path.join(tmp, "c")
+        t.cloneTo(cpath)  # rebucket/compaction left a clean snapshot
+        ct = GraftTable.forPath(spark, cpath)
+        ct.upsert(spark.createDataFrame([(9, 9)], "id long, v long"))
+        check("cloneTo", ct.toDF().count() == 4 and t.toDF().count() == 3)
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()

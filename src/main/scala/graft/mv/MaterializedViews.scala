@@ -277,27 +277,56 @@ object MaterializedViews {
     val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
       dec.aggList.map { ne: NamedExpression =>
         val kind = strip(ne) match {
+          case ae: AggregateExpression if ae.isDistinct => return false
           case ae: AggregateExpression
-              if ae.isDistinct || ae.filter.isDefined => return false
-          case AggregateExpression(Count(args), _, _, _, _) =>
-            if (args.forall(_.foldable)) CountCol(None)
+              if ae.filter.exists(!_.deterministic) => return false
+          // FILTER (WHERE p) folds by GUARDING the argument: the fold
+          // evaluates args over pre/post image rows, and an If-wrapped arg
+          // contributes exactly the filtered rows — count/sum skip nulls
+          // and min/max combine via null-skipping least/greatest. A
+          // filtered count is nullable-by-construction, so it can never be
+          // picked as the row-count lifecycle column; a filtered sum's
+          // nullable arg routes it through the usual companion-count
+          // guard, which then requires the SAME filter on the count. AVG
+          // keeps its no-filter rule (its companions' filters would have
+          // to match pairwise — recompute is the honest path).
+          case AggregateExpression(Count(args), _, _, filterOpt, _) =>
+            def guard(e: Expression): Expression = filterOpt match {
+              case Some(f) => If(f, e, Literal.create(null, e.dataType))
+              case None => e
+            }
+            if (args.forall(_.foldable)) filterOpt match {
+              case None => CountCol(None)
+              case Some(_) => CountCol(Some(guard(Literal(1))))
+            }
             else if (args.size == 1 && args.head.deterministic)
-              CountCol(Some(args.head))
+              CountCol(Some(guard(args.head)))
             else return false
-          case AggregateExpression(Sum(e, _), _, _, _, _) =>
+          case AggregateExpression(Sum(e, _), _, _, filterOpt, _) =>
             e.dataType match {
               case DoubleType | FloatType => return false // fp drift
               case _ if !e.deterministic => return false
-              case _ => SumCol(e)
+              case _ => SumCol(filterOpt match {
+                case Some(f) => If(f, e, Literal.create(null, e.dataType))
+                case None => e
+              })
             }
           // MIN/MAX fold exactly (selection, not accumulation — floats
           // are fine) but ONLY over insert-only windows: a deletion could
           // retract the stored extreme and the fold cannot know the
           // runner-up without the base
-          case AggregateExpression(Min(e), _, _, _, _)
-              if appendOnly && e.deterministic => MinCol(e)
-          case AggregateExpression(Max(e), _, _, _, _)
-              if appendOnly && e.deterministic => MaxCol(e)
+          case AggregateExpression(Min(e), _, _, filterOpt, _)
+              if appendOnly && e.deterministic =>
+            MinCol(filterOpt match {
+              case Some(f) => If(f, e, Literal.create(null, e.dataType))
+              case None => e
+            })
+          case AggregateExpression(Max(e), _, _, filterOpt, _)
+              if appendOnly && e.deterministic =>
+            MaxCol(filterOpt match {
+              case Some(f) => If(f, e, Literal.create(null, e.dataType))
+              case None => e
+            })
           // AVG folds exactly ONLY via companion SUM + COUNT columns in
           // the view (validated below): the stored avg value alone cannot
           // reconstruct the exact sum (it already carries the division's
@@ -309,7 +338,7 @@ object MaterializedViews {
           // here; fp args are already excluded by their sums.
           case AggregateExpression(
               org.apache.spark.sql.catalyst.expressions.aggregate
-                .Average(e, _), _, _, _, _)
+                .Average(e, _), _, _, None, _)
               if e.deterministic && (e.dataType match {
                 case org.apache.spark.sql.types.ByteType |
                   org.apache.spark.sql.types.ShortType |

@@ -79,6 +79,11 @@ object PyBridge {
   def rebucket(t: GraftTable, newBucketNum: Int): Long =
     t.rebucket(newBucketNum)
 
+  def cloneTo(t: GraftTable, destPath: String): Long = t.cloneTo(destPath)
+
+  def cloneTo(t: GraftTable, destPath: String, version: Long): Long =
+    t.cloneTo(destPath, Some(version))
+
   def cleanup(
       t: GraftTable, retainMillis: Long,
       dryRun: Boolean): java.util.List[String] =

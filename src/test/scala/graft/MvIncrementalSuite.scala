@@ -274,6 +274,51 @@ class MvIncrementalSuite extends GraftFunSuite {
     } }
   }
 
+  test("FILTER (WHERE p) aggregates fold via guarded args; a filtered " +
+      "sum requires the same-filtered count companion") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L, "eu"), (2L, "a", 20L, "us"), (3L, "b", 5L, "eu"))
+        .toDF("id", "g", "v", "region")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_flt")
+      val sql = "SELECT g, count(*) AS cnt, " +
+        "count(v) FILTER (WHERE region = 'eu') AS cv_eu, " +
+        "sum(v) FILTER (WHERE region = 'eu') AS sv_eu FROM mvi_flt GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      // window with an insert that passes the filter, one that fails it,
+      // and an upsert MOVING a row out of the filter (region eu → us)
+      val t = GraftTable.forPath(spark, dir)
+      t.upsert(Seq((4L, "b", 7L, "eu"), (5L, "a", 100L, "us"))
+        .toDF("id", "g", "v", "region"))
+      t.upsert(Seq((1L, "a", 10L, "us")).toDF("id", "g", "v", "region"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "filtered aggregates must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      // a: row 1 left the filter (sum returns to NULL via the companion
+      // guard — zero eu contributors remain), b: gained one
+      assert(rows.contains(Seq("a", 3L, 0L, null)), rows.toString)
+      assert(rows.contains(Seq("b", 2L, 2L, 12L)), rows.toString)
+
+      // a filtered sum WITHOUT its same-filtered count companion must
+      // recompute (the NULL-restore guard has nothing to key on)
+      val viewDir2 = dir + "-mv2"
+      val sql2 = "SELECT g, count(*) AS cnt, " +
+        "sum(v) FILTER (WHERE region = 'eu') AS sv_eu FROM mvi_flt GROUP BY g"
+      MaterializedViews.create(spark, viewDir2, sql2)
+      t.upsert(Seq((6L, "c", 1L, "eu")).toDF("id", "g", "v", "region"))
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir2))
+      assert(incCount == before2,
+        "companion-less filtered sum must take the full recompute")
+      assertMatchesRecompute(viewDir2, sql2)
+    }
+  }
+
   test("ineligible shapes (avg, double sum) fall back and stay correct") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
