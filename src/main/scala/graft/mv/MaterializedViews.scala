@@ -658,6 +658,49 @@ object MaterializedViews {
     staleCache.remove(norm)
   }
 
+  /** CONTINUOUS maintenance: tail each base relation's change-data-feed
+    * stream and refresh the view once per microbatch — each refresh takes
+    * the incremental fold whenever the window qualifies, so steady-state
+    * cost is ∝ changes, not view or base size. The CDF rows themselves are
+    * DISCARDED: the fold re-reads its exact version window under its own
+    * pins (a transactional boundary a streamed frame cannot provide); the
+    * stream contributes liveness — a microbatch fires iff the relation
+    * committed data changes (rewrites are invisible to CDF streams and
+    * change nothing a refresh could observe). One query per base relation
+    * (join views tail both sides); stop them all to stop maintenance.
+    * Triggers from one view's relations are serialized by an in-process
+    * per-view lock (two stream threads folding concurrently could land an
+    * interleaved overwrite); cross-process races stay covered by the
+    * refresh path's version pins — a refresh that lost one leaves the pin
+    * stale and the next refresh heals via the full recompute. */
+  private val maintainLocks = new ConcurrentHashMap[String, Object]()
+
+  def maintainStream(
+      spark: SparkSession, viewPath: String, checkpointRoot: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val norm = SnapshotManagement.normalize(viewPath)
+    val info = readInfo(norm).getOrElse(throw new IllegalArgumentException(
+      s"no materialized view at $viewPath"))
+    val session = spark // stable reference for the closures below
+    info.relationVersions.keySet.toSeq.sorted.zipWithIndex.map {
+      case (rel, i) =>
+        session.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .load(rel)
+          .writeStream
+          .option("checkpointLocation", s"$checkpointRoot/rel$i")
+          .foreachBatch { (_: DataFrame, _: Long) =>
+            val lock = maintainLocks.computeIfAbsent(norm, _ => new Object)
+            lock.synchronized { refresh(session, norm) }; ()
+          }
+          .trigger(trigger)
+          .queryName(s"graft-mv-maintain-$i-$norm")
+          .start()
+    }
+  }
+
   def readInfo(viewPath: String): Option[MaterialViewInfo] = {
     val norm = SnapshotManagement.normalize(viewPath)
     val p = mvMetaPath(norm)

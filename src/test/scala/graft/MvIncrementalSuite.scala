@@ -429,6 +429,80 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("maintainStream keeps the view continuously fresh; CDC batches " +
+      "take the fold path") {
+    withTempTable { dir => withTempTable { ckpt =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("mvi_stream")
+      val sql = "SELECT g, count(*) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        "FROM mvi_stream GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+      val queries = MaterializedViews.maintainStream(spark, viewDir, ckpt)
+      try {
+        assert(queries.size == 1, "single-relation view tails one stream")
+        val t = GraftTable.forPath(spark, dir)
+        val before = incCount
+        t.upsert(Seq((1L, "a", 11L), (3L, "c", 30L)).toDF("id", "g", "v"))
+        queries.foreach(_.processAllAvailable())
+        assert(incCount > before,
+          "the maintenance refresh must take the incremental fold")
+        assertMatchesRecompute(viewDir, sql)
+        // a second window (including a delete) flows through the same tail
+        t.delete(col("id") === 2L)
+        queries.foreach(_.processAllAvailable())
+        assertMatchesRecompute(viewDir, sql)
+        assert(!rowsOf(spark.read.format("graft").load(viewDir))
+          .exists(_.head == "b"))
+      } finally queries.foreach(_.stop())
+    } }
+  }
+
+  test("maintainStream tails BOTH relations of a join view; concurrent " +
+      "triggers serialize through the per-view lock") {
+    withTempTable { factDir => withTempTable { dimDir =>
+      val viewDir = factDir + "-mv"
+      val ckpt = factDir + "-ckpt"
+      Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "dim_id", "amount")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(factDir)
+      Seq((10L, "x"), (20L, "y")).toDF("did", "dname")
+        .write.format("graft")
+        .option("hashPartitions", "did").option("hashBucketNum", "1")
+        .save(dimDir)
+      spark.read.format("graft").load(factDir)
+        .createOrReplaceTempView("mvs_fact")
+      spark.read.format("graft").load(dimDir)
+        .createOrReplaceTempView("mvs_dim")
+      val sql = "SELECT dname, count(*) AS cnt, sum(amount) AS amt " +
+        "FROM mvs_fact JOIN mvs_dim ON dim_id = did GROUP BY dname"
+      MaterializedViews.create(spark, viewDir, sql)
+      val queries = MaterializedViews.maintainStream(spark, viewDir, ckpt)
+      try {
+        assert(queries.size == 2, "join view tails both relations")
+        // mutate BOTH sides; the two tails trigger two refreshes (their
+        // order is scheduler-chosen — the lock + pins keep state sane)
+        GraftTable.forPath(spark, factDir)
+          .upsert(Seq((3L, 20L, 7L)).toDF("id", "dim_id", "amount"))
+        GraftTable.forPath(spark, dimDir)
+          .upsert(Seq((10L, "x2")).toDF("did", "dname"))
+        queries.foreach(_.processAllAvailable())
+        // one more settle pass: the second refresh may have observed both
+        // windows at once (both-changed → full recompute — still exact)
+        queries.foreach(_.processAllAvailable())
+        assertMatchesRecompute(viewDir, sql)
+        val rows = rowsOf(spark.read.format("graft").load(viewDir))
+        assert(rows.contains(Seq("x2", 1L, 100L)), rows.toString)
+        assert(rows.contains(Seq("y", 2L, 207L)), rows.toString)
+      } finally queries.foreach(_.stop())
+    } }
+  }
+
   test("conf gate disables the incremental path") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
