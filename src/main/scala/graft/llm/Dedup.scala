@@ -76,25 +76,36 @@ object Dedup {
     // aggregate, both self-join sides and the per-doc sizes all read this
     // frame — one tokenize pass, truncated lineage, no CacheManager entry
     // (persist() plan-matching taxed every later query in the session).
-    val sh = Checkpoints.stabilize(shingleRows(df, idCol, textCol, k))
+    // 128-bit shingle identity (two independently-seeded xxhash64 halves):
+    // the inverted-index join and the hot-key aggregate shuffle 16-byte
+    // keys instead of raw shingle strings — the same exactness-by-wide-hash
+    // contract [[exactDuplicateGroups]]'s md5 groupBy rests on (collision
+    // odds across 10^10 distinct shingles ≈ 10^-19; a collision could only
+    // ever inflate one pair's `inter` by 1). Strings leave the plan right
+    // after the tokenizer, so the shuffled bytes drop ~2-3× and the join
+    // compares longs, not text.
+    val sh = Checkpoints.stabilize(
+      shingleRows(df, idCol, textCol, k).select(col("doc_id"),
+        xxhash64(col("s")).as("h1"), xxhash64(lit(1L), col("s")).as("h2")))
     // skew guard: drop shingles shared by too many documents. A hash
     // aggregate + anti-join — where a count-over-window would shuffle AND
     // sort every (doc_id, shingle) row just to learn each shingle's
     // frequency. No broadcast hint: the hot set is usually tiny, but with a
     // low maxKeyFreq over a huge corpus it can exceed broadcast limits — AQE
     // picks broadcast at runtime when the aggregated side actually is small.
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") > maxKeyFreq).select("s")
-    val filtered = sh.join(hot, Seq("s"), "left_anti")
+    val hot = sh.groupBy("h1", "h2").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxKeyFreq).select("h1", "h2")
+    val filtered = sh.join(hot, Seq("h1", "h2"), "left_anti")
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
   /** (a_id, b_id, inter, a_size, b_size) for every pair of docs sharing at
-    * least one row in `sh` (doc_id, s). */
+    * least one row in `sh` (doc_id, h1, h2). */
   private def pairStats(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
