@@ -29,7 +29,7 @@ object GraftProcedures {
   val NAMESPACE: Array[String] = Array("system")
 
   val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
-    "rebucket", "clone")
+    "rebucket", "clone", "create_mv", "refresh_mv", "drop_mv")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
@@ -38,6 +38,9 @@ object GraftProcedures {
     case "restore" => Some(RestoreProcedure)
     case "rebucket" => Some(RebucketProcedure)
     case "clone" => Some(CloneProcedure)
+    case "create_mv" => Some(CreateMvProcedure)
+    case "refresh_mv" => Some(RefreshMvProcedure)
+    case "drop_mv" => Some(DropMvProcedure)
     case _ => None
   }
 
@@ -167,6 +170,59 @@ object GraftProcedures {
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(dest)), v))))
+    }
+  }
+
+  object CreateMvProcedure extends MaintenanceProcedure("create_mv",
+      "Create + register a materialized view over graft tables") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType)
+        .comment("storage path for the view's graft table").build(),
+      ProcedureParameter.in("query", StringType)
+        .comment("view-defining SQL over graft.`path` tables").build(),
+      ProcedureParameter.in("hash_partitions", StringType).defaultValue("NULL")
+        .comment("optional PK layout for changed-groups-only refresh")
+        .build(),
+      ProcedureParameter.in("hash_bucket_num", IntegerType)
+        .defaultValue("NULL").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = str(input, 0).get
+      val opts = (str(input, 2).map("hashPartitions" -> _) ++
+        (if (input.isNullAt(3)) None
+         else Some("hashBucketNum" -> input.getInt(3).toString))).toMap
+      graft.mv.MaterializedViews.create(spark, path, str(input, 1).get, opts)
+      one(resultScan(versionSchema,
+        versionRow(SnapshotManagement.normalize(path))))
+    }
+  }
+
+  object RefreshMvProcedure extends MaintenanceProcedure("refresh_mv",
+      "Refresh a stale materialized view (incremental fold when eligible)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = str(input, 0).get
+      graft.mv.MaterializedViews.refresh(spark, path)
+      one(resultScan(versionSchema,
+        versionRow(SnapshotManagement.normalize(path))))
+    }
+  }
+
+  object DropMvProcedure extends MaintenanceProcedure("drop_mv",
+      "Unregister a materialized view and delete its storage") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = SnapshotManagement.normalize(str(input, 0).get)
+      graft.mv.MaterializedViews.drop(spark, path)
+      one(resultScan(versionSchema,
+        Seq(InternalRow(UTF8String.fromString(path), -1L))))
     }
   }
 

@@ -181,6 +181,41 @@ class ProcedureSuite extends GraftFunSuite {
     }
   }
 
+  test("CALL create_mv/refresh_mv/drop_mv: full MV lifecycle through SQL") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      val s2 = sqlSession
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      s2.sql(s"CALL spark_catalog.system.create_mv('$viewDir', " +
+        s"'SELECT g, count(1) AS cnt, count(v) AS cv, sum(v) AS sv " +
+        s"FROM graft.`$dir` GROUP BY g')").collect()
+      assert(spark.read.format("graft").load(viewDir).count() == 2)
+
+      // CDC window, then SQL refresh: must land the incremental fold
+      GraftTable.forPath(spark, dir)
+        .upsert(Seq((3L, "c", 30L)).toDF("id", "g", "v"))
+      val before = graft.mv.MaterializedViews.incrementalRefreshes.get()
+      s2.sql(s"CALL spark_catalog.system.refresh_mv('$viewDir')").collect()
+      assert(graft.mv.MaterializedViews.incrementalRefreshes.get()
+        == before + 1, "SQL refresh must take the fold path")
+      assert(rowsOf(spark.read.format("graft").load(viewDir))
+        .contains(Seq("c", 1L, 1L, 30L)))
+
+      s2.sql(s"CALL spark_catalog.system.drop_mv('$viewDir')").collect()
+      assert(!graft.meta.SnapshotManagement.exists(viewDir))
+      // drop_mv on a non-view path refuses (swapped-argument guard)
+      val e = intercept[Exception] {
+        s2.sql(s"CALL spark_catalog.system.drop_mv('$dir')").collect()
+      }
+      assert(e.getMessage.contains("materialized view"), e.getMessage)
+      assert(spark.read.format("graft").load(dir).count() == 3,
+        "the base table must survive the refused drop")
+    }
+  }
+
   test("unknown procedure fails loudly; procedures are listable") {
     val s2 = sqlSession
     val e = intercept[Exception] {
