@@ -214,6 +214,31 @@ class CloneSuite extends GraftFunSuite {
         === "upsert").select("id").as[Long].collect().toSet
       assert(upserts == Set(3L),
         s"the post-clone delta must follow as an upsert: $upserts")
+
+      // plain streaming source: the clone commit is append-like, so a
+      // stream over the clone drains the cloned rows as its snapshot
+      val q1 = spark.readStream.format("graft").load(dest)
+        .writeStream.format("memory").queryName("clone_stream").start()
+      try {
+        q1.processAllAvailable()
+        assert(spark.table("clone_stream").select("id").as[Long]
+          .collect().toSet == Set(1L, 2L, 3L))
+      } finally q1.stop()
+      // CDF stream from version 0: the clone commit's rows surface as
+      // insert change rows, the post-clone delta as an upsert (the
+      // default start is snapshot-as-inserts, which hides the split)
+      val q2 = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(dest)
+        .writeStream.format("memory").queryName("clone_cdf").start()
+      try {
+        q2.processAllAvailable()
+        val byType = spark.table("clone_cdf")
+          .groupBy(graft.tables.ChangeFeed.CHANGE_TYPE).count()
+          .as[(String, Long)].collect().toMap
+        assert(byType.getOrElse("insert", 0L) == 2L &&
+          byType.getOrElse("upsert", 0L) == 1L, byType.toString)
+      } finally q2.stop()
     } }
   }
 }

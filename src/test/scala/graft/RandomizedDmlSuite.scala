@@ -63,9 +63,13 @@ class RandomizedDmlSuite extends GraftFunSuite {
 
     val t = GraftTable.forPath(spark, dir)
     def randKey(): Long = rnd.nextInt(40).toLong
+    // (cloneDir, model at clone time): each shallow clone must still hold
+    // EXACTLY that state at sequence end — isolation from every subsequent
+    // src op (upserts, deletes, merges, restores, rebuckets) in one check
+    val clones = mutable.ArrayBuffer.empty[(String, Map[Long, ModelRow])]
 
     (0 until ops).foreach { i =>
-      val op = rnd.nextInt(11) match {
+      val op = rnd.nextInt(12) match {
         case 0 | 1 => // full-row upsert, random batch
           val rows = (0 until 1 + rnd.nextInt(5)).map(_ =>
             (randKey(), s"u$i-${rnd.nextInt(100)}", Some(rnd.nextInt(1000))))
@@ -133,7 +137,15 @@ class RandomizedDmlSuite extends GraftFunSuite {
           // targets a version the current timeline still agrees with
           history.filterInPlace { case (ver, _) => ver <= target }
           s"restore($target)"
-        case 9 => // rebucket: layout change is a no-op on state; later
+        case 9 if clones.size < 3 => // shallow clone of the current
+          // state (compaction first: clone-eligibility needs one write
+          // generation per bucket); isolation asserted at sequence end
+          t.compaction(force = true)
+          val cdir = dir + s"-clone${clones.size}"
+          t.cloneTo(cdir)
+          clones += ((cdir, model.toMap))
+          s"clone(${clones.size - 1})"
+        case 10 => // rebucket: layout change is a no-op on state; later
           // ops (and restores ACROSS it, which must revert TableInfo too)
           // keep composing
           val n = 1 + rnd.nextInt(6)
@@ -181,6 +193,19 @@ class RandomizedDmlSuite extends GraftFunSuite {
       s"seed=$seed: change-feed replay diverged from the model\n" +
       s"  only in replay: ${(replayed.toSet -- model.toSet).take(5)}\n" +
       s"  only in model: ${(model.toSet -- replayed.toSet).take(5)}")
+
+    // clone isolation: every fork still holds exactly the state it pinned,
+    // regardless of what the sequence did to the source afterwards
+    clones.foreach { case (cdir, pinned) =>
+      val got = readState(cdir)
+      assert(got == pinned,
+        s"seed=$seed: clone $cdir diverged from its pinned state\n" +
+        s"  only in clone: ${(got.toSet -- pinned.toSet).take(5)}\n" +
+        s"  only pinned:   ${(pinned.toSet -- got.toSet).take(5)}")
+      graft.write.TransactionalWrite.deleteRecursively(
+        java.nio.file.Paths.get(cdir))
+      graft.meta.SnapshotManagement.invalidate(cdir)
+    }
   }
 
   // 6 seeds x 30 ops = 180 randomized operations by default, each followed
