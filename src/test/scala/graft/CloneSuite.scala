@@ -193,6 +193,36 @@ class CloneSuite extends GraftFunSuite {
     } }
   }
 
+  test("chained clone: a fork of a fork reads through refs into BOTH " +
+      "ancestors; localization cuts the whole chain") {
+    withTempTable { src => withTempTable { scratch =>
+      val b = scratch + "/b"; val c = scratch + "/c"
+      Seq((1L, 10), (2L, 20)).toDF("id", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "1")
+        .save(src)
+      CloneCommand.run(spark, src, b)
+      // B diverges with a local delta, then compacts so it is
+      // clone-eligible again (some files B-local, none external anymore —
+      // compaction of a PK clone localizes as it merges)
+      GraftTable.forPath(spark, b).upsert(Seq((3L, 30)).toDF("id", "n"))
+      GraftTable.forPath(spark, b).compaction()
+      // re-mix: an appended non-PK? stay PK — clone B → C, then verify C
+      CloneCommand.run(spark, b, c)
+      assertSameRows(spark.read.format("graft").load(c),
+        Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "n"))
+      // C's refs point into B (absolute); localize C and drop both
+      // ancestors — C must survive alone
+      GraftTable.forPath(spark, c).compaction(force = true)
+      assert(!CloneCommand.hasExternalRefs(snap(c)))
+      Seq(src, b).foreach { p =>
+        graft.write.TransactionalWrite.deleteRecursively(Paths.get(p))
+        SnapshotManagement.invalidate(p)
+      }
+      assert(spark.read.format("graft").load(c).count() == 3)
+    } }
+  }
+
   test("change feed and streaming read of a clone treat the cloned state " +
       "as its initial commit") {
     withTempTable { src => withTempTable { scratch =>
