@@ -30,11 +30,14 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
 
   private val TombCol = graft.meta.Tombstones.COL
 
-  /** Last-wins replay of every delta-type commit's added files. */
-  private def replayLog(dir: String): Map[Long, (String, Int)] = {
+  /** Last-wins replay of every delta-type commit's added files, up to
+    * `upTo` (default: the whole log) — the bounded form validates what a
+    * mid-melee SHALLOW CLONE pinned. */
+  private def replayLog(
+      dir: String, upTo: Long = Long.MaxValue): Map[Long, (String, Int)] = {
     val path = SnapshotManagement.normalize(dir)
     val store = SnapshotManagement.store
-    val latest = store.latestVersion(path)
+    val latest = math.min(store.latestVersion(path), upTo)
     val model = mutable.Map.empty[Long, (String, Int)]
     (0L to latest).foreach { v =>
       val entries = store.read(path, v)
@@ -145,9 +148,36 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
           }
         } catch { case e: Throwable => unexpected.add(e) }
       })
+      // a racing CLONER: shallow clones pin a snapshot mid-melee. A clone
+      // must either refuse cleanly (delta stacks — the compact-first
+      // contract) or commit a fork whose content equals the last-wins
+      // replay of the SOURCE log at exactly its pinned version — a torn
+      // clone (files from two versions) or a mis-pinned sourceVersion
+      // would diverge.
+      val cloned = new ConcurrentLinkedQueue[(String, Long)]()
+      val cloner = new Thread(() => {
+        (0 until 6).foreach { i =>
+          try {
+            GraftTable.forPath(spark, dir).compaction(force = true)
+            val dest = dir + s"-race-clone$i"
+            val v = graft.commands.CloneCommand.run(spark, dir, dest)
+            cloned.add((dest, v))
+          } catch {
+            case _: GraftConcurrentModificationException => ()
+            case e: IllegalStateException
+                if e.getMessage.contains("compact") => () // clean refusal
+            case e: Throwable
+                if Option(e.getCause).exists(
+                  _.isInstanceOf[GraftConcurrentModificationException]) => ()
+            case e: Throwable => unexpected.add(e)
+          }
+        }
+      })
       reader.start()
+      cloner.start()
       threads.foreach(_.start())
       threads.foreach(_.join(300000))
+      cloner.join(300000)
       readerDone = true
       reader.join(60000)
       assert(!reader.isAlive, "reader thread still running after join — " +
@@ -163,6 +193,18 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
       GraftTable.forPath(spark, dir).compaction(force = true)
       assert(engineState(dir) == expected,
         "state changed across post-race compaction")
+
+      // one guaranteed post-race clone (the melee clones are opportunistic)
+      val destF = dir + "-race-clone-final"
+      val vF = graft.commands.CloneCommand.run(spark, dir, destF)
+      cloned.add((destF, vF))
+      cloned.forEach { case (dest, v) =>
+        assert(engineState(dest) == replayLog(dir, v),
+          s"clone $dest diverged from the source log replayed at v$v")
+        graft.write.TransactionalWrite.deleteRecursively(
+          java.nio.file.Paths.get(dest))
+        SnapshotManagement.invalidate(dest)
+      }
     }
   }
 }
