@@ -468,7 +468,10 @@ object GraftData {
         .save(d)
       graft.mv.MaterializedViews.create(spark, viewDir,
         s"SELECT o_custkey, count(1) AS cnt, count(p) AS cp, " +
-          s"sum(p) AS sp, avg(p) AS ap FROM graft.`$d` GROUP BY o_custkey")
+          s"sum(p) AS sp, avg(p) AS ap, " +
+          s"count(p) FILTER (WHERE p % 2 = 0) AS cpe, " +
+          s"sum(p) FILTER (WHERE p % 2 = 0) AS spe " +
+          s"FROM graft.`$d` GROUP BY o_custkey")
       val t = GraftTable.forPath(spark, d)
       // raw-image updates (no pre-images in the feed — the fold resolves
       // them by diffing merged bucket state), fresh inserts re-keyed far
