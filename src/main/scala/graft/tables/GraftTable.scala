@@ -171,6 +171,12 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def cloneTo(destPath: String, version: Option[Long] = None): Long =
     graft.commands.CloneCommand.run(spark, path, destPath, version)
 
+  /** [[cloneTo]] at the newest version committed at or before `timestamp`
+    * (same accepted forms as the `timestampAsOf` read option). */
+  def cloneToAtTimestamp(destPath: String, timestamp: String): Long =
+    cloneTo(destPath, Some(SnapshotManagement.versionAtTimestamp(path,
+      graft.sources.GraftTableV2.parseTs(spark, timestamp))))
+
   /** Rewind to the newest version committed at or before `timestamp`
     * (accepts the same forms as the `timestampAsOf` read option: timestamp
     * strings, yyyyMMdd dates, epoch millis). */

@@ -107,6 +107,13 @@ class CloneSuite extends GraftFunSuite {
       val travel = spark.read.format("graft").option("versionAsOf", "0")
         .load(dest)
       assert(travel.count() == 1, "clone v0 = the cloned state")
+
+      // timestamp form: epoch-millis "now" resolves to the source's
+      // latest version (two rows — the v0-pinned clone above has one)
+      val dest2 = scratch + "/clone_ts"
+      GraftTable.forPath(spark, src).cloneToAtTimestamp(dest2,
+        System.currentTimeMillis().toString)
+      assert(spark.read.format("graft").load(dest2).count() == 2)
     } }
   }
 
