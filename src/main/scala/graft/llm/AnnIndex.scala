@@ -101,13 +101,15 @@ object AnnIndex {
     * table pins down the SINGLE cell holding each touched id's previous
     * row, so re-assignment tombstones exactly one (cid, nid) per moved or
     * deleted id — tombstone rows per sync are bounded by |touched|, never
-    * |touched|×|cells|. Cell radii only ever GROW here (`cosr =
-    * min(stored, new member csims)`): a deleted extreme member leaves the
-    * stored radius conservatively large, which keeps the angular bound
-    * VALID (exactness never at risk) at the cost of probing a little more
-    * until the next full [[build]]. Centroids stay fixed between builds
-    * for the same reason. First call (no sidecar) builds from the full
-    * table. Returns the corpus version the index now reflects. */
+    * |touched|×|cells|. Cell stats stay EXACT across syncs: a conservative
+    * grow-only fold lands first (crash-safe — the bound must be valid
+    * before fresh members become visible), then, once the cells table
+    * holds the post-sync truth, the touched cells are re-statted exactly
+    * via one partition-pruned scan of just those cells ([[restatCells]]) —
+    * so stats never decay toward probe-everything between full builds.
+    * Centroids stay fixed between builds. First call (no sidecar) builds
+    * from the full table. Returns the corpus version the index now
+    * reflects. */
   def syncFromTable(
       spark: SparkSession, indexPath: String,
       corpusPath: String, idCol: String, vecCol: String,
@@ -231,6 +233,19 @@ object AnnIndex {
         // the compaction already resolved away is a no-op merge-side.
         graft.commands.CompactionCommand.run(spark, normCells, force = false)
         graft.commands.CompactionCommand.run(spark, normAssign, force = false)
+        // EXACT RE-STAT of the touched cells, now that the cells table holds
+        // the post-sync truth. The grow-only fold above exists only for the
+        // crash window (stats must be conservative BEFORE fresh members
+        // become visible); left alone it decays — radii grow-only, cnt
+        // decrement-only — until the metadata threshold t0 degrades to
+        // probe-every-cell. One partition-pruned scan of exactly the cells
+        // that gained or lost members (cost ∝ touched cells, the same order
+        // as the sync itself) restores build-exact (cosr, cnt) for them; a
+        // crash before this write just leaves the valid conservative stats
+        // for the replay to tighten.
+        restatCells(spark, indexPath, cents,
+          assignNew.select("cid").unionByName(moved.select(col("oldCid")
+            .as("cid"))).distinct().collect().map(_.get(0)).toSeq)
       }
     }
     if (current != last) {
@@ -240,6 +255,46 @@ object AnnIndex {
   }
 
   private val SYNC_FILE = "_graft_ann_sync.json"
+
+  /** Recompute (cosr, sinr, cnt) EXACTLY for `touchedCids` from the live
+    * cells table and overwrite just those stats rows. `touchedCids` is
+    * bounded by nCentroids (metadata-scale), so the isin literal prunes the
+    * cells scan to the touched range partitions at planning. A touched cell
+    * with zero live members keeps a stats row with cnt=0 and radius 0
+    * (cosr=1): it claims nothing for the threshold, its probe bound
+    * collapses to cos(a), and probing it reads no rows — whereas dropping
+    * the row would make topK's conservative missing-stats default (ub=1)
+    * probe it on every query forever. */
+  private def restatCells(
+      spark: SparkSession, indexPath: String, cents: DataFrame,
+      touchedCids: Seq[Any]): Unit = {
+    if (touchedCids.isEmpty) return
+    val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => greatest(lit(-1.0d), least(lit(1.0d), c))
+    val live = spark.read.format("graft").load(cellsPath(indexPath))
+      .filter(col("cid").isin(touchedCids: _*))
+      .select(col("cid"), col("nid"), posexplode(col("uvec"))
+        .as(Seq("dim", "nx")))
+      .join(broadcast(cents), Seq("cid", "dim"))
+      .groupBy("cid", "nid").agg(sum(col("nx") * col("cx")).as("csim"))
+      .groupBy("cid")
+      .agg(clamp(min(col("csim"))).as("cosr"), count(lit(1)).as("cnt"))
+    val touchedDf = spark.createDataFrame(
+      java.util.Arrays.asList(touchedCids.map(c =>
+        org.apache.spark.sql.Row(c)): _*),
+      org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types
+        .StructField("cid", live.schema("cid").dataType))))
+    val exact = touchedDf.join(live, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("cosr"), lit(1.0d)).as("cosr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("sinr", sqrt(greatest(lit(0.0d),
+        lit(1.0d) - col("cosr") * col("cosr"))))
+      .select("cid", "cosr", "sinr", "cnt")
+    val untouched = spark.read.format("graft").load(statsPath(indexPath))
+      .filter(!col("cid").isin(touchedCids: _*))
+    untouched.unionByName(exact).transform(Checkpoints.stabilize)
+      .write.format("graft").mode("overwrite").save(statsPath(indexPath))
+  }
 
   /** Centroids + cell radii are metadata-scale BY CONSTRUCTION (nCentroids
     * rows), yet as graft tables each read pays snapshot + scan planning —
@@ -378,13 +433,14 @@ object AnnIndex {
     // with the pair set re-derived inside the final job.
     val maxLocalPairs = 100000
     val pairRows = probe.limit(maxLocalPairs + 1).collect()
-    val (probeCids, probePairs) =
+    val (probeCids, probePairs, pairsLocal) =
       if (pairRows.length <= maxLocalPairs) {
         (pairRows.map(_.get(1)).distinct.toSeq,
           spark.createDataFrame(
-            java.util.Arrays.asList(pairRows: _*), probe.schema))
+            java.util.Arrays.asList(pairRows: _*), probe.schema), true)
       } else {
-        (probe.select("cid").distinct().collect().map(_.get(0)).toSeq, probe)
+        (probe.select("cid").distinct().collect().map(_.get(0)).toSeq, probe,
+          false)
       }
     if (probeCids.isEmpty) {
       // no query survived unit-normalization — empty, correctly-shaped out
@@ -395,12 +451,21 @@ object AnnIndex {
     // push into the range-partition filter at scan PLANNING, each cell row
     // fans out only to the queries probing that cell, and the rank window
     // finishes the job
-    val scored = spark.read.format("graft").load(cellsPath(indexPath))
+    // broadcast hints ONLY when the probe plan collected locally: in the
+    // overflow branch (>100k pairs — so the query batch itself is large)
+    // forcing a broadcast of the full distributed pair frame could blow the
+    // broadcast limit at exactly the scale the fallback exists for; there a
+    // plain join lets AQE pick the strategy from real sizes.
+    val cellRows = spark.read.format("graft").load(cellsPath(indexPath))
       .filter(col("cid").isin(probeCids: _*))
       .select(col("cid"), col("nid"),
         posexplode(col("uvec")).as(Seq("dim", "nx")))
-      .join(broadcast(probePairs), Seq("cid"))
-      .join(broadcast(qx), Seq("qid", "dim"))
+    val scored = (if (pairsLocal) {
+      cellRows.join(broadcast(probePairs), Seq("cid"))
+        .join(broadcast(qx), Seq("qid", "dim"))
+    } else {
+      cellRows.join(probePairs, Seq("cid")).join(qx, Seq("qid", "dim"))
+    })
       // raw-x sim = |q| × cosine: same per-query order, same ties
       .groupBy("qid", "nid").agg(sum(col("nx") * col("x")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)

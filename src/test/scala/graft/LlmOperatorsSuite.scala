@@ -852,7 +852,7 @@ class LlmOperatorsSuite extends GraftFunSuite {
   }
 
   test("AnnIndex sync soak: exact vs brute after every one of 5 random " +
-      "mutation rounds (radii only ever grow)") {
+      "mutation rounds") {
     withTempTable { corpusDir =>
       val rndv = new scala.util.Random(37)
       def vec() = Array.fill(12)(rndv.nextFloat() * 2 - 1)
@@ -904,6 +904,80 @@ class LlmOperatorsSuite extends GraftFunSuite {
           s"$p: a partition holds $worst delta files after 5 syncs — " +
             "sync-time compaction is not firing")
       }
+    }
+  }
+
+  test("AnnIndex churn: probe stats stay EXACT across many syncs with no " +
+      "full rebuild — no decay toward probe-every-cell") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(59)
+      def vec() = Array.fill(10)(rndv.nextFloat() * 2 - 1)
+      (0 until 90).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_churn_").toString + "/ix"
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 5)
+      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      (1 to 8).foreach { _ =>
+        val ups = (0 until 4 + rndv.nextInt(6))
+          .map(_ => (rndv.nextInt(140).toLong, vec())).distinctBy(_._1)
+        t.upsert(ups.toDF("vec_id", "embedding"))
+        t.delete(org.apache.spark.sql.functions
+          .col("vec_id") === rndv.nextInt(140).toLong)
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 5)
+      }
+      // under the old grow-only/decrement-only fold, 8 churn rounds leave
+      // sum(cnt) well below the live corpus and radii frozen at their
+      // historical widest; the exact re-stat keeps both build-fresh
+      val stats = spark.read.format("graft").load(s"$idx/cellstats")
+        .select("cid", "cosr", "cnt").as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val cents = spark.read.format("graft").load(s"$idx/centroids")
+      val truth = spark.read.format("graft").load(s"$idx/cells")
+        .select($"cid", $"nid",
+          org.apache.spark.sql.functions.posexplode($"uvec")
+            .as(Seq("dim", "nx")))
+        .join(cents, Seq("cid", "dim"))
+        .groupBy("cid", "nid")
+        .agg(org.apache.spark.sql.functions.sum($"nx" * $"cx").as("csim"))
+        .groupBy("cid")
+        .agg(org.apache.spark.sql.functions.min("csim").as("cosr"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .as[(Long, Double, Long)].collect()
+      assert(truth.nonEmpty)
+      truth.foreach { case (cid, wantCosr, wantCnt) =>
+        val (gotCosr, gotCnt) = stats.getOrElse(cid,
+          fail(s"cell $cid has members but no stats row"))
+        assert(gotCnt == wantCnt,
+          s"cell $cid: stored cnt $gotCnt != live membership $wantCnt")
+        assert(math.abs(gotCosr - math.max(-1.0, math.min(1.0, wantCosr)))
+            < 1e-9,
+          s"cell $cid: stored cosr $gotCosr != exact min csim $wantCosr")
+      }
+      // any stats row for a now-empty cell must claim nothing
+      val emptyCells = stats.keySet -- truth.map(_._1).toSet
+      emptyCells.foreach { cid =>
+        assert(stats(cid)._2 == 0L, s"empty cell $cid claims cnt>0")
+      }
+      assert(stats.values.map(_._2).sum ==
+        spark.read.format("graft").load(s"$idx/cells").count(),
+        "sum(cnt) must equal the live cell membership — cnt has decayed")
+      // and the index is still exact
+      val corpusNow = spark.read.format("graft").load(corpusDir)
+      val queries = corpusNow.orderBy("vec_id").limit(4)
+      val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+          k = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(got == want,
+        s"churned index != brute: missing ${want -- got}, extra ${got -- want}")
     }
   }
 
