@@ -127,14 +127,16 @@ object MaterializedViews {
     * the base. Applies when ALL of:
     *
     *  - the view is a filter + GROUP BY aggregate over one graft table OR
-    *    an inner equi-join tree of graft tables in which EXACTLY ONE
-    *    relation changed since the last refresh (the delta distributes
-    *    over the join against the others' pinned snapshots; two relations
-    *    changing leaves a ΔA ⋈ ΔB cross term — full recompute). Every
-    *    group expression must surface as an output column (the join key
-    *    back into the stored state) and every aggregate is non-DISTINCT,
-    *    non-FILTER `COUNT`/`SUM` (plus `MIN`/`MAX`/`AVG` under the
-    *    conditions below);
+    *    an inner equi-join tree of graft tables (no self-joins). ANY
+    *    subset of the relations may have changed since the last refresh:
+    *    each changed relation folds in sequence — its delta joined against
+    *    earlier-folded relations at their NEW versions and the rest at
+    *    their OLD pinned versions — which sums to the exact multi-relation
+    *    delta by multiset linearity (the ΔA ⋈ ΔB cross term lands in the
+    *    second fold's NEW-pinned side). Every group expression must
+    *    surface as an output column (the join key back into the stored
+    *    state) and every aggregate is non-DISTINCT, non-FILTER
+    *    `COUNT`/`SUM` (plus `MIN`/`MAX`/`AVG` under the conditions below);
     *  - some output column is a row count (`COUNT(*)` or `COUNT` of a
     *    non-nullable argument) — group lifecycle (a group's row count
     *    reaching zero deletes its row) is undecidable without one;
@@ -182,12 +184,15 @@ object MaterializedViews {
     val normView = SnapshotManagement.normalize(viewPath)
     if (!info.viewTableVersion.contains(
       SnapshotManagement.store.latestVersion(normView))) return false
-    // multi-relation views fold when EXACTLY ONE relation changed: the
-    // delta then distributes over the inner join (post ⋈ pinned = pre ⋈
-    // pinned + Δ ⋈ pinned — multiset linearity), so the feed window joins
-    // against the other relations' PINNED snapshots and folds as usual.
-    // Two relations changing in the same window would need the cross term
-    // ΔA ⋈ ΔB on top; full recompute handles that (rarer) shape.
+    // multi-relation views fold for ANY subset of changed relations via
+    // SEQUENTIAL single-relation folds. Multiset linearity of the inner
+    // join gives, for A and B both changing,
+    //   A_new ⋈ B_new − A_old ⋈ B_old = ΔA ⋈ B_old + A_new ⋈ ΔB
+    // (expand (A_old+ΔA) ⋈ (B_old+ΔB): the ΔA ⋈ ΔB cross term is exactly
+    // what the second fold's NEW-pinned side absorbs). Generalized to n
+    // changed relations: fold Δᵢ against every EARLIER-changed relation
+    // pinned at its NEW version and every later/unchanged one at its OLD
+    // pinned version — each fold is the same O(changed ⋈ pinned) shape.
     val normBy: Map[String, (String, Long)] = info.relationVersions.map {
       case (p, v) => SnapshotManagement.normalize(p) -> (p, v) }
     if (normBy.size != info.relationVersions.size) return false
@@ -200,46 +205,45 @@ object MaterializedViews {
       return false
     val changedPaths = normBy.keys.toSeq
       .filter(np => snapsNow(np).version > normBy(np)._2)
-    if (changedPaths.size != 1) return false
-    val norm = changedPaths.head
-    val (basePathKey, fromV) = normBy(norm)
-    val toV = snapsNow(norm).version
-    // metadata-only window precheck: every commit must yield row-level
-    // pre/post images in the feed
+    if (changedPaths.isEmpty) return false
+    // metadata-only window precheck, per changed relation: every commit
+    // must yield row-level pre/post images in the feed.
     val store = SnapshotManagement.store
     // ONE short-circuiting metadata pass decides both verdicts: a
     // disqualifying commit (alter, raw-image delta) returns immediately —
     // a 10k-commit backlog must not read 10k commit files just to learn
     // the first one already forces the full recompute. `appendOnly` =
-    // every commit either yields pure INSERT feed rows (insert-only type
-    // cross-checked against the removes/tombstone evidence, the same
-    // defense ChangeFeed's appendLike applies — a mislabeled commit must
-    // degrade to the safe fallback, never to a wrong fold) or is a
-    // REWRITE that yields no feed rows at all (compaction / rebucket /
-    // vacuum — routine maintenance must not defeat the MIN/MAX fold).
-    // This is what makes MIN/MAX foldable below: an extreme can only be
-    // EXTENDED by inserts, never retracted.
+    // every commit in EVERY changed relation's window either yields pure
+    // INSERT feed rows (insert-only type cross-checked against the
+    // removes/tombstone evidence, the same defense ChangeFeed's appendLike
+    // applies — a mislabeled commit must degrade to the safe fallback,
+    // never to a wrong fold) or is a REWRITE that yields no feed rows at
+    // all (compaction / rebucket / vacuum — routine maintenance must not
+    // defeat the MIN/MAX fold). This is what makes MIN/MAX foldable below:
+    // an extreme can only be EXTENDED by inserts, never retracted.
     var appendOnly = true
-    var wv = fromV + 1
-    while (wv <= toV) {
-      val entries = store.read(norm, wv)
-      val ct = entries.flatMap(_.commit).headOption
-        .map(_.commitType).getOrElse("append")
-      val adds = graft.meta.DataFileInfo.stampedAdds(entries, wv)
-      val hasTomb = graft.meta.Tombstones.anyHas(adds)
-      if (ct == "alter") return false // may retype columns mid-window
-      // raw-image delta (the canonical CDC upsert) IS foldable: the feed
-      // below runs with resolveUpserts = true, which diffs the touched
-      // buckets' merged state to recover per-key pre-images. It still
-      // counts as NOT insert-only (an overwrite can retract a stored
-      // extreme), so MIN/MAX folding stays disabled over such windows.
-      val insertOnly =
-        graft.sources.GraftMicroBatchStream.INSERT_ONLY_TYPES.contains(ct) &&
-        entries.forall(_.remove.isEmpty) && !hasTomb
-      val rewriteNoRows =
-        graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct)
-      if (!insertOnly && !rewriteNoRows) appendOnly = false
-      wv += 1
+    changedPaths.foreach { cnorm =>
+      var wv = normBy(cnorm)._2 + 1
+      while (wv <= snapsNow(cnorm).version) {
+        val entries = store.read(cnorm, wv)
+        val ct = entries.flatMap(_.commit).headOption
+          .map(_.commitType).getOrElse("append")
+        val adds = graft.meta.DataFileInfo.stampedAdds(entries, wv)
+        val hasTomb = graft.meta.Tombstones.anyHas(adds)
+        if (ct == "alter") return false // may retype columns mid-window
+        // raw-image delta (the canonical CDC upsert) IS foldable: the feed
+        // below runs with resolveUpserts = true, which diffs the touched
+        // buckets' merged state to recover per-key pre-images. It still
+        // counts as NOT insert-only (an overwrite can retract a stored
+        // extreme), so MIN/MAX folding stays disabled over such windows.
+        val insertOnly =
+          graft.sources.GraftMicroBatchStream.INSERT_ONLY_TYPES.contains(ct) &&
+          entries.forall(_.remove.isEmpty) && !hasTomb
+        val rewriteNoRows =
+          graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct)
+        if (!insertOnly && !rewriteNoRows) appendOnly = false
+        wv += 1
+      }
     }
 
     val viewDf = RQ.withoutRewrite { spark.sql(info.sqlText) }
@@ -256,8 +260,6 @@ object MaterializedViews {
     // together and the per-side delta decomposition above doesn't hold
     if (relPaths.distinct.size != relPaths.size) return false
     if (relPaths.toSet != normBy.keySet) return false
-    val changedRel = rels(relPaths.indexOf(norm))
-    val pinnedRels = rels.zip(relPaths).filter(_._2 != norm)
     if (dec.groupExprs.exists(!_.deterministic) ||
       dec.conjuncts.exists(!_.deterministic) ||
       joinConjs.exists(!_.deterministic)) return false
@@ -387,97 +389,131 @@ object MaterializedViews {
         n -> ((sn, cn, sdt))
     }.toMap
 
-    // the change window, weighted; re-bind the view's expressions onto
-    // the replacement frames: the CHANGED relation's attributes map (by
-    // case-resolver name) onto the feed frame, each PINNED relation's
-    // onto a frame reading its pinned snapshot's files directly —
-    // immutable files, so a commit racing this refresh cannot leak newer
-    // pinned-side rows into the fold. Lookups key on the original
-    // expression ids, so duplicate column names ACROSS relations stay
-    // unambiguous.
-    val changes = ChangeFeed.changes(spark, norm, fromV + 1, toV,
-      resolveUpserts = true)
-    val feedAttrs = org.apache.spark.sql.classic.ClassicConversions
-      .castToImpl(changes).queryExecution.analyzed.output
-    val pinnedFrames: Seq[(org.apache.spark.sql.catalyst.plans.logical
-        .LogicalPlan, DataFrame)] =
-      pinnedRels.map { case (r, np) =>
-        val s = snapsNow(np)
-        (r, graft.sources.GraftRead.readFiles(spark, np, s, s.files))
-      }
-    val resolver = spark.sessionState.conf.resolver
-    val attrMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
-        Expression] = {
-      val pairs = scala.collection.mutable.ArrayBuffer
-        .empty[(org.apache.spark.sql.catalyst.expressions.ExprId, Expression)]
-      def link(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-          frameAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
-          : Unit =
-        out.foreach { a =>
-          frameAttrs.find(fa => resolver(fa.name, a.name))
-            .foreach(fa => pairs += (a.exprId -> fa))
-        }
-      link(changedRel.output, feedAttrs)
-      pinnedFrames.foreach { case (r, df) =>
-        link(r.output, org.apache.spark.sql.classic.ClassicConversions
-          .castToImpl(df).queryExecution.analyzed.output)
-      }
-      pairs.toMap
-    }
-    def rebind(e: Expression): Option[Expression] = {
-      var ok = true
-      val out = e.transform {
-        case a: AttributeReference =>
-          attrMap.get(a.exprId) match {
-            case Some(fa) => fa
-            case None => ok = false; a
-          }
-      }
-      if (ok) Some(out) else None
-    }
     // a view expression referencing something absent from the feed frame
     // aborts eligibility from arbitrarily deep call positions
     val bail = new scala.util.control.ControlThrowable() {}
-    def rebindCol(e: Expression): org.apache.spark.sql.Column =
-      SparkShims.column(rebind(e).getOrElse(throw bail))
     try {
 
-    val weighted = changes.withColumn("__w",
-      when(col(ChangeFeed.CHANGE_TYPE)
-        .isin("insert", "update_postimage"), lit(1L))
-        .when(col(ChangeFeed.CHANGE_TYPE)
-          .isin("delete", "update_preimage"), lit(-1L))
-        .otherwise(raise_error(concat(lit("incremental MV refresh: " +
-          "unexpected change type "), col(ChangeFeed.CHANGE_TYPE)))
-          .cast("long")))
-    // Δ ⋈ pinned: chain the pinned frames onto the weighted feed and let
-    // the equi-conjuncts (applied as filters) collapse the cross joins
-    // into inner equi-joins in the optimizer — join order/shape is
-    // Catalyst's call (broadcast for dimension-sized pinned sides, AQE
-    // otherwise). Each feed row's ±weight rides through the fan-out, so a
-    // pre-image joining m pinned rows retracts exactly m joined rows.
-    val joinedSrc = pinnedFrames.map(_._2).foldLeft(weighted)(_ crossJoin _)
-    val filtered = (dec.conjuncts ++ joinConjs).foldLeft(joinedSrc)((d, c) =>
-      d.filter(rebindCol(c)))
+    def bq(n: String) = s"`${n.replace("`", "``")}`"
     val keyNames: Seq[String] = dec.groupExprs.indices.map(i =>
       cols.collectFirst { case (n, KeyCol(`i`), _) => n }.get)
-    val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
-      case (n, CountCol(None), _) =>
-        sum(col("__w")).as(s"__d_$n")
-      case (n, CountCol(Some(e)), _) =>
-        sum(when(rebindCol(e).isNotNull, col("__w")).otherwise(lit(0L)))
-          .as(s"__d_$n")
-      case (n, SumCol(e), _) =>
-        sum(rebindCol(e) * col("__w")).as(s"__d_$n")
-      case (n, MinCol(e), _) => min(rebindCol(e)).as(s"__d_$n")
-      case (n, MaxCol(e), _) => max(rebindCol(e)).as(s"__d_$n")
-    }
-    val deltaAgg = filtered
-      .groupBy(dec.groupExprs.zip(keyNames).map { case (g, n) =>
-        rebindCol(g).as(n) }: _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    def bq(n: String) = s"`${n.replace("`", "``")}`"
+    // ONE single-relation fold: the change window of `cnorm`, weighted,
+    // joined against every other relation's pinned snapshot. Re-bind the
+    // view's expressions onto the replacement frames: the CHANGED
+    // relation's attributes map (by case-resolver name) onto the feed
+    // frame, each PINNED relation's onto a frame reading its pinned
+    // snapshot's files directly — immutable files, so a commit racing
+    // this refresh cannot leak newer pinned-side rows into the fold.
+    // Lookups key on the original expression ids, so duplicate column
+    // names ACROSS relations stay unambiguous. Relations in `newPinned`
+    // (changed relations whose own fold already ran) pin at their NEW
+    // version; everything else pins at the meta's OLD version — the
+    // old/new split is what makes the sequential folds sum to the exact
+    // multi-relation delta (see the linearity argument above).
+    def foldDelta(cnorm: String, newPinned: Set[String]): DataFrame = {
+      val fromV = normBy(cnorm)._2
+      val toV = snapsNow(cnorm).version
+      val changes = ChangeFeed.changes(spark, cnorm, fromV + 1, toV,
+        resolveUpserts = true)
+      val feedAttrs = org.apache.spark.sql.classic.ClassicConversions
+        .castToImpl(changes).queryExecution.analyzed.output
+      val changedRel = rels(relPaths.indexOf(cnorm))
+      val pinnedFrames: Seq[(org.apache.spark.sql.catalyst.plans.logical
+          .LogicalPlan, DataFrame)] =
+        rels.zip(relPaths).filter(_._2 != cnorm).map { case (r, np) =>
+          val s =
+            if (newPinned(np) || snapsNow(np).version == normBy(np)._2)
+              snapsNow(np)
+            else SnapshotManagement.snapshotAt(np, normBy(np)._2)
+          (r, graft.sources.GraftRead.readFiles(spark, np, s, s.files))
+        }
+      val resolver = spark.sessionState.conf.resolver
+      val attrMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+          Expression] = {
+        val pairs = scala.collection.mutable.ArrayBuffer
+          .empty[(org.apache.spark.sql.catalyst.expressions.ExprId, Expression)]
+        def link(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+            frameAttrs: Seq[org.apache.spark.sql.catalyst.expressions
+              .Attribute]): Unit =
+          out.foreach { a =>
+            frameAttrs.find(fa => resolver(fa.name, a.name))
+              .foreach(fa => pairs += (a.exprId -> fa))
+          }
+        link(changedRel.output, feedAttrs)
+        pinnedFrames.foreach { case (r, df) =>
+          link(r.output, org.apache.spark.sql.classic.ClassicConversions
+            .castToImpl(df).queryExecution.analyzed.output)
+        }
+        pairs.toMap
+      }
+      def rebindCol(e: Expression): org.apache.spark.sql.Column = {
+        var ok = true
+        val out = e.transform {
+          case a: AttributeReference =>
+            attrMap.get(a.exprId) match {
+              case Some(fa) => fa
+              case None => ok = false; a
+            }
+        }
+        if (!ok) throw bail
+        SparkShims.column(out)
+      }
+
+      val weighted = changes.withColumn("__w",
+        when(col(ChangeFeed.CHANGE_TYPE)
+          .isin("insert", "update_postimage"), lit(1L))
+          .when(col(ChangeFeed.CHANGE_TYPE)
+            .isin("delete", "update_preimage"), lit(-1L))
+          .otherwise(raise_error(concat(lit("incremental MV refresh: " +
+            "unexpected change type "), col(ChangeFeed.CHANGE_TYPE)))
+            .cast("long")))
+      // Δ ⋈ pinned: chain the pinned frames onto the weighted feed and let
+      // the equi-conjuncts (applied as filters) collapse the cross joins
+      // into inner equi-joins in the optimizer — join order/shape is
+      // Catalyst's call (broadcast for dimension-sized pinned sides, AQE
+      // otherwise). Each feed row's ±weight rides through the fan-out, so a
+      // pre-image joining m pinned rows retracts exactly m joined rows.
+      val joinedSrc = pinnedFrames.map(_._2).foldLeft(weighted)(_ crossJoin _)
+      val filtered = (dec.conjuncts ++ joinConjs).foldLeft(joinedSrc)((d, c) =>
+        d.filter(rebindCol(c)))
+      val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+        case (n, CountCol(None), _) =>
+          sum(col("__w")).as(s"__d_$n")
+        case (n, CountCol(Some(e)), _) =>
+          sum(when(rebindCol(e).isNotNull, col("__w")).otherwise(lit(0L)))
+            .as(s"__d_$n")
+        case (n, SumCol(e), _) =>
+          sum(rebindCol(e) * col("__w")).as(s"__d_$n")
+        case (n, MinCol(e), _) => min(rebindCol(e)).as(s"__d_$n")
+        case (n, MaxCol(e), _) => max(rebindCol(e)).as(s"__d_$n")
+      }
+      filtered
+        .groupBy(dec.groupExprs.zip(keyNames).map { case (g, n) =>
+          rebindCol(g).as(n) }: _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+    }
+
+    // sequential folds in the view tree's relation order; combine the
+    // per-fold group deltas with the aggregates' own combiners (counts and
+    // sums ADD — sum skips a fold's null delta, matching the single-fold
+    // image — extremes take least/greatest via min/max)
+    val changedOrder = relPaths.filter(changedPaths.contains)
+    val foldParts = changedOrder.zipWithIndex.map { case (np, i) =>
+      foldDelta(np, changedOrder.take(i).toSet) }
+    val deltaAgg =
+      if (foldParts.size == 1) foldParts.head
+      else {
+        val combAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+          case (n, CountCol(_) | SumCol(_), _) =>
+            sum(col(s"`__d_$n`")).as(s"__d_$n")
+          case (n, MinCol(_), _) => min(col(s"`__d_$n`")).as(s"__d_$n")
+          case (n, MaxCol(_), _) => max(col(s"`__d_$n`")).as(s"__d_$n")
+        }
+        foldParts.reduce(_ unionByName _)
+          .groupBy(keyNames.map(n => col(bq(n))): _*)
+          .agg(combAggs.head, combAggs.tail: _*)
+      }
     def comb(n: String, dt: org.apache.spark.sql.types.DataType)
         : org.apache.spark.sql.Column = {
       val z = lit(0).cast(dt match {
@@ -597,8 +633,10 @@ object MaterializedViews {
     committedVersion.foreach { v =>
       Files.write(mvMetaPath(viewPath),
         Serialization.write(info.copy(
-          relationVersions = info.relationVersions
-            .updated(basePathKey, toV),
+          relationVersions = info.relationVersions.map { case (p, pv) =>
+            val np = SnapshotManagement.normalize(p)
+            p -> (if (changedPaths.contains(np)) snapsNow(np).version else pv)
+          },
           viewTableVersion = Some(v)))
           .getBytes(StandardCharsets.UTF_8))
       incrementalRefreshes.incrementAndGet()

@@ -118,4 +118,68 @@ class MvFoldFuzzSuite extends GraftFunSuite {
       }
     }
   }
+
+  test("join-view fold == recompute when BOTH relations mutate every " +
+      "window (sequential single-relation folds cover the cross term)") {
+    Seq(13, 71).foreach { seed =>
+      withTempTable { factDir => withTempTable { dimDir =>
+        val viewDir = factDir + "-mv"
+        val rnd = new scala.util.Random(seed)
+        def mkFacts(n: Int): Seq[(Long, Long, Option[Long])] =
+          (0 until n).map { _ =>
+            (rnd.nextInt(60).toLong, (rnd.nextInt(6) + 1) * 10L,
+              if (rnd.nextInt(5) == 0) None
+              else Some(rnd.nextInt(500).toLong))
+          }.distinctBy(_._1)
+        def mkDims(n: Int): Seq[(Long, String)] =
+          (0 until n).map { _ =>
+            ((rnd.nextInt(8) + 1) * 10L, s"n${rnd.nextInt(20)}")
+          }.distinctBy(_._1)
+        mkFacts(25).toDF("id", "dim_id", "v").write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "2")
+          .save(factDir)
+        mkDims(6).toDF("did", "dname").write.format("graft")
+          .option("hashPartitions", "did").option("hashBucketNum", "1")
+          .save(dimDir)
+        val fv = s"mvfj_f_$seed"; val dv = s"mvfj_d_$seed"
+        spark.read.format("graft").load(factDir).createOrReplaceTempView(fv)
+        spark.read.format("graft").load(dimDir).createOrReplaceTempView(dv)
+        val sql = s"SELECT dname, count(*) AS cnt, count(v) AS cv, " +
+          s"sum(v) AS sv FROM $fv JOIN $dv ON dim_id = did GROUP BY dname"
+        MaterializedViews.create(spark, viewDir, sql)
+        val tf = GraftTable.forPath(spark, factDir)
+        val td = GraftTable.forPath(spark, dimDir)
+        var folds = 0
+        (1 to 8).foreach { round =>
+          // BOTH sides mutate each window: upserts (moves, NULL flips,
+          // renames), deletes, compactions
+          rnd.nextInt(4) match {
+            case 0 => tf.delete(col("id") % (3 + rnd.nextInt(4)) === 0)
+            case 1 => tf.compaction()
+            case _ =>
+              val r = mkFacts(2 + rnd.nextInt(6))
+              if (r.nonEmpty) tf.upsert(r.toDF("id", "dim_id", "v"))
+          }
+          rnd.nextInt(4) match {
+            case 0 => td.delete(col("did") === (rnd.nextInt(8) + 1) * 10L)
+            case _ =>
+              val r = mkDims(1 + rnd.nextInt(3))
+              if (r.nonEmpty) td.upsert(r.toDF("did", "dname"))
+          }
+          val before = incCount
+          MaterializedViews.refresh(spark, viewDir)
+          if (incCount == before + 1) folds += 1
+          val want = RQ.withoutRewrite { rowsOf(spark.sql(sql)) }
+          val got = rowsOf(spark.read.format("graft").load(viewDir))
+          assert(got == want,
+            s"seed $seed round $round: both-changed join fold diverged\n" +
+              s" view: $got\n sql:  $want")
+        }
+        assert(folds >= 6,
+          s"seed $seed: only $folds/8 windows folded — the soak is " +
+            "exercising the recompute path, not the sequential fold")
+        MaterializedViews.drop(spark, viewDir)
+      } }
+    }
+  }
 }

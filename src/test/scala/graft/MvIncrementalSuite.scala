@@ -220,8 +220,8 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
-  test("join view folds when exactly one relation changed; both-changed " +
-      "windows fall back") {
+  test("join view folds when exactly one relation changed — and when both " +
+      "changed in one window") {
     withTempTable { factDir => withTempTable { dimDir =>
       val viewDir = factDir + "-mv"
       Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 10L, 50L))
@@ -262,15 +262,85 @@ class MvIncrementalSuite extends GraftFunSuite {
       assertMatchesRecompute(viewDir, sql)
       assert(rowsOf(spark.sql(sql)).contains(Seq("x2", 1L, 50L)))
 
-      // both sides changed in one window: cross-term — full recompute
+      // both sides changed in one window: two sequential single-relation
+      // folds (Δfact ⋈ dim_old, then Δdim ⋈ fact_new) cover the cross
+      // term — the new fact row 5 joins dim 30 exactly once even though
+      // dim 30 was renamed in the same window
       GraftTable.forPath(spark, factDir)
         .upsert(Seq((5L, 30L, 7L)).toDF("id", "dim_id", "amount"))
       GraftTable.forPath(spark, dimDir)
         .upsert(Seq((30L, "z2")).toDF("did", "dname"))
       val beforeB = incCount
       assert(MaterializedViews.refresh(spark, viewDir))
-      assert(incCount == beforeB, "both-changed window must recompute fully")
+      assert(incCount == beforeB + 1, "both-changed window must fold")
       assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("z2", 2L, 107L)))
+    } }
+  }
+
+  test("both-changed fold survives deletes, cross-dim moves and group " +
+      "lifecycle on each side of the window; 3-way joins too") {
+    withTempTable { factDir => withTempTable { dimDir =>
+      val viewDir = factDir + "-mv"
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 10L, 50L), (4L, 20L, 5L))
+        .toDF("id", "dim_id", "amount").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(factDir)
+      Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("did", "dname")
+        .write.format("graft")
+        .option("hashPartitions", "did").option("hashBucketNum", "1")
+        .save(dimDir)
+      spark.read.format("graft").load(factDir)
+        .createOrReplaceTempView("mvb_fact")
+      spark.read.format("graft").load(dimDir)
+        .createOrReplaceTempView("mvb_dim")
+      val sql = "SELECT dname, count(*) AS cnt, sum(amount) AS amt " +
+        "FROM mvb_fact JOIN mvb_dim ON dim_id = did GROUP BY dname"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // one window, both relations: fact deletes a row, moves a row to a
+      // dim renamed IN THE SAME WINDOW, and inserts onto a dim deleted in
+      // the same window; dim renames 10, deletes 20, inserts 40
+      val tf = GraftTable.forPath(spark, factDir)
+      val td = GraftTable.forPath(spark, dimDir)
+      tf.delete(col("id") === 3L)
+      tf.upsert(Seq((1L, 20L, 100L), (5L, 40L, 9L))
+        .toDF("id", "dim_id", "amount"))
+      td.upsert(Seq((10L, "x9"), (40L, "w")).toDF("did", "dname"))
+      td.delete(col("did") === 20L)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1,
+        "mixed both-changed window must fold incrementally")
+      assertMatchesRecompute(viewDir, sql)
+      val got = rowsOf(spark.read.format("graft").load(viewDir))
+      // group "y" vanished (dim 20 deleted retracts facts 1, 2 and 4);
+      // "w" is born from the cross term (new fact 5 ⋈ new dim 40)
+      assert(!got.exists(_.head == "y"))
+      assert(got.contains(Seq("w", 1L, 9L)))
+      assert(!got.exists(_.head == "x"))
+
+      // 3-way join with two of three relations changing in one window
+      withTempTable { catDir =>
+        val v3 = factDir + "-mv3"
+        Seq((100L, 10L), (200L, 20L), (300L, 40L)).toDF("cid", "cdid")
+          .write.format("graft")
+          .option("hashPartitions", "cid").option("hashBucketNum", "1")
+          .save(catDir)
+        spark.read.format("graft").load(catDir)
+          .createOrReplaceTempView("mvb_cat")
+        val sql3 = "SELECT dname, count(*) AS cnt, sum(amount) AS amt " +
+          "FROM mvb_fact JOIN mvb_dim ON dim_id = did " +
+          "JOIN mvb_cat ON cdid = did GROUP BY dname"
+        MaterializedViews.create(spark, v3, sql3)
+        tf.upsert(Seq((6L, 10L, 11L)).toDF("id", "dim_id", "amount"))
+        td.upsert(Seq((10L, "x10")).toDF("did", "dname"))
+        val b3 = incCount
+        assert(MaterializedViews.refresh(spark, v3))
+        assert(incCount == b3 + 1, "two-of-three changed must fold")
+        assertMatchesRecompute(v3, sql3)
+        MaterializedViews.drop(spark, v3)
+      }
     } }
   }
 
