@@ -562,15 +562,25 @@ object GraftData {
       base.write.format("graft")
         .option("hashPartitions", "c_custkey").option("hashBucketNum", "4")
         .save(srcDir)
+      // LIVE delta stack on the source (no compaction): the clone must
+      // preserve the base-vs-delta merge order across the fork
+      GraftTable.forPath(spark, srcDir)
+        .upsert(base.filter(col("c_custkey") % 6 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 200L))
       graft.commands.CloneCommand.run(spark, srcDir, cloneDir)
       val t = GraftTable.forPath(spark, cloneDir)
+      // divergent DML: this upsert must outrank the CLONED delta (+200)
+      // for the same keys — a merge-order bug reads back +200 or +700
       t.upsert(base.filter(col("c_custkey") % 6 === 0)
         .withColumn("bal_cents", col("bal_cents") + 500L))
       t.delete(col("c_custkey") % 17 === 0)
-      // isolation: the source still hash-matches its pristine content
+      // isolation: the source still hash-matches its pre-clone content
+      val srcWant = base.withColumn("bal_cents",
+        when(col("c_custkey") % 6 === 0, col("bal_cents") + 200L)
+          .otherwise(col("bal_cents")))
       val srcCnt = graftRead(spark, srcDir)
         .agg(count(lit(1)), sum(col("bal_cents"))).collect().head
-      val wantCnt = base.agg(count(lit(1)), sum(col("bal_cents")))
+      val wantCnt = srcWant.agg(count(lit(1)), sum(col("bal_cents")))
         .collect().head
       require(srcCnt == wantCnt,
         s"clone DML leaked into the source: $srcCnt != $wantCnt")

@@ -20,20 +20,19 @@ import graft.meta.{DataFileInfo, SnapshotManagement, Snapshot}
   * `compaction(force = true)` no external references remain and the clone
   * is fully independent of the source's storage.
   *
-  * Ordering contract (why the compacted-source requirement exists): the
-  * clone's log starts at version 0, so every cloned file is committed with
-  * `writeVersion = 0` and every post-clone commit stamps a HIGHER version —
-  * merge-on-read ordering between cloned state and new writes is always
-  * correct. But collapsing the source's writeVersions to one value is only
-  * faithful when no two source files in the same (range, bucket) carry
-  * DIFFERENT writeVersions — i.e. no delta stacks whose relative order the
-  * collapse would erase. A fully-compacted PK snapshot satisfies this
-  * per construction (one base generation per bucket, disjoint keys within
-  * it); non-PK tables satisfy it vacuously (append-only files with
-  * disjoint rows + per-path DV replacement — the merge reader never orders
-  * them by writeVersion). When the check fails the command refuses with
-  * the remedy (compact first) rather than committing a clone whose merge
-  * reader would resolve upserts in the wrong order.
+  * Ordering contract: the clone's log starts at version 0, so every
+  * post-clone commit stamps writeVersion >= 1. The source's per-file
+  * writeVersions (which order delta-stacked upserts within a bucket for
+  * merge-on-read) are preserved by an ORDER-PRESERVING remap of the
+  * snapshot's distinct values onto `-k+1 .. 0`: the newest source
+  * generation keeps the 0 sentinel (so a compacted source clones exactly
+  * as before), older generations go negative — strictly below every
+  * future commit's stamp, while their relative order (all the merge
+  * reader consults) survives intact. Negative writeVersions are ordinary
+  * longs to the k-way merge heap and pass `stampedAdds` untouched
+  * (non-zero = authoritative), so a LIVE delta-stacked PK table — the
+  * "fork the hot 100 TB table NOW" case — clones without a compaction
+  * pass first.
   *
   * Safety at the source: vacuum builds its live set from resolved paths,
   * and external refs qualify OUTSIDE the clone root — the clone's vacuum
@@ -55,6 +54,12 @@ object CloneCommand {
     val src = SnapshotManagement.normalize(sourcePath)
     val dest = SnapshotManagement.normalize(destPath)
     require(src != dest, s"clone source and destination are the same: $src")
+    // a relative source would commit file references that fail the
+    // isExternal test and get re-resolved under the CLONE root — silently
+    // reading missing (or wrong) files
+    require(DataFileInfo.isExternal(src),
+      s"clone source must be an absolute path or URI (got '$sourcePath'): " +
+      "cloned entries reference source files by external absolute path")
     if (SnapshotManagement.exists(dest)) {
       throw new IllegalArgumentException(
         s"clone destination already exists: $dest")
@@ -63,14 +68,17 @@ object CloneCommand {
       case Some(v) => SnapshotManagement.snapshotAt(src, v)
       case None => SnapshotManagement.snapshot(src)
     }
-    requireCollapsibleOrdering(src, snap)
+    // order-preserving writeVersion remap onto -k+1 .. 0 (newest -> the 0
+    // sentinel): delta-stack merge order survives the clone, and every
+    // post-clone commit (writeVersion >= 1) outranks all cloned state
+    val distinctWv = snap.files.map(_.writeVersion).distinct.sorted
+    val rank: Map[Long, Long] = distinctWv.zipWithIndex.map { case (v, i) =>
+      v -> (i.toLong - (distinctWv.size - 1)) }.toMap
     val files = snap.files.map { f =>
       f.copy(
         path = DataFileInfo.resolve(src, f.path),
         dvPath = if (f.hasDv) DataFileInfo.resolve(src, f.dvPath) else "",
-        // one collapsed generation: every post-clone commit (v >= 1)
-        // outranks the cloned state, exactly like a fresh initial write
-        writeVersion = 0L)
+        writeVersion = rank(f.writeVersion))
     }
     val info = snap.tableInfo.copy(
       tableId = java.util.UUID.randomUUID().toString,
@@ -93,26 +101,4 @@ object CloneCommand {
     snapshot.files.exists(f => DataFileInfo.isExternal(f.path) ||
       (f.hasDv && DataFileInfo.isExternal(f.dvPath)))
 
-  /** Refuse snapshots whose merge-on-read semantics depend on writeVersion
-    * ORDER between files of the same (range, bucket) — collapsing those to
-    * one generation would erase which upsert wins. Only PK tables order by
-    * writeVersion; one base generation per bucket (what compaction leaves
-    * behind) collapses faithfully. */
-  private def requireCollapsibleOrdering(src: String, snap: Snapshot): Unit = {
-    if (!snap.tableInfo.hasPrimaryKey) return
-    val offending = snap.files
-      .groupBy(f => (f.rangeKey, f.bucket))
-      .collect { case (k, fs)
-          if fs.exists(!_.isBase) || fs.map(_.writeVersion).distinct.size > 1 =>
-        k
-      }
-    if (offending.nonEmpty) {
-      throw new IllegalStateException(
-        s"cannot shallow-clone $src at v${snap.version}: " +
-        s"${offending.size} bucket(s) hold delta files or multiple write " +
-        "generations, whose merge order a clone cannot preserve. Run " +
-        "compaction on the source (CALL graft.compact) and clone the " +
-        "compacted version.")
-    }
-  }
 }

@@ -503,8 +503,12 @@ object CompactionCommand extends org.apache.spark.internal.Logging {
       // bin-pack, so it wrongly skipped partitions compacted before the
       // property was declared
       val clusterByCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      // negative writeVersions are cloned-in generations (CloneCommand's
+      // order-preserving remap) — no log entry of THIS table describes
+      // them, so they conservatively count as unclustered
       def clusterByOf(v: Long): Seq[String] = clusterByCache.getOrElseUpdate(v,
-        SnapshotManagement.store.read(path, v).flatMap(_.commit).headOption
+        if (v < 0) Nil
+        else SnapshotManagement.store.read(path, v).flatMap(_.commit).headOption
           .map(_.clusterBy.map(_.toLowerCase)).getOrElse(Nil))
       // a FORCED compaction also localizes shallow-clone state: partitions
       // still referencing files outside the table root rewrite into local

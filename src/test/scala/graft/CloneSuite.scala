@@ -54,9 +54,10 @@ class CloneSuite extends GraftFunSuite {
     } }
   }
 
-  test("PK clone refuses delta stacks, accepts the compacted version; " +
-      "post-clone upserts outrank cloned state") {
+  test("PK clone preserves delta-stack merge order (no pre-compaction " +
+      "needed); post-clone upserts outrank cloned state") {
     withTempTable { src => withTempTable { scratch =>
+      val destLive = scratch + "/clone_live"
       val dest = scratch + "/clone"
       Seq((1L, 10), (2L, 20)).toDF("id", "n")
         .write.format("graft")
@@ -64,30 +65,57 @@ class CloneSuite extends GraftFunSuite {
         .save(src)
       val t = GraftTable.forPath(spark, src)
       t.upsert(Seq((1L, 11), (3L, 30)).toDF("id", "n"))
-      // delta stack present: the collapse would erase upsert order
-      val e = intercept[IllegalStateException] {
-        CloneCommand.run(spark, src, dest)
-      }
-      assert(e.getMessage.contains("compact"), e.getMessage)
+      // LIVE delta stack: the order-preserving writeVersion remap keeps
+      // the upsert above the base it overwrites — id 1 must read 11, and
+      // nothing is copied
+      CloneCommand.run(spark, src, destLive)
+      assert(dataFilesUnder(destLive).isEmpty,
+        "delta-stacked shallow clone must not copy any data file")
+      assertSameRows(spark.read.format("graft").load(destLive),
+        spark.read.format("graft").load(src))
+      // deeper stack with a tombstone and a re-insert: relative order of
+      // THREE cloned generations must survive
+      t.delete(col("id") === 2L)
+      t.upsert(Seq((2L, 22), (1L, 12)).toDF("id", "n"))
+      val destDeep = scratch + "/clone_deep"
+      CloneCommand.run(spark, src, destDeep)
+      assertSameRows(spark.read.format("graft").load(destDeep),
+        Seq((1L, 12), (2L, 22), (3L, 30)).toDF("id", "n"))
+      // divergent DML on the deep clone: upsert + delete resolve against
+      // cloned generations exactly as they would on the source
+      GraftTable.forPath(spark, destDeep)
+        .upsert(Seq((3L, 33)).toDF("id", "n"))
+      GraftTable.forPath(spark, destDeep).delete(col("id") === 1L)
+      assertSameRows(spark.read.format("graft").load(destDeep),
+        Seq((2L, 22), (3L, 33)).toDF("id", "n"))
+      // and localization via forced compaction still works on the stack
+      graft.commands.CompactionCommand.run(spark,
+        SnapshotManagement.normalize(destDeep), force = true)
+      assert(!CloneCommand.hasExternalRefs(snap(destDeep)))
+      assertSameRows(spark.read.format("graft").load(destDeep),
+        Seq((2L, 22), (3L, 33)).toDF("id", "n"))
+      // source unaffected by everything above
+      assertSameRows(spark.read.format("graft").load(src),
+        Seq((1L, 12), (2L, 22), (3L, 30)).toDF("id", "n"))
 
       t.compaction()
       CloneCommand.run(spark, src, dest)
       assertSameRows(spark.read.format("graft").load(dest),
-        Seq((1L, 11), (2L, 20), (3L, 30)).toDF("id", "n"))
+        Seq((1L, 12), (2L, 22), (3L, 30)).toDF("id", "n"))
 
-      // the writeVersion collapse must leave post-clone commits on top:
+      // the writeVersion remap must leave post-clone commits on top:
       // an upsert overwriting a cloned key has to win the merge
       GraftTable.forPath(spark, dest)
         .upsert(Seq((1L, 111), (4L, 40)).toDF("id", "n"))
       assertSameRows(spark.read.format("graft").load(dest),
-        Seq((1L, 111), (2L, 20), (3L, 30), (4L, 40)).toDF("id", "n"))
+        Seq((1L, 111), (2L, 22), (3L, 30), (4L, 40)).toDF("id", "n"))
       // and a tombstone delete of a cloned key resolves against it
       GraftTable.forPath(spark, dest).delete(col("id") === 2L)
       assert(spark.read.format("graft").load(dest)
         .filter(col("id") === 2L).count() == 0)
       // source never moved
       assertSameRows(spark.read.format("graft").load(src),
-        Seq((1L, 11), (2L, 20), (3L, 30)).toDF("id", "n"))
+        Seq((1L, 12), (2L, 22), (3L, 30)).toDF("id", "n"))
     } }
   }
 
