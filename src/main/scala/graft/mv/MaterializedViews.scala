@@ -43,6 +43,18 @@ object MaterializedViews {
   private def mvMetaPath(viewPath: String) =
     Paths.get(SnapshotManagement.normalize(viewPath), "_graft_mv.json")
 
+  /** Meta sidecar write via temp + atomic rename (same contract as
+    * SyncSidecar.write): a crash mid-write must leave either the old meta
+    * or the new one, never torn JSON that poisons every probe/refresh. */
+  private def writeInfo(viewPath: String, info: MaterialViewInfo): Unit = {
+    val target = mvMetaPath(viewPath)
+    val tmp = Files.createTempFile(target.getParent, "._graft_mv", ".tmp")
+    Files.write(tmp, Serialization.write(info).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def create(spark: SparkSession, viewPath: String, sqlText: String,
       options: Map[String, String] = Map.empty): Unit = {
     // analyze WITHOUT the rewrite rule: if another registered view contained
@@ -63,8 +75,7 @@ object MaterializedViews {
     }
     val info = MaterialViewInfo(viewPath, sqlText, relations,
       viewTableVersion = pinIfOwn(viewPath, beforeV))
-    Files.write(mvMetaPath(viewPath),
-      Serialization.write(info).getBytes(StandardCharsets.UTF_8))
+    writeInfo(viewPath, info)
     invalidateProbeCaches(viewPath)
     register(spark, viewPath)
   }
@@ -93,10 +104,8 @@ object MaterializedViews {
         RewriteQueryByMaterialView.withoutRewrite {
           df.write.format("graft").mode("overwrite").save(viewPath)
         }
-        Files.write(mvMetaPath(viewPath),
-          Serialization.write(info.copy(relationVersions = relations,
-            viewTableVersion = pinIfOwn(viewPath, beforeV)))
-            .getBytes(StandardCharsets.UTF_8))
+        writeInfo(viewPath, info.copy(relationVersions = relations,
+          viewTableVersion = pinIfOwn(viewPath, beforeV)))
         invalidateProbeCaches(viewPath)
         true
       case _ => false
@@ -148,7 +157,9 @@ object MaterializedViews {
     *  - `AVG(e)` folds only through companion `SUM(e)` + `COUNT(e)`
     *    output columns (integral `e`): the stored avg value already
     *    carries its division's rounding and cannot reconstruct the exact
-    *    sum; the companions re-derive it bit-for-bit;
+    *    sum; the companions re-derive it exactly (bit-identical to a
+    *    recompute below 2^53 group sums, at-least-as-accurate above —
+    *    Average's own integral accumulator is a double);
     *  - the window's commits all yield row-level pre/post images in the
     *    feed: raw-image delta upserts (the canonical CDC ingest) DO —
     *    the feed runs with `resolveUpserts`, diffing the touched buckets'
@@ -334,10 +345,13 @@ object MaterializedViews {
           // reconstruct the exact sum (it already carries the division's
           // rounding), and folding through it would drift from the
           // recompute — the very thing the double-SUM bail above forbids.
-          // Integral args only: their avg is exact-long-sum / count, which
-          // the fold reproduces bit-for-bit; decimal avg's result scale
-          // follows Average's own internal division and is not replayed
-          // here; fp args are already excluded by their sums.
+          // Integral args only: the fold divides the EXACT long sum by the
+          // count, which is at-least-as-accurate as Spark's Average (whose
+          // integral accumulator is a double — for group sums beyond 2^53
+          // the recompute itself may be off in the last ulp where the fold
+          // is exact; below 2^53 the two agree bit-for-bit). Decimal avg's
+          // result scale follows Average's own internal division and is
+          // not replayed here; fp args are already excluded by their sums.
           case AggregateExpression(
               org.apache.spark.sql.catalyst.expressions.aggregate
                 .Average(e, _), _, _, None, _)
@@ -631,14 +645,12 @@ object MaterializedViews {
       if (afterV == beforeV + 1) Some(afterV) else None
     }
     committedVersion.foreach { v =>
-      Files.write(mvMetaPath(viewPath),
-        Serialization.write(info.copy(
-          relationVersions = info.relationVersions.map { case (p, pv) =>
-            val np = SnapshotManagement.normalize(p)
-            p -> (if (changedPaths.contains(np)) snapsNow(np).version else pv)
-          },
-          viewTableVersion = Some(v)))
-          .getBytes(StandardCharsets.UTF_8))
+      writeInfo(viewPath, info.copy(
+        relationVersions = info.relationVersions.map { case (p, pv) =>
+          val np = SnapshotManagement.normalize(p)
+          p -> (if (changedPaths.contains(np)) snapsNow(np).version else pv)
+        },
+        viewTableVersion = Some(v)))
       incrementalRefreshes.incrementAndGet()
     }
     invalidateProbeCaches(viewPath)
@@ -756,6 +768,14 @@ object MaterializedViews {
     } catch {
       case _: java.nio.file.NoSuchFileException =>
         infoCache.remove(norm); None
+      // writes are atomic (temp + rename), so unparseable meta is real
+      // corruption, not a crash window — fail with the remedy instead of
+      // letting a raw parser error surface from every probe/refresh/drop
+      case e @ (_: com.fasterxml.jackson.core.JacksonException |
+          _: org.json4s.MappingException) =>
+        throw new IllegalStateException(
+          s"materialized-view meta at $p is corrupt (${e.getMessage}) — " +
+          "delete the view directory and re-create the view", e)
     }
   }
 
