@@ -61,6 +61,12 @@ object Bench {
       if (ok) Some(secs) else None
     }
 
+    // untimed warm-up rep: one discarded pass over every query so JIT
+    // compilation, codegen class-loading and page-cache first-touch never
+    // land in a timed sample — they inflated median-over-min gaps to 30%
+    // in past rounds and made round-over-round comparison chase noise
+    for ((name, fn) <- queries) runOnce(name, fn, "warmup")
+
     for (pass <- 1 to runs; (name, fn) <- queries) {
       runOnce(name, fn, s"pass $pass").foreach(s =>
         samples(name) = samples(name) :+ s)

@@ -284,8 +284,8 @@ object MaterializedViews {
     case class KeyCol(groupIdx: Int) extends Kind
     case class CountCol(arg: Option[Expression]) extends Kind // None = count(*)
     case class SumCol(arg: Expression) extends Kind
-    case class MinCol(arg: Expression) extends Kind // append-only windows
-    case class MaxCol(arg: Expression) extends Kind // append-only windows
+    case class MinCol(arg: Expression) extends Kind // + per-group retraction
+    case class MaxCol(arg: Expression) extends Kind // + per-group retraction
     case class AvgCol(arg: Expression) extends Kind // needs sum+count mates
     val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
       dec.aggList.map { ne: NamedExpression =>
@@ -325,17 +325,21 @@ object MaterializedViews {
               })
             }
           // MIN/MAX fold exactly (selection, not accumulation — floats
-          // are fine) but ONLY over insert-only windows: a deletion could
-          // retract the stored extreme and the fold cannot know the
-          // runner-up without the base
+          // are fine). Over insert-only windows an extreme can only be
+          // EXTENDED — least/greatest of stored and inserted. Over windows
+          // WITH retractions (raw-image upserts, deletes) the fold cannot
+          // know the runner-up from the stored image alone, so it flags
+          // the groups whose retracted values reach the stored extreme and
+          // recomputes ONLY those from a group-pruned pinned base scan —
+          // a single touched group no longer forfeits the whole window.
           case AggregateExpression(Min(e), _, _, filterOpt, _)
-              if appendOnly && e.deterministic =>
+              if e.deterministic =>
             MinCol(filterOpt match {
               case Some(f) => If(f, e, Literal.create(null, e.dataType))
               case None => e
             })
           case AggregateExpression(Max(e), _, _, filterOpt, _)
-              if appendOnly && e.deterministic =>
+              if e.deterministic =>
             MaxCol(filterOpt match {
               case Some(f) => If(f, e, Literal.create(null, e.dataType))
               case None => e
@@ -491,16 +495,28 @@ object MaterializedViews {
       val joinedSrc = pinnedFrames.map(_._2).foldLeft(weighted)(_ crossJoin _)
       val filtered = (dec.conjuncts ++ joinConjs).foldLeft(joinedSrc)((d, c) =>
         d.filter(rebindCol(c)))
-      val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+      // extremes split by weight sign: __d_n = inserted-side extreme (the
+      // extension candidate), __r_n (retraction windows only) = the
+      // retracted-side extreme — a group's stored extreme was possibly
+      // removed iff its __r_n reaches it. Over insert-only windows every
+      // row has __w > 0, so the w>0 guard is the same plan as before.
+      val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.flatMap {
         case (n, CountCol(None), _) =>
-          sum(col("__w")).as(s"__d_$n")
+          Seq(sum(col("__w")).as(s"__d_$n"))
         case (n, CountCol(Some(e)), _) =>
-          sum(when(rebindCol(e).isNotNull, col("__w")).otherwise(lit(0L)))
-            .as(s"__d_$n")
+          Seq(sum(when(rebindCol(e).isNotNull, col("__w")).otherwise(lit(0L)))
+            .as(s"__d_$n"))
         case (n, SumCol(e), _) =>
-          sum(rebindCol(e) * col("__w")).as(s"__d_$n")
-        case (n, MinCol(e), _) => min(rebindCol(e)).as(s"__d_$n")
-        case (n, MaxCol(e), _) => max(rebindCol(e)).as(s"__d_$n")
+          Seq(sum(rebindCol(e) * col("__w")).as(s"__d_$n"))
+        case (n, MinCol(e), _) =>
+          min(when(col("__w") > 0, rebindCol(e))).as(s"__d_$n") +:
+            (if (appendOnly) Nil
+             else Seq(min(when(col("__w") < 0, rebindCol(e))).as(s"__r_$n")))
+        case (n, MaxCol(e), _) =>
+          max(when(col("__w") > 0, rebindCol(e))).as(s"__d_$n") +:
+            (if (appendOnly) Nil
+             else Seq(max(when(col("__w") < 0, rebindCol(e))).as(s"__r_$n")))
+        case _ => Nil
       }
       filtered
         .groupBy(dec.groupExprs.zip(keyNames).map { case (g, n) =>
@@ -518,11 +534,18 @@ object MaterializedViews {
     val deltaAgg =
       if (foldParts.size == 1) foldParts.head
       else {
-        val combAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+        val combAggs: Seq[org.apache.spark.sql.Column] = cols.flatMap {
           case (n, CountCol(_) | SumCol(_), _) =>
-            sum(col(s"`__d_$n`")).as(s"__d_$n")
-          case (n, MinCol(_), _) => min(col(s"`__d_$n`")).as(s"__d_$n")
-          case (n, MaxCol(_), _) => max(col(s"`__d_$n`")).as(s"__d_$n")
+            Seq(sum(col(s"`__d_$n`")).as(s"__d_$n"))
+          case (n, MinCol(_), _) =>
+            min(col(s"`__d_$n`")).as(s"__d_$n") +:
+              (if (appendOnly) Nil
+               else Seq(min(col(s"`__r_$n`")).as(s"__r_$n")))
+          case (n, MaxCol(_), _) =>
+            max(col(s"`__d_$n`")).as(s"__d_$n") +:
+              (if (appendOnly) Nil
+               else Seq(max(col(s"`__r_$n`")).as(s"__r_$n")))
+          case _ => Nil
         }
         foldParts.reduce(_ unionByName _)
           .groupBy(keyNames.map(n => col(bq(n))): _*)
@@ -536,6 +559,105 @@ object MaterializedViews {
       })
       coalesce(col(s"__mo.${bq(n)}"), z) + coalesce(col(s"__md.`__d_$n`"), z)
     }
+
+    // ---- per-group MIN/MAX retraction (windows with overwrites) ----
+    // The candidate extreme is least/greatest(stored, inserted-side); if no
+    // retracted value reaches the CANDIDATE, the candidate's element
+    // provably survives the window (everything retracted sits strictly
+    // inside it) and the fold is exact. If one does, the runner-up is
+    // unknowable from the stored image and THAT GROUP recomputes from the
+    // pinned base. Comparing against the candidate — not the stored image
+    // alone — matters in both directions: a group CREATED this window has
+    // no stored image yet its inserted rows can be retracted by a later
+    // commit in the same window (insert-then-delete), and a retraction
+    // that reaches the stored extreme but not a deeper inserted one leaves
+    // the fold exact with no recompute. `touched` stays conservative under
+    // duplicates (retracting one of two copies of the extreme flags the
+    // group although the extreme survives) — a recompute is never wrong,
+    // only unnecessary.
+    val extremeCols = cols.collect {
+      case (n, MinCol(e), _) => (n, e, true)
+      case (n, MaxCol(e), _) => (n, e, false)
+    }
+    val retractions = !appendOnly && extremeCols.nonEmpty
+    val groupTouched: org.apache.spark.sql.Column = extremeCols.map {
+      case (n, _, isMin) =>
+        val r = col(s"__md.`__r_$n`")
+        val stored = col(s"__mo.${bq(n)}")
+        val ins = col(s"__md.`__d_$n`")
+        val cand = if (isMin) least(stored, ins) else greatest(stored, ins)
+        coalesce(if (isMin) r <= cand else r >= cand, lit(false))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // group key as visible on the stored ⋈ delta join, either join order
+    def joinedKey(n: String) =
+      coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}"))
+
+    val rcAggs: Seq[org.apache.spark.sql.Column] =
+      extremeCols.map { case (n, _, isMin) =>
+        (if (isMin) min(col(s"`__arg_$n`"))
+         else max(col(s"`__arg_$n`"))).as(s"__rc_$n")
+      }
+
+    /** Extremes of the touched groups, recomputed from every relation
+      * PINNED at its new version (immutable file lists — a racing commit
+      * cannot leak rows past the versions the meta update records). The
+      * semi join prunes BEFORE the aggregate, so the small touched set
+      * broadcasts and runtime-filters the base scan. */
+    def recomputeExtremes(touchedKeys: DataFrame): DataFrame = {
+      val frames = rels.zip(relPaths).map { case (r, np) =>
+        val s = snapsNow(np)
+        (r, graft.sources.GraftRead.readFiles(spark, np, s, s.files))
+      }
+      val resolver = spark.sessionState.conf.resolver
+      val pairs = scala.collection.mutable.ArrayBuffer
+        .empty[(org.apache.spark.sql.catalyst.expressions.ExprId, Expression)]
+      frames.foreach { case (r, df) =>
+        val fa = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(df).queryExecution.analyzed.output
+        r.output.foreach { a =>
+          fa.find(f => resolver(f.name, a.name)).foreach(f =>
+            pairs += (a.exprId -> f))
+        }
+      }
+      val amap = pairs.toMap
+      def rc(e: Expression): org.apache.spark.sql.Column = {
+        var ok = true
+        val out = e.transform {
+          case a: AttributeReference => amap.get(a.exprId) match {
+            case Some(f) => f
+            case None => ok = false; a
+          }
+        }
+        if (!ok) throw bail
+        SparkShims.column(out)
+      }
+      val src = frames.map(_._2).reduceLeft(_ crossJoin _)
+      val filtered = (dec.conjuncts ++ joinConjs).foldLeft(src)((d, c) =>
+        d.filter(rc(c)))
+      val keyed = filtered.select(
+        dec.groupExprs.zip(keyNames).map { case (g, n) => rc(g).as(n) } ++
+          extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") }: _*)
+      keyed.alias("__kd")
+        .join(touchedKeys.alias("__tk"),
+          keyNames.map(k =>
+            col(s"__kd.${bq(k)}") <=> col(s"__tk.${bq(k)}")).reduce(_ && _),
+          "left_semi")
+        .groupBy(keyNames.map(n => col(bq(n))): _*)
+        .agg(rcAggs.head, rcAggs.tail: _*)
+    }
+
+    /** Attach `__rc.*` recomputed-extreme columns for the touched groups
+      * (no-op on insert-only windows or extreme-free views). */
+    def withRecomputedExtremes(joined: DataFrame): DataFrame =
+      if (!retractions) joined
+      else {
+        val touchedKeys = joined.filter(groupTouched)
+          .select(keyNames.map(n => joinedKey(n).as(n)): _*)
+        joined.join(recomputeExtremes(touchedKeys).alias("__rc"),
+          keyNames.map(k =>
+            joinedKey(k) <=> col(s"__rc.${bq(k)}")).reduce(_ && _),
+          "left_outer")
+      }
     // unaliased combined-image expression per output column (aliases are
     // applied at the projection site — an alias nested inside a later
     // when() would be illegal)
@@ -555,11 +677,20 @@ object MaterializedViews {
           }
         // least/greatest SKIP nulls (null only when both sides are null) —
         // exactly SQL MIN/MAX semantics for a new group (no stored image)
-        // or an all-null delta window
+        // or an all-null delta window. On retraction windows a TOUCHED
+        // group (some retracted value reached a stored extreme) takes its
+        // recomputed image instead — all of its extreme columns do: the
+        // group-pruned scan already paid for them together.
         case MinCol(_) =>
-          least(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
+          val folded = least(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`"))
+          (if (retractions)
+            when(groupTouched, col(s"__rc.`__rc_$n`")).otherwise(folded)
+          else folded).cast(dt)
         case MaxCol(_) =>
-          greatest(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`")).cast(dt)
+          val folded = greatest(col(s"__mo.${bq(n)}"), col(s"__md.`__d_$n`"))
+          (if (retractions)
+            when(groupTouched, col(s"__rc.`__rc_$n`")).otherwise(folded)
+          else folded).cast(dt)
         // AVG re-derives from its companions' combined images: exact long
         // sum / long count, the same division Average itself performs for
         // integral args. NULL when the denominator returns to zero.
@@ -599,10 +730,11 @@ object MaterializedViews {
         if (!info.viewTableVersion.contains(vsnap.version)) throw bail
         val curPinned = graft.sources.GraftRead
           .readFiles(spark, normView, vsnap, vsnap.files)
-        val joinedD = deltaAgg.alias("__md").join(curPinned.alias("__mo"),
-          keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
-            .reduce(_ && _),
-          "left_outer")
+        val joinedD = withRecomputedExtremes(
+          deltaAgg.alias("__md").join(curPinned.alias("__mo"),
+            keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
+              .reduce(_ && _),
+            "left_outer"))
         // ONE projection over ONE evaluation of the join: survivors carry
         // their combined image (marker null), emptied groups carry their
         // key + marker true — a filter/filter/union would run the feed
@@ -624,10 +756,11 @@ object MaterializedViews {
       if (!info.viewTableVersion.contains(vsnap.version)) throw bail
       val cur = graft.sources.GraftRead
         .readFiles(spark, normView, vsnap, vsnap.files)
-      val joined = cur.alias("__mo").join(deltaAgg.alias("__md"),
-        keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
-          .reduce(_ && _),
-        "full_outer")
+      val joined = withRecomputedExtremes(
+        cur.alias("__mo").join(deltaAgg.alias("__md"),
+          keyNames.map(k => col(s"__mo.${bq(k)}") <=> col(s"__md.${bq(k)}"))
+            .reduce(_ && _),
+          "full_outer"))
       val combined = joined.filter(alive).select(outCols: _*)
       // a PK-layout view that fell through here (layout key narrower than
       // the group key) re-checks uniqueness like the full path does

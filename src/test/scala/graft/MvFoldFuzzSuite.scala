@@ -119,6 +119,60 @@ class MvFoldFuzzSuite extends GraftFunSuite {
     }
   }
 
+  test("MIN/MAX fold == recompute over randomized RETRACTION windows " +
+      "(per-group touched-extreme recompute)") {
+    Seq(13, 59).foreach { seed =>
+      withTempTable { dir =>
+        val viewDir = dir + "-mv"
+        val rnd = new scala.util.Random(seed)
+        def mkRows(n: Int, idRange: Int): Seq[(Long, String, Option[Long])] =
+          (0 until n).map { _ =>
+            (rnd.nextInt(idRange).toLong,
+              groups(rnd.nextInt(groups.size)),
+              if (rnd.nextInt(6) == 0) None
+              else Some(rnd.nextInt(2000).toLong - 1000))
+          }.distinctBy(_._1)
+        mkRows(30, 60).toDF("id", "g", "v")
+          .write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "2")
+          .save(dir)
+        val view = s"mvf_rt_$seed"
+        spark.read.format("graft").load(dir).createOrReplaceTempView(view)
+        // extremes alongside the additive kinds: a retraction window must
+        // fold the counts/sums AND recompute exactly the touched groups'
+        // extremes — divergence anywhere fails the hash compare
+        val sql = s"SELECT g, count(*) AS cnt, min(v) AS mn, max(v) AS mx, " +
+          s"min(v) FILTER (WHERE v >= 0) AS mn_pos " +
+          s"FROM $view GROUP BY g"
+        MaterializedViews.create(spark, viewDir, sql)
+        val t = GraftTable.forPath(spark, dir)
+        var folds = 0
+        (1 to 8).foreach { round =>
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            rnd.nextInt(10) match {
+              case 0 => // tombstone delete: retracts whole id slices
+                t.delete(col("id") % (2 + rnd.nextInt(5)) === 0)
+              case 1 => t.compaction()
+              case _ => // raw-image upsert: overwrites, group moves, NULLs
+                val rows = mkRows(3 + rnd.nextInt(8), 80)
+                if (rows.nonEmpty) t.upsert(rows.toDF("id", "g", "v"))
+            }
+          }
+          val before = incCount
+          MaterializedViews.refresh(spark, viewDir)
+          if (incCount == before + 1) folds += 1
+          val want = RQ.withoutRewrite { rowsOf(spark.sql(sql)) }
+          val got = rowsOf(spark.read.format("graft").load(viewDir))
+          assert(got == want,
+            s"seed $seed round $round: retraction min/max fold diverged\n" +
+              s" view: $got\n sql:  $want")
+        }
+        assert(folds >= 5,
+          s"seed $seed: only $folds/8 retraction windows folded")
+      }
+    }
+  }
+
   test("join-view fold == recompute when BOTH relations mutate every " +
       "window (sequential single-relation folds cover the cross term)") {
     Seq(13, 71).foreach { seed =>

@@ -83,14 +83,152 @@ class MvIncrementalSuite extends GraftFunSuite {
       assertMatchesRecompute(viewDir, sql)
       assert(rowsOf(spark.sql(sql)).contains(Seq("c", 2L, 3L, 7L)))
 
-      // a DELETE in the window could retract an extreme: MUST fall back
+      // a DELETE retracting a stored extreme: the fold stays alive —
+      // only the TOUCHED group recomputes from a group-pruned base scan
       GraftTable.forPath(spark, dir).delete(col("v") === 5L)
       val before2 = incCount
       assert(MaterializedViews.refresh(spark, viewDir))
-      assert(incCount == before2,
-        "a delete-bearing window must take the full recompute for MIN/MAX")
+      assert(incCount == before2 + 1,
+        "a delete-bearing window folds via per-group extreme retraction")
       assertMatchesRecompute(viewDir, sql)
       assert(rowsOf(spark.sql(sql)).contains(Seq("a", 2L, 10L, 20L)))
+    }
+  }
+
+  test("per-group MIN/MAX retraction: a mixed window folds incrementally, " +
+      "recomputing only groups whose stored extreme was touched") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq[(Long, String, Option[Long])](
+          (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", Some(30L)),
+          (4L, "b", Some(1L)), (5L, "b", Some(9L)),
+          (6L, "c", Some(4L)), (7L, "c", Some(6L)))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_rt")
+      val sql = "SELECT g, count(*) AS cnt, min(v) AS mn, max(v) AS mx " +
+        "FROM mvi_rt GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // ONE window mixing: an append; a delete that removes group a's MIN
+      // (touched → recompute a) and a middle value of b (untouched → pure
+      // fold); and the runner-up answer for a (20) must come from the base,
+      // not from least(stored, inserted)
+      Seq((8L, "b", 2L), (9L, "d", 50L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      GraftTable.forPath(spark, dir)
+        .delete(col("v") === 10L || col("v") === 9L)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "mixed window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      assert(rows.contains(Seq("a", 2L, 20L, 30L)), s"runner-up min: $rows")
+      assert(rows.contains(Seq("b", 2L, 1L, 2L)))
+      assert(rows.contains(Seq("d", 1L, 50L, 50L)))
+
+      // insert-then-delete INSIDE one window: a group born this window has
+      // no stored image, so the touch test must compare retractions
+      // against the inserted-side candidate, not the stored extreme alone
+      Seq((11L, "e", -7L), (12L, "e", 3L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      GraftTable.forPath(spark, dir).delete(col("v") === -7L)
+      val beforeE = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == beforeE + 1)
+      assertMatchesRecompute(viewDir, sql)
+      assert(rowsOf(spark.sql(sql)).contains(Seq("e", 1L, 3L, 3L)))
+
+      // retraction that empties a group entirely: lifecycle still drops it
+      GraftTable.forPath(spark, dir).delete(col("g") === "d")
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1)
+      assertMatchesRecompute(viewDir, sql)
+      assert(!rowsOf(spark.sql(sql)).exists(_.head == "d"))
+
+      // an UPDATE moving the stored max DOWN (pre-image touches mx): the
+      // group recomputes; simultaneously group c extends via insert only
+      GraftTable.forPath(spark, dir)
+        .update(col("v") === 30L, Map("v" -> lit(15L)))
+      Seq((10L, "c", 8L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before3 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before3 + 1)
+      assertMatchesRecompute(viewDir, sql)
+      val rows3 = rowsOf(spark.sql(sql))
+      assert(rows3.contains(Seq("a", 2L, 15L, 20L)))
+      assert(rows3.contains(Seq("c", 3L, 4L, 8L)))
+    }
+  }
+
+  test("per-group retraction folds CDC raw-image upserts and FILTER " +
+      "extremes on a PK table") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+        .toDF("id", "g", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_cdc")
+      val sql = "SELECT g, count(*) AS cnt, " +
+        "max(v) FILTER (WHERE v < 35) AS mxf, min(v) AS mn " +
+        "FROM mvi_cdc GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // raw-image upsert window: id=2 moves 20→50 (retracts a's filtered
+      // max AND nothing else — a recomputes), id=5 is a plain new row in b
+      GraftTable.forPath(spark, dir).upsert(
+        Seq((2L, "a", 50L), (5L, "b", 25L)).toDF("id", "g", "v"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "CDC upsert window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      // a: rows (10, 50) → filtered max 10, min 10; b: (30, 40, 25)
+      assert(rows.contains(Seq("a", 2L, 10L, 10L)), s"got $rows")
+      assert(rows.contains(Seq("b", 3L, 30L, 25L)))
+    }
+  }
+
+  test("per-group retraction on a JOIN view: a fact delete touching one " +
+      "group's extreme folds; dimension-side retraction too") {
+    withTempTable { dir =>
+      val fact = dir + "-f"; val dimd = dir + "-d"; val viewDir = dir + "-mv"
+      Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L), (4L, 2L, 40L))
+        .toDF("id", "k", "v").write.format("graft").save(fact)
+      Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+        .write.format("graft").save(dimd)
+      spark.read.format("graft").load(fact).createOrReplaceTempView("mvj_f")
+      spark.read.format("graft").load(dimd).createOrReplaceTempView("mvj_d")
+      val sql = "SELECT name, count(*) AS cnt, max(v) AS mx " +
+        "FROM mvj_f JOIN mvj_d ON mvj_f.k = mvj_d.k GROUP BY name"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // fact-side delete retracts group x's max (20) → x recomputes to 10;
+      // y untouched by extremes, extended by an insert
+      GraftTable.forPath(spark, fact).delete(col("v") === 20L)
+      Seq((5L, 2L, 45L)).toDF("id", "k", "v")
+        .write.format("graft").mode("append").save(fact)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "join-view retraction window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      var rows = rowsOf(spark.sql(sql))
+      assert(rows.contains(Seq("x", 1L, 10L)))
+      assert(rows.contains(Seq("y", 3L, 45L)))
+
+      // dimension-side retraction: renaming y moves its fact rows to a new
+      // group — both the emptied and the created group carry the extreme
+      GraftTable.forPath(spark, dimd)
+        .update(col("name") === "y", Map("name" -> lit("z")))
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1)
+      assertMatchesRecompute(viewDir, sql)
+      rows = rowsOf(spark.sql(sql))
+      assert(rows.contains(Seq("z", 3L, 45L)) && !rows.exists(_.head == "y"))
     }
   }
 

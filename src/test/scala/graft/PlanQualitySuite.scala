@@ -323,4 +323,79 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
         leaves.map(_.nodeName).mkString(", "))
     }
   }
+
+  test("128-bit shingle keys shuffle fewer bytes than string shingles " +
+      "for the SAME n-gram Jaccard pairs") {
+    import spark.implicits._
+    // realistic shingle text: 3-gram shingles of multi-word docs are
+    // ~20-30 chars, the regime the 16-byte (h1,h2) key trade targets
+    // vocabulary entropy matters to this assertion: shuffle blocks are
+    // lz4-compressed, and a toy repeated-few-words corpus compresses its
+    // string shingles below the (incompressible) 16-byte hash pair,
+    // inverting the comparison. Natural corpora have 10k-100k+ word
+    // vocabularies; model that, not the toy.
+    val rnd = new scala.util.Random(1)
+    val vocab = (0 until 20000).map(_ =>
+      rnd.alphanumeric.take(4 + rnd.nextInt(9)).mkString)
+    val bases = (0 until 300).map(_ =>
+      (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))))
+    val docs = bases.zipWithIndex.map { case (base, i) =>
+      // every 10th doc near-duplicates its predecessor → guaranteed pairs
+      val words =
+        if (i % 10 == 0 && i > 0) bases(i - 1).updated(3, "edited") else base
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    def shuffleBytes[T](action: => T): (T, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = action
+        Thread.sleep(1500) // listener bus drains asynchronously
+        (r, bytes.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    val (hashed, hashedBytes) = shuffleBytes {
+      canon(graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minInter = 3))
+    }
+    // the naive spelling: same inverted index, same hot-key guard, same
+    // pair counting — but the self-join and aggregate keys stay STRINGS
+    val (strung, strungBytes) = shuffleBytes {
+      val sh = graft.llm.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") > 1000).select("s")
+      val f = sh.join(hot, Seq("s"), "left_anti")
+      val sizes = f.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = f.as("a").join(f.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      canon(pairs
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("sz", "a_size"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("sz", "b_size"), "b_id")
+        .select("a_id", "b_id", "inter", "a_size", "b_size")
+        .filter(col("inter") >= 3))
+    }
+    assert(hashed == strung, "hashed-key pairs must equal string-key pairs")
+    assert(hashed.nonEmpty, "fixture must produce near-duplicate pairs")
+    // the trade's claim: long keys strictly shrink the shuffled bytes at
+    // the SAME row counts — this is the sf-independent form of the win
+    // (per-row key width), asserted on bytes rather than wall-clock
+    assert(hashedBytes < strungBytes,
+      s"hashed-key shuffle ($hashedBytes B) must be smaller than " +
+        s"string-key shuffle ($strungBytes B)")
+  }
 }
