@@ -136,13 +136,14 @@ object MaterializedViews {
     * the base. Applies when ALL of:
     *
     *  - the view is a filter + GROUP BY aggregate over one graft table OR
-    *    an inner equi-join tree of graft tables (no self-joins). ANY
-    *    subset of the relations may have changed since the last refresh:
-    *    each changed relation folds in sequence — its delta joined against
-    *    earlier-folded relations at their NEW versions and the rest at
-    *    their OLD pinned versions — which sums to the exact multi-relation
-    *    delta by multiset linearity (the ΔA ⋈ ΔB cross term lands in the
-    *    second fold's NEW-pinned side). Every group expression must
+    *    an inner equi-join tree of graft tables (self-joins included —
+    *    the expansion is per OCCURRENCE). ANY subset of the relations may
+    *    have changed since the last refresh: each changed occurrence
+    *    folds in sequence — its delta joined against earlier occurrences
+    *    at their NEW versions and later ones at their OLD pinned versions
+    *    — which telescopes to the exact multi-relation delta by multiset
+    *    linearity (the ΔA ⋈ ΔB cross term lands in the later fold's
+    *    NEW-pinned side). Every group expression must
     *    surface as an output column (the join key back into the stored
     *    state) and every aggregate is non-DISTINCT, non-FILTER
     *    `COUNT`/`SUM` (plus `MIN`/`MAX`/`AVG` under the conditions below);
@@ -267,9 +268,10 @@ object MaterializedViews {
     }
     val relPaths = rels.map(r => RQ.graftPath(r)
       .map(SnapshotManagement.normalize).getOrElse(return false))
-    // a self-join reads the changed table twice — both sides change
-    // together and the per-side delta decomposition above doesn't hold
-    if (relPaths.distinct.size != relPaths.size) return false
+    // self-joins fold too: the telescoping expansion below is over
+    // OCCURRENCES, not tables — two occurrences of one table are two
+    // arguments of the multilinear join product, changing simultaneously
+    // with equal deltas (ΔA ⋈ A_old + A_new ⋈ ΔA telescopes exactly)
     if (relPaths.toSet != normBy.keySet) return false
     if (dec.groupExprs.exists(!_.deterministic) ||
       dec.conjuncts.exists(!_.deterministic) ||
@@ -416,32 +418,36 @@ object MaterializedViews {
     val keyNames: Seq[String] = dec.groupExprs.indices.map(i =>
       cols.collectFirst { case (n, KeyCol(`i`), _) => n }.get)
 
-    // ONE single-relation fold: the change window of `cnorm`, weighted,
-    // joined against every other relation's pinned snapshot. Re-bind the
-    // view's expressions onto the replacement frames: the CHANGED
-    // relation's attributes map (by case-resolver name) onto the feed
-    // frame, each PINNED relation's onto a frame reading its pinned
-    // snapshot's files directly — immutable files, so a commit racing
-    // this refresh cannot leak newer pinned-side rows into the fold.
-    // Lookups key on the original expression ids, so duplicate column
-    // names ACROSS relations stay unambiguous. Relations in `newPinned`
-    // (changed relations whose own fold already ran) pin at their NEW
-    // version; everything else pins at the meta's OLD version — the
-    // old/new split is what makes the sequential folds sum to the exact
-    // multi-relation delta (see the linearity argument above).
-    def foldDelta(cnorm: String, newPinned: Set[String]): DataFrame = {
+    // ONE single-occurrence fold: the change window of occurrence
+    // `changedIdx`'s table, weighted, joined against every other
+    // occurrence's pinned snapshot. Re-bind the view's expressions onto
+    // the replacement frames: the CHANGED occurrence's attributes map (by
+    // case-resolver name) onto the feed frame, each PINNED occurrence's
+    // onto a frame reading its pinned snapshot's files directly —
+    // immutable files, so a commit racing this refresh cannot leak newer
+    // pinned-side rows into the fold. Lookups key on the original
+    // expression ids, so duplicate column names across occurrences (and
+    // the two sides of a self-join) stay unambiguous. Occurrences BEFORE
+    // the changed one in tree order pin at their NEW version, occurrences
+    // after at the meta's OLD version — the telescoping split that makes
+    // the sequential folds sum to the exact multi-occurrence delta (see
+    // the linearity argument above).
+    def foldDelta(changedIdx: Int): DataFrame = {
+      val cnorm = relPaths(changedIdx)
       val fromV = normBy(cnorm)._2
       val toV = snapsNow(cnorm).version
       val changes = ChangeFeed.changes(spark, cnorm, fromV + 1, toV,
         resolveUpserts = true)
       val feedAttrs = org.apache.spark.sql.classic.ClassicConversions
         .castToImpl(changes).queryExecution.analyzed.output
-      val changedRel = rels(relPaths.indexOf(cnorm))
+      val changedRel = rels(changedIdx)
       val pinnedFrames: Seq[(org.apache.spark.sql.catalyst.plans.logical
           .LogicalPlan, DataFrame)] =
-        rels.zip(relPaths).filter(_._2 != cnorm).map { case (r, np) =>
+        rels.zipWithIndex.filter(_._2 != changedIdx).map { case (r, j) =>
+          val np = relPaths(j)
           val s =
-            if (newPinned(np) || snapsNow(np).version == normBy(np)._2)
+            if (snapsNow(np).version == normBy(np)._2 ||
+              (changedPaths.contains(np) && j < changedIdx))
               snapsNow(np)
             else SnapshotManagement.snapshotAt(np, normBy(np)._2)
           (r, graft.sources.GraftRead.readFiles(spark, np, s, s.files))
@@ -524,13 +530,13 @@ object MaterializedViews {
         .agg(deltaAggs.head, deltaAggs.tail: _*)
     }
 
-    // sequential folds in the view tree's relation order; combine the
+    // sequential folds in the view tree's occurrence order; combine the
     // per-fold group deltas with the aggregates' own combiners (counts and
     // sums ADD — sum skips a fold's null delta, matching the single-fold
     // image — extremes take least/greatest via min/max)
-    val changedOrder = relPaths.filter(changedPaths.contains)
-    val foldParts = changedOrder.zipWithIndex.map { case (np, i) =>
-      foldDelta(np, changedOrder.take(i).toSet) }
+    val changedIdxs = rels.indices
+      .filter(i => changedPaths.contains(relPaths(i)))
+    val foldParts = changedIdxs.map(foldDelta)
     val deltaAgg =
       if (foldParts.size == 1) foldParts.head
       else {

@@ -173,6 +173,59 @@ class MvFoldFuzzSuite extends GraftFunSuite {
     }
   }
 
+  test("SELF-JOIN fold == recompute over randomized CDC windows " +
+      "(both occurrences change with every commit)") {
+    Seq(31, 73).foreach { seed =>
+      withTempTable { dir =>
+        val viewDir = dir + "-mv"
+        val rnd = new scala.util.Random(seed)
+        def mkRows(n: Int, idRange: Int): Seq[(Long, String, Option[Long])] =
+          (0 until n).map { _ =>
+            (rnd.nextInt(idRange).toLong,
+              groups(rnd.nextInt(groups.size)),
+              if (rnd.nextInt(6) == 0) None
+              else Some(rnd.nextInt(200).toLong - 100))
+          }.distinctBy(_._1)
+        mkRows(25, 50).toDF("id", "g", "v")
+          .write.format("graft")
+          .option("hashPartitions", "id").option("hashBucketNum", "2")
+          .save(dir)
+        val view = s"mvf_sj_$seed"
+        spark.read.format("graft").load(dir).createOrReplaceTempView(view)
+        // within-group pair aggregate: every commit changes BOTH join
+        // occurrences at once, so each window runs two telescoped folds
+        // whose ΔA ⋈ ΔA cross term must land exactly once
+        val sql = s"SELECT a.g AS g, count(*) AS cnt, sum(b.v) AS sv, " +
+          s"count(b.v) AS cv, max(b.v) AS mx " +
+          s"FROM $view a JOIN $view b ON a.g = b.g GROUP BY a.g"
+        MaterializedViews.create(spark, viewDir, sql)
+        val t = GraftTable.forPath(spark, dir)
+        var folds = 0
+        (1 to 6).foreach { round =>
+          (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+            rnd.nextInt(8) match {
+              case 0 => t.delete(col("id") % (2 + rnd.nextInt(4)) === 0)
+              case 1 => t.compaction()
+              case _ =>
+                val rows = mkRows(2 + rnd.nextInt(6), 60)
+                if (rows.nonEmpty) t.upsert(rows.toDF("id", "g", "v"))
+            }
+          }
+          val before = incCount
+          MaterializedViews.refresh(spark, viewDir)
+          if (incCount == before + 1) folds += 1
+          val want = RQ.withoutRewrite { rowsOf(spark.sql(sql)) }
+          val got = rowsOf(spark.read.format("graft").load(viewDir))
+          assert(got == want,
+            s"seed $seed round $round: self-join fold diverged\n" +
+              s" view: $got\n sql:  $want")
+        }
+        assert(folds >= 4,
+          s"seed $seed: only $folds/6 self-join windows folded")
+      }
+    }
+  }
+
   test("join-view fold == recompute when BOTH relations mutate every " +
       "window (sequential single-relation folds cover the cross term)") {
     Seq(13, 71).foreach { seed =>

@@ -527,6 +527,45 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("SELF-JOIN view folds: both occurrences change together, the " +
+      "per-occurrence telescoping covers the quadratic cross terms") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+        .toDF("id", "g", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_sj")
+      // all pairs within a group: |G|^2 rows per group — the fold must
+      // account ΔA ⋈ A_old, A_new ⋈ ΔA and the ΔA ⋈ ΔA cross term
+      val sql = "SELECT a.g AS g, count(*) AS cnt, sum(b.v) AS sv, " +
+        "count(b.v) AS cv, min(b.v) AS mn " +
+        "FROM mvi_sj a JOIN mvi_sj b ON a.g = b.g GROUP BY a.g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // append-only window: group a 2→3 rows (cnt 4→9), new group c
+      Seq((5L, "a", 5L), (6L, "c", 7L)).toDF("id", "g", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "self-join append window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      assert(rows.contains(Seq("a", 9L, 105L, 9L, 5L)), s"got $rows")
+      assert(rows.contains(Seq("c", 1L, 7L, 1L, 7L)))
+
+      // retraction window: delete group a's min (touches mn on BOTH
+      // occurrences) and empty group c entirely
+      GraftTable.forPath(spark, dir)
+        .delete(col("v") === 5L || col("g") === "c")
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1, "self-join retraction window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows2 = rowsOf(spark.sql(sql))
+      assert(rows2.contains(Seq("a", 4L, 60L, 4L, 10L)))
+      assert(!rows2.exists(_.head == "c"))
+    }
+  }
+
   test("ineligible shapes (avg, double sum) fall back and stay correct") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
