@@ -466,9 +466,15 @@ object GraftData {
       base.write.format("graft")
         .option("hashPartitions", "o_orderkey").option("hashBucketNum", "4")
         .save(d)
+      // mnp/mxp/dp gate the r12 fold extensions end-to-end: the window
+      // below carries raw-image updates AND a tombstone delete, so MIN/MAX
+      // ride the per-group retraction path and count(DISTINCT) the
+      // changed-group recompute — under the same fold-not-recompute
+      // counter assert
       graft.mv.MaterializedViews.create(spark, viewDir,
         s"SELECT o_custkey, count(1) AS cnt, count(p) AS cp, " +
           s"sum(p) AS sp, avg(p) AS ap, " +
+          s"min(p) AS mnp, max(p) AS mxp, count(DISTINCT p) AS dp, " +
           s"count(p) FILTER (WHERE p % 2 = 0) AS cpe, " +
           s"sum(p) FILTER (WHERE p % 2 = 0) AS spe " +
           s"FROM graft.`$d` GROUP BY o_custkey")

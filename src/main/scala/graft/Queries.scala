@@ -333,7 +333,8 @@ object Queries {
     "q_mv_inc_fold" -> ((s, sf) =>
       GraftData.ordersMvIncFold(s, sf)
         .select(col("o_custkey"), col("cnt"), col("cp"), col("sp"),
-          col("ap"), col("cpe"), col("spe"))),
+          col("ap"), col("mnp"), col("mxp"), col("dp"),
+          col("cpe"), col("spe"))),
 
     "q_mv_inc_join" -> ((s, sf) =>
       GraftData.ordersMvIncJoin(s, sf)
@@ -849,6 +850,7 @@ object Queries {
        "SELECT o_custkey, p FROM base WHERE o_orderkey % 13 = 0) " +
        "SELECT o_custkey, count(1) AS cnt, count(p) AS cp, " +
        "CAST(sum(p) AS BIGINT) AS sp, avg(p) AS ap, " +
+       "min(p) AS mnp, max(p) AS mxp, count(DISTINCT p) AS dp, " +
        "count(p) FILTER (WHERE p % 2 = 0) AS cpe, " +
        "CAST(sum(p) FILTER (WHERE p % 2 = 0) AS BIGINT) AS spe " +
        "FROM final GROUP BY o_custkey"),

@@ -145,8 +145,11 @@ object MaterializedViews {
     *    linearity (the ΔA ⋈ ΔB cross term lands in the later fold's
     *    NEW-pinned side). Every group expression must
     *    surface as an output column (the join key back into the stored
-    *    state) and every aggregate is non-DISTINCT, non-FILTER
-    *    `COUNT`/`SUM` (plus `MIN`/`MAX`/`AVG` under the conditions below);
+    *    state) and every aggregate is `COUNT`/`SUM` — FILTER variants
+    *    fold via guarded arguments, `MIN`/`MAX`/`AVG` fold under the
+    *    conditions below, and `COUNT(DISTINCT)`/`SUM(DISTINCT)` columns
+    *    recompute per CHANGED GROUP from a group-pruned base scan while
+    *    the additive columns fold;
     *  - some output column is a row count (`COUNT(*)` or `COUNT` of a
     *    non-nullable argument) — group lifecycle (a group's row count
     *    reaching zero deletes its row) is undecidable without one;
@@ -289,12 +292,36 @@ object MaterializedViews {
     case class MinCol(arg: Expression) extends Kind // + per-group retraction
     case class MaxCol(arg: Expression) extends Kind // + per-group retraction
     case class AvgCol(arg: Expression) extends Kind // needs sum+count mates
+    case class DistinctCol(arg: Expression, isSum: Boolean) extends Kind
     val cols: Seq[(String, Kind, org.apache.spark.sql.types.DataType)] =
       dec.aggList.map { ne: NamedExpression =>
         val kind = strip(ne) match {
-          case ae: AggregateExpression if ae.isDistinct => return false
           case ae: AggregateExpression
               if ae.filter.exists(!_.deterministic) => return false
+          // DISTINCT aggregates cannot fold from a stored scalar (whether
+          // an inserted value is already present, or a retracted one was
+          // the last copy, is unknowable without the group's value set) —
+          // but they don't forfeit the window either: every group the
+          // delta touches recomputes its DISTINCT columns from the
+          // group-pruned pinned base scan below, while the additive
+          // columns fold as usual. Refresh cost is ∝ the CHANGED groups'
+          // base rows, not view or base size. The recompute is Spark's
+          // own aggregate over base rows, so fp args are exact here (no
+          // cross-refresh accumulation to drift).
+          case AggregateExpression(Count(args), _, true, filterOpt, _)
+              if args.size == 1 && args.head.deterministic =>
+            DistinctCol(filterOpt match {
+              case Some(f) =>
+                If(f, args.head, Literal.create(null, args.head.dataType))
+              case None => args.head
+            }, isSum = false)
+          case AggregateExpression(Sum(e, _), _, true, filterOpt, _)
+              if e.deterministic =>
+            DistinctCol(filterOpt match {
+              case Some(f) => If(f, e, Literal.create(null, e.dataType))
+              case None => e
+            }, isSum = true)
+          case ae: AggregateExpression if ae.isDistinct => return false
           // FILTER (WHERE p) folds by GUARDING the argument: the fold
           // evaluates args over pre/post image rows, and an If-wrapped arg
           // contributes exactly the filtered rows — count/sum skip nulls
@@ -585,15 +612,26 @@ object MaterializedViews {
       case (n, MinCol(e), _) => (n, e, true)
       case (n, MaxCol(e), _) => (n, e, false)
     }
+    val distinctCols = cols.collect {
+      case (n, DistinctCol(e, isSum), _) => (n, e, isSum)
+    }
     val retractions = !appendOnly && extremeCols.nonEmpty
-    val groupTouched: org.apache.spark.sql.Column = extremeCols.map {
+    val needsOverlay = retractions || distinctCols.nonEmpty
+    // a group the delta touched at all — its DISTINCT columns always
+    // recompute (even an insert-only window may add an already-present
+    // value); non-null because the row-count delta sums non-null ±weights
+    val changedGroup: org.apache.spark.sql.Column =
+      col(s"__md.`__d_$rowCountCol`").isNotNull
+    val groupTouched: org.apache.spark.sql.Column = (extremeCols.map {
       case (n, _, isMin) =>
         val r = col(s"__md.`__r_$n`")
         val stored = col(s"__mo.${bq(n)}")
         val ins = col(s"__md.`__d_$n`")
         val cand = if (isMin) least(stored, ins) else greatest(stored, ins)
         coalesce(if (isMin) r <= cand else r >= cand, lit(false))
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    }.filter(_ => retractions) ++
+      (if (distinctCols.nonEmpty) Seq(changedGroup) else Nil))
+      .reduceOption(_ || _).getOrElse(lit(false))
     // group key as visible on the stored ⋈ delta join, either join order
     def joinedKey(n: String) =
       coalesce(col(s"__mo.${bq(n)}"), col(s"__md.${bq(n)}"))
@@ -602,6 +640,9 @@ object MaterializedViews {
       extremeCols.map { case (n, _, isMin) =>
         (if (isMin) min(col(s"`__arg_$n`"))
          else max(col(s"`__arg_$n`"))).as(s"__rc_$n")
+      } ++ distinctCols.map { case (n, _, isSum) =>
+        (if (isSum) sum_distinct(col(s"`__arg_$n`"))
+         else count_distinct(col(s"`__arg_$n`"))).as(s"__rc_$n")
       }
 
     /** Extremes of the touched groups, recomputed from every relation
@@ -642,7 +683,8 @@ object MaterializedViews {
         d.filter(rc(c)))
       val keyed = filtered.select(
         dec.groupExprs.zip(keyNames).map { case (g, n) => rc(g).as(n) } ++
-          extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") }: _*)
+          extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
+          distinctCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") }: _*)
       keyed.alias("__kd")
         .join(touchedKeys.alias("__tk"),
           keyNames.map(k =>
@@ -652,10 +694,10 @@ object MaterializedViews {
         .agg(rcAggs.head, rcAggs.tail: _*)
     }
 
-    /** Attach `__rc.*` recomputed-extreme columns for the touched groups
-      * (no-op on insert-only windows or extreme-free views). */
+    /** Attach `__rc.*` recomputed columns (extremes, DISTINCT aggregates)
+      * for the touched groups (no-op when no column needs the overlay). */
     def withRecomputedExtremes(joined: DataFrame): DataFrame =
-      if (!retractions) joined
+      if (!needsOverlay) joined
       else {
         val touchedKeys = joined.filter(groupTouched)
           .select(keyNames.map(n => joinedKey(n).as(n)): _*)
@@ -697,6 +739,12 @@ object MaterializedViews {
           (if (retractions)
             when(groupTouched, col(s"__rc.`__rc_$n`")).otherwise(folded)
           else folded).cast(dt)
+        // DISTINCT columns: changed groups take the group-pruned
+        // recompute's image, unchanged groups keep the stored one — there
+        // is no foldable middle ground for distinctness
+        case DistinctCol(_, _) =>
+          when(changedGroup, col(s"__rc.`__rc_$n`"))
+            .otherwise(col(s"__mo.${bq(n)}")).cast(dt)
         // AVG re-derives from its companions' combined images: exact long
         // sum / long count, the same division Average itself performs for
         // integral args. NULL when the denominator returns to zero.

@@ -42,7 +42,7 @@ class MvFoldFuzzSuite extends GraftFunSuite {
         val view = s"mvf_$seed"
         spark.read.format("graft").load(dir).createOrReplaceTempView(view)
         val sql = s"SELECT g, count(*) AS cnt, count(v) AS cv, " +
-          s"sum(v) AS sv, avg(v) AS av, " +
+          s"sum(v) AS sv, avg(v) AS av, count(DISTINCT v) AS dv, " +
           s"count(v) FILTER (WHERE region = 'eu') AS cv_eu, " +
           s"sum(v) FILTER (WHERE region = 'eu') AS sv_eu " +
           s"FROM $view GROUP BY g"

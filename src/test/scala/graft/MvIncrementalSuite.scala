@@ -566,6 +566,54 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("COUNT/SUM(DISTINCT) columns recompute per CHANGED GROUP while " +
+      "additive columns fold; unchanged groups keep stored images") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+          (4L, "b", 30L), (5L, "c", 7L))
+        .toDF("id", "g", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_dd")
+      val sql = "SELECT g, count(*) AS cnt, sum(v) AS sv, " +
+        "count(DISTINCT v) AS dv, sum(DISTINCT v) AS sdv, " +
+        "count(DISTINCT v) FILTER (WHERE v >= 10) AS dvf " +
+        "FROM mvi_dd GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // insert-only window: a gains a DUPLICATE value (dv must NOT move),
+      // b a new value, c untouched (keeps its stored image verbatim)
+      GraftTable.forPath(spark, dir).upsert(
+        Seq((6L, "a", 20L), (7L, "b", 40L)).toDF("id", "g", "v"))
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "distinct-bearing view must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      assert(rows.contains(Seq("a", 4L, 60L, 2L, 30L, 2L)), s"got $rows")
+      assert(rows.contains(Seq("b", 2L, 70L, 2L, 70L, 2L)))
+      assert(rows.contains(Seq("c", 1L, 7L, 1L, 7L, 0L)))
+
+      // retraction window (CDC upsert + tombstone delete): one of a's two
+      // 20s goes away (dv unchanged), a's last 10 moves to value 99 (dv
+      // unchanged, sdv moves), b loses 40 entirely (dv drops)
+      GraftTable.forPath(spark, dir).upsert(
+        Seq((2L, "a", 99L)).toDF("id", "g", "v"))
+      GraftTable.forPath(spark, dir)
+        .delete(col("id") === 6L || col("id") === 7L)
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1)
+      assertMatchesRecompute(viewDir, sql)
+      val rows2 = rowsOf(spark.sql(sql))
+      // a: values (10, 99, 20) → dv 3, sdv 129; b: (30) → dv 1
+      assert(rows2.contains(Seq("a", 3L, 129L, 3L, 129L, 3L)), s"got $rows2")
+      assert(rows2.contains(Seq("b", 1L, 30L, 1L, 30L, 1L)))
+      assert(rows2.contains(Seq("c", 1L, 7L, 1L, 7L, 0L)))
+    }
+  }
+
   test("ineligible shapes (avg, double sum) fall back and stay correct") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
