@@ -158,12 +158,14 @@ object MaterializedViews {
     *    the recompute), and, when `e` is nullable, some output column is
     *    `COUNT(e)` (the combined sum must return to NULL when the last
     *    non-null contributor is deleted);
-    *  - `AVG(e)` folds only through companion `SUM(e)` + `COUNT(e)`
-    *    output columns (integral `e`): the stored avg value already
-    *    carries its division's rounding and cannot reconstruct the exact
-    *    sum; the companions re-derive it exactly (bit-identical to a
-    *    recompute below 2^53 group sums, at-least-as-accurate above —
-    *    Average's own integral accumulator is a double);
+    *  - `AVG(e)` folds through companion `SUM(e)` + `COUNT(e)` output
+    *    columns (integral `e`): the stored avg value already carries its
+    *    division's rounding and cannot reconstruct the exact sum; the
+    *    companions re-derive it exactly (bit-identical to a recompute
+    *    below 2^53 group sums, at-least-as-accurate above — Average's own
+    *    integral accumulator is a double). Companion-less, filtered or
+    *    decimal `AVG` recomputes per CHANGED GROUP like DISTINCT columns;
+    *    fp `AVG`/`SUM` stay ineligible (accumulation-order-dependent);
     *  - the window's commits all yield row-level pre/post images in the
     *    feed: raw-image delta upserts (the canonical CDC ingest) DO —
     *    the feed runs with `resolveUpserts`, diffing the touched buckets'
@@ -373,28 +375,37 @@ object MaterializedViews {
               case Some(f) => If(f, e, Literal.create(null, e.dataType))
               case None => e
             })
-          // AVG folds exactly ONLY via companion SUM + COUNT columns in
-          // the view (validated below): the stored avg value alone cannot
+          // AVG folds exactly via companion SUM + COUNT columns in the
+          // view (validated below): the stored avg value alone cannot
           // reconstruct the exact sum (it already carries the division's
           // rounding), and folding through it would drift from the
           // recompute — the very thing the double-SUM bail above forbids.
-          // Integral args only: the fold divides the EXACT long sum by the
-          // count, which is at-least-as-accurate as Spark's Average (whose
-          // integral accumulator is a double — for group sums beyond 2^53
-          // the recompute itself may be off in the last ulp where the fold
-          // is exact; below 2^53 the two agree bit-for-bit). Decimal avg's
-          // result scale follows Average's own internal division and is
-          // not replayed here; fp args are already excluded by their sums.
+          // Companion fold is integral-and-unfiltered only: it divides the
+          // EXACT long sum by the count, which is at-least-as-accurate as
+          // Spark's Average (whose integral accumulator is a double — for
+          // group sums beyond 2^53 the recompute itself may be off in the
+          // last ulp where the fold is exact; below 2^53 the two agree
+          // bit-for-bit). Without companions — or filtered, or decimal —
+          // the column rides the per-changed-group recompute overlay
+          // (exact: Spark's own Average over the group's base rows, no
+          // cross-refresh accumulation). Fp args stay ineligible: their
+          // value is accumulation-order-dependent, so even a "correct"
+          // group recompute would not reproduce the full recompute.
           case AggregateExpression(
               org.apache.spark.sql.catalyst.expressions.aggregate
-                .Average(e, _), _, _, None, _)
+                .Average(e, _), _, _, filterOpt, _)
               if e.deterministic && (e.dataType match {
                 case org.apache.spark.sql.types.ByteType |
                   org.apache.spark.sql.types.ShortType |
                   org.apache.spark.sql.types.IntegerType |
                   org.apache.spark.sql.types.LongType => true
+                case _: DecimalType => true
                 case _ => false
-              }) => AvgCol(e)
+              }) =>
+            AvgCol(filterOpt match {
+              case Some(f) => If(f, e, Literal.create(null, e.dataType))
+              case None => e
+            })
           case e =>
             val i = dec.groupExprs.indexWhere(_.semanticEquals(e))
             if (i < 0) return false
@@ -418,22 +429,28 @@ object MaterializedViews {
           case (ce, cn) if ce.semanticEquals(e) => cn
         }.getOrElse(return false)
     }.toMap
-    // AVG companions: the exact sum and the matching denominator count.
-    // A nullable arg REQUIRES count(arg) (count(*) would count null
-    // contributions into the denominator); a non-nullable arg may borrow
-    // count(*). Views without the companions take the full recompute.
-    val avgComp: Map[String, (String, String,
-        org.apache.spark.sql.types.DataType)] = cols.collect {
+    // AVG companions: the exact sum and the matching denominator count
+    // (guarded args compare by semanticEquals, so a FILTER avg pairs only
+    // with SAME-filtered companions). A nullable arg REQUIRES count(arg)
+    // (count(*) would count null contributions into the denominator); a
+    // non-nullable arg may borrow count(*). Decimal avg never uses
+    // companions — the fold's double division is not Average's decimal
+    // division. None = the column rides the changed-group recompute.
+    val avgComp: Map[String, Option[(String, String,
+        org.apache.spark.sql.types.DataType)]] = cols.collect {
       case (n, AvgCol(e), _) =>
-        val (sn, sdt) = cols.collectFirst {
-          case (sn2, SumCol(se), sdt2) if se.semanticEquals(e) => (sn2, sdt2)
-        }.getOrElse(return false)
-        val cn = countByArg.collectFirst {
-          case (ce, cn2) if ce.semanticEquals(e) => cn2
-        }.orElse(if (!e.nullable) cols.collectFirst {
-          case (cn2, CountCol(None), _) => cn2
-        } else None).getOrElse(return false)
-        n -> ((sn, cn, sdt))
+        n -> (if (e.dataType.isInstanceOf[DecimalType]) None
+        else for {
+          sp <- cols.collectFirst {
+            case (sn2, SumCol(se), sdt2) if se.semanticEquals(e) =>
+              (sn2, sdt2)
+          }
+          cn <- countByArg.collectFirst {
+            case (ce, cn2) if ce.semanticEquals(e) => cn2
+          }.orElse(if (!e.nullable) cols.collectFirst {
+            case (cn2, CountCol(None), _) => cn2
+          } else None)
+        } yield (sp._1, cn, sp._2))
     }.toMap
 
     // a view expression referencing something absent from the feed frame
@@ -615,11 +632,18 @@ object MaterializedViews {
     val distinctCols = cols.collect {
       case (n, DistinctCol(e, isSum), _) => (n, e, isSum)
     }
+    // companion-less (or filtered, or decimal) AVG columns: recomputed per
+    // changed group, exactly like DISTINCT columns
+    val avgRcCols = cols.collect {
+      case (n, AvgCol(e), _) if avgComp(n).isEmpty => (n, e)
+    }
     val retractions = !appendOnly && extremeCols.nonEmpty
-    val needsOverlay = retractions || distinctCols.nonEmpty
-    // a group the delta touched at all — its DISTINCT columns always
-    // recompute (even an insert-only window may add an already-present
-    // value); non-null because the row-count delta sums non-null ±weights
+    val rcOnly = distinctCols.nonEmpty || avgRcCols.nonEmpty
+    val needsOverlay = retractions || rcOnly
+    // a group the delta touched at all — its DISTINCT/AVG-recompute
+    // columns always recompute (even an insert-only window may add an
+    // already-present value / shift an average); non-null because the
+    // row-count delta sums non-null ±weights
     val changedGroup: org.apache.spark.sql.Column =
       col(s"__md.`__d_$rowCountCol`").isNotNull
     val groupTouched: org.apache.spark.sql.Column = (extremeCols.map {
@@ -630,7 +654,7 @@ object MaterializedViews {
         val cand = if (isMin) least(stored, ins) else greatest(stored, ins)
         coalesce(if (isMin) r <= cand else r >= cand, lit(false))
     }.filter(_ => retractions) ++
-      (if (distinctCols.nonEmpty) Seq(changedGroup) else Nil))
+      (if (rcOnly) Seq(changedGroup) else Nil))
       .reduceOption(_ || _).getOrElse(lit(false))
     // group key as visible on the stored ⋈ delta join, either join order
     def joinedKey(n: String) =
@@ -643,6 +667,8 @@ object MaterializedViews {
       } ++ distinctCols.map { case (n, _, isSum) =>
         (if (isSum) sum_distinct(col(s"`__arg_$n`"))
          else count_distinct(col(s"`__arg_$n`"))).as(s"__rc_$n")
+      } ++ avgRcCols.map { case (n, _) =>
+        avg(col(s"`__arg_$n`")).as(s"__rc_$n")
       }
 
     /** Extremes of the touched groups, recomputed from every relation
@@ -684,7 +710,8 @@ object MaterializedViews {
       val keyed = filtered.select(
         dec.groupExprs.zip(keyNames).map { case (g, n) => rc(g).as(n) } ++
           extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
-          distinctCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") }: _*)
+          distinctCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
+          avgRcCols.map { case (n, e) => rc(e).as(s"__arg_$n") }: _*)
       keyed.alias("__kd")
         .join(touchedKeys.alias("__tk"),
           keyNames.map(k =>
@@ -748,12 +775,18 @@ object MaterializedViews {
         // AVG re-derives from its companions' combined images: exact long
         // sum / long count, the same division Average itself performs for
         // integral args. NULL when the denominator returns to zero.
-        case AvgCol(_) =>
-          val (sn, cn, sdt) = avgComp(n)
-          val den = comb(cn, org.apache.spark.sql.types.LongType)
-          when(den === 0L, lit(null))
-            .otherwise(comb(sn, sdt).cast("double") / den.cast("double"))
-            .cast(dt)
+        // Companion-less/filtered/decimal AVG takes the changed-group
+        // recompute image instead.
+        case AvgCol(_) => avgComp(n) match {
+          case Some((sn, cn, sdt)) =>
+            val den = comb(cn, org.apache.spark.sql.types.LongType)
+            when(den === 0L, lit(null))
+              .otherwise(comb(sn, sdt).cast("double") / den.cast("double"))
+              .cast(dt)
+          case None =>
+            when(changedGroup, col(s"__rc.`__rc_$n`"))
+              .otherwise(col(s"__mo.${bq(n)}")).cast(dt)
+        }
       }
     val outCols = cols.map { case (n, k, dt) => outExpr(n, k, dt).as(n) }
     def alive = comb(rowCountCol, org.apache.spark.sql.types.LongType) > 0L

@@ -614,14 +614,17 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
-  test("ineligible shapes (avg, double sum) fall back and stay correct") {
+  test("ineligible shapes (no row-count lifecycle, double sum) fall back " +
+      "and stay correct") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
       val viewDir2 = dir + "-mv2"
       Seq((1L, "a", 10L, 1.5), (2L, "b", 20L, 2.5))
         .toDF("id", "g", "v", "d").write.format("graft").save(dir)
       spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_f")
+      // avg without ANY row-count column: group lifecycle is undecidable
       val avgSql = "SELECT g, avg(v) AS av FROM mvi_f GROUP BY g"
+      // double sum: accumulation-order-dependent, never folds
       val dblSql = "SELECT g, count(*) AS cnt, sum(d) AS sd " +
         "FROM mvi_f GROUP BY g"
       MaterializedViews.create(spark, viewDir, avgSql)
@@ -631,9 +634,49 @@ class MvIncrementalSuite extends GraftFunSuite {
       val before = incCount
       assert(MaterializedViews.refresh(spark, viewDir))
       assert(MaterializedViews.refresh(spark, viewDir2))
-      assert(incCount == before, "avg/double-sum views must recompute fully")
+      assert(incCount == before,
+        "lifecycle-less avg / double-sum views must recompute fully")
       assertMatchesRecompute(viewDir, avgSql)
       assertMatchesRecompute(viewDir2, dblSql)
+    }
+  }
+
+  test("companion-less, FILTERed and decimal AVG fold via changed-group " +
+      "recompute when a row-count column exists") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq((1L, "a", 10L, "7.25"), (2L, "a", 21L, "1.50"),
+          (3L, "b", 30L, "2.00"))
+        .toDF("id", "g", "v", "m")
+        .selectExpr("id", "g", "v", "CAST(m AS DECIMAL(10,2)) AS m")
+        .write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_av")
+      val sql = "SELECT g, count(*) AS cnt, avg(v) AS av, " +
+        "avg(v) FILTER (WHERE v >= 20) AS avf, avg(m) AS am " +
+        "FROM mvi_av GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // insert-only window shifts a's averages; b untouched keeps stored
+      Seq[(Long, String, Long, String)]((4L, "a", 29L, "3.25"))
+        .toDF("id", "g", "v", "m")
+        .selectExpr("id", "g", "v", "CAST(m AS DECIMAL(10,2)) AS m")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "companion-less avg view must fold")
+      assertMatchesRecompute(viewDir, sql)
+
+      // retraction window: delete one of a's rows — avg recomputes from
+      // the surviving rows, not from any foldable scalar
+      GraftTable.forPath(spark, dir).delete(col("id") === 2L)
+      val before2 = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before2 + 1)
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      // a = {10, 29}: avg 19.5, filtered avg 29.0, decimal avg 5.25
+      assert(rows.exists(r => r.head == "a" && r(1) == 2L &&
+        r(2) == 19.5 && r(3) == 29.0), s"got $rows")
     }
   }
 
