@@ -712,11 +712,31 @@ object MaterializedViews {
           extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
           distinctCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
           avgRcCols.map { case (n, e) => rc(e).as(s"__arg_$n") }: _*)
-      keyed.alias("__kd")
-        .join(touchedKeys.alias("__tk"),
-          keyNames.map(k =>
-            col(s"__kd.${bq(k)}") <=> col(s"__tk.${bq(k)}")).reduce(_ && _),
-          "left_semi")
+      // group restriction, two spellings by touched-set size (the same
+      // bounded-collect contract as AnnIndex's probe-cell literals):
+      //  - small single-key sets become literal isin/isNull filters that
+      //    push INTO the base scan (partition + rowgroup pruning at plan
+      //    time — a semi join only filters after the scan has read);
+      //  - larger or multi-key sets keep the null-safe semi join.
+      val restricted = (if (keyNames.size == 1) {
+        val cap = 10000
+        val rows = touchedKeys.limit(cap + 1).collect()
+        if (rows.length <= cap) {
+          val vals = rows.map(_.get(0))
+          val nonNull = vals.filter(_ != null).toSeq
+          val kc = col(bq(keyNames.head))
+          val base = if (nonNull.nonEmpty) kc.isin(nonNull: _*) else lit(false)
+          Some(keyed.filter(
+            if (vals.contains(null)) base || kc.isNull else base))
+        } else None
+      } else None).getOrElse {
+        keyed.alias("__kd")
+          .join(touchedKeys.alias("__tk"),
+            keyNames.map(k =>
+              col(s"__kd.${bq(k)}") <=> col(s"__tk.${bq(k)}")).reduce(_ && _),
+            "left_semi")
+      }
+      restricted
         .groupBy(keyNames.map(n => col(bq(n))): _*)
         .agg(rcAggs.head, rcAggs.tail: _*)
     }

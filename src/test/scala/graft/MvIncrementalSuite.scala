@@ -614,6 +614,36 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("multi-key grouped DISTINCT view recomputes changed groups via the " +
+      "null-safe semi join (the literal-isin prune is single-key only)") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      Seq[(Long, String, Option[String], Long)](
+          (1L, "a", Some("eu"), 10L), (2L, "a", Some("eu"), 10L),
+          (3L, "a", None, 5L), (4L, "b", Some("us"), 30L))
+        .toDF("id", "g", "region", "v").write.format("graft").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_mk")
+      val sql = "SELECT g, region, count(*) AS cnt, " +
+        "count(DISTINCT v) AS dv, min(v) AS mn " +
+        "FROM mvi_mk GROUP BY g, region"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      // retraction touching the NULL-region group's min plus a duplicate
+      // insert elsewhere: the semi join must match null keys (<=>)
+      GraftTable.forPath(spark, dir).delete(col("id") === 3L)
+      Seq[(Long, String, Option[String], Long)]((5L, "b", Some("us"), 30L))
+        .toDF("id", "g", "region", "v")
+        .write.format("graft").mode("append").save(dir)
+      val before = incCount
+      assert(MaterializedViews.refresh(spark, viewDir))
+      assert(incCount == before + 1, "multi-key window must fold")
+      assertMatchesRecompute(viewDir, sql)
+      val rows = rowsOf(spark.sql(sql))
+      assert(!rows.exists(r => r.head == "a" && r(1) == null))
+      assert(rows.contains(Seq("b", "us", 2L, 1L, 30L)), s"got $rows")
+    }
+  }
+
   test("ineligible shapes (no row-count lifecycle, double sum) fall back " +
       "and stay correct") {
     withTempTable { dir =>
