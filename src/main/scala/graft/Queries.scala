@@ -541,6 +541,21 @@ object Queries {
         "vec_id", "embedding", minCosine = 0.1, numPlanes = 4)
         .select(col("a_id"), col("b_id"))),
 
+    // SemDeDup-style semantic clustering + within-cluster near-dup pairs.
+    // iters = 0 pins the deterministic first-k-by-id seeding so DuckDB can
+    // replay the assignment; Lloyd refinement is suite-verified against a
+    // naive driver implementation (engine-specific fp accumulation order
+    // makes refined centroids oracle-hostile).
+    "q_semantic_clusters" -> ((s, sf) =>
+      Dedup.semanticClusters(GraftData.embeddingsPlain(s, sf),
+        "vec_id", "embedding", k = 16, iters = 0)
+        .select(col("vec_id"), col("cluster_id"))),
+
+    "q_semantic_neardup" -> ((s, sf) =>
+      Dedup.semanticNearDupPairs(GraftData.embeddingsPlain(s, sf),
+        "vec_id", "embedding", k = 16, minCosine = 0.1, iters = 0)
+        .select(col("a_id"), col("b_id"))),
+
     "q_multimodal_decode" -> ((s, sf) =>
       Multimodal.decodeTable(
         Multimodal.asPayload(GraftData.documentsRange(s, sf), "doc_id", "text"))
@@ -1222,6 +1237,46 @@ object Queries {
        "FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
        "WHERE (list_dot_product(a.e, b.e) / NULLIF(sqrt(list_dot_product(a.e, a.e)) " +
        "* sqrt(list_dot_product(b.e, b.e)), 0)) >= 0.1"),
+
+    // k-means at iters=0 IS deterministic: centroids are the k lowest ids'
+    // vectors, assignment the max-cosine centroid (ties by centroid id),
+    // zero-norm vectors excluded — all replayable in portable SQL.
+    "q_semantic_clusters" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings), " +
+       "nv AS (SELECT vec_id, e FROM v " +
+       "WHERE sqrt(list_dot_product(e, e)) > 0), " +
+       "seed AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16), " +
+       "c AS (SELECT nv.vec_id AS cid, nv.e AS ce FROM nv " +
+       "JOIN seed ON nv.vec_id = seed.vec_id), " +
+       "s AS (SELECT nv.vec_id, c.cid, list_dot_product(nv.e, c.ce) / " +
+       "(sqrt(list_dot_product(nv.e, nv.e)) * " +
+       "sqrt(list_dot_product(c.ce, c.ce))) AS csim FROM nv CROSS JOIN c) " +
+       "SELECT vec_id, cid AS cluster_id FROM (SELECT vec_id, cid, " +
+       "row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY csim DESC, cid ASC) AS rn FROM s) t WHERE rn = 1"),
+
+    "q_semantic_neardup" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+       "FROM embeddings), " +
+       "nv AS (SELECT vec_id, e FROM v " +
+       "WHERE sqrt(list_dot_product(e, e)) > 0), " +
+       "seed AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16), " +
+       "c AS (SELECT nv.vec_id AS cid, nv.e AS ce FROM nv " +
+       "JOIN seed ON nv.vec_id = seed.vec_id), " +
+       "s AS (SELECT nv.vec_id, c.cid, list_dot_product(nv.e, c.ce) / " +
+       "(sqrt(list_dot_product(nv.e, nv.e)) * " +
+       "sqrt(list_dot_product(c.ce, c.ce))) AS csim FROM nv CROSS JOIN c), " +
+       "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+       "row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY csim DESC, cid ASC) AS rn FROM s) t WHERE rn = 1) " +
+       "SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+       "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+       "JOIN nv na ON na.vec_id = a.vec_id " +
+       "JOIN nv nb ON nb.vec_id = b.vec_id " +
+       "WHERE (list_dot_product(na.e, nb.e) / " +
+       "(sqrt(list_dot_product(na.e, na.e)) * " +
+       "sqrt(list_dot_product(nb.e, nb.e)))) >= 0.1"),
 
     // IVF with angular-bound cell pruning is EXACT (skipped cells provably
     // hold no top-k member), so its oracle is the same brute-force top-k.

@@ -362,6 +362,55 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Spherical k-means cluster assignment over an embedding column:
+    * (idCol, cluster_id, csim) — the grouping primitive behind
+    * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+    * and domain-mix curation. Deterministic end-to-end: centroids seed
+    * from the k LOWEST ids' unit vectors and refine through `iters`
+    * spherical Lloyd rounds (the same pure-relational machinery the IVF
+    * index builds cells with — no array lambdas, every round one
+    * assignment join + one mean/renormalize aggregate), and assignment
+    * ties break on cluster id. Zero-norm vectors are excluded (their
+    * cosine is undefined — same contract as the ANN family).
+    * `spark.graft.ann.ivf.kmeansIters`, when set, overrides `iters`
+    * (shared with the IVF builder). */
+  def semanticClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1): DataFrame = {
+    // centroid build and final assignment both read the unit rows
+    val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
+      .transform(Checkpoints.stabilize)
+    val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
+    Ann.assignCells(cents)(cu, "nid", "nx")
+      .select(col("nid").as(idCol), col("cid").as("cluster_id"), col("csim"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: k-means cluster, then
+    * EXACT pairwise cosine within each cluster only — O(Σ|cluster|²)
+    * scoring instead of all-pairs O(n²), the standard trade for embedding
+    * dedup at corpus scale. Cross-cluster near-duplicates are missed BY
+    * DESIGN (that is the recall/cost dial: raise k for cheaper, narrower
+    * clusters; the hyperplane-LSH [[embeddingNearDuplicates]] is the
+    * overlapping-bucket alternative). The per-cluster self-join shuffles
+    * on (cluster, dim) — the same shape as the LSH bucket join, with k
+    * controlling the skew the way numPlanes does there. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double = 0.95, iters: Int = 1): DataFrame = {
+    val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
+      .transform(Checkpoints.stabilize)
+    val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
+    val assign = Ann.assignCells(cents)(cu, "nid", "nx").select("nid", "cid")
+    // both sides of the pair join read the assigned unit rows
+    val au = cu.join(assign, "nid").transform(Checkpoints.stabilize)
+    au.as("a").join(au.as("b"),
+        col("a.cid") === col("b.cid") && col("a.dim") === col("b.dim") &&
+        col("a.nid") < col("b.nid"))
+      .groupBy(col("a.nid").as("a_id"), col("b.nid").as("b_id"))
+      .agg(sum(col("a.nx") * col("b.nx")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard on the
     * candidate set only. `minJaccardPct` is an integer percentage so the
     * operator's output is engine-exact (no float thresholds). */

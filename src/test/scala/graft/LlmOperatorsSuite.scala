@@ -490,6 +490,80 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("semantic k-means clusters == naive driver Lloyd; within-cluster " +
+      "near-dup pairs == naive pair scan") {
+    // three well-separated directions + per-vector noise: Lloyd must
+    // recover the planted clusters, and Spark's relational rounds must
+    // agree with a straightforward driver implementation exactly
+    val rnd = new scala.util.Random(7)
+    val protos = Seq(
+      Array(1.0, 0, 0, 0, 1, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 1, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 1, 0))
+    val vecs: Map[Long, Array[Double]] = (0 until 30).map { i =>
+      val p = protos(i % 3)
+      i.toLong -> p.map(_ * 5 + rnd.nextDouble() * 0.2)
+    }.toMap + (99L -> Array.fill(8)(0.0)) // zero vector: always excluded
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+    def naive(k: Int, iters: Int): Map[Long, Long] = {
+      // mirror the DataFrame's float storage so threshold-adjacent cosines
+      // cannot flip between the reference and the operator
+      val unit = vecs.flatMap { case (id, v0) =>
+        val v = v0.map(x => x.toFloat.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) None else Some(id -> v.map(_ / n))
+      }
+      val seedIds = vecs.keys.toSeq.sorted.take(k)
+      var cents: Map[Long, Array[Double]] =
+        seedIds.flatMap(i => unit.get(i).map(i -> _)).toMap
+      def assign(): Map[Long, Long] = unit.map { case (id, u) =>
+        id -> cents.toSeq.map { case (cid, c) =>
+          (c.zip(u).map(p => p._1 * p._2).sum, cid)
+        }.minBy { case (s, cid) => (-s, cid) }._2
+      }
+      (0 until iters).foreach { _ =>
+        val a = assign()
+        cents = a.groupBy(_._2).map { case (cid, members) =>
+          val ids = members.keys.toSeq
+          val mean = Array.tabulate(8)(d => ids.map(unit(_)(d)).sum / ids.size)
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          cid -> mean.map(_ / n)
+        }
+      }
+      assign()
+    }
+
+    Seq(0, 2).foreach { iters =>
+      val got = Dedup.semanticClusters(df, "vec_id", "embedding",
+          k = 3, iters = iters)
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+      val want = naive(3, iters)
+      assert(got == want, s"iters=$iters: spark $got\n naive $want")
+      assert(!got.contains(99L), "zero vector must be excluded")
+    }
+
+    // pairs: exact within-cluster cosine against a naive scan over the
+    // naive assignment
+    val gotPairs = Dedup.semanticNearDupPairs(df, "vec_id", "embedding",
+        k = 3, minCosine = 0.999, iters = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val unit = vecs.flatMap { case (id, v0) =>
+      val v = v0.map(x => x.toFloat.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else Some(id -> v.map(_ / n))
+    }
+    val asg = naive(3, 2)
+    val wantPairs = (for {
+      (a, ca) <- asg.toSeq; (b, cb) <- asg.toSeq
+      if a < b && ca == cb &&
+        unit(a).zip(unit(b)).map(p => p._1 * p._2).sum >= 0.999
+    } yield (a, b)).toSet
+    assert(gotPairs == wantPairs,
+      s"pairs diverged\n spark: $gotPairs\n naive: $wantPairs")
+    assert(gotPairs.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("tfidf top-k ranks rare high-frequency terms first, ties by term") {
     val df = Seq(
       (1L, "apple apple banana common"),
