@@ -152,21 +152,31 @@ object GraftProcedures {
   }
 
   object CloneProcedure extends MaintenanceProcedure("clone",
-      "Zero-copy SHALLOW CLONE of a table (optionally at a past version)") {
+      "Zero-copy SHALLOW CLONE of a table (optionally at a past version " +
+        "or timestamp)") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("source", StringType)
         .comment("source table path or catalog name").build(),
       ProcedureParameter.in("dest", StringType)
         .comment("destination table path (must not exist)").build(),
       ProcedureParameter.in("version", LongType).defaultValue("NULL")
-        .comment("source version to clone; default latest").build())
+        .comment("source version to clone; default latest").build(),
+      ProcedureParameter.in("timestamp", StringType).defaultValue("NULL")
+        .comment("clone the newest version at or before this wall-clock " +
+          "cut (same forms as timestampAsOf); exclusive with version")
+        .build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val src = resolvePath(spark, str(input, 0).get)
       val dest = str(input, 1).get
       val version = if (input.isNullAt(2)) None else Some(input.getLong(2))
-      val v = graft.commands.CloneCommand.run(spark, src, dest, version)
+      val ts = str(input, 3)
+      require(version.isEmpty || ts.isEmpty,
+        "clone: pass version OR timestamp, not both")
+      val at = ts.map(t => SnapshotManagement.versionAtTimestamp(src,
+        graft.sources.GraftTableV2.parseTs(spark, t))).orElse(version)
+      val v = graft.commands.CloneCommand.run(spark, src, dest, at)
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(dest)), v))))

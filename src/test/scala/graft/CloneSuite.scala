@@ -225,6 +225,24 @@ class CloneSuite extends GraftFunSuite {
       assert(conf.get("graft.clone.sourcePath")
         .contains(SnapshotManagement.normalize(src)))
       assert(conf.contains("graft.clone.sourceVersion"))
+
+      // timestamp form: clone the newest version at or before the cut —
+      // an append AFTER the cut must not be in the clone
+      val cut = System.currentTimeMillis()
+      Thread.sleep(5)
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("graft").mode("append").save(src)
+      val destTs = scratch + "/clone-ts"
+      s2.sql(s"CALL spark_catalog.system.clone('$src', '$destTs', " +
+        s"timestamp => '$cut')").collect()
+      assert(spark.read.format("graft").load(destTs).count() == 2)
+      // version and timestamp together is an error
+      val e2 = intercept[Exception] {
+        s2.sql(s"CALL spark_catalog.system.clone('$src', " +
+          s"'$scratch/clone-x', version => 0, timestamp => '$cut')")
+          .collect()
+      }
+      assert(e2.getMessage.contains("not both"), e2.getMessage)
     } }
   }
 
