@@ -380,6 +380,14 @@ object Queries {
     "q_token_stats" -> ((s, sf) =>
       TextAnalysis.qualityStats(GraftData.documentsRange(s, sf), "text", "doc_id")),
 
+    // deterministic token-budget domain mixing: fill each source's budget
+    // in md5 order, crossing document included, other sources dropped
+    "q_token_mix" -> ((s, sf) =>
+      graft.llm.Curation.tokenBudgetMix(GraftData.documentsRange(s, sf),
+        "doc_id", "source", "n_chars",
+        Map("src0" -> 3000L, "src1" -> 5000L, "src7" -> 2000L))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     "q_distinct_ratio" -> ((s, sf) =>
       TextAnalysis.repetitionStats(GraftData.documentsRange(s, sf), "doc_id", "text")),
 
@@ -827,6 +835,20 @@ object Queries {
        "AND length(regexp_replace(text, '[ -~\\s]', '', 'g')) = 0 " +
        "AND len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
        "x -> list_contains(['the','of','and','is','to'], x))) >= 1"),
+
+    // same md5-derived order (bucket, hash, id) the operator's two-phase
+    // spelling walks; the single running-total window is the equivalent
+    // naive form — the crossing document passes `cum - w < budget`
+    "q_token_mix" ->
+      ("WITH t AS (SELECT doc_id, source, n_chars, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) AS h FROM documents " +
+       "WHERE source IN ('src0', 'src1', 'src7') AND n_chars IS NOT NULL), " +
+       "b AS (SELECT *, h % 10000 AS bk, CASE source WHEN 'src0' THEN 3000 " +
+       "WHEN 'src1' THEN 5000 ELSE 2000 END AS bud FROM t), " +
+       "c AS (SELECT *, sum(n_chars) OVER (PARTITION BY source " +
+       "ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM b) " +
+       "SELECT doc_id, source, n_chars FROM c WHERE cum - n_chars < bud"),
 
     "q_sql_update" ->
       ("SELECT c_custkey, CAST(ROUND((CASE WHEN c_mktsegment = 'MACHINERY' " +

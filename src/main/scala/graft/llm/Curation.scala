@@ -91,4 +91,80 @@ object Curation {
           .when(col("split_bucket") < trainBps + valBps, lit("val"))
           .otherwise(lit("test")))
   }
+
+  /** Deterministic token-budget domain mixing — the "mix N tokens of code
+    * with M tokens of web" pretraining step. Per domain, documents are
+    * taken in `(md5-bucket, md5-hash, id)` order until the domain's budget
+    * is reached; the crossing document is INCLUDED, so every non-empty
+    * budget yields at least one document and the mix reaches its budget
+    * (over by at most one document's weight). The order is the same
+    * engine-portable hash [[stratifiedSample]] selects with —
+    * reproducible across runs, engines and partitioning, and stable under
+    * corpus growth (a new document displaces only documents hashed after
+    * it). Domains absent from `budgets`, and rows with NULL weight, drop.
+    *
+    * Scale: a naive running-total window would sort EVERY domain's
+    * documents through one reducer — a web-scale domain is most of the
+    * corpus. Instead: (1) one distributed aggregate of per-(domain,
+    * bucket) weight sums over the md5 bucket space; (2) a driver cumsum
+    * over ≤ 10000 × |budgeted domains| rows finds each domain's CROSSING
+    * bucket and the weight spent before it; (3) whole buckets before the
+    * crossing one are kept by a scan-speed filter, and only the crossing
+    * bucket's rows — ~1/10000 of the domain — pay a fine-ordered window.
+    */
+  def tokenBudgetMix(
+      df: DataFrame, idCol: String, domainCol: String, weightCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "tokenBudgetMix: budgets must be non-empty")
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val bucket = pmod(hash, lit(10000L))
+    val spark = df.sparkSession
+    val inScope = df
+      .filter(col(domainCol).isin(budgets.keys.toSeq: _*) &&
+        col(weightCol).isNotNull)
+      .withColumn("__h", hash).withColumn("__bk", bucket)
+    // (1) distributed per-(domain, bucket) sums; (2) tiny driver cumsum
+    val perBucket = inScope.groupBy(col(domainCol).as("__dom"), col("__bk"))
+      .agg(sum(col(weightCol)).as("__w"))
+      .collect()
+    val byDom = perBucket.groupBy(_.getString(0))
+    // per domain: (crossing bucket, weight spent before it); a domain whose
+    // total is inside the budget keeps everything (crossing = +inf)
+    val cuts: Map[String, (Long, Long)] = byDom.map { case (dom, rows) =>
+      val budget = budgets(dom)
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var cum = 0L
+      var cut = (Long.MaxValue, 0L)
+      val it = sorted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (bk, w) = it.next()
+        if (cum + w >= budget) { cut = (bk, cum); found = true }
+        else cum += w
+      }
+      dom -> cut
+    }
+    val cutBk = cuts.foldLeft(lit(Long.MaxValue)) { case (acc, (dom, (bk, _))) =>
+      when(col(domainCol) === dom, lit(bk)).otherwise(acc)
+    }
+    val spent = cuts.foldLeft(lit(0L)) { case (acc, (dom, (_, sp))) =>
+      when(col(domainCol) === dom, lit(sp)).otherwise(acc)
+    }
+    val budgetC = budgets.foldLeft(lit(0L)) { case (acc, (dom, b)) =>
+      when(col(domainCol) === dom, lit(b)).otherwise(acc)
+    }
+    // (3) whole buckets below the cut keep at scan speed; the crossing
+    // bucket alone pays the fine-ordered running total
+    val below = inScope.filter(col("__bk") < cutBk)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossing = inScope.filter(col("__bk") === cutBk)
+      .withColumn("__cum", sum(col(weightCol)).over(w) + spent)
+      .filter(col("__cum") - col(weightCol) < budgetC)
+      .drop("__cum")
+    below.unionByName(crossing).drop("__h", "__bk")
+  }
 }

@@ -490,6 +490,46 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("token-budget mix == naive running total; crossing doc included, " +
+      "under-budget domains keep everything, null weights drop") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"dom${i % 4}",
+        if (i % 37 == 0) None else Some(10L + rnd.nextInt(90)))
+    }
+    val df = rows.toDF("doc_id", "source", "w")
+    val budgets = Map(
+      "dom0" -> 500L,   // interior cut
+      "dom1" -> 1L,     // crossing doc included: exactly one survivor
+      "dom2" -> 999999L) // under budget: whole domain kept; dom3 dropped
+    val got = graft.llm.Curation
+      .tokenBudgetMix(df, "doc_id", "source", "w", budgets)
+      .select("doc_id").as[Long].collect().toSet
+
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(id.toString).substring(0, 8), 16)
+    val want = rows.collect { case (id, d, Some(w)) if budgets.contains(d) =>
+        (id, d, w, h(id) % 10000L, h(id))
+      }
+      .groupBy(_._2).flatMap { case (d, ds) =>
+        val budget = budgets(d)
+        var cum = 0L
+        ds.sortBy(t => (t._4, t._5, t._1)).takeWhile { t =>
+          val keep = cum < budget
+          cum += t._3
+          keep
+        }.map(_._1)
+      }.toSet
+    assert(got == want, s"mix diverged\n spark: $got\n naive: $want")
+    assert(want.nonEmpty)
+    // exactly one survivor for the budget-1 domain (crossing doc included)
+    assert(rows.count(r => r._2 == "dom1" && got(r._1)) == 1)
+    // dropped domain contributes nothing
+    assert(!rows.exists(r => r._2 == "dom3" && got(r._1)))
+  }
+
   test("semantic k-means clusters == naive driver Lloyd; within-cluster " +
       "near-dup pairs == naive pair scan") {
     // three well-separated directions + per-vector noise: Lloyd must
