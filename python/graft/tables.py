@@ -194,6 +194,13 @@ class GraftTable(object):
             return self._jbridge.cloneTo(self._jtable, destPath)
         return self._jbridge.cloneTo(self._jtable, destPath, int(version))
 
+    def cloneToAtTimestamp(self, destPath, timestamp):
+        """``cloneTo`` at the newest version committed at or before
+        ``timestamp`` (same accepted forms as the ``timestampAsOf`` read
+        option: timestamp strings, yyyyMMdd dates, epoch millis)."""
+        return self._jbridge.cloneToAtTimestamp(
+            self._jtable, destPath, str(timestamp))
+
     def cleanup(self, retainMillis=5 * 3600 * 1000, dryRun=False):
         """Vacuum unreferenced files older than ``retainMillis``.
 

@@ -96,6 +96,16 @@ def main():
         ct.upsert(spark.createDataFrame([(9, 9)], "id long, v long"))
         check("cloneTo", ct.toDF().count() == 4 and t.toDF().count() == 3)
 
+        import time
+        cut = int(time.time() * 1000)
+        time.sleep(0.01)  # the upsert's commit must stamp strictly after
+        t.upsert(spark.createDataFrame([(8, 8)], "id long, v long"))
+        tpath = os.path.join(tmp, "cts")
+        t.cloneToAtTimestamp(tpath, str(cut))  # pre-upsert state
+        check("cloneToAtTimestamp",
+              GraftTable.forPath(spark, tpath).toDF().count() == 3
+              and t.toDF().count() == 4)
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()
@@ -120,7 +130,7 @@ def main():
         check("zOrder", zt.toDF().count() == 100)
 
         spark.read.format("graft").load(path).createOrReplaceTempView("pyfn")
-        check("forName", GraftTable.forName(spark, "pyfn").toDF().count() == 3)
+        check("forName", GraftTable.forName(spark, "pyfn").toDF().count() == 4)
 
         t.dropTable()
         check("dropTable", not GraftTable.isGraftTable(spark, path))

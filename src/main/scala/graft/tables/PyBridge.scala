@@ -84,6 +84,9 @@ object PyBridge {
   def cloneTo(t: GraftTable, destPath: String, version: Long): Long =
     t.cloneTo(destPath, Some(version))
 
+  def cloneToAtTimestamp(t: GraftTable, destPath: String,
+      timestamp: String): Long = t.cloneToAtTimestamp(destPath, timestamp)
+
   def cleanup(
       t: GraftTable, retainMillis: Long,
       dryRun: Boolean): java.util.List[String] =
