@@ -61,8 +61,7 @@ object MaterializedViews {
     // this query, the rewritten plan would record a dependency on that VIEW
     // instead of the base tables — and this view would then never go stale
     // when the base advances (silent stale serving)
-    val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
-    val relations = graftRelationVersions(df)
+    val (df, relations) = pinnedViewFrame(spark, sqlText)
     options.get("hashPartitions").foreach(hp =>
       assertKeyUnique(df, hp.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         s"createMaterialView($viewPath)"))
@@ -89,10 +88,7 @@ object MaterializedViews {
       case Some(info) if isStale(info) =>
         if (spark.conf.getOption(INCREMENTAL_KEY).forall(_.toBoolean) &&
             tryIncrementalRefresh(spark, viewPath, info)) return true
-        val df = RewriteQueryByMaterialView.withoutRewrite {
-          spark.sql(info.sqlText)
-        }
-        val relations = graftRelationVersions(df)
+        val (df, relations) = pinnedViewFrame(spark, info.sqlText)
         // the overwrite inherits the existing view table's layout, so a
         // PK-layout view re-checks key uniqueness on every rebuild — the
         // base tables may have grown duplicates since create
@@ -1081,6 +1077,63 @@ object MaterializedViews {
     spark.conf.getOption(CONF_KEY).filter(_.nonEmpty)
       .map(_.split(",").toSeq.filter(_.nonEmpty).map(decodePath))
       .getOrElse(Nil)
+
+  /** The view SQL analyzed with every graft relation REPLACED by a read
+    * of a snapshot pinned NOW (immutable file lists), plus the exact
+    * (path → version) map the frame reads. The unpinned spelling has a
+    * race the incremental fold cannot survive: a base commit landing
+    * between version capture and plan execution makes the rebuilt state
+    * include rows the recorded versions don't cover, and the NEXT fold
+    * then re-applies that window — double-counting. Pinning also makes a
+    * multi-relation rebuild CONSISTENT (one snapshot per relation) under
+    * concurrent ingest, exactly like the fold's pinned sides. Falls back
+    * to the unpinned frame if a concurrent schema change makes a pinned
+    * column unresolvable (the ALTER itself advances the version, so the
+    * staleness check reconverges on the next refresh). */
+  private def pinnedViewFrame(spark: SparkSession, sqlText: String)
+      : (DataFrame, Map[String, Long]) = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.SparkShims
+    val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
+    val analyzed = castToImpl(df).queryExecution.analyzed
+    val resolver = spark.sessionState.conf.resolver
+    val versions = scala.collection.mutable.Map.empty[String, Long]
+    val snaps = scala.collection.mutable
+      .Map.empty[String, graft.meta.Snapshot]
+    // replace only the ORIGINAL relations, by identity: the pinned read
+    // is itself a graft V2 relation, and transform recurses into its
+    // replacement's children — matching on type alone would re-wrap the
+    // fresh read forever
+    val targets = analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftTableV2] => r
+    }
+    try {
+      val pinnedPlan = analyzed.transform {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation if targets.exists(_ eq r) =>
+          val np = SnapshotManagement.normalize(
+            r.table.asInstanceOf[graft.sources.GraftTableV2].path)
+          val snap = snaps.getOrElseUpdate(np, SnapshotManagement.snapshot(np))
+          versions(np) = snap.version
+          val pinned = castToImpl(
+            graft.sources.GraftRead.readFiles(spark, np, snap, snap.files))
+            .queryExecution.analyzed
+          val proj = r.output.map { a =>
+            pinned.output.find(f => resolver(f.name, a.name)) match {
+              case Some(fa) => Alias(fa, a.name)(exprId = a.exprId)
+              case None => throw new NoSuchElementException(a.name)
+            }
+          }
+          Project(proj, pinned)
+      }
+      (SparkShims.ofRows(spark, pinnedPlan), versions.toMap)
+    } catch {
+      case _: NoSuchElementException => (df, graftRelationVersions(df))
+    }
+  }
 
   def graftRelationVersions(df: DataFrame): Map[String, Long] = {
     castToImpl(df).queryExecution.analyzed.collect {

@@ -871,6 +871,72 @@ class MvIncrementalSuite extends GraftFunSuite {
     } }
   }
 
+  test("refresh races a continuous base writer: every refresh commits an " +
+      "exact image of its PINNED base version (fold or full recompute)") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      (1L to 120L).map(i => (i, (i % 6).toString, i))
+        .toDF("id", "g", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("mvi_race")
+      // distinct + min force both the changed-group recompute and the
+      // retraction overlay through the race
+      val agg = "count(*) AS cnt, sum(v) AS sv, count(v) AS cv, " +
+        "min(v) AS mn, count(DISTINCT v) AS dv"
+      val sql = s"SELECT g, $agg FROM mvi_race GROUP BY g"
+      MaterializedViews.create(spark, viewDir, sql)
+
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writer = new Thread(() => {
+        val rnd = new scala.util.Random(17)
+        val t = GraftTable.forPath(spark, dir)
+        var commits = 0
+        // throttled + bounded: each commit costs the fold a per-version
+        // bucket diff, so an unthrottled writer makes windows quadratic
+        while (!stop.get() && commits < 60) {
+          try {
+            if (rnd.nextInt(5) == 0)
+              t.delete(col("id") === (1L + rnd.nextInt(200)))
+            else {
+              val rows = (0 until 1 + rnd.nextInt(4)).map(_ =>
+                ((1L + rnd.nextInt(200)), (rnd.nextInt(6)).toString,
+                  rnd.nextInt(500).toLong)).distinctBy(_._1)
+              t.upsert(rows.toDF("id", "g", "v"))
+            }
+            commits += 1
+            Thread.sleep(30)
+          } catch { case e: Throwable => errs.add(e); stop.set(true) }
+        }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      try {
+        (1 to 4).foreach { round =>
+          MaterializedViews.refresh(spark, viewDir)
+          // the stored view must equal the view SQL evaluated at EXACTLY
+          // the base version the meta pinned — whichever path refresh took
+          val info = MaterializedViews.readInfo(viewDir).get
+          val (p, pv) = info.relationVersions.head
+          spark.read.format("graft").option("versionAsOf", pv).load(p)
+            .createOrReplaceTempView("mvi_race_pin")
+          val want = graft.mv.RewriteQueryByMaterialView.withoutRewrite {
+            rowsOf(spark.sql(
+              s"SELECT g, $agg FROM mvi_race_pin GROUP BY g"))
+          }
+          val got = rowsOf(spark.read.format("graft").load(viewDir))
+          assert(got == want,
+            s"round $round: view diverged from its pinned base v$pv\n" +
+              s" view: $got\n base: $want")
+          Thread.sleep(40)
+        }
+      } finally { stop.set(true); writer.join(30000) }
+      assert(errs.isEmpty, s"writer errors: ${errs.peek()}")
+    }
+  }
+
   test("conf gate disables the incremental path") {
     withTempTable { dir =>
       val viewDir = dir + "-mv"
