@@ -370,6 +370,12 @@ object Queries {
       Dedup.ngramJaccardPairs(GraftData.documentsRange(s, sf), "doc_id", "text",
         k = 3, minInter = 3)),
 
+    // substring-level exact dedup: maximal word spans whose 8-grams occur
+    // in >= 2 distinct documents (Lee et al. 2022 span-granular dedup)
+    "q_dup_spans" -> ((s, sf) =>
+      Dedup.duplicateSpans(GraftData.documentsRange(s, sf), "doc_id", "text",
+        k = 8, minDocs = 2)),
+
     "q_lang_id" -> ((s, sf) =>
       TextAnalysis.langId(GraftData.documentsRange(s, sf), "text", "doc_id")),
 
@@ -940,6 +946,22 @@ object Queries {
        "SELECT p.a_id, p.b_id, p.inter, sa.sz AS a_size, sb.sz AS b_size FROM pairs p " +
        "JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id " +
        "WHERE p.inter >= 3"),
+
+    // span dedup: gram identity is the raw 8-gram string here vs the
+    // 128-bit hash Spark-side — identical output barring a 2^-128 collision
+    "q_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents), " +
+       "pos AS (SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS g " +
+       "FROM t, UNNEST(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) ELSE [] END) AS u(i)), " +
+       "dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+       "hits AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)), " +
+       "fl AS (SELECT doc_id, p, CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL " +
+       "OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS ni FROM hits), " +
+       "isl AS (SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM fl) " +
+       "SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, " +
+       "CAST(max(p) + 7 AS BIGINT) AS span_end, " +
+       "CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_words " +
+       "FROM isl GROUP BY doc_id, island"),
 
     "q_lang_id" ->
       ("WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks, " +

@@ -99,6 +99,92 @@ object Dedup {
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
+  /** Substring-level exact dedup: maximal word spans made of k-grams that
+    * occur in at least `minDocs` DISTINCT documents (the span-granular
+    * dedup of Lee et al. 2022, arXiv:2107.06499 — doc-level dedup misses
+    * boilerplate shared across otherwise-unique pages; this finds the
+    * shared regions themselves). Returns one row per maximal span:
+    * (doc_id, span_start, span_end, span_words), 0-based inclusive word
+    * indices over the [[TextAnalysis.tokens]] tokenization.
+    *
+    * Shape: positional k-gram hashes are assembled narrowly per document
+    * (strings die at the tokenizer; every shuffle carries
+    * (doc_id, pos, 16-byte hash) rows only), cross-document frequency is
+    * one hash aggregate on the gram key, duplicated positions come back
+    * via a semi-join, and overlapping/adjacent positions merge into
+    * maximal spans with a doc-local gaps-and-islands window (positions
+    * p1 < p2 merge iff p2 <= p1 + k, i.e. their spans touch or overlap).
+    * No pair join anywhere — unlike near-dup pair producers, a gram shared
+    * by a million documents costs one aggregate group here, never a
+    * quadratic candidate blow-up, so no hot-key cap is needed.
+    * 100 TB: two compact-key shuffles (gram hash, then doc_id) plus a
+    * doc-local sort; both linear in corpus positions. */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val grams0 = transform(sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    // 128-bit gram identity — same exactness-by-wide-hash contract as
+    // [[ngramJaccardPairs]]; a collision could only extend one span by
+    // one gram
+    val hashed = when(n >= k, transform(grams0,
+        g => struct(xxhash64(g).as("h1"), xxhash64(lit(1L), g).as("h2"))))
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+    // stabilized: the frequency aggregate and the semi-join probe both
+    // read it — one tokenize pass
+    val pos = Checkpoints.stabilize(
+      df.select(col(idCol).as("doc_id"), posexplode(hashed).as(Seq("p", "h")))
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          col("h.h1"), col("h.h2")))
+    val dup = pos.groupBy("h1", "h2")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= minDocs).select("h1", "h2")
+    val hits = pos.join(dup, Seq("h1", "h2"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val prev = lag(col("p"), 1).over(w)
+    val flagged = hits.select(col("doc_id"), col("p"),
+      when(prev.isNull || col("p") > prev + k, 1L).otherwise(0L).as("ni"))
+    flagged.withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"))
+  }
+
+  /** Rebuild each document's text with the words inside `spans` removed
+    * (the scrub that pairs with [[duplicateSpans]] — feed it that output,
+    * optionally filtered to keep one canonical copy). Output text is the
+    * normalized token stream ([[TextAnalysis.tokens]] loses casing and
+    * punctuation — this matches how the spans were addressed). Returns
+    * (idCol, textCol, removed_words). Doc-local: the only shuffle is the
+    * span-list aggregate on doc_id; the per-token filter runs inside the
+    * row (spans per doc are few — bounded by text length / k). */
+  def scrubSpans(
+      df: DataFrame, spans: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    // zip each token with its 0-based position, keep those outside every span
+    val indexed = zip_with(toks,
+      sequence(lit(0L), greatest(size(toks).cast("long") - 1L, lit(0L))),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(indexed, e => !exists(col("_sp"),
+      s => e("i") >= s("span_start") && e("i") <= s("span_end")))
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_sp").isNull, concat_ws(" ", toks))
+          .otherwise(concat_ws(" ", transform(kept, e => e("t"))))
+          .as(textCol),
+        when(col("_sp").isNull, lit(0L))
+          .otherwise(size(toks).cast("long") - size(kept))
+          .as("removed_words"))
+  }
+
   /** (a_id, b_id, inter, a_size, b_size) for every pair of docs sharing at
     * least one row in `sh` (doc_id, h1, h2). */
   private def pairStats(sh: DataFrame): DataFrame = {

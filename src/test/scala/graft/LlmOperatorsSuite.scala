@@ -1165,6 +1165,79 @@ class LlmOperatorsSuite extends GraftFunSuite {
       ("banana", 2L, 2L)))
   }
 
+  test("duplicateSpans == naive span merge over randomized corpora with " +
+      "planted shared substrings; scrubSpans removes exactly those words") {
+    val k = 5
+    // independent naive spelling: string grams, driver-side frequency map,
+    // linear span merge (merge iff next position <= prev + k)
+    def naiveSpans(docs: Seq[(Long, String)], minDocs: Int)
+        : Set[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }
+      val grams = toks.flatMap { case (id, ws) =>
+        if (ws.size >= k) (0 to ws.size - k).map(p =>
+          (id, p, ws.slice(p, p + k).mkString(" "))) else Nil }
+      val dup = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      grams.filter(g => dup(g._3)).groupBy(_._1).toSeq.flatMap {
+        case (id, gs) =>
+          val ps = gs.map(_._2).sorted
+          var lastP = -1000
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+          for (p <- ps) {
+            if (out.nonEmpty && p <= lastP + k) out.last(1) = p + k - 1
+            else out += Array(p, p + k - 1)
+            lastP = p
+          }
+          out.map(a => (id, a(0).toLong, a(1).toLong,
+            (a(1) - a(0) + 1).toLong))
+      }.toSet
+    }
+
+    val rnd2 = new scala.util.Random(41)
+    def sent(n: Int): String =
+      (0 until n).map(_ => s"v${rnd2.nextInt(40)}").mkString(" ")
+    (1 to 3).foreach { round =>
+      val shared1 = sent(12) // long planted run: spans must merge
+      val shared2 = sent(5)  // exactly one gram wide
+      val docs = (0 until 25).map { i =>
+        val body = sent(30 + rnd2.nextInt(40))
+        val t =
+          if (i % 5 == 0) s"$body $shared1 ${sent(6)}"
+          else if (i % 7 == 0) s"$shared2 $body"
+          else body
+        (i.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k = k, minDocs = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = naiveSpans(docs, 2)
+      assert(got == want,
+        s"round $round\n missing: ${want.diff(got)}\n extra: ${got.diff(want)}")
+      // the planted 12-word run must surface as (part of) one span in
+      // every carrier doc
+      val carriers = docs.filter(_._2.contains(shared1)).map(_._1).toSet
+      assert(carriers.forall(id => got.exists(s => s._1 == id)),
+        s"planted run not found for all carriers $carriers: $got")
+
+      // scrub: removed_words == span widths per doc; no dup k-gram from a
+      // scrubbed doc survives in the scrubbed corpus
+      val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = k, minDocs = 2)
+      val scrubbed = Dedup.scrubSpans(df, spans, "doc_id", "text")
+        .as[(Long, String, Long)].collect()
+      val widthByDoc = want.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._4).sum).toMap
+      scrubbed.foreach { case (id, txt, removed) =>
+        assert(removed == widthByDoc.getOrElse(id, 0L),
+          s"doc $id removed $removed, want ${widthByDoc.getOrElse(id, 0L)}")
+        val origToks = "[a-z0-9]+".r.findAllIn(
+          docs.find(_._1 == id).get._2.toLowerCase).size
+        assert(txt.split(" ").filter(_.nonEmpty).length ==
+          origToks - removed)
+      }
+    }
+  }
+
   test("assignSplit: deterministic, stable under corpus growth, " +
       "thresholds respected") {
     val small = (0 until 1000).map(_.toLong).toDF("doc_id")
