@@ -256,6 +256,24 @@ object AnnIndex {
 
   private val SYNC_FILE = "_graft_ann_sync.json"
 
+  /** Continuous maintenance: tail the corpus table's change feed and run
+    * [[syncFromTable]] once per microbatch — see [[ContinuousSync]] for
+    * the liveness-only contract (CDF rows are discarded; each sync
+    * re-reads its exact sidecar window under its own pins). Stop the
+    * returned query to stop maintenance. */
+  def maintainStream(
+      spark: SparkSession, indexPath: String, corpusPath: String,
+      idCol: String, vecCol: String, checkpointDir: String,
+      nCentroids: Int = 16, hashBucketNum: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ContinuousSync.tail(spark, corpusPath, indexPath, checkpointDir, trigger,
+      "ann") {
+      syncFromTable(spark, indexPath, corpusPath, idCol, vecCol, nCentroids,
+        hashBucketNum); ()
+    }
+
   /** Recompute (cosr, sinr, cnt) EXACTLY for `touchedCids` from the live
     * cells table and overwrite just those stats rows. `touchedCids` is
     * bounded by nCentroids (metadata-scale), so the isin literal prunes the

@@ -722,6 +722,26 @@ object MinhashIndex {
 
   private val SYNC_FILE = "_graft_minhash_sync.json"
 
+  /** Continuous maintenance: tail the docs table's change feed and run
+    * [[syncFromTable]] once per microbatch — see [[ContinuousSync]] for
+    * the liveness-only contract (CDF rows are discarded; each sync
+    * re-reads its exact sidecar window under its own pins). Stop the
+    * returned query to stop maintenance. */
+  def maintainStream(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      docsPath: String, idCol: String, textCol: String,
+      checkpointDir: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      bucketNum: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ContinuousSync.tail(spark, docsPath, indexPath, checkpointDir, trigger,
+      "minhash") {
+      syncFromTable(spark, indexPath, docsPath, idCol, textCol, numHashes,
+        bands, shingleK, bucketNum); ()
+    }
+
   /** Near-duplicate pairs involving at least one document of `newDocs`:
     * within-batch pairs plus new-vs-indexed pairs, exact-verified at
     * `minJaccardPct` against `corpus` (which must contain the texts of

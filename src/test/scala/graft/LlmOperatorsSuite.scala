@@ -965,6 +965,81 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("MinhashIndex.maintainStream: continuous CDF tail keeps the index " +
+      "in lockstep with the docs table") {
+    withTempTable { docsDir =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("mh_cont_").toString + "/ix"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("mh_cont_ck_").toString
+      Seq((1L, sentence(60)), (2L, sentence(60)), (3L, sentence(60)))
+        .toDF("doc_id", "text").write.format("graft")
+        .option("hashPartitions", "doc_id").option("hashBucketNum", "2")
+        .save(docsDir)
+      // initial build before the tail starts: the stream signals CHANGES,
+      // the first build is the caller's explicit step
+      MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+      def indexKeys(): Set[Long] =
+        spark.read.format("graft").load(idx)
+          .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexKeys() == Set(1L, 2L, 3L))
+      val q = MinhashIndex.maintainStream(spark, idx, docsDir,
+        "doc_id", "text", ckpt)
+      try {
+        val t = graft.tables.GraftTable.forPath(spark, docsDir)
+        t.upsert(Seq((4L, sentence(60))).toDF("doc_id", "text"))
+        t.delete($"doc_id" === 2L)
+        q.processAllAvailable()
+        assert(indexKeys() == Set(1L, 3L, 4L), s"index keys ${indexKeys()}")
+        // sidecar advanced to the docs table's current version: the next
+        // manual sync is a no-op commit-wise
+        val idxVer = graft.meta.SnapshotManagement.snapshot(
+          graft.meta.SnapshotManagement.normalize(idx)).version
+        MinhashIndex.syncFromTable(spark, idx, docsDir, "doc_id", "text")
+        assert(graft.meta.SnapshotManagement.snapshot(
+          graft.meta.SnapshotManagement.normalize(idx)).version == idxVer)
+      } finally q.stop()
+    }
+  }
+
+  test("AnnIndex.maintainStream: continuous CDF tail, exact vs brute " +
+      "after streamed mutations") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(53)
+      def vec() = Array.fill(8)(rndv.nextFloat() * 2 - 1)
+      (0 until 40).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_cont_").toString + "/ix"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("ann_cont_ck_").toString
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 4)
+      val q = AnnIndex.maintainStream(spark, idx, corpusDir,
+        "vec_id", "embedding", ckpt, nCentroids = 4)
+      try {
+        val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+        t.upsert((0 until 5).map(_ => (rndv.nextInt(60).toLong, vec()))
+          .distinctBy(_._1).toDF("vec_id", "embedding"))
+        t.delete($"vec_id" === 7L)
+        q.processAllAvailable()
+        val corpusNow = spark.read.format("graft").load(corpusDir)
+        val queries = corpusNow.orderBy("vec_id").limit(2)
+        val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+            k = 3)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)]
+          .collect().toSet
+        val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 3)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)]
+          .collect().toSet
+        assert(got == want, s"index diverged from brute\n got $got\n want $want")
+      } finally q.stop()
+    }
+  }
+
   test("AnnIndex sync soak: exact vs brute after every one of 5 random " +
       "mutation rounds") {
     withTempTable { corpusDir =>
