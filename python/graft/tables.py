@@ -194,6 +194,15 @@ class GraftTable(object):
             return self._jbridge.cloneTo(self._jtable, destPath)
         return self._jbridge.cloneTo(self._jtable, destPath, int(version))
 
+    def cloneDeep(self, destPath, version=None):
+        """DEEP clone: ``cloneTo`` followed by localization — a forced
+        compaction rewrites every source reference into files under
+        ``destPath`` before returning, so the clone has zero dependency on
+        the source's storage. Returns the source version cloned."""
+        if version is None:
+            return self._jbridge.cloneDeep(self._jtable, destPath)
+        return self._jbridge.cloneDeep(self._jtable, destPath, int(version))
+
     def cloneToAtTimestamp(self, destPath, timestamp):
         """``cloneTo`` at the newest version committed at or before
         ``timestamp`` (same accepted forms as the ``timestampAsOf`` read

@@ -106,6 +106,16 @@ def main():
               GraftTable.forPath(spark, tpath).toDF().count() == 3
               and t.toDF().count() == 4)
 
+        dpath = os.path.join(tmp, "cdeep")
+        t.cloneDeep(dpath)
+        # localized: the deep clone materialized parquet under its own root
+        local_parquet = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(dpath) for f in fs)
+        check("cloneDeep",
+              GraftTable.forPath(spark, dpath).toDF().count()
+              == t.toDF().count() and local_parquet)
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()

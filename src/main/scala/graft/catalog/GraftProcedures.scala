@@ -164,7 +164,10 @@ object GraftProcedures {
       ProcedureParameter.in("timestamp", StringType).defaultValue("NULL")
         .comment("clone the newest version at or before this wall-clock " +
           "cut (same forms as timestampAsOf); exclusive with version")
-        .build())
+        .build(),
+      ProcedureParameter.in("deep", BooleanType).defaultValue("false")
+        .comment("localize the clone before returning (forced compaction " +
+          "rewrites source refs into the clone's root)").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
@@ -172,11 +175,12 @@ object GraftProcedures {
       val dest = str(input, 1).get
       val version = if (input.isNullAt(2)) None else Some(input.getLong(2))
       val ts = str(input, 3)
+      val deep = !input.isNullAt(4) && input.getBoolean(4)
       require(version.isEmpty || ts.isEmpty,
         "clone: pass version OR timestamp, not both")
       val at = ts.map(t => SnapshotManagement.versionAtTimestamp(src,
         graft.sources.GraftTableV2.parseTs(spark, t))).orElse(version)
-      val v = graft.commands.CloneCommand.run(spark, src, dest, at)
+      val v = graft.commands.CloneCommand.run(spark, src, dest, at, deep)
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(dest)), v))))

@@ -45,12 +45,22 @@ import graft.meta.{DataFileInfo, SnapshotManagement, Snapshot}
 object CloneCommand {
 
   /** Clone `sourcePath` (at `version`, default latest) into `destPath`.
-    * Returns the source version the clone reflects. */
+    * Returns the source version the clone reflects.
+    *
+    * `deep = true` additionally LOCALIZES the clone before returning: a
+    * forced compaction rewrites every partition still referencing source
+    * files into files under the clone's own root (the same distributed
+    * rewrite CoW uses — never a driver-side file copy loop), so the
+    * result has zero dependency on the source's storage and survives a
+    * source vacuum/DROP. The shallow commit lands first, so a crash
+    * mid-localization leaves a valid shallow clone whose localization any
+    * later `compaction(force = true)` completes. */
   def run(
       spark: SparkSession,
       sourcePath: String,
       destPath: String,
-      version: Option[Long] = None): Long = {
+      version: Option[Long] = None,
+      deep: Boolean = false): Long = {
     val src = SnapshotManagement.normalize(sourcePath)
     val dest = SnapshotManagement.normalize(destPath)
     require(src != dest, s"clone source and destination are the same: $src")
@@ -91,6 +101,13 @@ object CloneCommand {
     SnapshotManagement.withNewTransaction(dest) { txn =>
       txn.commit("clone", Some(info), files, Nil,
         preserveWriteVersions = true, expectVersion = 0L)
+    }
+    if (deep) {
+      CompactionCommand.run(spark, dest, force = true)
+      val after = SnapshotManagement.snapshot(dest)
+      require(!hasExternalRefs(after),
+        s"deep clone of $src left external references in $dest — " +
+        "forced compaction did not localize every partition (bug)")
     }
     snap.version
   }

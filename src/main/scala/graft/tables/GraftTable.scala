@@ -168,8 +168,9 @@ class GraftTable private (spark: SparkSession, val path: String) {
     * into `destPath` — see [[graft.commands.CloneCommand]] for the
     * ordering contract and source-vacuum caveat. Returns the source
     * version the clone reflects. */
-  def cloneTo(destPath: String, version: Option[Long] = None): Long =
-    graft.commands.CloneCommand.run(spark, path, destPath, version)
+  def cloneTo(destPath: String, version: Option[Long] = None,
+      deep: Boolean = false): Long =
+    graft.commands.CloneCommand.run(spark, path, destPath, version, deep)
 
   /** [[cloneTo]] at the newest version committed at or before `timestamp`
     * (same accepted forms as the `timestampAsOf` read option). */

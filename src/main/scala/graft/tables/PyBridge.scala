@@ -84,6 +84,12 @@ object PyBridge {
   def cloneTo(t: GraftTable, destPath: String, version: Long): Long =
     t.cloneTo(destPath, Some(version))
 
+  def cloneDeep(t: GraftTable, destPath: String): Long =
+    t.cloneTo(destPath, None, deep = true)
+
+  def cloneDeep(t: GraftTable, destPath: String, version: Long): Long =
+    t.cloneTo(destPath, Some(version), deep = true)
+
   def cloneToAtTimestamp(t: GraftTable, destPath: String,
       timestamp: String): Long = t.cloneToAtTimestamp(destPath, timestamp)
 

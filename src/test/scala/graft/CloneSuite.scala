@@ -54,6 +54,58 @@ class CloneSuite extends GraftFunSuite {
     } }
   }
 
+  test("DEEP clone: localized on return, survives source deletion, " +
+      "PK delta-stack merge result identical to the source") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/deep"
+      // delta-stacked PK source: deep clone must materialize the MERGED
+      // state (localization goes through the ordinary compaction merge)
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "v", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.upsert(Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("id", "v", "n"))
+      t.delete(col("id") === 3L)
+      val want = spark.read.format("graft").load(src).collect()
+        .map(_.toString).sorted.toSeq
+
+      val v = CloneCommand.run(spark, src, dest, deep = true)
+      assert(v == snap(src).version)
+      assert(!CloneCommand.hasExternalRefs(snap(dest)),
+        "deep clone must return with zero external references")
+      assert(dataFilesUnder(dest).nonEmpty,
+        "deep clone materializes local files")
+      assert(spark.read.format("graft").load(dest).collect()
+        .map(_.toString).sorted.toSeq == want)
+
+      // full independence: wipe the source's storage, the clone still reads
+      SnapshotManagement.invalidate(SnapshotManagement.normalize(src))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      SnapshotManagement.invalidate(SnapshotManagement.normalize(dest))
+      assert(spark.read.format("graft").load(dest).collect()
+        .map(_.toString).sorted.toSeq == want)
+    } }
+  }
+
+  test("CALL system.clone(deep => true) localizes via SQL") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/deep_sql"
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .write.format("graft").save(src)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.spark_catalog",
+        "graft.catalog.GraftCatalog")
+      val row = s2.sql(
+        s"CALL system.clone(source => '$src', dest => '$dest', " +
+          "deep => true)").collect().head
+      assert(row.getLong(1) == snap(src).version)
+      assert(!CloneCommand.hasExternalRefs(snap(dest)))
+      assertSameRows(spark.read.format("graft").load(dest),
+        spark.read.format("graft").load(src))
+    } }
+  }
+
   test("PK clone preserves delta-stack merge order (no pre-compaction " +
       "needed); post-clone upserts outrank cloned state") {
     withTempTable { src => withTempTable { scratch =>
