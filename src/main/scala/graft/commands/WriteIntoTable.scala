@@ -23,6 +23,15 @@ object WriteIntoTable {
   val REPLACE_WHERE = "replaceWhere"
   val OVERWRITE_SCHEMA = "overwriteSchema"
   val MERGE_SCHEMA = "mergeSchema"
+  // idempotent batch writes: a (txnAppId, txnVersion) pair makes the write
+  // a silent no-op when a commit with the same appId and >= version already
+  // landed — so a retried ETL job (Spark task retry storms, orchestrator
+  // re-runs) cannot double-append. Rides the SAME per-app high-water-mark
+  // the streaming sink's batch-id idempotence uses, including its
+  // commit-time CAS guard: two racing retries of one job serialize at the
+  // log and the loser's staged files stay uncommitted (vacuumable).
+  val TXN_APP_ID = "txnAppId"
+  val TXN_VERSION = "txnVersion"
   /** DataFrameWriter V1 passes .partitionBy(...) through this option. */
   val V1_PARTITION_COLUMNS = "__partition_columns"
   /** Injected by `TagWriteAlignment`: "true" for by-name writes
@@ -37,6 +46,7 @@ object WriteIntoTable {
       mode: SaveMode,
       options: Map[String, String]): Unit = {
     val path = SnapshotManagement.normalize(tablePath)
+    val txnInfo = parseTxnOptions(options)
     // restart-on-conflict: a lost create race (expectVersion gate in
     // firstWrite) or a replaceWhere/overwrite conflict re-runs the whole
     // dispatch against a fresh snapshot — the second attempt sees the
@@ -44,7 +54,16 @@ object WriteIntoTable {
     SnapshotManagement.withRewriteTransaction(path) { txn =>
       txn.snapshotOpt match {
         case None =>
-          firstWrite(spark, path, dropNullTypeColumns(df, options, None), options, txn)
+          firstWrite(spark, path, dropNullTypeColumns(df, options, None),
+            options, txn, txnInfo)
+        // already-applied (appId, version): the whole write is a no-op for
+        // EVERY SaveMode — replaying an applied logical write must neither
+        // duplicate data nor re-raise mode errors. The pre-check skips the
+        // write job; the commit-layer guard covers the race where another
+        // retry lands between this probe and commit.
+        case Some(snapshot) if txnInfo.exists(t =>
+            snapshot.streamingBatchIds.getOrElse(t.queryId, -1L)
+              >= t.batchId) => ()
         case Some(snapshot) =>
           checkPartitionOptionConflicts(snapshot.tableInfo, options)
           // INSERT-by-ordinal (e.g. SQL `INSERT INTO t VALUES ...`) arrives
@@ -61,10 +80,29 @@ object WriteIntoTable {
             case SaveMode.ErrorIfExists =>
               throw new GraftWriteException(s"graft table already exists at $path")
             case SaveMode.Ignore => ()
-            case SaveMode.Append => append(spark, path, pruned, options, snapshot, txn)
-            case SaveMode.Overwrite => overwrite(spark, path, pruned, options, snapshot, txn)
+            case SaveMode.Append =>
+              append(spark, path, pruned, options, snapshot, txn, txnInfo)
+            case SaveMode.Overwrite =>
+              overwrite(spark, path, pruned, options, snapshot, txn, txnInfo)
           }
       }
+    }
+  }
+
+  /** Parse the (txnAppId, txnVersion) writer options (case-insensitively —
+    * DataFrameWriter lowercases option keys) into the streaming-info shape
+    * the commit layer's idempotence guard consumes. */
+  private def parseTxnOptions(
+      options: Map[String, String]): Option[StreamingInfo] = {
+    val o = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+    (o.get(TXN_APP_ID), o.get(TXN_VERSION)) match {
+      case (Some(app), Some(v)) =>
+        require(app.nonEmpty, s"$TXN_APP_ID must be non-empty")
+        Some(StreamingInfo(app, v.toLong))
+      case (None, None) => None
+      case _ => throw new GraftWriteException(
+        s"$TXN_APP_ID and $TXN_VERSION must be set together " +
+        "(idempotent writes need both the app identity and its version)")
     }
   }
 
@@ -263,7 +301,8 @@ object WriteIntoTable {
 
   private def firstWrite(
       spark: SparkSession, path: String, df: DataFrame,
-      options: Map[String, String], txn: Transaction): Unit = {
+      options: Map[String, String], txn: Transaction,
+      txnInfo: Option[StreamingInfo]): Unit = {
     val info = tableInfoFromOptions(df, options)
     SchemaUtils.validateSchema(df.schema)
     val files = TransactionalWrite.writeFiles(spark, path, info, df, isBase = true)
@@ -272,12 +311,14 @@ object WriteIntoTable {
     // whole write against the winner's table under the caller's SaveMode
     // (ErrorIfExists fails, Append appends, ...) instead of silently
     // committing a second TableInfo at version 1.
-    txn.commit("append", Some(info), files, Nil, expectVersion = 0L)
+    txn.commit("append", Some(info), files, Nil, streaming = txnInfo,
+      expectVersion = 0L)
   }
 
   private def append(
       spark: SparkSession, path: String, df: DataFrame,
-      options: Map[String, String], snapshot: Snapshot, txn: Transaction): Unit = {
+      options: Map[String, String], snapshot: Snapshot, txn: Transaction,
+      txnInfo: Option[StreamingInfo] = None): Unit = {
     val info = snapshot.tableInfo
     // A PK table with NO data yet (CREATE TABLE / CTAS registration commits
     // metadata before the first load) takes the append as its initial base
@@ -290,12 +331,14 @@ object WriteIntoTable {
     }
     val (newInfo, aligned) = evolveSchema(spark, df, info, options)
     val files = TransactionalWrite.writeFiles(spark, path, newInfo, aligned, isBase = true)
-    txn.commit("append", if (newInfo == info) None else Some(newInfo), files, Nil)
+    txn.commit("append", if (newInfo == info) None else Some(newInfo), files,
+      Nil, streaming = txnInfo)
   }
 
   private def overwrite(
       spark: SparkSession, path: String, df: DataFrame,
-      options: Map[String, String], snapshot: Snapshot, txn: Transaction): Unit = {
+      options: Map[String, String], snapshot: Snapshot, txn: Transaction,
+      txnInfo: Option[StreamingInfo] = None): Unit = {
     val info0 = snapshot.tableInfo
     val overwriteSchema = options.get(OVERWRITE_SCHEMA).exists(_.toBoolean)
     options.get(REPLACE_WHERE) match {
@@ -314,7 +357,8 @@ object WriteIntoTable {
         }
         val (newInfo, aligned) = evolveSchema(spark, df, info0, options)
         replaceWhere(spark, path, aligned, newInfo,
-          if (newInfo == info0) None else Some(newInfo), snapshot, predicate, txn)
+          if (newInfo == info0) None else Some(newInfo), snapshot, predicate,
+          txn, txnInfo)
       case None if overwriteSchema =>
         // Partitioning is immutable (checkPartitionOptionConflicts already
         // rejected options naming different columns); the REPLACED schema
@@ -339,12 +383,12 @@ object WriteIntoTable {
         // table) the remove-set gate alone would skip conflict detection
         // and a concurrent append would silently survive the replacement
         txn.commit("overwrite", Some(info), files, snapshot.files,
-          rewriteGuard = true)
+          streaming = txnInfo, rewriteGuard = true)
       case None =>
         val (newInfo, aligned) = evolveSchema(spark, df, info0, options, isOverwrite = true)
         val files = TransactionalWrite.writeFiles(spark, path, newInfo, aligned, isBase = true)
         txn.commit("overwrite", Some(newInfo), files, snapshot.files,
-          rewriteGuard = true)
+          streaming = txnInfo, rewriteGuard = true)
     }
   }
 
@@ -354,7 +398,7 @@ object WriteIntoTable {
   private def replaceWhere(
       spark: SparkSession, path: String, df: DataFrame, info: TableInfo,
       metaChange: Option[TableInfo], snapshot: Snapshot, predicate: String,
-      txn: Transaction): Unit = {
+      txn: Transaction, txnInfo: Option[StreamingInfo] = None): Unit = {
     require(info.rangeColumns.nonEmpty, "replaceWhere requires a range-partitioned table")
     val cond = expr(predicate)
     val condExpr = org.apache.spark.sql.graft.SparkShims.expression(cond)
@@ -385,7 +429,8 @@ object WriteIntoTable {
       isBase = true)
     // rewriteGuard: detect concurrent appends into the replaced partitions
     // even when they currently hold no files (removed == Nil)
-    txn.commit("overwrite", metaChange, files, removed, rewriteGuard = true)
+    txn.commit("overwrite", metaChange, files, removed, streaming = txnInfo,
+      rewriteGuard = true)
   }
 
   /** Schema check + optional auto-merge (reference

@@ -121,4 +121,62 @@ class WriteProtocolSuite extends GraftFunSuite {
       }
     }
   }
+
+  test("idempotent batch writes: (txnAppId, txnVersion) replays are " +
+      "no-ops across append, overwrite and replaceWhere") {
+    withTempTable { dir =>
+      def write(ver: Long, rows: Seq[(Long, String)],
+          mode: String = "append"): Unit =
+        rows.toDF("id", "v").write.format("graft").mode(mode)
+          .option("txnAppId", "etl-job").option("txnVersion", ver.toString)
+          .save(dir)
+      write(1L, Seq((1L, "a"), (2L, "b")))
+      write(1L, Seq((1L, "a"), (2L, "b"))) // exact replay: skipped
+      assert(spark.read.format("graft").load(dir).count() == 2,
+        "replayed append must not duplicate rows")
+      write(2L, Seq((3L, "c")))
+      assert(spark.read.format("graft").load(dir).count() == 3)
+      // stale version (lower than the high-water mark): skipped too
+      write(1L, Seq((9L, "z")))
+      assert(spark.read.format("graft").load(dir).count() == 3)
+      // an overwrite replay must not clobber later state
+      write(3L, Seq((7L, "o")), mode = "overwrite")
+      write(4L, Seq((8L, "p")))
+      write(3L, Seq((7L, "o")), mode = "overwrite") // replay: skipped
+      assert(spark.read.format("graft").load(dir)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+      // a DIFFERENT app id is an independent lineage
+      Seq((100L, "q")).toDF("id", "v").write.format("graft").mode("append")
+        .option("txnAppId", "other-job").option("txnVersion", "1")
+        .save(dir)
+      assert(spark.read.format("graft").load(dir).count() == 3)
+      // half-specified options are a hard error, not silent non-idempotence
+      val e = intercept[Exception] {
+        Seq((5L, "e")).toDF("id", "v").write.format("graft").mode("append")
+          .option("txnAppId", "etl-job").save(dir)
+      }
+      assert(e.getMessage.contains("txn"), e.getMessage)
+    }
+  }
+
+  test("idempotent writes: replayed replaceWhere and table-creating write") {
+    withTempTable { dir =>
+      def rw(ver: Long, key: Long): Unit =
+        Seq((key, s"v$key")).toDF("k", "v").write.format("graft")
+          .mode("overwrite")
+          .option("rangePartitions", "k")
+          .option("replaceWhere", s"k = $key")
+          .option("txnAppId", "parts").option("txnVersion", ver.toString)
+          .save(dir)
+      // table-creating write carries the txn token on its v0 commit
+      rw(1L, 1L)
+      rw(1L, 1L) // replay of the creating write: skipped
+      assert(spark.read.format("graft").load(dir).count() == 1)
+      rw(2L, 2L)
+      rw(2L, 2L)
+      assert(spark.read.format("graft").load(dir).count() == 2)
+      assert(spark.read.format("graft").load(dir)
+        .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+  }
 }
