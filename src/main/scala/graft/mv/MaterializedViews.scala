@@ -1092,47 +1092,9 @@ object MaterializedViews {
     * staleness check reconverges on the next refresh). */
   private def pinnedViewFrame(spark: SparkSession, sqlText: String)
       : (DataFrame, Map[String, Long]) = {
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.Project
-    import org.apache.spark.sql.graft.SparkShims
     val df = RewriteQueryByMaterialView.withoutRewrite { spark.sql(sqlText) }
-    val analyzed = castToImpl(df).queryExecution.analyzed
-    val resolver = spark.sessionState.conf.resolver
-    val versions = scala.collection.mutable.Map.empty[String, Long]
-    val snaps = scala.collection.mutable
-      .Map.empty[String, graft.meta.Snapshot]
-    // replace only the ORIGINAL relations, by identity: the pinned read
-    // is itself a graft V2 relation, and transform recurses into its
-    // replacement's children — matching on type alone would re-wrap the
-    // fresh read forever
-    val targets = analyzed.collect {
-      case r: org.apache.spark.sql.execution.datasources.v2
-          .DataSourceV2Relation
-          if r.table.isInstanceOf[graft.sources.GraftTableV2] => r
-    }
-    try {
-      val pinnedPlan = analyzed.transform {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation if targets.exists(_ eq r) =>
-          val np = SnapshotManagement.normalize(
-            r.table.asInstanceOf[graft.sources.GraftTableV2].path)
-          val snap = snaps.getOrElseUpdate(np, SnapshotManagement.snapshot(np))
-          versions(np) = snap.version
-          val pinned = castToImpl(
-            graft.sources.GraftRead.readFiles(spark, np, snap, snap.files))
-            .queryExecution.analyzed
-          val proj = r.output.map { a =>
-            pinned.output.find(f => resolver(f.name, a.name)) match {
-              case Some(fa) => Alias(fa, a.name)(exprId = a.exprId)
-              case None => throw new NoSuchElementException(a.name)
-            }
-          }
-          Project(proj, pinned)
-      }
-      (SparkShims.ofRows(spark, pinnedPlan), versions.toMap)
-    } catch {
-      case _: NoSuchElementException => (df, graftRelationVersions(df))
-    }
+    graft.ops.SnapshotSql.tryPin(spark, df)
+      .getOrElse((df, graftRelationVersions(df)))
   }
 
   def graftRelationVersions(df: DataFrame): Map[String, Long] = {
