@@ -60,6 +60,17 @@ class GraftTable(object):
         assert sparkSession is not None
         return sparkSession._sc._jvm.graft.tables.PyBridge.exists(path)
 
+    @classmethod
+    def snapshotSql(cls, sparkSession, sqlText):
+        """Run ``sqlText`` snapshot-isolated: every graft relation is
+        pinned to one consistent snapshot at analysis, so a multi-table
+        query cannot observe different versions of its tables even while
+        writers commit concurrently."""
+        assert sparkSession is not None
+        jdf = sparkSession._sc._jvm.graft.tables.PyBridge.snapshotSql(
+            sparkSession._jsparkSession, sqlText)
+        return DataFrame(jdf, sparkSession)
+
     # ---- reads ----------------------------------------------------------
 
     def toDF(self):

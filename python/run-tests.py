@@ -116,6 +116,11 @@ def main():
               GraftTable.forPath(spark, dpath).toDF().count()
               == t.toDF().count() and local_parquet)
 
+        t.toDF().createOrReplaceTempView("pyt")
+        snap_df = GraftTable.snapshotSql(
+            spark, "SELECT count(*) AS c FROM pyt")
+        check("snapshotSql", snap_df.collect()[0]["c"] == t.toDF().count())
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()

@@ -23,6 +23,9 @@ object PyBridge {
 
   def exists(path: String): Boolean = GraftTable.exists(path)
 
+  def snapshotSql(spark: SparkSession, sqlText: String): DataFrame =
+    graft.ops.SnapshotSql.sql(spark, sqlText)
+
   def toDF(t: GraftTable): DataFrame = t.toDF
 
   def history(t: GraftTable): DataFrame = t.history()
