@@ -144,6 +144,41 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("duplicateSpans: no strings cross any exchange, no all-pairs join") {
+    import spark.implicits._
+    withTable { dir =>
+      (1 to 60).map(i => (i.toLong,
+        (0 until 40).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+        .toDF("doc_id", "text").write.format("graft").save(dir)
+      val docs = spark.read.format("graft").load(dir)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try graft.llm.Dedup.duplicateSpans(docs, "doc_id", "text", k = 5)
+          .queryExecution.executedPlan
+        finally spark.conf.unset("spark.sql.adaptive.enabled")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // strings die at the tokenizer: every exchange carries only
+      // fixed-width columns (doc_id, pos, hashes, counters)
+      exchanges.foreach { e =>
+        val stringy = e.child.output.filter(
+          _.dataType == org.apache.spark.sql.types.StringType)
+        assert(stringy.isEmpty,
+          s"string column(s) ${stringy.map(_.name)} cross an exchange:\n$e")
+      }
+      // never an all-pairs shape: span merging is an aggregate + window,
+      // not a self-join on documents
+      val nested = plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(nested.isEmpty, s"all-pairs operator in the span plan:\n$plan")
+    }
+  }
+
   test("chunking and split assignment plan ZERO exchanges; heavy hitters " +
       "shuffles only vocab-sized aggregates") {
     import spark.implicits._
