@@ -594,6 +594,39 @@ object GraftData {
     graftRead(spark, cloneDir)
   }
 
+  /** PK customer table mutated by ONE CDC APPLY batch carrying multiple
+    * changes per key: %5 keys updated twice (seq 2 must win), %7 keys
+    * deleted at seq 2 (beating their seq-1 update; for %35 keys the delete
+    * TIES a seq-2 update and must win the tie), %11 keys re-inserted under
+    * shifted ids. The oracle replays the same final state in SQL, so a
+    * wrong winner-per-key or tie-break direction fails the hash. */
+  def customerApplyChanges(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "customer_apply") { dir =>
+      val base = parquet(spark, sfDir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      base.write.format("graft")
+        .option("hashPartitions", "c_custkey").option("hashBucketNum", "4")
+        .save(dir)
+      def ch(f: DataFrame, op: String, seq: Long): DataFrame =
+        f.select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val k = col("c_custkey")
+      val batch =
+        ch(base.filter(k % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 100L), "u", 1L)
+        .unionByName(ch(base.filter(k % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 300L), "u", 2L))
+        .unionByName(ch(base.filter(k % 7 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 1L), "u", 1L))
+        .unionByName(ch(base.filter(k % 7 === 0), "d", 2L))
+        .unionByName(ch(base.filter(k % 11 === 0)
+          .withColumn("c_custkey", k + 1000000L), "u", 1L))
+      GraftTable.forPath(spark, dir)
+        .applyChanges(batch, "op", Seq("seq"))
+    })
+
   /** Build every table (untimed warm-up for the benchmark). Each build is
     * individually guarded: one broken conversion must degrade to per-query
     * errors for the queries that read that table, never zero the whole

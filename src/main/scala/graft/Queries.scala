@@ -348,6 +348,12 @@ object Queries {
       GraftData.customerCloneDml(s, sf)
         .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))),
 
+    // CDC APPLY: one batch, multiple changes per key — winner-per-key by
+    // sequence, deletes win ties; oracle replays the final state in SQL
+    "q_apply_changes" -> ((s, sf) =>
+      GraftData.customerApplyChanges(s, sf)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"))),
+
     "q_mv_join3" -> ((s, sf) => {
       val (c, o, n) = GraftData.custOrdersNationMvJoin(s, sf)
       c.join(o, col("c_custkey") === col("o_custkey"))
@@ -918,6 +924,19 @@ object Queries {
        "THEN CAST(ROUND(c_acctbal*100) AS BIGINT) + 500 " +
        "ELSE CAST(ROUND(c_acctbal*100) AS BIGINT) END AS bal_cents " +
        "FROM customer WHERE c_custkey % 17 <> 0"),
+
+    // replay of the CDC batch's final state: %7 keys deleted (incl. the
+    // %35 seq-2 tie the delete must win), %5 survivors carry the seq-2
+    // +300 image, %11 keys re-inserted under shifted ids
+    "q_apply_changes" ->
+      ("WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k, " +
+       "c_mktsegment AS seg, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal " +
+       "FROM customer) " +
+       "SELECT k AS c_custkey, seg AS c_mktsegment, " +
+       "CASE WHEN k % 5 = 0 THEN bal + 300 ELSE bal END AS bal_cents " +
+       "FROM base WHERE k % 7 <> 0 " +
+       "UNION ALL " +
+       "SELECT k + 1000000, seg, bal FROM base WHERE k % 11 = 0"),
 
     "q_mv_join3" ->
       ("SELECT c_custkey, c_name, n_name, o_orderkey, " +

@@ -190,6 +190,86 @@ object UpsertCommand {
   }
 }
 
+/** CDC APPLY: ingest one change batch — mixed inserts/updates/deletes,
+  * possibly SEVERAL changes per key — into a PK table as ONE delta commit
+  * (the "apply changes into" primitive CDC replication pipelines need;
+  * replaying a Debezium/CDF-shaped feed row-by-row would pay a commit per
+  * change and interleave wrong under retries).
+  *
+  * Per key, the surviving change is the one greatest by `sequenceCols`
+  * (source's event order; ties broken deletes-win — the safe direction
+  * when a replicator emits an update and a delete with one timestamp).
+  * Surviving upserts land as ordinary delta rows; surviving deletes land
+  * as tombstone rows in the same commit, so the batch is atomic: readers
+  * see all of it or none. With NO sequence columns the batch must carry at
+  * most one change per key — enforced in-plan (assert_true over a key
+  * count window), not by a separate validation pass.
+  *
+  * Scale: one shuffle of the batch on the key for the window, one
+  * bucket-partitioned write; the TABLE is never read or rewritten — cost
+  * is ∝ batch, like every delta upsert. */
+object ApplyChangesCommand {
+
+  def run(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      opCol: String,
+      sequenceCols: Seq[String] = Nil,
+      deleteOps: Seq[String] = Seq("delete", "d")): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val path = SnapshotManagement.normalize(tablePath)
+    SnapshotManagement.withRewriteTransaction(path) { txn =>
+      val info = txn.snapshotOpt.getOrElse(
+        throw new GraftTableNotFoundException(path)).tableInfo
+      require(info.hasPrimaryKey,
+        "applyChanges requires a hash-partitioned (primary-key) table")
+      def named(n: String): String =
+        source.columns.find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new GraftWriteException(
+            s"applyChanges: column $n not found in the change batch " +
+            s"[${source.columns.mkString(", ")}]"))
+      val op = named(opCol)
+      val seqs = sequenceCols.map(named)
+      val pk = info.hashColumns.map(named)
+      val isDel = lower(col(s"`$op`")).isin(deleteOps.map(_.toLowerCase): _*)
+      val latest =
+        if (seqs.nonEmpty) {
+          val w = Window.partitionBy(pk.map(c => col(s"`$c`")): _*)
+            .orderBy(seqs.map(c => col(s"`$c`").desc) :+ isDel.desc: _*)
+          source.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        } else {
+          val w = Window.partitionBy(pk.map(c => col(s"`$c`")): _*)
+          source.withColumn("__graft_cnt", count(lit(1)).over(w))
+            .filter(coalesce(
+              assert_true(col("__graft_cnt") === 1,
+                lit("[graft applyChanges] multiple changes for one key " +
+                  "but no sequence columns to order them — pass " +
+                  "sequenceCols")),
+              lit(true)))
+            .drop("__graft_cnt")
+        }
+      val dataCols = source.columns.filterNot(c =>
+        c.equalsIgnoreCase(op) || seqs.exists(_.equalsIgnoreCase(c)))
+      require(pk.forall(k => dataCols.exists(_.equalsIgnoreCase(k))),
+        s"applyChanges: change batch must carry the key columns " +
+        s"[${info.hashColumns.mkString(", ")}]")
+      val live = latest.filter(!isDel)
+        .select(dataCols.toSeq.map(c => col(s"`$c`")): _*)
+      val tomb = latest.filter(isDel)
+        .select(pk.map(c => col(s"`$c`")) :+
+          lit(true).as(graft.meta.Tombstones.COL): _*)
+      val delta = live.unionByName(tomb, allowMissingColumns = true)
+      UpsertCommand.runDeltaIn(spark, path, delta, Map.empty, txn)
+    }
+    if (spark.conf.getOption("spark.graft.compaction.auto")
+        .exists(_.toBoolean)) {
+      CompactionCommand.run(spark, path, force = false)
+    }
+  }
+}
+
 object UpdateCommand {
 
   /** Rewrite-on-update (reference `UpdateCommand.scala:61-153`): find

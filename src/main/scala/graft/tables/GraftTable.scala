@@ -101,6 +101,16 @@ class GraftTable private (spark: SparkSession, val path: String) {
     UpsertCommand.run(spark, path, source,
       Map("mode" -> mode) ++ condition.map("condition" -> _))
 
+  /** CDC APPLY: ingest a change batch (op column marking deletes, optional
+    * sequence columns ordering multiple changes per key) in one atomic
+    * delta commit — see [[graft.commands.ApplyChangesCommand]]. */
+  def applyChanges(
+      source: DataFrame, opColumn: String,
+      sequenceColumns: Seq[String] = Nil,
+      deleteOps: Seq[String] = Seq("delete", "d")): Unit =
+    ApplyChangesCommand.run(spark, path, source, opColumn, sequenceColumns,
+      deleteOps)
+
   def update(condition: Column, set: Map[String, Column]): Unit =
     UpdateCommand.run(spark, path, condition, set)
 

@@ -223,6 +223,86 @@ class TableApiSuite extends GraftFunSuite {
       }
     }
   }
+  test("applyChanges: mixed multi-change CDC batch == sequential replay, " +
+      "one atomic commit, deletes win sequence ties") {
+    withTempTable { dir =>
+      import org.apache.spark.sql.functions._
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 1L))
+        .toDF("id", "v", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val v0 = t.snapshot.version
+      // per-key histories: 1 updated twice (latest wins), 2 deleted after
+      // an update, 3 delete-then-reinsert, 5 inserted, 6 insert+delete tie
+      // at one sequence (delete must win), 4 untouched
+      val batch = Seq(
+        (1L, "a1", 2L, "u", 10L), (1L, "a2", 3L, "u", 20L),
+        (2L, "b1", 2L, "u", 10L), (2L, null, 0L, "d", 20L),
+        (3L, null, 0L, "D", 10L), (3L, "c2", 9L, "u", 20L),
+        (5L, "e", 5L, "i", 10L),
+        (6L, "f", 6L, "u", 10L), (6L, null, 0L, "delete", 10L))
+        .toDF("id", "v", "n", "op", "seq")
+      t.applyChanges(batch, "op", Seq("seq"))
+      assert(t.snapshot.version == v0 + 1, "one atomic commit")
+      val got = spark.read.format("graft").load(dir)
+        .collect().map(_.toString).sorted.toSeq
+      // sequential replay of the same histories
+      val want = Seq((1L, "a2", 3L), (3L, "c2", 9L), (4L, "d", 1L),
+        (5L, "e", 5L)).map { case (i, v, n) => s"[$i,$v,$n]" }.sorted
+      assert(got == want, s"got $got\nwant $want")
+
+      // change feed of the apply commit carries both upserts and deletes
+      val ops = graft.tables.ChangeFeed
+        .changes(spark, dir, v0 + 1, v0 + 1)
+        .select(col("id"), col("_change_type"))
+        .as[(Long, String)].collect().toMap
+      assert(ops.get(2L).exists(_.contains("delete")), ops)
+
+      // without sequence columns, a multi-change key is an in-plan error
+      val dup = Seq((7L, "x", 1L, "u"), (7L, "y", 2L, "u"))
+        .toDF("id", "v", "n", "op")
+      val e = intercept[Exception] { t.applyChanges(dup, "op") }
+      assert(e.getMessage != null)
+      // single-change-per-key batch without sequences is fine
+      t.applyChanges(Seq((8L, "z", 8L, "u")).toDF("id", "v", "n", "op"), "op")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") === 8L).count() == 1)
+    }
+  }
+
+  test("applyChanges fuzz: random change batches == naive per-key fold") {
+    withTempTable { dir =>
+      import org.apache.spark.sql.functions._
+      val rnd = new scala.util.Random(71)
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val t = GraftTable.forPath(spark, dir)
+      val state = scala.collection.mutable.Map(
+        (1L to 40L).map(i => i -> s"v$i"): _*)
+      (1 to 4).foreach { round =>
+        val changes = (0 until 30).map { j =>
+          val id = 1L + rnd.nextInt(60)
+          if (rnd.nextInt(4) == 0) (id, null: String, "d", j.toLong)
+          else (id, s"r$round-$j", "u", j.toLong)
+        }
+        // naive fold: apply in sequence order, deletes win ties (no ties
+        // here — seq is unique per batch)
+        changes.sortBy(_._4).foreach { case (id, v, op, _) =>
+          if (op == "d") state.remove(id) else state(id) = v
+        }
+        t.applyChanges(changes.toDF("id", "v", "op", "seq"),
+          "op", Seq("seq"))
+        val got = spark.read.format("graft").load(dir)
+          .as[(Long, String)].collect().toMap
+        assert(got == state.toMap,
+          s"round $round diverged: extra=${got.toSet -- state.toSet} " +
+            s"missing=${state.toSet -- got.toSet}")
+      }
+    }
+  }
 }
 
 /** Test merge operator: numeric max (exists to exercise registration by
@@ -233,4 +313,5 @@ class TestMaxMergeOp extends graft.merge.GraftMergeOperator {
     val nn = values.filter(_ != null)
     if (nn.isEmpty) null else nn.maxBy(_.asInstanceOf[Number].doubleValue())
   }
+
 }
