@@ -132,6 +132,20 @@ class GraftTable(object):
         else:
             self._jbridge.upsert(self._jtable, source._jdf, mode, condition)
 
+    def applyChanges(self, source, opColumn, sequenceColumns=None,
+                     deleteOps=None):
+        """CDC APPLY: ingest a change batch (op column marking deletes,
+        optional sequence columns ordering multiple changes per key) as
+        one atomic delta commit. Per key the greatest change by the
+        sequence survives; ties break deletes-win."""
+        if not isinstance(source, DataFrame):
+            raise TypeError(
+                "source must be a DataFrame, got %s" % type(source))
+        seqs = list(sequenceColumns or [])
+        dels = list(deleteOps or ["delete", "d"])
+        self._jbridge.applyChanges(
+            self._jtable, source._jdf, opColumn, seqs, dels)
+
     def update(self, condition=None, set=None):
         """Update rows matching ``condition`` with the ``set`` rules.
 

@@ -121,6 +121,19 @@ def main():
             spark, "SELECT count(*) AS c FROM pyt")
         check("snapshotSql", snap_df.collect()[0]["c"] == t.toDF().count())
 
+        apath = os.path.join(tmp, "capply")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+            .write.format("graft").option("hashPartitions", "id") \
+            .option("hashBucketNum", "2").save(apath)
+        at = GraftTable.forPath(spark, apath)
+        at.applyChanges(
+            spark.createDataFrame(
+                [(1, "a1", "u", 1), (1, "a2", "u", 2), (2, None, "d", 1)],
+                "id long, v string, op string, seq long"),
+            "op", ["seq"])
+        arows = {r["id"]: r["v"] for r in at.toDF().collect()}
+        check("applyChanges", arows == {1: "a2"})
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()

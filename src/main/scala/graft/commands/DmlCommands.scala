@@ -224,6 +224,13 @@ object ApplyChangesCommand {
         throw new GraftTableNotFoundException(path)).tableInfo
       require(info.hasPrimaryKey,
         "applyChanges requires a hash-partitioned (primary-key) table")
+      // CDC rows are ABSOLUTE images (last-wins); a table with declared
+      // merge OPERATORS folds deltas instead — applying images there would
+      // accumulate them (and a streaming replay would double-fold).
+      val declaredOps = graft.merge.GraftMergeOperator.declaredOperators(info)
+      require(declaredOps.isEmpty,
+        "applyChanges requires last-wins merge semantics; this table " +
+        s"declares merge operators for [${declaredOps.keys.mkString(", ")}]")
       def named(n: String): String =
         source.columns.find(_.equalsIgnoreCase(n)).getOrElse(
           throw new GraftWriteException(

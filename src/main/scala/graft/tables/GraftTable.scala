@@ -111,6 +111,34 @@ class GraftTable private (spark: SparkSession, val path: String) {
     ApplyChangesCommand.run(spark, path, source, opColumn, sequenceColumns,
       deleteOps)
 
+  /** Continuous CDC ingestion: apply every microbatch of a CDC-shaped
+    * STREAM through [[applyChanges]] — exactly-once under restarts because
+    * each microbatch is one atomic delta commit and the checkpoint replays
+    * whole batches (a replayed batch re-applies the same winner-per-key
+    * images onto a PK table: idempotent). Stop the returned query to stop
+    * ingestion. */
+  def applyChangesStream(
+      source: DataFrame, opColumn: String, checkpointDir: String,
+      sequenceColumns: Seq[String] = Nil,
+      deleteOps: Seq[String] = Seq("delete", "d"),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tablePath = path // stable reference for the closure
+    val session = spark
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ApplyChangesCommand.run(session, tablePath, batch, opColumn,
+            sequenceColumns, deleteOps)
+        }
+      }
+      .trigger(trigger)
+      .queryName(s"graft-apply-changes-$tablePath")
+      .start()
+  }
+
   def update(condition: Column, set: Map[String, Column]): Unit =
     UpdateCommand.run(spark, path, condition, set)
 

@@ -96,6 +96,13 @@ object PyBridge {
   def cloneToAtTimestamp(t: GraftTable, destPath: String,
       timestamp: String): Long = t.cloneToAtTimestamp(destPath, timestamp)
 
+  def applyChanges(
+      t: GraftTable, source: DataFrame, opColumn: String,
+      sequenceColumns: java.util.List[String],
+      deleteOps: java.util.List[String]): Unit =
+    t.applyChanges(source, opColumn, sequenceColumns.asScala.toSeq,
+      deleteOps.asScala.toSeq)
+
   def cleanup(
       t: GraftTable, retainMillis: Long,
       dryRun: Boolean): java.util.List[String] =

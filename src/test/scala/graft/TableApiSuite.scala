@@ -271,6 +271,49 @@ class TableApiSuite extends GraftFunSuite {
     }
   }
 
+  test("applyChanges refuses operator-merge tables (CDC images are " +
+      "absolute; a replay would double-fold)") {
+    withTempTable { dir =>
+      Seq((1L, 5L)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .option("graft.mergeOperators", "n:sum")
+        .save(dir)
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.forPath(spark, dir).applyChanges(
+          Seq((1L, 7L, "u")).toDF("id", "n", "op"), "op")
+      }
+      assert(e.getMessage.contains("merge operators"), e.getMessage)
+    }
+  }
+
+  test("applyChangesStream: CDC stream ingests microbatches atomically") {
+    withTempTable { dir =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("apply_ck_").toString
+      val input = MemoryStream[(Long, String, String, Long)]
+      val q = GraftTable.forPath(spark, dir).applyChangesStream(
+        input.toDF().toDF("id", "v", "op", "seq"), "op", ckpt, Seq("seq"))
+      try {
+        input.addData((1L, "a1", "u", 1L), (1L, "a2", "u", 2L),
+          (3L, "c", "u", 1L))
+        q.processAllAvailable()
+        assert(spark.read.format("graft").load(dir)
+          .as[(Long, String)].collect().toMap ==
+          Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+        input.addData((2L, null, "d", 1L))
+        q.processAllAvailable()
+        assert(spark.read.format("graft").load(dir)
+          .as[(Long, String)].collect().toMap ==
+          Map(1L -> "a2", 3L -> "c"))
+      } finally q.stop()
+    }
+  }
+
   test("applyChanges fuzz: random change batches == naive per-key fold") {
     withTempTable { dir =>
       import org.apache.spark.sql.functions._
