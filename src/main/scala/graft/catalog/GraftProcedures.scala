@@ -29,7 +29,8 @@ object GraftProcedures {
   val NAMESPACE: Array[String] = Array("system")
 
   val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
-    "rebucket", "clone", "create_mv", "refresh_mv", "drop_mv")
+    "rebucket", "clone", "create_mv", "refresh_mv", "drop_mv",
+    "apply_changes")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
@@ -38,6 +39,7 @@ object GraftProcedures {
     case "restore" => Some(RestoreProcedure)
     case "rebucket" => Some(RebucketProcedure)
     case "clone" => Some(CloneProcedure)
+    case "apply_changes" => Some(ApplyChangesProcedure)
     case "create_mv" => Some(CreateMvProcedure)
     case "refresh_mv" => Some(RefreshMvProcedure)
     case "drop_mv" => Some(DropMvProcedure)
@@ -184,6 +186,42 @@ object GraftProcedures {
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(dest)), v))))
+    }
+  }
+
+  object ApplyChangesProcedure extends MaintenanceProcedure("apply_changes",
+      "CDC APPLY: land a change batch (op column marking deletes, " +
+        "optional sequence columns) as ONE atomic delta commit") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("target PK table path or catalog name").build(),
+      ProcedureParameter.in("source", StringType)
+        .comment("table/view name (or SQL in parentheses) yielding the " +
+          "change batch").build(),
+      ProcedureParameter.in("op", StringType)
+        .comment("column whose value marks the change kind").build(),
+      ProcedureParameter.in("sequence", StringType).defaultValue("NULL")
+        .comment("comma-separated columns ordering multiple changes per " +
+          "key; omit only for single-change-per-key batches").build(),
+      ProcedureParameter.in("delete_ops", StringType)
+        .defaultValue("'delete,d'")
+        .comment("comma-separated op values treated as deletes").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = resolvePath(spark, str(input, 0).get)
+      val source = str(input, 1).get.trim
+      val batch =
+        if (source.startsWith("(")) spark.sql(
+          source.stripPrefix("(").stripSuffix(")"))
+        else spark.table(source)
+      val seqs = str(input, 3).map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      val dels = str(input, 4).map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq("delete", "d"))
+      graft.commands.ApplyChangesCommand.run(
+        spark, table, batch, str(input, 2).get, seqs, dels)
+      one(resultScan(versionSchema, versionRow(table)))
     }
   }
 

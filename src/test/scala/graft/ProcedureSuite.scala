@@ -216,6 +216,34 @@ class ProcedureSuite extends GraftFunSuite {
     }
   }
 
+  test("CALL system.apply_changes lands a CDC batch from a view or " +
+      "inline SQL") {
+    withTempTable { dir =>
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      val s2 = sqlSession
+      Seq((1L, "a2", "u", 2L), (1L, "a1", "u", 1L), (2L, null, "d", 1L),
+        (3L, "c", "u", 1L))
+        .toDF("id", "v", "op", "seq")
+        .createOrReplaceGlobalTempView("proc_changes")
+      s2.sql(s"CALL spark_catalog.system.apply_changes(" +
+        s"table => '$dir', source => 'global_temp.proc_changes', " +
+        "op => 'op', sequence => 'seq')").collect()
+      assert(spark.read.format("graft").load(dir)
+        .as[(Long, String)].collect().toMap ==
+        Map(1L -> "a2", 3L -> "c"))
+      // inline SQL source form
+      s2.sql(s"CALL spark_catalog.system.apply_changes(" +
+        s"table => '$dir', " +
+        "source => '(SELECT 9L AS id, ''z'' AS v, ''u'' AS op)', " +
+        "op => 'op')").collect()
+      assert(spark.read.format("graft").load(dir)
+        .filter($"id" === 9L).count() == 1)
+    }
+  }
+
   test("unknown procedure fails loudly; procedures are listable") {
     val s2 = sqlSession
     val e = intercept[Exception] {
