@@ -134,6 +134,30 @@ def main():
         arows = {r["id"]: r["v"] for r in at.toDF().collect()}
         check("applyChanges", arows == {1: "a2"})
 
+        from graft.llm import Dedup, TextAnalysis, Ann
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "the quick brown fox jumps over the lazy dog tonight"),
+             (3, "completely different words in this one entirely")],
+            "doc_id long, text string")
+        dups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+        check("llm exactDuplicateGroups", dups.count() == 3)
+        spans = Dedup.duplicateSpans(docs, "doc_id", "text", k=5)
+        span_docs = {r["doc_id"] for r in spans.collect()}
+        check("llm duplicateSpans", span_docs == {1, 2})
+        scrubbed = {r["doc_id"]: r["removed_words"]
+                    for r in Dedup.scrubSpans(docs, spans, "doc_id",
+                                              "text").collect()}
+        check("llm scrubSpans", scrubbed[3] == 0 and scrubbed[1] > 0)
+        langs = TextAnalysis.langId(docs, "text", "doc_id")
+        check("llm langId", langs.count() == 3)
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+            "id long, vec array<float>")
+        nn = Ann.bruteTopK(vecs, "id", "vec", vecs, "id", "vec", k=1)
+        top = {r["qid"]: r["nid"] for r in nn.collect()}
+        check("llm bruteTopK", top == {1: 1, 2: 2, 3: 3})
+
         check("history", t.history().count() >= 4)
 
         drows = t.detail().collect()

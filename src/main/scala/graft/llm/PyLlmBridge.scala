@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Py4J-friendly entry points for the LLM-pipeline operators (same
+  * bridge discipline as [[graft.tables.PyBridge]]: exact reflected
+  * arities, Java collections, no logic of its own — every call lands on
+  * the Scala operator). */
+object PyLlmBridge {
+
+  def exactDuplicateGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.exactDuplicateGroups(df, idCol, textCol)
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minInter: Int): DataFrame =
+    Dedup.ngramJaccardPairs(df, idCol, textCol, k, minInter)
+
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int): DataFrame =
+    Dedup.minhashNearDuplicates(df, idCol, textCol,
+      minJaccardPct = minJaccardPct)
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): DataFrame =
+    Dedup.duplicateSpans(df, idCol, textCol, k, minDocs)
+
+  def scrubSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.scrubSpans(df, spans, idCol, textCol)
+
+  def duplicateClusters(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    Dedup.duplicateClusters(pairs, aCol, bCol)
+
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.contamination(train, eval, idCol, textCol)
+
+  def semanticClusters(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    Dedup.semanticClusters(df, idCol, vecCol, k)
+
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    TextAnalysis.langId(df, textCol, idCol)
+
+  def qualityStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    TextAnalysis.qualityStats(df, textCol, idCol)
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.piiScrub(df, idCol, textCol)
+
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, strideChars: Int): DataFrame =
+    TextAnalysis.chunkDocuments(df, idCol, textCol, chunkChars, strideChars)
+
+  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame =
+    Ann.bruteTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame =
+    Ann.ivfTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+
+  def annIndexBuild(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int): Unit =
+    AnnIndex.build(spark, indexPath, corpus, idCol, vecCol, nCentroids)
+
+  def annIndexTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame =
+    AnnIndex.topK(spark, indexPath, queries, queryIdCol, queryVecCol, k)
+
+  def annIndexSync(spark: SparkSession, indexPath: String,
+      corpusPath: String, idCol: String, vecCol: String): Long =
+    AnnIndex.syncFromTable(spark, indexPath, corpusPath, idCol, vecCol)
+
+  def minhashIndexSync(spark: SparkSession, indexPath: String,
+      docsPath: String, idCol: String, textCol: String): Long =
+    MinhashIndex.syncFromTable(spark, indexPath, docsPath, idCol, textCol)
+
+  def minhashIncrementalPairs(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, minJaccardPct: Int): DataFrame =
+    MinhashIndex.incrementalPairs(spark, indexPath, corpus, newDocs,
+      idCol, textCol, minJaccardPct = minJaccardPct)
+}
