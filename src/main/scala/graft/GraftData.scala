@@ -622,7 +622,7 @@ object GraftData {
           .withColumn("bal_cents", col("bal_cents") + 1L), "u", 1L))
         .unionByName(ch(base.filter(k % 7 === 0), "d", 2L))
         .unionByName(ch(base.filter(k % 11 === 0)
-          .withColumn("c_custkey", k + 1000000L), "u", 1L))
+          .withColumn("c_custkey", k + 1000000000000L), "u", 1L))
       GraftTable.forPath(spark, dir)
         .applyChanges(batch, "op", Seq("seq"))
     })

@@ -936,7 +936,7 @@ object Queries {
        "CASE WHEN k % 5 = 0 THEN bal + 300 ELSE bal END AS bal_cents " +
        "FROM base WHERE k % 7 <> 0 " +
        "UNION ALL " +
-       "SELECT k + 1000000, seg, bal FROM base WHERE k % 11 = 0"),
+       "SELECT k + 1000000000000, seg, bal FROM base WHERE k % 11 = 0"),
 
     "q_mv_join3" ->
       ("SELECT c_custkey, c_name, n_name, o_orderkey, " +

@@ -211,9 +211,11 @@ object GraftProcedures {
       val spark = SparkSession.active
       val table = resolvePath(spark, str(input, 0).get)
       val source = str(input, 1).get.trim
+      // a '('-leading source is SQL — hand it to the parser WHOLE
+      // (parenthesized queries are valid query primaries; stripping one
+      // paren pair would mangle compound forms like '(...) UNION ALL (...)')
       val batch =
-        if (source.startsWith("(")) spark.sql(
-          source.stripPrefix("(").stripSuffix(")"))
+        if (source.startsWith("(")) spark.sql(source)
         else spark.table(source)
       val seqs = str(input, 3).map(_.split(",").toSeq
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)

@@ -239,16 +239,24 @@ object ApplyChangesCommand {
       val op = named(opCol)
       val seqs = sequenceCols.map(named)
       val pk = info.hashColumns.map(named)
+      // a NULL op would be neither a delete nor an upsert and silently
+      // vanish from both branches below (worse: in the sequenced branch it
+      // could WIN the per-key window and shadow a valid change) — fail
+      // in-plan instead, riding the rows that already flow
+      val checked = source.filter(coalesce(
+        assert_true(col(s"`$op`").isNotNull,
+          lit(s"[graft applyChanges] NULL value in op column '$op'")),
+        lit(true)))
       val isDel = lower(col(s"`$op`")).isin(deleteOps.map(_.toLowerCase): _*)
       val latest =
         if (seqs.nonEmpty) {
           val w = Window.partitionBy(pk.map(c => col(s"`$c`")): _*)
             .orderBy(seqs.map(c => col(s"`$c`").desc) :+ isDel.desc: _*)
-          source.withColumn("__graft_rn", row_number().over(w))
+          checked.withColumn("__graft_rn", row_number().over(w))
             .filter(col("__graft_rn") === 1).drop("__graft_rn")
         } else {
           val w = Window.partitionBy(pk.map(c => col(s"`$c`")): _*)
-          source.withColumn("__graft_cnt", count(lit(1)).over(w))
+          checked.withColumn("__graft_cnt", count(lit(1)).over(w))
             .filter(coalesce(
               assert_true(col("__graft_cnt") === 1,
                 lit("[graft applyChanges] multiple changes for one key " +

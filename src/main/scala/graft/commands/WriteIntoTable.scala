@@ -98,7 +98,11 @@ object WriteIntoTable {
     (o.get(TXN_APP_ID), o.get(TXN_VERSION)) match {
       case (Some(app), Some(v)) =>
         require(app.nonEmpty, s"$TXN_APP_ID must be non-empty")
-        Some(StreamingInfo(app, v.toLong))
+        val ver = try v.toLong catch {
+          case _: NumberFormatException => throw new GraftWriteException(
+            s"$TXN_VERSION must be a long, got '$v'")
+        }
+        Some(StreamingInfo(app, ver))
       case (None, None) => None
       case _ => throw new GraftWriteException(
         s"$TXN_APP_ID and $TXN_VERSION must be set together " +

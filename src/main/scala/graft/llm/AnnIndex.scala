@@ -257,7 +257,7 @@ object AnnIndex {
   private val SYNC_FILE = "_graft_ann_sync.json"
 
   /** Continuous maintenance: tail the corpus table's change feed and run
-    * [[syncFromTable]] once per microbatch — see [[ContinuousSync]] for
+    * [[syncFromTable]] once per microbatch — see [[graft.streaming.ContinuousSync]] for
     * the liveness-only contract (CDF rows are discarded; each sync
     * re-reads its exact sidecar window under its own pins). Stop the
     * returned query to stop maintenance. */
@@ -268,7 +268,7 @@ object AnnIndex {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
       : org.apache.spark.sql.streaming.StreamingQuery =
-    ContinuousSync.tail(spark, corpusPath, indexPath, checkpointDir, trigger,
+    graft.streaming.ContinuousSync.tail(spark, corpusPath, indexPath, checkpointDir, trigger,
       "ann") {
       syncFromTable(spark, indexPath, corpusPath, idCol, vecCol, nCentroids,
         hashBucketNum); ()

@@ -723,7 +723,7 @@ object MinhashIndex {
   private val SYNC_FILE = "_graft_minhash_sync.json"
 
   /** Continuous maintenance: tail the docs table's change feed and run
-    * [[syncFromTable]] once per microbatch — see [[ContinuousSync]] for
+    * [[syncFromTable]] once per microbatch — see [[graft.streaming.ContinuousSync]] for
     * the liveness-only contract (CDF rows are discarded; each sync
     * re-reads its exact sidecar window under its own pins). Stop the
     * returned query to stop maintenance. */
@@ -736,7 +736,7 @@ object MinhashIndex {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
       : org.apache.spark.sql.streaming.StreamingQuery =
-    ContinuousSync.tail(spark, docsPath, indexPath, checkpointDir, trigger,
+    graft.streaming.ContinuousSync.tail(spark, docsPath, indexPath, checkpointDir, trigger,
       "minhash") {
       syncFromTable(spark, indexPath, docsPath, idCol, textCol, numHashes,
         bands, shingleK, bucketNum); ()

@@ -956,11 +956,11 @@ object MaterializedViews {
     * (join views tail both sides); stop them all to stop maintenance.
     * Triggers from one view's relations are serialized by an in-process
     * per-view lock (two stream threads folding concurrently could land an
-    * interleaved overwrite); cross-process races stay covered by the
-    * refresh path's version pins — a refresh that lost one leaves the pin
-    * stale and the next refresh heals via the full recompute. */
-  private val maintainLocks = new ConcurrentHashMap[String, Object]()
-
+    * interleaved overwrite — [[graft.streaming.ContinuousSync]] keys its
+    * lock on the VIEW path, so a join view's two tails share one);
+    * cross-process races stay covered by the refresh path's version pins —
+    * a refresh that lost one leaves the pin stale and the next refresh
+    * heals via the full recompute. */
   def maintainStream(
       spark: SparkSession, viewPath: String, checkpointRoot: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -972,18 +972,10 @@ object MaterializedViews {
     val session = spark // stable reference for the closures below
     info.relationVersions.keySet.toSeq.sorted.zipWithIndex.map {
       case (rel, i) =>
-        session.readStream.format("graft")
-          .option("readChangeFeed", "true")
-          .load(rel)
-          .writeStream
-          .option("checkpointLocation", s"$checkpointRoot/rel$i")
-          .foreachBatch { (_: DataFrame, _: Long) =>
-            val lock = maintainLocks.computeIfAbsent(norm, _ => new Object)
-            lock.synchronized { refresh(session, norm) }; ()
-          }
-          .trigger(trigger)
-          .queryName(s"graft-mv-maintain-$i-$norm")
-          .start()
+        graft.streaming.ContinuousSync.tail(session, rel, norm,
+          s"$checkpointRoot/rel$i", trigger, s"mv-$i") {
+          refresh(session, norm); ()
+        }
     }
   }
 

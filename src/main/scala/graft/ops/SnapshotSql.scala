@@ -30,7 +30,13 @@ object SnapshotSql {
     * makes a pinned column unresolvable (callers retry or fall back).
     * Replacement is by IDENTITY: the pinned read is itself a graft V2
     * relation, and `transform` recurses into its replacement's children —
-    * matching on type alone would re-wrap the fresh read forever. */
+    * matching on type alone would re-wrap the fresh read forever.
+    * Relations the USER already pinned (versionAsOf / timestampAsOf time
+    * travel) are left alone: re-pinning them to the latest snapshot would
+    * silently serve wrong-version data — and they are immutable, so they
+    * need no version entry for staleness either. Subquery plans (IN /
+    * EXISTS / scalar) are walked too: a relation hiding inside a subquery
+    * expression is exactly as torn-read-prone as a joined one. */
   private[graft] def tryPin(spark: SparkSession, df: DataFrame)
       : Option[(DataFrame, Map[String, Long])] = {
     val analyzed = castToImpl(df).queryExecution.analyzed
@@ -38,13 +44,14 @@ object SnapshotSql {
     val versions = scala.collection.mutable.Map.empty[String, Long]
     val snaps = scala.collection.mutable
       .Map.empty[String, graft.meta.Snapshot]
-    val targets = analyzed.collect {
+    val targets = (analyzed +: analyzed.subqueriesAll).flatMap(_.collect {
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation
-          if r.table.isInstanceOf[graft.sources.GraftTableV2] => r
-    }
+          if r.table.isInstanceOf[graft.sources.GraftTableV2] &&
+            !r.table.asInstanceOf[graft.sources.GraftTableV2].isPinned => r
+    })
     try {
-      val pinnedPlan = analyzed.transform {
+      val pinnedPlan = analyzed.transformDownWithSubqueries {
         case r: org.apache.spark.sql.execution.datasources.v2
             .DataSourceV2Relation if targets.exists(_ eq r) =>
           val np = SnapshotManagement.normalize(

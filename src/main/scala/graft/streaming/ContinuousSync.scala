@@ -1,4 +1,4 @@
-package graft.llm
+package graft.streaming
 
 import java.util.concurrent.ConcurrentHashMap
 
@@ -14,19 +14,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * frame cannot provide); the stream only signals THAT the base
   * committed data changes, so steady-state cost per firing is the sync's
   * own O(touched) work, and an idle base costs nothing but the trigger
-  * poll. Syncs for one index are serialized by an in-process lock (two
-  * stream threads folding the same sidecar window concurrently would
-  * double-apply it); cross-process safety stays with the sync's own
-  * sidecar validation. */
-private[llm] object ContinuousSync {
+  * poll. Syncs for one maintained artifact (index table, materialized
+  * view) are serialized by an in-process lock keyed on its path (two
+  * stream threads folding the same window concurrently would double-apply
+  * it); cross-process safety stays with each sync's own validation
+  * (sidecars for indexes, version pins for views). */
+private[graft] object ContinuousSync {
 
   private val locks = new ConcurrentHashMap[String, Object]()
 
   def tail(
-      spark: SparkSession, basePath: String, indexPath: String,
+      spark: SparkSession, basePath: String, maintainedPath: String,
       checkpointDir: String, trigger: Trigger, kind: String)(
       sync: => Unit): StreamingQuery = {
-    val norm = graft.meta.SnapshotManagement.normalize(indexPath)
+    val norm = graft.meta.SnapshotManagement.normalize(maintainedPath)
     spark.readStream.format("graft")
       .option("readChangeFeed", "true")
       .load(basePath)

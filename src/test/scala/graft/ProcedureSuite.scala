@@ -234,13 +234,15 @@ class ProcedureSuite extends GraftFunSuite {
       assert(spark.read.format("graft").load(dir)
         .as[(Long, String)].collect().toMap ==
         Map(1L -> "a2", 3L -> "c"))
-      // inline SQL source form
+      // inline SQL source form — including a COMPOUND parenthesized query
+      // (the source must reach the parser whole, not paren-stripped)
       s2.sql(s"CALL spark_catalog.system.apply_changes(" +
         s"table => '$dir', " +
-        "source => '(SELECT 9L AS id, ''z'' AS v, ''u'' AS op)', " +
+        "source => '(SELECT 9L AS id, ''z'' AS v, ''u'' AS op) " +
+        "UNION ALL (SELECT 10L, ''y'', ''u'')', " +
         "op => 'op')").collect()
       assert(spark.read.format("graft").load(dir)
-        .filter($"id" === 9L).count() == 1)
+        .filter($"id" >= 9L).count() == 2)
     }
   }
 

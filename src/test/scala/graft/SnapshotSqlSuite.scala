@@ -87,6 +87,43 @@ class SnapshotSqlSuite extends GraftFunSuite {
     }
   }
 
+  test("a user-pinned (versionAsOf) relation is NOT re-pinned to latest") {
+    withTempTable { dir =>
+      Seq((1L, "old")).toDF("id", "v").write.format("graft").save(dir)
+      Seq((2L, "new")).toDF("id", "v").write.format("graft")
+        .mode("append").save(dir)
+      spark.read.format("graft").option("versionAsOf", 0).load(dir)
+        .createOrReplaceTempView("ss_tt")
+      val (df, versions) = SnapshotSql.sqlWithVersions(spark,
+        "SELECT v FROM ss_tt")
+      // time-traveled relations are immutable: no version entry, and the
+      // frame must serve v0, not latest
+      assert(versions.isEmpty, versions)
+      assert(df.as[String].collect().toSeq == Seq("old"))
+    }
+  }
+
+  test("relations inside subquery expressions are pinned and reported") {
+    withTempTable { a => withTempTable { b =>
+      (1L to 20L).map(i => (i, i % 4)).toDF("id", "grp")
+        .write.format("graft").save(a)
+      Seq((0L), (1L)).toDF("grp").write.format("graft").save(b)
+      spark.read.format("graft").load(a).createOrReplaceTempView("ss_sub_a")
+      spark.read.format("graft").load(b).createOrReplaceTempView("ss_sub_b")
+      val (df, versions) = SnapshotSql.sqlWithVersions(spark,
+        "SELECT count(*) AS c FROM ss_sub_a " +
+          "WHERE grp IN (SELECT grp FROM ss_sub_b)")
+      assert(versions.size == 2,
+        s"subquery relation must carry a version pin: $versions")
+      // mutate the subquery side AFTER the pin; the pinned frame must not
+      // see it
+      Seq((2L), (3L)).toDF("grp").write.format("graft")
+        .mode("append").save(b)
+      assert(df.as[Long].head() == 10L,
+        "pinned subquery must see only grp in (0,1)")
+    } }
+  }
+
   test("non-graft relations pass through; zero graft relations reports " +
       "an empty version map") {
     Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("ss_plain")

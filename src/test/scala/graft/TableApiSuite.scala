@@ -271,6 +271,26 @@ class TableApiSuite extends GraftFunSuite {
     }
   }
 
+  test("applyChanges: a NULL op value is an in-plan error, never a " +
+      "silently-dropped change") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dir)
+      // the NULL-op row would WIN the window (seq 2) and then vanish from
+      // both the live and tombstone branches — must fail loudly instead
+      val e = intercept[Exception] {
+        GraftTable.forPath(spark, dir).applyChanges(
+          Seq((1L, "new", null: String, 2L), (1L, "old", "u", 1L))
+            .toDF("id", "v", "op", "seq"), "op", Seq("seq"))
+      }
+      assert(e.getMessage != null)
+      assert(spark.read.format("graft").load(dir)
+        .as[(Long, String)].collect().toMap == Map(1L -> "a"),
+        "failed apply must leave the table untouched")
+    }
+  }
+
   test("applyChanges refuses operator-merge tables (CDC images are " +
       "absolute; a replay would double-fold)") {
     withTempTable { dir =>

@@ -156,6 +156,12 @@ class WriteProtocolSuite extends GraftFunSuite {
           .option("txnAppId", "etl-job").save(dir)
       }
       assert(e.getMessage.contains("txn"), e.getMessage)
+      // a non-numeric version names the option, not a bare parse error
+      val e2 = intercept[Exception] {
+        Seq((5L, "e")).toDF("id", "v").write.format("graft").mode("append")
+          .option("txnAppId", "etl-job").option("txnVersion", "v1").save(dir)
+      }
+      assert(e2.getMessage.contains("txnVersion"), e2.getMessage)
     }
   }
 
