@@ -99,6 +99,16 @@ object GraftData {
       parquet(spark, sfDir, "nation").write.format("graft").save(dir)
     })
 
+  def supplierPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "supplier") { dir =>
+      parquet(spark, sfDir, "supplier").write.format("graft").save(dir)
+    })
+
+  def regionPlain(spark: SparkSession, sfDir: String): DataFrame =
+    graftRead(spark, ensure(spark, sfDir, "region") { dir =>
+      parquet(spark, sfDir, "region").write.format("graft").save(dir)
+    })
+
   def documentsRangeDir(spark: SparkSession, sfDir: String): String =
     ensure(spark, sfDir, "documents_range") { dir =>
       parquet(spark, sfDir, "documents").write.format("graft")

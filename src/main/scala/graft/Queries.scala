@@ -64,6 +64,48 @@ object Queries {
         .select(col("o_orderkey"), col("o_orderpriority"),
           cents(col("l_extendedprice")).as("price_cents"))),
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter, two
+    // PK-aligned joins (orders⋈lineitem is shuffle-free on the orderkey
+    // buckets), top-10 by exact cents revenue with full tie-breaks
+    "q_tpch_q3" -> ((s, sf) =>
+      GraftData.customerPk(s, sf)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(GraftData.ordersPk(s, sf)
+          .filter(col("o_orderdate") < lit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(GraftData.lineitemBucket(s, sf)
+          .filter(col("l_shipdate") > lit("1997-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)),
+
+    // TPC-H Q5 shape (local-supplier volume): 6-way star, the four small
+    // dims broadcast (AQE), the fact side never shuffles more than once
+    "q_tpch_q5" -> ((s, sf) =>
+      GraftData.customerPk(s, sf)
+        .join(GraftData.ordersPk(s, sf)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(GraftData.lineitemBucket(s, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(GraftData.supplierPlain(s, sf),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(GraftData.nationPlain(s, sf),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(GraftData.regionPlain(s, sf),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))),
+
     "q_cust_join" -> ((s, sf) =>
       GraftData.customerPk(s, sf)
         .join(GraftData.ordersByCust(s, sf),
@@ -624,6 +666,30 @@ object Queries {
        "WHERE l_quantity = 50 AND l_returnflag = 'R' " +
        "AND l_shipdate >= '1997-01-01' AND l_shipdate < '1997-02-01') l " +
        "ON o_orderkey = l_orderkey"),
+
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE c_mktsegment = 'BUILDING' " +
+       "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00' " +
+       "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+       "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"),
+
+    "q_tpch_q5" ->
+      ("SELECT n_name, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+       "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "GROUP BY n_name"),
 
     "q_cust_join" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt, " +
