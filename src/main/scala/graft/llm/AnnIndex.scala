@@ -121,7 +121,10 @@ object AnnIndex {
     val last = SyncSidecar.readValidated(normIdx, SYNC_FILE, normCorpus,
       current)
     val corpusNow = spark.read.format("graft").load(corpusPath)
+    // cumulative ids touched since the last FULL build; a build resets it
+    var churnOut = SyncSidecar.readChurn(normIdx, SYNC_FILE)
     if (last < 0 || !SnapshotManagement.exists(assignPath(indexPath))) {
+      churnOut = 0L
       // no sidecar (first sync) OR a pre-assign-table index layout: both
       // mean incremental bookkeeping can't be trusted — rebuild in full
       build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
@@ -132,6 +135,28 @@ object AnnIndex {
         .select(col(s"`$idCol`")).distinct()
         .transform(Checkpoints.stabilize)
       if (!touched.isEmpty) {
+        // CHURN-TRIGGERED REBUILD: incremental syncs keep the index EXACT
+        // but never move centroids, so sustained churn slowly unbalances
+        // the cells and the angular bound prunes less (a pure efficiency
+        // decay — the remaining silent-degradation mode after the r12
+        // re-stat fix). Track cumulative touched ids since the last full
+        // build in the sidecar; once they reach `rebuildChurnFraction` of
+        // the live corpus (Σcnt from the tiny stats table — never a corpus
+        // scan), pay one full build and reset. 0 disables.
+        val churnFrac = spark.conf
+          .getOption("spark.graft.ann.index.rebuildChurnFraction")
+          .map(_.toDouble).getOrElse(0.5)
+        val newChurn = churnOut + touched.count()
+        val liveSize = math.max(1L,
+          spark.read.format("graft").load(statsPath(indexPath))
+            .agg(sum(col("cnt"))).collect().head.getLong(0))
+        if (churnFrac > 0 && newChurn >= churnFrac * liveSize) {
+          build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
+            hashBucketNum)
+          SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L)
+          return current
+        }
+        churnOut = newChurn
         val cents = spark.read.format("graft")
           .load(centroidsPath(indexPath)).transform(Checkpoints.stabilize)
         val live = corpusNow.join(broadcast(touched), Seq(idCol), "left_semi")
@@ -249,7 +274,7 @@ object AnnIndex {
       }
     }
     if (current != last) {
-      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current)
+      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, churnOut)
     }
     current
   }

@@ -17,7 +17,8 @@ import java.nio.file.{Files, Paths}
 private[llm] object SyncSidecar {
   implicit private val formats: org.json4s.Formats = org.json4s.DefaultFormats
 
-  private case class Meta(sourcePath: String, version: Long)
+  private case class Meta(sourcePath: String, version: Long,
+      churn: Option[Long] = None)
 
   /** Last synced version, after validating the sidecar matches
     * `sourcePath` and `currentVersion` has not gone backwards. -1 when no
@@ -49,15 +50,27 @@ private[llm] object SyncSidecar {
     m.version
   }
 
+  /** Cumulative ids touched since the last FULL build (used by churn
+    * triggered rebuilds); 0 when absent (pre-churn sidecars). */
+  def readChurn(indexDir: String, fileName: String): Long = {
+    val p = Paths.get(indexDir, fileName)
+    if (!Files.exists(p)) return 0L
+    try org.json4s.jackson.Serialization.read[Meta](
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .churn.getOrElse(0L)
+    catch { case _: Exception => 0L } // readValidated owns the loud path
+  }
+
   def write(
       indexDir: String, fileName: String, sourcePath: String,
-      version: Long): Unit = {
+      version: Long, churn: Long = 0L): Unit = {
     Files.createDirectories(Paths.get(indexDir))
     // temp + atomic rename: a crash mid-write must leave either the old
     // sidecar or the new one, never truncated JSON
     val tmp = Files.createTempFile(Paths.get(indexDir), s".$fileName", ".tmp")
     Files.write(tmp,
-      org.json4s.jackson.Serialization.write(Meta(sourcePath, version))
+      org.json4s.jackson.Serialization.write(
+        Meta(sourcePath, version, Some(churn)))
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(indexDir, fileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -1040,6 +1040,60 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("AnnIndex churn-triggered rebuild: cumulative touched fraction " +
+      "crossing the threshold forces a full build; below it, never") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(61)
+      def vec() = Array.fill(6)(rndv.nextFloat() * 2 - 1)
+      (0 until 50).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_churn_rb_").toString + "/ix"
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 4)
+      def centroidsVersion(): Long = graft.meta.SnapshotManagement.snapshot(
+        graft.meta.SnapshotManagement.normalize(s"$idx/centroids")).version
+      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      try {
+        // far below threshold: centroids must NOT move
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "100.0")
+        val v0 = centroidsVersion()
+        t.upsert(Seq((1L, vec()), (2L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(centroidsVersion() == v0,
+          "sub-threshold churn must stay incremental")
+        // threshold low enough that the ACCUMULATED churn crosses it:
+        // the next sync pays a full rebuild and resets the counter
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.05")
+        t.upsert(Seq((3L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        val v1 = centroidsVersion()
+        assert(v1 > v0, "accumulated churn over threshold must rebuild")
+        // counter reset: the same tiny churn right after does NOT rebuild
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.5")
+        t.upsert(Seq((4L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(centroidsVersion() == v1,
+          "post-rebuild counter must restart from zero")
+        // exactness through all of it
+        val corpusNow = spark.read.format("graft").load(corpusDir)
+        val queries = corpusNow.orderBy("vec_id").limit(2)
+        val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+            k = 3).select("qid", "rank", "nid")
+          .as[(Long, Int, Long)].collect().toSet
+        val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 3)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+        assert(got == want)
+      } finally spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
+    }
+  }
+
   test("AnnIndex sync soak: exact vs brute after every one of 5 random " +
       "mutation rounds") {
     withTempTable { corpusDir =>
@@ -1057,6 +1111,10 @@ class LlmOperatorsSuite extends GraftFunSuite {
       // genuinely discriminates: without sync-time compaction the hot cell
       // partitions stack one delta per round and blow past 2 by round 3
       spark.conf.set("spark.graft.compaction.deltaFileMaxNum", "2")
+      // the soak verifies the INCREMENTAL path round after round — a
+      // churn-triggered rebuild mid-soak would reset the delta stacks and
+      // void the fan-in assertion
+      spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0")
       val t = graft.tables.GraftTable.forPath(spark, corpusDir)
       try (1 to 5).foreach { round =>
         // random batch of upserts (mix of updates and fresh ids) + deletes
@@ -1079,7 +1137,10 @@ class LlmOperatorsSuite extends GraftFunSuite {
           .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
         assert(got == want, s"round $round: index diverged from brute — " +
           s"missing ${want -- got}, extra ${got -- want}")
-      } finally spark.conf.unset("spark.graft.compaction.deltaFileMaxNum")
+      } finally {
+        spark.conf.unset("spark.graft.compaction.deltaFileMaxNum")
+        spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
+      }
       // sync-time compaction keeps the index tables' merge fan-in bounded:
       // without it every sync stacks one more delta file (plus death
       // warrants) onto each touched cell partition until the next full
@@ -1110,6 +1171,9 @@ class LlmOperatorsSuite extends GraftFunSuite {
       AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
         nCentroids = 5)
       val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      // this test's contract is NO full rebuild — the churn trigger would
+      // fire mid-soak and hand the re-stat path a free pass
+      spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0")
       (1 to 8).foreach { _ =>
         val ups = (0 until 4 + rndv.nextInt(6))
           .map(_ => (rndv.nextInt(140).toLong, vec())).distinctBy(_._1)
@@ -1167,6 +1231,7 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
       assert(got == want,
         s"churned index != brute: missing ${want -- got}, extra ${got -- want}")
+      spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
     }
   }
 
