@@ -30,7 +30,7 @@ object GraftProcedures {
 
   val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
     "rebucket", "clone", "create_mv", "refresh_mv", "drop_mv",
-    "apply_changes")
+    "apply_changes", "generate")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
@@ -40,6 +40,7 @@ object GraftProcedures {
     case "rebucket" => Some(RebucketProcedure)
     case "clone" => Some(CloneProcedure)
     case "apply_changes" => Some(ApplyChangesProcedure)
+    case "generate" => Some(GenerateProcedure)
     case "create_mv" => Some(CreateMvProcedure)
     case "refresh_mv" => Some(RefreshMvProcedure)
     case "drop_mv" => Some(DropMvProcedure)
@@ -186,6 +187,27 @@ object GraftProcedures {
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(dest)), v))))
+    }
+  }
+
+  object GenerateProcedure extends MaintenanceProcedure("generate",
+      "Export the current snapshot as symlink-format manifests for " +
+        "external engines (refuses merge-on-read state)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("mode", StringType)
+        .defaultValue("'symlink_format_manifest'").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = resolvePath(spark, str(input, 0).get)
+      val mode = str(input, 1).getOrElse("symlink_format_manifest")
+      require(mode == "symlink_format_manifest",
+        s"generate: unsupported mode '$mode'")
+      val n = graft.commands.GenerateCommand.run(spark, table)
+      one(resultScan(versionSchema,
+        Seq(InternalRow(UTF8String.fromString(
+          SnapshotManagement.normalize(table)), n))))
     }
   }
 

@@ -1003,7 +1003,8 @@ object CleanupCommand {
     // delete runs distributed — on an object store with millions of files
     // per partition the driver never enumerates data files (reference
     // parallelizes at cleanup.parallelism=200, `utils/FileOperation.scala`).
-    val skip = Set(graft.meta.FsMetaStore.LOG_DIR_NAME, "_graft_staging")
+    val skip = Set(graft.meta.FsMetaStore.LOG_DIR_NAME, "_graft_staging",
+      GenerateCommand.MANIFEST_DIR)
     val entries = fs.listStatus(root).toSeq
       .filterNot(st => skip.contains(st.getPath.getName))
     val (dirs, rootFiles) = entries.partition(_.isDirectory)

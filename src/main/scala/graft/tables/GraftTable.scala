@@ -196,6 +196,13 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def rebucket(newBucketNum: Int): Long =
     RebucketCommand.run(spark, path, newBucketNum)
 
+  /** Export the current snapshot as symlink-format manifests external
+    * engines can read without the graft log — refuses states (deltas,
+    * tombstones, DVs, merge operators) an external reader would
+    * misinterpret; see [[graft.commands.GenerateCommand]]. Returns the
+    * number of manifest files written. */
+  def generateManifest(): Long = GenerateCommand.run(spark, path)
+
   /** Rewind the table to `version` with one metadata-only commit (files
     * are re-referenced, not rewritten; lineage preserved — the restore is
     * itself a new commit). Fails if a needed file was vacuumed. Returns
