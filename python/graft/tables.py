@@ -228,6 +228,13 @@ class GraftTable(object):
             return self._jbridge.cloneDeep(self._jtable, destPath)
         return self._jbridge.cloneDeep(self._jtable, destPath, int(version))
 
+    def generateManifest(self):
+        """Export the current snapshot as symlink-format manifests for
+        external engines; refuses merge-on-read state (delta stacks, DVs,
+        tombstones, merge operators) with a compaction remedy. Returns
+        the number of manifest files written."""
+        return self._jbridge.generateManifest(self._jtable)
+
     def cloneToAtTimestamp(self, destPath, timestamp):
         """``cloneTo`` at the newest version committed at or before
         ``timestamp`` (same accepted forms as the ``timestampAsOf`` read

@@ -115,6 +115,9 @@ def main():
         check("cloneDeep",
               GraftTable.forPath(spark, dpath).toDF().count()
               == t.toDF().count() and local_parquet)
+        # deep clone is fully compacted -> manifest export is legal
+        check("generateManifest",
+              GraftTable.forPath(spark, dpath).generateManifest() >= 1)
 
         t.toDF().createOrReplaceTempView("pyt")
         snap_df = GraftTable.snapshotSql(

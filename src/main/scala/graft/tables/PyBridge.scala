@@ -96,6 +96,8 @@ object PyBridge {
   def cloneToAtTimestamp(t: GraftTable, destPath: String,
       timestamp: String): Long = t.cloneToAtTimestamp(destPath, timestamp)
 
+  def generateManifest(t: GraftTable): Long = t.generateManifest()
+
   def applyChanges(
       t: GraftTable, source: DataFrame, opColumn: String,
       sequenceColumns: java.util.List[String],
