@@ -139,6 +139,52 @@ class GraftTable private (spark: SparkSession, val path: String) {
       .start()
   }
 
+  /** Continuous TABLE-TO-TABLE REPLICATION: tail THIS table's change-data
+    * feed and apply every microbatch into the PK table at `destPath`
+    * through [[applyChanges]] — the disaster-recovery / downstream-copy
+    * primitive, composed from parts that already carry their own
+    * guarantees. Update pre-images are dropped (the post-image is the
+    * authoritative row), `_commit_version` orders multiple changes to one
+    * key inside a microbatch (a PK table changes a key at most once per
+    * commit, so the version is a total per-key order), deletes replicate
+    * as tombstones, and each microbatch lands as one atomic commit —
+    * exactly-once under restarts for the same reason
+    * [[applyChangesStream]] is. The replica must exist with a compatible
+    * PK layout (fork it with [[cloneTo]] for an instant initial copy, or
+    * write an empty PK table to replicate from scratch). Lag is the
+    * trigger interval; cost per firing is ∝ changes. */
+  def replicateTo(
+      destPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val session = spark
+    val dest = graft.meta.SnapshotManagement.normalize(destPath)
+    require(graft.meta.SnapshotManagement.exists(dest),
+      s"replication target $destPath does not exist — clone or create it " +
+      "first (cloneTo gives an instant zero-copy initial state)")
+    val cdf = session.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(path)
+      .filter(col(ChangeFeed.CHANGE_TYPE) =!= "update_preimage")
+    val tablePath = dest
+    cdf.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ApplyChangesCommand.run(session, tablePath,
+            batch.drop("_commit_timestamp"),
+            opCol = ChangeFeed.CHANGE_TYPE,
+            sequenceCols = Seq("_commit_version"),
+            deleteOps = Seq("delete"))
+        }
+      }
+      .trigger(trigger)
+      .queryName(s"graft-replicate-$path")
+      .start()
+  }
+
   def update(condition: Column, set: Map[String, Column]): Unit =
     UpdateCommand.run(spark, path, condition, set)
 

@@ -334,6 +334,37 @@ class TableApiSuite extends GraftFunSuite {
     }
   }
 
+  test("replicateTo: a cloned replica follows the source through upserts " +
+      "and deletes via the CDF stream") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val dest = scratch + "/replica"
+      (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest) // instant zero-copy initial state
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      try {
+        t.upsert(Seq((1L, "A"), (31L, "new")).toDF("id", "v"))
+        t.delete(col("id") === 2L)
+        t.upsert(Seq((1L, "A2")).toDF("id", "v")) // same key, later commit
+        q.processAllAvailable()
+        def state(p: String) = spark.read.format("graft").load(p)
+          .as[(Long, String)].collect().toMap
+        assert(state(dest) == state(src),
+          s"replica diverged:\n src ${state(src)}\n dst ${state(dest)}")
+        // replica keeps following
+        t.delete(col("id") === 31L)
+        q.processAllAvailable()
+        assert(state(dest) == state(src))
+      } finally q.stop()
+    } }
+  }
+
   test("applyChanges fuzz: random change batches == naive per-key fold") {
     withTempTable { dir =>
       import org.apache.spark.sql.functions._
