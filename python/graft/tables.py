@@ -228,6 +228,15 @@ class GraftTable(object):
             return self._jbridge.cloneDeep(self._jtable, destPath)
         return self._jbridge.cloneDeep(self._jtable, destPath, int(version))
 
+    def replicateTo(self, destPath, checkpointDir):
+        """Continuous table-to-table replication: tail this table's
+        change feed and apply each microbatch into the PK replica at
+        ``destPath`` as one atomic commit (exactly-once under restarts).
+        Returns the pyspark StreamingQuery; stop it to stop replication."""
+        from pyspark.sql.streaming import StreamingQuery
+        return StreamingQuery(self._jbridge.replicateTo(
+            self._jtable, destPath, checkpointDir))
+
     def generateManifest(self):
         """Export the current snapshot as symlink-format manifests for
         external engines; refuses merge-on-read state (delta stacks, DVs,

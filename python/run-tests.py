@@ -119,6 +119,20 @@ def main():
         check("generateManifest",
               GraftTable.forPath(spark, dpath).generateManifest() >= 1)
 
+        rpath = os.path.join(tmp, "replica")
+        rck = os.path.join(tmp, "replica_ck")
+        t.cloneTo(rpath)
+        rq = t.replicateTo(rpath, rck)
+        try:
+            t.upsert(spark.createDataFrame([(41, 41)], "id long, v long"))
+            rq.processAllAvailable()
+            check("replicateTo",
+                  GraftTable.forPath(spark, rpath).toDF().count()
+                  == t.toDF().count())
+        finally:
+            rq.stop()
+        t.delete("id = 41")  # restore the shared fixture's row count
+
         t.toDF().createOrReplaceTempView("pyt")
         snap_df = GraftTable.snapshotSql(
             spark, "SELECT count(*) AS c FROM pyt")

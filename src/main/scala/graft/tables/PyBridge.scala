@@ -98,6 +98,10 @@ object PyBridge {
 
   def generateManifest(t: GraftTable): Long = t.generateManifest()
 
+  def replicateTo(t: GraftTable, destPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    t.replicateTo(destPath, checkpointDir)
+
   def applyChanges(
       t: GraftTable, source: DataFrame, opColumn: String,
       sequenceColumns: java.util.List[String],

@@ -361,6 +361,18 @@ class TableApiSuite extends GraftFunSuite {
         t.delete(col("id") === 31L)
         q.processAllAvailable()
         assert(state(dest) == state(src))
+
+        // RESTART from the same checkpoint: no replays double-apply, no
+        // window is skipped — the exactly-once claim
+        q.stop()
+        t.upsert(Seq((5L, "after-restart")).toDF("id", "v"))
+        t.delete(col("id") === 6L)
+        val q2 = t.replicateTo(dest, ckpt)
+        try {
+          q2.processAllAvailable()
+          assert(state(dest) == state(src),
+            s"post-restart divergence:\n src ${state(src)}\n dst ${state(dest)}")
+        } finally q2.stop()
       } finally q.stop()
     } }
   }
