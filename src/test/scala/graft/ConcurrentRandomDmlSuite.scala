@@ -113,6 +113,20 @@ class ConcurrentRandomDmlSuite extends GraftFunSuite {
                   // the old layout must conflict cleanly (layout guard),
                   // never land mis-bucketed files
                   GraftTable.forPath(spark, dir).rebucket(1 + rnd.nextInt(4))
+                case 4 if i % 4 == 3 => // CDC APPLY racing the writers: a
+                  // multi-change-per-key batch folds to winner-per-key
+                  // images + tombstones in ONE delta commit — shaped
+                  // exactly like an upsert to the replay model
+                  val ks = (0 until 1 + rnd.nextInt(3))
+                    .map(_ => rnd.nextInt(20).toLong).distinct
+                  val changes = ks.flatMap(k => Seq(
+                    (k, s"a$t-$i-1", t * 1000 + i, "u", 1L),
+                    if (rnd.nextBoolean())
+                      (k, s"a$t-$i-2", t * 1000 + i, "u", 2L)
+                    else (k, null: String, 0, "d", 2L)))
+                  GraftTable.forPath(spark, dir).applyChanges(
+                    changes.toDF("id", "v", "n", "op", "seq"),
+                    "op", Seq("seq"))
                 case _ => // rewrite racing the writers
                   GraftTable.forPath(spark, dir).compaction(force = true)
               }
