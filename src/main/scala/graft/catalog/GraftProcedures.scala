@@ -205,7 +205,12 @@ object GraftProcedures {
       require(mode == "symlink_format_manifest",
         s"generate: unsupported mode '$mode'")
       val n = graft.commands.GenerateCommand.run(spark, table)
-      one(resultScan(versionSchema,
+      // dedicated schema: the count of manifests written is NOT a table
+      // version, and every other procedure's `version` column is one
+      val schema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("manifests_written", LongType, nullable = false)))
+      one(resultScan(schema,
         Seq(InternalRow(UTF8String.fromString(
           SnapshotManagement.normalize(table)), n))))
     }

@@ -53,11 +53,17 @@ object GenerateCommand {
       "un-combined values — materialize via compaction with the operators " +
       "first")
     val root = Paths.get(path, MANIFEST_DIR)
-    graft.write.TransactionalWrite.deleteRecursively(root)
     val byPartition = snapshot.files.groupBy(f =>
       info.rangeColumns.map(c =>
-        s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}"))
+        s"${escape(c)}=${f.partitionValues.get(c).map(escape)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")}"))
+    // write the NEW manifests first (per-file temp + atomic move), THEN
+    // drop stale partition directories: a concurrent external reader sees,
+    // per partition, the old manifest or the new one — never a globally
+    // empty manifest tree (a delete-everything-first regeneration would
+    // read as an empty table mid-swap)
     var written = 0L
+    val fresh = scala.collection.mutable.Set.empty[java.nio.file.Path]
     byPartition.toSeq.sortBy(_._1.mkString("/")).foreach {
       case (dirs, files) =>
         val dir = dirs.foldLeft(root)(_.resolve(_))
@@ -65,15 +71,42 @@ object GenerateCommand {
         val lines = files.map(f =>
             "file://" + DataFileInfo.resolve(path, f.path))
           .sorted.mkString("", "\n", "\n")
-        // temp + atomic move: a concurrent external reader sees the old
-        // manifest or the new one, never a truncated line
         val tmp = Files.createTempFile(dir, ".manifest", ".tmp")
         Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, dir.resolve("manifest"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        fresh += dir.toAbsolutePath.normalize
         written += 1
     }
+    if (Files.isDirectory(root)) {
+      val stale = Files.walk(root).iterator()
+      val toDrop = Seq.newBuilder[java.nio.file.Path]
+      stale.forEachRemaining { p =>
+        if (p.getFileName.toString == "manifest" &&
+            !fresh.contains(p.getParent.toAbsolutePath.normalize))
+          toDrop += p.getParent
+      }
+      toDrop.result().foreach(d =>
+        graft.write.TransactionalWrite.deleteRecursively(d))
+    }
     written
+  }
+
+  /** Hive-style partition-path escaping: percent-encode every character
+    * Hive deems unsafe in a partition directory name (separators, quoting,
+    * wildcards, control chars) so values like `a/b`, `..` or `x=y` cannot
+    * corrupt the manifest layout or escape its root. */
+  private[commands] def escape(v: String): String = {
+    val unsafe = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c < 0x20 || unsafe.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    val s = sb.toString
+    // a bare '.'/'..' path segment would resolve upward/in-place
+    if (s == "." || s == "..") s.replace(".", "%2E") else s
   }
 }

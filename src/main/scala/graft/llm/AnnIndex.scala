@@ -118,11 +118,12 @@ object AnnIndex {
     val normCorpus = SnapshotManagement.normalize(corpusPath)
     val normIdx = SnapshotManagement.normalize(indexPath)
     val current = SnapshotManagement.snapshot(normCorpus).version
-    val last = SyncSidecar.readValidated(normIdx, SYNC_FILE, normCorpus,
-      current)
+    // one sidecar read: synced version + cumulative ids touched since the
+    // last FULL build (a build resets the counter)
+    val (last, prevChurn) = SyncSidecar.readValidatedWithChurn(
+      normIdx, SYNC_FILE, normCorpus, current)
     val corpusNow = spark.read.format("graft").load(corpusPath)
-    // cumulative ids touched since the last FULL build; a build resets it
-    var churnOut = SyncSidecar.readChurn(normIdx, SYNC_FILE)
+    var churnOut = prevChurn
     if (last < 0 || !SnapshotManagement.exists(assignPath(indexPath))) {
       churnOut = 0L
       // no sidecar (first sync) OR a pre-assign-table index layout: both
@@ -146,17 +147,23 @@ object AnnIndex {
         val churnFrac = spark.conf
           .getOption("spark.graft.ann.index.rebuildChurnFraction")
           .map(_.toDouble).getOrElse(0.5)
-        val newChurn = churnOut + touched.count()
-        val liveSize = math.max(1L,
-          spark.read.format("graft").load(statsPath(indexPath))
-            .agg(sum(col("cnt"))).collect().head.getLong(0))
-        if (churnFrac > 0 && newChurn >= churnFrac * liveSize) {
-          build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
-            hashBucketNum)
-          SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L)
-          return current
+        // disabled (0) skips ALL bookkeeping — no touched.count() job, no
+        // stats scan — the hot sync path pays nothing for an off feature
+        if (churnFrac > 0) {
+          val newChurn = churnOut + touched.count()
+          val sumRow = spark.read.format("graft").load(statsPath(indexPath))
+            .agg(sum(col("cnt"))).collect().head
+          // sum over zero rows is NULL (index built from an empty corpus)
+          val liveSize = math.max(1L,
+            if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0))
+          if (newChurn >= churnFrac * liveSize) {
+            build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
+              hashBucketNum)
+            SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L)
+            return current
+          }
+          churnOut = newChurn
         }
-        churnOut = newChurn
         val cents = spark.read.format("graft")
           .load(centroidsPath(indexPath)).transform(Checkpoints.stabilize)
         val live = corpusNow.join(broadcast(touched), Seq(idCol), "left_semi")

@@ -25,9 +25,16 @@ private[llm] object SyncSidecar {
     * sidecar exists (first sync = full build). */
   def readValidated(
       indexDir: String, fileName: String, sourcePath: String,
-      currentVersion: Long): Long = {
+      currentVersion: Long): Long =
+    readValidatedWithChurn(indexDir, fileName, sourcePath, currentVersion)._1
+
+  /** [[readValidated]] plus the churn counter, from ONE file read/parse
+    * (churn is 0 for sidecars predating the counter). */
+  def readValidatedWithChurn(
+      indexDir: String, fileName: String, sourcePath: String,
+      currentVersion: Long): (Long, Long) = {
     val p = Paths.get(indexDir, fileName)
-    if (!Files.exists(p)) return -1L
+    if (!Files.exists(p)) return (-1L, 0L)
     val m = try {
       org.json4s.jackson.Serialization.read[Meta](
         new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
@@ -47,18 +54,7 @@ private[llm] object SyncSidecar {
       s"source table $sourcePath is at v$currentVersion but the index at " +
       s"$indexDir reflects v${m.version} — the table history was rewound " +
       "(restore/recreate); delete the index and rebuild")
-    m.version
-  }
-
-  /** Cumulative ids touched since the last FULL build (used by churn
-    * triggered rebuilds); 0 when absent (pre-churn sidecars). */
-  def readChurn(indexDir: String, fileName: String): Long = {
-    val p = Paths.get(indexDir, fileName)
-    if (!Files.exists(p)) return 0L
-    try org.json4s.jackson.Serialization.read[Meta](
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .churn.getOrElse(0L)
-    catch { case _: Exception => 0L } // readValidated owns the loud path
+    (m.version, m.churn.getOrElse(0L))
   }
 
   def write(

@@ -158,16 +158,40 @@ class GraftTable private (spark: SparkSession, val path: String) {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, when}
     val session = spark
     val dest = graft.meta.SnapshotManagement.normalize(destPath)
     require(graft.meta.SnapshotManagement.exists(dest),
       s"replication target $destPath does not exist — clone or create it " +
       "first (cloneTo gives an instant zero-copy initial state)")
-    val cdf = session.readStream.format("graft")
+    // a replica CLONED from this table already holds its state as of the
+    // clone's source version: start the feed right after it, so the first
+    // firing costs ∝ changes (not a full-snapshot replay) AND no
+    // clone-window delete is skipped by the initial-snapshot pin. A
+    // non-clone replica (empty table) takes the full snapshot.
+    val destConf = graft.meta.SnapshotManagement.snapshot(dest)
+      .tableInfo.configuration
+    def conf(k: String): Option[String] =
+      destConf.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    val startFrom: Option[Long] =
+      if (conf("graft.clone.sourcePath")
+          .contains(graft.meta.SnapshotManagement.normalize(path)))
+        conf("graft.clone.sourceVersion").map(_.toLong + 1)
+      else None
+    val reader = session.readStream.format("graft")
       .option("readChangeFeed", "true")
+    val cdf = startFrom.fold(reader)(v =>
+        reader.option("startingVersion", v.toString))
       .load(path)
       .filter(col(ChangeFeed.CHANGE_TYPE) =!= "update_preimage")
+      // an OVERWRITE commit emits delete (pre-state) + insert (new rows)
+      // at ONE version; applyChanges breaks pure sequence ties
+      // deletes-win, which would purge every surviving key from the
+      // replica. A second sequence column ordering inserts ABOVE deletes
+      // within a version makes the overwrite fold correctly: surviving
+      // keys keep their new image, keys only deleted still tombstone.
+      .withColumn("__graft_seq2",
+        when(col(ChangeFeed.CHANGE_TYPE) === "delete", lit(0)).otherwise(lit(1)))
     val tablePath = dest
     cdf.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -176,7 +200,7 @@ class GraftTable private (spark: SparkSession, val path: String) {
           ApplyChangesCommand.run(session, tablePath,
             batch.drop("_commit_timestamp"),
             opCol = ChangeFeed.CHANGE_TYPE,
-            sequenceCols = Seq("_commit_version"),
+            sequenceCols = Seq("_commit_version", "__graft_seq2"),
             deleteOps = Seq("delete"))
         }
       }

@@ -91,6 +91,31 @@ class GenerateManifestSuite extends GraftFunSuite {
     }
   }
 
+  test("hostile partition values escape into flat directory names: no " +
+      "traversal, no nesting, external read intact") {
+    withTempTable { dir =>
+      Seq((1L, "a/b", 1L), (2L, "..", 2L), (3L, "x=y", 3L), (4L, "ok", 4L))
+        .toDF("id", "part", "v").write.format("graft")
+        .option("rangePartitions", "part").save(dir)
+      val n = GraftTable.forPath(spark, dir).generateManifest()
+      assert(n == 4)
+      val root = Paths.get(dir, GenerateCommand.MANIFEST_DIR)
+      // every manifest sits exactly ONE level below the root: a raw '/'
+      // or '..' value would nest or escape
+      val dirs = Files.list(root).iterator().asScala.toSeq
+      assert(dirs.size == 4, dirs.map(_.getFileName))
+      dirs.foreach { d =>
+        assert(Files.isRegularFile(d.resolve("manifest")),
+          s"expected $d/manifest")
+        assert(d.toAbsolutePath.normalize.startsWith(
+          root.toAbsolutePath.normalize))
+      }
+      val external = spark.read.parquet(
+        manifestFiles(dir).map(_.stripPrefix("file://")): _*)
+      assert(external.count() == 4)
+    }
+  }
+
   test("CALL system.generate; vacuum leaves manifests alone") {
     withTempTable { dir =>
       Seq((1L, "x")).toDF("id", "v").write.format("graft").save(dir)

@@ -1174,6 +1174,7 @@ class LlmOperatorsSuite extends GraftFunSuite {
       // this test's contract is NO full rebuild — the churn trigger would
       // fire mid-soak and hand the re-stat path a free pass
       spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0")
+      try {
       (1 to 8).foreach { _ =>
         val ups = (0 until 4 + rndv.nextInt(6))
           .map(_ => (rndv.nextInt(140).toLong, vec())).distinctBy(_._1)
@@ -1231,7 +1232,7 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
       assert(got == want,
         s"churned index != brute: missing ${want -- got}, extra ${got -- want}")
-      spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
+      } finally spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
     }
   }
 

@@ -349,6 +349,12 @@ class TableApiSuite extends GraftFunSuite {
         .createTempDirectory("repl_ck_").toString
       val q = t.replicateTo(dest, ckpt)
       try {
+        // cloned replica: the stream starts AFTER the clone's source
+        // version — no full-snapshot replay lands on the replica
+        q.processAllAvailable()
+        assert(graft.meta.SnapshotManagement.snapshot(
+            graft.meta.SnapshotManagement.normalize(dest)).version == 0L,
+          "an idle clone-fed replica must not receive a snapshot replay")
         t.upsert(Seq((1L, "A"), (31L, "new")).toDF("id", "v"))
         t.delete(col("id") === 2L)
         t.upsert(Seq((1L, "A2")).toDF("id", "v")) // same key, later commit
@@ -361,6 +367,17 @@ class TableApiSuite extends GraftFunSuite {
         t.delete(col("id") === 31L)
         q.processAllAvailable()
         assert(state(dest) == state(src))
+
+        // OVERWRITE on the source: CDF emits delete(pre-state) +
+        // insert(new) at ONE version; surviving keys must keep their new
+        // image in the replica (the insert outranks the same-version
+        // delete), removed keys must tombstone
+        (1L to 10L).map(i => (i, s"ow$i")).toDF("id", "v")
+          .write.format("graft").mode("overwrite").save(src)
+        q.processAllAvailable()
+        assert(state(dest) == state(src),
+          s"overwrite diverged:\n src ${state(src)}\n dst ${state(dest)}")
+        assert(state(dest).size == 10 && state(dest)(3L) == "ow3")
 
         // RESTART from the same checkpoint: no replays double-apply, no
         // window is skipped — the exactly-once claim
