@@ -394,6 +394,49 @@ class TableApiSuite extends GraftFunSuite {
     } }
   }
 
+  test("replicateTo soak: randomized upserts/deletes/overwrites/" +
+      "compactions/rebuckets — replica equals source after every round") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val dest = scratch + "/replica"
+      val rnd = new scala.util.Random(83)
+      (1L to 40L).map(i => (i, i)).toDF("id", "n")
+        .write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_soak_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      def state(p: String) = spark.read.format("graft").load(p)
+        .as[(Long, Long)].collect().toMap
+      try {
+        (1 to 8).foreach { round =>
+          rnd.nextInt(6) match {
+            case 0 | 1 =>
+              t.upsert((0 until 1 + rnd.nextInt(4))
+                .map(_ => (1L + rnd.nextInt(60), rnd.nextInt(500).toLong))
+                .distinctBy(_._1).toDF("id", "n"))
+            case 2 =>
+              t.delete(col("id") === (1L + rnd.nextInt(60)))
+            case 3 => // full overwrite: delete+insert ties per key
+              (1L to (20L + rnd.nextInt(20)))
+                .map(i => (i, round * 1000L + i)).toDF("id", "n")
+                .write.format("graft").mode("overwrite").save(src)
+            case 4 => // rewrite: must be INVISIBLE to the feed
+              t.compaction(force = true)
+            case _ => // layout change: also invisible row-wise
+              t.rebucket(1 + rnd.nextInt(4))
+          }
+          q.processAllAvailable()
+          assert(state(dest) == state(src),
+            s"round $round diverged:\n src ${state(src)}\n dst ${state(dest)}")
+        }
+      } finally q.stop()
+    } }
+  }
+
   test("applyChanges fuzz: random change batches == naive per-key fold") {
     withTempTable { dir =>
       import org.apache.spark.sql.functions._
