@@ -93,6 +93,22 @@ object GenerateCommand {
     written
   }
 
+  /** CONTINUOUS manifest maintenance: tail the table's change feed and
+    * regenerate the manifests once per microbatch (the auto-manifest mode
+    * Delta gates behind a table property, as an explicit stream here).
+    * Works for base-file tables (appends, overwrites, DV-free deletes);
+    * a table drifting into merge-on-read state fails the stream loudly
+    * through [[run]]'s refusals rather than exporting wrong data. */
+  def maintainStream(
+      spark: SparkSession, tablePath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.ContinuousSync.tail(spark, tablePath, tablePath,
+      checkpointDir, trigger, "manifest") {
+      run(spark, tablePath); ()
+    }
+
   /** Hive-style partition-path escaping: percent-encode every character
     * Hive deems unsafe in a partition directory name (separators, quoting,
     * wildcards, control chars) so values like `a/b`, `..` or `x=y` cannot

@@ -116,6 +116,25 @@ class GenerateManifestSuite extends GraftFunSuite {
     }
   }
 
+  test("continuous manifest maintenance follows appends via the CDF tail") {
+    withTempTable { dir =>
+      Seq((1L, "a")).toDF("id", "v").write.format("graft").save(dir)
+      GraftTable.forPath(spark, dir).generateManifest()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("gen_ck_").toString
+      val q = GenerateCommand.maintainStream(spark, dir, ckpt)
+      try {
+        Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+          .write.format("graft").mode("append").save(dir)
+        q.processAllAvailable()
+        val external = spark.read.parquet(
+          manifestFiles(dir).map(_.stripPrefix("file://")): _*)
+        assert(external.count() == 3,
+          "manifest must follow the append without a manual generate")
+      } finally q.stop()
+    }
+  }
+
   test("CALL system.generate; vacuum leaves manifests alone") {
     withTempTable { dir =>
       Seq((1L, "x")).toDF("id", "v").write.format("graft").save(dir)

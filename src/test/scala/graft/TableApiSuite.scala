@@ -394,6 +394,36 @@ class TableApiSuite extends GraftFunSuite {
     } }
   }
 
+  test("chained replication A -> B -> C: the tail replica follows the " +
+      "head through B's apply commits") {
+    withTempTable { a => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val b = scratch + "/b"; val c = scratch + "/c"
+      (1L to 20L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(a)
+      val ta = GraftTable.forPath(spark, a)
+      ta.cloneTo(b)
+      GraftTable.forPath(spark, b).cloneTo(c)
+      val ck1 = java.nio.file.Files
+        .createTempDirectory("chain_ck1_").toString
+      val ck2 = java.nio.file.Files
+        .createTempDirectory("chain_ck2_").toString
+      val q1 = ta.replicateTo(b, ck1)
+      val q2 = GraftTable.forPath(spark, b).replicateTo(c, ck2)
+      def state(p: String) = spark.read.format("graft").load(p)
+        .as[(Long, Long)].collect().toMap
+      try {
+        ta.upsert(Seq((1L, 100L), (21L, 21L)).toDF("id", "n"))
+        ta.delete(col("id") === 2L)
+        q1.processAllAvailable() // A's changes land in B as apply commits
+        q2.processAllAvailable() // B's apply commits stream on to C
+        assert(state(b) == state(a), "B diverged from A")
+        assert(state(c) == state(a), "C diverged through the chain")
+      } finally { q1.stop(); q2.stop() }
+    } }
+  }
+
   test("replicateTo soak: randomized upserts/deletes/overwrites/" +
       "compactions/rebuckets — replica equals source after every round") {
     withTempTable { src => withTempTable { scratch =>
