@@ -216,7 +216,8 @@ object ApplyChangesCommand {
       source: DataFrame,
       opCol: String,
       sequenceCols: Seq[String] = Nil,
-      deleteOps: Seq[String] = Seq("delete", "d")): Unit = {
+      deleteOps: Seq[String] = Seq("delete", "d"),
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.expressions.Window
     val path = SnapshotManagement.normalize(tablePath)
     SnapshotManagement.withRewriteTransaction(path) { txn =>
@@ -276,7 +277,7 @@ object ApplyChangesCommand {
         .select(pk.map(c => col(s"`$c`")) :+
           lit(true).as(graft.meta.Tombstones.COL): _*)
       val delta = live.unionByName(tomb, allowMissingColumns = true)
-      UpsertCommand.runDeltaIn(spark, path, delta, Map.empty, txn)
+      UpsertCommand.runDeltaIn(spark, path, delta, writeOptions, txn)
     }
     if (spark.conf.getOption("spark.graft.compaction.auto")
         .exists(_.toBoolean)) {

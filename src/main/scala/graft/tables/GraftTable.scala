@@ -193,15 +193,34 @@ class GraftTable private (spark: SparkSession, val path: String) {
       .withColumn("__graft_seq2",
         when(col(ChangeFeed.CHANGE_TYPE) === "delete", lit(0)).otherwise(lit(1)))
     val tablePath = dest
+    val srcNorm = graft.meta.SnapshotManagement.normalize(path)
     cdf.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // a streaming source PINS its schema at start: a source table
+          // that gained a column mid-stream would replicate with that
+          // column silently DROPPED (verified: the rows land, the new
+          // column vanishes). Fail the batch loudly instead — same
+          // restart-on-schema-change contract Delta's streams have.
+          val seen = batch.columns.map(_.toLowerCase).toSet
+          val nowCols = graft.meta.SnapshotManagement.snapshot(srcNorm)
+            .tableInfo.schema.fieldNames.toSeq
+          val unseen = nowCols.filterNot(c => seen.contains(c.toLowerCase))
+          if (unseen.nonEmpty) throw new IllegalStateException(
+            s"replication source $srcNorm gained column(s) " +
+            s"[${unseen.mkString(", ")}] after the stream started; " +
+            "restart replicateTo (same checkpoint) to pick up the new " +
+            "schema — continuing would silently drop them from the replica")
+          // mergeSchema: after a schema-change restart the replayed
+          // window carries the source's NEW columns — the replica must
+          // follow, not reject the batch
           ApplyChangesCommand.run(session, tablePath,
             batch.drop("_commit_timestamp"),
             opCol = ChangeFeed.CHANGE_TYPE,
             sequenceCols = Seq("_commit_version", "__graft_seq2"),
-            deleteOps = Seq("delete"))
+            deleteOps = Seq("delete"),
+            writeOptions = Map(WriteIntoTable.MERGE_SCHEMA -> "true"))
         }
       }
       .trigger(trigger)

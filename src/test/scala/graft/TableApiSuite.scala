@@ -394,6 +394,45 @@ class TableApiSuite extends GraftFunSuite {
     } }
   }
 
+  test("replication under source schema evolution: the stream fails " +
+      "LOUDLY (never silently drops the new column) and a restart " +
+      "evolves the replica") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val dest = scratch + "/replica"
+      Seq((1L, "a")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_evo_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      try {
+        spark.conf.set("spark.graft.schema.autoMerge.enabled", "true")
+        t.upsert(Seq((2L, "b", 7L)).toDF("id", "v", "extra"))
+        val e = intercept[Exception] { q.processAllAvailable() }
+        assert(e.getMessage.contains("extra") ||
+          Option(e.getCause).exists(_.getMessage.contains("extra")),
+          s"schema change must fail naming the column: ${e.getMessage}")
+      } finally {
+        spark.conf.unset("spark.graft.schema.autoMerge.enabled")
+        q.stop()
+      }
+      // restart on the SAME checkpoint: the replayed window carries the
+      // new column and the replica evolves to match
+      val q2 = t.replicateTo(dest, ckpt)
+      try {
+        q2.processAllAvailable()
+        val d = spark.read.format("graft").load(dest)
+        assert(d.columns.map(_.toLowerCase).contains("extra"),
+          s"replica must gain the column: ${d.columns.mkString(",")}")
+        assert(d.filter(col("id") === 2L).select("extra")
+          .as[Long].head() == 7L)
+      } finally q2.stop()
+    } }
+  }
+
   test("chained replication A -> B -> C: the tail replica follows the " +
       "head through B's apply commits") {
     withTempTable { a => withTempTable { scratch =>
