@@ -33,6 +33,17 @@ object GenerateCommand {
 
   /** Write the manifests; returns the number of manifest files written. */
   def run(spark: SparkSession, tablePath: String): Long = {
+    // Manifests are written with local-filesystem APIs (java.nio) — the
+    // external-reader contract is "files next to the table". Under an
+    // object-store MetaStore the table's data does NOT live on this
+    // driver's disk, so writing manifests locally would silently export
+    // nothing anyone can read. Fail loudly instead of landing manifests
+    // on the wrong medium.
+    require(SnapshotManagement.store.isInstanceOf[graft.meta.FsMetaStore],
+      "GENERATE symlink_format_manifest requires the filesystem MetaStore " +
+      s"(found ${SnapshotManagement.store.getClass.getSimpleName}); for " +
+      "object-store deployments, export manifests through the store's own " +
+      "filesystem layer")
     val path = SnapshotManagement.normalize(tablePath)
     val snapshot = SnapshotManagement.snapshot(path)
     val info = snapshot.tableInfo
@@ -80,13 +91,18 @@ object GenerateCommand {
         written += 1
     }
     if (Files.isDirectory(root)) {
-      val stale = Files.walk(root).iterator()
+      // Files.walk holds directory handles until closed; maintainStream
+      // regenerates every microbatch, so an unclosed stream leaks handles
+      // without bound
+      val walk = Files.walk(root)
       val toDrop = Seq.newBuilder[java.nio.file.Path]
-      stale.forEachRemaining { p =>
-        if (p.getFileName.toString == "manifest" &&
-            !fresh.contains(p.getParent.toAbsolutePath.normalize))
-          toDrop += p.getParent
-      }
+      try {
+        walk.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString == "manifest" &&
+              !fresh.contains(p.getParent.toAbsolutePath.normalize))
+            toDrop += p.getParent
+        }
+      } finally walk.close()
       toDrop.result().foreach(d =>
         graft.write.TransactionalWrite.deleteRecursively(d))
     }

@@ -117,6 +117,22 @@ object Curation {
       budgets: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "tokenBudgetMix: budgets must be non-empty")
+    // the driver cumsum and the budget comparison are Long arithmetic: a
+    // fractional weight column would make sum() return double/decimal and
+    // the getLong below would throw an opaque ClassCastException mid-job.
+    // Token counts are integral by nature — require it up front.
+    df.schema.find(f =>
+        df.sparkSession.sessionState.conf.resolver(f.name, weightCol))
+      .map(_.dataType).foreach {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"tokenBudgetMix: weight column '$weightCol' must be integral " +
+          s"(token counts), found ${dt.simpleString} — cast it to bigint " +
+          "before calling")
+      }
     val hash = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("bigint")
     val bucket = pmod(hash, lit(10000L))
@@ -127,7 +143,7 @@ object Curation {
       .withColumn("__h", hash).withColumn("__bk", bucket)
     // (1) distributed per-(domain, bucket) sums; (2) tiny driver cumsum
     val perBucket = inScope.groupBy(col(domainCol).as("__dom"), col("__bk"))
-      .agg(sum(col(weightCol)).as("__w"))
+      .agg(sum(col(weightCol)).cast("long").as("__w"))
       .collect()
     val byDom = perBucket.groupBy(_.getString(0))
     // per domain: (crossing bucket, weight spent before it); a domain whose

@@ -14,11 +14,24 @@ import java.nio.file.{Files, Paths}
   * rows and the feed window no longer describe the same history — applying
   * deltas would corrupt silently. Both fail loudly with a rebuild hint.
   */
-private[llm] object SyncSidecar {
+private[graft] object SyncSidecar {
   implicit private val formats: org.json4s.Formats = org.json4s.DefaultFormats
 
   private case class Meta(sourcePath: String, version: Long,
       churn: Option[Long] = None)
+
+  /** UNVALIDATED sidecar read: (sourcePath, version), None when absent or
+    * unreadable. For STATUS probes (e.g. replication lag) that must not
+    * throw — writers go through [[readValidatedWithChurn]]. */
+  def readMeta(indexDir: String, fileName: String): Option[(String, Long)] = {
+    val p = Paths.get(indexDir, fileName)
+    if (!Files.exists(p)) return None
+    try {
+      val m = org.json4s.jackson.Serialization.read[Meta](
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      Some((m.sourcePath, m.version))
+    } catch { case _: Exception => None }
+  }
 
   /** Last synced version, after validating the sidecar matches
     * `sourcePath` and `currentVersion` has not gone backwards. -1 when no

@@ -156,76 +156,112 @@ class GraftTable private (spark: SparkSession, val path: String) {
   def replicateTo(
       destPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      selfHealSchemaEvolution: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, lit, max, when}
     val session = spark
     val dest = graft.meta.SnapshotManagement.normalize(destPath)
     require(graft.meta.SnapshotManagement.exists(dest),
       s"replication target $destPath does not exist — clone or create it " +
       "first (cloneTo gives an instant zero-copy initial state)")
-    // a replica CLONED from this table already holds its state as of the
-    // clone's source version: start the feed right after it, so the first
-    // firing costs ∝ changes (not a full-snapshot replay) AND no
-    // clone-window delete is skipped by the initial-snapshot pin. A
-    // non-clone replica (empty table) takes the full snapshot.
-    val destConf = graft.meta.SnapshotManagement.snapshot(dest)
-      .tableInfo.configuration
-    def conf(k: String): Option[String] =
-      destConf.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
-    val startFrom: Option[Long] =
-      if (conf("graft.clone.sourcePath")
-          .contains(graft.meta.SnapshotManagement.normalize(path)))
-        conf("graft.clone.sourceVersion").map(_.toLong + 1)
-      else None
-    val reader = session.readStream.format("graft")
-      .option("readChangeFeed", "true")
-    val cdf = startFrom.fold(reader)(v =>
-        reader.option("startingVersion", v.toString))
-      .load(path)
-      .filter(col(ChangeFeed.CHANGE_TYPE) =!= "update_preimage")
-      // an OVERWRITE commit emits delete (pre-state) + insert (new rows)
-      // at ONE version; applyChanges breaks pure sequence ties
-      // deletes-win, which would purge every surviving key from the
-      // replica. A second sequence column ordering inserts ABOVE deletes
-      // within a version makes the overwrite fold correctly: surviving
-      // keys keep their new image, keys only deleted still tombstone.
-      .withColumn("__graft_seq2",
-        when(col(ChangeFeed.CHANGE_TYPE) === "delete", lit(0)).otherwise(lit(1)))
     val tablePath = dest
     val srcNorm = graft.meta.SnapshotManagement.normalize(path)
-    cdf.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // a streaming source PINS its schema at start: a source table
-          // that gained a column mid-stream would replicate with that
-          // column silently DROPPED (verified: the rows land, the new
-          // column vanishes). Fail the batch loudly instead — same
-          // restart-on-schema-change contract Delta's streams have.
-          val seen = batch.columns.map(_.toLowerCase).toSet
-          val nowCols = graft.meta.SnapshotManagement.snapshot(srcNorm)
-            .tableInfo.schema.fieldNames.toSeq
-          val unseen = nowCols.filterNot(c => seen.contains(c.toLowerCase))
-          if (unseen.nonEmpty) throw new IllegalStateException(
-            s"replication source $srcNorm gained column(s) " +
-            s"[${unseen.mkString(", ")}] after the stream started; " +
-            "restart replicateTo (same checkpoint) to pick up the new " +
-            "schema — continuing would silently drop them from the replica")
-          // mergeSchema: after a schema-change restart the replayed
-          // window carries the source's NEW columns — the replica must
-          // follow, not reject the batch
-          ApplyChangesCommand.run(session, tablePath,
-            batch.drop("_commit_timestamp"),
-            opCol = ChangeFeed.CHANGE_TYPE,
-            sequenceCols = Seq("_commit_version", "__graft_seq2"),
-            deleteOps = Seq("delete"),
-            writeOptions = Map(WriteIntoTable.MERGE_SCHEMA -> "true"))
+    // One start = one schema pin. Self-healing re-invokes this closure —
+    // a FRESH readStream re-resolves the source schema, and the shared
+    // checkpoint keeps the replay exactly-once across the restart.
+    def startOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+      // a replica CLONED from this table already holds its state as of the
+      // clone's source version: start the feed right after it, so the first
+      // firing costs ∝ changes (not a full-snapshot replay) AND no
+      // clone-window delete is skipped by the initial-snapshot pin. A
+      // non-clone replica (empty table) takes the full snapshot.
+      val destConf = graft.meta.SnapshotManagement.snapshot(dest)
+        .tableInfo.configuration
+      def conf(k: String): Option[String] =
+        destConf.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+      val startFrom: Option[Long] =
+        if (conf("graft.clone.sourcePath")
+            .contains(graft.meta.SnapshotManagement.normalize(path)))
+          conf("graft.clone.sourceVersion").map(_.toLong + 1)
+        else None
+      val reader = session.readStream.format("graft")
+        .option("readChangeFeed", "true")
+      val cdf = startFrom.fold(reader)(v =>
+          reader.option("startingVersion", v.toString))
+        .load(path)
+        .filter(col(ChangeFeed.CHANGE_TYPE) =!= "update_preimage")
+        // an OVERWRITE commit emits delete (pre-state) + insert (new rows)
+        // at ONE version; applyChanges breaks pure sequence ties
+        // deletes-win, which would purge every surviving key from the
+        // replica. A second sequence column ordering inserts ABOVE deletes
+        // within a version makes the overwrite fold correctly: surviving
+        // keys keep their new image, keys only deleted still tombstone.
+        .withColumn("__graft_seq2",
+          when(col(ChangeFeed.CHANGE_TYPE) === "delete", lit(0)).otherwise(lit(1)))
+      cdf.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // persisted: the batch feeds THREE consumers (schema check, the
+          // apply, the applied-version probe) — without it the CDF window
+          // re-reads per consumer
+          val b = batch.persist()
+          try if (!b.isEmpty) {
+            // a streaming source PINS its schema at start: a source table
+            // that gained a column mid-stream would replicate with that
+            // column silently DROPPED (verified: the rows land, the new
+            // column vanishes). Fail the batch loudly instead — same
+            // restart-on-schema-change contract Delta's streams have
+            // (self-healing mode catches exactly this failure and
+            // restarts the reader against the same checkpoint).
+            val seen = b.columns.map(_.toLowerCase).toSet
+            val nowCols = graft.meta.SnapshotManagement.snapshot(srcNorm)
+              .tableInfo.schema.fieldNames.toSeq
+            val unseen = nowCols.filterNot(c => seen.contains(c.toLowerCase))
+            if (unseen.nonEmpty) throw new GraftTable.ReplicationSchemaEvolved(
+              s"replication source $srcNorm gained column(s) " +
+              s"[${unseen.mkString(", ")}] after the stream started; " +
+              "restart replicateTo (same checkpoint) to pick up the new " +
+              "schema — continuing would silently drop them from the replica")
+            // mergeSchema: after a schema-change restart the replayed
+            // window carries the source's NEW columns — the replica must
+            // follow, not reject the batch
+            ApplyChangesCommand.run(session, tablePath,
+              b.drop("_commit_timestamp"),
+              opCol = ChangeFeed.CHANGE_TYPE,
+              sequenceCols = Seq("_commit_version", "__graft_seq2"),
+              deleteOps = Seq("delete"),
+              writeOptions = Map(WriteIntoTable.MERGE_SCHEMA -> "true"))
+            // lag surface: record the newest SOURCE version this replica
+            // has applied (atomic sidecar write — replicationStatus reads
+            // it without touching the checkpoint)
+            val mv = b.agg(max(col(ChangeFeed.COMMIT_VERSION))).collect().head
+            if (!mv.isNullAt(0))
+              graft.llm.SyncSidecar.write(dest,
+                GraftTable.REPLICATION_SYNC_FILE, srcNorm, mv.getLong(0))
+          } finally b.unpersist()
         }
-      }
-      .trigger(trigger)
-      .queryName(s"graft-replicate-$path")
-      .start()
+        .trigger(trigger)
+        // dest in the name: one source may feed MANY replicas in one
+        // session — a source-only name would collide on the second start
+        .queryName(s"graft-replicate-$path->$destPath")
+        .start()
+    }
+    val first = startOnce()
+    if (selfHealSchemaEvolution)
+      new GraftTable.SelfHealingQuery(() => startOnce(), first)
+    else first
+  }
+
+  /** Replication lag of the replica at `destPath` fed from THIS table —
+    * see [[GraftTable.replicationStatus]]. */
+  def replicationStatus(destPath: String): GraftTable.ReplicationStatus = {
+    val st = GraftTable.replicationStatus(spark, destPath)
+    require(st.sourcePath.isEmpty ||
+        st.sourcePath == graft.meta.SnapshotManagement.normalize(path),
+      s"replica at $destPath is fed from '${st.sourcePath}', not this " +
+      s"table ($path)")
+    st
   }
 
   def update(condition: Column, set: Map[String, Column]): Unit =
@@ -334,6 +370,209 @@ class GraftTable private (spark: SparkSession, val path: String) {
 object GraftTable {
   def forPath(spark: SparkSession, path: String): GraftTable =
     new GraftTable(spark, SnapshotManagement.normalize(path))
+
+  /** Sidecar at the REPLICA root recording (source path, newest applied
+    * source version). Non-parquet → vacuum never touches it. */
+  private[graft] val REPLICATION_SYNC_FILE = "_graft_replication.json"
+
+  /** The deliberate loud-fail a replication batch throws when the SOURCE
+    * gained columns after the stream pinned its schema. A dedicated type:
+    * the self-healing monitor must restart on exactly this failure and
+    * nothing else. */
+  final class ReplicationSchemaEvolved(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Replication lag of the replica at `destPath`:
+    *  - `sourcePath` — the source table the replica's sidecar names
+    *    ("" when no batch has ever been applied AND the replica is not a
+    *    clone — lag is then unknowable from the replica alone);
+    *  - `appliedVersion` — newest source version applied (falls back to
+    *    the clone's source version for a cloned, never-synced replica);
+    *  - `pendingVersions` — CHANGE-BEARING source versions not yet
+    *    applied (pure rewrites — compaction/rebucket/alter/vacuum — and
+    *    empty commits carry no rows, so they never count as lag).
+    * One sidecar read + one metadata probe per unapplied version; no data
+    * files are touched. */
+  final case class ReplicationStatus(
+      sourcePath: String, sourceVersion: Long, appliedVersion: Long,
+      pendingVersions: Long) {
+    def inSync: Boolean = pendingVersions == 0L
+  }
+
+  def replicationStatus(
+      spark: SparkSession, destPath: String): ReplicationStatus = {
+    val dest = SnapshotManagement.normalize(destPath)
+    require(SnapshotManagement.exists(dest),
+      s"replica $destPath does not exist")
+    val sidecar = graft.llm.SyncSidecar.readMeta(dest, REPLICATION_SYNC_FILE)
+    // cloned-but-never-synced replica: its state IS the clone's source
+    // version — lag counts from there, not from 0
+    lazy val cloneConf = SnapshotManagement.snapshot(dest)
+      .tableInfo.configuration
+    def conf(k: String): Option[String] =
+      cloneConf.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    val (src, applied) = sidecar match {
+      case Some((s, v)) => (s, v)
+      case None =>
+        (conf("graft.clone.sourcePath").getOrElse(""),
+         conf("graft.clone.sourceVersion").map(_.toLong).getOrElse(-1L))
+    }
+    if (src.isEmpty) return ReplicationStatus("", -1L, applied, -1L)
+    val store = SnapshotManagement.store
+    val latest = store.latestVersion(src)
+    require(latest >= 0,
+      s"replication source '$src' recorded at $destPath no longer exists")
+    val pending = ((applied + 1) to latest).count { v =>
+      val entries = store.read(src, v)
+      val ct = entries.flatMap(_.commit).headOption
+        .map(_.commitType).getOrElse("append")
+      !graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct) &&
+        (entries.exists(_.add.nonEmpty) || entries.exists(_.remove.nonEmpty))
+    }
+    ReplicationStatus(src, latest, applied, pending.toLong)
+  }
+
+  /** [[org.apache.spark.sql.streaming.StreamingQuery]] facade whose
+    * underlying query SELF-HEALS across source schema evolution: when the
+    * stream dies with [[ReplicationSchemaEvolved]], a monitor thread
+    * re-opens the CDF reader (fresh schema pin) against the SAME
+    * checkpoint and swaps it in — the replayed window carries the new
+    * column and the replica evolves, with no operator action. Any OTHER
+    * failure terminates the facade like a plain query. `stop()` stops
+    * healing and the live query. */
+  private[graft] final class SelfHealingQuery(
+      restartFn: () => org.apache.spark.sql.streaming.StreamingQuery,
+      first: org.apache.spark.sql.streaming.StreamingQuery)
+      extends org.apache.spark.sql.streaming.StreamingQuery {
+    private val lock = new Object
+    @volatile private var cur = first
+    private var stopped = false
+    private var finished = false
+    private var terminal: Option[Throwable] = None
+
+    private def isEvolved(
+        q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+      @annotation.tailrec
+      def chain(t: Throwable, depth: Int): Boolean =
+        t != null && depth < 20 &&
+          (t.isInstanceOf[ReplicationSchemaEvolved] ||
+            // foreachBatch failures may cross a serialization boundary
+            // that erases the class — the message survives
+            Option(t.getMessage).exists(_.contains("gained column(s)")) ||
+            chain(t.getCause, depth + 1))
+      try q.exception.exists(chain(_, 0))
+      catch { case _: Throwable => false }
+    }
+
+    private val monitor = new Thread(() => {
+      var done = false
+      while (!done) {
+        val q = cur
+        try q.awaitTermination()
+        catch { case _: Throwable => () }
+        lock.synchronized {
+          if (stopped) done = true
+          else if (isEvolved(q)) {
+            try { cur = restartFn() }
+            catch { case e: Throwable => terminal = Some(e); done = true }
+            lock.notifyAll()
+          } else {
+            terminal = q.exception; done = true; lock.notifyAll()
+          }
+        }
+      }
+      lock.synchronized { finished = true; lock.notifyAll() }
+    }, s"graft-replication-selfheal-${first.name}")
+    monitor.setDaemon(true)
+    monitor.start()
+
+    override def name: String = cur.name
+    override def id: java.util.UUID = first.id
+    override def runId: java.util.UUID = cur.runId
+    override def sparkSession: SparkSession = cur.sparkSession
+    override def isActive: Boolean =
+      lock.synchronized { !finished } && (cur.isActive ||
+        // brief window while the monitor swaps in the restarted query
+        lock.synchronized { terminal.isEmpty && !stopped })
+    override def exception
+        : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      lock.synchronized { terminal }.collect {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException => e
+      }
+    override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+      cur.status
+    override def recentProgress
+        : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      cur.recentProgress
+    override def lastProgress
+        : org.apache.spark.sql.streaming.StreamingQueryProgress =
+      cur.lastProgress
+    override def explain(): Unit = cur.explain()
+    override def explain(extended: Boolean): Unit = cur.explain(extended)
+
+    override def awaitTermination(): Unit = {
+      lock.synchronized { while (!finished) lock.wait() }
+      rethrowTerminal()
+    }
+    override def awaitTermination(timeoutMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      lock.synchronized {
+        while (!finished && System.currentTimeMillis() < deadline)
+          lock.wait(math.max(1L, deadline - System.currentTimeMillis()))
+        if (!finished) return false
+      }
+      rethrowTerminal(); true
+    }
+    private def rethrowTerminal(): Unit =
+      lock.synchronized { terminal }.foreach {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          throw e
+        case e => throw new IllegalStateException(
+          "replication self-heal restart failed", e)
+      }
+
+    /** Rides through a self-heal: if the underlying query dies of schema
+      * evolution mid-call, wait for the monitor's restart and drain the
+      * NEW query — the caller sees one successful drain, never the
+      * deliberate failure. */
+    override def processAllAvailable(): Unit = {
+      var attempts = 0
+      while (true) {
+        val q = cur
+        val ok = try { q.processAllAvailable(); true }
+          catch {
+            case e: Throwable =>
+              val healed = lock.synchronized {
+                val deadline = System.currentTimeMillis() + 120000L
+                while ((cur eq q) && terminal.isEmpty && !stopped &&
+                    !finished && System.currentTimeMillis() < deadline)
+                  lock.wait(200L)
+                terminal.foreach(t => throw t)
+                if (stopped || (cur eq q)) throw e
+                true
+              }
+              !healed // healed => not done, loop onto the new query
+          }
+        // a heal can also land BETWEEN drains (batch failed after
+        // processAllAvailable returned): only a drain that completed on
+        // the still-current query counts
+        if (ok && (cur eq q)) return
+        attempts += 1
+        require(attempts <= 20,
+          "replication self-heal loop: 20 consecutive restarts without " +
+          "a stable drain — the source schema is churning faster than " +
+          "batches apply")
+      }
+    }
+
+    override def stop(): Unit = {
+      val q = lock.synchronized { stopped = true; cur }
+      q.stop()
+      // a racing heal may have swapped in a fresh query after we read cur
+      val q2 = cur
+      if (!(q2 eq q)) q2.stop()
+    }
+  }
 
   /** Resolve a catalog table or view NAME to its graft table (reference
     * `tables/StarTable.scala` `forName`). Works for tables registered

@@ -98,6 +98,10 @@ object PyBridge {
 
   def generateManifest(t: GraftTable): Long = t.generateManifest()
 
+  def replicationStatus(spark: SparkSession, destPath: String)
+      : GraftTable.ReplicationStatus =
+    GraftTable.replicationStatus(spark, destPath)
+
   def replicateTo(t: GraftTable, destPath: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     t.replicateTo(destPath, checkpointDir)

@@ -407,7 +407,8 @@ class TableApiSuite extends GraftFunSuite {
       t.cloneTo(dest)
       val ckpt = java.nio.file.Files
         .createTempDirectory("repl_evo_ck_").toString
-      val q = t.replicateTo(dest, ckpt)
+      // selfHeal OFF: this test pins the raw loud-fail contract
+      val q = t.replicateTo(dest, ckpt, selfHealSchemaEvolution = false)
       try {
         spark.conf.set("spark.graft.schema.autoMerge.enabled", "true")
         t.upsert(Seq((2L, "b", 7L)).toDF("id", "v", "extra"))
@@ -421,7 +422,7 @@ class TableApiSuite extends GraftFunSuite {
       }
       // restart on the SAME checkpoint: the replayed window carries the
       // new column and the replica evolves to match
-      val q2 = t.replicateTo(dest, ckpt)
+      val q2 = t.replicateTo(dest, ckpt, selfHealSchemaEvolution = false)
       try {
         q2.processAllAvailable()
         val d = spark.read.format("graft").load(dest)
@@ -430,6 +431,116 @@ class TableApiSuite extends GraftFunSuite {
         assert(d.filter(col("id") === 2L).select("extra")
           .as[Long].head() == 7L)
       } finally q2.stop()
+    } }
+  }
+
+  test("SELF-HEALING replication: source schema evolution restarts the " +
+      "CDF reader automatically — replica evolves with NO manual restart") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val dest = scratch + "/replica"
+      Seq((1L, "a")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_heal_ck_").toString
+      val q = t.replicateTo(dest, ckpt) // default: selfHeal ON
+      try {
+        spark.conf.set("spark.graft.schema.autoMerge.enabled", "true")
+        t.upsert(Seq((2L, "b", 7L)).toDF("id", "v", "extra"))
+        // ONE call, no intercept, no manual restart: the facade rides
+        // through the deliberate failure + monitor restart
+        q.processAllAvailable()
+        val d = spark.read.format("graft").load(dest)
+        assert(d.columns.map(_.toLowerCase).contains("extra"),
+          s"replica must gain the column: ${d.columns.mkString(",")}")
+        assert(d.filter(col("id") === 2L).select("extra")
+          .as[Long].head() == 7L)
+        assert(q.isActive, "healed query must still be running")
+        // the healed stream keeps replicating, including the new column
+        t.upsert(Seq((3L, "c", 9L)).toDF("id", "v", "extra"))
+        t.delete(col("id") === 1L)
+        q.processAllAvailable()
+        def state(p: String) = spark.read.format("graft").load(p)
+          .select("id", "v", "extra").as[(Long, String, Option[Long])]
+          .collect().map { case (k, v2, e) => k -> (v2, e) }.toMap
+        assert(spark.read.format("graft").load(dest)
+            .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+        assert(state(dest) == state(src))
+      } finally {
+        spark.conf.unset("spark.graft.schema.autoMerge.enabled")
+        q.stop()
+      }
+    } }
+  }
+
+  test("replicationStatus: lag counts only change-bearing unapplied " +
+      "versions and returns to zero after a drain") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val dest = scratch + "/replica"
+      (1L to 20L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      // cloned, never-synced: in sync as of the clone version
+      val st0 = GraftTable.replicationStatus(spark, dest)
+      assert(st0.pendingVersions == 0L && st0.inSync, s"fresh clone: $st0")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_lag_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      try {
+        q.processAllAvailable()
+        t.upsert(Seq((1L, 100L), (21L, 21L)).toDF("id", "n"))
+        t.delete(col("id") === 2L)
+        val behind = t.replicationStatus(dest)
+        assert(behind.pendingVersions == 2L,
+          s"two change-bearing versions must pend: $behind")
+        assert(!behind.inSync)
+        q.processAllAvailable()
+        val synced = t.replicationStatus(dest)
+        assert(synced.inSync && synced.appliedVersion == synced.sourceVersion,
+          s"after drain: $synced")
+        // pure rewrites are NOT lag: replica state is already equal
+        t.compaction(force = true)
+        val afterCompaction = t.replicationStatus(dest)
+        assert(afterCompaction.inSync,
+          s"compaction must not count as lag: $afterCompaction")
+        // wrong-source guard on the instance form
+        val other = scratch + "/other"
+        Seq((1L, 1L)).toDF("id", "n").write.format("graft").save(other)
+        intercept[IllegalArgumentException] {
+          GraftTable.forPath(spark, other).replicationStatus(dest)
+        }
+      } finally q.stop()
+    } }
+  }
+
+  test("one source feeds TWO replicas concurrently (dest-qualified " +
+      "query names)") {
+    withTempTable { src => withTempTable { scratch =>
+      import org.apache.spark.sql.functions._
+      val d1 = scratch + "/r1"; val d2 = scratch + "/r2"
+      (1L to 10L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(d1); t.cloneTo(d2)
+      val ck1 = java.nio.file.Files.createTempDirectory("two_ck1_").toString
+      val ck2 = java.nio.file.Files.createTempDirectory("two_ck2_").toString
+      val q1 = t.replicateTo(d1, ck1)
+      // pre-fix this second start failed: duplicate active query name
+      val q2 = t.replicateTo(d2, ck2)
+      def state(p: String) = spark.read.format("graft").load(p)
+        .as[(Long, Long)].collect().toMap
+      try {
+        t.upsert(Seq((1L, 11L), (11L, 11L)).toDF("id", "n"))
+        q1.processAllAvailable(); q2.processAllAvailable()
+        assert(state(d1) == state(src) && state(d2) == state(src))
+      } finally { q1.stop(); q2.stop() }
     } }
   }
 
