@@ -471,6 +471,10 @@ object Dedup {
       .select(col("nid").as(idCol), col("cid").as("cluster_id"), col("csim"))
   }
 
+  /** Conf key for [[semanticNearDupPairs]]'s oversized-cluster cap (used
+    * when the `maxClusterSize` argument is 0). Default 100000. */
+  val SEMANTIC_MAX_CLUSTER_KEY = "spark.graft.dedup.semantic.maxClusterSize"
+
   /** SemDeDup-style semantic near-duplicate pairs: k-means cluster, then
     * EXACT pairwise cosine within each cluster only — O(Σ|cluster|²)
     * scoring instead of all-pairs O(n²), the standard trade for embedding
@@ -478,23 +482,117 @@ object Dedup {
     * DESIGN (that is the recall/cost dial: raise k for cheaper, narrower
     * clusters; the hyperplane-LSH [[embeddingNearDuplicates]] is the
     * overlapping-bucket alternative). The per-cluster self-join shuffles
-    * on (cluster, dim) — the same shape as the LSH bucket join, with k
-    * controlling the skew the way numPlanes does there. */
+    * on (cluster, sub-bucket, dim) — the same shape as the LSH bucket
+    * join, with k controlling the skew the way numPlanes does there.
+    *
+    * MEGA-CLUSTER CAP: a skewed corpus can land most documents in ONE
+    * cluster, degrading the within-cluster self-join to quadratic in the
+    * corpus. Clusters larger than `maxClusterSize` (argument, else conf
+    * [[SEMANTIC_MAX_CLUSTER_KEY]], default 100000) are subdivided by the
+    * same md5-derived random-hyperplane LSH the [[embeddingNearDuplicates]]
+    * path buckets with — per-cluster plane count ⌈log2(size/cap)⌉ (≤ 16),
+    * so expected sub-bucket size ≤ cap and pair work stays bounded. Pairs
+    * inside a sub-bucket are still EXACT cosine; pairs across sub-buckets
+    * of an oversized cluster are traded away (the standard recall dial —
+    * every emitted pair remains exact and ≥ `minCosine`). Clusters at or
+    * under the cap are untouched: the fast path adds one tiny k-row
+    * aggregate and nothing else. The oversized-cluster decision is one
+    * k-row collect — same bounded-driver contract as the other capped
+    * paths. */
   def semanticNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, minCosine: Double = 0.95, iters: Int = 1): DataFrame = {
-    val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
-      .transform(Checkpoints.stabilize)
-    val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
-    val assign = Ann.assignCells(cents)(cu, "nid", "nx").select("nid", "cid")
+      k: Int, minCosine: Double = 0.95, iters: Int = 1,
+      maxClusterSize: Int = 0, dims: Int = 64): DataFrame = {
+    val (cu, assignKeyed) =
+      semanticKeyedAssign(df, idCol, vecCol, k, iters, maxClusterSize, dims)
     // both sides of the pair join read the assigned unit rows
-    val au = cu.join(assign, "nid").transform(Checkpoints.stabilize)
+    val au = cu.join(assignKeyed, "nid").transform(Checkpoints.stabilize)
     au.as("a").join(au.as("b"),
-        col("a.cid") === col("b.cid") && col("a.dim") === col("b.dim") &&
-        col("a.nid") < col("b.nid"))
+        col("a.cid") === col("b.cid") && col("a.__pk") === col("b.__pk") &&
+        col("a.dim") === col("b.dim") && col("a.nid") < col("b.nid"))
       .groupBy(col("a.nid").as("a_id"), col("b.nid").as("b_id"))
       .agg(sum(col("a.nx") * col("b.nx")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** The keyed assignment behind [[semanticNearDupPairs]]: unit rows plus
+    * (nid, cid, __pk) where pairs form only within (cid, __pk) — so the
+    * (cid, __pk) group sizes BOUND the pair work. `private[graft]` so the
+    * plan-quality gate asserts the bound on the exact production path. */
+  private[graft] def semanticKeyedAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, maxClusterSize: Int,
+      dims: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val cap = if (maxClusterSize > 0) maxClusterSize
+      else spark.conf.getOption(SEMANTIC_MAX_CLUSTER_KEY)
+        .map(_.toInt).getOrElse(100000)
+    require(cap > 0, s"maxClusterSize must be positive, got $cap")
+    val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
+      .transform(Checkpoints.stabilize)
+    val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
+      .transform(Checkpoints.stabilize)
+    // stabilized: consumed by the size probe AND the pair path; csim
+    // kept — the sub-bucketing path needs each doc's centroid projection
+    val assign3 = Ann.assignCells(cents)(cu, "nid", "nx")
+      .transform(Checkpoints.stabilize)
+    val assign = assign3.select("nid", "cid")
+    // k rows — bounded driver work regardless of corpus size
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("__cn"))
+      .transform(Checkpoints.stabilize)
+    val maxSize = sizes.agg(max(col("__cn"))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val keyed: DataFrame =
+      if (maxSize <= cap) assign.withColumn("__pk", lit(0L))
+      else {
+        if (spark.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
+          System.err.println(
+            s"[graft-dedup] semantic near-dup: largest cluster $maxSize > " +
+            s"cap $cap — LSH-subdividing oversized clusters")
+        val maxP = 16
+        // per-OVERSIZED-cluster plane count: 2^np sub-buckets bring the
+        // expected bucket size to ≤ cap
+        val big = sizes.filter(col("__cn") > cap).select(col("cid"),
+          least(lit(maxP), greatest(lit(1),
+            ceil(log2(col("__cn").cast("double") / cap)))).cast("int")
+            .as("__np"))
+        // Hyperplane sign-sums over each doc's RESIDUAL r = x − (x·c)c,
+        // the component orthogonal to its own centroid. Hashing the raw
+        // vector barely subdivides: everything in a cluster shares the
+        // centroid direction, so x·w ≈ (x·c)(c·w) gives every member the
+        // SAME sign on most planes. The residual is exactly the
+        // within-cluster variation, so its signs split near-evenly. One
+        // grouped pass, literal md5 plane constants (Ann.unitRows
+        // machinery); only documents in OVERSIZED clusters pay it — and
+        // those can be most of the corpus, so nothing here broadcasts
+        // except the k-row cluster frame and the k×dims centroid frame.
+        val ovDocs = assign3.join(broadcast(big), "cid")
+          .select("nid", "cid", "csim", "__np")
+        val resid = cu.join(ovDocs, "nid")
+          .join(broadcast(cents), Seq("cid", "dim"))
+          .withColumn("__rx", col("nx") - col("csim") * col("cx"))
+        val planeAggs = (0 until maxP).map { p =>
+          sum(col("__rx") * Ann.planeComponent(p, col("dim") + 1, dims))
+            .as(s"__d$p")
+        }
+        val bits = resid
+          .groupBy("nid", "__np")
+          .agg(planeAggs.head, planeAggs.tail: _*)
+          .select(col("nid"), pmod(
+            (0 until maxP).map(p =>
+              when(col(s"__d$p") >= 0, lit(1L << p)).otherwise(lit(0L))
+                : Column).reduce(_ + _),
+            // 2^np as a column (shiftleft's bit-count arg must be a
+            // literal); exact in double up to 2^52 ≫ 2^16
+            pow(lit(2.0d), col("__np").cast("double")).cast("long"))
+            .as("__pk"))
+        assign.join(bits, Seq("nid"), "left_outer")
+          .select(col("nid"), col("cid"),
+            coalesce(col("__pk"), lit(0L)).as("__pk"))
+      }
+    (cu, keyed)
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard on the

@@ -604,6 +604,78 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(gotPairs.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("semantic near-dup MEGA-CLUSTER cap: a cluster holding most of the " +
+      "corpus is LSH-subdivided — pair work bounded, emitted pairs exact") {
+    // skewed fixture: 300 of 400 vectors share one broad direction (one
+    // cluster holds 75% of docs); noise is large enough that the md5
+    // hyperplanes split the cluster by direction, small enough that
+    // every one of the 300 still assigns to the same centroid
+    val rnd = new scala.util.Random(13)
+    val protos = (0 until 8).map(i =>
+      Array.tabulate(8)(d => if (d == i) 5.0 else 0.0))
+    // ids 0..7 are the prototypes themselves: with iters=0 they ARE the
+    // centroids (first-k-by-id seeding), so assignment is fully pinned —
+    // every noisy mega-direction doc lands on centroid 0 (its off-axis
+    // noise ≤ 2 < the 5.0 axis signal)
+    val vecs: Map[Long, Array[Double]] =
+      ((0 until 8).map(i => i.toLong -> protos(i)) ++
+       (8 until 308).map { i =>
+        i.toLong -> protos(0).map(x => x + (rnd.nextDouble() - 0.5) * 4.0)
+      } ++ (308 until 400).map { i =>
+        val p = protos(1 + i % 7)
+        i.toLong -> p.map(_ + (rnd.nextDouble() - 0.5) * 0.4)
+      }).toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val cap = 50
+
+    val keyed = Dedup.semanticKeyedAssign(df, "vec_id", "embedding",
+        k = 8, iters = 0, maxClusterSize = cap, dims = 8)._2
+      .select("nid", "cid", "__pk").as[(Long, Long, Long)].collect()
+    val byCluster = keyed.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster.values.max >= 200,
+      s"fixture must plant a mega-cluster: $byCluster")
+    // THE GATE: pair work is bounded by (cid, __pk) group sizes — the
+    // mega-cluster must be split well below its own size; small clusters
+    // keep __pk 0 (no extra work)
+    val byKey = keyed.groupBy(k0 => (k0._2, k0._3)).view.mapValues(_.length)
+    val maxGroup = byKey.values.max
+    assert(maxGroup <= 3 * cap,
+      s"largest pair group $maxGroup must be ~cap=$cap, groups: " +
+      byKey.toMap.toSeq.sortBy(-_._2).take(8))
+    assert(maxGroup < byCluster.values.max / 2,
+      "the mega-cluster must actually be subdivided")
+    val quadratic = byKey.values.map(n => n.toLong * n).sum
+    val uncapped = byCluster.values.map(n => n.toLong * n).sum
+    assert(quadratic < uncapped / 4,
+      s"pair work must shrink: capped $quadratic vs uncapped $uncapped")
+
+    // correctness of what IS emitted: capped output == exact cosine pairs
+    // within each (cid, __pk) group (and therefore ⊆ the uncapped output)
+    val minCos = 0.9
+    val got = Dedup.semanticNearDupPairs(df, "vec_id", "embedding",
+        k = 8, minCosine = minCos, iters = 0, maxClusterSize = cap, dims = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val unit = vecs.map { case (id, v0) =>
+      val v = v0.map(x => x.toFloat.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(_ / n)
+    }
+    val want = (for {
+      a <- keyed; b <- keyed
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3 &&
+        unit(a._1).zip(unit(b._1)).map(p => p._1 * p._2).sum >= minCos
+    } yield (a._1, b._1)).toSet
+    assert(got == want, s"capped pairs must be exact within sub-buckets: " +
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    assert(got.nonEmpty, "fixture must still emit near-dup pairs")
+    val full = Dedup.semanticNearDupPairs(df, "vec_id", "embedding",
+        k = 8, minCosine = minCos, iters = 0,
+        maxClusterSize = 1000000, dims = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(full), "capped output must never invent pairs")
+  }
+
   test("tfidf top-k ranks rare high-frequency terms first, ties by term") {
     val df = Seq(
       (1L, "apple apple banana common"),
