@@ -36,6 +36,40 @@ object AnnIndex {
   private def cellsPath(p: String) = s"$p/cells"
   private def assignPath(p: String) = s"$p/assign"
 
+  /** GENERATION pointer: when present, the four index tables live under
+    * `indexPath/<gen>/` instead of `indexPath/` directly. The pointer file
+    * is swapped with one atomic rename — that is what makes a deferred
+    * [[rebuildIfDue]] an ATOMIC swap: the new generation is built fully
+    * off to the side while syncs and queries keep using the old one, and
+    * a reader sees either the complete old index or the complete new one,
+    * never a half-overwritten table set (the in-place [[build]] rewrites
+    * all four tables non-atomically, which is fine for first builds but
+    * not for rebuilds under live traffic). Pre-generational indexes have
+    * no pointer: their tables stay at the root ("gen 0" = root layout). */
+  private val GEN_POINTER = "_graft_ann_gen"
+
+  private def readGen(indexPath: String): Option[String] = {
+    val p = java.nio.file.Paths.get(indexPath, GEN_POINTER)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+  }
+
+  private def writeGen(indexPath: String, gen: String): Unit = {
+    val dir = java.nio.file.Paths.get(indexPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".$GEN_POINTER", ".tmp")
+    java.nio.file.Files.write(tmp,
+      gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(GEN_POINTER),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The directory the CURRENT generation's tables live under. */
+  private[graft] def tableRoot(indexPath: String): String =
+    readGen(indexPath).fold(indexPath)(g => s"$indexPath/$g")
+
   /** Reassemble each vector's unit components from its exploded rows into
     * an array (sorted by dim; struct sort is lexicographic on (dim, nx)
     * and dim is unique per vector; `.getField` over the struct array
@@ -51,7 +85,16 @@ object AnnIndex {
   def build(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, hashBucketNum: Int = 4): Unit = {
+      nCentroids: Int = 16, hashBucketNum: Int = 4): Unit =
+    buildAt(spark, tableRoot(indexPath), corpus, idCol, vecCol, nCentroids,
+      hashBucketNum)
+
+  /** [[build]]'s body, targeting an explicit table root — [[rebuildIfDue]]
+    * points it at a STAGING generation directory. */
+  private def buildAt(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, hashBucketNum: Int): Unit = {
     val cu = Ann.unitRows(corpus, idCol, vecCol, "nid", "nx")
       .transform(Checkpoints.stabilize)
     val cents = Checkpoints.stabilize(
@@ -117,15 +160,20 @@ object AnnIndex {
     import graft.meta.SnapshotManagement
     val normCorpus = SnapshotManagement.normalize(corpusPath)
     val normIdx = SnapshotManagement.normalize(indexPath)
+    // pinned ONCE: every table this sync touches belongs to this
+    // generation, even if a concurrent rebuild flips the pointer mid-sync
+    val root = tableRoot(indexPath)
     val current = SnapshotManagement.snapshot(normCorpus).version
     // one sidecar read: synced version + cumulative ids touched since the
-    // last FULL build (a build resets the counter)
-    val (last, prevChurn) = SyncSidecar.readValidatedWithChurn(
+    // last FULL build (a build resets the counter) + the rebuild-due mark
+    val (last, prevChurn, prevDue) = SyncSidecar.readValidatedFull(
       normIdx, SYNC_FILE, normCorpus, current)
     val corpusNow = spark.read.format("graft").load(corpusPath)
     var churnOut = prevChurn
-    if (last < 0 || !SnapshotManagement.exists(assignPath(indexPath))) {
+    var dueOut = prevDue
+    if (last < 0 || !SnapshotManagement.exists(assignPath(root))) {
       churnOut = 0L
+      dueOut = false
       // no sidecar (first sync) OR a pre-assign-table index layout: both
       // mean incremental bookkeeping can't be trusted — rebuild in full
       build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
@@ -136,36 +184,39 @@ object AnnIndex {
         .select(col(s"`$idCol`")).distinct()
         .transform(Checkpoints.stabilize)
       if (!touched.isEmpty) {
-        // CHURN-TRIGGERED REBUILD: incremental syncs keep the index EXACT
-        // but never move centroids, so sustained churn slowly unbalances
-        // the cells and the angular bound prunes less (a pure efficiency
-        // decay — the remaining silent-degradation mode after the r12
-        // re-stat fix). Track cumulative touched ids since the last full
-        // build in the sidecar; once they reach `rebuildChurnFraction` of
-        // the live corpus (Σcnt from the tiny stats table — never a corpus
-        // scan), pay one full build and reset. 0 disables.
+        // CHURN-TRIGGERED REBUILD, DEFERRED: incremental syncs keep the
+        // index EXACT but never move centroids, so sustained churn slowly
+        // unbalances the cells and the angular bound prunes less (a pure
+        // efficiency decay — the remaining silent-degradation mode after
+        // the r12 re-stat fix). Track cumulative touched ids since the
+        // last full build in the sidecar; once they reach
+        // `rebuildChurnFraction` of the live corpus (Σcnt from the tiny
+        // stats table — never a corpus scan), mark "rebuild due" and KEEP
+        // SYNCING INCREMENTALLY — the sync path's latency stays O(touched)
+        // no matter how long the rebuild is deferred, because the decay is
+        // efficiency-only. [[rebuildIfDue]] (operator CALL, or
+        // [[maintainStream]] with autoRebuild=true) pays the build off the
+        // sync path and atomically swaps generations. 0 disables.
         val churnFrac = spark.conf
           .getOption("spark.graft.ann.index.rebuildChurnFraction")
           .map(_.toDouble).getOrElse(0.5)
         // disabled (0) skips ALL bookkeeping — no touched.count() job, no
         // stats scan — the hot sync path pays nothing for an off feature
-        if (churnFrac > 0) {
+        if (churnFrac > 0 && !dueOut) {
           val newChurn = churnOut + touched.count()
-          val sumRow = spark.read.format("graft").load(statsPath(indexPath))
+          val sumRow = spark.read.format("graft").load(statsPath(root))
             .agg(sum(col("cnt"))).collect().head
           // sum over zero rows is NULL (index built from an empty corpus)
           val liveSize = math.max(1L,
             if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0))
-          if (newChurn >= churnFrac * liveSize) {
-            build(spark, indexPath, corpusNow, idCol, vecCol, nCentroids,
-              hashBucketNum)
-            SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L)
-            return current
-          }
+          if (newChurn >= churnFrac * liveSize) dueOut = true
           churnOut = newChurn
+        } else if (churnFrac > 0) {
+          // already due: keep the counter honest, skip the stats probe
+          churnOut += touched.count()
         }
         val cents = spark.read.format("graft")
-          .load(centroidsPath(indexPath)).transform(Checkpoints.stabilize)
+          .load(centroidsPath(root)).transform(Checkpoints.stabilize)
         val live = corpusNow.join(broadcast(touched), Seq(idCol), "left_semi")
         val cu = Ann.unitRows(live, idCol, vecCol, "nid", "nx")
           .transform(Checkpoints.stabilize)
@@ -182,7 +233,7 @@ object AnnIndex {
         // and a brand-new insert has no old cell at all. Rows written per
         // sync: |new assignments| + |moved ∪ deleted| ≤ 2·|touched|.
         val touchedN = touched.select(col(s"`$idCol`").as("nid"))
-        val oldAssign = spark.read.format("graft").load(assignPath(indexPath))
+        val oldAssign = spark.read.format("graft").load(assignPath(root))
           .join(broadcast(touchedN), Seq("nid"), "left_semi")
           .select(col("nid"), col("cid").as("oldCid"))
           .transform(Checkpoints.stabilize)
@@ -209,7 +260,7 @@ object AnnIndex {
         // radius — and the probe would skip its cell, breaking exactness.
         // Grow-only fold of the new members' csims into the stored stats
         // (tiny table — full overwrite is the honest cost).
-        val stored = spark.read.format("graft").load(statsPath(indexPath))
+        val stored = spark.read.format("graft").load(statsPath(root))
         val grown = assignNew.groupBy("cid")
           .agg(greatest(lit(-1.0d), least(lit(1.0d), min(col("csim"))))
             .as("newCosr"))
@@ -240,8 +291,8 @@ object AnnIndex {
           .select("cid", "cosr", "sinr", "cnt")
           .transform(Checkpoints.stabilize)
         folded.write.format("graft").mode("overwrite")
-          .save(statsPath(indexPath))
-        val normCells = SnapshotManagement.normalize(cellsPath(indexPath))
+          .save(statsPath(root))
+        val normCells = SnapshotManagement.normalize(cellsPath(root))
         SnapshotManagement.withRewriteTransaction(normCells) { txn =>
           graft.commands.UpsertCommand.runDeltaIn(
             spark, normCells, delta, Map.empty, txn)
@@ -252,7 +303,7 @@ object AnnIndex {
         // and re-upserting the same rows are both no-ops under the merge
         // reader, whether the replay sees the stale or the fresh assign
         // state
-        val normAssign = SnapshotManagement.normalize(assignPath(indexPath))
+        val normAssign = SnapshotManagement.normalize(assignPath(root))
         SnapshotManagement.withRewriteTransaction(normAssign) { txn =>
           graft.commands.UpsertCommand.runDeltaIn(
             spark, normAssign, assignDelta, Map.empty, txn)
@@ -275,15 +326,85 @@ object AnnIndex {
         // as the sync itself) restores build-exact (cosr, cnt) for them; a
         // crash before this write just leaves the valid conservative stats
         // for the replay to tighten.
-        restatCells(spark, indexPath, cents,
+        restatCells(spark, root, cents,
           assignNew.select("cid").unionByName(moved.select(col("oldCid")
             .as("cid"))).distinct().collect().map(_.get(0)).toSeq)
       }
     }
     if (current != last) {
-      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, churnOut)
+      // generation re-check: if a concurrent rebuild flipped the pointer
+      // while this sync ran, its sidecar (version = rebuild's corpus pin,
+      // churn 0) must WIN — this sync wrote into the superseded
+      // generation. Overwriting it here would claim versions the new
+      // generation never saw. The skipped window replays next sync;
+      // every sync step is idempotent under replay by design.
+      if (tableRoot(indexPath) == root)
+        SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, churnOut,
+          rebuildDue = dueOut)
     }
     current
+  }
+
+  /** Is a deferred churn-triggered rebuild pending for this index? (One
+    * sidecar read; false for a never-synced or pre-flag index.) */
+  def rebuildDue(indexPath: String): Boolean =
+    SyncSidecar.readRebuildDue(
+      graft.meta.SnapshotManagement.normalize(indexPath), SYNC_FILE)
+
+  // one rebuild in flight per index per JVM — a second concurrent call
+  // returns false instead of double-building
+  private val rebuildActive =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run the deferred churn-triggered rebuild if one is due (or `force`):
+    * builds a FRESH GENERATION of the four index tables off to the side —
+    * syncs and topK keep using the current generation, completely
+    * unblocked — then atomically swaps the generation pointer and resets
+    * the sync sidecar to the corpus version the rebuild pinned. A sync
+    * that raced the swap replays its window against the new generation
+    * (idempotent); generations older than the one just replaced are
+    * deleted. Returns true iff a rebuild ran to completion. */
+  def rebuildIfDue(
+      spark: SparkSession, indexPath: String, corpusPath: String,
+      idCol: String, vecCol: String,
+      nCentroids: Int = 16, hashBucketNum: Int = 4,
+      force: Boolean = false): Boolean = {
+    import graft.meta.SnapshotManagement
+    val normIdx = SnapshotManagement.normalize(indexPath)
+    val normCorpus = SnapshotManagement.normalize(corpusPath)
+    if (!force && !rebuildDue(indexPath)) return false
+    if (!rebuildActive.add(normIdx)) return false
+    try {
+      val current = SnapshotManagement.snapshot(normCorpus).version
+      val oldGen = readGen(indexPath)
+      val nextGen = "gen-" + (oldGen.map(_.stripPrefix("gen-").toLong + 1L)
+        .getOrElse(1L))
+      buildAt(spark, s"$indexPath/$nextGen",
+        spark.read.format("graft").load(corpusPath), idCol, vecCol,
+        nCentroids, hashBucketNum)
+      // THE swap: one atomic rename; then the sidecar records the rebuild's
+      // corpus pin with churn reset. Between the two writes a crash leaves
+      // the new generation live with the OLD sidecar — the next sync
+      // replays [last+1, current] into the new generation, idempotently.
+      writeGen(indexPath, nextGen)
+      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
+        rebuildDue = false)
+      // keep the generation just replaced (in-flight readers may hold its
+      // file lists); drop anything older. Root-layout tables from
+      // pre-generational indexes are left in place.
+      val keep = Set(nextGen) ++ oldGen
+      val dir = java.nio.file.Paths.get(indexPath)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val ls = java.nio.file.Files.list(dir)
+        try ls.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("gen-") && !keep.contains(n) &&
+              java.nio.file.Files.isDirectory(p))
+            graft.write.TransactionalWrite.deleteRecursively(p)
+        } finally ls.close()
+      }
+      true
+    } finally rebuildActive.remove(normIdx)
   }
 
   private val SYNC_FILE = "_graft_ann_sync.json"
@@ -298,12 +419,29 @@ object AnnIndex {
       idCol: String, vecCol: String, checkpointDir: String,
       nCentroids: Int = 16, hashBucketNum: Int = 4,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      autoRebuild: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.ContinuousSync.tail(spark, corpusPath, indexPath, checkpointDir, trigger,
       "ann") {
       syncFromTable(spark, indexPath, corpusPath, idCol, vecCol, nCentroids,
-        hashBucketNum); ()
+        hashBucketNum)
+      // autoRebuild: pay the deferred churn rebuild on a DAEMON thread so
+      // the microbatch loop keeps syncing at O(touched) latency while the
+      // build runs; rebuildIfDue's single-flight guard makes repeated
+      // microbatch kicks no-ops until the running build finishes and swaps
+      if (autoRebuild && rebuildDue(indexPath)) {
+        val t = new Thread(() => {
+          try rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
+            nCentroids, hashBucketNum)
+          catch { case e: Throwable => System.err.println(
+            s"[graft-ann] background rebuild of $indexPath failed: " +
+            e.getMessage) }
+        }, s"graft-ann-rebuild-$indexPath")
+        t.setDaemon(true)
+        t.start()
+      }
+      ()
     }
 
   /** Recompute (cosr, sinr, cnt) EXACTLY for `touchedCids` from the live
@@ -392,8 +530,12 @@ object AnnIndex {
       spark: SparkSession, indexPath: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10): DataFrame = {
+    // pinned once per call: a rebuild flipping the pointer mid-query still
+    // leaves this call on one coherent generation (kept on disk through
+    // the next rebuild)
+    val root = tableRoot(indexPath)
     val (cents, radii) = cellMeta(spark,
-      graft.meta.SnapshotManagement.normalize(indexPath), indexPath)
+      graft.meta.SnapshotManagement.normalize(root), root)
     // SINGLE-SCAN probe plan: the kth-best threshold comes from METADATA
     // alone, so the corpus is touched exactly once. Each cell's stats give
     // every member a sim interval around the query: with a = angle(q,
@@ -506,7 +648,7 @@ object AnnIndex {
     // forcing a broadcast of the full distributed pair frame could blow the
     // broadcast limit at exactly the scale the fallback exists for; there a
     // plain join lets AQE pick the strategy from real sizes.
-    val cellRows = spark.read.format("graft").load(cellsPath(indexPath))
+    val cellRows = spark.read.format("graft").load(cellsPath(root))
       .filter(col("cid").isin(probeCids: _*))
       .select(col("cid"), col("nid"),
         posexplode(col("uvec")).as(Seq("dim", "nx")))

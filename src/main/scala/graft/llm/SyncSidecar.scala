@@ -18,7 +18,7 @@ private[graft] object SyncSidecar {
   implicit private val formats: org.json4s.Formats = org.json4s.DefaultFormats
 
   private case class Meta(sourcePath: String, version: Long,
-      churn: Option[Long] = None)
+      churn: Option[Long] = None, rebuildDue: Option[Boolean] = None)
 
   /** UNVALIDATED sidecar read: (sourcePath, version), None when absent or
     * unreadable. For STATUS probes (e.g. replication lag) that must not
@@ -70,16 +70,41 @@ private[graft] object SyncSidecar {
     (m.version, m.churn.getOrElse(0L))
   }
 
+  /** [[readValidatedWithChurn]] plus the rebuild-due flag (false for
+    * sidecars predating it), still one file read/parse. */
+  def readValidatedFull(
+      indexDir: String, fileName: String, sourcePath: String,
+      currentVersion: Long): (Long, Long, Boolean) = {
+    val (v, churn) =
+      readValidatedWithChurn(indexDir, fileName, sourcePath, currentVersion)
+    if (v < 0) return (v, churn, false)
+    val due = readMeta2(indexDir, fileName).exists(_.rebuildDue.contains(true))
+    (v, churn, due)
+  }
+
+  private def readMeta2(indexDir: String, fileName: String): Option[Meta] = {
+    val p = Paths.get(indexDir, fileName)
+    if (!Files.exists(p)) return None
+    try Some(org.json4s.jackson.Serialization.read[Meta](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    catch { case _: Exception => None }
+  }
+
+  /** UNVALIDATED rebuild-due probe (false when absent/unreadable). */
+  def readRebuildDue(indexDir: String, fileName: String): Boolean =
+    readMeta2(indexDir, fileName).exists(_.rebuildDue.contains(true))
+
   def write(
       indexDir: String, fileName: String, sourcePath: String,
-      version: Long, churn: Long = 0L): Unit = {
+      version: Long, churn: Long = 0L, rebuildDue: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(indexDir))
     // temp + atomic rename: a crash mid-write must leave either the old
     // sidecar or the new one, never truncated JSON
     val tmp = Files.createTempFile(Paths.get(indexDir), s".$fileName", ".tmp")
     Files.write(tmp,
       org.json4s.jackson.Serialization.write(
-        Meta(sourcePath, version, Some(churn)))
+        Meta(sourcePath, version, Some(churn),
+          if (rebuildDue) Some(true) else None))
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(indexDir, fileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -1112,8 +1112,65 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
-  test("AnnIndex churn-triggered rebuild: cumulative touched fraction " +
-      "crossing the threshold forces a full build; below it, never") {
+  test("AnnIndex.maintainStream(autoRebuild): the maintenance stream pays " +
+      "the deferred rebuild on a background thread and keeps syncing") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(59)
+      def vec() = Array.fill(6)(rndv.nextFloat() * 2 - 1)
+      (0 until 40).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_auto_rb_").toString + "/ix"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("ann_auto_rb_ck_").toString
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 4)
+      // threshold so low the first touched batch crosses it
+      spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.01")
+      val q = AnnIndex.maintainStream(spark, idx, corpusDir,
+        "vec_id", "embedding", ckpt, nCentroids = 4,
+        autoRebuild = true)
+      try {
+        val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+        t.upsert(Seq((1L, vec()), (41L, vec())).toDF("vec_id", "embedding"))
+        q.processAllAvailable() // sync marks due; kicks the daemon build
+        // the rebuild runs off the stream thread — wait for the swap
+        val deadline = System.currentTimeMillis() + 120000
+        while ((AnnIndex.rebuildDue(idx) ||
+            AnnIndex.tableRoot(idx) == idx) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+        assert(AnnIndex.tableRoot(idx) == s"$idx/gen-1",
+          s"auto rebuild must swap generations: ${AnnIndex.tableRoot(idx)}")
+        assert(!AnnIndex.rebuildDue(idx))
+        // stream keeps maintaining the NEW generation, exactly
+        spark.conf
+          .set("spark.graft.ann.index.rebuildChurnFraction", "100.0")
+        t.upsert(Seq((2L, vec()), (42L, vec())).toDF("vec_id", "embedding"))
+        t.delete($"vec_id" === 3L)
+        q.processAllAvailable()
+        val corpusNow = spark.read.format("graft").load(corpusDir)
+        val queries = corpusNow.orderBy("vec_id").limit(2)
+        val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+            k = 3).select("qid", "rank", "nid")
+          .as[(Long, Int, Long)].collect().toSet
+        val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 3)
+          .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+        assert(got == want,
+          s"post-auto-rebuild index diverged\n got $got\n want $want")
+      } finally {
+        q.stop()
+        spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
+      }
+    }
+  }
+
+  test("AnnIndex DEFERRED churn rebuild: crossing the threshold marks " +
+      "rebuild-due while syncs stay incremental; rebuildIfDue builds a " +
+      "fresh generation and atomically swaps") {
     withTempTable { corpusDir =>
       val rndv = new scala.util.Random(61)
       def vec() = Array.fill(6)(rndv.nextFloat() * 2 - 1)
@@ -1125,34 +1182,11 @@ class LlmOperatorsSuite extends GraftFunSuite {
         .createTempDirectory("ann_churn_rb_").toString + "/ix"
       AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
         nCentroids = 4)
+      def root(): String = AnnIndex.tableRoot(idx)
       def centroidsVersion(): Long = graft.meta.SnapshotManagement.snapshot(
-        graft.meta.SnapshotManagement.normalize(s"$idx/centroids")).version
-      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
-      try {
-        // far below threshold: centroids must NOT move
-        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "100.0")
-        val v0 = centroidsVersion()
-        t.upsert(Seq((1L, vec()), (2L, vec())).toDF("vec_id", "embedding"))
-        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
-          nCentroids = 4)
-        assert(centroidsVersion() == v0,
-          "sub-threshold churn must stay incremental")
-        // threshold low enough that the ACCUMULATED churn crosses it:
-        // the next sync pays a full rebuild and resets the counter
-        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.05")
-        t.upsert(Seq((3L, vec())).toDF("vec_id", "embedding"))
-        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
-          nCentroids = 4)
-        val v1 = centroidsVersion()
-        assert(v1 > v0, "accumulated churn over threshold must rebuild")
-        // counter reset: the same tiny churn right after does NOT rebuild
-        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.5")
-        t.upsert(Seq((4L, vec())).toDF("vec_id", "embedding"))
-        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
-          nCentroids = 4)
-        assert(centroidsVersion() == v1,
-          "post-rebuild counter must restart from zero")
-        // exactness through all of it
+        graft.meta.SnapshotManagement.normalize(s"${root()}/centroids"))
+        .version
+      def assertExact(): Unit = {
         val corpusNow = spark.read.format("graft").load(corpusDir)
         val queries = corpusNow.orderBy("vec_id").limit(2)
         val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
@@ -1162,6 +1196,67 @@ class LlmOperatorsSuite extends GraftFunSuite {
             queries, "vec_id", "embedding", k = 3)
           .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
         assert(got == want)
+      }
+      val t = graft.tables.GraftTable.forPath(spark, corpusDir)
+      try {
+        // far below threshold: centroids must NOT move, nothing due
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "100.0")
+        val v0 = centroidsVersion()
+        t.upsert(Seq((1L, vec()), (2L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(centroidsVersion() == v0,
+          "sub-threshold churn must stay incremental")
+        assert(!AnnIndex.rebuildDue(idx))
+        // accumulated churn crosses the threshold: the sync MARKS the
+        // rebuild due and STAYS INCREMENTAL — no inline build, no
+        // latency cliff on the sync path
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.05")
+        t.upsert(Seq((3L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(centroidsVersion() == v0,
+          "crossing the threshold must NOT build inline")
+        assert(AnnIndex.rebuildDue(idx), "the sidecar must mark the debt")
+        // further syncs while the rebuild is pending: still incremental,
+        // still due, still EXACT
+        t.upsert(Seq((4L, vec()), (51L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(centroidsVersion() == v0 && AnnIndex.rebuildDue(idx),
+          "pending rebuild must not change sync behavior")
+        assertExact()
+        // pay the debt OFF the sync path: new generation + atomic swap
+        assert(AnnIndex.rebuildIfDue(spark, idx, corpusDir,
+          "vec_id", "embedding", nCentroids = 4))
+        assert(root() == s"$idx/gen-1", s"pointer must swap: ${root()}")
+        assert(!AnnIndex.rebuildDue(idx), "the debt is paid")
+        assertExact()
+        // single-flight: nothing due -> no-op
+        assert(!AnnIndex.rebuildIfDue(spark, idx, corpusDir,
+          "vec_id", "embedding", nCentroids = 4))
+        // counter reset: small churn after the rebuild does NOT re-mark;
+        // the sync lands in the NEW generation
+        spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.5")
+        val v1 = centroidsVersion()
+        t.upsert(Seq((5L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assert(!AnnIndex.rebuildDue(idx),
+          "post-rebuild counter must restart from zero")
+        assert(centroidsVersion() == v1)
+        assertExact()
+        // a second (forced) rebuild moves to gen-2 and drops nothing newer
+        // than the generation it replaced
+        assert(AnnIndex.rebuildIfDue(spark, idx, corpusDir,
+          "vec_id", "embedding", nCentroids = 4, force = true))
+        assert(root() == s"$idx/gen-2")
+        assertExact()
+        // syncs continue on the new generation
+        t.upsert(Seq((6L, vec())).toDF("vec_id", "embedding"))
+        AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+          nCentroids = 4)
+        assertExact()
       } finally spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
     }
   }
