@@ -40,6 +40,15 @@ object MaterializedViews {
   /** Session conf listing the registered MV table paths. */
   val CONF_KEY = "spark.graft.materializedViews"
 
+  /** TEST hook: when this conf is "true", the per-group recompute frame of
+    * the last incremental refresh is captured so suites can assert its
+    * PLAN (e.g. that the touched-group isin filters pruned the base scan
+    * to the touched partitions). Off by default — zero production cost. */
+  private[graft] val CAPTURE_RECOMPUTE_KEY =
+    "spark.graft.mv.captureRecomputePlan"
+  @volatile private[graft] var lastRecomputeFrame
+      : Option[org.apache.spark.sql.DataFrame] = None
+
   private def mvMetaPath(viewPath: String) =
     Paths.get(SnapshotManagement.normalize(viewPath), "_graft_mv.json")
 
@@ -708,33 +717,53 @@ object MaterializedViews {
           extremeCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
           distinctCols.map { case (n, e, _) => rc(e).as(s"__arg_$n") } ++
           avgRcCols.map { case (n, e) => rc(e).as(s"__arg_$n") }: _*)
-      // group restriction, two spellings by touched-set size (the same
+      // group restriction, spelled by touched-set size (the same
       // bounded-collect contract as AnnIndex's probe-cell literals):
-      //  - small single-key sets become literal isin/isNull filters that
+      //  - small SINGLE-key sets become literal isin/isNull filters that
       //    push INTO the base scan (partition + rowgroup pruning at plan
-      //    time — a semi join only filters after the scan has read);
-      //  - larger or multi-key sets keep the null-safe semi join.
-      val restricted = (if (keyNames.size == 1) {
-        val cap = 10000
-        val rows = touchedKeys.limit(cap + 1).collect()
-        if (rows.length <= cap) {
-          val vals = rows.map(_.get(0))
-          val nonNull = vals.filter(_ != null).toSeq
-          val kc = col(bq(keyNames.head))
-          val base = if (nonNull.nonEmpty) kc.isin(nonNull: _*) else lit(false)
-          Some(keyed.filter(
-            if (vals.contains(null)) base || kc.isNull else base))
-        } else None
-      } else None).getOrElse {
-        keyed.alias("__kd")
-          .join(touchedKeys.alias("__tk"),
+      //    time — a semi join only filters after the scan has read), and
+      //    the isin IS exact — no join needed at all;
+      //  - small MULTI-key sets push a CONJUNCTION of per-key isin
+      //    filters (the cartesian SUPERSET of the touched combinations —
+      //    still plan-time pruning on every key) with the exact
+      //    null-safe semi join behind it, against a LOCAL relation of
+      //    the already-collected keys (free to broadcast, no recompute);
+      //  - larger sets keep the plain null-safe semi join.
+      val cap = 10000
+      val rows = touchedKeys.limit(cap + 1).collect()
+      def semiJoin(src: DataFrame, keys: DataFrame): DataFrame =
+        src.alias("__kd")
+          .join(keys.alias("__tk"),
             keyNames.map(k =>
               col(s"__kd.${bq(k)}") <=> col(s"__tk.${bq(k)}")).reduce(_ && _),
             "left_semi")
+      val restricted = if (rows.length > cap) semiJoin(keyed, touchedKeys)
+      else {
+        def keyFilter(i: Int): org.apache.spark.sql.Column = {
+          val vals = rows.map(_.get(i))
+          val nonNull = vals.filter(_ != null).distinct.toSeq
+          val kc = col(bq(keyNames(i)))
+          val base = if (nonNull.nonEmpty) kc.isin(nonNull: _*) else lit(false)
+          if (vals.contains(null)) base || kc.isNull else base
+        }
+        if (keyNames.size == 1) keyed.filter(keyFilter(0))
+        else {
+          val pruned = keyed.filter(
+            keyNames.indices.map(keyFilter).reduce(_ && _))
+          val localKeys = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*),
+            org.apache.spark.sql.classic.ClassicConversions
+              .castToImpl(touchedKeys).queryExecution.analyzed.schema)
+          semiJoin(pruned, localKeys)
+        }
       }
-      restricted
+      val out = restricted
         .groupBy(keyNames.map(n => col(bq(n))): _*)
         .agg(rcAggs.head, rcAggs.tail: _*)
+      if (spark.conf.getOption(MaterializedViews.CAPTURE_RECOMPUTE_KEY)
+          .contains("true"))
+        MaterializedViews.lastRecomputeFrame = Some(out)
+      out
     }
 
     /** Attach `__rc.*` recomputed columns (extremes, DISTINCT aggregates)

@@ -644,6 +644,63 @@ class MvIncrementalSuite extends GraftFunSuite {
     }
   }
 
+  test("MULTI-KEY group-pruned recompute: a 2-key view's extreme " +
+      "recompute pushes per-key isin filters that prune the base scan " +
+      "to the touched partitions; content matches full recompute") {
+    withTempTable { dir =>
+      val viewDir = dir + "-mv"
+      // base range-partitioned by g: the prune is observable in the
+      // planned file list of the captured recompute frame
+      Seq[(Long, String, String, Long)](
+          (1L, "a", "eu", 10L), (2L, "a", "eu", 20L), (3L, "a", "us", 5L),
+          (4L, "b", "eu", 30L), (5L, "b", "us", 40L), (6L, "c", "eu", 7L))
+        .toDF("id", "g", "region", "v").write.format("graft")
+        .option("rangePartitions", "g").save(dir)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("mvi_mkp")
+      val sql = "SELECT g, region, count(*) AS cnt, min(v) AS mn " +
+        "FROM mvi_mkp GROUP BY g, region"
+      MaterializedViews.create(spark, viewDir, sql)
+      // retract group (a, eu)'s stored min: exactly that group recomputes
+      GraftTable.forPath(spark, dir).delete(col("id") === 1L)
+      spark.conf.set("spark.graft.mv.captureRecomputePlan", "true")
+      try {
+        MaterializedViews.lastRecomputeFrame = None
+        val before = incCount
+        assert(MaterializedViews.refresh(spark, viewDir))
+        assert(incCount == before + 1, "2-key retraction must fold")
+        assertMatchesRecompute(viewDir, sql)
+        assert(rowsOf(spark.sql(sql)).contains(Seq("a", "eu", 1L, 20L)))
+        val frame = MaterializedViews.lastRecomputeFrame
+          .getOrElse(fail("recompute frame not captured"))
+        // PLAN gate: every file the recompute scan planned comes from the
+        // touched g=a partition — the per-key isin pushed into planning
+        val scans = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(frame).queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b
+          }
+        assert(scans.nonEmpty, "recompute must scan the base")
+        val files: Seq[String] = scans.flatMap(_.inputPartitions).flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq
+          case p: graft.sources.GraftPkInputPartition =>
+            p.groups.toSeq.flatMap(_.files.toSeq.map(_.absPath))
+          case other => Seq(other.toString)
+        }
+        assert(files.nonEmpty, "recompute scan must plan files")
+        assert(files.forall(_.contains("g=a")),
+          s"recompute must scan ONLY the touched partition, planned: $files")
+        // and the exact semi join behind the superset prune is present
+        val hasSemi = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(frame).queryExecution.optimizedPlan.collectFirst {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                if j.joinType.sql.toUpperCase.contains("SEMI") => j
+          }.nonEmpty
+        assert(hasSemi, "multi-key prune keeps the exact semi join")
+      } finally spark.conf.unset("spark.graft.mv.captureRecomputePlan")
+    }
+  }
+
   test("ineligible shapes (no row-count lifecycle, double sum) fall back " +
       "and stay correct") {
     withTempTable { dir =>
