@@ -531,19 +531,17 @@ object Dedup {
     val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
       .transform(Checkpoints.stabilize)
     val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
-      .transform(Checkpoints.stabilize)
     // stabilized: consumed by the size probe AND the pair path; csim
     // kept — the sub-bucketing path needs each doc's centroid projection
     val assign3 = Ann.assignCells(cents)(cu, "nid", "nx")
       .transform(Checkpoints.stabilize)
     val assign = assign3.select("nid", "cid")
-    // k rows — bounded driver work regardless of corpus size
-    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("__cn"))
-      .transform(Checkpoints.stabilize)
-    val maxSize = sizes.agg(max(col("__cn"))).collect().head match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // ONE k-row collect decides everything (bounded driver work
+    // regardless of corpus size) — the fast path's whole overhead
+    val sizeRows = assign.groupBy("cid").agg(count(lit(1)).as("__cn"))
+      .collect()
+    val maxSize =
+      if (sizeRows.isEmpty) 0L else sizeRows.map(_.getLong(1)).max
     val keyed: DataFrame =
       if (maxSize <= cap) assign.withColumn("__pk", lit(0L))
       else {
@@ -553,11 +551,24 @@ object Dedup {
             s"cap $cap — LSH-subdividing oversized clusters")
         val maxP = 16
         // per-OVERSIZED-cluster plane count: 2^np sub-buckets bring the
-        // expected bucket size to ≤ cap
-        val big = sizes.filter(col("__cn") > cap).select(col("cid"),
-          least(lit(maxP), greatest(lit(1),
-            ceil(log2(col("__cn").cast("double") / cap)))).cast("int")
-            .as("__np"))
+        // expected bucket size to ≤ cap — a k-row local relation
+        val bigRows: Seq[org.apache.spark.sql.Row] =
+          sizeRows.filter(_.getLong(1) > cap).map { r =>
+            val np = math.min(maxP.toDouble, math.max(1.0,
+              math.ceil(math.log(r.getLong(1).toDouble / cap) /
+                math.log(2.0)))).toInt
+            org.apache.spark.sql.Row(r.get(0), np)
+          }.toSeq
+        val big = spark.createDataFrame(
+          java.util.Arrays.asList(bigRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cid",
+              assign.schema("cid").dataType),
+            org.apache.spark.sql.types.StructField("__np",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        // the mega-cluster path reuses the centroid frame a second time
+        // (residual join); pin it so the Lloyd pipeline never re-runs
+        val centsS = cents.transform(Checkpoints.stabilize)
         // Hyperplane sign-sums over each doc's RESIDUAL r = x − (x·c)c,
         // the component orthogonal to its own centroid. Hashing the raw
         // vector barely subdivides: everything in a cluster shares the
@@ -571,7 +582,7 @@ object Dedup {
         val ovDocs = assign3.join(broadcast(big), "cid")
           .select("nid", "cid", "csim", "__np")
         val resid = cu.join(ovDocs, "nid")
-          .join(broadcast(cents), Seq("cid", "dim"))
+          .join(broadcast(centsS), Seq("cid", "dim"))
           .withColumn("__rx", col("nx") - col("csim") * col("cx"))
         val planeAggs = (0 until maxP).map { p =>
           sum(col("__rx") * Ann.planeComponent(p, col("dim") + 1, dims))
