@@ -232,10 +232,29 @@ class GraftTable(object):
         """Continuous table-to-table replication: tail this table's
         change feed and apply each microbatch into the PK replica at
         ``destPath`` as one atomic commit (exactly-once under restarts).
-        Returns the pyspark StreamingQuery; stop it to stop replication."""
+        Self-heals on source schema evolution: the stream restarts itself
+        against the same checkpoint so new columns flow with no operator
+        action. Returns the pyspark StreamingQuery; stop it to stop
+        replication."""
         from pyspark.sql.streaming import StreamingQuery
         return StreamingQuery(self._jbridge.replicateTo(
             self._jtable, destPath, checkpointDir))
+
+    def replicationStatus(self, destPath):
+        """Replication lag of the replica at ``destPath`` fed from this
+        table: a dict with ``sourcePath``, ``sourceVersion``,
+        ``appliedVersion``, ``pendingVersions`` (change-bearing source
+        versions not yet applied — pure rewrites never count) and
+        ``inSync``. One sidecar read plus one metadata probe per
+        unapplied version; no data files are touched."""
+        st = self._jbridge.replicationStatusOf(self._jtable, destPath)
+        return {
+            "sourcePath": st.sourcePath(),
+            "sourceVersion": st.sourceVersion(),
+            "appliedVersion": st.appliedVersion(),
+            "pendingVersions": st.pendingVersions(),
+            "inSync": st.inSync(),
+        }
 
     def generateManifest(self):
         """Export the current snapshot as symlink-format manifests for

@@ -125,10 +125,16 @@ def main():
         rq = t.replicateTo(rpath, rck)
         try:
             t.upsert(spark.createDataFrame([(41, 41)], "id long, v long"))
+            st_behind = t.replicationStatus(rpath)
             rq.processAllAvailable()
             check("replicateTo",
                   GraftTable.forPath(spark, rpath).toDF().count()
                   == t.toDF().count())
+            st = t.replicationStatus(rpath)
+            check("replicationStatus",
+                  st_behind["pendingVersions"] >= 1
+                  and st["inSync"] and st["pendingVersions"] == 0
+                  and st["appliedVersion"] == st["sourceVersion"])
         finally:
             rq.stop()
         t.delete("id = 41")  # restore the shared fixture's row count

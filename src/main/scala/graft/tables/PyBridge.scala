@@ -102,6 +102,10 @@ object PyBridge {
       : GraftTable.ReplicationStatus =
     GraftTable.replicationStatus(spark, destPath)
 
+  /** Instance form: validates the replica is fed from `t`. */
+  def replicationStatusOf(t: GraftTable, destPath: String)
+      : GraftTable.ReplicationStatus = t.replicationStatus(destPath)
+
   def replicateTo(t: GraftTable, destPath: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     t.replicateTo(destPath, checkpointDir)
