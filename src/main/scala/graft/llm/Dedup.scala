@@ -423,9 +423,14 @@ object Dedup {
     * whole-stage codegen instead of interpreted array lambdas. The classic
     * recall/cost dial is `numPlanes` (fewer planes = bigger buckets =
     * higher recall). */
+  /** Conf key for [[embeddingNearDuplicates]]'s oversized-bucket cap
+    * (used when the `maxBucketSize` argument is 0). Default 100000. */
+  val EMBEDDING_MAX_BUCKET_KEY = "spark.graft.dedup.embedding.maxBucketSize"
+
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
+      minCosine: Double = 0.95, numPlanes: Int = 4, dims: Int = 64,
+      maxBucketSize: Int = 0): DataFrame = {
     // Shared pipeline with the ANN family (Ann.unitRows): one exploded
     // pass computes norms AND hyperplane sign-sums as plain aggregates —
     // no array lambdas — with md5-derived literal plane constants
@@ -437,12 +442,73 @@ object Dedup {
     // downstream clustering would merge unrelated documents). Dropping
     // zero vectors matches Ann: they are never anyone's neighbor.
     // eager localCheckpoint: both sides of the bucket self-join read this
+    val spark = df.sparkSession
+    val cap = if (maxBucketSize > 0) maxBucketSize
+      else spark.conf.getOption(EMBEDDING_MAX_BUCKET_KEY)
+        .map(_.toInt).getOrElse(100000)
+    require(cap > 0, s"maxBucketSize must be positive, got $cap")
     val unit = Ann
       .unitRows(df, idCol, vecCol, "doc_id", "x", numPlanes, dims)
       .transform(Checkpoints.stabilize)
-    unit.as("a").join(unit.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.dim") === col("b.dim") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // MEGA-BUCKET CAP (same scale defense as [[semanticNearDupPairs]]):
+    // a direction-correlated corpus collapses into few raw-LSH buckets —
+    // shared dominant components vote the same sign on every plane, so
+    // raising numPlanes does NOT split it and the bucket self-join goes
+    // quadratic in the corpus. Buckets above the cap are subdivided by
+    // extra planes over each member's RESIDUAL around the bucket's own
+    // MEAN direction ([[residualSubBuckets]]) — that is where the
+    // within-bucket variation lives, so sub-buckets come out near-even.
+    // Sub-bucket pairs stay exact cosine (a subset of the uncapped
+    // output); the size probe is one ≤ 2^numPlanes-row collect.
+    val sizeRows = unit.filter(col("dim") === 0)
+      .groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn"))
+      .collect()
+    val maxSize =
+      if (sizeRows.isEmpty) 0L else sizeRows.map(_.getLong(1)).max
+    val keyed: DataFrame =
+      if (maxSize <= cap)
+        unit.select(col("doc_id"), col("bucket"), col("dim"), col("x"),
+          lit(0L).as("__pk"))
+      else {
+        if (spark.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
+          System.err.println(
+            s"[graft-dedup] embedding near-dup: largest bucket $maxSize > " +
+            s"cap $cap — residual-subdividing oversized buckets")
+        val big = planesLocalRelation(spark, sizeRows, cap,
+          unit.schema("bucket").dataType)
+        // bucket MEAN as the residual center, unit-normalized; only the
+        // oversized buckets' members pay any of this
+        val ovUnit = unit.withColumnRenamed("bucket", "cid")
+          .join(broadcast(big.select("cid")), "cid")
+        val mean = ovUnit.groupBy("cid", "dim").agg(avg(col("x")).as("mx"))
+        val mnorm = mean.groupBy("cid")
+          .agg(sqrt(sum(col("mx") * col("mx"))).as("mn"))
+        // zero-norm mean (perfectly symmetric bucket): center 0 — the
+        // residual degenerates to the raw vector, which DOES split a
+        // symmetric bucket (no shared direction to drown the signs)
+        val centers = mean.join(mnorm, "cid")
+          .select(col("cid"), col("dim"),
+            when(col("mn") === 0.0d, lit(0.0d))
+              .otherwise(col("mx") / col("mn")).as("cx"))
+          .transform(Checkpoints.stabilize)
+        val comp = ovUnit
+          .select(col("doc_id").as("nid"), col("cid"), col("dim"),
+            col("x").as("nx"))
+        val csim = comp.join(broadcast(centers), Seq("cid", "dim"))
+          .groupBy("nid", "cid").agg(sum(col("nx") * col("cx")).as("csim"))
+        val ovDocs = csim.join(broadcast(big), "cid")
+          .select("nid", "cid", "csim", "__np")
+        val bits = residualSubBuckets(
+          comp.select("nid", "dim", "nx"), centers, ovDocs, dims)
+        unit.join(bits.withColumnRenamed("nid", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("bucket"), col("dim"), col("x"),
+            coalesce(col("__pk"), lit(0L)).as("__pk"))
+          .transform(Checkpoints.stabilize)
+      }
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.__pk") === col("b.__pk") &&
+        col("a.dim") === col("b.dim") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(sum(col("a.x") * col("b.x")).as("cosine"))
       .filter(col("cosine") >= minCosine)
@@ -549,61 +615,81 @@ object Dedup {
           System.err.println(
             s"[graft-dedup] semantic near-dup: largest cluster $maxSize > " +
             s"cap $cap — LSH-subdividing oversized clusters")
-        val maxP = 16
         // per-OVERSIZED-cluster plane count: 2^np sub-buckets bring the
         // expected bucket size to ≤ cap — a k-row local relation
-        val bigRows: Seq[org.apache.spark.sql.Row] =
-          sizeRows.filter(_.getLong(1) > cap).map { r =>
-            val np = math.min(maxP.toDouble, math.max(1.0,
-              math.ceil(math.log(r.getLong(1).toDouble / cap) /
-                math.log(2.0)))).toInt
-            org.apache.spark.sql.Row(r.get(0), np)
-          }.toSeq
-        val big = spark.createDataFrame(
-          java.util.Arrays.asList(bigRows: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cid",
-              assign.schema("cid").dataType),
-            org.apache.spark.sql.types.StructField("__np",
-              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        val big = planesLocalRelation(spark, sizeRows, cap,
+          assign.schema("cid").dataType)
         // the mega-cluster path reuses the centroid frame a second time
         // (residual join); pin it so the Lloyd pipeline never re-runs
         val centsS = cents.transform(Checkpoints.stabilize)
-        // Hyperplane sign-sums over each doc's RESIDUAL r = x − (x·c)c,
-        // the component orthogonal to its own centroid. Hashing the raw
-        // vector barely subdivides: everything in a cluster shares the
-        // centroid direction, so x·w ≈ (x·c)(c·w) gives every member the
-        // SAME sign on most planes. The residual is exactly the
-        // within-cluster variation, so its signs split near-evenly. One
-        // grouped pass, literal md5 plane constants (Ann.unitRows
-        // machinery); only documents in OVERSIZED clusters pay it — and
+        // only documents in OVERSIZED clusters pay the residual pass — and
         // those can be most of the corpus, so nothing here broadcasts
-        // except the k-row cluster frame and the k×dims centroid frame.
+        // except the k-row cluster frame and the k×dims centroid frame
         val ovDocs = assign3.join(broadcast(big), "cid")
           .select("nid", "cid", "csim", "__np")
-        val resid = cu.join(ovDocs, "nid")
-          .join(broadcast(centsS), Seq("cid", "dim"))
-          .withColumn("__rx", col("nx") - col("csim") * col("cx"))
-        val planeAggs = (0 until maxP).map { p =>
-          sum(col("__rx") * Ann.planeComponent(p, col("dim") + 1, dims))
-            .as(s"__d$p")
-        }
-        val bits = resid
-          .groupBy("nid", "__np")
-          .agg(planeAggs.head, planeAggs.tail: _*)
-          .select(col("nid"), pmod(
-            (0 until maxP).map(p =>
-              when(col(s"__d$p") >= 0, lit(1L << p)).otherwise(lit(0L))
-                : Column).reduce(_ + _),
-            // 2^np as a column (shiftleft's bit-count arg must be a
-            // literal); exact in double up to 2^52 ≫ 2^16
-            pow(lit(2.0d), col("__np").cast("double")).cast("long"))
-            .as("__pk"))
+        val bits = residualSubBuckets(cu, centsS, ovDocs, dims)
         assign.join(bits, Seq("nid"), "left_outer")
           .select(col("nid"), col("cid"),
             coalesce(col("__pk"), lit(0L)).as("__pk"))
       }
     (cu, keyed)
+  }
+
+  /** (cid, __np) plane counts for groups whose `sizeRows` (cid, count)
+    * exceed `cap`: ⌈log2(count/cap)⌉ planes, 1..16, as a LOCAL relation
+    * (sizeRows is already a bounded driver collect). */
+  private def planesLocalRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      sizeRows: Array[org.apache.spark.sql.Row], cap: Int,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val rows: Seq[org.apache.spark.sql.Row] =
+      sizeRows.filter(_.getLong(1) > cap).map { r =>
+        val np = math.min(16.0, math.max(1.0,
+          math.ceil(math.log(r.getLong(1).toDouble / cap) /
+            math.log(2.0)))).toInt
+        org.apache.spark.sql.Row(r.get(0), np)
+      }.toSeq
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid", cidType),
+        org.apache.spark.sql.types.StructField("__np",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** Hyperplane sign sub-buckets over each member's RESIDUAL
+    * r = x − (x·c)c, the component orthogonal to its group's center.
+    * Hashing the raw vector barely subdivides a tight group: every member
+    * shares the center direction, so x·w ≈ (x·c)(c·w) gives the SAME sign
+    * on most planes — the residual is exactly the within-group variation,
+    * so its signs split near-evenly. One grouped pass, literal md5 plane
+    * constants (Ann.unitRows machinery). Inputs: `comp` (nid, dim, nx)
+    * exploded unit components; `centers` (cid, dim, cx) unit centers
+    * (broadcastable); `ovDocs` (nid, cid, csim, __np) the members to
+    * subdivide with their center projection and plane count. Output:
+    * (nid, __pk) with __pk = low __np bits of the 16-bit sign word. */
+  private def residualSubBuckets(
+      comp: DataFrame, centers: DataFrame, ovDocs: DataFrame,
+      dims: Int): DataFrame = {
+    val maxP = 16
+    val resid = comp.join(ovDocs, "nid")
+      .join(broadcast(centers), Seq("cid", "dim"))
+      .withColumn("__rx", col("nx") - col("csim") * col("cx"))
+    val planeAggs = (0 until maxP).map { p =>
+      sum(col("__rx") * Ann.planeComponent(p, col("dim") + 1, dims))
+        .as(s"__d$p")
+    }
+    resid
+      .groupBy("nid", "__np")
+      .agg(planeAggs.head, planeAggs.tail: _*)
+      .select(col("nid"), pmod(
+        (0 until maxP).map(p =>
+          when(col(s"__d$p") >= 0, lit(1L << p)).otherwise(lit(0L))
+            : Column).reduce(_ + _),
+        // 2^np as a column (shiftleft's bit-count arg must be a
+        // literal); exact in double up to 2^52 ≫ 2^16
+        pow(lit(2.0d), col("__np").cast("double")).cast("long"))
+        .as("__pk"))
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact shingle Jaccard on the

@@ -490,6 +490,54 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("embedding near-dup MEGA-BUCKET cap: a direction-correlated corpus " +
+      "that collapses into one raw-LSH bucket is residual-subdivided — " +
+      "pair work bounded, emitted pairs exact") {
+    // every vector shares one dominant direction (axis 0 = 5 ± noise):
+    // all raw-LSH plane votes agree, so with ANY numPlanes the whole
+    // corpus lands in O(1) buckets — the exposure the cap closes
+    val rnd = new scala.util.Random(29)
+    val vecs: Map[Long, Array[Double]] = (0 until 400).map { i =>
+      i.toLong -> Array.tabulate(8)(d =>
+        (if (d == 0) 5.0 else 0.0) + (rnd.nextDouble() - 0.5) * 2.0)
+    }.toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("doc_id", "embedding")
+    val cap = 50
+    val minCos = 0.93
+    val got = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+        minCosine = minCos, numPlanes = 4, dims = 8, maxBucketSize = cap)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+        minCosine = minCos, numPlanes = 4, dims = 8,
+        maxBucketSize = 1000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "fixture must emit near-dup pairs")
+    assert(got.subsetOf(full), "capped output must never invent pairs")
+    // precision: every emitted pair really is >= minCos (exact driver dot)
+    val unit = vecs.map { case (id, v0) =>
+      val v = v0.map(x => x.toFloat.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(_ / n)
+    }
+    got.foreach { case (a, b) =>
+      val cos = unit(a).zip(unit(b)).map(p => p._1 * p._2).sum
+      assert(cos >= minCos - 1e-9, s"pair ($a,$b) cos=$cos below $minCos")
+    }
+    // the BOUND: pair work shrank by well over the trivial margin — with
+    // raw planes the corpus sat in O(1) buckets (uncapped pair count is
+    // the witness); the capped run must emit from far smaller groups.
+    // Compare candidate volumes via a direct probe of the bucket sizes.
+    val probe = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+        minCosine = -1.0, numPlanes = 4, dims = 8, maxBucketSize = cap)
+      .count() // every within-group pair survives at threshold -1
+    val probeFull = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+        minCosine = -1.0, numPlanes = 4, dims = 8, maxBucketSize = 1000000)
+      .count()
+    assert(probe < probeFull / 4,
+      s"pair work must shrink: capped $probe vs uncapped $probeFull")
+  }
+
   test("token-budget mix == naive running total; crossing doc included, " +
       "under-budget domains keep everything, null weights drop") {
     val rnd = new scala.util.Random(3)
