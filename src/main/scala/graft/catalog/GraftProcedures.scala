@@ -30,7 +30,7 @@ object GraftProcedures {
 
   val all: Seq[String] = Seq("compact", "zorder", "vacuum", "restore",
     "rebucket", "clone", "create_mv", "refresh_mv", "drop_mv",
-    "apply_changes", "generate")
+    "apply_changes", "generate", "ann_rebuild_if_due", "replication_status")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "compact" => Some(CompactProcedure)
@@ -44,6 +44,8 @@ object GraftProcedures {
     case "create_mv" => Some(CreateMvProcedure)
     case "refresh_mv" => Some(RefreshMvProcedure)
     case "drop_mv" => Some(DropMvProcedure)
+    case "ann_rebuild_if_due" => Some(AnnRebuildIfDueProcedure)
+    case "replication_status" => Some(ReplicationStatusProcedure)
     case _ => None
   }
 
@@ -304,6 +306,67 @@ object GraftProcedures {
       graft.mv.MaterializedViews.drop(spark, path)
       one(resultScan(versionSchema,
         Seq(InternalRow(UTF8String.fromString(path), -1L))))
+    }
+  }
+
+  object AnnRebuildIfDueProcedure extends MaintenanceProcedure(
+      "ann_rebuild_if_due",
+      "Pay a deferred churn-triggered ANN index rebuild: build a fresh " +
+        "generation off the sync path and atomically swap") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index", StringType)
+        .comment("ANN index root path").build(),
+      ProcedureParameter.in("corpus", StringType)
+        .comment("corpus table path the index syncs from").build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("n_centroids", IntegerType).defaultValue("16")
+        .build(),
+      ProcedureParameter.in("hash_bucket_num", IntegerType).defaultValue("4")
+        .build(),
+      ProcedureParameter.in("force", BooleanType).defaultValue("false")
+        .comment("rebuild even when no churn debt is marked").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val idx = str(input, 0).get
+      val corpus = resolvePath(spark, str(input, 1).get)
+      val ran = graft.llm.AnnIndex.rebuildIfDue(spark, idx, corpus,
+        str(input, 2).get, str(input, 3).get,
+        if (input.isNullAt(4)) 16 else input.getInt(4),
+        if (input.isNullAt(5)) 4 else input.getInt(5),
+        force = !input.isNullAt(6) && input.getBoolean(6))
+      val schema = StructType(Seq(
+        StructField("index", StringType, nullable = false),
+        StructField("rebuilt", BooleanType, nullable = false),
+        StructField("generation", StringType, nullable = false)))
+      one(resultScan(schema, Seq(InternalRow(
+        UTF8String.fromString(SnapshotManagement.normalize(idx)), ran,
+        UTF8String.fromString(graft.llm.AnnIndex.tableRoot(idx))))))
+    }
+  }
+
+  object ReplicationStatusProcedure extends MaintenanceProcedure(
+      "replication_status",
+      "Replication lag of a replica: newest applied source version vs " +
+        "the source's current version (pure rewrites never count)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("replica", StringType)
+        .comment("replica table path").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val st = graft.tables.GraftTable.replicationStatus(
+        spark, resolvePath(spark, str(input, 0).get))
+      val schema = StructType(Seq(
+        StructField("source_path", StringType, nullable = false),
+        StructField("source_version", LongType, nullable = false),
+        StructField("applied_version", LongType, nullable = false),
+        StructField("pending_versions", LongType, nullable = false),
+        StructField("in_sync", BooleanType, nullable = false)))
+      one(resultScan(schema, Seq(InternalRow(
+        UTF8String.fromString(st.sourcePath), st.sourceVersion,
+        st.appliedVersion, st.pendingVersions, st.inSync))))
     }
   }
 

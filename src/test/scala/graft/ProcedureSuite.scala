@@ -246,6 +246,61 @@ class ProcedureSuite extends GraftFunSuite {
     }
   }
 
+  test("CALL system.replication_status reports lag through SQL") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/replica"
+      (1L to 10L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val s2 = sqlSession
+      val fresh = s2.sql(
+        s"CALL spark_catalog.system.replication_status('$dest')").collect()
+      assert(fresh.head.getAs[Boolean]("in_sync"))
+      t.upsert(Seq((1L, 100L)).toDF("id", "n"))
+      val behind = s2.sql(
+        s"CALL spark_catalog.system.replication_status('$dest')").collect()
+      assert(!behind.head.getAs[Boolean]("in_sync") &&
+        behind.head.getAs[Long]("pending_versions") == 1L)
+    } }
+  }
+
+  test("CALL system.ann_rebuild_if_due pays the churn debt and swaps the " +
+      "generation") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(67)
+      def vec() = Array.fill(6)(rndv.nextFloat() * 2 - 1)
+      (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_proc_").toString + "/ix"
+      graft.llm.AnnIndex.syncFromTable(spark, idx, corpusDir,
+        "vec_id", "embedding", nCentroids = 4)
+      val s2 = sqlSession
+      // no debt: the procedure is a no-op and says so
+      val idle = s2.sql(s"CALL spark_catalog.system.ann_rebuild_if_due(" +
+        s"'$idx', '$corpusDir', 'vec_id', 'embedding', 4, 2)").collect()
+      assert(!idle.head.getAs[Boolean]("rebuilt"))
+      // mark the debt through a sync, then pay it through SQL
+      spark.conf.set("spark.graft.ann.index.rebuildChurnFraction", "0.01")
+      try {
+        GraftTable.forPath(spark, corpusDir)
+          .upsert(Seq((1L, vec())).toDF("vec_id", "embedding"))
+        graft.llm.AnnIndex.syncFromTable(spark, idx, corpusDir,
+          "vec_id", "embedding", nCentroids = 4)
+        assert(graft.llm.AnnIndex.rebuildDue(idx))
+        val out = s2.sql(s"CALL spark_catalog.system.ann_rebuild_if_due(" +
+          s"'$idx', '$corpusDir', 'vec_id', 'embedding', 4, 2)").collect()
+        assert(out.head.getAs[Boolean]("rebuilt"))
+        assert(out.head.getAs[String]("generation").endsWith("gen-1"))
+        assert(!graft.llm.AnnIndex.rebuildDue(idx))
+      } finally spark.conf.unset("spark.graft.ann.index.rebuildChurnFraction")
+    }
+  }
+
   test("unknown procedure fails loudly; procedures are listable") {
     val s2 = sqlSession
     val e = intercept[Exception] {
