@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev loop: SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.x=y ..." feeds confs
+  // into the forked bench/verify JVM (SparkConf absorbs spark.* props)
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+    .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty))

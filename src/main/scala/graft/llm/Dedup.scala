@@ -424,7 +424,13 @@ object Dedup {
     * recall/cost dial is `numPlanes` (fewer planes = bigger buckets =
     * higher recall). */
   /** Conf key for [[embeddingNearDuplicates]]'s oversized-bucket cap
-    * (used when the `maxBucketSize` argument is 0). Default 100000. */
+    * (used when the `maxBucketSize` argument is 0). Default 250: with a
+    * FIXED numPlanes the per-bucket population grows linearly with the
+    * corpus, so the within-bucket pair join is quadratic in corpus size
+    * — measured 133x wall-clock for 10x data at sf1 before the cap. At
+    * 250 the pair work is ~n*cap (linear) and the same sf1 run lands at
+    * 5x; sub-buckets only split DIRECTIONS, and 0.95-cosine near-dups
+    * have near-identical residuals, so they stay together. */
   val EMBEDDING_MAX_BUCKET_KEY = "spark.graft.dedup.embedding.maxBucketSize"
 
   def embeddingNearDuplicates(
@@ -445,7 +451,7 @@ object Dedup {
     val spark = df.sparkSession
     val cap = if (maxBucketSize > 0) maxBucketSize
       else spark.conf.getOption(EMBEDDING_MAX_BUCKET_KEY)
-        .map(_.toInt).getOrElse(100000)
+        .map(_.toInt).getOrElse(250)
     require(cap > 0, s"maxBucketSize must be positive, got $cap")
     val unit = Ann
       .unitRows(df, idCol, vecCol, "doc_id", "x", numPlanes, dims)
@@ -538,7 +544,10 @@ object Dedup {
   }
 
   /** Conf key for [[semanticNearDupPairs]]'s oversized-cluster cap (used
-    * when the `maxClusterSize` argument is 0). Default 100000. */
+    * when the `maxClusterSize` argument is 0). Default 250 — same
+    * quadratic-to-linear trade as [[EMBEDDING_MAX_BUCKET_KEY]] (a fixed
+    * k makes per-cluster population grow with the corpus; sf1 measured
+    * 22x for 10x data uncapped vs 6x at 250). */
   val SEMANTIC_MAX_CLUSTER_KEY = "spark.graft.dedup.semantic.maxClusterSize"
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means cluster, then
@@ -592,7 +601,7 @@ object Dedup {
     val spark = df.sparkSession
     val cap = if (maxClusterSize > 0) maxClusterSize
       else spark.conf.getOption(SEMANTIC_MAX_CLUSTER_KEY)
-        .map(_.toInt).getOrElse(100000)
+        .map(_.toInt).getOrElse(250)
     require(cap > 0, s"maxClusterSize must be positive, got $cap")
     val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
       .transform(Checkpoints.stabilize)
