@@ -71,6 +71,27 @@ class Dedup(object):
                                                   idCol, textCol), train)
 
     @staticmethod
+    def semanticNearDupPairs(df, idCol, vecCol, k, minCosine=0.95,
+                             maxClusterSize=0):
+        """SemDeDup-style near-dup pairs: exact cosine WITHIN k-means
+        clusters; clusters above ``maxClusterSize`` (0 = conf default
+        250) are residual-LSH subdivided so a skewed cluster can never
+        go quadratic in the corpus."""
+        return _wrap(_bridge(df).semanticNearDupPairs(
+            df._jdf, idCol, vecCol, int(k), float(minCosine),
+            int(maxClusterSize)), df)
+
+    @staticmethod
+    def embeddingNearDuplicates(df, idCol, vecCol, minCosine=0.95,
+                                numPlanes=4, maxBucketSize=0):
+        """Hyperplane-LSH near-dup pairs with exact cosine within
+        buckets; buckets above ``maxBucketSize`` (0 = conf default 250)
+        subdivide around their mean direction."""
+        return _wrap(_bridge(df).embeddingNearDuplicates(
+            df._jdf, idCol, vecCol, float(minCosine), int(numPlanes),
+            int(maxBucketSize)), df)
+
+    @staticmethod
     def semanticClusters(df, idCol, vecCol, k):
         """Spherical k-means cluster assignment over an embedding column."""
         return _wrap(_bridge(df).semanticClusters(df._jdf, idCol, vecCol,
@@ -134,6 +155,20 @@ class Ann(object):
         version."""
         return spark._sc._jvm.graft.llm.PyLlmBridge.annIndexSync(
             spark._jsparkSession, indexPath, corpusPath, idCol, vecCol)
+
+    @staticmethod
+    def rebuildDue(spark, indexPath):
+        """Whether a deferred churn-triggered rebuild is pending."""
+        return spark._sc._jvm.graft.llm.PyLlmBridge.annRebuildDue(indexPath)
+
+    @staticmethod
+    def rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
+                     nCentroids=16, force=False):
+        """Pay a deferred churn rebuild off the sync path: build a fresh
+        generation and atomically swap. Returns True iff a rebuild ran."""
+        return spark._sc._jvm.graft.llm.PyLlmBridge.annRebuildIfDue(
+            spark._jsparkSession, indexPath, corpusPath, idCol, vecCol,
+            int(nCentroids), bool(force))
 
 
 class MinhashIndex(object):

@@ -180,6 +180,16 @@ def main():
         nn = Ann.bruteTopK(vecs, "id", "vec", vecs, "id", "vec", k=1)
         top = {r["qid"]: r["nid"] for r in nn.collect()}
         check("llm bruteTopK", top == {1: 1, 2: 2, 3: 3})
+        emb_pairs = {(r["a_id"], r["b_id"])
+                     for r in Dedup.embeddingNearDuplicates(
+                         vecs, "id", "vec", minCosine=0.9,
+                         numPlanes=1).collect()}
+        check("llm embeddingNearDuplicates", emb_pairs == {(1, 3)})
+        sem_pairs = {(r["a_id"], r["b_id"])
+                     for r in Dedup.semanticNearDupPairs(
+                         vecs, "id", "vec", k=2,
+                         minCosine=0.9).collect()}
+        check("llm semanticNearDupPairs", sem_pairs == {(1, 3)})
 
         check("history", t.history().count() >= 4)
 

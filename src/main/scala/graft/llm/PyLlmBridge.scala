@@ -41,6 +41,16 @@ object PyLlmBridge {
       k: Int): DataFrame =
     Dedup.semanticClusters(df, idCol, vecCol, k)
 
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, maxClusterSize: Int): DataFrame =
+    Dedup.semanticNearDupPairs(df, idCol, vecCol, k, minCosine,
+      maxClusterSize = maxClusterSize)
+
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, numPlanes: Int, maxBucketSize: Int): DataFrame =
+    Dedup.embeddingNearDuplicates(df, idCol, vecCol, minCosine, numPlanes,
+      maxBucketSize = maxBucketSize)
+
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame =
     TextAnalysis.langId(df, textCol, idCol)
 
@@ -76,6 +86,15 @@ object PyLlmBridge {
   def annIndexSync(spark: SparkSession, indexPath: String,
       corpusPath: String, idCol: String, vecCol: String): Long =
     AnnIndex.syncFromTable(spark, indexPath, corpusPath, idCol, vecCol)
+
+  def annRebuildDue(indexPath: String): Boolean =
+    AnnIndex.rebuildDue(indexPath)
+
+  def annRebuildIfDue(spark: SparkSession, indexPath: String,
+      corpusPath: String, idCol: String, vecCol: String,
+      nCentroids: Int, force: Boolean): Boolean =
+    AnnIndex.rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
+      nCentroids, force = force)
 
   def minhashIndexSync(spark: SparkSession, indexPath: String,
       docsPath: String, idCol: String, textCol: String): Long =
