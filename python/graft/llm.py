@@ -163,12 +163,14 @@ class Ann(object):
 
     @staticmethod
     def rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
-                     nCentroids=16, force=False):
+                     nCentroids=16, hashBucketNum=4, force=False):
         """Pay a deferred churn rebuild off the sync path: build a fresh
-        generation and atomically swap. Returns True iff a rebuild ran."""
+        generation and atomically swap. Pass the index's original
+        ``hashBucketNum`` — the rebuild re-buckets to this value.
+        Returns True iff a rebuild ran."""
         return spark._sc._jvm.graft.llm.PyLlmBridge.annRebuildIfDue(
             spark._jsparkSession, indexPath, corpusPath, idCol, vecCol,
-            int(nCentroids), bool(force))
+            int(nCentroids), int(hashBucketNum), bool(force))
 
 
 class MinhashIndex(object):

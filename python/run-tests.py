@@ -122,10 +122,12 @@ def main():
         rpath = os.path.join(tmp, "replica")
         rck = os.path.join(tmp, "replica_ck")
         t.cloneTo(rpath)
+        # behind-probe BEFORE the stream starts: with a running
+        # 10-second-trigger stream the batch could already have applied
+        t.upsert(spark.createDataFrame([(41, 41)], "id long, v long"))
+        st_behind = t.replicationStatus(rpath)
         rq = t.replicateTo(rpath, rck)
         try:
-            t.upsert(spark.createDataFrame([(41, 41)], "id long, v long"))
-            st_behind = t.replicationStatus(rpath)
             rq.processAllAvailable()
             check("replicateTo",
                   GraftTable.forPath(spark, rpath).toDF().count()

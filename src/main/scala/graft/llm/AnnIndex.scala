@@ -211,10 +211,11 @@ object AnnIndex {
             if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0))
           if (newChurn >= churnFrac * liveSize) dueOut = true
           churnOut = newChurn
-        } else if (churnFrac > 0) {
-          // already due: keep the counter honest, skip the stats probe
-          churnOut += touched.count()
         }
+        // already-due syncs skip ALL churn bookkeeping: the flag is
+        // sticky, rebuildIfDue resets the counter unconditionally on
+        // swap, and nothing in between reads it — counting touched ids
+        // would be a pure extra job on the hot O(touched) path
         val cents = spark.read.format("graft")
           .load(centroidsPath(root)).transform(Checkpoints.stabilize)
         val live = corpusNow.join(broadcast(touched), Seq(idCol), "left_semi")
@@ -336,14 +337,26 @@ object AnnIndex {
       // while this sync ran, its sidecar (version = rebuild's corpus pin,
       // churn 0) must WIN — this sync wrote into the superseded
       // generation. Overwriting it here would claim versions the new
-      // generation never saw. The skipped window replays next sync;
-      // every sync step is idempotent under replay by design.
-      if (tableRoot(indexPath) == root)
-        SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, churnOut,
-          rebuildDue = dueOut)
+      // generation never saw (topK would silently miss them), so the
+      // CHECK AND WRITE are atomic against rebuildIfDue's swap+write
+      // under the per-index JVM lock. Cross-process: run rebuilds from
+      // the process that owns the maintenance stream (documented on
+      // [[rebuildIfDue]]). The skipped window replays next sync; every
+      // sync step is idempotent under replay by design.
+      indexLock(normIdx).synchronized {
+        if (tableRoot(indexPath) == root)
+          SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current,
+            churnOut, rebuildDue = dueOut)
+      }
     }
     current
   }
+
+  // per-index monitor serializing the sidecar-vs-generation-swap decision
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLock(normIdx: String): Object =
+    indexLocks.computeIfAbsent(normIdx, _ => new Object)
 
   /** Is a deferred churn-triggered rebuild pending for this index? (One
     * sidecar read; false for a never-synced or pre-flag index.) */
@@ -386,9 +399,15 @@ object AnnIndex {
       // corpus pin with churn reset. Between the two writes a crash leaves
       // the new generation live with the OLD sidecar — the next sync
       // replays [last+1, current] into the new generation, idempotently.
-      writeGen(indexPath, nextGen)
-      SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
-        rebuildDue = false)
+      // Swap + sidecar share the per-index lock with the sync path's
+      // check-and-write: without it a sync that applied a NEWER corpus
+      // version into the old generation could land its sidecar after this
+      // one, claiming versions the new generation never saw.
+      indexLock(normIdx).synchronized {
+        writeGen(indexPath, nextGen)
+        SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
+          rebuildDue = false)
+      }
       // keep the generation just replaced (in-flight readers may hold its
       // file lists); drop anything older. Root-layout tables from
       // pre-generational indexes are left in place.

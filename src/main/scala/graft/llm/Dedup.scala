@@ -563,7 +563,7 @@ object Dedup {
     * MEGA-CLUSTER CAP: a skewed corpus can land most documents in ONE
     * cluster, degrading the within-cluster self-join to quadratic in the
     * corpus. Clusters larger than `maxClusterSize` (argument, else conf
-    * [[SEMANTIC_MAX_CLUSTER_KEY]], default 100000) are subdivided by the
+    * [[SEMANTIC_MAX_CLUSTER_KEY]], default 250) are subdivided by the
     * same md5-derived random-hyperplane LSH the [[embeddingNearDuplicates]]
     * path buckets with — per-cluster plane count ⌈log2(size/cap)⌉ (≤ 16),
     * so expected sub-bucket size ≤ cap and pair work stays bounded. Pairs

@@ -92,9 +92,9 @@ object PyLlmBridge {
 
   def annRebuildIfDue(spark: SparkSession, indexPath: String,
       corpusPath: String, idCol: String, vecCol: String,
-      nCentroids: Int, force: Boolean): Boolean =
+      nCentroids: Int, hashBucketNum: Int, force: Boolean): Boolean =
     AnnIndex.rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
-      nCentroids, force = force)
+      nCentroids, hashBucketNum, force = force)
 
   def minhashIndexSync(spark: SparkSession, indexPath: String,
       docsPath: String, idCol: String, textCol: String): Long =

@@ -39,15 +39,26 @@ private[graft] object SyncSidecar {
   def readValidated(
       indexDir: String, fileName: String, sourcePath: String,
       currentVersion: Long): Long =
-    readValidatedWithChurn(indexDir, fileName, sourcePath, currentVersion)._1
+    readValidatedFull(indexDir, fileName, sourcePath, currentVersion)._1
 
-  /** [[readValidated]] plus the churn counter, from ONE file read/parse
-    * (churn is 0 for sidecars predating the counter). */
+  /** [[readValidated]] plus the churn counter. */
   def readValidatedWithChurn(
       indexDir: String, fileName: String, sourcePath: String,
       currentVersion: Long): (Long, Long) = {
+    val (v, churn, _) =
+      readValidatedFull(indexDir, fileName, sourcePath, currentVersion)
+    (v, churn)
+  }
+
+  /** (version, churn, rebuildDue) from ONE file read/parse — the three
+    * fields always describe the SAME sidecar state, even under a
+    * concurrent atomic-rename rewrite (churn 0 / due false for sidecars
+    * predating those fields). */
+  def readValidatedFull(
+      indexDir: String, fileName: String, sourcePath: String,
+      currentVersion: Long): (Long, Long, Boolean) = {
     val p = Paths.get(indexDir, fileName)
-    if (!Files.exists(p)) return (-1L, 0L)
+    if (!Files.exists(p)) return (-1L, 0L, false)
     val m = try {
       org.json4s.jackson.Serialization.read[Meta](
         new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
@@ -67,19 +78,7 @@ private[graft] object SyncSidecar {
       s"source table $sourcePath is at v$currentVersion but the index at " +
       s"$indexDir reflects v${m.version} — the table history was rewound " +
       "(restore/recreate); delete the index and rebuild")
-    (m.version, m.churn.getOrElse(0L))
-  }
-
-  /** [[readValidatedWithChurn]] plus the rebuild-due flag (false for
-    * sidecars predating it), still one file read/parse. */
-  def readValidatedFull(
-      indexDir: String, fileName: String, sourcePath: String,
-      currentVersion: Long): (Long, Long, Boolean) = {
-    val (v, churn) =
-      readValidatedWithChurn(indexDir, fileName, sourcePath, currentVersion)
-    if (v < 0) return (v, churn, false)
-    val due = readMeta2(indexDir, fileName).exists(_.rebuildDue.contains(true))
-    (v, churn, due)
+    (m.version, m.churn.getOrElse(0L), m.rebuildDue.contains(true))
   }
 
   private def readMeta2(indexDir: String, fileName: String): Option[Meta] = {

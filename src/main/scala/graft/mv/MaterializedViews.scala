@@ -751,9 +751,7 @@ object MaterializedViews {
           val pruned = keyed.filter(
             keyNames.indices.map(keyFilter).reduce(_ && _))
           val localKeys = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*),
-            org.apache.spark.sql.classic.ClassicConversions
-              .castToImpl(touchedKeys).queryExecution.analyzed.schema)
+            java.util.Arrays.asList(rows: _*), touchedKeys.schema)
           semiJoin(pruned, localKeys)
         }
       }

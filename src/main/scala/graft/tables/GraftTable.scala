@@ -234,11 +234,20 @@ class GraftTable private (spark: SparkSession, val path: String) {
               writeOptions = Map(WriteIntoTable.MERGE_SCHEMA -> "true"))
             // lag surface: record the newest SOURCE version this replica
             // has applied (atomic sidecar write — replicationStatus reads
-            // it without touching the checkpoint)
-            val mv = b.agg(max(col(ChangeFeed.COMMIT_VERSION))).collect().head
-            if (!mv.isNullAt(0))
-              graft.llm.SyncSidecar.write(dest,
-                GraftTable.REPLICATION_SYNC_FILE, srcNorm, mv.getLong(0))
+            // it without touching the checkpoint). The sidecar is a
+            // local-filesystem file: under a non-fs MetaStore the replica
+            // does not live on this driver's disk, so skip it rather than
+            // strand status state on the wrong medium (replicationStatus
+            // refuses such stores loudly; replication itself is
+            // unaffected — its guarantees ride the apply commits).
+            if (graft.meta.SnapshotManagement.store
+                .isInstanceOf[graft.meta.FsMetaStore]) {
+              val mv = b.agg(max(col(ChangeFeed.COMMIT_VERSION)))
+                .collect().head
+              if (!mv.isNullAt(0))
+                graft.llm.SyncSidecar.write(dest,
+                  GraftTable.REPLICATION_SYNC_FILE, srcNorm, mv.getLong(0))
+            }
           } finally b.unpersist()
         }
         .trigger(trigger)
@@ -401,6 +410,14 @@ object GraftTable {
 
   def replicationStatus(
       spark: SparkSession, destPath: String): ReplicationStatus = {
+    // the applied-version sidecar is a driver-local file (same medium as
+    // the MV meta and index sidecars) — under an object-store MetaStore
+    // it was never written, so a status read would misreport a healthy
+    // replica as unknowable. Refuse loudly, like GENERATE does.
+    require(SnapshotManagement.store.isInstanceOf[graft.meta.FsMetaStore],
+      "replicationStatus requires the filesystem MetaStore (found " +
+      s"${SnapshotManagement.store.getClass.getSimpleName}); the " +
+      "replication stream itself is unaffected")
     val dest = SnapshotManagement.normalize(destPath)
     require(SnapshotManagement.exists(dest),
       s"replica $destPath does not exist")
@@ -547,7 +564,14 @@ object GraftTable {
                 while ((cur eq q) && terminal.isEmpty && !stopped &&
                     !finished && System.currentTimeMillis() < deadline)
                   lock.wait(200L)
-                terminal.foreach(t => throw t)
+                // same exception contract as awaitTermination: callers
+                // catch StreamingQueryException around processAllAvailable
+                terminal.foreach {
+                  case se: org.apache.spark.sql.streaming
+                      .StreamingQueryException => throw se
+                  case t => throw new IllegalStateException(
+                    "replication self-heal restart failed", t)
+                }
                 if (stopped || (cur eq q)) throw e
                 true
               }
