@@ -48,15 +48,22 @@ object AnnIndex {
     * no pointer: their tables stay at the root ("gen 0" = root layout). */
   private val GEN_POINTER = "_graft_ann_gen"
 
+  // Every pointer read/write normalizes the index path the same way the
+  // sidecar and lock do (scheme stripped, trailing slash dropped): a raw
+  // 'file:/x' or '/x/' spelling from SQL CALL args must resolve the SAME
+  // generation as the sync/query pipeline's '/x', or a rebuild could
+  // swap a pointer nobody else reads while resetting the shared sidecar.
   private def readGen(indexPath: String): Option[String] = {
-    val p = java.nio.file.Paths.get(indexPath, GEN_POINTER)
+    val p = java.nio.file.Paths.get(
+      graft.meta.SnapshotManagement.normalize(indexPath), GEN_POINTER)
     if (!java.nio.file.Files.exists(p)) None
     else Some(new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
   }
 
   private def writeGen(indexPath: String, gen: String): Unit = {
-    val dir = java.nio.file.Paths.get(indexPath)
+    val dir = java.nio.file.Paths.get(
+      graft.meta.SnapshotManagement.normalize(indexPath))
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, s".$GEN_POINTER", ".tmp")
     java.nio.file.Files.write(tmp,
@@ -66,9 +73,12 @@ object AnnIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The directory the CURRENT generation's tables live under. */
-  private[graft] def tableRoot(indexPath: String): String =
-    readGen(indexPath).fold(indexPath)(g => s"$indexPath/$g")
+  /** The directory the CURRENT generation's tables live under
+    * (normalized — stable across path spellings). */
+  private[graft] def tableRoot(indexPath: String): String = {
+    val norm = graft.meta.SnapshotManagement.normalize(indexPath)
+    readGen(norm).fold(norm)(g => s"$norm/$g")
+  }
 
   /** Reassemble each vector's unit components from its exploded rows into
     * an array (sorted by dim; struct sort is lexicographic on (dim, nx)
@@ -392,7 +402,7 @@ object AnnIndex {
       val oldGen = readGen(indexPath)
       val nextGen = "gen-" + (oldGen.map(_.stripPrefix("gen-").toLong + 1L)
         .getOrElse(1L))
-      buildAt(spark, s"$indexPath/$nextGen",
+      buildAt(spark, s"$normIdx/$nextGen",
         spark.read.format("graft").load(corpusPath), idCol, vecCol,
         nCentroids, hashBucketNum)
       // THE swap: one atomic rename; then the sidecar records the rebuild's
@@ -412,7 +422,7 @@ object AnnIndex {
       // file lists); drop anything older. Root-layout tables from
       // pre-generational indexes are left in place.
       val keep = Set(nextGen) ++ oldGen
-      val dir = java.nio.file.Paths.get(indexPath)
+      val dir = java.nio.file.Paths.get(normIdx)
       if (java.nio.file.Files.isDirectory(dir)) {
         val ls = java.nio.file.Files.list(dir)
         try ls.iterator().forEachRemaining { p =>
@@ -517,24 +527,30 @@ object AnnIndex {
       radiiRows: java.util.List[org.apache.spark.sql.Row],
       radiiSchema: org.apache.spark.sql.types.StructType)
 
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, CellMeta)]()
+  // keyed by the INDEX path (not the generation root — one entry per
+  // index, so rebuild swaps replace their index's entry instead of
+  // accumulating one dead entry per superseded generation); the value
+  // carries the generation root it was read from, so a swap invalidates
+  // even if the new generation's table versions coincide with the old
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, CellMeta)]()
 
   private def cellMeta(
       spark: SparkSession, normIdx: String,
-      indexPath: String): (DataFrame, DataFrame) = {
+      root: String): (DataFrame, DataFrame) = {
     import graft.meta.SnapshotManagement
     val cv = SnapshotManagement
-      .snapshot(SnapshotManagement.normalize(centroidsPath(indexPath))).version
+      .snapshot(SnapshotManagement.normalize(centroidsPath(root))).version
     val rv = SnapshotManagement
-      .snapshot(SnapshotManagement.normalize(statsPath(indexPath))).version
+      .snapshot(SnapshotManagement.normalize(statsPath(root))).version
     val cached = metaCache.get(normIdx) match {
-      case (ccv, crv, m) if ccv == cv && crv == rv => m
+      case (croot, ccv, crv, m)
+          if croot == root && ccv == cv && crv == rv => m
       case _ =>
-        val c = spark.read.format("graft").load(centroidsPath(indexPath))
-        val r = spark.read.format("graft").load(statsPath(indexPath))
+        val c = spark.read.format("graft").load(centroidsPath(root))
+        val r = spark.read.format("graft").load(statsPath(root))
         val m = CellMeta(c.collectAsList(), c.schema, r.collectAsList(), r.schema)
-        metaCache.put(normIdx, (cv, rv, m))
+        metaCache.put(normIdx, (root, cv, rv, m))
         m
     }
     (spark.createDataFrame(cached.centsRows, cached.centsSchema),
@@ -554,7 +570,7 @@ object AnnIndex {
     // the next rebuild)
     val root = tableRoot(indexPath)
     val (cents, radii) = cellMeta(spark,
-      graft.meta.SnapshotManagement.normalize(root), root)
+      graft.meta.SnapshotManagement.normalize(indexPath), root)
     // SINGLE-SCAN probe plan: the kth-best threshold comes from METADATA
     // alone, so the corpus is touched exactly once. Each cell's stats give
     // every member a sim interval around the query: with a = angle(q,

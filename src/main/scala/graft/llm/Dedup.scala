@@ -490,8 +490,11 @@ object Dedup {
         val mnorm = mean.groupBy("cid")
           .agg(sqrt(sum(col("mx") * col("mx"))).as("mn"))
         // zero-norm mean (perfectly symmetric bucket): center 0 — the
-        // residual degenerates to the raw vector, which DOES split a
-        // symmetric bucket (no shared direction to drown the signs)
+        // residual degenerates to the raw vector, which the sub-bucket
+        // pass hashes with a FRESH plane family (offset by 16 in
+        // residualSubBuckets), so even this case splits: the original
+        // planes' signs are constant within the bucket by construction,
+        // the fresh planes' are not
         val centers = mean.join(mnorm, "cid")
           .select(col("cid"), col("dim"),
             when(col("mn") === 0.0d, lit(0.0d))
@@ -684,8 +687,15 @@ object Dedup {
     val resid = comp.join(ovDocs, "nid")
       .join(broadcast(centers), Seq("cid", "dim"))
       .withColumn("__rx", col("nx") - col("csim") * col("cx"))
+    // plane indices OFFSET by maxP: a fresh md5 family, disjoint from the
+    // planes that formed the raw-LSH buckets. Without the offset, a
+    // zero-norm center (symmetric group) degenerates the residual to the
+    // raw vector, whose signs on the ORIGINAL planes are constant within
+    // the bucket (they define it) — the "split" would produce one
+    // sub-bucket and the quadratic join would survive for exactly the
+    // group the cap exists to bound. Fresh planes split it fine.
     val planeAggs = (0 until maxP).map { p =>
-      sum(col("__rx") * Ann.planeComponent(p, col("dim") + 1, dims))
+      sum(col("__rx") * Ann.planeComponent(p + maxP, col("dim") + 1, dims))
         .as(s"__d$p")
     }
     resid

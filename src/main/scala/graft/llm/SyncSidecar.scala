@@ -22,16 +22,9 @@ private[graft] object SyncSidecar {
 
   /** UNVALIDATED sidecar read: (sourcePath, version), None when absent or
     * unreadable. For STATUS probes (e.g. replication lag) that must not
-    * throw — writers go through [[readValidatedWithChurn]]. */
-  def readMeta(indexDir: String, fileName: String): Option[(String, Long)] = {
-    val p = Paths.get(indexDir, fileName)
-    if (!Files.exists(p)) return None
-    try {
-      val m = org.json4s.jackson.Serialization.read[Meta](
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      Some((m.sourcePath, m.version))
-    } catch { case _: Exception => None }
-  }
+    * throw — index writers go through [[readValidatedFull]]. */
+  def readMeta(indexDir: String, fileName: String): Option[(String, Long)] =
+    readMeta2(indexDir, fileName).map(m => (m.sourcePath, m.version))
 
   /** Last synced version, after validating the sidecar matches
     * `sourcePath` and `currentVersion` has not gone backwards. -1 when no
@@ -40,15 +33,6 @@ private[graft] object SyncSidecar {
       indexDir: String, fileName: String, sourcePath: String,
       currentVersion: Long): Long =
     readValidatedFull(indexDir, fileName, sourcePath, currentVersion)._1
-
-  /** [[readValidated]] plus the churn counter. */
-  def readValidatedWithChurn(
-      indexDir: String, fileName: String, sourcePath: String,
-      currentVersion: Long): (Long, Long) = {
-    val (v, churn, _) =
-      readValidatedFull(indexDir, fileName, sourcePath, currentVersion)
-    (v, churn)
-  }
 
   /** (version, churn, rebuildDue) from ONE file read/parse — the three
     * fields always describe the SAME sidecar state, even under a

@@ -728,7 +728,13 @@ object MaterializedViews {
       //    still plan-time pruning on every key) with the exact
       //    null-safe semi join behind it, against a LOCAL relation of
       //    the already-collected keys (free to broadcast, no recompute);
-      //  - larger sets keep the plain null-safe semi join.
+      //  - larger sets keep the plain null-safe semi join (the bounded
+      //    probe collect is then one extra ≤10001-row job — accepted: the
+      //    recompute aggregate it precedes dominates at that size);
+      //  - keys whose TYPE cannot literalize (struct/map/array group
+      //    keys) contribute no isin conjunct — the semi join behind the
+      //    remaining conjuncts keeps exactness, and an all-unliterable
+      //    key set degrades to the plain semi join (the pre-r13 path).
       val cap = 10000
       val rows = touchedKeys.limit(cap + 1).collect()
       def semiJoin(src: DataFrame, keys: DataFrame): DataFrame =
@@ -737,6 +743,14 @@ object MaterializedViews {
             keyNames.map(k =>
               col(s"__kd.${bq(k)}") <=> col(s"__tk.${bq(k)}")).reduce(_ && _),
             "left_semi")
+      def literable(i: Int): Boolean =
+        touchedKeys.schema(i).dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.UserDefinedType[_] => false
+          case _ => true
+        }
       val restricted = if (rows.length > cap) semiJoin(keyed, touchedKeys)
       else {
         def keyFilter(i: Int): org.apache.spark.sql.Column = {
@@ -746,10 +760,12 @@ object MaterializedViews {
           val base = if (nonNull.nonEmpty) kc.isin(nonNull: _*) else lit(false)
           if (vals.contains(null)) base || kc.isNull else base
         }
-        if (keyNames.size == 1) keyed.filter(keyFilter(0))
+        val conjuncts = keyNames.indices.filter(literable).map(keyFilter)
+        if (keyNames.size == 1 && conjuncts.nonEmpty)
+          keyed.filter(conjuncts.head)
+        else if (conjuncts.isEmpty) semiJoin(keyed, touchedKeys)
         else {
-          val pruned = keyed.filter(
-            keyNames.indices.map(keyFilter).reduce(_ && _))
+          val pruned = keyed.filter(conjuncts.reduce(_ && _))
           val localKeys = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), touchedKeys.schema)
           semiJoin(pruned, localKeys)

@@ -439,6 +439,13 @@ object GraftTable {
     val latest = store.latestVersion(src)
     require(latest >= 0,
       s"replication source '$src' recorded at $destPath no longer exists")
+    // a rewound source (restore/recreate below the applied version) must
+    // FAIL the probe, not report in-sync: the replica holds versions the
+    // source no longer has — same loud contract as the index sidecars
+    require(latest >= applied,
+      s"replication source '$src' is at v$latest but the replica at " +
+      s"$destPath already applied v$applied — the source history was " +
+      "rewound (restore/recreate); re-clone the replica")
     val pending = ((applied + 1) to latest).count { v =>
       val entries = store.read(src, v)
       val ct = entries.flatMap(_.commit).headOption
@@ -466,6 +473,11 @@ object GraftTable {
     private var stopped = false
     private var finished = false
     private var terminal: Option[Throwable] = None
+    // when a RESTART fails, `terminal` holds the restart failure (not a
+    // StreamingQueryException) — keep the SQE that triggered the heal so
+    // exception()-polling callers still see a failure, never a clean stop
+    private var terminalSqe
+        : Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
 
     private def isEvolved(
         q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
@@ -491,7 +503,8 @@ object GraftTable {
           if (stopped) done = true
           else if (isEvolved(q)) {
             try { cur = restartFn() }
-            catch { case e: Throwable => terminal = Some(e); done = true }
+            catch { case e: Throwable =>
+              terminal = Some(e); terminalSqe = q.exception; done = true }
             lock.notifyAll()
           } else {
             terminal = q.exception; done = true; lock.notifyAll()
@@ -513,8 +526,10 @@ object GraftTable {
         lock.synchronized { terminal.isEmpty && !stopped })
     override def exception
         : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
-      lock.synchronized { terminal }.collect {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException => e
+      lock.synchronized {
+        terminal.collect {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException => e
+        }.orElse(terminalSqe)
       }
     override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
       cur.status
