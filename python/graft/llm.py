@@ -163,7 +163,7 @@ class Ann(object):
 
     @staticmethod
     def rebuildIfDue(spark, indexPath, corpusPath, idCol, vecCol,
-                     nCentroids=16, hashBucketNum=4, force=False):
+                     nCentroids=16, hashBucketNum=4, *, force=False):
         """Pay a deferred churn rebuild off the sync path: build a fresh
         generation and atomically swap. Pass the index's original
         ``hashBucketNum`` — the rebuild re-buckets to this value.

@@ -39,11 +39,9 @@ object GenerateCommand {
     // driver's disk, so writing manifests locally would silently export
     // nothing anyone can read. Fail loudly instead of landing manifests
     // on the wrong medium.
-    require(SnapshotManagement.store.isInstanceOf[graft.meta.FsMetaStore],
-      "GENERATE symlink_format_manifest requires the filesystem MetaStore " +
-      s"(found ${SnapshotManagement.store.getClass.getSimpleName}); for " +
-      "object-store deployments, export manifests through the store's own " +
-      "filesystem layer")
+    SnapshotManagement.requireFsStore("GENERATE symlink_format_manifest",
+      "for object-store deployments, export manifests through the " +
+      "store's own filesystem layer")
     val path = SnapshotManagement.normalize(tablePath)
     val snapshot = SnapshotManagement.snapshot(path)
     val info = snapshot.tableInfo

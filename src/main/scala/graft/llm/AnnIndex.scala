@@ -349,11 +349,11 @@ object AnnIndex {
       // generation. Overwriting it here would claim versions the new
       // generation never saw (topK would silently miss them), so the
       // CHECK AND WRITE are atomic against rebuildIfDue's swap+write
-      // under the per-index JVM lock. Cross-process: run rebuilds from
-      // the process that owns the maintenance stream (documented on
-      // [[rebuildIfDue]]). The skipped window replays next sync; every
-      // sync step is idempotent under replay by design.
-      indexLock(normIdx).synchronized {
+      // under the per-index lock (JVM monitor + OS file lock, so a
+      // rebuild issued from ANOTHER driver process serializes too). The
+      // skipped window replays next sync; every sync step is idempotent
+      // under replay by design.
+      withIndexLock(normIdx) {
         if (tableRoot(indexPath) == root)
           SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current,
             churnOut, rebuildDue = dueOut)
@@ -362,11 +362,28 @@ object AnnIndex {
     current
   }
 
-  // per-index monitor serializing the sidecar-vs-generation-swap decision
+  // Serializes the sidecar-write-vs-generation-swap decision: a JVM
+  // monitor (threads in this process — maintainStream sync vs autoRebuild
+  // daemon) NESTING an OS file lock at the index root (other processes —
+  // CALL ann_rebuild_if_due can legitimately run from a different
+  // driver). Both guarded sections are a couple of tiny file writes, so
+  // the file lock is held for microseconds; the monitor prevents
+  // same-JVM OverlappingFileLockException.
   private val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def indexLock(normIdx: String): Object =
-    indexLocks.computeIfAbsent(normIdx, _ => new Object)
+  private def withIndexLock[T](normIdx: String)(body: => T): T =
+    indexLocks.computeIfAbsent(normIdx, _ => new Object).synchronized {
+      val dir = java.nio.file.Paths.get(normIdx)
+      java.nio.file.Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(s"$GEN_POINTER.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
 
   /** Is a deferred churn-triggered rebuild pending for this index? (One
     * sidecar read; false for a never-synced or pre-flag index.) */
@@ -413,7 +430,7 @@ object AnnIndex {
       // check-and-write: without it a sync that applied a NEWER corpus
       // version into the old generation could land its sidecar after this
       // one, claiming versions the new generation never saw.
-      indexLock(normIdx).synchronized {
+      withIndexLock(normIdx) {
         writeGen(indexPath, nextGen)
         SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
           rebuildDue = false)

@@ -491,7 +491,7 @@ object Dedup {
           .agg(sqrt(sum(col("mx") * col("mx"))).as("mn"))
         // zero-norm mean (perfectly symmetric bucket): center 0 — the
         // residual degenerates to the raw vector, which the sub-bucket
-        // pass hashes with a FRESH plane family (offset by 16 in
+        // pass hashes with a FRESH plane family (negative indices in
         // residualSubBuckets), so even this case splits: the original
         // planes' signs are constant within the bucket by construction,
         // the fresh planes' are not
@@ -687,15 +687,17 @@ object Dedup {
     val resid = comp.join(ovDocs, "nid")
       .join(broadcast(centers), Seq("cid", "dim"))
       .withColumn("__rx", col("nx") - col("csim") * col("cx"))
-    // plane indices OFFSET by maxP: a fresh md5 family, disjoint from the
-    // planes that formed the raw-LSH buckets. Without the offset, a
-    // zero-norm center (symmetric group) degenerates the residual to the
-    // raw vector, whose signs on the ORIGINAL planes are constant within
-    // the bucket (they define it) — the "split" would produce one
-    // sub-bucket and the quadratic join would survive for exactly the
-    // group the cap exists to bound. Fresh planes split it fine.
+    // NEGATIVE plane indices: a fresh md5 family (md5("-1:dim") vs
+    // md5("0:dim")...), disjoint from the bucket-forming planes at ANY
+    // numPlanes — a fixed positive offset would collide once numPlanes
+    // exceeded it. Without disjoint planes, a zero-norm center
+    // (symmetric group) degenerates the residual to the raw vector,
+    // whose signs on the ORIGINAL planes are constant within the bucket
+    // (they define it) — the "split" would produce one sub-bucket and
+    // the quadratic join would survive for exactly the group the cap
+    // exists to bound. Fresh planes split it fine.
     val planeAggs = (0 until maxP).map { p =>
-      sum(col("__rx") * Ann.planeComponent(p + maxP, col("dim") + 1, dims))
+      sum(col("__rx") * Ann.planeComponent(-(p + 1), col("dim") + 1, dims))
         .as(s"__d$p")
     }
     resid

@@ -104,6 +104,17 @@ object SnapshotManagement {
   def setStore(s: MetaStore): Unit =
     { activeStore = s; cache.clear(); epoch.incrementAndGet() }
 
+  /** Guard for features whose state lives in DRIVER-LOCAL files next to
+    * the table (manifest exports, status sidecars): under a non-fs
+    * MetaStore the table's data is not on this driver's disk, so such
+    * state would silently land on the wrong medium. One spelling of the
+    * invariant for every such feature. */
+  def requireFsStore(feature: String, remedy: String = ""): Unit =
+    require(store.isInstanceOf[FsMetaStore],
+      s"$feature requires the filesystem MetaStore (found " +
+      s"${store.getClass.getSimpleName})" +
+      (if (remedy.nonEmpty) s"; $remedy" else ""))
+
   def exists(tablePath: String): Boolean = store.exists(normalize(tablePath))
 
   def normalize(p: String): String =

@@ -761,15 +761,16 @@ object MaterializedViews {
           if (vals.contains(null)) base || kc.isNull else base
         }
         val conjuncts = keyNames.indices.filter(literable).map(keyFilter)
+        // rows is the COMPLETE touched-key set here (<= cap): every semi
+        // join below runs against the already-collected local relation —
+        // re-joining the distributed touchedKeys frame would re-execute
+        // its whole upstream (view ⋈ delta) lineage
+        lazy val localKeys = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), touchedKeys.schema)
         if (keyNames.size == 1 && conjuncts.nonEmpty)
           keyed.filter(conjuncts.head)
-        else if (conjuncts.isEmpty) semiJoin(keyed, touchedKeys)
-        else {
-          val pruned = keyed.filter(conjuncts.reduce(_ && _))
-          val localKeys = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), touchedKeys.schema)
-          semiJoin(pruned, localKeys)
-        }
+        else if (conjuncts.isEmpty) semiJoin(keyed, localKeys)
+        else semiJoin(keyed.filter(conjuncts.reduce(_ && _)), localKeys)
       }
       val out = restricted
         .groupBy(keyNames.map(n => col(bq(n))): _*)

@@ -414,10 +414,8 @@ object GraftTable {
     // the MV meta and index sidecars) — under an object-store MetaStore
     // it was never written, so a status read would misreport a healthy
     // replica as unknowable. Refuse loudly, like GENERATE does.
-    require(SnapshotManagement.store.isInstanceOf[graft.meta.FsMetaStore],
-      "replicationStatus requires the filesystem MetaStore (found " +
-      s"${SnapshotManagement.store.getClass.getSimpleName}); the " +
-      "replication stream itself is unaffected")
+    SnapshotManagement.requireFsStore("replicationStatus",
+      "the replication stream itself is unaffected")
     val dest = SnapshotManagement.normalize(destPath)
     require(SnapshotManagement.exists(dest),
       s"replica $destPath does not exist")
