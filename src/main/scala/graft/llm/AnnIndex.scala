@@ -403,7 +403,11 @@ object AnnIndex {
     * the sync sidecar to the corpus version the rebuild pinned. A sync
     * that raced the swap replays its window against the new generation
     * (idempotent); generations older than the one just replaced are
-    * deleted. Returns true iff a rebuild ran to completion. */
+    * deleted, and stranded staging dirs from a CRASHED builder (ahead of
+    * the pointer, referenced by nothing) are swept before building.
+    * Returns true iff a rebuild ran to completion; false when no rebuild
+    * is due or ANOTHER builder — this JVM or any other process — already
+    * holds the build. */
   def rebuildIfDue(
       spark: SparkSession, indexPath: String, corpusPath: String,
       idCol: String, vecCol: String,
@@ -415,42 +419,93 @@ object AnnIndex {
     if (!force && !rebuildDue(indexPath)) return false
     if (!rebuildActive.add(normIdx)) return false
     try {
-      val current = SnapshotManagement.snapshot(normCorpus).version
-      val oldGen = readGen(indexPath)
-      val nextGen = "gen-" + (oldGen.map(_.stripPrefix("gen-").toLong + 1L)
-        .getOrElse(1L))
-      buildAt(spark, s"$normIdx/$nextGen",
-        spark.read.format("graft").load(corpusPath), idCol, vecCol,
-        nCentroids, hashBucketNum)
-      // THE swap: one atomic rename; then the sidecar records the rebuild's
-      // corpus pin with churn reset. Between the two writes a crash leaves
-      // the new generation live with the OLD sidecar — the next sync
-      // replays [last+1, current] into the new generation, idempotently.
-      // Swap + sidecar share the per-index lock with the sync path's
-      // check-and-write: without it a sync that applied a NEWER corpus
-      // version into the old generation could land its sidecar after this
-      // one, claiming versions the new generation never saw.
-      withIndexLock(normIdx) {
-        writeGen(indexPath, nextGen)
-        SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
-          rebuildDue = false)
-      }
-      // keep the generation just replaced (in-flight readers may hold its
-      // file lists); drop anything older. Root-layout tables from
-      // pre-generational indexes are left in place.
-      val keep = Set(nextGen) ++ oldGen
+      // CROSS-PROCESS single-flight: an OS file lock held for the WHOLE
+      // build + swap, not just the pointer write. CALL ann_rebuild_if_due
+      // may legitimately run from another driver; without this, two
+      // builders would read the same old pointer, buildAt into the SAME
+      // staging dir with interleaved overwrites, and the loser would keep
+      // rewriting the winner's now-live generation after the swap —
+      // silently breaking topK exactness. tryLock, not lock: the second
+      // builder reports "not rebuilt" instead of queueing a redundant
+      // full build (same contract as the JVM-local rebuildActive guard;
+      // OverlappingFileLockException covers a same-JVM holder outside
+      // that guard, e.g. a test pinning the lock).
       val dir = java.nio.file.Paths.get(normIdx)
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val ls = java.nio.file.Files.list(dir)
-        try ls.iterator().forEachRemaining { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("gen-") && !keep.contains(n) &&
-              java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(s"$GEN_POINTER.buildlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val bl =
+        try ch.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (bl == null) { ch.close(); return false }
+      try {
+        val current = SnapshotManagement.snapshot(normCorpus).version
+        val oldGen = readGen(indexPath)
+        val curNum = oldGen.map(_.stripPrefix("gen-").toLong).getOrElse(0L)
+        // sweep CRASHED staging dirs before building: a generation numbered
+        // ahead of the pointer is a build that died before its swap — no
+        // reader references it, and with the build lock held no writer can
+        // be mid-build in it. Left alone it would strand disk space until
+        // rebuilds happen to reuse its exact number.
+        listGenDirs(dir).foreach { case (n, p) =>
+          if (n > curNum) graft.write.TransactionalWrite.deleteRecursively(p)
+        }
+        val nextGen = s"gen-${curNum + 1L}"
+        buildAt(spark, s"$normIdx/$nextGen",
+          spark.read.format("graft").load(corpusPath), idCol, vecCol,
+          nCentroids, hashBucketNum)
+        // THE swap: one atomic rename; then the sidecar records the rebuild's
+        // corpus pin with churn reset. Between the two writes a crash leaves
+        // the new generation live with the OLD sidecar — the next sync
+        // replays [last+1, current] into the new generation, idempotently.
+        // Swap + sidecar share the per-index lock with the sync path's
+        // check-and-write: without it a sync that applied a NEWER corpus
+        // version into the old generation could land its sidecar after this
+        // one, claiming versions the new generation never saw.
+        withIndexLock(normIdx) {
+          // defense-in-depth: the pointer cannot move while the build lock
+          // is held (every writer path takes it), so a moved pointer means
+          // out-of-band surgery — abandon the staging build loudly rather
+          // than swap over state this build never saw
+          require(readGen(indexPath) == oldGen,
+            s"generation pointer of $normIdx moved during a locked rebuild " +
+            s"(was $oldGen) — not swapping; the staging dir $nextGen is " +
+            "left for the next rebuild to sweep")
+          writeGen(indexPath, nextGen)
+          SyncSidecar.write(normIdx, SYNC_FILE, normCorpus, current, 0L,
+            rebuildDue = false)
+        }
+        // keep the generation just replaced (in-flight readers may hold its
+        // file lists); drop anything older. Root-layout tables from
+        // pre-generational indexes are left in place.
+        val keep = Set(nextGen) ++ oldGen
+        listGenDirs(dir).foreach { case (_, p) =>
+          if (!keep.contains(p.getFileName.toString))
             graft.write.TransactionalWrite.deleteRecursively(p)
-        } finally ls.close()
-      }
-      true
+        }
+        true
+      } finally { bl.release(); ch.close() }
     } finally rebuildActive.remove(normIdx)
+  }
+
+  /** (number, path) of every `gen-N` directory under `dir`. */
+  private def listGenDirs(
+      dir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val out = Seq.newBuilder[(Long, java.nio.file.Path)]
+    val ls = java.nio.file.Files.list(dir)
+    try ls.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("gen-") && java.nio.file.Files.isDirectory(p)) {
+        try out += ((n.stripPrefix("gen-").toLong, p))
+        catch { case _: NumberFormatException => () }
+      }
+    } finally ls.close()
+    out.result()
   }
 
   private val SYNC_FILE = "_graft_ann_sync.json"

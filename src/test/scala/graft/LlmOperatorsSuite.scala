@@ -1309,6 +1309,75 @@ class LlmOperatorsSuite extends GraftFunSuite {
     }
   }
 
+  test("AnnIndex rebuild hygiene: a held cross-process build lock makes " +
+      "rebuildIfDue report false instead of double-building, and stranded " +
+      "staging dirs from a crashed builder are swept before the next build") {
+    withTempTable { corpusDir =>
+      val rndv = new scala.util.Random(67)
+      def vec() = Array.fill(6)(rndv.nextFloat() * 2 - 1)
+      (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+        .write.format("graft")
+        .option("hashPartitions", "vec_id").option("hashBucketNum", "2")
+        .save(corpusDir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ann_lockswp_").toString + "/ix"
+      AnnIndex.syncFromTable(spark, idx, corpusDir, "vec_id", "embedding",
+        nCentroids = 4)
+      assert(AnnIndex.rebuildIfDue(spark, idx, corpusDir, "vec_id",
+        "embedding", nCentroids = 4, force = true))
+      assert(AnnIndex.tableRoot(idx) == s"$idx/gen-1")
+      // simulate a CRASHED builder: a staging dir ahead of the pointer,
+      // referenced by nothing
+      val stranded = java.nio.file.Paths.get(idx, "gen-7")
+      java.nio.file.Files.createDirectories(stranded)
+      java.nio.file.Files.write(stranded.resolve("partial.parquet"),
+        Array[Byte](1, 2, 3))
+      // a held build lock (another driver mid-build): no rebuild, no swap,
+      // the stranded dir stays (the holder may legitimately own staging)
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(idx, "_graft_ann_gen.buildlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val held = lockCh.lock()
+      try {
+        assert(!AnnIndex.rebuildIfDue(spark, idx, corpusDir, "vec_id",
+          "embedding", nCentroids = 4, force = true),
+          "a concurrent builder holds the lock — must not double-build")
+        assert(AnnIndex.tableRoot(idx) == s"$idx/gen-1", "no swap")
+        assert(java.nio.file.Files.exists(stranded))
+      } finally { held.release(); lockCh.close() }
+      // lock free again: the retry sweeps the crashed staging dir, builds
+      // gen-2, swaps, and leaves exactly live + previous on disk
+      assert(AnnIndex.rebuildIfDue(spark, idx, corpusDir, "vec_id",
+        "embedding", nCentroids = 4, force = true))
+      assert(AnnIndex.tableRoot(idx) == s"$idx/gen-2")
+      assert(!java.nio.file.Files.exists(stranded),
+        "crashed staging dirs ahead of the pointer must be swept")
+      val gens = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+        try {
+          val b = Seq.newBuilder[String]
+          ls.iterator().forEachRemaining { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("gen-")) b += n
+          }
+          b.result().sorted
+        } finally ls.close()
+      }
+      assert(gens == Seq("gen-1", "gen-2"),
+        s"exactly live + previous generations must remain, got $gens")
+      val corpusNow = spark.read.format("graft").load(corpusDir)
+      val queries = corpusNow.orderBy("vec_id").limit(2)
+      val got = AnnIndex.topK(spark, idx, queries, "vec_id", "embedding",
+          k = 3)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val want = Ann.bruteTopK(corpusNow, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 3)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(got == want)
+    }
+  }
+
   test("AnnIndex sync soak: exact vs brute after every one of 5 random " +
       "mutation rounds") {
     withTempTable { corpusDir =>
