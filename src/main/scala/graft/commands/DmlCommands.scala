@@ -86,10 +86,18 @@ object UpsertCommand {
     }
     val (newInfo, aligned) = WriteIntoTable.evolveSchema(
       spark, checked, info, extraOptions, allowMissingColumns = true)
+    // (txnAppId, txnVersion) idempotence, same contract as batch appends:
+    // a delta upsert carrying a pair whose version is at or below the
+    // app's committed high-water mark becomes a silent no-op. Replication
+    // rides this — the applied SOURCE version travels IN the apply commit
+    // (readable from the replica's log by any driver, under any MetaStore)
+    // and replayed microbatches skip instead of re-appending.
+    val txnInfo = WriteIntoTable.parseTxnOptions(extraOptions)
     val files = TransactionalWrite.writeFiles(
       spark, path, newInfo, aligned, isBase = false)
     txn.commit("delta", if (newInfo == info) None else Some(newInfo), files,
-      Nil, rewriteGuard = rewriteGuard, strictWindow = strictWindow)
+      Nil, streaming = txnInfo, rewriteGuard = rewriteGuard,
+      strictWindow = strictWindow)
   }
 
   /** The upsert condition must reference ONLY range partition columns —

@@ -91,8 +91,10 @@ object WriteIntoTable {
 
   /** Parse the (txnAppId, txnVersion) writer options (case-insensitively —
     * DataFrameWriter lowercases option keys) into the streaming-info shape
-    * the commit layer's idempotence guard consumes. */
-  private def parseTxnOptions(
+    * the commit layer's idempotence guard consumes. `private[commands]`:
+    * the delta-upsert path honors the same options, so a CDC apply can ride
+    * its applied-source-version watermark on the apply commit itself. */
+  private[commands] def parseTxnOptions(
       options: Map[String, String]): Option[StreamingInfo] = {
     val o = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
     (o.get(TXN_APP_ID), o.get(TXN_VERSION)) match {

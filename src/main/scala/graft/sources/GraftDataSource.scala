@@ -68,8 +68,11 @@ class GraftDataSource
       throw new IllegalArgumentException("'path' option is required")))
     WriteIntoTable.run(sqlContext.sparkSession, path, data, mode,
       parameters + (WriteIntoTable.BY_NAME -> "true"))
+    // alias: inside the anonymous class `sqlContext` names ITS member, so
+    // returning it unaliased would recurse forever if anything called it
+    val outer = sqlContext
     new BaseRelation {
-      override def sqlContext: SQLContext = sqlContext
+      override def sqlContext: SQLContext = outer
       override def schema: StructType = data.schema
     }
   }

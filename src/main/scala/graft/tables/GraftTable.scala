@@ -203,7 +203,7 @@ class GraftTable private (spark: SparkSession, val path: String) {
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // persisted: the batch feeds THREE consumers (schema check, the
-          // apply, the applied-version probe) — without it the CDF window
+          // applied-version probe, the apply) — without it the CDF window
           // re-reads per consumer
           val b = batch.persist()
           try if (!b.isEmpty) {
@@ -219,10 +219,26 @@ class GraftTable private (spark: SparkSession, val path: String) {
               .tableInfo.schema.fieldNames.toSeq
             val unseen = nowCols.filterNot(c => seen.contains(c.toLowerCase))
             if (unseen.nonEmpty) throw new GraftTable.ReplicationSchemaEvolved(
-              s"replication source $srcNorm gained column(s) " +
+              s"${GraftTable.EVOLVED_SENTINEL} replication source " +
+              s"$srcNorm gained column(s) " +
               s"[${unseen.mkString(", ")}] after the stream started; " +
               "restart replicateTo (same checkpoint) to pick up the new " +
               "schema — continuing would silently drop them from the replica")
+            // lag surface: the newest SOURCE version in this window rides
+            // the apply commit itself as a (txnAppId, txnVersion) pair —
+            // replayed into the replica's snapshot, so replicationStatus
+            // reads it from the LOG: any driver, any MetaStore, no
+            // driver-local sidecar. The same pair is the commit layer's
+            // idempotence guard, so a checkpoint-replayed window (whose
+            // apply already landed) skips instead of re-appending.
+            val mv = b.agg(max(col(ChangeFeed.COMMIT_VERSION)))
+              .collect().head
+            val txnOpts =
+              if (mv.isNullAt(0)) Map.empty[String, String]
+              else Map(
+                WriteIntoTable.TXN_APP_ID ->
+                  (GraftTable.REPLICATION_APP_PREFIX + srcNorm),
+                WriteIntoTable.TXN_VERSION -> mv.getLong(0).toString)
             // mergeSchema: after a schema-change restart the replayed
             // window carries the source's NEW columns — the replica must
             // follow, not reject the batch
@@ -231,23 +247,8 @@ class GraftTable private (spark: SparkSession, val path: String) {
               opCol = ChangeFeed.CHANGE_TYPE,
               sequenceCols = Seq("_commit_version", "__graft_seq2"),
               deleteOps = Seq("delete"),
-              writeOptions = Map(WriteIntoTable.MERGE_SCHEMA -> "true"))
-            // lag surface: record the newest SOURCE version this replica
-            // has applied (atomic sidecar write — replicationStatus reads
-            // it without touching the checkpoint). The sidecar is a
-            // local-filesystem file: under a non-fs MetaStore the replica
-            // does not live on this driver's disk, so skip it rather than
-            // strand status state on the wrong medium (replicationStatus
-            // refuses such stores loudly; replication itself is
-            // unaffected — its guarantees ride the apply commits).
-            if (graft.meta.SnapshotManagement.store
-                .isInstanceOf[graft.meta.FsMetaStore]) {
-              val mv = b.agg(max(col(ChangeFeed.COMMIT_VERSION)))
-                .collect().head
-              if (!mv.isNullAt(0))
-                graft.llm.SyncSidecar.write(dest,
-                  GraftTable.REPLICATION_SYNC_FILE, srcNorm, mv.getLong(0))
-            }
+              writeOptions =
+                Map(WriteIntoTable.MERGE_SCHEMA -> "true") ++ txnOpts)
           } finally b.unpersist()
         }
         .trigger(trigger)
@@ -263,9 +264,11 @@ class GraftTable private (spark: SparkSession, val path: String) {
   }
 
   /** Replication lag of the replica at `destPath` fed from THIS table —
-    * see [[GraftTable.replicationStatus]]. */
+    * see [[GraftTable.replicationStatus]]. Scoped to this table's mark, so
+    * it stays well-defined when several sources feed one replica. */
   def replicationStatus(destPath: String): GraftTable.ReplicationStatus = {
-    val st = GraftTable.replicationStatus(spark, destPath)
+    val st = GraftTable.replicationStatusImpl(destPath,
+      srcFilter = Some(graft.meta.SnapshotManagement.normalize(path)))
     require(st.sourcePath.isEmpty ||
         st.sourcePath == graft.meta.SnapshotManagement.normalize(path),
       s"replica at $destPath is fed from '${st.sourcePath}', not this " +
@@ -380,8 +383,17 @@ object GraftTable {
   def forPath(spark: SparkSession, path: String): GraftTable =
     new GraftTable(spark, SnapshotManagement.normalize(path))
 
-  /** Sidecar at the REPLICA root recording (source path, newest applied
-    * source version). Non-parquet → vacuum never touches it. */
+  /** queryId prefix of the (txnAppId, txnVersion) pair each replication
+    * apply commit carries: `<prefix><normalized source path>` →
+    * newest applied SOURCE version, replayed into the replica snapshot's
+    * streaming high-water marks — so replication lag is readable from the
+    * replica's LOG by any driver under any MetaStore. */
+  private[graft] val REPLICATION_APP_PREFIX = "graft-replication:"
+
+  /** LEGACY sidecar at the REPLICA root recording (source path, newest
+    * applied source version) — superseded by the in-commit
+    * [[REPLICATION_APP_PREFIX]] record; still read as a fallback for
+    * replicas last fed by an older engine. */
   private[graft] val REPLICATION_SYNC_FILE = "_graft_replication.json"
 
   /** The deliberate loud-fail a replication batch throws when the SOURCE
@@ -390,6 +402,13 @@ object GraftTable {
     * nothing else. */
   final class ReplicationSchemaEvolved(msg: String)
       extends IllegalStateException(msg)
+
+  /** Marker embedded in every [[ReplicationSchemaEvolved]] message: a
+    * foreachBatch failure can cross a serialization boundary that erases
+    * the concrete class, so the monitor's fallback match needs a string no
+    * user exception would plausibly carry — NOT prose like "gained
+    * column(s)" that a source system's own error could contain. */
+  private[graft] val EVOLVED_SENTINEL = "[graft:replication-schema-evolved]"
 
   /** Replication lag of the replica at `destPath`:
     *  - `sourcePath` — the source table the replica's sidecar names
@@ -409,28 +428,50 @@ object GraftTable {
   }
 
   def replicationStatus(
-      spark: SparkSession, destPath: String): ReplicationStatus = {
-    // the applied-version sidecar is a driver-local file (same medium as
-    // the MV meta and index sidecars) — under an object-store MetaStore
-    // it was never written, so a status read would misreport a healthy
-    // replica as unknowable. Refuse loudly, like GENERATE does.
-    SnapshotManagement.requireFsStore("replicationStatus",
-      "the replication stream itself is unaffected")
+      spark: SparkSession, destPath: String): ReplicationStatus =
+    replicationStatusImpl(destPath, srcFilter = None)
+
+  /** Above this many unapplied versions the probe stops CLASSIFYING them
+    * (one metadata read each) and reports the raw count: a status call on
+    * a far-behind replica must stay O(1), not O(lag). */
+  private val STATUS_CLASSIFY_CAP = 256L
+
+  private[tables] def replicationStatusImpl(
+      destPath: String, srcFilter: Option[String]): ReplicationStatus = {
     val dest = SnapshotManagement.normalize(destPath)
     require(SnapshotManagement.exists(dest),
       s"replica $destPath does not exist")
-    val sidecar = graft.llm.SyncSidecar.readMeta(dest, REPLICATION_SYNC_FILE)
-    // cloned-but-never-synced replica: its state IS the clone's source
-    // version — lag counts from there, not from 0
-    lazy val cloneConf = SnapshotManagement.snapshot(dest)
-      .tableInfo.configuration
+    // the applied-version watermark rides each apply COMMIT (txnAppId
+    // prefixed with the source path), so it is read here from the
+    // replica's replayed snapshot — any driver, any MetaStore, no
+    // driver-local state. Fallbacks, in order: the legacy sidecar file
+    // (replicas last fed by an older engine), then the clone provenance
+    // (cloned but never-synced replicas lag from the clone version).
+    val destSnap = SnapshotManagement.snapshot(dest)
+    val marks = destSnap.streamingBatchIds.collect {
+      case (qid, v) if qid.startsWith(REPLICATION_APP_PREFIX) =>
+        (qid.stripPrefix(REPLICATION_APP_PREFIX), v)
+    }
+    val candidates = srcFilter match {
+      case Some(s) => marks.filter(_._1 == s)
+      case None => marks
+    }
+    require(candidates.size <= 1,
+      s"replica at $destPath is fed from ${candidates.size} sources " +
+      s"[${candidates.keys.mkString(", ")}]; probe one with " +
+      "GraftTable.forPath(spark, source).replicationStatus(dest)")
     def conf(k: String): Option[String] =
-      cloneConf.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
-    val (src, applied) = sidecar match {
+      destSnap.tableInfo.configuration.collectFirst {
+        case (key, v) if key.equalsIgnoreCase(k) => v }
+    val (src, applied) = candidates.headOption match {
       case Some((s, v)) => (s, v)
       case None =>
-        (conf("graft.clone.sourcePath").getOrElse(""),
-         conf("graft.clone.sourceVersion").map(_.toLong).getOrElse(-1L))
+        graft.llm.SyncSidecar.readMeta(dest, REPLICATION_SYNC_FILE) match {
+          case Some((s, v)) => (s, v)
+          case None =>
+            (conf("graft.clone.sourcePath").getOrElse(""),
+             conf("graft.clone.sourceVersion").map(_.toLong).getOrElse(-1L))
+        }
     }
     if (src.isEmpty) return ReplicationStatus("", -1L, applied, -1L)
     val store = SnapshotManagement.store
@@ -444,14 +485,23 @@ object GraftTable {
       s"replication source '$src' is at v$latest but the replica at " +
       s"$destPath already applied v$applied — the source history was " +
       "rewound (restore/recreate); re-clone the replica")
-    val pending = ((applied + 1) to latest).count { v =>
-      val entries = store.read(src, v)
-      val ct = entries.flatMap(_.commit).headOption
-        .map(_.commitType).getOrElse("append")
-      !graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct) &&
-        (entries.exists(_.add.nonEmpty) || entries.exists(_.remove.nonEmpty))
-    }
-    ReplicationStatus(src, latest, applied, pending.toLong)
+    // classification reads one commit's metadata per unapplied version —
+    // capped so a months-behind replica answers in O(1) with the raw
+    // (over-counting pure rewrites) version count instead; an unreadable
+    // version (already cleaned from the source log) counts as pending
+    // rather than failing the status call
+    val pending =
+      if (latest - applied > STATUS_CLASSIFY_CAP) latest - applied
+      else ((applied + 1) to latest).count { v =>
+        try {
+          val entries = store.read(src, v)
+          val ct = entries.flatMap(_.commit).headOption
+            .map(_.commitType).getOrElse("append")
+          !graft.sources.GraftMicroBatchStream.REWRITE_TYPES.contains(ct) &&
+            (entries.exists(_.add.nonEmpty) || entries.exists(_.remove.nonEmpty))
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }.toLong
+    ReplicationStatus(src, latest, applied, pending)
   }
 
   /** [[org.apache.spark.sql.streaming.StreamingQuery]] facade whose
@@ -464,7 +514,9 @@ object GraftTable {
     * healing and the live query. */
   private[graft] final class SelfHealingQuery(
       restartFn: () => org.apache.spark.sql.streaming.StreamingQuery,
-      first: org.apache.spark.sql.streaming.StreamingQuery)
+      first: org.apache.spark.sql.streaming.StreamingQuery,
+      maxConsecutiveHeals: Int = 5,
+      healBackoffBaseMs: Long = 500L)
       extends org.apache.spark.sql.streaming.StreamingQuery {
     private val lock = new Object
     @volatile private var cur = first
@@ -483,13 +535,23 @@ object GraftTable {
       def chain(t: Throwable, depth: Int): Boolean =
         t != null && depth < 20 &&
           (t.isInstanceOf[ReplicationSchemaEvolved] ||
-            // foreachBatch failures may cross a serialization boundary
-            // that erases the class — the message survives
-            Option(t.getMessage).exists(_.contains("gained column(s)")) ||
+            // a serialization boundary can erase the concrete class but
+            // keeps its name; the dedicated sentinel covers wrappers that
+            // flatten the failure into message text
+            t.getClass.getName.endsWith("ReplicationSchemaEvolved") ||
+            Option(t.getMessage).exists(_.contains(EVOLVED_SENTINEL)) ||
             chain(t.getCause, depth + 1))
       try q.exception.exists(chain(_, 0))
       catch { case _: Throwable => false }
     }
+
+    // consecutive restarts without a COMPLETED batch in between: a genuine
+    // evolution race heals in one restart (and any completed batch proves
+    // forward progress, resetting the count), while a persistent failure
+    // that keeps classifying as evolved would otherwise hot-loop
+    // start/fail/restart forever with awaitTermination never returning.
+    // Only the monitor thread writes it.
+    private var healsWithoutProgress = 0
 
     private val monitor = new Thread(() => {
       var done = false
@@ -497,15 +559,44 @@ object GraftTable {
         val q = cur
         try q.awaitTermination()
         catch { case _: Throwable => () }
-        lock.synchronized {
-          if (stopped) done = true
+        val heal = lock.synchronized {
+          if (stopped) { done = true; false }
           else if (isEvolved(q)) {
-            try { cur = restartFn() }
-            catch { case e: Throwable =>
-              terminal = Some(e); terminalSqe = q.exception; done = true }
-            lock.notifyAll()
+            val progressed =
+              try q.recentProgress.nonEmpty catch { case _: Throwable => false }
+            healsWithoutProgress =
+              if (progressed) 1 else healsWithoutProgress + 1
+            if (healsWithoutProgress > maxConsecutiveHeals) {
+              terminal = Some(new IllegalStateException(
+                s"replication self-heal aborted: $healsWithoutProgress " +
+                "consecutive schema-evolution restarts without one " +
+                s"completed batch (cap $maxConsecutiveHeals) — the failure " +
+                "is persistent, not an evolution race",
+                q.exception.orNull))
+              terminalSqe = q.exception
+              done = true; lock.notifyAll(); false
+            } else true
           } else {
-            terminal = q.exception; done = true; lock.notifyAll()
+            terminal = q.exception; done = true; lock.notifyAll(); false
+          }
+        }
+        if (heal) {
+          // backoff OUTSIDE the lock (status probes and processAllAvailable
+          // poll under it): none on a first/progressed heal, exponential
+          // from the second consecutive one, capped at 30 s
+          if (healsWithoutProgress > 1) {
+            val ms = math.min(30000L,
+              healBackoffBaseMs << math.min(16, healsWithoutProgress - 2))
+            try Thread.sleep(ms) catch { case _: InterruptedException => () }
+          }
+          lock.synchronized {
+            if (stopped) done = true
+            else {
+              try { cur = restartFn() }
+              catch { case e: Throwable =>
+                terminal = Some(e); terminalSqe = q.exception; done = true }
+            }
+            lock.notifyAll()
           }
         }
       }

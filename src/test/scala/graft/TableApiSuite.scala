@@ -476,6 +476,42 @@ class TableApiSuite extends GraftFunSuite {
     } }
   }
 
+  test("self-heal hot-loop guard: persistent evolution-classified failures " +
+      "terminate the facade after the consecutive-restart cap instead of " +
+      "looping forever") {
+    import org.apache.spark.sql.streaming.Trigger
+    val restarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    // every (re)start fails its first batch with an evolution-classified
+    // error and never completes one — the persistent-failure shape the cap
+    // exists for (e.g. a false-positive message match)
+    def failing(): org.apache.spark.sql.streaming.StreamingQuery = {
+      restarts.incrementAndGet()
+      spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new GraftTable.ReplicationSchemaEvolved(
+            GraftTable.EVOLVED_SENTINEL + " synthetic persistent failure")
+        }
+        .trigger(Trigger.ProcessingTime("10 milliseconds"))
+        .start()
+    }
+    val facade = new GraftTable.SelfHealingQuery(() => failing(), failing(),
+      maxConsecutiveHeals = 3, healBackoffBaseMs = 1L)
+    try {
+      val e = intercept[Exception] { facade.awaitTermination() }
+      def texts(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ texts(t.getCause)
+      assert(texts(e).exists(_.contains("self-heal aborted")),
+        s"must surface the abort reason, got: ${texts(e)}")
+      assert(!facade.isActive, "facade must terminate, not keep healing")
+      assert(restarts.get() == 4, // first start + cap restarts, no more
+        s"expected 1 + cap = 4 starts, got ${restarts.get()}")
+      assert(facade.exception.nonEmpty,
+        "exception()-polling callers must see a failure")
+    } finally facade.stop()
+  }
+
   test("replicationStatus: lag counts only change-bearing unapplied " +
       "versions and returns to zero after a drain") {
     withTempTable { src => withTempTable { scratch =>
@@ -517,6 +553,98 @@ class TableApiSuite extends GraftFunSuite {
         }
       } finally q.stop()
     } }
+  }
+
+  test("replicationStatus is CROSS-DRIVER: the applied version rides the " +
+      "apply commit itself — no driver-local sidecar, a session that " +
+      "never ran the stream reads the same status, and a rewound source " +
+      "still fails loudly") {
+    withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/replica"
+      (1L to 10L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_xd_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      try {
+        t.upsert(Seq((1L, 100L), (11L, 11L)).toDF("id", "n"))
+        q.processAllAvailable()
+        // the watermark landed IN the apply commit, not in a local file
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dest, "_graft_replication.json")),
+          "no driver-local sidecar may be written")
+        val st = GraftTable.replicationStatus(spark, dest)
+        assert(st.inSync && st.sourcePath ==
+          graft.meta.SnapshotManagement.normalize(src), s"status: $st")
+        // a session that never ran the stream sees the same status — it
+        // reads only the replica's log
+        assert(GraftTable.replicationStatus(spark.newSession(), dest) == st)
+      } finally q.stop()
+
+      // LEGACY sidecar fallback: a replica whose only record is the old
+      // driver-local file format still reports
+      val dest2 = scratch + "/replica2"
+      Seq((1L, 1L)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(dest2)
+      graft.llm.SyncSidecar.write(
+        graft.meta.SnapshotManagement.normalize(dest2),
+        GraftTable.REPLICATION_SYNC_FILE,
+        graft.meta.SnapshotManagement.normalize(src), 1L)
+      val stLegacy = GraftTable.replicationStatus(spark, dest2)
+      assert(stLegacy.sourcePath ==
+          graft.meta.SnapshotManagement.normalize(src) &&
+        stLegacy.appliedVersion == 1L, s"legacy fallback: $stLegacy")
+      // rewound source: the record claims an applied version beyond the
+      // source's head — must fail the probe, never report in-sync
+      graft.llm.SyncSidecar.write(
+        graft.meta.SnapshotManagement.normalize(dest2),
+        GraftTable.REPLICATION_SYNC_FILE,
+        graft.meta.SnapshotManagement.normalize(src), 10000L)
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.replicationStatus(spark, dest2)
+      }
+      assert(e.getMessage.contains("rewound"), e.getMessage)
+    } }
+  }
+
+  test("replicationStatus under an OBJECT-STORE MetaStore: replication " +
+      "and the lag probe both work with no POSIX log") {
+    import graft.meta._
+    val prev = SnapshotManagement.store
+    SnapshotManagement.setStore(
+      new ObjectStoreMetaStore(new InMemoryObjectStoreClient))
+    try withTempTable { src => withTempTable { scratch =>
+      val dest = scratch + "/replica"
+      (1L to 10L).map(i => (i, i)).toDF("id", "n").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(src)
+      assert(!java.nio.file.Files.exists(FsMetaStore.logDir(src)),
+        "log must live in the object store")
+      val t = GraftTable.forPath(spark, src)
+      t.cloneTo(dest)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("repl_os_ck_").toString
+      val q = t.replicateTo(dest, ckpt)
+      try {
+        t.upsert(Seq((1L, 100L), (11L, 11L)).toDF("id", "n"))
+        t.delete(col("id") === 2L)
+        q.processAllAvailable()
+        val st = t.replicationStatus(dest)
+        assert(st.inSync, s"object-store status: $st")
+        assert(spark.read.format("graft").load(dest)
+          .as[(Long, Long)].collect().toMap ==
+          spark.read.format("graft").load(src)
+            .as[(Long, Long)].collect().toMap)
+        // and lag is visible while behind
+        t.upsert(Seq((3L, 33L)).toDF("id", "n"))
+        val behind = t.replicationStatus(dest)
+        assert(behind.pendingVersions == 1L, s"behind: $behind")
+      } finally q.stop()
+    } } finally SnapshotManagement.setStore(prev)
   }
 
   test("one source feeds TWO replicas concurrently (dest-qualified " +
