@@ -430,7 +430,14 @@ object Dedup {
     * — measured 133x wall-clock for 10x data at sf1 before the cap. At
     * 250 the pair work is ~n*cap (linear) and the same sf1 run lands at
     * 5x; sub-buckets only split DIRECTIONS, and 0.95-cosine near-dups
-    * have near-identical residuals, so they stay together. */
+    * have near-identical residuals, so they stay together.
+    *
+    * BEHAVIOR CHANGE NOTE: the default cap CHANGES OUTPUT for corpora
+    * whose buckets exceed 250 members — pairs across sub-buckets of a
+    * split bucket are forgone (every emitted pair stays exact and above
+    * threshold). Callers needing the pre-cap recall set `maxBucketSize`
+    * (or this conf) high; every split is logged at WARN and reported via
+    * [[lastSplitReport]]("embedding"). */
   val EMBEDDING_MAX_BUCKET_KEY = "spark.graft.dedup.embedding.maxBucketSize"
 
   def embeddingNearDuplicates(
@@ -453,9 +460,13 @@ object Dedup {
       else spark.conf.getOption(EMBEDDING_MAX_BUCKET_KEY)
         .map(_.toInt).getOrElse(250)
     require(cap > 0, s"maxBucketSize must be positive, got $cap")
+    // LAZY checkpoint: the size probe below is the FIRST action on `unit`,
+    // so it materializes the checkpoint blocks AND computes the cap
+    // decision in one scheduled job (an eager stabilize + separate probe
+    // would pay two)
     val unit = Ann
       .unitRows(df, idCol, vecCol, "doc_id", "x", numPlanes, dims)
-      .transform(Checkpoints.stabilize)
+      .transform(Checkpoints.stabilize(_, eager = false))
     // MEGA-BUCKET CAP (same scale defense as [[semanticNearDupPairs]]):
     // a direction-correlated corpus collapses into few raw-LSH buckets —
     // shared dominant components vote the same sign on every plane, so
@@ -465,22 +476,19 @@ object Dedup {
     // MEAN direction ([[residualSubBuckets]]) — that is where the
     // within-bucket variation lives, so sub-buckets come out near-even.
     // Sub-bucket pairs stay exact cosine (a subset of the uncapped
-    // output); the size probe is one ≤ 2^numPlanes-row collect.
-    val sizeRows = unit.filter(col("dim") === 0)
-      .groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn"))
-      .collect()
-    val maxSize =
-      if (sizeRows.isEmpty) 0L else sizeRows.map(_.getLong(1)).max
+    // output); the probe collects ONE row (max + over-cap groups), and
+    // the decision lands in [[lastSplitReport]]("embedding").
+    val (maxSize, oversized) = oversizedProbe(
+      unit.filter(col("dim") === 0)
+        .groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn")),
+      cap)
+    recordSplit("embedding", cap, oversized, maxSize)
     val keyed: DataFrame =
       if (maxSize <= cap)
         unit.select(col("doc_id"), col("bucket"), col("dim"), col("x"),
           lit(0L).as("__pk"))
       else {
-        if (spark.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
-          System.err.println(
-            s"[graft-dedup] embedding near-dup: largest bucket $maxSize > " +
-            s"cap $cap — residual-subdividing oversized buckets")
-        val big = planesLocalRelation(spark, sizeRows, cap,
+        val big = planesLocalRelation(spark, oversized, cap,
           unit.schema("bucket").dataType)
         // bucket MEAN as the residual center, unit-normalized; only the
         // oversized buckets' members pay any of this
@@ -548,9 +556,11 @@ object Dedup {
 
   /** Conf key for [[semanticNearDupPairs]]'s oversized-cluster cap (used
     * when the `maxClusterSize` argument is 0). Default 250 — same
-    * quadratic-to-linear trade as [[EMBEDDING_MAX_BUCKET_KEY]] (a fixed
-    * k makes per-cluster population grow with the corpus; sf1 measured
-    * 22x for 10x data uncapped vs 6x at 250). */
+    * quadratic-to-linear trade, same BEHAVIOR CHANGE NOTE, same WARN +
+    * [[lastSplitReport]]("semantic") surface as
+    * [[EMBEDDING_MAX_BUCKET_KEY]] (a fixed k makes per-cluster population
+    * grow with the corpus; sf1 measured 22x for 10x data uncapped vs 6x
+    * at 250). */
   val SEMANTIC_MAX_CLUSTER_KEY = "spark.graft.dedup.semantic.maxClusterSize"
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means cluster, then
@@ -609,27 +619,25 @@ object Dedup {
     val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
       .transform(Checkpoints.stabilize)
     val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
-    // stabilized: consumed by the size probe AND the pair path; csim
-    // kept — the sub-bucketing path needs each doc's centroid projection
+    // LAZY checkpoint, consumed by the size probe AND the pair path: the
+    // probe is the first action, so materializing the assignment and
+    // deciding the cap share one scheduled job; csim kept — the
+    // sub-bucketing path needs each doc's centroid projection
     val assign3 = Ann.assignCells(cents)(cu, "nid", "nx")
-      .transform(Checkpoints.stabilize)
+      .transform(Checkpoints.stabilize(_, eager = false))
     val assign = assign3.select("nid", "cid")
-    // ONE k-row collect decides everything (bounded driver work
-    // regardless of corpus size) — the fast path's whole overhead
-    val sizeRows = assign.groupBy("cid").agg(count(lit(1)).as("__cn"))
-      .collect()
-    val maxSize =
-      if (sizeRows.isEmpty) 0L else sizeRows.map(_.getLong(1)).max
+    // ONE single-row collect decides everything (bounded driver work
+    // regardless of corpus size) — the fast path's whole overhead; the
+    // decision lands in [[lastSplitReport]]("semantic")
+    val (maxSize, oversized) = oversizedProbe(
+      assign.groupBy("cid").agg(count(lit(1)).as("__cn")), cap)
+    recordSplit("semantic", cap, oversized, maxSize)
     val keyed: DataFrame =
       if (maxSize <= cap) assign.withColumn("__pk", lit(0L))
       else {
-        if (spark.conf.getOption(LOG_CANDIDATES_KEY).contains("true"))
-          System.err.println(
-            s"[graft-dedup] semantic near-dup: largest cluster $maxSize > " +
-            s"cap $cap — LSH-subdividing oversized clusters")
         // per-OVERSIZED-cluster plane count: 2^np sub-buckets bring the
-        // expected bucket size to ≤ cap — a k-row local relation
-        val big = planesLocalRelation(spark, sizeRows, cap,
+        // expected bucket size to ≤ cap — an over-cap-groups local relation
+        val big = planesLocalRelation(spark, oversized, cap,
           assign.schema("cid").dataType)
         // the mega-cluster path reuses the centroid frame a second time
         // (residual join); pin it so the Lloyd pipeline never re-runs
@@ -647,26 +655,94 @@ object Dedup {
     (cu, keyed)
   }
 
-  /** (cid, __np) plane counts for groups whose `sizeRows` (cid, count)
-    * exceed `cap`: ⌈log2(count/cap)⌉ planes, 1..16, as a LOCAL relation
-    * (sizeRows is already a bounded driver collect). */
+  /** Plane count subdividing a group of `size` members to expected
+    * sub-groups ≤ `cap`: ⌈log2(size/cap)⌉, clamped to 1..16. */
+  private def planesFor(size: Long, cap: Int): Int =
+    math.min(16.0, math.max(1.0,
+      math.ceil(math.log(size.toDouble / cap) / math.log(2.0)))).toInt
+
+  /** What a capped pair producer ([[embeddingNearDuplicates]],
+    * [[semanticNearDupPairs]]) traded on its most recent plan: how many
+    * groups exceeded the cap and were residual-LSH subdivided, how many
+    * documents sat inside them, the largest group seen, and the deepest
+    * plane count used. Pairs ACROSS sub-groups of a split group are
+    * forgone by design — this is the signal an operator tunes cap /
+    * numPlanes / k against; `groupsSplit == 0` means the output is
+    * bit-identical to the uncapped spelling. */
+  final case class SplitReport(
+      op: String, cap: Int, groupsSplit: Long, docsInSplitGroups: Long,
+      largestGroup: Long, maxPlanes: Int)
+
+  private val lastSplit =
+    new java.util.concurrent.ConcurrentHashMap[String, SplitReport]()
+
+  /** Split telemetry of the most recent capped-pair-producer plan built in
+    * this JVM — ops: `"embedding"`, `"semantic"`. None before the first
+    * call. Recorded on EVERY call (a zero report proves the fast path). */
+  def lastSplitReport(op: String): Option[SplitReport] =
+    Option(lastSplit.get(op))
+
+  /** Record + surface the split decision. The summary logs at WARN level
+    * UNCONDITIONALLY when anything split (not behind the opt-in
+    * logCandidates conf): the cap silently trades recall away, and a
+    * 100 TB run that subdivided its biggest cluster must not look
+    * identical to one that didn't. */
+  private def recordSplit(
+      op: String, cap: Int, oversized: Seq[(Any, Long)],
+      maxSize: Long): SplitReport = {
+    val rep = SplitReport(op, cap, oversized.size.toLong,
+      oversized.map(_._2).sum, maxSize,
+      if (oversized.isEmpty) 0 else oversized.map(o => planesFor(o._2, cap)).max)
+    lastSplit.put(op, rep)
+    if (rep.groupsSplit > 0)
+      System.err.println(s"[graft-dedup] WARN $op near-dup: " +
+        s"${rep.groupsSplit} group(s) over cap $cap (largest " +
+        s"${rep.largestGroup}; ${rep.docsInSplitGroups} docs affected) " +
+        s"residual-LSH subdivided with <= ${rep.maxPlanes} planes — pairs " +
+        "across sub-groups are forgone; raise maxBucketSize/maxClusterSize " +
+        "(or the conf) for full recall")
+    rep
+  }
+
+  /** (cid, __np) plane counts for the `oversized` (cid, count) groups as a
+    * LOCAL relation (the probe collected only over-cap groups — driver
+    * rows bounded by n/cap, not by the distinct-group count). */
   private def planesLocalRelation(
       spark: org.apache.spark.sql.SparkSession,
-      sizeRows: Array[org.apache.spark.sql.Row], cap: Int,
+      oversized: Seq[(Any, Long)], cap: Int,
       cidType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val rows: Seq[org.apache.spark.sql.Row] =
-      sizeRows.filter(_.getLong(1) > cap).map { r =>
-        val np = math.min(16.0, math.max(1.0,
-          math.ceil(math.log(r.getLong(1).toDouble / cap) /
-            math.log(2.0)))).toInt
-        org.apache.spark.sql.Row(r.get(0), np)
-      }.toSeq
+    val rows: Seq[org.apache.spark.sql.Row] = oversized.map { case (cid, n) =>
+      org.apache.spark.sql.Row(cid, planesFor(n, cap))
+    }
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cid", cidType),
         org.apache.spark.sql.types.StructField("__np",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** ONE-JOB group-size probe shared by the capped pair producers: global
+    * max group size + the over-cap (group, count) list in a single
+    * collected row — driver memory bounded by n/cap (the over-cap list),
+    * never by the distinct-group count (a large numPlanes would otherwise
+    * make the probe itself a multi-million-row driver collect). As the
+    * FIRST action on a lazily-checkpointed upstream frame it also
+    * materializes that checkpoint, so the whole decision costs one
+    * scheduled job. */
+  private def oversizedProbe(
+      sizes: DataFrame, cap: Int): (Long, Seq[(Any, Long)]) = {
+    val row = sizes.agg(
+      max(col("__cn")).as("__mx"),
+      // when() without otherwise => null for at-or-under-cap groups,
+      // and collect_list skips nulls
+      collect_list(when(col("__cn") > cap,
+        struct(col("cid"), col("__cn")))).as("__big"))
+      .collect().head
+    val maxSize = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val oversized = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.get(0), r.getLong(1)))
+    (maxSize, oversized)
   }
 
   /** Hyperplane sign sub-buckets over each member's RESIDUAL

@@ -508,10 +508,20 @@ class LlmOperatorsSuite extends GraftFunSuite {
     val got = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
         minCosine = minCos, numPlanes = 4, dims = 8, maxBucketSize = cap)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // split telemetry: the skewed run must REPORT what it traded
+    val repCapped = Dedup.lastSplitReport("embedding").get
+    assert(repCapped.groupsSplit >= 1 && repCapped.largestGroup > cap &&
+      repCapped.docsInSplitGroups >= 300 && repCapped.maxPlanes >= 1,
+      s"skewed fixture must report its split: $repCapped")
     val full = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
         minCosine = minCos, numPlanes = 4, dims = 8,
         maxBucketSize = 1000000)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // ... and an un-split run must report ZERO (output == uncapped spelling)
+    assert(Dedup.lastSplitReport("embedding").exists(r =>
+        r.groupsSplit == 0 && r.docsInSplitGroups == 0),
+      s"uncapped run must report zero splits: " +
+      Dedup.lastSplitReport("embedding"))
     assert(got.nonEmpty, "fixture must emit near-dup pairs")
     assert(got.subsetOf(full), "capped output must never invent pairs")
     // precision: every emitted pair really is >= minCos (exact driver dot)
@@ -683,6 +693,12 @@ class LlmOperatorsSuite extends GraftFunSuite {
     val byCluster = keyed.groupBy(_._2).view.mapValues(_.length).toMap
     assert(byCluster.values.max >= 200,
       s"fixture must plant a mega-cluster: $byCluster")
+    // split telemetry: exactly the mega-cluster reported
+    val rep = Dedup.lastSplitReport("semantic").get
+    assert(rep.groupsSplit >= 1 &&
+      rep.largestGroup == byCluster.values.max.toLong &&
+      rep.docsInSplitGroups >= byCluster.values.max.toLong,
+      s"mega-cluster split must be reported: $rep vs $byCluster")
     // THE GATE: pair work is bounded by (cid, __pk) group sizes — the
     // mega-cluster must be split well below its own size; small clusters
     // keep __pk 0 (no extra work)
@@ -722,6 +738,72 @@ class LlmOperatorsSuite extends GraftFunSuite {
         maxClusterSize = 1000000, dims = 8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(full), "capped output must never invent pairs")
+    assert(Dedup.lastSplitReport("semantic").exists(_.groupsSplit == 0),
+      "uncapped run must report zero splits")
+  }
+
+  test("residual-LSH cap property fuzz: across random skew shapes, caps, " +
+      "dims and plane counts — capped pairs are a subset of uncapped, " +
+      "every emitted pair clears the threshold, sub-group populations " +
+      "stay bounded") {
+    val masterRnd = new scala.util.Random(0x5EED14)
+    (0 until 24).foreach { trial =>
+      val rnd = new scala.util.Random(masterRnd.nextLong())
+      val dims = 4 + rnd.nextInt(9)        // 4..12
+      val n = 120 + rnd.nextInt(180)       // 120..299 docs
+      val cap = 10 + rnd.nextInt(40)       // 10..49
+      val numPlanes = 1 + rnd.nextInt(5)   // 1..5
+      val skew = rnd.nextDouble()          // hot-direction fraction
+      val noise = 0.2 + rnd.nextDouble() * 3.0
+      val hot = Array.tabulate(dims)(d => if (d == 0) 5.0 else 0.0)
+      val vecs: Map[Long, Array[Double]] = (0 until n).map { i =>
+        val base =
+          if (rnd.nextDouble() < skew) hot
+          else Array.tabulate(dims)(_ => (rnd.nextDouble() - 0.5) * 2.0)
+        i.toLong -> base.map(x => x + (rnd.nextDouble() - 0.5) * noise)
+      }.toMap
+      val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("doc_id", "embedding")
+      val minCos = 0.7 + rnd.nextDouble() * 0.25
+      val ctx = s"trial $trial (dims=$dims n=$n cap=$cap planes=" +
+        s"$numPlanes skew=$skew noise=$noise minCos=$minCos)"
+
+      // (a) capped ⊆ uncapped — the cap only ever forgoes pairs
+      val capped = Dedup.embeddingNearDuplicates(df, "doc_id", "embedding",
+          minCosine = minCos, numPlanes = numPlanes, dims = dims,
+          maxBucketSize = cap)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val uncapped = Dedup.embeddingNearDuplicates(df, "doc_id",
+          "embedding", minCosine = minCos, numPlanes = numPlanes,
+          dims = dims, maxBucketSize = 1000000)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(uncapped),
+        s"$ctx: capped invented ${(capped -- uncapped).take(5)}")
+
+      // (b) every emitted pair really clears the threshold (exact driver
+      // dot over the same float-truncated values the operator saw)
+      val unit = vecs.map { case (id, v0) =>
+        val v = v0.map(x => x.toFloat.toDouble)
+        val nn = math.sqrt(v.map(x => x * x).sum)
+        id -> (if (nn == 0.0) v else v.map(_ / nn))
+      }
+      capped.foreach { case (a, b) =>
+        val cos = unit(a).zip(unit(b)).map(p => p._1 * p._2).sum
+        assert(cos >= minCos - 1e-9, s"$ctx: pair ($a,$b) cos=$cos")
+      }
+
+      // (c) the SEMANTIC path's sub-group populations stay ~cap-bounded
+      // (its keyed assignment is the exposed production surface)
+      val k = 2 + rnd.nextInt(6)
+      val keyed = Dedup.semanticKeyedAssign(df, "doc_id", "embedding",
+          k = k, iters = 1, maxClusterSize = cap, dims = dims)._2
+        .select("cid", "__pk").as[(Long, Long)].collect()
+      if (keyed.nonEmpty) {
+        val maxGroup = keyed.groupBy(identity).values.map(_.length).max
+        assert(maxGroup <= 4 * cap,
+          s"$ctx k=$k: (cid,__pk) group of $maxGroup exceeds ~cap bound")
+      }
+    }
   }
 
   test("tfidf top-k ranks rare high-frequency terms first, ties by term") {
