@@ -97,6 +97,16 @@ class Dedup(object):
         return _wrap(_bridge(df).semanticClusters(df._jdf, idCol, vecCol,
                                                   int(k)), df)
 
+    @staticmethod
+    def lastSplitReport(spark, op):
+        """Split telemetry of the most recent capped pair-producer plan in
+        this JVM (op: ``"embedding"`` or ``"semantic"``): dict with
+        groupsSplit / docsInSplitGroups / largestGroup / maxPlanes / cap,
+        or None before the first call. ``groupsSplit == 0`` means the
+        output was bit-identical to the uncapped spelling."""
+        jmap = spark._sc._jvm.graft.llm.PyLlmBridge.lastSplitReport(op)
+        return None if jmap is None else dict(jmap)
+
 
 class TextAnalysis(object):
     """Text statistics, language ID, PII scrubbing, chunking."""

@@ -192,6 +192,9 @@ def main():
                          vecs, "id", "vec", k=2,
                          minCosine=0.9).collect()}
         check("llm semanticNearDupPairs", sem_pairs == {(1, 3)})
+        rep = Dedup.lastSplitReport(spark, "semantic")
+        check("llm lastSplitReport",
+              rep is not None and rep["groupsSplit"] == 0)
 
         check("history", t.history().count() >= 4)
 

@@ -51,6 +51,20 @@ object PyLlmBridge {
     Dedup.embeddingNearDuplicates(df, idCol, vecCol, minCosine, numPlanes,
       maxBucketSize = maxBucketSize)
 
+  /** Split telemetry of the most recent capped pair-producer plan (ops:
+    * "embedding", "semantic") as a py4j-friendly map; null before the
+    * first call. */
+  def lastSplitReport(op: String): java.util.Map[String, Any] =
+    Dedup.lastSplitReport(op).map { r =>
+      val m = new java.util.HashMap[String, Any]()
+      m.put("op", r.op); m.put("cap", r.cap)
+      m.put("groupsSplit", r.groupsSplit)
+      m.put("docsInSplitGroups", r.docsInSplitGroups)
+      m.put("largestGroup", r.largestGroup)
+      m.put("maxPlanes", r.maxPlanes)
+      m
+    }.orNull
+
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame =
     TextAnalysis.langId(df, textCol, idCol)
 
