@@ -55,12 +55,17 @@ object Ann {
   /** Unit-normalized exploded rows (idAs, dim, xAs [, bucket]) — one
     * grouped pass computes the norm (and, when `numPlanes > 0`, the
     * hyperplane sign-sums) as plain aggregates, then a self-join scales each
-    * component. No array lambdas anywhere. */
+    * component. No array lambdas anywhere. `corpusSide = true` applies the
+    * [[Parallelism.fanOut]] floor — the dims explode multiplies rows 64×,
+    * so the norm/plane aggregates otherwise run on however few splits the
+    * vector table planned; query-side frames are a handful of rows and
+    * skip it. */
   private[llm] def unitRows(
       df: DataFrame, idCol: String, vecCol: String,
       idAs: String, xAs: String, numPlanes: Int = 0,
-      dims: Int = 64): DataFrame = {
-    val expl = explodedRows(df, idCol, vecCol, idAs)
+      dims: Int = 64, corpusSide: Boolean = false): DataFrame = {
+    val src = if (corpusSide) Parallelism.fanOut(df, idCol) else df
+    val expl = explodedRows(src, idCol, vecCol, idAs)
     val planeAggs = (0 until numPlanes).map { p =>
       sum(col("x") * planeComponent(p, col("dim") + 1, dims)).as(s"d$p")
     }

@@ -48,7 +48,10 @@ object Dedup {
     val grams = when(n >= k,
       if (dedupe) array_distinct(grams0) else grams0)
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("doc_id"), explode(grams).as("s"))
+    // parallelism floor: shingle assembly is the scan stage's dominant
+    // compute and otherwise runs on however few splits the table planned
+    Parallelism.fanOut(df, idCol)
+      .select(col(idCol).as("doc_id"), explode(grams).as("s"))
   }
 
   /** Word k-gram shingles as a per-row array column (1-based positions,
@@ -84,9 +87,13 @@ object Dedup {
     // ever inflate one pair's `inter` by 1). Strings leave the plan right
     // after the tokenizer, so the shuffled bytes drop ~2-3× and the join
     // compares longs, not text.
+    // LAZY: the FIRST action is the `filtered` materialization right below,
+    // whose hot-aggregate stage computes these blocks before the anti-join
+    // probe stage reads them — one scheduled job covers both
     val sh = Checkpoints.stabilize(
       shingleRows(df, idCol, textCol, k).select(col("doc_id"),
-        xxhash64(col("s")).as("h1"), xxhash64(lit(1L), col("s")).as("h2")))
+        xxhash64(col("s")).as("h1"), xxhash64(lit(1L), col("s")).as("h2")),
+      eager = false)
     // skew guard: drop shingles shared by too many documents. A hash
     // aggregate + anti-join — where a count-over-window would shuffle AND
     // sort every (doc_id, shingle) row just to learn each shingle's
@@ -95,7 +102,12 @@ object Dedup {
     // picks broadcast at runtime when the aggregated side actually is small.
     val hot = sh.groupBy("h1", "h2").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxKeyFreq).select("h1", "h2")
-    val filtered = sh.join(hot, Seq("h1", "h2"), "left_anti")
+    // stabilized: FOUR consumers read this frame (both pair-join sides and
+    // both size-join subtrees) — unstabilized, each re-ran the frequency
+    // aggregate + anti-join (the r13 plan carried four copies of that
+    // Exchange+HashAggregate pass)
+    val filtered = Checkpoints.stabilize(
+      sh.join(hot, Seq("h1", "h2"), "left_anti"))
     pairStats(filtered).filter(col("inter") >= minInter)
   }
 
@@ -134,9 +146,11 @@ object Dedup {
         g => struct(xxhash64(g).as("h1"), xxhash64(lit(1L), g).as("h2"))))
       .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
     // stabilized: the frequency aggregate and the semi-join probe both
-    // read it — one tokenize pass
+    // read it — one tokenize pass (fanned out: gram hashing dominates the
+    // scan stage)
     val pos = Checkpoints.stabilize(
-      df.select(col(idCol).as("doc_id"), posexplode(hashed).as(Seq("p", "h")))
+      Parallelism.fanOut(df, idCol)
+        .select(col(idCol).as("doc_id"), posexplode(hashed).as(Seq("p", "h")))
         .select(col("doc_id"), col("p").cast("long").as("p"),
           col("h.h1"), col("h.h2")))
     val dup = pos.groupBy("h1", "h2")
@@ -188,7 +202,10 @@ object Dedup {
   /** (a_id, b_id, inter, a_size, b_size) for every pair of docs sharing at
     * least one row in `sh` (doc_id, h1, h2). */
   private def pairStats(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // stabilized: joined back twice (a_size, b_size) — each join otherwise
+    // re-instantiates the size-aggregate subtree over the full input
+    val sizes = Checkpoints.stabilize(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -221,9 +238,13 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     // stabilize the PAIR LIST first: the bidirectional edge union reads it
     // twice, and an unmaterialized pair pipeline (shingle index + verify)
-    // would run end-to-end once per branch
+    // would run end-to-end once per branch. LAZY: the size-gate collect
+    // below is the first action and doubles as the materialization job
+    // (Spark materializes any partitions the limit skipped before
+    // truncating lineage)
     val p0 = Checkpoints.stabilize(pairs.select(
-      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")),
+      eager = false)
     // ADAPTIVE small-graph path (same philosophy as the IVF flat
     // fallback): below a pair-count threshold the distributed rounds are
     // pure scheduling overhead — each round is 2 shuffles + an eager
@@ -236,7 +257,14 @@ object Dedup {
     val localMax = pairs.sparkSession.conf
       .getOption("spark.graft.dedup.localClusterMaxPairs").map(_.toLong)
       .getOrElse(1L << 20)
-    if (p0.count() <= localMax) return localClusters(p0)
+    // ONE action decides the path AND (on the local path) delivers the
+    // rows: limit(localMax+1) returns everything when the list fits, and
+    // its (localMax+1)th row is the overflow signal — the previous
+    // count-then-collect spelling paid two scheduled jobs for the same
+    // information. Driver memory stays bounded by localMax either way.
+    val gate = p0.limit(
+      math.min(localMax + 1L, Int.MaxValue.toLong).toInt).collect()
+    if (gate.length <= localMax) return localClusters(p0.sparkSession, gate)
     // cache edges PRE-PARTITIONED on the join key: every round joins on
     // dst, and a cached hash layout means only the (small) label side
     // shuffles per round, never the edge list
@@ -276,10 +304,13 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
-  /** Driver union-find over a small pair list: identical (doc_id,
-    * cluster_id = min member id) output as the distributed loop, one
-    * collect + one parallelize instead of O(diameter) rounds of jobs. */
-  private def localClusters(p0: DataFrame): DataFrame = {
+  /** Driver union-find over a small, already-collected pair list:
+    * identical (doc_id, cluster_id = min member id) output as the
+    * distributed loop, zero extra jobs (the caller's gate collect already
+    * delivered the rows). */
+  private def localClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var r = x0
@@ -288,7 +319,7 @@ object Dedup {
       while (parent(x) != r) { val nxt = parent(x); parent(x) = r; x = nxt }
       r
     }
-    p0.collect().foreach { row =>
+    rows.foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
@@ -299,7 +330,6 @@ object Dedup {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val spark = p0.sparkSession
     import spark.implicits._
     parent.keys.toSeq.sorted.map(id => (id, find(id)))
       .toDF("doc_id", "cluster_id")

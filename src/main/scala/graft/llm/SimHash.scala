@@ -19,8 +19,9 @@ object SimHash {
     // engine-portable, so fingerprints computed by any md5-capable system —
     // the DuckDB oracle included — agree bit-for-bit. Bits 60-63 never vote
     // positive and pack as 0.
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val toks = Parallelism.fanOut(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until 64).map { b =>

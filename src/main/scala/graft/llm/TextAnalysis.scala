@@ -70,7 +70,8 @@ object TextAnalysis {
     // the fold's seed (0), not vanish from the output — while NULL text
     // must stay NULL (like the original fold over a null array), which the
     // carried `__n` distinguishes: size(null) is NULL, size(array()) is 0
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    Parallelism.fanOut(df, idCol)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("__n"),
         posexplode_outer(col("__toks")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("__n"),
