@@ -382,18 +382,25 @@ object ChangeFeed {
       val changed: Column = nonKey
         .map(c => !(col(s"pre.${bq(c)}") <=> col(s"post.${bq(c)}")))
         .reduceOption(_ || _).getOrElse(lit(false))
-      def side(prefix: String): Seq[Column] =
-        outCols.map(c => col(s"$prefix.${bq(c)}").as(c))
-      val inserts = j.filter(preAbsent).select(side("post"): _*)
-      val deletes = j.filter(postAbsent).select(side("pre"): _*)
-      val updPre = j.filter(!preAbsent && !postAbsent && changed)
-        .select(side("pre"): _*)
-      val updPost = j.filter(!preAbsent && !postAbsent && changed)
-        .select(side("post"): _*)
-      tag(inserts, "insert", v, ts)
-        .unionByName(tag(deletes, "delete", v, ts))
-        .unionByName(tag(updPre, "update_preimage", v, ts))
-        .unionByName(tag(updPost, "update_postimage", v, ts))
+      // ONE pass over the join: each joined row explodes into its 0-2
+      // change images (insert | delete | update pre+post pair). The
+      // previous four filter-branches-unioned spelling instantiated the
+      // join subtree per branch, so the merged pre/post bucket reads —
+      // the diff's dominant cost — each executed FOUR times.
+      def img(prefix: String, tpe: String): Column =
+        struct(outCols.map(c => col(s"$prefix.${bq(c)}").as(c)) :+
+          lit(tpe).as(CHANGE_TYPE): _*)
+      val events = array(
+        when(preAbsent, img("post", "insert")),
+        when(postAbsent, img("pre", "delete")),
+        when(!preAbsent && !postAbsent && changed,
+          img("pre", "update_preimage")),
+        when(!preAbsent && !postAbsent && changed,
+          img("post", "update_postimage")))
+      j.select(explode(filter(events, e => e.isNotNull)).as("__cf_e"))
+        .select(col("__cf_e.*"))
+        .withColumn(COMMIT_VERSION, lit(v))
+        .withColumn(COMMIT_TIMESTAMP, timestamp_millis(lit(ts)))
     } else {
       // whole-row diff: a rewrite that carried a row over unchanged cancels
       // out of both sides. A DELETE commit's vanished rows are deletions,
