@@ -147,12 +147,14 @@ object Dedup {
       .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
     // stabilized: the frequency aggregate and the semi-join probe both
     // read it — one tokenize pass (fanned out: gram hashing dominates the
-    // scan stage)
+    // scan stage). LAZY: the dup-frequency broadcast build is the first
+    // consumer and doubles as the materialization job
     val pos = Checkpoints.stabilize(
       Parallelism.fanOut(df, idCol)
         .select(col(idCol).as("doc_id"), posexplode(hashed).as(Seq("p", "h")))
         .select(col("doc_id"), col("p").cast("long").as("p"),
-          col("h.h1"), col("h.h2")))
+          col("h.h1"), col("h.h2")),
+      eager = false)
     val dup = pos.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("docs"))
       .filter(col("docs") >= minDocs).select("h1", "h2")
@@ -577,8 +579,10 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1): DataFrame = {
     // centroid build and final assignment both read the unit rows
+    // LAZY: the centroid broadcast build is the first consumer and
+    // doubles as the materialization job
     val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
-      .transform(Checkpoints.stabilize)
+      .transform(Checkpoints.stabilize(_, eager = false))
     val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
     Ann.assignCells(cents)(cu, "nid", "nx")
       .select(col("nid").as(idCol), col("cid").as("cluster_id"), col("csim"))
@@ -646,8 +650,10 @@ object Dedup {
       else spark.conf.getOption(SEMANTIC_MAX_CLUSTER_KEY)
         .map(_.toInt).getOrElse(250)
     require(cap > 0, s"maxClusterSize must be positive, got $cap")
+    // LAZY: the centroid broadcast build is the first consumer and
+    // doubles as the materialization job
     val cu = Ann.unitRows(df, idCol, vecCol, "nid", "nx")
-      .transform(Checkpoints.stabilize)
+      .transform(Checkpoints.stabilize(_, eager = false))
     val cents = Ann.buildCentroids(df, idCol, cu, k, defaultIters = iters)
     // LAZY checkpoint, consumed by the size probe AND the pair path: the
     // probe is the first action, so materializing the assignment and
@@ -831,8 +837,10 @@ object Dedup {
     // documents. localCheckpoint (NOT persist): it truncates the huge
     // 64-aggregate signature lineage — keeping every downstream plan small —
     // and leaves no CacheManager entry to slow later queries' planning.
+    // LAZY: the verify step's candidate-id broadcast build is the first
+    // consumer and doubles as the materialization job
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
-      .transform(Checkpoints.stabilize)
+      .transform(Checkpoints.stabilize(_, eager = false))
     // Attributable-bench metric: a regression here is a candidate explosion
     // (s-curve vs corpus similarity profile), not a plan defect. Opt-in —
     // the count is an extra job, so it must not fire for ordinary callers.

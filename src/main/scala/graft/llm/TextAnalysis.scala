@@ -195,9 +195,12 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     // stabilized: document frequencies AND the scoring join both read the
-    // term-count frame — one tokenize+aggregate pass, not two
+    // term-count frame — one tokenize+aggregate pass, not two. LAZY: the
+    // doc-frequency broadcast build is the first consumer and doubles as
+    // the materialization job
     val tf = Checkpoints.stabilize(
-      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy((col("tf") / col("doc_freq")).desc, col("term").asc)
