@@ -26,6 +26,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write MICROS (not legacy INT96) timestamps AND let the parquet
+      // filter builder assume micros — pushdown eligibility is derived
+      // from the session's assumed output type, not the file
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.rules.GraftSparkSessionExtension")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -155,7 +155,7 @@ object TransactionalWrite extends org.apache.spark.internal.Logging {
       FileFormatWriter.write(
         sparkSession = session,
         plan = qe.executedPlan,
-        fileFormat = new ParquetFileFormat(),
+        fileFormat = new GraftParquetFileFormat(),
         committer = protocol,
         outputSpec =
           FileFormatWriter.OutputSpec(tablePath, Map.empty, outputCols),
@@ -168,6 +168,32 @@ object TransactionalWrite extends org.apache.spark.internal.Logging {
   }
 
   private def quote(c: String): String = s"`$c`"
+
+  /** Parquet format whose TIMESTAMP columns write as TIMESTAMP_MICROS
+    * regardless of the session's `spark.sql.parquet.outputTimestampType`
+    * (whose default is the legacy INT96): parquet readers cannot evaluate
+    * predicates against INT96, so every timestamp filter on a
+    * graft-written table silently lost row-group/page skipping —
+    * `PushedFilters` stayed empty while `DataFilters` carried the
+    * predicate. Micros is lossless for Spark timestamps (they ARE
+    * microseconds), decodes as a plain 8-byte column instead of 12-byte
+    * INT96, and restores stats/dictionary/bloom pushdown. prepareWrite
+    * re-reads the session conf into the job conf, so the override must
+    * land AFTER super. */
+  private class GraftParquetFileFormat extends ParquetFileFormat {
+    override def prepareWrite(
+        sparkSession: org.apache.spark.sql.SparkSession,
+        job: org.apache.hadoop.mapreduce.Job,
+        options: Map[String, String],
+        dataSchema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.execution.datasources.OutputWriterFactory = {
+      val factory = super.prepareWrite(sparkSession, job, options, dataSchema)
+      job.getConfiguration.set(
+        org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+        "TIMESTAMP_MICROS")
+      factory
+    }
+  }
 
   /** Local-FS recursive delete for DRIVER-LOCAL metadata files (MV json,
     * test scaffolding). Data paths go through [[GraftFs]]. */
