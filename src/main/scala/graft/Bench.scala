@@ -138,7 +138,16 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     val totalWarmField = if (!warmMode) "" else s""","total_warm":$totalWarm"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin$totalWarmField,"nqueries":${queries.size},"errors":$errJson,"sf":"$sfDir","detail":"$outFile"}""")
+    // Per-query medians, 2 decimals: the driver parses only the LAST ~2000
+    // chars of stdout (round-6 finding: the full-precision two-map line
+    // overflowed that window and parsed as null, round-14 finding: totals-
+    // only starves the driver's per-query comparison). 81 names + 2dp
+    // values ≈ 1.7 KB — one rounded map fits the window with slack, two
+    // don't (3.5 KB). Full precision medians AND mins stay in $outFile.
+    val qsShort = results.map { case (k, med, _) =>
+      "\"" + k + "\":" + (if (med < 0) "-1" else f"$med%.2f")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin$totalWarmField,"nqueries":${queries.size},"queries":$qsShort,"errors":$errJson,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -55,17 +55,12 @@ object Ann {
   /** Unit-normalized exploded rows (idAs, dim, xAs [, bucket]) — one
     * grouped pass computes the norm (and, when `numPlanes > 0`, the
     * hyperplane sign-sums) as plain aggregates, then a self-join scales each
-    * component. No array lambdas anywhere. `corpusSide = true` applies the
-    * [[Parallelism.fanOut]] floor — the dims explode multiplies rows 64×,
-    * so the norm/plane aggregates otherwise run on however few splits the
-    * vector table planned; query-side frames are a handful of rows and
-    * skip it. */
+    * component. No array lambdas anywhere. */
   private[llm] def unitRows(
       df: DataFrame, idCol: String, vecCol: String,
       idAs: String, xAs: String, numPlanes: Int = 0,
-      dims: Int = 64, corpusSide: Boolean = false): DataFrame = {
-    val src = if (corpusSide) Parallelism.fanOut(df, idCol) else df
-    val expl = explodedRows(src, idCol, vecCol, idAs)
+      dims: Int = 64): DataFrame = {
+    val expl = explodedRows(df, idCol, vecCol, idAs)
     val planeAggs = (0 until numPlanes).map { p =>
       sum(col("x") * planeComponent(p, col("dim") + 1, dims)).as(s"d$p")
     }
@@ -91,6 +86,65 @@ object Ann {
     val outCols = Seq(col(idAs), col("dim"), (col("x") / col("n")).as(xAs)) ++
       (if (numPlanes > 0) Seq(col("bucket")) else Nil)
     expl.join(keyed.filter(col("n") =!= 0.0d), idAs).select(outCols: _*)
+  }
+
+  /** Fold unit-normalized EXPLODED rows (id, dim, x) back into one
+    * `array<double>` per id, ordered by dim — the doc-level frame the pair
+    * producers self-join. The folded components are bit-identical to the
+    * exploded ones (no re-normalization), so any cosine computed from the
+    * array equals the exploded relational sum up to addition order.
+    * `array_sort` on (dim, x) structs orders by dim (unique per id); the
+    * `transform` projection is per-DOC (linear), never per pair. */
+  private[llm] def foldUnitVectors(
+      rows: DataFrame, id: String, x: String, vAs: String): DataFrame =
+    rows.groupBy(id).agg(
+      transform(
+        array_sort(collect_list(struct(col("dim").as("__d"),
+          col(x).as("__x")))),
+        s => s("__x")).as(vAs))
+
+  /** Pairwise dot product of two unit-vector array columns — the per-PAIR
+    * expression of the near-dup pair joins, replacing the per-dimension
+    * exploded join + hash-aggregate (64× the rows through the quadratic
+    * stage). Spelled as `dims` unrolled `try_element_at` terms plus an
+    * exact higher-order-function tail that only evaluates for vectors
+    * LONGER than `dims` (If branches are lazy in both codegen and
+    * interpreted mode).
+    *
+    * Spelling chosen by measurement, not aesthetics (each variant timed on
+    * a 20k-doc skewed-group fixture with ~5M candidate pairs):
+    *   - pure unrolled terms whole-stage-codegen into ONE giant method the
+    *     JIT refuses to compile — 20.5 s;
+    *   - unrolled + HOF tail as the join condition (what predicate
+    *     pushdown makes of a post-join filter) — 1.14 s;
+    *   - this form, where the trailing `rand(42) * 0.0` term — exactly
+    *     +0.0, so the VALUE is untouched — makes the expression
+    *     NONDETERMINISTIC so the `>= minCosine` filter CANNOT be pushed
+    *     into the join: the join stays pure-codegen on its equi-keys, and
+    *     the dot evaluates once per pair in a standalone Filter/Project
+    *     whose expression codegen splits into JIT-sized methods — 0.44 s.
+    *     (Guide §4.4's asNondeterministic anti-duplication trick, applied
+    *     to a built-in expression.)
+    *
+    * Null semantics match the exploded sum: null elements (and dims present
+    * on only one side) contribute 0. The one observable difference: a pair
+    * whose overlapping products are ALL null scores 0.0 here where the
+    * exploded `sum` yielded NULL — visible only to callers filtering at
+    * `minCosine <= 0` over vectors with null elements. */
+  private[llm] def pairDot(a: Column, b: Column, dims: Int): Column = {
+    val head = (1 to dims).map(i =>
+      coalesce(try_element_at(a, lit(i)) * try_element_at(b, lit(i)),
+        lit(0.0d))).reduce(_ + _)
+    val tail = when(size(a) > dims || size(b) > dims,
+      aggregate(
+        zip_with(slice(a, lit(dims + 1), size(a)), slice(b, lit(dims + 1), size(b)),
+          (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + coalesce(v, lit(0.0d))))
+      .otherwise(lit(0.0d))
+    // rand() * 0.0 == +0.0 for every draw (rand ∈ [0,1), finite): adding it
+    // never changes the double value, only the expression's determinism —
+    // retried tasks recompute identical cosines
+    head + tail + rand(42) * lit(0.0d)
   }
 
   /** Nearest centroid by cosine for every vector of `unit` (both sides

@@ -510,15 +510,21 @@ object Dedup {
     // Sub-bucket pairs stay exact cosine (a subset of the uncapped
     // output); the probe collects ONE row (max + over-cap groups), and
     // the decision lands in [[lastSplitReport]]("embedding").
-    val (maxSize, oversized) = oversizedProbe(
+    val (maxSize, oversized, pairWork) = oversizedProbe(
       unit.filter(col("dim") === 0)
         .groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn")),
       cap)
     recordSplit("embedding", cap, oversized, maxSize)
+    // doc-level unit vectors: the quadratic pair join below runs over ONE
+    // row per doc (arrays) instead of one row per (doc, dim) — the fold
+    // reuses the checkpointed exploded rows, so component values are
+    // bit-identical to the exploded spelling
+    val uv = Ann.foldUnitVectors(
+      unit.select(col("doc_id"), col("dim"), col("x")), "doc_id", "x", "varr")
+    val docKey = unit.filter(col("dim") === 0).select("doc_id", "bucket")
     val keyed: DataFrame =
       if (maxSize <= cap)
-        unit.select(col("doc_id"), col("bucket"), col("dim"), col("x"),
-          lit(0L).as("__pk"))
+        docKey.join(uv, "doc_id").withColumn("__pk", lit(0L))
       else {
         val big = planesLocalRelation(spark, oversized, cap,
           unit.schema("bucket").dataType)
@@ -549,17 +555,23 @@ object Dedup {
           .select("nid", "cid", "csim", "__np")
         val bits = residualSubBuckets(
           comp.select("nid", "dim", "nx"), centers, ovDocs, dims)
-        unit.join(bits.withColumnRenamed("nid", "doc_id"),
+        docKey.join(bits.withColumnRenamed("nid", "doc_id"),
             Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("bucket"), col("dim"), col("x"),
+          .select(col("doc_id"), col("bucket"),
             coalesce(col("__pk"), lit(0L)).as("__pk"))
-          .transform(Checkpoints.stabilize)
+          .join(uv, "doc_id")
       }
-    keyed.as("a").join(keyed.as("b"),
+    // both sides of the pair self-join read the doc-level frame; the
+    // work-gated fan-out raises the quadratic stage's parallelism only when
+    // the probe-estimated pair work says it matters (a small corpus keeps
+    // the exchange-free fast path)
+    val pf = pairFan(keyed.transform(Checkpoints.stabilize), "doc_id",
+      pairWork, dims)
+    pf.as("a").join(pf.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.__pk") === col("b.__pk") &&
-        col("a.dim") === col("b.dim") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(sum(col("a.x") * col("b.x")).as("cosine"))
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        Ann.pairDot(col("a.varr"), col("b.varr"), dims).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -625,15 +637,21 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, minCosine: Double = 0.95, iters: Int = 1,
       maxClusterSize: Int = 0, dims: Int = 64): DataFrame = {
-    val (cu, assignKeyed) =
+    val (cu, assignKeyed, pairWork) =
       semanticKeyedAssign(df, idCol, vecCol, k, iters, maxClusterSize, dims)
-    // both sides of the pair join read the assigned unit rows
-    val au = cu.join(assignKeyed, "nid").transform(Checkpoints.stabilize)
-    au.as("a").join(au.as("b"),
+    // both sides of the pair join read the assigned DOC-LEVEL unit vectors:
+    // the quadratic stage carries one array row per doc instead of one row
+    // per (doc, dim) — 64× fewer rows through the join, and the cosine is
+    // one per-pair projection ([[Ann.pairDot]]) instead of a 2.6M-group
+    // hash-aggregate over the 64×-exploded join output
+    val uv = Ann.foldUnitVectors(cu, "nid", "nx", "varr")
+    val au = uv.join(assignKeyed, "nid").transform(Checkpoints.stabilize)
+    val pf = pairFan(au, "nid", pairWork, dims)
+    pf.as("a").join(pf.as("b"),
         col("a.cid") === col("b.cid") && col("a.__pk") === col("b.__pk") &&
-        col("a.dim") === col("b.dim") && col("a.nid") < col("b.nid"))
-      .groupBy(col("a.nid").as("a_id"), col("b.nid").as("b_id"))
-      .agg(sum(col("a.nx") * col("b.nx")).as("cosine"))
+        col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("a_id"), col("b.nid").as("b_id"),
+        Ann.pairDot(col("a.varr"), col("b.varr"), dims).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -644,7 +662,7 @@ object Dedup {
   private[graft] def semanticKeyedAssign(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, maxClusterSize: Int,
-      dims: Int): (DataFrame, DataFrame) = {
+      dims: Int): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
     val cap = if (maxClusterSize > 0) maxClusterSize
       else spark.conf.getOption(SEMANTIC_MAX_CLUSTER_KEY)
@@ -665,7 +683,7 @@ object Dedup {
     // ONE single-row collect decides everything (bounded driver work
     // regardless of corpus size) — the fast path's whole overhead; the
     // decision lands in [[lastSplitReport]]("semantic")
-    val (maxSize, oversized) = oversizedProbe(
+    val (maxSize, oversized, pairWork) = oversizedProbe(
       assign.groupBy("cid").agg(count(lit(1)).as("__cn")), cap)
     recordSplit("semantic", cap, oversized, maxSize)
     val keyed: DataFrame =
@@ -688,7 +706,7 @@ object Dedup {
           .select(col("nid"), col("cid"),
             coalesce(col("__pk"), lit(0L)).as("__pk"))
       }
-    (cu, keyed)
+    (cu, keyed, pairWork)
   }
 
   /** Plane count subdividing a group of `size` members to expected
@@ -767,18 +785,57 @@ object Dedup {
     * materializes that checkpoint, so the whole decision costs one
     * scheduled job. */
   private def oversizedProbe(
-      sizes: DataFrame, cap: Int): (Long, Seq[(Any, Long)]) = {
+      sizes: DataFrame, cap: Int): (Long, Seq[(Any, Long)], Long) = {
     val row = sizes.agg(
       max(col("__cn")).as("__mx"),
       // when() without otherwise => null for at-or-under-cap groups,
       // and collect_list skips nulls
       collect_list(when(col("__cn") > cap,
-        struct(col("cid"), col("__cn")))).as("__big"))
+        struct(col("cid"), col("__cn")))).as("__big"),
+      // pair-work estimate Σ min(cn, cap)·cn: after residual splitting a
+      // doc in an over-cap group pairs with ~cap partners, an under-cap
+      // doc with its whole group — rides the same single-row collect and
+      // gates [[pairFan]] below
+      sum(least(col("__cn"), lit(cap.toLong)) * col("__cn")).as("__work"))
       .collect().head
     val maxSize = if (row.isNullAt(0)) 0L else row.getLong(0)
     val oversized = row.getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.get(0), r.getLong(1)))
-    (maxSize, oversized)
+    val pairWork = if (row.isNullAt(2)) 0L else row.getLong(2)
+    (maxSize, oversized, pairWork)
+  }
+
+  /** Conf key for the pair producers' work-gated fan-out threshold, in
+    * estimated dot-product TERMS (pairWork × dims). Below it the pair
+    * frame keeps its exchange-free layout (a small corpus's whole pair
+    * stage is cheaper than one extra shuffle + its tasks — measured
+    * neutral-to-worse ungated in a past round); above it the frame is
+    * repartitioned to the default parallelism so the quadratic stage never
+    * runs on a handful of post-AQE-coalesce partitions. At production
+    * scale the frame plans ≥ cores partitions and the underlying
+    * [[Parallelism.fanOut]] floor is a structural no-op. */
+  val PAIR_FANOUT_TERMS_KEY = "spark.graft.dedup.pair.fanOutMinTerms"
+
+  /** Work-gated parallelism floor for a stabilized pair frame: fan out by
+    * the UNIQUE id only when the probe-estimated pair work (`pairWork`
+    * partner rows × `dims` terms each) exceeds [[PAIR_FANOUT_TERMS_KEY]]
+    * (default 128M terms ≈ seconds of single-core dot-product work).
+    *
+    * By the unique id, NOT the join keys, deliberately: a group key's
+    * whole quadratic workload lands in one partition (AQE's skew split
+    * keys on BYTES, which stay tiny here), and pre-co-partitioning also
+    * robs AQE of the runtime broadcast conversion — measured 2.02 s vs
+    * 0.57 s for id-fanned on the same skewed 5M-pair fixture. The join's
+    * own exchange (or broadcast) takes it from there. */
+  private def pairFan(
+      df: DataFrame, idCol: String, pairWork: Long,
+      dims: Int): DataFrame = {
+    val minTerms = df.sparkSession.conf
+      .getOption(PAIR_FANOUT_TERMS_KEY).map(_.toLong)
+      .getOrElse(128L << 20)
+    if (pairWork * math.max(1, dims) > minTerms)
+      Parallelism.fanOut(df, idCol)
+    else df
   }
 
   /** Hyperplane sign sub-buckets over each member's RESIDUAL

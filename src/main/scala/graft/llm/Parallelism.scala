@@ -1,6 +1,8 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.functions.col
 
 /** Scale-adaptive parallelism floor for heavy per-row compute that sits
@@ -28,10 +30,36 @@ import org.apache.spark.sql.functions.col
   */
 object Parallelism {
 
-  def fanOut(df: DataFrame, keyCol: String): DataFrame = {
+  /** Planned partition count, probed WITHOUT executing anything — or None
+    * when the plan is not scan-shaped. `Dataset.rdd` under AQE materializes
+    * every non-result query stage, so probing it on a frame that contains
+    * exchanges would eagerly run the upstream plan at DataFrame-CONSTRUCTION
+    * time (and that work is NOT reused by the real action). An exchange-free
+    * plan (a file scan, a local relation, a checkpointed LogicalRDD) never
+    * goes adaptive, so its `.rdd` is plain lazy RDD assembly. Plans WITH
+    * exchanges return None: their downstream parallelism is already set by
+    * `spark.sql.shuffle.partitions` / AQE, so the floor is moot there anyway.
+    */
+  private[llm] def plannedSplits(df: DataFrame): Option[Int] = {
+    val qe = castToImpl(df).queryExecution
+    val hasExchange =
+      qe.sparkPlan.collectFirst { case e: Exchange => e }.isDefined
+    if (hasExchange) None else Some(df.rdd.getNumPartitions)
+  }
+
+  def fanOut(df: DataFrame, keyCol: String): DataFrame =
+    fanOutKeys(df, Seq(keyCol))
+
+  /** Multi-column form: fanning a pair frame by its JOIN keys lets the
+    * downstream self-join reuse the exchange (same keys, same partition
+    * count) instead of paying a second shuffle — guide §2.4. */
+  def fanOutKeys(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts < target) df.repartition(target, col(s"`${keyCol.replace("`", "``")}`"))
-    else df
+    plannedSplits(df) match {
+      case Some(parts) if parts < target =>
+        df.repartition(target,
+          keyCols.map(k => col(s"`${k.replace("`", "``")}`")): _*)
+      case _ => df
+    }
   }
 }
