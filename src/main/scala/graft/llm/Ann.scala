@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
   *    cells; queries probe only the cells whose angular bound can still
   *    beat their provisional kth-best, which keeps the result EXACT.
   *
-  * All cosine math is expressed RELATIONALLY: vectors are unit-normalized
-  * once, dimensions exploded to (id, dim, x/|v|) rows, and each pairwise
-  * cosine is a codegen'd `sum(ax * bx)` hash-aggregate over an equi-join on
-  * `dim`. Higher-order-function lambdas (`aggregate`/`zip_with`) evaluate
-  * interpreted per candidate pair and are deliberately absent from every
-  * per-pair path — at scale the candidate count is where the time goes.
-  * (Same pattern as `Dedup.embeddingNearDuplicates`.)
+  * Vector prep is NARROW ([[unitVecs]]: norms, LSH sign-sums and the
+  * rescale are per-row array folds — zero exchanges); candidate scoring
+  * is RELATIONAL (exploded (id, dim, x/|v|) rows, each cosine a codegen'd
+  * `sum(ax * bx)` hash-aggregate over an equi-join on `dim`) where the
+  * candidate set is linear (query × corpus), and a per-pair array dot
+  * ([[pairDot]], measured spelling) where it is quadratic
+  * (`Dedup.embeddingNearDuplicates` / `semanticNearDupPairs` self-joins,
+  * which would otherwise carry 64× the rows through the join).
   */
 object Ann {
 
@@ -46,16 +47,73 @@ object Ann {
     coalesce(try_element_at(
       typedlit((1 to dims).map(planeConst(plane, _))), dim1), lit(0.0d))
 
+  /** Narrow per-vector unit form (idAs, vAs [, bucket]): the norm, the
+    * hyperplane sign-sums and the component rescale are all PER-ROW folds
+    * over the array — zero exchanges and zero joins. The folds accumulate
+    * in the same ascending-dimension order the per-doc hash aggregate of
+    * [[unitRows]] does (all of one doc's exploded rows sit in one
+    * partition), so norms, components and bucket signs are bit-identical
+    * to the grouped spelling.
+    *
+    * ONLY for frames that are MATERIALIZED (checkpointed) before further
+    * processing — the pair producers' doc-level frames. The higher-order
+    * folds are CodegenFallback expressions: INLINE under a join/aggregate
+    * they knock the whole downstream stage out of WholeStageCodegen
+    * (measured: q_ann_brute's scored stage 0.17 → 1.28 core-s when the
+    * prep ran inline), while behind a checkpoint the interpreted cost is
+    * one linear pass at materialization and every consumer reads plain
+    * blocks. The scoring paths keep the grouped [[unitRows]].
+    *
+    * Zero-norm guard: cosine is UNDEFINED for an all-zero vector, so such
+    * vectors are excluded outright (ANSI mode would otherwise throw
+    * DIVIDE_BY_ZERO on the normalization). Dropping zero vectors — rather
+    * than letting null sims rank last — keeps every algorithm consistent:
+    * a zero-norm query returns no rows and a zero-norm corpus vector is
+    * never a neighbor, identically under brute, LSH, IVF-flat and
+    * IVF-pruned. */
+  private[graft] def unitVecs(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, numPlanes: Int = 0,
+      dims: Int = 64): DataFrame = {
+    val v = col(s"`${vecCol.replace("`", "``")}`").cast("array<double>")
+    // null elements contribute 0, exactly as the grouped sum() skipped them
+    val norm2 = aggregate(v, lit(0.0d),
+      (acc, x) => acc + coalesce(x * x, lit(0.0d)))
+    val base = Seq(col(s"`${idCol.replace("`", "``")}`").as(idAs),
+      v.as("__v"), sqrt(norm2).as("__n"))
+    val planeSums = (0 until numPlanes).map { p =>
+      aggregate(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, d) => x * planeComponent(p, d, dims)),
+        lit(0.0d), (acc, t) => acc + coalesce(t, lit(0.0d))).as(s"__d$p")
+    }
+    val planed = df.select(base ++ planeSums: _*)
+    val bucketCols =
+      if (numPlanes > 0)
+        Seq((0 until numPlanes).map(p =>
+          when(col(s"__d$p") >= 0, lit(1 << p)).otherwise(lit(0)): Column)
+          .reduce(_ + _).as("bucket"))
+      else Nil
+    planed.filter(col("__n") =!= 0.0d)
+      .select(Seq(col(idAs),
+        transform(col("__v"), x => x / col("__n")).as(vAs)) ++ bucketCols: _*)
+  }
+
   /** Exploded (id, dim, x) rows of a vector column, in double. */
   private def explodedRows(
       df: DataFrame, idCol: String, vecCol: String, idAs: String): DataFrame =
-    df.select(col(idCol).as(idAs),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    df.select(col(s"`${idCol.replace("`", "``")}`").as(idAs),
+      posexplode(col(s"`${vecCol.replace("`", "``")}`")
+        .cast("array<double>")).as(Seq("dim", "x")))
 
   /** Unit-normalized exploded rows (idAs, dim, xAs [, bucket]) — one
     * grouped pass computes the norm (and, when `numPlanes > 0`, the
-    * hyperplane sign-sums) as plain aggregates, then a self-join scales each
-    * component. No array lambdas anywhere. */
+    * hyperplane sign-sums) as plain aggregates, then a self-join scales
+    * each component. No array lambdas anywhere: this is the form the
+    * centroid/assignment/scoring joins consume INLINE, and an interpreted
+    * fold here would knock those stages out of WholeStageCodegen (see
+    * [[unitVecs]] for the measured cost and for the narrow form the
+    * CHECKPOINTED pair frames use instead). */
   private[llm] def unitRows(
       df: DataFrame, idCol: String, vecCol: String,
       idAs: String, xAs: String, numPlanes: Int = 0,
@@ -73,35 +131,24 @@ object Ann {
           .reduce(_ + _).as("bucket"))
       else Nil)
     val keyed = per.select(keyedCols: _*)
-    // zero-norm guard: cosine is UNDEFINED for an all-zero vector, so such
-    // vectors are excluded outright (ANSI mode would otherwise throw
-    // DIVIDE_BY_ZERO on the normalization). The filter runs on the per-ID
-    // aggregate — one row per vector, before the fan-out join — so it
-    // costs nothing per component. Dropping zero vectors — rather than
-    // letting null sims rank last — keeps every algorithm consistent: a
-    // zero-norm query returns no rows and a zero-norm corpus vector is
-    // never a neighbor, identically under brute, LSH, IVF-flat and
-    // IVF-pruned (null sims would otherwise surface arbitrary candidate
-    // sets that differ per probe strategy).
     val outCols = Seq(col(idAs), col("dim"), (col("x") / col("n")).as(xAs)) ++
       (if (numPlanes > 0) Seq(col("bucket")) else Nil)
     expl.join(keyed.filter(col("n") =!= 0.0d), idAs).select(outCols: _*)
   }
 
   /** Fold unit-normalized EXPLODED rows (id, dim, x) back into one
-    * `array<double>` per id, ordered by dim — the doc-level frame the pair
-    * producers self-join. The folded components are bit-identical to the
-    * exploded ones (no re-normalization), so any cosine computed from the
-    * array equals the exploded relational sum up to addition order.
-    * `array_sort` on (dim, x) structs orders by dim (unique per id); the
-    * `transform` projection is per-DOC (linear), never per pair. */
+    * `array<double>` per id, ordered by dim — for a pair producer whose
+    * exploded rows are ALREADY checkpointed (the semantic path, which
+    * needs them for centroid assignment anyway): one codegen'd
+    * collect_list aggregate over the checkpoint, no lambda anywhere
+    * (struct sort is lexicographic on (dim, x) and dim is unique per id;
+    * `.getField` extracts the components). Values are bit-identical to
+    * the exploded ones — no re-normalization. */
   private[llm] def foldUnitVectors(
       rows: DataFrame, id: String, x: String, vAs: String): DataFrame =
-    rows.groupBy(id).agg(
-      transform(
-        array_sort(collect_list(struct(col("dim").as("__d"),
-          col(x).as("__x")))),
-        s => s("__x")).as(vAs))
+    rows.groupBy(id)
+      .agg(array_sort(collect_list(struct(col("dim"), col(x)))).as("__s"))
+      .select(col(id), col("__s").getField(x).as(vAs))
 
   /** Pairwise dot product of two unit-vector array columns — the per-PAIR
     * expression of the near-dup pair joins, replacing the per-dimension
@@ -131,7 +178,7 @@ object Ann {
     * whose overlapping products are ALL null scores 0.0 here where the
     * exploded `sum` yielded NULL — visible only to callers filtering at
     * `minCosine <= 0` over vectors with null elements. */
-  private[llm] def pairDot(a: Column, b: Column, dims: Int): Column = {
+  private[graft] def pairDot(a: Column, b: Column, dims: Int): Column = {
     val head = (1 to dims).map(i =>
       coalesce(try_element_at(a, lit(i)) * try_element_at(b, lit(i)),
         lit(0.0d))).reduce(_ + _)

@@ -673,6 +673,27 @@ object AnnIndex {
     // norm-then-rescale shuffle+join of Ann.unitRows from the plan. Lazy
     // checkpoint: the probe-pair collect below is the first action — it
     // fills qx's blocks and computes the probe plan in ONE scheduled job.
+    // SMALL-BATCH DRIVER PROBE (the common point-lookup / small-batch
+    // case): centroids and stats are already LOCAL relations, so for a
+    // bounded query batch the whole qCell→bounds→t0→probe derivation is
+    // a few thousand double ops — running it distributively costs 4-6
+    // AQE stage jobs (qx materialization, qCell aggregate, the t0 window
+    // + aggregate, the t0 broadcast) of ~70 ms each, ALL of it to decide
+    // metadata. One bounded collect of the query vectors replaces every
+    // one of those jobs; the math below mirrors the SQL expressions
+    // term-for-term (same ascending-dim accumulation the per-group hash
+    // aggregate produced, same clamps, same 1e-9 margin — and the bound
+    // logic is conservative, so a last-ulp divergence can only cost one
+    // extra probed cell, never exactness). Batches over the cap take the
+    // distributed path below, unchanged.
+    val maxLocalQueries = 8192
+    val qCollected = queries
+      .select(col(s"`$queryIdCol`").as("qid"),
+        col(s"`$queryVecCol`").cast("array<double>").as("qv"))
+      .limit(maxLocalQueries + 1).collect()
+    if (qCollected.length <= maxLocalQueries)
+      return topKLocalProbe(spark, root, qCollected,
+        queries.schema(queryIdCol).dataType, cents, radii, k)
     val qx = Checkpoints.stabilize(
       queries.select(col(s"`$queryIdCol`").as("qid"),
         posexplode(col(s"`$queryVecCol`").cast("array<double>"))
@@ -766,6 +787,124 @@ object AnnIndex {
       cellRows.join(probePairs, Seq("cid")).join(qx, Seq("qid", "dim"))
     })
       // raw-x sim = |q| × cosine: same per-query order, same ties
+      .groupBy("qid", "nid").agg(sum(col("nx") * col("x")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
+  /** [[topK]]'s small-batch path: the probe PLAN (which cells each query
+    * scans, and the metadata threshold t0 deciding it) computed entirely
+    * on the DRIVER from the already-local centroid/stats relations — zero
+    * scheduled jobs before the single corpus-touching scan, where the
+    * distributed derivation paid 4-6 AQE stage jobs of pure metadata
+    * work. Mirrors the SQL expressions term-for-term (ascending-dim
+    * accumulation, same clamps, same 1e-9 margin); the cell bound is
+    * conservative, so a last-ulp divergence can only probe one extra
+    * cell, never skip a required one. Driver memory is bounded by the
+    * caller's 8k-query cap × dims plus nCentroids metadata rows. */
+  private def topKLocalProbe(
+      spark: SparkSession, root: String,
+      qRows: Array[org.apache.spark.sql.Row],
+      qidType: org.apache.spark.sql.types.DataType,
+      cents: DataFrame, radii: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val cidType = cents.schema("cid").dataType
+    // cents/radii are LOCAL relations — collect() is a LocalTableScan,
+    // not a job
+    val centComp: Map[Any, Array[(Int, Double)]] = cents.collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .groupBy(_.get(0)).map { case (cid, rs) =>
+        cid -> rs.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+      }
+    val rCols = radii.columns
+    val cosrIdx = rCols.indexOf("cosr")
+    val sinrIdx = rCols.indexOf("sinr")
+    val cntIdx = rCols.indexOf("cnt") // -1 on pre-cnt stats
+    val radiiBy: Map[Any, (Double, Double, Long)] = radii.collect().map { r =>
+      // same defaults as the distributed left-outer join: missing/null
+      // stats mean widest radius (probe it) and zero claimed members
+      val cosr = if (cosrIdx < 0 || r.isNullAt(cosrIdx)) -1.0
+        else r.getDouble(cosrIdx)
+      val sinr = if (sinrIdx < 0 || r.isNullAt(sinrIdx)) 0.0
+        else r.getDouble(sinrIdx)
+      val cnt = if (cntIdx < 0 || r.isNullAt(cntIdx)) 0L
+        else r.getAs[Number](cntIdx).longValue()
+      r.get(0) -> ((cosr, sinr, cnt))
+    }.toMap
+    val qxRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val pairRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    qRows.foreach { qr =>
+      if (!qr.isNullAt(1)) {
+        val qid = qr.get(0)
+        val qv = qr.getSeq[Any](1)
+        val bounds = centComp.toSeq.flatMap { case (cid, comps) =>
+          var dot = 0.0
+          var norm2 = 0.0
+          comps.foreach { case (dim, cx) =>
+            if (dim >= 0 && dim < qv.length && qv(dim) != null) {
+              val x = qv(dim).asInstanceOf[Double]
+              dot += x * cx
+              norm2 += x * x
+            }
+          }
+          if (norm2 <= 0.0) None
+          else {
+            val qcs = dot / math.sqrt(norm2)
+            val qcsC = math.max(-1.0, math.min(1.0, qcs))
+            val sinA = math.sqrt(math.max(0.0, 1.0 - qcsC * qcsC))
+            val (cosr, sinr, cnt) = radiiBy.getOrElse(cid, (-1.0, 0.0, 0L))
+            val ub = if (qcsC >= cosr) 1.0 else qcsC * cosr + sinA * sinr
+            val lb = if (qcsC < -cosr) -1.0 else qcsC * cosr - sinA * sinr
+            Some((cid, ub, lb, cnt))
+          }
+        }
+        if (bounds.nonEmpty) {
+          // t0 = lb of the first cell (lb-desc) at which cumulative
+          // membership reaches k; lb ties share a value, so tie order
+          // cannot change t0. Fewer than k counted members => -2.
+          var cum = 0L
+          var t0 = -2.0
+          bounds.sortBy(-_._3).foreach { case (_, _, lb, cnt) =>
+            cum += cnt
+            if (t0 == -2.0 && cum >= k) t0 = lb
+          }
+          val probed = bounds.filter { case (_, ub, _, _) => ub + 1e-9 >= t0 }
+          if (probed.nonEmpty) {
+            probed.foreach { case (cid, _, _, _) => pairRows += Row(qid, cid) }
+            qv.indices.foreach(d => qxRows += Row(qid, d, qv(d)))
+          }
+        }
+      }
+    }
+    if (pairRows.isEmpty)
+      // no query survived unit-normalization — empty, correctly-shaped out
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField("qid", qidType),
+          StructField("rank", IntegerType, nullable = false),
+          StructField("nid", cidType))))
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(pairRows.toSeq: _*),
+      StructType(Seq(StructField("qid", qidType),
+        StructField("cid", cidType))))
+    val qxDf = spark.createDataFrame(
+      java.util.Arrays.asList(qxRows.toSeq: _*),
+      StructType(Seq(StructField("qid", qidType),
+        StructField("dim", IntegerType, nullable = false),
+        StructField("x", DoubleType))))
+    val probeCids = pairRows.map(_.get(1)).distinct.toSeq
+    // ONE partition-pruned pass over the probed cells — identical to the
+    // distributed path's final job (raw-x sim = |q| × cosine: same
+    // per-query order, same ties)
+    val cellRows = spark.read.format("graft").load(cellsPath(root))
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col("cid"), col("nid"),
+        posexplode(col("uvec")).as(Seq("dim", "nx")))
+    val scored = cellRows.join(broadcast(pairsDf), Seq("cid"))
+      .join(broadcast(qxDf), Seq("qid", "dim"))
       .groupBy("qid", "nid").agg(sum(col("nx") * col("x")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -259,13 +259,19 @@ object Dedup {
     val localMax = pairs.sparkSession.conf
       .getOption("spark.graft.dedup.localClusterMaxPairs").map(_.toLong)
       .getOrElse(1L << 20)
+    // validated, not clamped: at localMax >= Int.MaxValue the limit could
+    // no longer return the (localMax+1)th overflow row and clustering
+    // would silently run on a truncated pair list (and localMax+1 would
+    // overflow the Int limit argument)
+    require(localMax >= 0 && localMax < Int.MaxValue,
+      "spark.graft.dedup.localClusterMaxPairs must be in [0, " +
+      s"${Int.MaxValue}), got $localMax")
     // ONE action decides the path AND (on the local path) delivers the
     // rows: limit(localMax+1) returns everything when the list fits, and
     // its (localMax+1)th row is the overflow signal — the previous
     // count-then-collect spelling paid two scheduled jobs for the same
     // information. Driver memory stays bounded by localMax either way.
-    val gate = p0.limit(
-      math.min(localMax + 1L, Int.MaxValue.toLong).toInt).collect()
+    val gate = p0.limit((localMax + 1L).toInt).collect()
     if (gate.length <= localMax) return localClusters(p0.sparkSession, gate)
     // cache edges PRE-PARTITIONED on the join key: every round joins on
     // dst, and a cached hash layout means only the (small) label side
@@ -492,12 +498,15 @@ object Dedup {
       else spark.conf.getOption(EMBEDDING_MAX_BUCKET_KEY)
         .map(_.toInt).getOrElse(250)
     require(cap > 0, s"maxBucketSize must be positive, got $cap")
-    // LAZY checkpoint: the size probe below is the FIRST action on `unit`,
-    // so it materializes the checkpoint blocks AND computes the cap
-    // decision in one scheduled job (an eager stabilize + separate probe
-    // would pay two)
-    val unit = Ann
-      .unitRows(df, idCol, vecCol, "doc_id", "x", numPlanes, dims)
+    // LAZY checkpoint of the DOC-LEVEL unit frame (doc_id, varr, bucket):
+    // the size probe below is the FIRST action on it, so it materializes
+    // the checkpoint blocks AND computes the cap decision in one scheduled
+    // job (an eager stabilize + separate probe would pay two). One array
+    // row per doc — the quadratic pair join below carries 64× fewer rows
+    // than the exploded spelling, and [[Ann.unitVecs]] builds it with zero
+    // exchanges.
+    val uvb = Ann
+      .unitVecs(df, idCol, vecCol, "doc_id", "varr", numPlanes, dims)
       .transform(Checkpoints.stabilize(_, eager = false))
     // MEGA-BUCKET CAP (same scale defense as [[semanticNearDupPairs]]):
     // a direction-correlated corpus collapses into few raw-LSH buckets —
@@ -511,27 +520,23 @@ object Dedup {
     // output); the probe collects ONE row (max + over-cap groups), and
     // the decision lands in [[lastSplitReport]]("embedding").
     val (maxSize, oversized, pairWork) = oversizedProbe(
-      unit.filter(col("dim") === 0)
-        .groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn")),
+      uvb.groupBy(col("bucket").as("cid")).agg(count(lit(1)).as("__cn")),
       cap)
     recordSplit("embedding", cap, oversized, maxSize)
-    // doc-level unit vectors: the quadratic pair join below runs over ONE
-    // row per doc (arrays) instead of one row per (doc, dim) — the fold
-    // reuses the checkpointed exploded rows, so component values are
-    // bit-identical to the exploded spelling
-    val uv = Ann.foldUnitVectors(
-      unit.select(col("doc_id"), col("dim"), col("x")), "doc_id", "x", "varr")
-    val docKey = unit.filter(col("dim") === 0).select("doc_id", "bucket")
     val keyed: DataFrame =
       if (maxSize <= cap)
-        docKey.join(uv, "doc_id").withColumn("__pk", lit(0L))
+        // checkpoint-backed already — no second stabilize needed
+        uvb.withColumn("__pk", lit(0L))
       else {
         val big = planesLocalRelation(spark, oversized, cap,
-          unit.schema("bucket").dataType)
+          uvb.schema("bucket").dataType)
         // bucket MEAN as the residual center, unit-normalized; only the
-        // oversized buckets' members pay any of this
-        val ovUnit = unit.withColumnRenamed("bucket", "cid")
+        // oversized buckets' members pay any of this — their components
+        // re-explode from the checkpointed doc-level frame
+        val ovUnit = uvb.withColumnRenamed("bucket", "cid")
           .join(broadcast(big.select("cid")), "cid")
+          .select(col("doc_id"), col("cid"),
+            posexplode(col("varr")).as(Seq("dim", "x")))
         val mean = ovUnit.groupBy("cid", "dim").agg(avg(col("x")).as("mx"))
         val mnorm = mean.groupBy("cid")
           .agg(sqrt(sum(col("mx") * col("mx"))).as("mn"))
@@ -555,18 +560,17 @@ object Dedup {
           .select("nid", "cid", "csim", "__np")
         val bits = residualSubBuckets(
           comp.select("nid", "dim", "nx"), centers, ovDocs, dims)
-        docKey.join(bits.withColumnRenamed("nid", "doc_id"),
+        uvb.join(bits.withColumnRenamed("nid", "doc_id"),
             Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("bucket"),
+          .select(col("doc_id"), col("bucket"), col("varr"),
             coalesce(col("__pk"), lit(0L)).as("__pk"))
-          .join(uv, "doc_id")
+          .transform(Checkpoints.stabilize)
       }
     // both sides of the pair self-join read the doc-level frame; the
     // work-gated fan-out raises the quadratic stage's parallelism only when
     // the probe-estimated pair work says it matters (a small corpus keeps
     // the exchange-free fast path)
-    val pf = pairFan(keyed.transform(Checkpoints.stabilize), "doc_id",
-      pairWork, dims)
+    val pf = pairFan(keyed, "doc_id", pairWork, dims)
     pf.as("a").join(pf.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.__pk") === col("b.__pk") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -643,7 +647,10 @@ object Dedup {
     // the quadratic stage carries one array row per doc instead of one row
     // per (doc, dim) — 64× fewer rows through the join, and the cosine is
     // one per-pair projection ([[Ann.pairDot]]) instead of a 2.6M-group
-    // hash-aggregate over the 64×-exploded join output
+    // hash-aggregate over the 64×-exploded join output. The arrays fold
+    // from the ALREADY-CHECKPOINTED exploded rows (codegen'd collect_list
+    // — components bit-identical to cu's; an inline narrow unitVecs here
+    // would drag its CodegenFallback folds into the join stage)
     val uv = Ann.foldUnitVectors(cu, "nid", "nx", "varr")
     val au = uv.join(assignKeyed, "nid").transform(Checkpoints.stabilize)
     val pf = pairFan(au, "nid", pairWork, dims)

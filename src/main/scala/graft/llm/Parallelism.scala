@@ -41,14 +41,42 @@ object Parallelism {
     * `spark.sql.shuffle.partitions` / AQE, so the floor is moot there anyway.
     */
   private[llm] def plannedSplits(df: DataFrame): Option[Int] = {
+    // ONE QueryExecution serves both probes: `df.rdd` would build a
+    // second (deserializing) QueryExecution — planning a graft scan twice
+    // per call was measured at +0.1-0.25 s on the text operators
     val qe = castToImpl(df).queryExecution
     val hasExchange =
       qe.sparkPlan.collectFirst { case e: Exchange => e }.isDefined
-    if (hasExchange) None else Some(df.rdd.getNumPartitions)
+    if (hasExchange) None else Some(qe.toRdd.getNumPartitions)
   }
 
   def fanOut(df: DataFrame, keyCol: String): DataFrame =
     fanOutKeys(df, Seq(keyCol))
+
+  /** Conf key for [[fanOutBytes]]'s threshold (bytes per planned split). */
+  val FANOUT_MIN_BYTES_KEY = "spark.graft.text.fanOutMinBytesPerSplit"
+
+  /** Byte-gated floor for MODERATE per-row compute (token-count
+    * aggregates): the flat floor was measured HARMFUL on these at small
+    * scale — one hash-agg update per exploded token doesn't amortize the
+    * extra exchange — but the balance flips once each split carries
+    * enough text. Fires only when the plan-time input size exceeds
+    * `minBytesPerSplit` (conf [[FANOUT_MIN_BYTES_KEY]], default 512 KB)
+    * per planned split. Heavy per-row stages (regex + shingle assembly)
+    * keep the unconditional [[fanOut]]. */
+  def fanOutBytes(df: DataFrame, keyCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val minBytes = df.sparkSession.conf
+      .getOption(FANOUT_MIN_BYTES_KEY).map(_.toLong)
+      .getOrElse(512L << 10)
+    plannedSplits(df) match {
+      case Some(parts) if parts < target &&
+          castToImpl(df).queryExecution.optimizedPlan.stats.sizeInBytes >
+            BigInt(minBytes) * parts =>
+        df.repartition(target, col(s"`${keyCol.replace("`", "``")}`"))
+      case _ => df
+    }
+  }
 
   /** Multi-column form: fanning a pair frame by its JOIN keys lets the
     * downstream self-join reuse the exchange (same keys, same partition

@@ -192,8 +192,12 @@ object TextAnalysis {
     * partitions by document, never global. */
   def tfidfTopK(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+    // byte-gated floor (guide §2.5): the flat fanOut was measured harmful
+    // here at small scale, but the token explode + partial aggregate is
+    // split-bound once each split carries enough text
+    val toks = Parallelism.fanOutBytes(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
     // stabilized: document frequencies AND the scoring join both read the
     // term-count frame — one tokenize+aggregate pass, not two. LAZY: the
     // doc-frequency broadcast build is the first consumer and doubles as
@@ -273,7 +277,9 @@ object TextAnalysis {
     * while giving up the oracle. */
   def heavyHitters(
       df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
-    val perDoc = df.select(col(idCol).as("doc_id"),
+    // byte-gated floor — same trade as [[tfidfTopK]]'s
+    val perDoc = Parallelism.fanOutBytes(df, idCol)
+      .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     perDoc.groupBy("term")

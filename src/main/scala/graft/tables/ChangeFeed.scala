@@ -406,12 +406,35 @@ object ChangeFeed {
       // out of both sides. A DELETE commit's vanished rows are deletions,
       // not pre-images (a non-PK delete has no per-key identity to pair
       // them with); update/upsert emit pre/post multiset deltas.
+      //
+      // ONE aggregation pass: both sides union into per-row (pre, post)
+      // counts and the multiset delta replicates via sequence-explode.
+      // The previous two-exceptAll spelling instantiated BOTH sides per
+      // exceptAll — the merged bucket reads (the diff's dominant cost)
+      // each executed twice — and each exceptAll rewrote into its own
+      // union + aggregate anyway. Group-by-struct equality is null-safe
+      // and NaN/-0.0-normalizing, exactly like exceptAll's own
+      // aggregate-based rewrite, so the emitted multiset is identical.
       val (preLabel, postLabel) =
         if (commitType == "delete" || commitType == "restore")
           ("delete", "insert")
         else ("update_preimage", "update_postimage")
-      tag(pre.exceptAll(post), preLabel, v, ts)
-        .unionByName(tag(post.exceptAll(pre), postLabel, v, ts))
+      val rowStruct = struct(outCols.map(c => col(bq(c)).as(c)): _*)
+      val both = pre.select(rowStruct.as("__r"),
+          lit(1L).as("__np"), lit(0L).as("__nq"))
+        .unionByName(post.select(rowStruct.as("__r"),
+          lit(0L).as("__np"), lit(1L).as("__nq")))
+      val delta = both.groupBy("__r")
+        .agg(sum(col("__np")).as("__cp"), sum(col("__nq")).as("__cq"))
+        .withColumn("__n", col("__cp") - col("__cq"))
+        .filter(col("__n") =!= 0L)
+      delta.select(col("__r"),
+          when(col("__n") > 0, lit(preLabel)).otherwise(lit(postLabel))
+            .as(CHANGE_TYPE),
+          explode(sequence(lit(1L), abs(col("__n")))).as("__cf_i"))
+        .select(col("__r.*"), col(CHANGE_TYPE))
+        .withColumn(COMMIT_VERSION, lit(v))
+        .withColumn(COMMIT_TIMESTAMP, timestamp_millis(lit(ts)))
     }
   }
 }

