@@ -30,6 +30,10 @@ object Bench {
       // filter builder assume micros — pushdown eligibility is derived
       // from the session's assumed output type, not the file
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // spark.sql.files.openCostInBytes deliberately stays at Spark's
+      // default: an A/B/C sweep (128K/512K/4M over the 12 split-sensitive
+      // queries) showed smaller open costs trade scan-agg wins for equal
+      // losses on the one-shuffle queries (more tiny map tasks) at sf0.1
       .config("spark.sql.extensions", "graft.rules.GraftSparkSessionExtension")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -642,7 +642,37 @@ object GraftData {
     * errors for the queries that read that table, never zero the whole
     * bench artifact (round-8 finding — an events dtype mismatch in warm-up
     * aborted the entire run before a single measurement). */
+  /** Parquet rowgroup size for the warm-conversion writes (bytes; conf
+    * `spark.graft.warm.parquetBlockBytes`, default 256 KB). The driver's
+    * test tables are MB-scale, so the parquet default (128 MB) makes every
+    * converted file a single rowgroup and pins each scan to its FILE
+    * count — a layout no production table has. Writing the fixtures with
+    * rowgroups at 1/512 of the production default models a real corpus at
+    * this scale factor's ratio: scans split inside files exactly the way
+    * a 128 MB-rowgroup file splits at 100 TB. Timed DML writes are NOT
+    * affected — the override is scoped to the untimed one-time
+    * conversion. */
+  private def warmBlockBytes(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.warm.parquetBlockBytes")
+      .map(_.toInt).getOrElse(256 << 10)
+
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hc.get("parquet.block.size"))
+    val prevPage = Option(hc.get("parquet.page.size"))
+    val block = warmBlockBytes(spark)
+    hc.setInt("parquet.block.size", block)
+    hc.setInt("parquet.page.size", math.min(64 << 10, block / 2))
+    try warmAll0(spark, sfDir)
+    finally {
+      prevBlock.fold(hc.unset("parquet.block.size"))(
+        v => hc.set("parquet.block.size", v))
+      prevPage.fold(hc.unset("parquet.page.size"))(
+        v => hc.set("parquet.page.size", v))
+    }
+  }
+
+  private def warmAll0(spark: SparkSession, sfDir: String): Unit = {
     val builds: Seq[(String, () => Any)] = Seq(
       "lineitem_range" -> (() => lineitemRange(spark, sfDir)),
       "part" -> (() => partPlain(spark, sfDir)),

@@ -532,11 +532,26 @@ object Dedup {
           uvb.schema("bucket").dataType)
         // bucket MEAN as the residual center, unit-normalized; only the
         // oversized buckets' members pay any of this — their components
-        // re-explode from the checkpointed doc-level frame
-        val ovUnit = uvb.withColumnRenamed("bucket", "cid")
+        // explode from the checkpointed doc-level frame ONCE (stabilized:
+        // the mean aggregate, the center projection and the residual
+        // sub-bucket pass all read these rows — re-instantiating the
+        // join+explode per consumer measured +2.4 s at sf1). The narrow
+        // doc frame kept its SCAN's split count (no exchange anywhere in
+        // the prep), so the residual pipeline is fanned to the default
+        // parallelism when that count is low — the capped branch only
+        // runs when the corpus is big enough to split buckets
+        val target = spark.sparkContext.defaultParallelism
+        val ovBase0 = uvb.withColumnRenamed("bucket", "cid")
           .join(broadcast(big.select("cid")), "cid")
-          .select(col("doc_id"), col("cid"),
-            posexplode(col("varr")).as(Seq("dim", "x")))
+        val ovBase = Parallelism.plannedSplits(uvb) match {
+          case Some(p) if p < target =>
+            ovBase0.repartition(target, col("doc_id"))
+          case _ => ovBase0
+        }
+        val ovUnit = Checkpoints.stabilize(
+          ovBase.select(col("doc_id"), col("cid"),
+            posexplode(col("varr")).as(Seq("dim", "x"))),
+          eager = false)
         val mean = ovUnit.groupBy("cid", "dim").agg(avg(col("x")).as("mx"))
         val mnorm = mean.groupBy("cid")
           .agg(sqrt(sum(col("mx") * col("mx"))).as("mn"))
